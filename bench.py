@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline registry queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced to full materialization with a noop-format write
+(executes the whole plan, no driver collect overhead). A warmup run
+of the flagship query absorbs JVM/codegen startup so per-query times
+measure the plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from feast_hive_spark.registry import REGISTRY
+from feast_hive_spark.session import get_spark
+from feast_hive_spark.sources.tables import register_views
+
+BENCH_QUERIES = [
+    "pit_asof_join",
+    "pit_multi_feature_view",
+    "pull_latest",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_parts_per_brand",
+    "events_daily_rollup",
+]
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    register_views(spark, sf_dir)
+
+    names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    extra = [a for a in sys.argv[1:] if a in REGISTRY]
+    if extra:
+        names = extra
+
+    # warmup: absorb JVM/codegen start cost
+    run_query(REGISTRY[names[0]][0], spark, sf_dir)
+
+    times: dict[str, float] = {}
+    for name in names:
+        times[name] = round(run_query(REGISTRY[name][0], spark, sf_dir), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,342 @@
+"""Point-in-time (as-of) join — the engine's flagship query program.
+
+Re-expression of the reference's 195-line Jinja2 HiveQL template
+(feast_hive/hive.py:527-721) as a composed DataFrame plan. Semantics
+(prose spec at hive.py:567-582, :639-644, :656-658, :681-684,
+:701-704): for each entity row ``(keys…, entity_ts)`` and each feature
+view, among feature rows with equal keys and
+``event_ts ∈ [entity_ts - ttl, entity_ts]`` (no lower bound when
+``ttl == 0``, guards hive.py:595/:602/:614/:622), pick the max
+``event_ts``, tie-break max ``created_timestamp``; left-join back to
+the entity rows (missing -> NULL, duplicates preserved).
+
+Spark-first plan (SURVEY §2.3 J1-J6, §4):
+
+1. The entity df is ingested natively (``spark.createDataFrame`` /
+   ``spark.sql``) — the reference's dominant cost, a chunked
+   row-literal ``INSERT INTO`` upload (hive.py:394-460), disappears.
+2. **Coarse bounds pushdown (kept, manual — J2):** Catalyst cannot
+   derive data-dependent bounds across a join, so we compute
+   ``min/max(entity_ts)`` with one tiny driver job and inject them as
+   *literal* filters on each feature scan. At 100 TB this is what
+   turns a full feature-table scan into parquet row-group skipping /
+   partition pruning on the timestamp column.
+3. **Entity dedup before the join (kept — A1):** ``dropDuplicates``
+   on (keys, entity_ts) shrinks the join's build side.
+4. **One row_number window replaces the reference's J4+J5+A3+A4
+   dedup cascade** (2 aggregates + 2 self-joins -> one hash shuffle).
+   We join on the raw ``(keys…, entity_ts)`` tuple, NOT the
+   collision-prone separator-less string rid of hive.py:537-544.
+5. **Broadcast the (deduped) entity side** when small: the feature
+   table — the 100 TB side — then streams through a BroadcastHashJoin
+   with zero shuffle; the only shuffle in the whole per-fv pipeline is
+   the window's hash partition. When the entity df is huge, fall back
+   to letting AQE pick sort-merge (``broadcast_entities=False``).
+
+Physical plan per feature view: Scan(feature, pushed time filter) ->
+BroadcastHashJoin(entity keys) -> Filter(range) -> Window(row_number)
+-> Filter(rn=1) -> left join assembly. Exactly one shuffle per fv.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import timedelta
+from typing import Mapping, Optional, Sequence, Union
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feast_hive_spark.retrieval import RetrievalJob
+from feast_hive_spark.sources.source import DataSource
+
+DEFAULT_ENTITY_DF_EVENT_TIMESTAMP_COL = "event_timestamp"
+
+_ENTITY_TS = "__entity_ts"
+_EVENT_TS = "__event_ts"
+_CREATED_TS = "__created_ts"
+
+
+class EntityTimestampInferenceException(Exception):
+    def __init__(self) -> None:
+        super().__init__(
+            "Unable to infer the event timestamp column from the entity "
+            f"dataframe: provide a column named "
+            f"'{DEFAULT_ENTITY_DF_EVENT_TIMESTAMP_COL}' or exactly one "
+            "timestamp-typed column."
+        )
+
+
+class EntityDFMissingColumnsError(Exception):
+    """Parity with FeastEntityDFMissingColumnsError
+    (reference validation, hive.py:218-224; tested
+    tests/test_all.py:402-418)."""
+
+    def __init__(self, expected: Sequence[str], missing: Sequence[str]):
+        super().__init__(
+            f"The entity dataframe is missing columns {list(missing)}; "
+            f"expected at least {list(expected)}."
+        )
+
+
+class InvalidEntityType(Exception):
+    def __init__(self, t: type):
+        super().__init__(
+            f"The entity dataframe has unsupported type {t}; expected "
+            "a Spark DataFrame, a pandas DataFrame, or a SQL string."
+        )
+
+
+@dataclass
+class FeatureView:
+    """Metadata driving one as-of-joined feature set.
+
+    ``join_keys`` maps feature-table column -> entity-df column (the
+    reference's ``entity_selections``, "col AS join_key"); a plain
+    sequence means same-named columns. ``ttl_seconds == 0`` means NO
+    lower time bound (hive.py:595), not a zero-width window.
+    """
+
+    name: str
+    source: Union[DataSource, DataFrame]
+    join_keys: Union[Mapping[str, str], Sequence[str]] = field(default_factory=list)
+    features: Sequence[str] = field(default_factory=list)
+    ttl_seconds: float = 0
+    event_timestamp_column: Optional[str] = None
+    created_timestamp_column: Optional[str] = None
+
+    def key_map(self) -> dict[str, str]:
+        if isinstance(self.join_keys, Mapping):
+            return dict(self.join_keys)
+        return {k: k for k in self.join_keys}
+
+    def resolve_df(self, spark: SparkSession) -> DataFrame:
+        if isinstance(self.source, DataSource):
+            return self.source.to_df(spark)
+        return self.source
+
+    def event_ts_col(self) -> str:
+        if self.event_timestamp_column:
+            return self.event_timestamp_column
+        if isinstance(self.source, DataSource) and self.source.event_timestamp_column:
+            return self.source.event_timestamp_column
+        raise ValueError(f"FeatureView {self.name}: event_timestamp_column required")
+
+    def created_ts_col(self) -> Optional[str]:
+        if self.created_timestamp_column:
+            return self.created_timestamp_column
+        if isinstance(self.source, DataSource):
+            return self.source.created_timestamp_column or None
+        return None
+
+    def output_name(self, feat: str, full_feature_names: bool) -> str:
+        # hive.py:590/:713 — "{fv}__{feature}" when full_feature_names
+        return f"{self.name}__{feat}" if full_feature_names else feat
+
+
+def normalize_timestamps(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Normalize tz-aware / mixed-tz pandas timestamp columns to naive
+    UTC — the reference's ``_format_datetime`` semantics
+    (hive.py:355-360; mixed-flavor fixture feast_tests_funcs.py:15-30).
+    Pandas-legal mixed-tz object columns are Spark-hostile, so this is
+    applied at the ``createDataFrame`` boundary.
+    """
+    out = pdf.copy()
+    for col in out.columns:
+        s = out[col]
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
+            out[col] = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        elif s.dtype == object and s.map(lambda v: isinstance(v, pd.Timestamp)).all() and len(s):
+            out[col] = (
+                pd.to_datetime(s, utc=True).dt.tz_localize(None)
+            )
+    return out
+
+
+def entity_df_to_spark(
+    spark: SparkSession, entity_df: Union[DataFrame, pd.DataFrame, str]
+) -> DataFrame:
+    """Ingest the entity df — replaces the reference's upload operators
+    S3/S4 (hive.py:363-460) with native ingestion; SQL strings stay
+    fully lazy (no CTAS materialization)."""
+    if isinstance(entity_df, DataFrame):
+        return entity_df
+    if isinstance(entity_df, pd.DataFrame):
+        return spark.createDataFrame(normalize_timestamps(entity_df))
+    if isinstance(entity_df, str):
+        return spark.sql(entity_df)
+    raise InvalidEntityType(type(entity_df))
+
+
+def infer_event_timestamp_col(df: DataFrame, provided: Optional[str] = None) -> str:
+    """Reference step 3 (hive.py:214 via feast offline_utils): prefer
+    an explicit/'event_timestamp' column, else the unique
+    timestamp-typed column."""
+    if provided:
+        if provided not in df.columns:
+            raise EntityDFMissingColumnsError([provided], [provided])
+        return provided
+    if DEFAULT_ENTITY_DF_EVENT_TIMESTAMP_COL in df.columns:
+        return DEFAULT_ENTITY_DF_EVENT_TIMESTAMP_COL
+    ts_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    ]
+    if len(ts_cols) == 1:
+        return ts_cols[0]
+    raise EntityTimestampInferenceException()
+
+
+def _validate_entity_df(
+    entity_df: DataFrame, feature_views: Sequence[FeatureView], entity_ts_col: str
+) -> None:
+    """Reference step 4 (hive.py:218-224): every expected join key +
+    the event timestamp column must exist; error parity with
+    test_all.py:402-418."""
+    expected = {entity_ts_col}
+    for fv in feature_views:
+        expected.update(fv.key_map().values())
+    missing = sorted(expected - set(entity_df.columns))
+    if missing:
+        raise EntityDFMissingColumnsError(sorted(expected), missing)
+
+
+def get_historical_features(
+    spark: SparkSession,
+    entity_df: Union[DataFrame, pd.DataFrame, str],
+    feature_views: Sequence[FeatureView],
+    full_feature_names: bool = False,
+    entity_event_timestamp_col: Optional[str] = None,
+    broadcast_entities: bool = True,
+    tiebreak_columns: Sequence[str] = (),
+    on_demand_transforms=None,
+) -> RetrievalJob:
+    """Build the lazy multi-feature-view PIT retrieval job
+    (reference entry point 1, hive.py:192-269).
+
+    ``tiebreak_columns``: extra descending-order columns applied after
+    (event_ts, created_ts) in each feature view's window, making row
+    choice deterministic under full timestamp ties (the reference fans
+    tied rows out through an inner join, hive.py:685-696 — a bug-shaped
+    behavior we deliberately do not reproduce; see SURVEY §7 risks).
+    ``broadcast_entities=False`` for huge entity dfs -> AQE picks
+    sort-merge with the range filter applied post-join.
+    """
+    sdf = entity_df_to_spark(spark, entity_df)
+    entity_ts_col = infer_event_timestamp_col(sdf, entity_event_timestamp_col)
+    _validate_entity_df(sdf, feature_views, entity_ts_col)
+
+    def build() -> DataFrame:
+        ent = sdf.withColumn(_ENTITY_TS, F.col(entity_ts_col))
+        # Entity df is read >= 3x (bounds, per-fv join sides, final
+        # assembly) — cache it (replaces the reference's in-memory temp
+        # table, hive.py:532/:253).
+        ent = ent.cache()
+
+        # J2 kept manual: one tiny job for global bounds -> literal
+        # pushdown filters on every feature scan.
+        bounds = ent.agg(
+            F.min(_ENTITY_TS).alias("mn"), F.max(_ENTITY_TS).alias("mx")
+        ).first()
+        result = ent
+
+        for fv in feature_views:
+            result = _join_feature_view(
+                result,
+                ent,
+                fv,
+                spark,
+                bounds,
+                full_feature_names,
+                broadcast_entities,
+                tiebreak_columns,
+            )
+        # P4: drop internal columns (the reference's regex column
+        # exclusion, hive.py:706) — everything else (incl. passthrough
+        # entity columns) survives.
+        return result.drop(_ENTITY_TS)
+
+    return RetrievalJob(build, on_demand_transforms=on_demand_transforms)
+
+
+def _join_feature_view(
+    acc: DataFrame,
+    ent: DataFrame,
+    fv: FeatureView,
+    spark: SparkSession,
+    bounds,
+    full_feature_names: bool,
+    broadcast_entities: bool,
+    tiebreak_columns: Sequence[str],
+) -> DataFrame:
+    key_map = fv.key_map()  # feature col -> entity col
+    entity_cols = list(key_map.values())
+    event_ts = fv.event_ts_col()
+    created_ts = fv.created_ts_col()
+
+    feat = fv.resolve_df(spark)
+    # Subquery projection (hive.py:584-591): event/created ts under
+    # internal names, join keys renamed to entity-side names, features
+    # under their output names. Pure projection — column pruning
+    # reaches the scan.
+    sel = [F.col(event_ts).alias(_EVENT_TS)]
+    if created_ts:
+        sel.append(F.col(created_ts).alias(_CREATED_TS))
+    for fcol, ecol in key_map.items():
+        sel.append(F.col(fcol).alias(ecol))
+    out_names = []
+    for feat_name in fv.features:
+        out = fv.output_name(feat_name, full_feature_names)
+        out_names.append(out)
+        sel.append(F.col(feat_name).alias(out))
+    sel.extend(F.col(c) for c in tiebreak_columns if c in feat.columns)
+    feat = feat.select(*sel)
+
+    # J2: literal coarse bounds — ttl==0 -> upper bound only
+    # (hive.py:594-605).
+    if bounds is not None and bounds["mx"] is not None:
+        feat = feat.filter(F.col(_EVENT_TS) <= F.lit(bounds["mx"]))
+        if fv.ttl_seconds:
+            lower = bounds["mn"] - timedelta(seconds=fv.ttl_seconds)
+            feat = feat.filter(F.col(_EVENT_TS) >= F.lit(lower))
+
+    # A1: dedup entity join side.
+    ekeys = ent.select(*entity_cols, _ENTITY_TS).dropDuplicates()
+    if broadcast_entities:
+        ekeys = F.broadcast(ekeys)
+
+    # J3: equi join on keys (entity-less fv -> cross of the deduped
+    # timestamps, matching the rid=cast(entity_ts) semantics of
+    # hive.py:543-544) + range predicate.
+    if entity_cols:
+        joined = feat.join(ekeys, on=entity_cols, how="inner")
+    else:
+        joined = feat.crossJoin(ekeys)
+    cond = F.col(_EVENT_TS) <= F.col(_ENTITY_TS)
+    if fv.ttl_seconds:
+        cond = cond & (
+            F.col(_EVENT_TS)
+            >= F.col(_ENTITY_TS) - F.expr(f"INTERVAL {int(fv.ttl_seconds)} SECOND")
+        )
+    joined = joined.filter(cond)
+
+    # W1 replaces J4/J5/A3/A4: one window, one shuffle.
+    order = [F.col(_EVENT_TS).desc()]
+    if created_ts:
+        order.append(F.col(_CREATED_TS).desc())
+    order.extend(
+        F.col(c).desc() for c in tiebreak_columns if c in joined.columns
+    )
+    w = Window.partitionBy(*entity_cols, _ENTITY_TS).orderBy(*order)
+    latest = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*entity_cols, _ENTITY_TS, *out_names)
+    )
+
+    # J6: left join assembly on the raw key tuple; NULL features for
+    # unmatched entity rows, duplicate entity rows preserved.
+    return acc.join(latest, on=[*entity_cols, _ENTITY_TS], how="left")

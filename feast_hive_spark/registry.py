@@ -1,0 +1,450 @@
+"""Query registry: every implemented operator exposed as a named
+(spark_query, duckdb_oracle_sql) pair.
+
+This is the engine's correctness gate contract: each entry maps a
+SURVEY §2 operator (or §7 extension) to (a) a PySpark DataFrame
+program and (b) an equivalent ANSI-SQL oracle DuckDB runs on the same
+parquet tables. Column names are aliased identically on both sides
+(the driver's compare sorts columns by name before hashing).
+
+Determinism notes shared by both sides:
+- ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it via
+  nanosAsLong + ``timestamp_micros(ns div 1000)`` and every oracle
+  casts ``CAST(ts AS TIMESTAMP)`` (ns->us truncation) — identical us
+  values.
+- Every window/limit query carries a total order (explicit tiebreak
+  columns) so row selection is engine-independent.
+- Float aggregates are rounded identically on both sides; raw column
+  values are passed through unrounded.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feast_hive_spark.plans.pit import FeatureView, get_historical_features
+from feast_hive_spark.plans.pull import pull_latest
+from feast_hive_spark.sources.tables import read_table
+
+# name -> (query_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracles():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+# =====================================================================
+# Feast-parity programs (SURVEY §2.3 J1, §2.5 W1, §2.1 S1/S2, §2.2)
+# =====================================================================
+
+_TTL_7D = 7 * 86400
+
+
+def _purchase_entities(ev: DataFrame) -> DataFrame:
+    return ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+    )
+
+
+@register(
+    "pit_asof_join",
+    f"""
+WITH ent AS (
+  SELECT event_id AS probe_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+  FROM events WHERE event_type = 'click'
+), matched AS (
+  SELECT ent.probe_id, c.value,
+         ROW_NUMBER() OVER (PARTITION BY ent.probe_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM ent JOIN clicks c ON c.user_id = ent.user_id
+   AND c.ts <= ent.event_timestamp
+   AND c.ts >= ent.event_timestamp - INTERVAL {_TTL_7D} SECOND
+)
+SELECT e.probe_id, e.user_id, e.event_timestamp, m.value AS click_value
+FROM ent e LEFT JOIN (SELECT probe_id, value FROM matched WHERE rn = 1) m
+  USING (probe_id)
+""",
+)
+def pit_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: point-in-time as-of join (SURVEY J1) — for each
+    purchase event, the latest click value of the same user within a
+    7-day TTL."""
+    ev = read_table(spark, sf_dir, "events")
+    fv = FeatureView(
+        name="click_stats",
+        source=ev.filter(F.col("event_type") == "click"),
+        join_keys=["user_id"],
+        features=["value"],
+        ttl_seconds=_TTL_7D,
+        event_timestamp_column="ts",
+    )
+    job = get_historical_features(
+        spark, _purchase_entities(ev), [fv], tiebreak_columns=["event_id"]
+    )
+    return job.to_spark_df().withColumnRenamed("value", "click_value")
+
+
+@register(
+    "pit_asof_join_ttl0",
+    """
+WITH ent AS (
+  SELECT event_id AS probe_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+  FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+  FROM events WHERE event_type = 'view'
+), matched AS (
+  SELECT ent.probe_id, v.value,
+         ROW_NUMBER() OVER (PARTITION BY ent.probe_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM ent JOIN views v ON v.user_id = ent.user_id AND v.ts <= ent.event_timestamp
+)
+SELECT e.probe_id, e.user_id, e.event_timestamp, m.value AS view_value
+FROM ent e LEFT JOIN (SELECT probe_id, value FROM matched WHERE rn = 1) m
+  USING (probe_id)
+""",
+)
+def pit_asof_join_ttl0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT with ttl=0 => NO lower time bound (hive.py:595 guard)."""
+    ev = read_table(spark, sf_dir, "events")
+    fv = FeatureView(
+        name="view_stats",
+        source=ev.filter(F.col("event_type") == "view"),
+        join_keys=["user_id"],
+        features=["value"],
+        ttl_seconds=0,
+        event_timestamp_column="ts",
+    )
+    job = get_historical_features(
+        spark, _purchase_entities(ev), [fv], tiebreak_columns=["event_id"]
+    )
+    return job.to_spark_df().withColumnRenamed("value", "view_value")
+
+
+@register(
+    "pit_multi_feature_view",
+    f"""
+WITH ent AS (
+  SELECT event_id AS probe_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+  FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+  FROM events WHERE event_type = 'view'
+), mc AS (
+  SELECT ent.probe_id, c.value,
+         ROW_NUMBER() OVER (PARTITION BY ent.probe_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM ent JOIN clicks c ON c.user_id = ent.user_id
+   AND c.ts <= ent.event_timestamp
+   AND c.ts >= ent.event_timestamp - INTERVAL {_TTL_7D} SECOND
+), mv AS (
+  SELECT ent.probe_id, v.value,
+         ROW_NUMBER() OVER (PARTITION BY ent.probe_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM ent JOIN views v ON v.user_id = ent.user_id AND v.ts <= ent.event_timestamp
+)
+SELECT e.probe_id, e.user_id, e.event_timestamp,
+       c.value AS click_stats__value, v.value AS view_stats__value
+FROM ent e
+LEFT JOIN (SELECT probe_id, value FROM mc WHERE rn = 1) c USING (probe_id)
+LEFT JOIN (SELECT probe_id, value FROM mv WHERE rn = 1) v USING (probe_id)
+""",
+)
+def pit_multi_feature_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-fv PIT with full_feature_names (fv__feature renames,
+    hive.py:590/:713)."""
+    ev = read_table(spark, sf_dir, "events")
+    fv_click = FeatureView(
+        name="click_stats",
+        source=ev.filter(F.col("event_type") == "click"),
+        join_keys=["user_id"],
+        features=["value"],
+        ttl_seconds=_TTL_7D,
+        event_timestamp_column="ts",
+    )
+    fv_view = FeatureView(
+        name="view_stats",
+        source=ev.filter(F.col("event_type") == "view"),
+        join_keys=["user_id"],
+        features=["value"],
+        ttl_seconds=0,
+        event_timestamp_column="ts",
+    )
+    job = get_historical_features(
+        spark,
+        _purchase_entities(ev),
+        [fv_click, fv_view],
+        full_feature_names=True,
+        tiebreak_columns=["event_id"],
+    )
+    return job.to_spark_df()
+
+
+@register(
+    "pull_latest",
+    """
+WITH e AS (
+  SELECT user_id, value, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+)
+SELECT user_id, value, event_type, ts FROM e
+WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00' AND TIMESTAMP '2024-01-22 00:00:00'
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def pull_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialization pull (SURVEY W1 + P5/P6): latest row per user
+    in [start, end]."""
+    ev = read_table(spark, sf_dir, "events")
+    return pull_latest(
+        ev,
+        join_key_columns=["user_id"],
+        feature_name_columns=["value", "event_type"],
+        event_timestamp_column="ts",
+        created_timestamp_column=None,
+        start_date=datetime(2024, 1, 8),
+        end_date=datetime(2024, 1, 22),
+        tiebreak_columns=["event_id"],
+    )
+
+
+@register(
+    "pull_latest_entityless",
+    """
+WITH e AS (
+  SELECT value, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+)
+SELECT '' AS __dummy_id, value, ts FROM e
+WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00' AND TIMESTAMP '2024-01-22 00:00:00'
+QUALIFY ROW_NUMBER() OVER (ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def pull_latest_entityless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dummy-entity pull (P2: hive.py:159-163/:178): single global
+    latest row."""
+    ev = read_table(spark, sf_dir, "events")
+    return pull_latest(
+        ev,
+        join_key_columns=[],
+        feature_name_columns=["value"],
+        event_timestamp_column="ts",
+        created_timestamp_column=None,
+        start_date=datetime(2024, 1, 8),
+        end_date=datetime(2024, 1, 22),
+        tiebreak_columns=["event_id"],
+    )
+
+
+# =====================================================================
+# Relational coverage / bench queries (Spark SQL = the S2 query-source
+# surface; these are the headline scale queries)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate. Partial (map-side)
+    aggregation + single hash shuffle on a 6-value key; at 100 TB the
+    scan dominates and the filter is pushed to parquet."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(datetime(2001, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> agg ->
+    top-k. customer is broadcast (small dim); orders⋈lineitem is the
+    only real shuffle; deterministic total order for LIMIT."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = datetime(1998, 3, 15)
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff)
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. All dims (region/nation/supplier/
+    customer) are broadcast — the fact-side orders⋈lineitem shuffle is
+    the only large exchange."""
+    cutlo, cuthi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(cutlo)) & (F.col("o_orderdate") < F.lit(cuthi))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    """
+SELECT p_brand, p_partkey, p_name, p_retailprice FROM part
+QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey) <= 3
+""",
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (W1 generalization): 3 priciest parts per
+    brand."""
+    part = read_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "events_daily_rollup",
+    """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch rollup over the event stream table (the
+    batch twin of the streaming windowed agg in streaming/)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

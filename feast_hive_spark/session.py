@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Replaces the reference's entire connection layer — impyla Thrift
+connection + session `SET` statements (feast_hive/hive.py:43-139,
+:249-254). A Hive connection config (host/port/auth) becomes a
+SparkSession with Hive-compatible semantics; the session confs below
+are the Spark translations of the reference's perf-motivated SETs.
+
+Scale notes (100 TB / 1000-executor design points):
+- `spark.sql.adaptive.*` on: AQE re-plans joins at runtime, coalesces
+  tiny shuffle partitions, and splits skewed ones — this is what makes
+  a fixed `shuffle.partitions` safe across 0.001x..1000x data.
+- `spark.sql.session.timeZone=UTC`: the reference normalizes every
+  tz-aware timestamp to naive UTC (hive.py:355-360); pinning the
+  session TZ reproduces that semantics engine-wide.
+- Arrow on for the columnar driver<->pandas boundary (the reference's
+  fetchcolumnar->Arrow path, hive.py:316-352, for free).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # read parquet TIMESTAMP(isAdjustedToUTC=false) as session-TZ
+    # timestamps (we pin UTC) instead of TIMESTAMP_NTZ, so parquet
+    # scans and createDataFrame ingests agree on one timestamp type
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # local[N]: ~1 shuffle partition per core; on a real cluster this
+    # would be ~2-3x total cores, and AQE coalesces the excess anyway.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "feast_hive_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``extra_conf`` mirrors the reference's user-supplied ``hive_conf``
+    overlay (feast_hive/hive.py:97-107): user keys win over defaults.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

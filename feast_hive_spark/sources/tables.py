@@ -1,0 +1,63 @@
+"""Canonical loader for the driver's testdata tables.
+
+Handles one physical-format wart: ``events.parquet`` stores its ``ts``
+column as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+rejects (PARQUET_TYPE_ILLEGAL). We read it with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (a runtime conf) and
+rebuild the timestamp at microsecond precision JVM-side —
+``timestamp_micros(ns div 1000)`` — which stays inside whole-stage
+codegen and keeps the scan fully distributed (no driver-side Arrow
+detour). DuckDB oracles cast the same column with
+``CAST(ts AS TIMESTAMP)`` (ns -> us truncation), so both engines see
+identical microsecond values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Columns stored as parquet TIMESTAMP(NANOS): read as long, rebuild.
+_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with normalized schema."""
+    # Harden against caller-supplied sessions (the verify driver builds
+    # its own SparkSession without our factory): timestamps must be
+    # plain TIMESTAMP interpreted at UTC regardless of session defaults.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    nano_cols = _NANO_TS_COLS.get(name, [])
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nano_cols:
+        # integer div: float division would lose precision above 2^53 ns
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for QuerySource / SQL)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,320 @@
+"""PIT as-of join tests against a pure-Python oracle.
+
+The oracle reimplements the reference's golden oracle
+(``find_asof_record``, tests/feast_tests_funcs.py:263-269;
+``get_expected_training_df``, :279-367): per entity row, linear scan
+keeping the record with max event_ts in [entity_ts - ttl, entity_ts]
+matching the key; missing -> NaN/None; comparison row/column-sorted,
+dtype-lenient (test_all.py:369-382).
+"""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feast_hive_spark.plans.pit import (
+    EntityDFMissingColumnsError,
+    EntityTimestampInferenceException,
+    FeatureView,
+    get_historical_features,
+    infer_event_timestamp_col,
+)
+
+
+def find_asof_record(feature_rows, keys, entity_ts, ttl, event_col="ts", created_col=None):
+    """Pure-Python as-of oracle (engine-independent)."""
+    best = None
+    lower = entity_ts - timedelta(seconds=ttl) if ttl else None
+    for r in feature_rows:
+        if any(r[k] != v for k, v in keys.items()):
+            continue
+        ts = r[event_col]
+        if ts > entity_ts:
+            continue
+        if lower is not None and ts < lower:
+            continue
+        if best is None:
+            best = r
+            continue
+        if ts > best[event_col]:
+            best = r
+        elif ts == best[event_col] and created_col and r[created_col] > best[created_col]:
+            best = r
+    return best
+
+
+def _sorted(pdf):
+    cols = sorted(pdf.columns)
+    return (
+        pdf[cols]
+        .sort_values(by=cols)
+        .reset_index(drop=True)
+    )
+
+
+def assert_frames_match(got, expected):
+    got, expected = _sorted(got), _sorted(expected)
+    assert list(got.columns) == list(expected.columns)
+    assert len(got) == len(expected)
+    for c in got.columns:
+        g, e = got[c], expected[c]
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(e.dtype, np.floating):
+            g = pd.to_numeric(g, errors="coerce")
+            e = pd.to_numeric(e, errors="coerce")
+            assert np.allclose(g.fillna(-9e18), e.fillna(-9e18), rtol=1e-9), c
+        else:
+            assert g.astype(str).tolist() == e.astype(str).tolist(), c
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    base = datetime(2024, 1, 10, 12, 0, 0)
+    entity_pdf = pd.DataFrame(
+        {
+            "driver_id": [1, 1, 2, 3, 1],
+            "event_timestamp": [
+                base,
+                base + timedelta(hours=1),
+                base,
+                base,
+                base,  # duplicate entity row — must be preserved
+            ],
+            "order_id": [100, 101, 102, 103, 104],
+        }
+    )
+    feature_pdf = pd.DataFrame(
+        {
+            "driver_id": [1, 1, 1, 2, 2, 9],
+            "ts": [
+                base - timedelta(minutes=30),
+                base - timedelta(minutes=10),
+                base + timedelta(minutes=30),  # between the two entity ts
+                base - timedelta(days=2),  # outside 1-day ttl for entity at base
+                base - timedelta(minutes=5),
+                base,
+            ],
+            "created": [
+                base - timedelta(minutes=30),
+                base - timedelta(minutes=10),
+                base + timedelta(minutes=30),
+                base - timedelta(days=2),
+                base - timedelta(minutes=5),
+                base,
+            ],
+            "conv_rate": [0.1, 0.2, 0.3, 0.4, 0.5, 0.9],
+        }
+    )
+    return entity_pdf, feature_pdf
+
+
+def _expected(entity_pdf, feature_pdf, ttl, full=False, fv_name="driver_stats"):
+    rows = feature_pdf.to_dict("records")
+    out = []
+    feat_col = f"{fv_name}__conv_rate" if full else "conv_rate"
+    for _, er in entity_pdf.iterrows():
+        rec = find_asof_record(
+            rows,
+            {"driver_id": er.driver_id},
+            er.event_timestamp,
+            ttl,
+            created_col="created",
+        )
+        out.append(
+            {
+                "driver_id": er.driver_id,
+                "event_timestamp": er.event_timestamp,
+                "order_id": er.order_id,
+                feat_col: rec["conv_rate"] if rec else np.nan,
+            }
+        )
+    return pd.DataFrame(out)
+
+
+@pytest.mark.parametrize("full_feature_names", [False, True])
+@pytest.mark.parametrize("ttl", [0, 86400])
+def test_pit_matches_oracle(spark, tiny, ttl, full_feature_names):
+    entity_pdf, feature_pdf = tiny
+    fv = FeatureView(
+        name="driver_stats",
+        source=spark.createDataFrame(feature_pdf),
+        join_keys=["driver_id"],
+        features=["conv_rate"],
+        ttl_seconds=ttl,
+        event_timestamp_column="ts",
+        created_timestamp_column="created",
+    )
+    job = get_historical_features(
+        spark, entity_pdf, [fv], full_feature_names=full_feature_names
+    )
+    got = job.to_df()
+    expected = _expected(entity_pdf, feature_pdf, ttl, full=full_feature_names)
+    assert_frames_match(got, expected)
+
+
+def test_pit_dedup_by_created_ts(spark):
+    """Two rows at the same event_ts: the one with the larger
+    created_ts must win (reference dedup step, hive.py:645-654)."""
+    base = datetime(2024, 1, 10, 12, 0, 0)
+    entity_pdf = pd.DataFrame({"k": [1], "event_timestamp": [base]})
+    feature_pdf = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": [base - timedelta(hours=1)] * 2,
+            "created": [base - timedelta(hours=1), base],
+            "v": [111.0, 222.0],
+        }
+    )
+    fv = FeatureView(
+        name="fv",
+        source=spark.createDataFrame(feature_pdf),
+        join_keys=["k"],
+        features=["v"],
+        event_timestamp_column="ts",
+        created_timestamp_column="created",
+    )
+    got = get_historical_features(spark, entity_pdf, [fv]).to_df()
+    assert got["v"].tolist() == [222.0]
+
+
+def test_pit_multiple_feature_views(spark, tiny):
+    entity_pdf, feature_pdf = tiny
+    fv1 = FeatureView(
+        name="a",
+        source=spark.createDataFrame(feature_pdf),
+        join_keys=["driver_id"],
+        features=["conv_rate"],
+        event_timestamp_column="ts",
+        created_timestamp_column="created",
+    )
+    other = feature_pdf.assign(acc_rate=feature_pdf.conv_rate * 2)
+    fv2 = FeatureView(
+        name="b",
+        source=spark.createDataFrame(other),
+        join_keys=["driver_id"],
+        features=["acc_rate"],
+        ttl_seconds=3600,
+        event_timestamp_column="ts",
+        created_timestamp_column="created",
+    )
+    got = get_historical_features(
+        spark, entity_pdf, [fv1, fv2], full_feature_names=True
+    ).to_df()
+    assert "a__conv_rate" in got.columns and "b__acc_rate" in got.columns
+    assert len(got) == len(entity_pdf)
+
+
+def test_pit_mixed_tz_entity_df(spark):
+    """4-flavor tz fixture (feast_tests_funcs.py:15-30): naive, UTC,
+    fixed offset, US/Pacific in one column -> normalized to naive UTC."""
+    base = pd.Timestamp("2024-01-10 12:00:00")
+    entity_pdf = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4],
+            "event_timestamp": [
+                base,
+                base.tz_localize("UTC"),
+                base.tz_localize("UTC").tz_convert("+01:00"),
+                base.tz_localize("UTC").tz_convert("US/Pacific"),
+            ],
+            "row": [0, 1, 2, 3],
+        }
+    )
+    feature_pdf = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "ts": [base - pd.Timedelta(hours=1)] * 4, "v": [1.0, 2.0, 3.0, 4.0]}
+    )
+    fv = FeatureView(
+        name="fv",
+        source=spark.createDataFrame(feature_pdf),
+        join_keys=["k"],
+        features=["v"],
+        event_timestamp_column="ts",
+    )
+    got = get_historical_features(spark, entity_pdf, [fv]).to_df()
+    # all four flavors represent the same instant -> all match
+    assert sorted(got["v"].tolist()) == [1.0, 2.0, 3.0, 4.0]
+    assert got["event_timestamp"].nunique() == 1
+
+
+def test_pit_missing_column_error(spark, tiny):
+    entity_pdf, feature_pdf = tiny
+    fv = FeatureView(
+        name="fv",
+        source=spark.createDataFrame(feature_pdf),
+        join_keys={"driver_id": "renamed_id"},
+        features=["conv_rate"],
+        event_timestamp_column="ts",
+    )
+    with pytest.raises(EntityDFMissingColumnsError):
+        get_historical_features(spark, entity_pdf, [fv])
+
+
+def test_pit_entity_df_as_sql(spark, tiny):
+    entity_pdf, feature_pdf = tiny
+    spark.createDataFrame(entity_pdf).createOrReplaceTempView("entity_tbl")
+    fv = FeatureView(
+        name="fv",
+        source=spark.createDataFrame(feature_pdf),
+        join_keys=["driver_id"],
+        features=["conv_rate"],
+        event_timestamp_column="ts",
+        created_timestamp_column="created",
+    )
+    got = get_historical_features(
+        spark, "SELECT * FROM entity_tbl", [fv]
+    ).to_df()
+    expected = _expected(entity_pdf, feature_pdf, ttl=0)
+    assert_frames_match(got, expected)
+
+
+def test_pit_entityless_feature_view(spark):
+    """Entity-less fv: global latest row as of each entity ts
+    (dummy-entity branch, hive.py:543-544)."""
+    base = datetime(2024, 1, 10, 12, 0, 0)
+    entity_pdf = pd.DataFrame(
+        {"event_timestamp": [base, base + timedelta(hours=2)], "row": [1, 2]}
+    )
+    feature_pdf = pd.DataFrame(
+        {
+            "ts": [base - timedelta(hours=1), base + timedelta(hours=1)],
+            "v": [10.0, 20.0],
+        }
+    )
+    fv = FeatureView(
+        name="global",
+        source=spark.createDataFrame(feature_pdf),
+        join_keys=[],
+        features=["v"],
+        event_timestamp_column="ts",
+    )
+    got = get_historical_features(spark, entity_pdf, [fv]).to_df()
+    by_row = got.set_index("row")["v"]
+    assert by_row[1] == 10.0 and by_row[2] == 20.0
+
+
+def test_infer_event_timestamp_col(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [1], "ts_only": [datetime(2024, 1, 1)]})
+    )
+    assert infer_event_timestamp_col(df) == "ts_only"
+    df2 = spark.createDataFrame(pd.DataFrame({"a": [1]}))
+    with pytest.raises(EntityTimestampInferenceException):
+        infer_event_timestamp_col(df2)
+
+
+def test_to_arrow_consistency(spark, tiny):
+    entity_pdf, feature_pdf = tiny
+    fv = FeatureView(
+        name="fv",
+        source=spark.createDataFrame(feature_pdf),
+        join_keys=["driver_id"],
+        features=["conv_rate"],
+        event_timestamp_column="ts",
+        created_timestamp_column="created",
+    )
+    job = get_historical_features(spark, entity_pdf, [fv])
+    pdf = job.to_df()
+    at = get_historical_features(spark, entity_pdf, [fv]).to_arrow()
+    assert at.num_rows == len(pdf)
+    assert set(at.column_names) == set(pdf.columns)

@@ -1,0 +1,162 @@
+"""Source + type-map tests (reference: test_hive_source
+test_all.py:132-185; hive_type_map.py)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+from pyspark.sql import types as T
+
+from feast_hive_spark.sources import (
+    DataSourceNoNameException,
+    DataSourceNotFoundException,
+    ParquetSource,
+    QuerySource,
+    TableSource,
+    source_from_json,
+)
+from feast_hive_spark.types import (
+    ValueType,
+    arrow_to_spark_type,
+    hive_to_spark_type,
+    hive_to_value_type,
+    spark_to_arrow_type,
+    spark_to_hive_type,
+    spark_to_value_type,
+)
+
+
+def test_table_source_schema(spark):
+    src = TableSource("events", event_timestamp_column="ts")
+    cols = dict(src.get_table_column_names_and_types(spark))
+    assert cols["event_id"] == "bigint"
+    assert cols["ts"] == "timestamp"
+    assert cols["value"] == "double"
+    src.validate(spark)
+
+
+def test_query_source_schema(spark):
+    src = QuerySource(
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+        name="agg",
+    )
+    cols = dict(src.get_table_column_names_and_types(spark))
+    assert cols == {"user_id": "bigint", "n": "bigint"}
+    assert src.get_table_query_string().startswith("(")
+
+
+def test_query_source_requires_name():
+    with pytest.raises(DataSourceNoNameException):
+        QuerySource("SELECT 1")
+
+
+def test_missing_table_raises(spark):
+    src = TableSource("no_such_table_xyz")
+    with pytest.raises(DataSourceNotFoundException):
+        src.validate(spark)
+
+
+def test_invalid_query_raises(spark):
+    src = QuerySource("SELECT * FROM no_such_table_xyz", name="bad")
+    with pytest.raises(DataSourceNotFoundException):
+        src.validate(spark)
+
+
+def test_parquet_source(spark, sf_dir):
+    src = ParquetSource(f"{sf_dir}/lineitem.parquet", event_timestamp_column="l_shipdate")
+    cols = dict(src.get_table_column_names_and_types(spark))
+    assert cols["l_quantity"] == "double"
+
+
+def test_field_mapping(spark):
+    src = TableSource("events", field_mapping={"ts": "event_ts", "user_id": "driver_id"})
+    df = src.to_df(spark)
+    assert "event_ts" in df.columns and "driver_id" in df.columns
+    assert "ts" not in df.columns
+
+
+def test_source_json_roundtrip():
+    for src in [
+        TableSource("db.tbl", event_timestamp_column="ts", field_mapping={"a": "b"}),
+        QuerySource("SELECT 1 AS x", name="q", created_timestamp_column="c"),
+        ParquetSource("/tmp/x.parquet", date_partition_column="dt"),
+    ]:
+        assert source_from_json(src.to_json()) == src
+
+
+def test_table_query_string():
+    assert TableSource("db.tbl").get_table_query_string() == "`db`.`tbl`"
+    assert TableSource("tbl").get_table_query_string() == "`tbl`"
+
+
+def test_hive_spark_type_roundtrip():
+    for hive, spark_t in [
+        ("tinyint", T.ByteType()),
+        ("smallint", T.ShortType()),
+        ("int", T.IntegerType()),
+        ("bigint", T.LongType()),
+        ("float", T.FloatType()),
+        ("double", T.DoubleType()),
+        ("timestamp", T.TimestampType()),
+        ("date", T.DateType()),
+        ("string", T.StringType()),
+        ("boolean", T.BooleanType()),
+        ("binary", T.BinaryType()),
+        ("decimal(10,2)", T.DecimalType(10, 2)),
+    ]:
+        assert hive_to_spark_type(hive) == spark_t
+        assert spark_to_hive_type(spark_t) == hive
+    assert hive_to_spark_type("varchar(20)") == T.StringType()
+    with pytest.raises(ValueError):
+        hive_to_spark_type("struct<oops:int>")
+
+
+def test_value_types():
+    assert hive_to_value_type("int") == ValueType.INT32
+    assert hive_to_value_type("bigint") == ValueType.INT64
+    assert hive_to_value_type("timestamp") == ValueType.UNIX_TIMESTAMP
+    assert spark_to_value_type(T.ArrayType(T.FloatType())) == ValueType.FLOAT_LIST
+    assert spark_to_value_type(T.MapType(T.StringType(), T.IntegerType())) == ValueType.UNKNOWN
+
+
+def test_arrow_mappings():
+    assert spark_to_arrow_type(T.TimestampType()) == pa.timestamp("us")
+    assert spark_to_arrow_type(T.ArrayType(T.FloatType())) == pa.list_(pa.float32())
+    # unsigned widening (hive_type_map.py:53-56)
+    assert arrow_to_spark_type(pa.uint8()) == T.ShortType()
+    assert arrow_to_spark_type(pa.uint16()) == T.IntegerType()
+    assert arrow_to_spark_type(pa.uint32()) == T.LongType()
+    assert arrow_to_spark_type(pa.uint64()) == T.DecimalType(38, 0)
+    # categorical -> string (hive_type_map.py:43-44)
+    assert arrow_to_spark_type(pa.dictionary(pa.int8(), pa.string())) == T.StringType()
+    # tz dropped (hive_type_map.py:31-35)
+    assert arrow_to_spark_type(pa.timestamp("us", tz="US/Pacific")) == T.TimestampType()
+
+
+def test_abnormal_df_roundtrip(spark):
+    """F5 fixture (test_all.py:211-241): NaN, float32, int32,
+    categorical, None-in-string survive ingestion."""
+    pdf = pd.DataFrame(
+        {
+            "a": pd.array([1.0, float("nan"), 3.0], dtype="float64"),
+            "c": pd.array([1.0, 1.0, 1.0], dtype="float32"),
+            "d": pd.array([3, 3, 3], dtype="int32"),
+            "e": pd.Categorical(["test", "train", "test"]),
+            "f": ["x", None, "z"],
+        }
+    )
+    pdf2 = pdf.copy()
+    pdf2["e"] = pdf2["e"].astype(str)
+    df = spark.createDataFrame(pdf2)
+    back = df.toPandas()
+    assert back["a"].isna().sum() == 1
+    assert dict(df.dtypes)["c"] == "float"
+    assert dict(df.dtypes)["d"] == "int"
+    assert back["f"].isna().sum() == 1
+
+
+def test_empty_df_keeps_columns(spark):
+    """F6: empty result keeps schema (test_all.py:117-129)."""
+    df = spark.createDataFrame([], "a int, b int, c string")
+    out = df.filter("a > 0").toPandas()
+    assert list(out.columns) == ["a", "b", "c"]
+    assert len(out) == 0
