@@ -1,0 +1,302 @@
+"""Text-analysis column functions (SURVEY §7 extensions).
+
+Every function here exists in two synchronized forms:
+- a Spark ``Column`` builder (JVM-side, whole-stage-codegen'd — no
+  Python UDFs anywhere in this module), and
+- a DuckDB SQL fragment builder used by the oracle queries.
+
+Both are generated from the same Python constants (marker lists,
+hash coefficients, regexes) so the two engines compute *identical*
+values — the correctness gate hashes results across engines.
+
+The shared 48-bit hash primitive is ``H48(s) = int(md5(s)[:12], 16)``:
+md5 is available and bit-identical in Spark (``F.md5``) and DuckDB
+(``md5()``), and 48 bits fits a BIGINT with headroom for the
+linear-congruential mixing used by MinHash (a*H+b < 2^63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- shared constants (single source of truth for both engines) ---
+
+TOKEN_RE = r"\s+"
+# variant for embedding in Spark SQL string literals (backslash is an
+# escape char there, so it must be doubled); DuckDB literals keep the
+# single backslash.
+TOKEN_RE_SQL = r"\\s+"
+
+# language-ID marker words; preference order breaks score ties
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "los", "las", "una", "y", "es"],
+    "zh": ["的", "是", "了", "在", "我", "不"],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+LANG_UNKNOWN = "und"
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["it", "for", "on", "with", "as", "at", "by"]
+
+# "BPE-ish" token regex: letter runs, digit runs, single other glyphs
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+# punctuation = anything that is not alnum/whitespace
+PUNCT_STRIP_RE = "[a-z0-9\\s]"
+
+MINHASH_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
+# (a, b) pairs for h_k(x) = (a*x + b) mod MINHASH_MOD; a < 2^13 keeps
+# a * H48 < 2^61 — no BIGINT overflow in either engine.
+MINHASH_COEFS: list[tuple[int, int]] = [
+    (3079, 1), (4093, 271), (5087, 577), (6151, 983),
+    (7103, 1279), (8117, 1559), (1217, 1987), (2053, 2347),
+    (3163, 2683), (4217, 3089), (5279, 3463), (6337, 3767),
+    (7393, 4093), (1471, 4447), (2531, 4787), (3593, 5099),
+]
+SIMHASH_BITS = 32
+
+
+def _quote_list(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+# =====================================================================
+# Spark column builders
+# =====================================================================
+
+def words(col: str) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.col(col)), TOKEN_RE)
+
+
+def h48(c: Column) -> Column:
+    """48-bit md5-prefix hash of a string column (cross-engine)."""
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
+def token_count_ws(col: str) -> Column:
+    return F.size(words(col))
+
+
+def token_count_bpe(col: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_ratio(col: str) -> Column:
+    stripped = F.regexp_replace(F.lower(F.col(col)), PUNCT_STRIP_RE, "")
+    return F.length(stripped) / F.greatest(F.length(F.col(col)), F.lit(1))
+
+
+def _marker_count(col: str, markers: list[str]) -> Column:
+    lst = _quote_list(markers)
+    return F.expr(
+        f"size(filter(split(lower({col}), '{TOKEN_RE_SQL}'), w -> w in ({lst})))"
+    )
+
+
+def stopword_ratio(col: str) -> Column:
+    return _marker_count(col, EN_STOPWORDS) / F.greatest(
+        token_count_ws(col), F.lit(1)
+    )
+
+
+def language_id(col: str) -> Column:
+    """n-gram-marker language heuristic with deterministic tie order."""
+    scores = {lang: _marker_count(col, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+    # build CASE from last preference to first so earlier langs win ties
+    expr = F.lit(LANG_UNKNOWN)
+    for lang in reversed(LANG_ORDER):
+        others = [scores[o] for o in LANG_ORDER if o != lang]
+        expr = F.when(
+            (scores[lang] > 0) & (scores[lang] >= F.greatest(*others)), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def quality_score(col: str) -> Column:
+    """Composite [0,1] quality heuristic: length, stopword density,
+    punctuation noise. Identical formula in the DuckDB fragment."""
+    n_tok = token_count_ws(col).cast("double")
+    return F.round(
+        F.least(F.lit(1.0), F.log(F.lit(1.0) + n_tok) / F.lit(6.0))
+        * (F.lit(1.0) - punct_ratio(col))
+        * (F.lit(0.5) + F.least(stopword_ratio(col) * 2.0, F.lit(0.5))),
+        6,
+    )
+
+
+def fingerprint(col: str) -> Column:
+    """Token-normalized 48-bit content fingerprint."""
+    return h48(F.concat_ws(" ", words(col)))
+
+
+def shingles(col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    w = f"split(lower({col}), '{TOKEN_RE_SQL}')"
+    return F.expr(
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({w})-{n}), "
+        f"i -> concat_ws(' ', slice({w}, i+1, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def shingle_hashes(col: str, n: int = 3) -> Column:
+    """H48 of each distinct shingle."""
+    return F.transform(
+        shingles(col, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+
+
+def minhash_signature(hashes: Column) -> Column:
+    """MinHash signature: array of per-hash-function minima over the
+    shingle-hash set. Empty set -> MINHASH_MOD sentinels."""
+    parts = []
+    for a, b in MINHASH_COEFS:
+        parts.append(
+            F.coalesce(
+                F.array_min(
+                    F.transform(hashes, lambda h: (h * a + b) % MINHASH_MOD)
+                ),
+                F.lit(MINHASH_MOD),
+            )
+        )
+    return F.array(*parts)
+
+
+def token_hashes32(col: str) -> Column:
+    """32-bit hashes of each token (duplicates kept — SimHash weights
+    by term frequency)."""
+    w = f"split(lower({col}), '{TOKEN_RE_SQL}')"
+    return F.expr(
+        f"transform({w}, t -> cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint) % 4294967296)"
+    )
+
+
+def simhash(col: str) -> Column:
+    """SimHash fingerprint over token hashes: bit i of the output is 1
+    iff the sum over tokens of (+1 if bit i of the token hash else -1)
+    is >= 0."""
+    hs = f"transform(split(lower({col}), '{TOKEN_RE_SQL}'), t -> cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint) % 4294967296)"
+    bit_terms = []
+    for i in range(SIMHASH_BITS):
+        vote = (
+            f"aggregate({hs}, 0L, (acc, h) -> acc + "
+            f"(CASE WHEN (shiftright(h, {i}) % 2) = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"(CASE WHEN {vote} >= 0 THEN {1 << i}L ELSE 0L END)")
+    return F.expr(" + ".join(bit_terms))
+
+
+# =====================================================================
+# DuckDB oracle fragment builders (same constants, same semantics)
+# =====================================================================
+
+def duck_words(col: str) -> str:
+    return f"string_split_regex(lower({col}), '\\s+')"
+
+
+def duck_h48(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
+
+
+def duck_token_count_ws(col: str) -> str:
+    return f"len({duck_words(col)})"
+
+
+def duck_token_count_bpe(col: str) -> str:
+    return f"len(regexp_extract_all(lower({col}), '{BPE_TOKEN_RE}'))"
+
+
+def duck_punct_ratio(col: str) -> str:
+    return (
+        f"(length(regexp_replace(lower({col}), '{PUNCT_STRIP_RE}', '', 'g')) "
+        f"/ CAST(greatest(length({col}), 1) AS DOUBLE))"
+    )
+
+
+def duck_marker_count(col: str, markers: list[str]) -> str:
+    lst = _quote_list(markers)
+    return f"len(list_filter({duck_words(col)}, w -> w in ({lst})))"
+
+
+def duck_stopword_ratio(col: str) -> str:
+    return (
+        f"({duck_marker_count(col, EN_STOPWORDS)} "
+        f"/ CAST(greatest({duck_token_count_ws(col)}, 1) AS DOUBLE))"
+    )
+
+
+def duck_language_id(col: str) -> str:
+    score = {
+        lang: duck_marker_count(col, LANG_MARKERS[lang]) for lang in LANG_ORDER
+    }
+    expr = f"'{LANG_UNKNOWN}'"
+    for lang in reversed(LANG_ORDER):
+        others = ", ".join(score[o] for o in LANG_ORDER if o != lang)
+        expr = (
+            f"CASE WHEN {score[lang]} > 0 AND {score[lang]} >= greatest({others}) "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+def duck_quality_score(col: str) -> str:
+    n_tok = f"CAST({duck_token_count_ws(col)} AS DOUBLE)"
+    return (
+        f"ROUND(least(1.0, ln(1.0 + {n_tok}) / 6.0) "
+        f"* (1.0 - {duck_punct_ratio(col)}) "
+        f"* (0.5 + least({duck_stopword_ratio(col)} * 2.0, 0.5)), 6)"
+    )
+
+
+def duck_fingerprint(col: str) -> str:
+    return duck_h48(f"list_aggregate({duck_words(col)}, 'string_agg', ' ')")
+
+
+def duck_shingles(col: str, n: int = 3) -> str:
+    w = duck_words(col)
+    joined = " || ' ' || ".join(f"{w}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({w}) - {n - 1} + 1), "
+        f"i -> {joined})) ELSE [] END"
+    )
+
+
+def duck_shingle_hashes(col: str, n: int = 3) -> str:
+    return (
+        f"list_transform({duck_shingles(col, n)}, "
+        f"s -> CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT))"
+    )
+
+
+def duck_minhash_signature(hashes_expr: str) -> str:
+    parts = []
+    for a, b in MINHASH_COEFS:
+        parts.append(
+            f"coalesce(list_min(list_transform({hashes_expr}, "
+            f"h -> (h * {a} + {b}) % {MINHASH_MOD})), {MINHASH_MOD})"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+def duck_simhash(col: str) -> str:
+    hs = (
+        f"list_transform({duck_words(col)}, "
+        f"t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 4294967296)"
+    )
+    bit_terms = []
+    for i in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform({hs}, h -> "
+            f"CASE WHEN ((h >> {i}) % 2) = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(
+            f"(CASE WHEN coalesce({vote}, 0) >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(bit_terms)

@@ -1,0 +1,74 @@
+"""Vector column functions for embedding operators (SURVEY §7).
+
+All JVM-side (``F.aggregate``/``F.zip_with`` inside whole-stage
+codegen) — no Python UDFs in the similarity hot path. The DuckDB
+fragments mirror the exact arithmetic (cast to double, sequential
+left-to-right summation) so cosine values are bit-comparable across
+engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def duck_norm(a: str) -> str:
+    return f"sqrt({duck_dot(a, a)})"
+
+
+def duck_cosine(a: str, b: str) -> str:
+    return f"({duck_dot(a, b)} / ({duck_norm(a)} * {duck_norm(b)}))"
+
+
+def hyperplanes(n_planes: int, dim: int, seed: str = "simsearch") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH, derived
+    from md5 — reproducible across sessions/engines with no RNG state.
+    Values uniform in [-1, 1)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}-{p}-{d}".encode()).hexdigest()[:12], 16)
+            row.append((h % 2000) / 1000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit p = 1 iff dot(vec, plane_p) >= 0.
+    Hyperplane literals are folded into the plan as array constants —
+    evaluated per row JVM-side, no shuffle, no UDF."""
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        bits.append(
+            F.when(dot(vec, arr) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")

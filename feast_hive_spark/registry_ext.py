@@ -1,0 +1,327 @@
+"""Extension-operator registry entries (SURVEY §7): dedup families,
+similarity search, text analysis — each with a DuckDB oracle twin
+generated from the SAME constants as the Spark implementation
+(functions/text.py, functions/vector.py).
+
+Importing this module populates feast_hive_spark.registry.REGISTRY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_hive_spark.functions import text as X
+from feast_hive_spark.functions import vector as V
+from feast_hive_spark.operators import dedup as D
+from feast_hive_spark.operators import simsearch as S
+from feast_hive_spark.registry import register
+from feast_hive_spark.sources.source import QuerySource
+from feast_hive_spark.sources.tables import read_table, register_views
+
+# =====================================================================
+# source/agg coverage (SURVEY §2.1 S2, §2.4 A2)
+# =====================================================================
+
+
+@register(
+    "query_source_revenue_by_nation",
+    """
+SELECT n.n_name,
+       ROUND(SUM(o.o_totalprice), 2) AS total_revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def query_source_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 query-as-source: an arbitrary-SELECT feature source scanned
+    through the QuerySource abstraction (hive_source.py:239-247)."""
+    register_views(spark, sf_dir)
+    src = QuerySource(
+        """
+        SELECT n.n_name,
+               ROUND(SUM(o.o_totalprice), 2) AS total_revenue,
+               COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """,
+        name="revenue_by_nation",
+    )
+    return src.to_df(spark)
+
+
+@register(
+    "timestamp_bounds",
+    """
+SELECT CAST(min(ts) AS TIMESTAMP) AS min_ts,
+       CAST(max(ts) AS TIMESTAMP) AS max_ts,
+       COUNT(*) AS n_rows
+FROM events
+""",
+)
+def timestamp_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 scalar min/max bounds aggregate (hive.py:594-598) — the same
+    1-row aggregate the PIT planner pushes down as literal filters."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# =====================================================================
+# dedup operators (SURVEY §7)
+# =====================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_exact_stats",
+    """
+SELECT COUNT(*) AS n_total,
+       COUNT(DISTINCT md5(text)) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_rows
+FROM documents
+""",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup_stats(docs, "text")
+
+
+_DUCK_JACCARD = (
+    "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+    "/ greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6)"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_DUCK_JACCARD} AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _duck_minhash_banded_sql() -> str:
+    rows_per_band = len(X.MINHASH_COEFS) // 4
+    band_selects = []
+    for bi in range(4):
+        lo = bi * rows_per_band
+        parts = ", ".join(
+            f"CAST(sg[{lo + j + 1}] AS VARCHAR)" for j in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, md5(concat_ws(',', {parts})) AS bkey FROM sig"
+        )
+    return " UNION ALL ".join(band_selects)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), sig AS (
+  SELECT doc_id, sh, {X.duck_minhash_signature('sh')} AS sg FROM s
+), banded AS (
+  {_duck_minhash_banded_sql()}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey
+  WHERE x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b, {_DUCK_JACCARD} AS jaccard
+  FROM cand c JOIN s a ON a.doc_id = c.id_a JOIN s b ON b.doc_id = c.id_b
+) WHERE jaccard >= 0.5
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, bands=4, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH fp AS (
+  SELECT doc_id, {X.duck_simhash('text')} AS f FROM documents
+), banded AS (
+  SELECT doc_id, b AS band, (f >> (8 * b)) % 256 AS bv
+  FROM fp, range(0, 4) r(b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bv = y.bv
+  WHERE x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+  FROM cand c JOIN fp a ON a.doc_id = c.id_a JOIN fp b ON b.doc_id = c.id_b
+) WHERE hamming <= 3
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({V.duck_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.45
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+# =====================================================================
+# similarity search
+# =====================================================================
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND({V.duck_cosine('c.embedding', 'q.qv')}, 6) AS cosine
+  FROM q JOIN e c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 8 vectors."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann_lsh_topk", None)  # approximate: recall<1 -> rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the 100 TB path); tested for recall
+    against brute force in tests/test_simsearch.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_planes=4,
+        n_tables=12,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# =====================================================================
+# text analysis
+# =====================================================================
+
+
+@register(
+    "text_analysis",
+    f"""
+SELECT doc_id, lang,
+       {X.duck_language_id('text')} AS lang_pred,
+       CAST({X.duck_token_count_ws('text')} AS BIGINT) AS n_tokens_ws,
+       CAST({X.duck_token_count_bpe('text')} AS BIGINT) AS n_tokens_bpe,
+       {X.duck_quality_score('text')} AS quality,
+       {X.duck_fingerprint('text')} AS fingerprint
+FROM documents
+""",
+)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile: language-ID heuristic, token counts
+    (whitespace + BPE-ish regex), quality score, content fingerprint.
+    Pure built-in-function columns — one scan, zero shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        X.language_id("text").alias("lang_pred"),
+        X.token_count_ws("text").cast("long").alias("n_tokens_ws"),
+        X.token_count_bpe("text").cast("long").alias("n_tokens_bpe"),
+        X.quality_score("text").alias("quality"),
+        X.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "text_lang_quality_rollup",
+    f"""
+WITH t AS (
+  SELECT lang, source,
+         {X.duck_quality_score('text')} AS quality,
+         CAST({X.duck_token_count_ws('text')} AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       ROUND(SUM(quality), 4) AS sum_quality,
+       SUM(n_tok) AS total_tokens
+FROM t GROUP BY lang, source
+""",
+)
+def text_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quality rollup per (lang, source) — the shape of a
+    training-data curation report."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            X.quality_score("text").alias("quality"),
+            X.token_count_ws("text").cast("long").alias("n_tok"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("quality"), 4).alias("sum_quality"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Dedup operator tests vs pure-Python/numpy oracles at sf0.001."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feast_hive_spark.operators import dedup as D
+from feast_hive_spark.sources.tables import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+def python_jaccard_pairs(pdf, n=3, threshold=0.5):
+    def sh(t):
+        w = t.lower().split()
+        return set(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+    S = {r.doc_id: sh(r.text) for r in pdf.itertuples()}
+    ids = sorted(S)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = S[a], S[b]
+            if not sa and not sb:
+                continue
+            j = len(sa & sb) / max(len(sa | sb), 1)
+            if j >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_exact_dedup(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5], "text": ["aa", "bb", "aa", "cc", "bb"]}
+    )
+    got = D.exact_dedup(spark.createDataFrame(pdf), "doc_id", "text").toPandas()
+    by_id = got.set_index("doc_id")["n_copies"]
+    assert by_id.to_dict() == {1: 2, 2: 2, 4: 1}
+
+    stats = D.exact_dedup_stats(spark.createDataFrame(pdf), "text").toPandas()
+    assert stats.iloc[0].to_dict() == {"n_total": 5, "n_distinct": 3, "n_dup_rows": 2}
+
+
+def test_ngram_jaccard_matches_python(docs, docs_pdf):
+    got = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).toPandas()
+    expected = python_jaccard_pairs(docs_pdf)
+    assert set(zip(got.id_a, got.id_b)) == expected
+    assert (got.jaccard >= 0.5).all()
+
+
+def test_minhash_lsh_matches_exact(docs, docs_pdf):
+    """On this corpus (pairs are either >0.9 or <0.2 Jaccard), banded
+    MinHash-LSH must find exactly the exact-Jaccard pair set."""
+    got = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).toPandas()
+    expected = python_jaccard_pairs(docs_pdf)
+    assert set(zip(got.id_a, got.id_b)) == expected
+
+
+def test_simhash_finds_near_dups(docs, docs_pdf):
+    """Near-dup (Jaccard>0.9) pairs have near-identical bags of words
+    -> SimHash hamming distance must be small for most of them."""
+    got = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).toPandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    planted = python_jaccard_pairs(docs_pdf, threshold=0.9)
+    assert planted, "corpus should contain planted near-dups"
+    found = sum(1 for p in planted if p in pairs)
+    assert found / len(planted) >= 0.8
+    assert (got.hamming <= 3).all()
+
+
+def test_embedding_cosine_matches_numpy(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = D.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45).toPandas()
+    pdf = emb.toPandas()
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1)[:, None]
+    C = Vn @ Vn.T
+    ids = pdf.vec_id.to_numpy()
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if round(C[i, j], 6) >= 0.45:
+                expected.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert set(zip(got.id_a, got.id_b)) == expected

@@ -1,0 +1,63 @@
+"""Similarity-search tests: brute force vs numpy; LSH recall vs brute."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feast_hive_spark.operators import simsearch as S
+from feast_hive_spark.sources.tables import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    return pdf.vec_id.to_numpy(), V
+
+
+def numpy_topk(ids, V, query_ids, k=5):
+    Vn = V / np.linalg.norm(V, axis=1)[:, None]
+    id_to_ix = {v: i for i, v in enumerate(ids)}
+    out = {}
+    for q in query_ids:
+        sims = Vn @ Vn[id_to_ix[q]]
+        order = sorted(
+            [(round(s, 6), -i) for i, s in zip(ids, sims) if i != q], reverse=True
+        )
+        out[q] = [(-neg_i) for (s, neg_i) in order[:k]]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(emb, emb_np):
+    ids, V = emb_np
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).toPandas()
+    expected = numpy_topk(ids, V, [i for i in ids if i < 8], k=5)
+    for q, grp in got.groupby("query_id"):
+        ordered = grp.sort_values("rank").neighbor_id.tolist()
+        assert ordered == expected[q], q
+
+
+def test_lsh_topk_recall(emb, emb_np):
+    """Multi-table sign-LSH: recall of exact top-5 must be substantial
+    (approximate by design — that's the scale trade)."""
+    ids, V = emb_np
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = S.lsh_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_planes=4, n_tables=12
+    ).toPandas()
+    expected = numpy_topk(ids, V, [i for i in ids if i < 20], k=5)
+    hits = total = 0
+    for q, exp in expected.items():
+        found = set(got[got.query_id == q].neighbor_id)
+        hits += len(found & set(exp))
+        total += len(exp)
+    assert total > 0
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+    # every reported neighbor must be a true candidate with correct cosine sign
+    assert (got["rank"] <= 5).all()

@@ -1,0 +1,55 @@
+"""Structured Streaming tests: file-source micro-batch -> windowed agg
+-> memory sink; results cross-checked against the batch twin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_hive_spark.sources.tables import read_table
+from feast_hive_spark.streaming import events as SE
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir):
+    stream = SE.read_event_stream(spark, sf_dir)
+    result = SE.windowed_counts(stream, window="1 day", watermark="1 day")
+    # complete mode: append would hold back windows the watermark has
+    # not passed yet (the stream ends, so they would never emit)
+    SE.run_to_memory(result, "win_counts", output_mode="complete")
+    got = spark.sql("SELECT * FROM win_counts").toPandas()
+
+    ev = read_table(spark, sf_dir, "events")
+    exp = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    g = got[key + ["n_events", "sum_value"]].sort_values(key).reset_index(drop=True)
+    e = exp[key + ["n_events", "sum_value"]].sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e) > 0
+    assert (g.n_events.to_numpy() == e.n_events.to_numpy()).all()
+    assert (abs(g.sum_value.to_numpy() - e.sum_value.to_numpy()) < 1e-6).all()
+
+
+def test_sessionize(spark, sf_dir):
+    stream = SE.read_event_stream(spark, sf_dir)
+    result = SE.sessionize(stream, gap="30 minutes", watermark="1 day")
+    SE.run_to_memory(result, "sessions")
+    got = spark.sql("SELECT * FROM sessions").toPandas()
+    assert len(got) > 0
+    assert (got.session_end > got.session_start).all()
+    assert (got.n_events >= 1).all()
+    # sessions for one user must not overlap
+    for _, grp in got.groupby("user_id"):
+        g = grp.sort_values("session_start")
+        assert (
+            g.session_start.iloc[1:].to_numpy() >= g.session_end.iloc[:-1].to_numpy()
+        ).all()

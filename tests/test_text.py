@@ -1,0 +1,114 @@
+"""Text-analysis function tests vs pure-Python reimplementations."""
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feast_hive_spark.functions import text as X
+from feast_hive_spark.sources.tables import read_table
+
+
+@pytest.fixture(scope="module")
+def sample(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    return docs, docs.toPandas()
+
+
+def h48_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_token_counts(spark, sample):
+    docs, pdf = sample
+    got = docs.select(
+        "doc_id", X.token_count_ws("text").alias("ws"), X.token_count_bpe("text").alias("bpe")
+    ).toPandas()
+    merged = got.merge(pdf[["doc_id", "text"]], on="doc_id")
+    for r in merged.itertuples():
+        assert r.ws == len(r.text.lower().split()), r.doc_id
+    assert (merged.bpe >= merged.ws).all()  # BPE-ish splits punctuation off
+
+
+def test_fingerprint_matches_python(spark, sample):
+    docs, pdf = sample
+    got = docs.select("doc_id", X.fingerprint("text").alias("fp")).toPandas()
+    merged = got.merge(pdf[["doc_id", "text"]], on="doc_id")
+    for r in merged.itertuples():
+        norm = " ".join(r.text.lower().split())
+        assert r.fp == h48_py(norm), r.doc_id
+
+
+def test_shingle_hashes_match_python(spark, sample):
+    docs, pdf = sample
+    got = docs.select("doc_id", X.shingle_hashes("text").alias("sh")).toPandas()
+    merged = got.merge(pdf[["doc_id", "text"]], on="doc_id")
+    for r in merged.itertuples():
+        w = r.text.lower().split()
+        sh = []
+        seen = set()
+        for i in range(len(w) - 2):
+            s = " ".join(w[i : i + 3])
+            if s not in seen:
+                seen.add(s)
+                sh.append(h48_py(s))
+        assert list(r.sh) == sh, r.doc_id
+
+
+def test_minhash_signature_matches_python(spark, sample):
+    docs, pdf = sample
+    sigs = docs.select(
+        "doc_id", X.minhash_signature(X.shingle_hashes("text")).alias("sig")
+    ).toPandas()
+    merged = sigs.merge(pdf[["doc_id", "text"]], on="doc_id")
+    for r in merged.itertuples():
+        w = r.text.lower().split()
+        hs = {h48_py(" ".join(w[i : i + 3])) for i in range(len(w) - 2)}
+        exp = [
+            min(((h * a + b) % X.MINHASH_MOD for h in hs), default=X.MINHASH_MOD)
+            for a, b in X.MINHASH_COEFS
+        ]
+        assert list(r.sig) == exp, r.doc_id
+
+
+def test_simhash_matches_python(spark, sample):
+    docs, pdf = sample
+    got = docs.select("doc_id", X.simhash("text").alias("f")).toPandas()
+    merged = got.merge(pdf[["doc_id", "text"]], on="doc_id")
+    for r in merged.itertuples():
+        hs = [h48_py(t) % (1 << 32) for t in r.text.lower().split()]
+        fp = 0
+        for i in range(X.SIMHASH_BITS):
+            vote = sum(1 if (h >> i) & 1 else -1 for h in hs)
+            if vote >= 0:
+                fp |= 1 << i
+        assert r.f == fp, r.doc_id
+
+
+def test_language_id_and_quality(spark, sample):
+    docs, pdf = sample
+    got = docs.select(
+        "doc_id",
+        X.language_id("text").alias("lang_pred"),
+        X.quality_score("text").alias("q"),
+    ).toPandas()
+    assert set(got.lang_pred) <= set(X.LANG_ORDER) | {X.LANG_UNKNOWN}
+    assert ((got.q >= 0) & (got.q <= 1)).all()
+
+
+def test_quality_monotone_in_length(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["the cat", "the cat sat on the mat with a hat and a bat"],
+        }
+    )
+    got = (
+        spark.createDataFrame(pdf)
+        .select("doc_id", X.quality_score("text").alias("q"))
+        .toPandas()
+        .set_index("doc_id")["q"]
+    )
+    assert got[2] > got[1]
