@@ -34,6 +34,15 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "topk_parts_per_brand",
     "events_daily_rollup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "text_analysis",
+    "text_lang_quality_rollup",
 ]
 
 

@@ -44,6 +44,27 @@ def duck_cosine(a: str, b: str) -> str:
     return f"({duck_dot(a, b)} / ({duck_norm(a)} * {duck_norm(b)}))"
 
 
+def np_matrix(pdf_col) -> "np.ndarray":
+    """pandas column of float arrays -> (n, dim) float64 matrix
+    ((0, 0) for an empty column — keeps downstream 2-D ops valid)."""
+    import numpy as np
+
+    vals = [list(v) for v in pdf_col]
+    if not vals:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.array(vals, dtype=np.float64)
+
+
+def np_normalize(M: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    if M.size == 0:
+        return M
+    n = np.linalg.norm(M, axis=1)
+    n[n == 0] = 1.0
+    return M / n[:, None]
+
+
 def hyperplanes(n_planes: int, dim: int, seed: str = "simsearch") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes for sign-LSH, derived
     from md5 — reproducible across sessions/engines with no RNG state.
