@@ -22,6 +22,7 @@ import time
 
 from feast_hive_spark.registry import REGISTRY
 import feast_hive_spark.registry_ext  # noqa: F401
+import feast_hive_spark.registry_rel  # noqa: F401
 from feast_hive_spark.session import get_spark
 from feast_hive_spark.sources.tables import register_views
 

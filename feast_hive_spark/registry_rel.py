@@ -1,0 +1,174 @@
+"""Additional relational coverage entries: the join/agg shapes the
+reference lacks but Spark gives for free (SURVEY §2.3 'absent' list:
+semi/anti joins; §2.4 'absent': rollup, pivot) — included so a user of
+the reference switching to this engine gets the full relational
+vocabulary with oracle-checked semantics.
+
+Importing this module populates feast_hive_spark.registry.REGISTRY.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_hive_spark.registry import register
+from feast_hive_spark.sources.tables import read_table
+
+
+@register(
+    "q6_revenue_delta",
+    """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global agg —
+    the canonical predicate-pushdown benchmark (all three filters reach
+    the parquet scan; zero shuffles besides the 1-row final agg)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    """
+SELECT c.c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+""",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (EXISTS): customers having >=1 order, by segment.
+    Semi joins never duplicate or widen rows — at scale the build side
+    is just the distinct key set."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "anti_join_inactive_customers",
+    """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+""",
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join (NOT EXISTS): customers with no recent order.
+    The date filter lands on the anti side BEFORE the join — at scale
+    that prunes the build input, not the probe output."""
+    cust = read_table(spark, sf_dir, "customer")
+    recent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(datetime(2001, 1, 1))
+    )
+    return cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "rollup_order_priority",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (priority -> status -> grand total) —
+    subtotal rows carry NULL group keys in both engines."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "pivot_status_by_segment",
+    """
+SELECT c.c_mktsegment,
+       COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS n_open,
+       COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS n_filled,
+       COUNT(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (conditional aggregation): order-status counts fanned out
+    to columns per market segment."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+    )
+
+
+@register(
+    "set_ops_key_overlap",
+    """
+SELECT 'both' AS bucket, COUNT(*) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT 'click_only' AS bucket, COUNT(*) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+""",
+)
+def set_ops_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION ALL) over key sets."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    only = clicks.subtract(buys).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("click_only").alias("bucket"), "n"
+    )
+    return both.unionAll(only)
