@@ -48,6 +48,10 @@ BENCH_QUERIES = [
 
 
 def run_query(fn, spark, sf_dir: str) -> float:
+    # clear intra-query operator caches from prior runs: they are
+    # consumed within one query, and letting them pile up across the
+    # whole bench session just adds GC pressure (and run-to-run noise)
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()

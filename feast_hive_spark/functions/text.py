@@ -56,7 +56,7 @@ MINHASH_COEFS: list[tuple[int, int]] = [
     (3163, 2683), (4217, 3089), (5279, 3463), (6337, 3767),
     (7393, 4093), (1471, 4447), (2531, 4787), (3593, 5099),
 ]
-SIMHASH_BITS = 32
+SIMHASH_BITS = 48
 
 
 def _quote_list(words: list[str]) -> str:
@@ -168,12 +168,12 @@ def minhash_signature(hashes: Column) -> Column:
     return F.array(*parts)
 
 
-def token_hashes32(col: str) -> Column:
-    """32-bit hashes of each token (duplicates kept — SimHash weights
+def token_hashes(col: str) -> Column:
+    """48-bit hashes of each token (duplicates kept — SimHash weights
     by term frequency)."""
     w = f"split(lower({col}), '{TOKEN_RE_SQL}')"
     return F.expr(
-        f"transform({w}, t -> cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint) % 4294967296)"
+        f"transform({w}, t -> cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint))"
     )
 
 
@@ -181,7 +181,7 @@ def simhash(col: str) -> Column:
     """SimHash fingerprint over token hashes: bit i of the output is 1
     iff the sum over tokens of (+1 if bit i of the token hash else -1)
     is >= 0."""
-    hs = f"transform(split(lower({col}), '{TOKEN_RE_SQL}'), t -> cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint) % 4294967296)"
+    hs = f"transform(split(lower({col}), '{TOKEN_RE_SQL}'), t -> cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint))"
     bit_terms = []
     for i in range(SIMHASH_BITS):
         vote = (
@@ -288,7 +288,7 @@ def duck_minhash_signature(hashes_expr: str) -> str:
 def duck_simhash(col: str) -> str:
     hs = (
         f"list_transform({duck_words(col)}, "
-        f"t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 4294967296)"
+        f"t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT))"
     )
     bit_terms = []
     for i in range(SIMHASH_BITS):

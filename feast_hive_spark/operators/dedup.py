@@ -11,8 +11,8 @@ Five dedup families, each designed around its 100 TB shape:
 - **MinHash + LSH** — fixed-size signatures (16 hashes), banded into
   4 buckets; candidate pairs share a band bucket; exact Jaccard
   verification restores precision. The classic sub-quadratic path.
-- **SimHash** — 32-bit fingerprint; pigeonhole banding on 4 bytes
-  guarantees recall for hamming distance <= 3; verification by
+- **SimHash** — 48-bit fingerprint; pigeonhole banding on four 12-bit
+  bands guarantees recall for hamming distance <= 3; verification by
   bit_count(xor).
 - **embedding cosine** — exact threshold join; the scale path is the
   sign-LSH bucketing in operators/simsearch.py.
@@ -78,7 +78,11 @@ def _jaccard_pairs(
     with_shingles: DataFrame, candidates: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Join candidate (id_a < id_b) pairs back to shingle sets and keep
-    exact Jaccard >= threshold."""
+    exact Jaccard >= threshold.
+
+    The candidate set is small BY CONSTRUCTION (that is the point of
+    LSH banding), so it is broadcast: both verification joins stream
+    the corpus-side shingle table with zero shuffles."""
     a = with_shingles.select(
         F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
     )
@@ -88,7 +92,8 @@ def _jaccard_pairs(
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size(F.array_union("__sh_a", "__sh_b"))
     return (
-        candidates.join(a, "id_a")
+        F.broadcast(candidates)
+        .join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
             "jaccard",
@@ -179,24 +184,28 @@ def minhash_lsh_pairs(
     sigs = with_sh.select(
         id_col, X.minhash_signature(F.col("__sh")).alias("__sig")
     )
-    # band key = (band index, md5 of the band's signature slice)
-    band_rows = []
+    # band keys = md5 of each signature slice, all emitted in ONE pass
+    # via posexplode (a union of per-band selects would re-evaluate the
+    # 16-hash signature once per band per join side); the tiny result
+    # (bands rows/doc of (band, 16-byte key)) is cached for the
+    # self-join.
+    band_keys = []
     for bi in range(bands):
         lo = bi * rows_per_band
-        band_key = F.md5(
-            F.concat_ws(
-                ",",
-                *[F.col("__sig")[i].cast("string") for i in range(lo, lo + rows_per_band)],
+        band_keys.append(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("__sig")[i].cast("string")
+                        for i in range(lo, lo + rows_per_band)
+                    ],
+                )
             )
         )
-        band_rows.append(
-            sigs.select(
-                id_col, F.lit(bi).alias("__band"), band_key.alias("__bkey")
-            )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionAll(br)
+    banded = sigs.select(
+        id_col, F.posexplode(F.array(*band_keys)).alias("__band", "__bkey")
+    ).cache()
     left = banded.select(F.col(id_col).alias("id_a"), "__band", "__bkey")
     right = banded.select(F.col(id_col).alias("id_b"), "__band", "__bkey")
     candidates = (
@@ -210,30 +219,63 @@ def minhash_lsh_pairs(
 
 # --- SimHash ------------------------------------------------------------
 
+def _simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """48-bit SimHash per document via explode + columnar aggregation.
+
+    Rather than evaluating 48 interpreted per-row array-aggregate
+    expressions (functions/text.py:simhash — kept as the reference
+    implementation), explode tokens to rows and compute the 48 bit
+    votes as ordinary SUM(CASE...) aggregates — whole-stage-codegen'd
+    hash aggregation with 48 accumulators, one shuffle keyed by doc id.
+    Produces the exact same fingerprint."""
+    toks = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(X.words(text_col)).alias("__t"),
+    )
+    hashed = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5("__t"), 1, 12), 16, 10).cast("long").alias("__h"),
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), i) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(X.SIMHASH_BITS)
+        ]
+    )
+    fp = sum(
+        [
+            F.when(F.col(f"__v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(1, X.SIMHASH_BITS)
+        ],
+        F.when(F.col("__v0") >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return votes.select(F.col(id_col), fp.cast("long").alias("__fp"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs with SimHash fingerprints.
+    """Near-dup pairs with 48-bit SimHash fingerprints.
 
-    Candidates: pairs sharing at least one of the 4 fingerprint bytes
-    (pigeonhole: <=3 flipped bits cannot touch all 4 bytes, so recall
-    is exact for hamming <= 3). Verification: bit_count(xor) —
-    JVM-side intrinsics."""
-    fp = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), X.simhash(text_col).alias("__fp")
-    ).cache()
-    band_rows = []
-    for bi in range(4):
-        band_rows.append(
-            fp.select(
-                id_col,
-                F.lit(bi).alias("__band"),
-                F.shiftright(F.col("__fp"), 8 * bi).bitwiseAND(F.lit(255)).alias("__bv"),
+    Candidates: pairs sharing at least one of four 12-bit fingerprint
+    bands (pigeonhole: <=3 flipped bits cannot touch all 4 bands, so
+    recall is exact for hamming <= 3; 4096-way buckets keep random
+    collisions ~16x rarer than byte bands). Verification:
+    bit_count(xor) — JVM-side intrinsics."""
+    fp = _simhash_fingerprints(df, id_col, text_col).cache()
+    banded = fp.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__fp"), 12 * bi).bitwiseAND(F.lit(4095))
+                    for bi in range(X.SIMHASH_BITS // 12)
+                ]
             )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionAll(br)
+        ).alias("__band", "__bv"),
+    )
     left = banded.select(F.col(id_col).alias("id_a"), "__band", "__bv")
     right = banded.select(F.col(id_col).alias("id_b"), "__band", "__bv")
     candidates = (
@@ -244,8 +286,10 @@ def simhash_pairs(
     )
     a = fp.select(F.col(id_col).alias("id_a"), F.col("__fp").alias("__fa"))
     b = fp.select(F.col(id_col).alias("id_b"), F.col("__fp").alias("__fb"))
+    # candidate set small by construction -> broadcast verification
     return (
-        candidates.join(a, "id_a")
+        F.broadcast(candidates)
+        .join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
             "hamming", F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))

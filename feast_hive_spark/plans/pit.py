@@ -338,5 +338,10 @@ def _join_feature_view(
     )
 
     # J6: left join assembly on the raw key tuple; NULL features for
-    # unmatched entity rows, duplicate entity rows preserved.
+    # unmatched entity rows, duplicate entity rows preserved. The fv
+    # result is bounded by the deduped entity-key count, so when the
+    # entity side is broadcastable the assembly side is too — skipping
+    # the sort-merge exchange on the (possibly large) entity df.
+    if broadcast_entities:
+        latest = F.broadcast(latest)
     return acc.join(latest, on=[*entity_cols, _ENTITY_TS], how="left")

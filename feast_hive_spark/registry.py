@@ -205,6 +205,58 @@ def pit_multi_feature_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pit_created_ts_dedup",
+    """
+WITH ent AS (
+  SELECT event_id AS probe_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+  FROM events WHERE event_type = 'purchase'
+), feat AS (
+  SELECT user_id,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_ts,
+         CAST(ts AS TIMESTAMP) AS created, value, event_id
+  FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT ent.probe_id, f.value,
+         ROW_NUMBER() OVER (PARTITION BY ent.probe_id
+                            ORDER BY f.day_ts DESC, f.created DESC,
+                                     f.event_id DESC) AS rn
+  FROM ent JOIN feat f
+    ON f.user_id = ent.user_id AND f.day_ts <= ent.event_timestamp
+)
+SELECT e.probe_id, e.user_id, e.event_timestamp, m.value AS click_value
+FROM ent e LEFT JOIN (SELECT probe_id, value FROM m WHERE rn = 1) m
+  USING (probe_id)
+""",
+)
+def pit_created_ts_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT with a created_timestamp column: events bucketed to their
+    day become multi-version feature rows (same event_ts, different
+    created) — the dedup picks max created within the max event_ts
+    (reference dedup step, hive.py:645-654)."""
+    ev = read_table(spark, sf_dir, "events")
+    feat = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.col("ts").alias("created"),
+        "value",
+        "event_id",
+    )
+    fv = FeatureView(
+        name="daily_click",
+        source=feat,
+        join_keys=["user_id"],
+        features=["value"],
+        ttl_seconds=0,
+        event_timestamp_column="day_ts",
+        created_timestamp_column="created",
+    )
+    job = get_historical_features(
+        spark, _purchase_entities(ev), [fv], tiebreak_columns=["event_id"]
+    )
+    return job.to_spark_df().withColumnRenamed("value", "click_value")
+
+
+@register(
     "pull_latest",
     """
 WITH e AS (

@@ -174,7 +174,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH fp AS (
   SELECT doc_id, {X.duck_simhash('text')} AS f FROM documents
 ), banded AS (
-  SELECT doc_id, b AS band, (f >> (8 * b)) % 256 AS bv
+  SELECT doc_id, b AS band, (f >> (12 * b)) % 4096 AS bv
   FROM fp, range(0, 4) r(b)
 ), cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

@@ -78,7 +78,7 @@ def test_simhash_matches_python(spark, sample):
     got = docs.select("doc_id", X.simhash("text").alias("f")).toPandas()
     merged = got.merge(pdf[["doc_id", "text"]], on="doc_id")
     for r in merged.itertuples():
-        hs = [h48_py(t) % (1 << 32) for t in r.text.lower().split()]
+        hs = [h48_py(t) for t in r.text.lower().split()]
         fp = 0
         for i in range(X.SIMHASH_BITS):
             vote = sum(1 if (h >> i) & 1 else -1 for h in hs)
