@@ -259,6 +259,54 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# multimodal (binary-column plumbing; decode stays stubbed)
+# =====================================================================
+
+
+@register(
+    "multimodal_metadata",
+    """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN '\\x89\\x50\\x4E\\x47\\x0D\\x0A\\x1A\\x0A'::BLOB || encode(text)
+              WHEN doc_id % 3 = 1
+              THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB || encode(text)
+              ELSE encode(text) END AS payload
+  FROM documents
+)
+SELECT doc_id,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+            ELSE 'application/octet-stream' END AS media_type
+FROM media
+""",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns: documents wrapped in synthetic PNG/JPEG
+    magic headers by doc_id, run through the JVM-side metadata
+    operator (size, content md5, magic-byte type sniffing) — the
+    oracle reconstructs identical blobs and the sniffed types must
+    round-trip. (content_md5 is asserted against a hashlib oracle in
+    tests/test_multimodal.py — DuckDB 1.0 cannot hash BLOBs.) The
+    decode step stays stubbed (multimodal.py); the column plumbing is
+    what is gated here."""
+    from feast_hive_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents")
+    enc = F.encode(F.col("text"), "utf-8").cast("binary")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), enc))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit(b"\xff\xd8\xff\xe0"), enc))
+        .otherwise(enc)
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    out = M.attach_metadata(media, "payload", ["doc_id"])
+    return out.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "media_type")
+
+
+# =====================================================================
 # text analysis
 # =====================================================================
 

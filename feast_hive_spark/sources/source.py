@@ -205,8 +205,37 @@ class ParquetSource(DataSource):
         super().__init__(name=name or path, **kwargs)
         self.path = path
 
+    def _nano_ts_columns(self) -> list[str]:
+        """Columns stored as parquet TIMESTAMP(NANOS), which Spark's
+        reader rejects outright (PARQUET_TYPE_ILLEGAL). Footer-only
+        check via pyarrow — no data read."""
+        try:
+            import pyarrow.dataset as ds
+
+            schema = ds.dataset(self.path, format="parquet").schema
+        except Exception:  # noqa: BLE001 - fall through to Spark's own error
+            return []
+        import pyarrow as pa
+
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+
     def _load(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        from pyspark.sql import functions as F
+
+        nano_cols = self._nano_ts_columns()
+        if not nano_cols:
+            return spark.read.parquet(self.path)
+        # read nanos as long, rebuild at microsecond precision JVM-side
+        # (same policy as sources/tables.py:read_table)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(self.path)
+        for c in nano_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
 
     def get_table_query_string(self) -> str:
         return f"parquet.`{self.path}`"

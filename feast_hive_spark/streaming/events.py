@@ -96,6 +96,38 @@ def sessionize(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, sum) state machine, emitting the updated
+    totals on every micro-batch.
+
+    This is the escape hatch for semantics the built-in windowed aggs
+    can't express (arbitrary per-key state transitions). State is
+    hash-partitioned by key across executors and lives in the state
+    store; with a timeout configured, idle keys are evicted so state
+    stays O(active keys). Arrow-batched like any Pandas UDF."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(result: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming plan to completion against the memory sink
     (local smoke path: one parquet file -> one micro-batch)."""

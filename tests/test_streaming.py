@@ -39,6 +39,34 @@ def test_windowed_counts_matches_batch(spark, sf_dir):
     assert (abs(g.sum_value.to_numpy() - e.sum_value.to_numpy()) < 1e-6).all()
 
 
+def test_running_user_totals_stateful(spark, sf_dir):
+    """applyInPandasWithState custom operator: after the single
+    micro-batch, per-user running totals equal the batch aggregation."""
+    stream = SE.read_event_stream(spark, sf_dir)
+    result = SE.running_user_totals(stream)
+    SE.run_to_memory(result, "user_totals", output_mode="update")
+    got = (
+        spark.sql("SELECT * FROM user_totals")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev = read_table(spark, sf_dir, "events")
+    exp = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.user_id.tolist() == exp.user_id.tolist()
+    assert got.n_events.tolist() == exp.n_events.tolist()
+    assert (abs(got.sum_value - exp.sum_value) < 1e-6).all()
+
+
 def test_sessionize(spark, sf_dir):
     stream = SE.read_event_stream(spark, sf_dir)
     result = SE.sessionize(stream, gap="30 minutes", watermark="1 day")
