@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "topk_parts_per_brand",
     "events_daily_rollup",
     "dedup_exact",
@@ -42,6 +46,8 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_metadata",
     "text_analysis",
     "text_lang_quality_rollup",
 ]

@@ -241,6 +241,24 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register("ann_ivf_topk", None)  # approximate: recall<1 -> rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed ANN (deterministic distributed Lloyd build +
+    n_probe inverted-list search); recall tested against brute force
+    in tests/test_simsearch.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_lists=16,
+        n_probe=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register("ann_lsh_topk", None)  # approximate: recall<1 -> rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (the 100 TB path); tested for recall

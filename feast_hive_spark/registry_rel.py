@@ -172,3 +172,110 @@ def set_ops_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("click_only").alias("bucket"), "n"
     )
     return both.unionAll(only)
+
+
+@register(
+    "q10_returned_items",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20
+    with a deterministic total order."""
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 10, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast
+    dim join."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 6, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1996, 7, 1)))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING SUM(l.l_quantity) > 120
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy + HAVING threshold + top-k."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.sum("l_quantity") > 120)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )

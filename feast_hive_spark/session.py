@@ -37,6 +37,11 @@ DEFAULT_CONF = {
     # would be ~2-3x total cores, and AQE coalesces the excess anyway.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.ui.enabled": "false",
+    # local mode = driver-only: this is the entire executor heap.
+    # Measured, not guessed: 8g runs the LSH pipelines in stable
+    # 1.5-3s at sf0.1; a 48g heap made the SAME plans swing 8-35s
+    # (GC/JIT heuristics degrade with a huge heap + many tiny tasks).
+    # Don't raise this without re-measuring.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

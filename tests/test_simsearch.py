@@ -61,3 +61,22 @@ def test_lsh_topk_recall(emb, emb_np):
     assert hits / total >= 0.5, f"recall {hits}/{total}"
     # every reported neighbor must be a true candidate with correct cosine sign
     assert (got["rank"] <= 5).all()
+
+
+def test_ivf_topk_recall(emb, emb_np):
+    """IVF coarse quantizer: with n_probe/n_lists = 1/4 of the corpus
+    scanned, recall of exact top-5 must be substantial."""
+    from feast_hive_spark.operators.simsearch import ivf_topk
+
+    ids, V = emb_np
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_lists=16, n_probe=4
+    ).toPandas()
+    expected = numpy_topk(ids, V, [i for i in ids if i < 20], k=5)
+    hits = total = 0
+    for q, exp in expected.items():
+        found = set(got[got.query_id == q].neighbor_id)
+        hits += len(found & set(exp))
+        total += len(exp)
+    assert hits / total >= 0.4, f"recall {hits}/{total}"
