@@ -1,0 +1,51 @@
+"""Online-snapshot sink tests: F4-shaped offline/online consistency
+through materialize_online + read_online (reference test shape:
+feast_tests_funcs.py:451-501)."""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from feast_hive_spark.sinks import materialize_online, read_online
+
+
+def test_materialize_and_lookup(spark, tmp_path):
+    now = datetime(2024, 5, 1, 12, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "driver_id": [1, 2, 1, 3, 3],
+            "value": [0.1, None, 0.3, 4.0, 5.0],
+            "ts": [
+                now - timedelta(hours=4),
+                now,
+                now - timedelta(hours=3),
+                now - timedelta(hours=4),
+                now - timedelta(hours=1),
+            ],
+            "created_ts": [now] * 5,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "online")
+
+    materialize_online(
+        df, path, ["driver_id"], ["value"], "ts", "created_ts",
+        now - timedelta(hours=5), now - timedelta(hours=2),
+    )
+    got = read_online(spark, path, ["driver_id"], [(1,), (2,), (3,)])
+    # partition pruning on the bucket column must appear in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan
+    vals = got.toPandas().set_index("driver_id")["value"]
+    assert vals[1] == 0.3 and vals[3] == 4.0 and 2 not in vals.index
+
+    # incremental window overwrites the snapshot -> driver 3 -> 5
+    materialize_online(
+        df, path, ["driver_id"], ["value"], "ts", "created_ts",
+        now - timedelta(hours=2), now,
+    )
+    got2 = read_online(spark, path, ["driver_id"], [(2,), (3,)]).toPandas()
+    vals2 = got2.set_index("driver_id")["value"]
+    assert vals2[3] == 5.0
+    assert pd.isna(vals2[2])  # driver 2's only row has a NULL value
