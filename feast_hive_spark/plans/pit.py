@@ -23,19 +23,27 @@ Spark-first plan (SURVEY §2.3 J1-J6, §4):
    partition pruning on the timestamp column.
 3. **Entity dedup before the join (kept — A1):** ``dropDuplicates``
    on (keys, entity_ts) shrinks the join's build side.
-4. **One row_number window replaces the reference's J4+J5+A3+A4
-   dedup cascade** (2 aggregates + 2 self-joins -> one hash shuffle).
-   We join on the raw ``(keys…, entity_ts)`` tuple, NOT the
-   collision-prone separator-less string rid of hive.py:537-544.
+4. **One argmax aggregation replaces the reference's J4+J5+A3+A4
+   dedup cascade** (2 aggregates + 2 self-joins): ``max_by(features,
+   struct(event_ts, created_ts, tiebreaks))`` grouped by
+   ``(keys…, entity_ts)``. Partial aggregation runs MAP-SIDE, so a
+   whale entity key collapses to one row per partition before the
+   shuffle — skew-immune at 100 TB (a row_number window, even with
+   WindowGroupLimit's streaming top-1, still funnels every matching
+   row of a hot key through one shuffle partition; it remains
+   available via ``use_max_by=False``). We join on the raw
+   ``(keys…, entity_ts)`` tuple, NOT the collision-prone
+   separator-less string rid of hive.py:537-544.
 5. **Broadcast the (deduped) entity side** when small: the feature
    table — the 100 TB side — then streams through a BroadcastHashJoin
    with zero shuffle; the only shuffle in the whole per-fv pipeline is
-   the window's hash partition. When the entity df is huge, fall back
+   the argmax hash partition. When the entity df is huge, fall back
    to letting AQE pick sort-merge (``broadcast_entities=False``).
 
 Physical plan per feature view: Scan(feature, pushed time filter) ->
-BroadcastHashJoin(entity keys) -> Filter(range) -> Window(row_number)
--> Filter(rn=1) -> left join assembly. Exactly one shuffle per fv.
+BroadcastHashJoin(entity keys) + range condition ->
+partial_max_by -> Exchange -> max_by -> broadcast left-join assembly.
+Exactly one shuffle per fv, with map-side combine.
 """
 
 from __future__ import annotations
@@ -212,6 +220,7 @@ def get_historical_features(
     entity_event_timestamp_col: Optional[str] = None,
     broadcast_entities: bool = True,
     tiebreak_columns: Sequence[str] = (),
+    use_max_by: bool = True,
     on_demand_transforms=None,
 ) -> RetrievalJob:
     """Build the lazy multi-feature-view PIT retrieval job
@@ -253,6 +262,7 @@ def get_historical_features(
                 full_feature_names,
                 broadcast_entities,
                 tiebreak_columns,
+                use_max_by,
             )
         # P4: drop internal columns (the reference's regex column
         # exclusion, hive.py:706) — everything else (incl. passthrough
@@ -271,6 +281,7 @@ def _join_feature_view(
     full_feature_names: bool,
     broadcast_entities: bool,
     tiebreak_columns: Sequence[str],
+    use_max_by: bool = True,
 ) -> DataFrame:
     key_map = fv.key_map()  # feature col -> entity col
     entity_cols = list(key_map.values())
@@ -323,19 +334,47 @@ def _join_feature_view(
         )
     joined = joined.filter(cond)
 
-    # W1 replaces J4/J5/A3/A4: one window, one shuffle.
-    order = [F.col(_EVENT_TS).desc()]
+    # W1 replaces J4/J5/A3/A4. Two equivalent physical strategies:
+    #
+    # max_by (default): argmax of the feature struct over the
+    # (event_ts, created_ts, tiebreaks) ordering key as a hash
+    # aggregate. Partial aggregation runs map-side, so a whale entity
+    # key (one key matching millions of feature rows) reduces to one
+    # row per partition BEFORE the shuffle — skew-immune at 100 TB.
+    #
+    # row_number window: same result; Spark's WindowGroupLimit makes
+    # it a streaming top-1 (no full sort), but all rows of a hot
+    # (key, entity_ts) group still travel through one shuffle
+    # partition. Kept selectable for comparison/debugging.
+    ord_cols = [F.col(_EVENT_TS)]
     if created_ts:
-        order.append(F.col(_CREATED_TS).desc())
-    order.extend(
-        F.col(c).desc() for c in tiebreak_columns if c in joined.columns
-    )
-    w = Window.partitionBy(*entity_cols, _ENTITY_TS).orderBy(*order)
-    latest = (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*entity_cols, _ENTITY_TS, *out_names)
-    )
+        ord_cols.append(F.col(_CREATED_TS))
+    ord_cols.extend(F.col(c) for c in tiebreak_columns if c in joined.columns)
+    if use_max_by:
+        payload = F.struct(*[F.col(n) for n in out_names]) if out_names else None
+        aggs = []
+        if payload is not None:
+            aggs.append(F.max_by(payload, F.struct(*ord_cols)).alias("__best"))
+        else:
+            aggs.append(F.count(F.lit(1)).alias("__n"))
+        latest = joined.groupBy(*entity_cols, _ENTITY_TS).agg(*aggs)
+        if payload is not None:
+            latest = latest.select(
+                *entity_cols,
+                _ENTITY_TS,
+                *[F.col("__best")[n].alias(n) for n in out_names],
+            )
+        else:
+            latest = latest.select(*entity_cols, _ENTITY_TS)
+    else:
+        w = Window.partitionBy(*entity_cols, _ENTITY_TS).orderBy(
+            *[c.desc() for c in ord_cols]
+        )
+        latest = (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*entity_cols, _ENTITY_TS, *out_names)
+        )
 
     # J6: left join assembly on the raw key tuple; NULL features for
     # unmatched entity rows, duplicate entity rows preserved. The fv
