@@ -128,6 +128,74 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_to_online(
+    events: DataFrame,
+    path: str,
+    join_key_columns: list[str],
+    feature_name_columns: list[str],
+    event_timestamp_column: str = "ts",
+    n_buckets: int = 16,
+) -> "object":
+    """Continuously materialize latest-per-key features into the
+    online snapshot layout (sinks.py) via ``foreachBatch``.
+
+    Each micro-batch computes its own latest-per-key rows, then the
+    batch function merges them with the existing snapshot and rewrites
+    it keeping the per-key max event_ts — an idempotent upsert: the
+    same micro-batch replayed after a failure converges to the same
+    snapshot (per-key argmax is idempotent), which is the
+    exactly-once recipe for non-transactional sinks. On a lakehouse
+    table this foreachBatch body would be a single MERGE INTO.
+    Returns the StreamingQuery (caller stops it)."""
+    from pyspark.sql import Window
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*join_key_columns).orderBy(
+            F.col(event_timestamp_column).desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*join_key_columns, *feature_name_columns, event_timestamp_column)
+        )
+        try:
+            existing = spark.read.parquet(path).drop("__bucket")
+            merged = existing.unionByName(latest)
+        except Exception:  # noqa: BLE001 - first batch: no snapshot yet
+            merged = latest
+        w2 = Window.partitionBy(*join_key_columns).orderBy(
+            F.col(event_timestamp_column).desc()
+        )
+        final = (
+            merged.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn(
+                "__bucket",
+                F.pmod(
+                    F.hash(*[F.col(c) for c in join_key_columns]), F.lit(n_buckets)
+                ),
+            )
+        )
+        # rewrite to a temp dir then swap: the source snapshot is also
+        # the read input of this batch, so an in-place overwrite would
+        # truncate before reading
+        tmp = path + f".epoch{epoch_id}"
+        final.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.move(tmp, path)
+
+    return (
+        events.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(result: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming plan to completion against the memory sink
     (local smoke path: one parquet file -> one micro-batch)."""

@@ -81,3 +81,40 @@ def test_sessionize(spark, sf_dir):
         assert (
             g.session_start.iloc[1:].to_numpy() >= g.session_end.iloc[:-1].to_numpy()
         ).all()
+
+
+def test_stream_to_online_snapshot(spark, sf_dir, tmp_path):
+    """foreachBatch streaming materialization: after draining the
+    stream, the snapshot equals batch latest-per-key, and point
+    lookups work through the online reader."""
+    from feast_hive_spark.sinks import read_online
+
+    path = str(tmp_path / "online_stream")
+    stream = SE.read_event_stream(spark, sf_dir)
+    q = SE.stream_to_online(stream, path, ["user_id"], ["value", "event_type"])
+    q.awaitTermination(120)
+
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    exp = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select("user_id", "ts")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        spark.read.parquet(path)
+        .select("user_id", "ts")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.user_id.tolist() == exp.user_id.tolist()
+    assert (got.ts.to_numpy() == exp.ts.to_numpy()).all()
+
+    keys = got.user_id.tolist()[:3]
+    looked = read_online(spark, path, ["user_id"], [(k,) for k in keys])
+    assert sorted(looked.toPandas().user_id.tolist()) == sorted(keys)
