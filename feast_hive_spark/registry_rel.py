@@ -279,3 +279,179 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+@register(
+    "q4_priority_with_returns",
+    """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+""",
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: EXISTS predicate on l_returnflag since
+    this dataset has no l_commitdate): order-priority counts for orders
+    in a quarter having at least one returned line. The correlated
+    EXISTS becomes a left_semi join whose build side is pre-filtered —
+    at scale only matching orderkeys shuffle, never full lineitem rows."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 7, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1996, 10, 1)))
+    )
+    returned = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    """
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus standing in for the absent
+    l_shipmode): dual conditional sums over a fact-fact join. The
+    shipdate filter prunes lineitem at the scan; the two CASE sums are
+    one pass (map-side partial agg on a 2-value key)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+SELECT n_orders, COUNT(*) AS n_custs
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'P'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY n_orders
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count-per-customer distribution. The
+    status predicate lives in the LEFT JOIN's ON clause (not WHERE) so
+    zero-order customers survive with count 0 — the agg-of-agg second
+    shuffle is tiny (one row per distinct count value)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "P"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_custs"))
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicates spanning
+    both join sides. Catalyst extracts the common single-side conjuncts
+    (brand/size on part, quantity range on lineitem) and pushes them
+    below the join, keeping the cross-side OR as a post-join filter."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return joined.filter(
+        arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#34", 15, 20, 30)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q22_dormant_rich_customers",
+    """
+SELECT c.c_mktsegment, COUNT(*) AS n_custs,
+       ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT ROUND(AVG(c_acctbal), 0) FROM customer
+                     WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c.c_mktsegment
+""",
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS (dormant
+    = no order since 1998, since every customer here has some order).
+    The average is computed distributed and crossJoin-broadcast as a
+    1-row literal (no driver collect); the threshold is rounded to an
+    integer on both engines so float summation order can't flip a
+    boundary row. The anti join's build side is the pre-filtered
+    recent-orders key set, pruned before the shuffle."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(datetime(1998, 1, 1))
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 0).alias("__thr")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__thr")
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
