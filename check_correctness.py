@@ -44,6 +44,18 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     g, e = _canon(got), _canon(exp)
     for c in g.columns:
         gs, es = g[c], e[c]
+        # The driver's hash compares exact value representations, so an
+        # int64 column on one side vs float64 on the other (DuckDB
+        # HUGEINT -> pandas float64) hash-mismatches even when the
+        # values are numerically equal. Mirror that strictness here.
+        if pd.api.types.is_float_dtype(gs) != pd.api.types.is_float_dtype(es) and (
+            pd.api.types.is_numeric_dtype(gs) and pd.api.types.is_numeric_dtype(es)
+        ):
+            problems.append(
+                f"col {c}: dtype divergence spark={gs.dtype} duckdb={es.dtype} "
+                "(driver hash would mismatch)"
+            )
+            continue
         if pd.api.types.is_float_dtype(gs) or pd.api.types.is_float_dtype(es):
             gv = pd.to_numeric(gs, errors="coerce").to_numpy(dtype=float)
             ev = pd.to_numeric(es, errors="coerce").to_numpy(dtype=float)

@@ -368,8 +368,9 @@ WITH t AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       ROUND(SUM(quality), 4) AS sum_quality,
-       SUM(n_tok) AS total_tokens
+       ROUND(SUM(CAST(ROUND(quality * 1000000) AS BIGINT)) / 1000000.0, 4)
+         AS sum_quality,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
 FROM t GROUP BY lang, source
 """,
 )
@@ -387,7 +388,14 @@ def text_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.sum("quality"), 4).alias("sum_quality"),
+            # Sum 6-decimal micro-units as BIGINT so the result is
+            # independent of float summation order (partial-agg safe),
+            # then rescale; the DuckDB oracle does the identical thing.
+            F.round(
+                F.sum(F.round(F.col("quality") * 1000000.0).cast("long"))
+                / 1000000.0,
+                4,
+            ).alias("sum_quality"),
             F.sum("n_tok").alias("total_tokens"),
         )
     )
