@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -79,6 +79,29 @@ def hyperplanes(n_planes: int, dim: int, seed: str = "simsearch") -> list[list[f
     return planes
 
 
+def duck_dot_literal(vec: str, coefs: list[float]) -> str:
+    """DuckDB dot product of a list column against literal plane
+    coefficients — the oracle twin of a numpy ``M @ plane`` row."""
+    lits = ", ".join(repr(float(c)) for c in coefs)
+    return (
+        f"list_sum(list_transform(range(1, {len(coefs)} + 1), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * [{lits}][i]))"
+    )
+
+
+def duck_sign_bucket(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB sign-LSH bucket id for one table: bit p set iff
+    dot(vec, plane_p) >= 0 — exact twin of the numpy bucketer in
+    operators/dedup.py:lsh_cosine_pairs (md5-derived planes make the
+    whole scheme engine-reproducible)."""
+    bits = [
+        f"(CASE WHEN {duck_dot_literal(vec, plane)} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
 def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit p = 1 iff dot(vec, plane_p) >= 0.
     Hyperplane literals are folded into the plan as array constants —

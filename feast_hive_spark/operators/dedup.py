@@ -14,14 +14,17 @@ Five dedup families, each designed around its 100 TB shape:
 - **SimHash** — 48-bit fingerprint; pigeonhole banding on four 12-bit
   bands guarantees recall for hamming distance <= 3; verification by
   bit_count(xor).
-- **embedding cosine** — exact threshold join; the scale path is the
-  sign-LSH bucketing in operators/simsearch.py.
+- **embedding cosine** — exact pairs via a distributed block-pair
+  join (no driver collect), plus a sign-LSH bucketed approximate path
+  for the near-dup regime and a broadcast small-side fallback.
 
 All of it is built-in-function DataFrame code (no Python UDFs); every
 operator has a DuckDB oracle twin computed with the same constants
 (functions/text.py) so the correctness gate hash-matches pairs."""
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -38,11 +41,20 @@ def _spread(df: DataFrame) -> DataFrame:
 
     The text-hashing pipelines are CPU-bound; without this every md5/
     shingle evaluation of a single-file table runs in ONE task while
-    31 cores idle. On a real cluster with many files this is a no-op."""
+    31 cores idle. Sizing uses the scan's file count (a pure-metadata
+    lookup) rather than ``df.rdd.getNumPartitions()``, which would pay
+    a full RDD conversion just to count partitions. A many-file table
+    on a real cluster is left untouched; the rare false positive (one
+    huge splittable file) costs one extra shuffle of a scan that was
+    about to be md5-hashed anyway."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan: size unknown, spread it
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 # --- exact --------------------------------------------------------------
@@ -301,22 +313,51 @@ def simhash_pairs(
 
 # --- embedding cosine ---------------------------------------------------
 
-def embedding_cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
+def cosine_verify_pairs(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs.
+    """Exact cosine for an (id_a, id_b) candidate list.
 
-    Kernel: the full (small-side) normalized matrix is broadcast to
-    every task; each Arrow batch of rows does ONE numpy matmul against
-    it and emits only the above-threshold (id_a < id_b) pairs — dense
-    linear algebra is the one place where an Arrow-batched numpy
-    kernel beats Spark's interpreted higher-order array functions by
-    ~100x (measured: 11.6s -> sub-second at sf0.1). Exact values,
-    so the DuckDB oracle still hash-matches (rounded to 6 decimals).
+    The candidate list is small by construction (that is the point of
+    bucketing), so it is broadcast; both vector-attach joins stream the
+    corpus side with zero shuffles, then each Arrow batch computes the
+    row-wise normalized dot with one vectorized numpy pass."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    joined = F.broadcast(candidates.select("id_a", "id_b")).join(a, "id_a").join(
+        b, "id_b"
+    )
 
-    This is the correctness baseline: at 100 TB the broadcast side no
-    longer fits and you run sign-LSH bucketing (simsearch.py) first,
-    applying this verification within buckets only."""
+    def mapper(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            A = V.np_normalize(V.np_matrix(batch["__va"]))
+            B = V.np_normalize(V.np_matrix(batch["__vb"]))
+            cos = np.round(np.einsum("ij,ij->i", A, B), 6)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": batch["id_a"].to_numpy()[keep],
+                    "id_b": batch["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return joined.mapInPandas(mapper, "id_a long, id_b long, cosine double")
+
+
+def _broadcast_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Small-side fallback: collect + broadcast the full normalized
+    matrix, one matmul per Arrow batch. Fastest kernel when the corpus
+    fits on the driver; NOT the default because the collect is a
+    driver-OOM scale-killer (see embedding_cosine_pairs)."""
     spark = df.sparkSession
     pdf = df.select(id_col, vec_col).toPandas()
     ids_all = pdf[id_col].to_numpy()
@@ -346,3 +387,224 @@ def embedding_cosine_pairs(
     return df.select(id_col, vec_col).mapInPandas(
         mapper, "id_a long, id_b long, cosine double"
     )
+
+
+def _block_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine as a distributed block-pair join.
+
+    Rows are hashed into P blocks; every unordered block pair (p, q)
+    meets in exactly one ``applyInPandas`` group, which runs a chunked
+    numpy matmul between the two blocks. Nothing is ever collected to
+    the driver and no task holds more than two blocks, so the operator
+    is bounded by cluster FLOPs, not by any single node: shuffle volume
+    is n*P rows (each row visits the P groups containing its block)
+    and per-task memory is O(rows_per_block * dim).
+
+    P is the max of a memory bound (blocks of ``rows_per_block``) and a
+    parallelism bound (enough ~P^2/2 groups to occupy the cluster)."""
+    spark = df.sparkSession
+    base = df.select(id_col, vec_col)
+    n = base.count()
+    if n == 0:
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    par = spark.sparkContext.defaultParallelism
+    P = max(math.ceil(n / rows_per_block), math.ceil(math.sqrt(2.0 * par)))
+    P = max(1, min(P, n))
+    tagged = (
+        base.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(P)).cast("int")
+        )
+        .withColumn("__o", F.explode(F.sequence(F.lit(0), F.lit(P - 1))))
+        .withColumn("__p", F.least("__blk", "__o"))
+        .withColumn("__q", F.greatest("__blk", "__o"))
+    )
+
+    def kernel(key, pdf):
+        p, q = int(key[0]), int(key[1])
+        ids = pdf[id_col].to_numpy()
+        Mn = V.np_normalize(V.np_matrix(pdf[vec_col]))
+        if p == q:
+            ia, Ma = ids, Mn
+            ib, Mb = ids, Mn
+        else:
+            left = pdf["__blk"].to_numpy() == p
+            ia, Ma = ids[left], Mn[left]
+            ib, Mb = ids[~left], Mn[~left]
+        out = []
+        step = 1024
+        for s in range(0, len(ia), step):
+            S = np.round(Ma[s : s + step] @ Mb.T, 6)
+            mask = S >= threshold
+            if p == q:
+                # same block: each unordered pair appears twice in the
+                # matrix; keep the id-ordered half
+                mask &= ia[s : s + step, None] < ib[None, :]
+            ri, cj = np.nonzero(mask)
+            if ri.size:
+                # cross block: each unordered pair appears exactly once;
+                # label so id_a < id_b
+                la, lb = ia[s:][ri], ib[cj]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(la, lb),
+                            "id_b": np.maximum(la, lb),
+                            "cosine": S[ri, cj],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype=np.int64),
+                    "id_b": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return tagged.groupBy("__p", "__q").applyInPandas(
+        kernel, "id_a long, id_b long, cosine double"
+    )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs via multi-table sign-LSH
+    bucketing + exact within-candidate verification.
+
+    Each row gets ``n_tables`` independent ``n_planes``-bit sign
+    buckets against deterministic md5-seeded hyperplanes
+    (functions/vector.py — the same tables as simsearch.lsh_topk); a
+    pair is a candidate iff it shares a bucket in >=1 table, then gets
+    the exact cosine (cosine_verify_pairs), so precision is 1 and
+    recall is 1-(1-p^planes)^tables with p = 1 - theta/pi.
+
+    This is the 100 TB pair-mining path for the NEAR-DUP regime
+    (cosine >= ~0.8, where p^planes is large and buckets prune hard).
+    At low thresholds recall decays — by then exactness needs all
+    pairs anyway (see embedding_cosine_pairs). Everything is
+    deterministic (md5 hyperplanes, fixed data => fixed buckets), so
+    the operator has an exact DuckDB twin (vector.py:duck_sign_bucket)
+    and is hash-gated despite being approximate."""
+    base = _spread(df.select(id_col, vec_col))
+    planes = np.array(
+        [
+            row
+            for t in range(n_tables)
+            for row in V.hyperplanes(n_planes, dim, seed=f"t{t}")
+        ],
+        dtype=np.float64,
+    )
+    powers = 1 << np.arange(n_planes)
+    b_planes = df.sparkSession.sparkContext.broadcast(planes)
+
+    def bucketer(batches):
+        P = b_planes.value
+        for batch in batches:
+            ids = batch[id_col].to_numpy()
+            if ids.size == 0:
+                continue
+            M = V.np_matrix(batch[vec_col])  # raw: sign(dot) is scale-free
+            signs = (M @ P.T) >= 0
+            buckets = np.stack(
+                [
+                    signs[:, t * n_planes : (t + 1) * n_planes] @ powers
+                    for t in range(n_tables)
+                ],
+                axis=1,
+            )  # (n, n_tables)
+            vecs = [list(v) for v in batch[vec_col]]
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(ids, n_tables),
+                    "__t": np.tile(np.arange(n_tables), ids.size),
+                    "__b": buckets.reshape(-1),
+                    "__v": [v for v in vecs for _ in range(n_tables)],
+                }
+            )
+
+    banded = base.mapInPandas(
+        bucketer, "__id long, __t int, __b long, __v array<double>"
+    )
+
+    # Within-bucket verify (the classic LSH shape): one shuffle keyed
+    # by (table, bucket) moves each vector n_tables times, then a
+    # chunked matmul inside every bucket emits only the (few)
+    # above-threshold pairs — no quadratic candidate materialization,
+    # no self-join, no large broadcast. A pair found in k tables
+    # appears k times and is collapsed by the (tiny) distinct below.
+    # The bucket-local threshold keeps a 1e-9 slack so a razor-edge
+    # rounding disagreement with the canonical pass cannot drop a pair;
+    # the canonical cosine_verify_pairs applies the exact cut.
+    def bucket_kernel(pdf):
+        ids = pdf["__id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        Mn = V.np_normalize(V.np_matrix(pdf["__v"]))
+        out_a, out_b = [], []
+        step = 1024
+        for s in range(0, len(ids), step):
+            S = np.round(Mn[s : s + step] @ Mn.T, 6)
+            mask = (S >= threshold - 1e-9) & (ids[s : s + step, None] < ids[None, :])
+            ri, cj = np.nonzero(mask)
+            out_a.append(ids[s:][ri])
+            out_b.append(ids[cj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+            }
+        ).astype("int64")
+
+    candidates = (
+        banded.groupBy("__t", "__b")
+        .applyInPandas(bucket_kernel, "id_a long, id_b long")
+        .distinct()
+    )
+    return cosine_verify_pairs(candidates, base, id_col, vec_col, threshold)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    strategy: str = "block",
+) -> DataFrame:
+    """Cosine near-dup pairs (id_a < id_b, cosine rounded to 6).
+
+    Strategies:
+    - ``block`` (default) — exact distributed block-pair join
+      (_block_cosine_pairs): no driver collect, no full-matrix
+      broadcast, per-task memory bounded. Exact all-pairs mining at a
+      low threshold is inherently O(n^2) FLOPs — no bucketing scheme
+      has guaranteed recall for continuous cosine — so the scalable
+      exact shape is one that spreads those FLOPs across the cluster
+      with nothing materialized on a single node.
+    - ``lsh`` — sign-LSH bucketed candidates + exact verify
+      (lsh_cosine_pairs): sub-quadratic, the near-dup-regime scale
+      path; recall < 1 by construction at low thresholds.
+    - ``broadcast`` — the small-side fallback kernel: driver collect +
+      full-matrix broadcast; fastest when the corpus comfortably fits
+      driver memory, unsafe as a default."""
+    if strategy == "block":
+        return _block_cosine_pairs(df, id_col, vec_col, threshold)
+    if strategy == "lsh":
+        return lsh_cosine_pairs(df, id_col, vec_col, threshold)
+    if strategy == "broadcast":
+        return _broadcast_cosine_pairs(df, id_col, vec_col, threshold)
+    raise ValueError(f"unknown strategy: {strategy!r}")

@@ -205,8 +205,50 @@ SELECT id_a, id_b, cosine FROM (
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine pairs via the distributed block-pair join (default
+    strategy) — no driver collect, no full-matrix broadcast; the plan
+    is bounded by cluster FLOPs, not a single node."""
     emb = read_table(spark, sf_dir, "embeddings")
     return D.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+def _lsh_cosine_oracle(
+    threshold: float = 0.45, n_planes: int = 4, n_tables: int = 12, dim: int = 64
+) -> str:
+    """DuckDB twin of lsh_cosine_pairs: same md5-derived hyperplanes,
+    same banding, same exact verify — the approximate operator is
+    deterministic, so even its recall gaps reproduce bit-for-bit."""
+    per_table = [
+        f"SELECT vec_id, {t} AS t, "
+        f"{V.duck_sign_bucket('embedding', V.hyperplanes(n_planes, dim, seed=f't{t}'))} AS b "
+        "FROM e"
+        for t in range(n_tables)
+    ]
+    union = "\n  UNION ALL ".join(per_table)
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+sg AS ({union}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM sg x JOIN sg y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b,
+         ROUND({V.duck_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+) WHERE cosine >= {threshold}
+"""
+
+
+@register("dedup_embedding_cosine_lsh", _lsh_cosine_oracle())
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-dup mining — the sub-quadratic 100 TB
+    path — hash-gated against a full SQL twin of the bucketing scheme
+    (bucket self-join candidates, exact cosine verify)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, strategy="lsh"
+    )
 
 
 # =====================================================================

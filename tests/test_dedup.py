@@ -77,6 +77,7 @@ def test_simhash_finds_near_dups(docs, docs_pdf):
 
 
 def test_embedding_cosine_matches_numpy(spark, sf_dir):
+    """Default (block) strategy equals an independent numpy oracle."""
     emb = read_table(spark, sf_dir, "embeddings")
     got = D.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45).toPandas()
     pdf = emb.toPandas()
@@ -90,3 +91,40 @@ def test_embedding_cosine_matches_numpy(spark, sf_dir):
             if round(C[i, j], 6) >= 0.45:
                 expected.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
     assert set(zip(got.id_a, got.id_b)) == expected
+
+
+def test_embedding_cosine_block_equals_broadcast(spark, sf_dir):
+    """The distributed block-pair join and the broadcast small-side
+    fallback produce identical (pair, cosine) sets."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    block = D.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, strategy="block"
+    ).toPandas()
+    bcast = D.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, strategy="broadcast"
+    ).toPandas()
+    key = lambda f: sorted(zip(f.id_a, f.id_b, f.cosine))  # noqa: E731
+    assert key(block) == key(bcast)
+    assert len(block) > 0
+
+
+def test_embedding_cosine_lsh_subset_recall(spark, sf_dir):
+    """LSH-bucketed mining: precision 1 (every emitted pair is a true
+    above-threshold pair with the exact cosine) and high recall at this
+    scale; deterministic hyperplanes make the numbers reproducible."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = D.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.45
+    ).toPandas()
+    lsh = D.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, strategy="lsh"
+    ).toPandas()
+    exact_pairs = dict(((a, b), c) for a, b, c in zip(exact.id_a, exact.id_b, exact.cosine))
+    lsh_pairs = dict(((a, b), c) for a, b, c in zip(lsh.id_a, lsh.id_b, lsh.cosine))
+    assert set(lsh_pairs) <= set(exact_pairs)  # precision 1
+    for p, c in lsh_pairs.items():
+        assert c == exact_pairs[p]  # exact verify, not approximate scores
+    recall = len(lsh_pairs) / max(len(exact_pairs), 1)
+    # marginal-similarity corpus (all pairs in 0.45-0.52); the analytic
+    # recall 1-(1-p^4)^12 at p~0.65 is ~0.9 - assert a safe floor
+    assert recall >= 0.7, f"recall {recall}"
