@@ -66,12 +66,18 @@ def brute_force_topk(
             S = np.round(Cn @ Q.T, 6)  # (n_batch, n_queries)
             out_q, out_n, out_c = [], [], []
             for j, q in enumerate(qids):
-                col = S[:, j].copy()
-                col[ids == q] = -np.inf  # exclude self
+                # drop self rows BEFORE argpartition - a -inf sentinel
+                # would survive into the output when a batch has <= k
+                # candidates
+                not_self = ids != q
+                col = S[not_self, j]
+                cand_ids = ids[not_self]
+                if col.size == 0:
+                    continue
                 keep = min(k, len(col))
                 top = np.argpartition(-col, keep - 1)[:keep]
                 out_q.extend([q] * len(top))
-                out_n.extend(ids[top])
+                out_n.extend(cand_ids[top])
                 out_c.extend(col[top])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}

@@ -48,6 +48,7 @@ Exactly one shuffle per fv, with map-side combine.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from datetime import timedelta
 from typing import Mapping, Optional, Sequence, Union
@@ -114,6 +115,13 @@ class FeatureView:
     ttl_seconds: float = 0
     event_timestamp_column: Optional[str] = None
     created_timestamp_column: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        # Normalize TTL to whole seconds ONCE so the coarse pushdown
+        # bound (J2) and the per-row join window (J3) use the same
+        # value. Ceil, not truncate: int(0.5) == 0 would silently flip
+        # a sub-second TTL to "no lower bound at all".
+        self.ttl_seconds = math.ceil(self.ttl_seconds)
 
     def key_map(self) -> dict[str, str]:
         if isinstance(self.join_keys, Mapping):
@@ -330,7 +338,7 @@ def _join_feature_view(
     if fv.ttl_seconds:
         cond = cond & (
             F.col(_EVENT_TS)
-            >= F.col(_ENTITY_TS) - F.expr(f"INTERVAL {int(fv.ttl_seconds)} SECOND")
+            >= F.col(_ENTITY_TS) - F.expr(f"INTERVAL {fv.ttl_seconds} SECOND")
         )
     joined = joined.filter(cond)
 

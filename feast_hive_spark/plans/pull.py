@@ -49,7 +49,10 @@ def pull_latest(
     and required for oracle hash-matching.
     """
     ts_cols = [event_timestamp_column]
-    if created_timestamp_column:
+    # Guard against created == event (reference: hive.py:164's
+    # "not in timestamps" check) - a duplicate output column name would
+    # break downstream resolution.
+    if created_timestamp_column and created_timestamp_column not in ts_cols:
         ts_cols.append(created_timestamp_column)
 
     df = source_df

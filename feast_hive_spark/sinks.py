@@ -79,6 +79,14 @@ def read_online(
     snap = spark.read.parquet(path)
     rows = [tuple(k) for k in entity_keys]
     keys_df = spark.createDataFrame(rows, list(join_key_columns))
+    # Align key dtypes with the snapshot before hashing: Murmur3
+    # F.hash() is type-sensitive (hash(1 as int) != hash(1 as bigint)),
+    # so a Python-inferred LongType key against an IntegerType snapshot
+    # column would compute a different bucket and silently miss rows.
+    snap_types = {f.name: f.dataType for f in snap.schema.fields}
+    keys_df = keys_df.select(
+        *[F.col(c).cast(snap_types[c]) for c in join_key_columns]
+    )
     keys_df = keys_df.withColumn(
         "__bucket",
         F.pmod(F.hash(*[F.col(c) for c in join_key_columns]), F.lit(n_buckets)),

@@ -108,3 +108,20 @@ def test_pull_latest_dummy_entity(spark, events):
     assert DUMMY_ENTITY_ID in got.columns
     pdf = events.toPandas()
     assert got.ts.iloc[0] == pdf.ts.max()
+
+
+def test_pull_latest_created_equals_event_ts(spark, events):
+    """created_timestamp_column == event_timestamp_column must not emit
+    a duplicate output column (reference guard, hive.py:164)."""
+    got = pull_latest(
+        events,
+        join_key_columns=["user_id"],
+        feature_name_columns=["value"],
+        event_timestamp_column="ts",
+        created_timestamp_column="ts",
+        start_date=datetime(2020, 1, 1),
+        end_date=datetime(2030, 1, 1),
+        tiebreak_columns=["event_id"],
+    )
+    assert got.columns.count("ts") == 1
+    got.limit(5).collect()  # resolvable end-to-end

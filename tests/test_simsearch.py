@@ -80,3 +80,22 @@ def test_ivf_topk_recall(emb, emb_np):
         hits += len(found & set(exp))
         total += len(exp)
     assert hits / total >= 0.4, f"recall {hits}/{total}"
+
+
+def test_brute_force_no_self_rows_tiny_corpus(spark):
+    """A query whose candidate pool is smaller than k must not emit
+    self-match sentinel rows (ADVICE: -inf row surviving argpartition
+    when a batch has <= k rows)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = S.brute_force_topk(df, df.filter(F.col("vec_id") == 1), "vec_id", "embedding", k=5).toPandas()
+    assert (got.query_id != got.neighbor_id).all()
+    assert np.isfinite(got.cosine).all()
+    assert len(got) == 2  # only two non-self candidates exist

@@ -49,3 +49,29 @@ def test_materialize_and_lookup(spark, tmp_path):
     vals2 = got2.set_index("driver_id")["value"]
     assert vals2[3] == 5.0
     assert pd.isna(vals2[2])  # driver 2's only row has a NULL value
+
+
+def test_lookup_key_dtype_mismatch(spark, tmp_path):
+    """Murmur3 F.hash() is type-sensitive: a snapshot written with
+    IntegerType keys must still be found by Python-int lookup keys
+    (inferred LongType) - read_online aligns dtypes before bucketing."""
+    now = datetime(2024, 5, 1, 12, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "driver_id": [7, 8, 9],
+            "value": [1.0, 2.0, 3.0],
+            "ts": [now] * 3,
+            "created_ts": [now] * 3,
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "driver_id", F.col("driver_id").cast("int")
+    )
+    path = str(tmp_path / "online_int")
+    materialize_online(
+        df, path, ["driver_id"], ["value"], "ts", "created_ts",
+        now - timedelta(hours=1), now,
+    )
+    got = read_online(spark, path, ["driver_id"], [(7,), (9,)]).toPandas()
+    vals = got.set_index("driver_id")["value"]
+    assert vals[7] == 1.0 and vals[9] == 3.0 and len(vals) == 2
