@@ -118,3 +118,68 @@ def test_stream_to_online_snapshot(spark, sf_dir, tmp_path):
     keys = got.user_id.tolist()[:3]
     looked = read_online(spark, path, ["user_id"], [(k,) for k in keys])
     assert sorted(looked.toPandas().user_id.tolist()) == sorted(keys)
+
+
+def test_stream_to_online_incremental_buckets(spark, tmp_path):
+    """A later micro-batch must rewrite ONLY the buckets its keys hash
+    into: every other bucket directory stays byte-identical (the
+    O(touched)-not-O(snapshot) property), while the touched key merges
+    the new row."""
+    import hashlib
+    from datetime import datetime, timedelta
+    from pathlib import Path
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    snap = str(tmp_path / "online")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(name, users, ts, value):
+        pdf = pd.DataFrame({"user_id": users, "value": [value] * len(users),
+                            "ts": [ts] * len(users)})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id long, value double, ts timestamp")
+            .format("parquet").option("path", f"{src}/*").load()
+        )
+        q = SE.stream_to_online(
+            stream, snap, ["user_id"], ["value"], checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    def bucket_digests():
+        out = {}
+        for bdir in Path(snap).glob("__bucket=*"):
+            h = hashlib.md5()
+            for f in sorted(p for p in bdir.rglob("*") if p.is_file()):
+                h.update(str(f.relative_to(bdir)).encode())
+                h.update(f.read_bytes())
+            out[bdir.name] = h.hexdigest()
+        return out
+
+    write_batch("b1", list(range(40)), t0, 1.0)
+    drain()
+    before = bucket_digests()
+    assert len(before) > 1  # keys spread over several buckets
+
+    touched_bucket = spark.sql(
+        "SELECT pmod(hash(CAST(7 AS BIGINT)), 16)"
+    ).first()[0]
+    write_batch("b2", [7], t0 + timedelta(hours=1), 99.0)
+    drain()
+    after = bucket_digests()
+
+    for name, digest in before.items():
+        if name != f"__bucket={touched_bucket}":
+            assert after[name] == digest, f"{name} was rewritten"
+    assert after[f"__bucket={touched_bucket}"] != before[f"__bucket={touched_bucket}"]
+
+    got = spark.read.parquet(snap).toPandas().set_index("user_id")
+    assert got.loc[7, "value"] == 99.0 and len(got) == 40
