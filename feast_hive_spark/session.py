@@ -20,6 +20,7 @@ Scale notes (100 TB / 1000-executor design points):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -50,17 +51,48 @@ def get_spark(
     app_name: str = "feast_hive_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    enable_hive: bool | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     ``extra_conf`` mirrors the reference's user-supplied ``hive_conf``
     overlay (feast_hive/hive.py:97-107): user keys win over defaults.
+
+    ``enable_hive`` (default on, ``SPARK_GRAFT_HIVE=0`` to disable)
+    turns on the Hive catalog — the reference's entire domain is
+    metastore tables (hive_source.py:224-237), so ``TableSource
+    ("db.tbl")`` must resolve against a real metastore, not just temp
+    views. Locally that is an embedded Derby metastore in a private
+    per-process directory (no cwd `metastore_db` pollution, no Derby
+    lock collisions between concurrent test/bench JVMs); on a real
+    cluster, standard hive-site.xml / thrift metastore configs take
+    over via ``extra_conf``.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    if enable_hive is None:
+        enable_hive = os.environ.get("SPARK_GRAFT_HIVE", "1") != "0"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
+    if enable_hive:
+        ms_root = os.environ.get(
+            "SPARK_GRAFT_METASTORE_DIR",
+            os.path.join(tempfile.gettempdir(), f"fhs_metastore_{os.getpid()}"),
+        )
+        # spark.hadoop. prefix: plain javax.jdo.* keys are dropped as
+        # "non-Spark config" before reaching the Hive client
+        conf.setdefault(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={ms_root}/derby;create=true",
+        )
+        conf.setdefault("spark.sql.warehouse.dir", f"{ms_root}/warehouse")
+        # keep Derby's log out of the process cwd
+        conf.setdefault(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.stream.error.file={ms_root}/derby.log",
+        )
+        builder = builder.enableHiveSupport()
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
