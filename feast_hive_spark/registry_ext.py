@@ -283,12 +283,66 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann_ivf_topk", None)  # approximate: recall<1 -> rows-only check
+def _ivf_oracle(n_lists: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB twin of ivf_topk over the md5-ordered seed quantizer
+    (iters=0): seed selection, argmax assignment, n_probe probing and
+    exact rerank are all deterministic, so the approximate index is
+    reproducible in SQL. (The Lloyd-refined build stays available via
+    ivf_build_centroids and is recall-tested in pytest — float partial
+    sums across engines make *it* impractical to twin, the flat seed
+    quantizer is the SQL-expressible member of the family.)"""
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         embedding AS cv
+  FROM e
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {n_lists}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT c.vec_id, ct.cid,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+               ORDER BY {V.duck_cosine('c.embedding', 'ct.cv')} DESC, ct.cid) AS r
+    FROM e c CROSS JOIN cent ct
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 8),
+qprobe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, ct.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY {V.duck_cosine('q.qv', 'ct.cv')} DESC, ct.cid) AS r
+    FROM q CROSS JOIN cent ct
+  ) WHERE r <= {n_probe}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND({V.duck_cosine('c.embedding', 'q.qv')}, 6) AS cosine
+  FROM q
+  JOIN qprobe p ON p.query_id = q.query_id
+  JOIN assign a ON a.cid = p.cid
+  JOIN e c ON c.vec_id = a.vec_id AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+@register("ann_ivf_topk", _ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-indexed ANN (deterministic distributed Lloyd build +
-    n_probe inverted-list search); recall tested against brute force
-    in tests/test_simsearch.py."""
+    """IVF-indexed ANN, hash-gated end-to-end: the gated entry uses the
+    deterministic md5-ordered seed quantizer (iters=0) so the whole
+    index - seeds, list assignment, probing, rerank - has an exact SQL
+    twin. The distributed-Lloyd build (iters>0) is the production
+    refinement path, recall-tested in tests/test_simsearch.py."""
     emb = read_table(spark, sf_dir, "embeddings")
+    centroids = S.ivf_build_centroids(
+        emb, "vec_id", "embedding", n_lists=16, iters=0
+    )
     out = S.ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),
@@ -297,13 +351,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_lists=16,
         n_probe=4,
+        centroids=centroids,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann_lsh_topk", None)  # approximate: recall<1 -> rows-only check
+def _lsh_topk_oracle(
+    n_planes: int = 4, n_tables: int = 12, dim: int = 64, k: int = 5
+) -> str:
+    """DuckDB twin of lsh_topk: identical md5-derived hyperplane
+    buckets, candidates share >=1 table bucket, exact cosine rerank."""
+    per_table = [
+        f"SELECT vec_id, {t} AS t, "
+        f"{V.duck_sign_bucket('embedding', V.hyperplanes(n_planes, dim, seed=f't{t}'))} AS b "
+        "FROM e"
+        for t in range(n_tables)
+    ]
+    union = "\n  UNION ALL ".join(per_table)
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+sg AS ({union}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 8),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+  FROM sg qs JOIN sg cs ON qs.t = cs.t AND qs.b = cs.b
+                       AND qs.vec_id <> cs.vec_id
+  WHERE qs.vec_id < 8
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({V.duck_cosine('n.embedding', 'q.qv')}, 6) AS cosine
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+@register("ann_lsh_topk", _lsh_topk_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (the 100 TB path); tested for recall
+    """Sign-LSH bucketed ANN (the 100 TB path), hash-gated against a
+    full SQL twin of the bucket scheme - deterministic hyperplanes make
+    even the recall gaps engine-reproducible; recall itself is tested
     against brute force in tests/test_simsearch.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     out = S.lsh_topk(
