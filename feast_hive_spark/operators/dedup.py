@@ -124,6 +124,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs via inverted shingle index + count-only
     Jaccard.
@@ -137,13 +138,29 @@ def ngram_jaccard_pairs(
 
     Scale shape: the self-join shuffles (shingle_hash, doc_id) pairs —
     linear in corpus shingle volume, never quadratic in docs. Hot
-    shingles (stop-phrases) are the skew risk; AQE skew-join splitting
-    plus an (optional) document-frequency cap on shingles handle it."""
+    shingles (stop-phrases) are the skew risk: one shingle appearing in
+    d documents contributes d^2 join rows, so a single stop-phrase can
+    turn one partition quadratic at 100x. ``max_doc_freq`` caps that:
+    shingles occurring in more than this many documents are dropped
+    from the *index* (the small hot set is broadcast-anti-joined away)
+    while set sizes keep counting them, making the reported Jaccard a
+    lower bound for pairs whose overlap leaned on stop-phrases — which
+    is precisely the similarity signal the cap is meant to discount.
+    ``None`` (default) keeps the operator exact; AQE skew-join
+    splitting still spreads moderate hot keys."""
     with_sh = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), X.shingle_hashes(text_col, n).alias("__sh")
     ).cache()
     sizes = with_sh.select(F.col(id_col), F.size("__sh").alias("__n"))
     exploded = with_sh.select(id_col, F.explode("__sh").alias("__h"))
+    if max_doc_freq is not None:
+        hot = (
+            exploded.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__h")
+        )
+        exploded = exploded.join(F.broadcast(hot), "__h", "left_anti")
     left = exploded.select(F.col(id_col).alias("id_a"), "__h")
     right = exploded.select(F.col(id_col).alias("id_b"), "__h")
     inter = (

@@ -226,10 +226,11 @@ def get_historical_features(
     feature_views: Sequence[FeatureView],
     full_feature_names: bool = False,
     entity_event_timestamp_col: Optional[str] = None,
-    broadcast_entities: bool = True,
+    broadcast_entities: "bool | str" = "auto",
     tiebreak_columns: Sequence[str] = (),
     use_max_by: bool = True,
     on_demand_transforms=None,
+    broadcast_threshold_rows: int = 1_000_000,
 ) -> RetrievalJob:
     """Build the lazy multi-feature-view PIT retrieval job
     (reference entry point 1, hive.py:192-269).
@@ -239,8 +240,15 @@ def get_historical_features(
     choice deterministic under full timestamp ties (the reference fans
     tied rows out through an inner join, hive.py:685-696 — a bug-shaped
     behavior we deliberately do not reproduce; see SURVEY §7 risks).
-    ``broadcast_entities=False`` for huge entity dfs -> AQE picks
-    sort-merge with the range filter applied post-join.
+
+    ``broadcast_entities``: ``"auto"`` (default) broadcasts the entity
+    join side only while the entity row count stays under
+    ``broadcast_threshold_rows`` — the count is one cheap job against
+    the already-cached entity df, and the guardrail means a huge
+    entity df cannot OOM every executor by default; beyond it, AQE
+    picks sort-merge with the range filter applied post-join.
+    ``True``/``False`` force either physical path (both oracle-
+    verified to agree).
     """
     sdf = entity_df_to_spark(spark, entity_df)
     entity_ts_col = infer_event_timestamp_col(sdf, entity_event_timestamp_col)
@@ -258,6 +266,10 @@ def get_historical_features(
         bounds = ent.agg(
             F.min(_ENTITY_TS).alias("mn"), F.max(_ENTITY_TS).alias("mx")
         ).first()
+        if broadcast_entities == "auto":
+            do_broadcast = ent.count() <= broadcast_threshold_rows
+        else:
+            do_broadcast = bool(broadcast_entities)
         result = ent
 
         for fv in feature_views:
@@ -268,7 +280,7 @@ def get_historical_features(
                 spark,
                 bounds,
                 full_feature_names,
-                broadcast_entities,
+                do_broadcast,
                 tiebreak_columns,
                 use_max_by,
             )

@@ -55,10 +55,18 @@ class RetrievalJob:
     def to_arrow(self) -> pa.Table:
         """Execute and collect to an Arrow table (reference:
         _to_arrow_internal, hive.py:316-352 — 37 lines of manual
-        RecordBatch assembly replaced by the built-in Arrow path)."""
+        RecordBatch assembly replaced by the built-in columnar path).
+
+        Uses PySpark's native ``DataFrame.toArrow()``: one JVM->Arrow
+        transfer with no pandas round trip, so timestamp units and
+        nullable integer columns arrive with Spark-schema fidelity
+        (a toPandas() hop would mangle int columns with NULLs into
+        float64). On-demand transforms are pandas-level by contract
+        (reference passes them to Feast core for client-side pandas
+        post-processing), so that path still goes through to_df()."""
         if self._on_demand:
             return pa.Table.from_pandas(self.to_df(), preserve_index=False)
-        return pa.Table.from_pandas(self.to_spark_df().toPandas(), preserve_index=False)
+        return self.to_spark_df().toArrow()
 
     def explain(self, mode: str = "formatted") -> None:
         """Surface the physical plan — the check the reference could

@@ -128,3 +128,38 @@ def test_embedding_cosine_lsh_subset_recall(spark, sf_dir):
     # marginal-similarity corpus (all pairs in 0.45-0.52); the analytic
     # recall 1-(1-p^4)^12 at p~0.65 is ~0.9 - assert a safe floor
     assert recall >= 0.7, f"recall {recall}"
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stop-phrase shared by every document must not make everything
+    a candidate pair once the document-frequency cap is on, while
+    genuinely near-duplicate pairs survive."""
+    import pandas as pd
+
+    stop = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut"
+    )  # 14 words -> 12 hot shingles per doc
+    uniq = [
+        f"document number {i} talks about topic-{i} entity-{i} fact-{i} "
+        f"item-{i} widget-{i}"
+        for i in range(30)
+    ]
+    texts = [f"{stop} {u}" for u in uniq]
+    texts.append(texts[0])  # planted exact near-dup of doc 0
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    planted = {(0, 30)}
+
+    uncapped = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.2).toPandas()
+    un_pairs = set(zip(uncapped.id_a, uncapped.id_b))
+    # the stop phrase alone pushes unrelated docs over the threshold
+    assert len(un_pairs - planted) > 100
+
+    capped = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.2, max_doc_freq=10
+    ).toPandas()
+    pairs = set(zip(capped.id_a, capped.id_b))
+    assert planted <= pairs  # genuine near-dup survives
+    # stop-phrase-only overlap is capped out of the index entirely
+    assert pairs - planted == set()

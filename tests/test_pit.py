@@ -318,3 +318,27 @@ def test_to_arrow_consistency(spark, tiny):
     at = get_historical_features(spark, entity_pdf, [fv]).to_arrow()
     assert at.num_rows == len(pdf)
     assert set(at.column_names) == set(pdf.columns)
+    # native toArrow() keeps Spark-schema fidelity: microsecond
+    # timestamps, and no pandas dtype mangling on the value columns
+    import pyarrow as pa
+
+    # TIMESTAMP (LTZ) arrives as microsecond + explicit UTC (the
+    # session zone the engine pins) - no silent unit/zone mangling
+    assert at.schema.field("event_timestamp").type == pa.timestamp("us", tz="UTC")
+    assert at.schema.field("conv_rate").type == pa.float64()
+
+
+def test_to_arrow_nullable_int_fidelity(spark):
+    """A nullable integer feature must arrive as an Arrow int64 column
+    with a null - NOT float64 with NaN (the toPandas() round-trip
+    mangling the native path avoids)."""
+    import pyarrow as pa
+
+    from feast_hive_spark.retrieval import RetrievalJob
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 7)], "k long, v long"
+    )
+    at = RetrievalJob(df).to_arrow()
+    assert at.schema.field("v").type == pa.int64()
+    assert at.column("v").null_count == 1

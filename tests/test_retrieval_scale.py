@@ -72,10 +72,16 @@ def test_pull_latest_date_partition_pruning(spark, tmp_path):
     assert by_k[2] == 3.0  # day-3 row beats day-2 for k=2
 
 
-@pytest.mark.parametrize("broadcast_entities", [True, False])
-def test_pit_broadcast_and_smj_paths_agree(spark, broadcast_entities):
-    """broadcast_entities=False is the huge-entity-df fallback: same
-    results through the sort-merge path."""
+@pytest.mark.parametrize("broadcast_entities,threshold", [
+    (True, 1_000_000),
+    (False, 1_000_000),
+    ("auto", 1_000_000),  # 3 entities -> broadcasts
+    ("auto", 1),          # guardrail trips -> sort-merge fallback
+])
+def test_pit_broadcast_and_smj_paths_agree(spark, broadcast_entities, threshold):
+    """broadcast_entities=False is the huge-entity-df fallback (same
+    results through the sort-merge path); "auto" must agree on both
+    sides of its row-count guardrail."""
     base = datetime(2024, 1, 10, 12, 0)
     entity_pdf = pd.DataFrame(
         {
@@ -104,7 +110,8 @@ def test_pit_broadcast_and_smj_paths_agree(spark, broadcast_entities):
     )
     got = (
         get_historical_features(
-            spark, entity_pdf, [fv], broadcast_entities=broadcast_entities
+            spark, entity_pdf, [fv], broadcast_entities=broadcast_entities,
+            broadcast_threshold_rows=threshold,
         )
         .to_df()
         .set_index("k")["v"]
