@@ -44,6 +44,39 @@ AUDITS = {
     # q22: scalar threshold is a broadcast nested loop over ONE row
     # (intended); the anti join must not be cartesian
     "q22_dormant_rich_customers": (["LeftAnti", "PushedFilters"], []),
+    # q7: all dims broadcast; only fact-fact join + final agg shuffle
+    "q7_nation_volume_shipping": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # q9: LIKE filter pushed into the part scan before its broadcast
+    "q9_product_type_profit": (
+        ["BroadcastHashJoin", "PushedFilters"],
+        ["CartesianProduct"],
+    ),
+    # q16: NOT IN -> broadcast anti join; COUNT(DISTINCT) two-phase agg
+    "q16_supplier_part_counts": (
+        ["LeftAnti", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # q21: EXISTS/NOT EXISTS double correlation -> semi + anti joins
+    "q21_sole_returning_supplier": (
+        ["LeftSemi", "LeftAnti", "PushedFilters"],
+        ["CartesianProduct"],
+    ),
+    # embedding dedup, block strategy: the whole corpus must flow
+    # through the block-pair FlatMapGroups kernel - no collect, no
+    # cartesian product, no broadcast of the corpus itself
+    "dedup_embedding_cosine": (
+        ["FlatMapGroupsInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # embedding dedup, LSH strategy: bucket-local verify kernel +
+    # broadcast of the tiny candidate pair list only
+    "dedup_embedding_cosine_lsh": (
+        ["FlatMapGroupsInPandas", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 KEEP = re.compile(

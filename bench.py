@@ -34,9 +34,12 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_delta",
+    "q7_nation_volume_shipping",
+    "q9_product_type_profit",
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q21_sole_returning_supplier",
     "topk_parts_per_brand",
     "events_daily_rollup",
     "dedup_exact",

@@ -455,3 +455,363 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "q7_nation_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way star join with a disjunctive nation-pair
+    filter, revenue by (supplier nation, customer nation, year).
+
+    Scale shape: nation is broadcast twice (aliased dims), supplier and
+    customer broadcast; the only shuffles are the fact-fact
+    lineitem-orders join and the final 3-key agg. The nation-pair
+    disjunction cannot be pushed below the joins (it spans two sides)
+    but prunes immediately after the cheap broadcast probes."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n1.n_name AS nation
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n2.n_regionkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-way join, market share of one supplier nation
+    inside a customer region per year (conditional-sum ratio).
+
+    All dims broadcast; the p_type filter prunes the part build side
+    BEFORE its broadcast, which in turn prunes lineitem at the probe;
+    the region filter shrinks the customer-nation dim to one region's
+    keys. One fact-fact shuffle (lineitem-orders), one 1-key agg."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    """
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) - 10.0 * l.l_quantity AS amount
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table in this schema, so supplycost
+    is a flat 10/unit): profit per supplier nation per year for parts
+    matching a name pattern. The LIKE filter prunes part before its
+    broadcast; profit arithmetic is codegen'd into the join stage."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(10.0) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier quarterly revenue, keep the
+    supplier(s) hitting the global max (scalar-subquery equality).
+
+    The revenue CTE is computed once and cached (two consumers: the
+    max and the equality filter); the 1-row max is crossJoin-broadcast,
+    never collected. Revenue is rounded to 2 on both engines BEFORE
+    max/compare so the equality can't be split by float summation
+    order."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime(1996, 4, 1)))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+        .cache()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        F.broadcast(s)
+        .join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 2, 3, 4)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0001%'
+  )
+GROUP BY p.p_brand, p.p_size
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem standing in for the absent partsupp):
+    distinct supplier counts per (brand, size) excluding a supplier
+    blocklist via NOT IN -> left_anti against the (tiny, broadcast)
+    blocklist. COUNT(DISTINCT) expands to the classic two-phase
+    partial-dedup aggregate - no row explosion at scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4)
+    )
+    blocked = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%0001%")
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(blocked), li.l_suppkey == blocked.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+  SELECT l_partkey, ROUND(0.2 * AVG(l_quantity), 6) AS qty_thr
+  FROM lineitem GROUP BY l_partkey
+) t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_thr
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into a grouped aggregate + equi join - the
+    standard Spark rewrite; Catalyst does the same to the subquery
+    form. The threshold is rounded to 6 on both engines so float
+    summation order can't flip a boundary row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    thr = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_thr"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thr, li.l_partkey == thr.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q21_sole_returning_supplier",
+    """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+""",
+)
+def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no commit/receipt dates in this schema, so
+    'late' becomes 'returned'): suppliers who were the ONLY supplier
+    with a returned line on a multi-supplier finalized order -
+    EXISTS + NOT EXISTS double correlation on the same fact table.
+
+    Spark shape: the correlated subqueries become a left_semi and a
+    left_anti join against (orderkey, suppkey)-keyed projections of
+    lineitem. Both join on l_orderkey with an extra non-equi conjunct
+    (suppkey <>), which Spark executes as a shuffled semi/anti join
+    with the residual predicate - no row explosion, no cartesian."""
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    base = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
