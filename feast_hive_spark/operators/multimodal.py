@@ -112,6 +112,66 @@ def extract_features(
     return df.select(id_col, binary_col).mapInPandas(mapper, schema)
 
 
+def resize_images(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    width: int = 64,
+    height: int = 64,
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Thumbnail/resize plumbing via ``mapInPandas``.
+
+    With PIL present each payload is decoded, resized to
+    (width, height) and re-encoded PNG; without it the deterministic
+    fake emits an md5-keystream payload of exactly width*height bytes
+    (one byte per output pixel) so the schema, batch shape and output
+    sizing behave like the real thing. Media bytes stay in a map-only
+    stage — the resized column is produced and (by the caller) sunk
+    without ever entering a shuffle."""
+    if not _HAS_PIL and not allow_fake:
+        raise NotImplementedError(
+            "image resize requires PIL, not available in this container; "
+            "pass allow_fake=True for the deterministic stub"
+        )
+
+    schema = f"{id_col} long, thumb binary, width int, height int, n_bytes_in long"
+
+    def _fake_resize(payload: bytes) -> bytes:
+        out = bytearray()
+        seed = hashlib.md5(payload).digest()
+        while len(out) < width * height:
+            seed = hashlib.md5(seed).digest()
+            out.extend(seed)
+        return bytes(out[: width * height])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [b if isinstance(b, bytes) else bytes(b) for b in pdf[binary_col]]
+            if _HAS_PIL:  # pragma: no cover - PIL absent in container
+                import io
+
+                thumbs = []
+                for b in raw:
+                    img = Image.open(io.BytesIO(b)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    thumbs.append(buf.getvalue())
+            else:
+                thumbs = [_fake_resize(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "thumb": thumbs,
+                    "width": width,
+                    "height": height,
+                    "n_bytes_in": [len(b) for b in raw],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(mapper, schema)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str,

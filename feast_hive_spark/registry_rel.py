@@ -815,3 +815,131 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+# =====================================================================
+# window-function vocabulary (SURVEY §2.5 'absent' list: the reference
+# only ever uses ROW_NUMBER; these are the analytic windows a user of
+# a real warehouse engine expects)
+# =====================================================================
+
+
+@register(
+    "window_user_activity",
+    """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+       ROUND(SUM(value) OVER w, 2) AS cum_value,
+       ROUND(AVG(value) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+         AS mavg4,
+       ROUND(value - LAG(value, 1, 0.0) OVER w, 2) AS delta_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+""",
+)
+def window_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence analytics in ONE window pass: running
+    sequence number, cumulative sum, 4-row moving average, delta to the
+    previous event. All four functions share one (partition, order) so
+    Spark evaluates them in a single Window operator — one shuffle by
+    user_id, one sort per partition, regardless of how many analytic
+    columns ride along. Explicit event_id tiebreak keeps every frame
+    deterministic (oracle-parity recipe)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrows = w.rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.round(F.sum("value").over(w), 2).alias("cum_value"),
+        F.round(F.avg("value").over(wrows), 4).alias("mavg4"),
+        F.round(
+            F.col("value") - F.lag("value", 1, 0.0).over(w), 2
+        ).alias("delta_prev"),
+    )
+
+
+@register(
+    "cube_order_stats",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping-set combinations in one pass (the
+    generalization of the ROLLUP entry) — Spark expands grouping sets
+    into a single Expand + hash aggregate, NOT four scans."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "ntile_event_value_quartiles",
+    """
+WITH t AS (
+  SELECT event_type, value,
+         NTILE(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS quartile
+  FROM events
+)
+SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM t GROUP BY event_type, quartile
+""",
+)
+def ntile_event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing + re-aggregation (the score-banding shape):
+    deterministic via the event_id tiebreak inside the window order."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "percentile_order_value",
+    """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group: Spark's percentile()
+    and DuckDB's quantile_cont share the linear-interpolation formula,
+    so the values hash-match. At 100 TB you'd flip to
+    approx_percentile (t-digest, mergeable partials) - the exact form
+    is the oracle-able baseline and the two agree to ~1e-9 relative."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )

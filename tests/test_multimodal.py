@@ -62,3 +62,22 @@ def test_sample_frames(spark):
     assert by_vid[1] == [0, 10, 20]
     assert by_vid[2] == [0]
     assert by_vid[3] == [0]
+
+
+def test_resize_images_plumbing(media):
+    """Resize plumbing: schema, deterministic fake payload sized
+    exactly width*height, repeatable across runs."""
+    got = M.resize_images(media, "payload", "media_id", width=8, height=4).toPandas()
+    assert set(got.columns) == {"media_id", "thumb", "width", "height", "n_bytes_in"}
+    assert (got.width == 8).all() and (got.height == 4).all()
+    assert all(len(t) == 32 for t in got.thumb)  # 8*4 bytes per thumb
+    by_id = got.set_index("media_id")
+    assert by_id.loc[1, "n_bytes_in"] == 108
+    again = M.resize_images(media, "payload", "media_id", width=8, height=4).toPandas()
+    a = {r.media_id: bytes(r.thumb) for r in got.itertuples()}
+    b = {r.media_id: bytes(r.thumb) for r in again.itertuples()}
+    assert a == b  # deterministic
+
+    if not M._HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            M.resize_images(media, "payload", "media_id", allow_fake=False)
