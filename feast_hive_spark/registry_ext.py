@@ -535,3 +535,69 @@ def text_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "events_json_props",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column vocabulary: JSON path extraction out of
+    the events props column, aggregated per type. get_json_object is
+    JVM-side (Jackson under codegen) — the scan reads only (props,
+    event_type) and no Python is involved; at 100 TB you'd hoist hot
+    JSON paths into materialized columns, which this projection shape
+    makes a pure one-line change."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+
+@register(
+    "events_sliding_rollup",
+    """
+SELECT CAST(to_timestamp((floor(epoch(CAST(ts AS TIMESTAMP)) / 43200) - i) * 43200)
+            AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events, range(0, 2) r(i)
+GROUP BY 1, 2
+""",
+)
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window batch rollup (1-day windows every 12h): the batch
+    twin of streaming/windowed_counts(slide=...). Spark's window()
+    replicates each row into win/slide buckets before the aggregate —
+    the DuckDB twin spells that replication out with an explicit
+    range(2) lateral, pinning down the exact epoch-aligned semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
