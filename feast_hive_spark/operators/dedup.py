@@ -328,6 +328,73 @@ def simhash_pairs(
     )
 
 
+# --- near-dup clustering / survivor selection ---------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph + canonical
+    survivor selection — the step that turns pairwise dedup output
+    into "keep THIS doc, drop those".
+
+    Algorithm: iterative min-label propagation (each node repeatedly
+    adopts the minimum label among itself and its neighbors) until a
+    fixpoint — converges in O(component diameter) rounds, and near-dup
+    components are overwhelmingly tiny/star-shaped, so 2-4 rounds in
+    practice. Each round is one shuffle join + one aggregate; labels
+    are persisted per round and the convergence check rides the same
+    job as the label update (count of changed labels). At true graph
+    scale you would upgrade to the large-star/small-star algorithm
+    (same primitive ops, better worst-case rounds); for dedup graphs
+    the plain propagation IS the right tool.
+
+    Output: (doc_id, component_id, is_canonical) for every node that
+    appears in a pair; component_id = min doc id in the component."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+            .cache()
+        )
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels.unpersist()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 # --- embedding cosine ---------------------------------------------------
 
 def cosine_verify_pairs(

@@ -538,6 +538,44 @@ def text_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_DUCK_JACCARD} AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.src, e.dst FROM r JOIN sym e ON r.dst = e.src
+  ) SELECT * FROM r
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS component_id,
+       src = LEAST(src, MIN(dst)) AS is_canonical
+FROM reach GROUP BY src
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph -> connected components -> canonical
+    survivor per component (iterative min-label propagation; the
+    DuckDB twin computes the same fixpoint via a recursive-CTE
+    transitive closure, which is fine at oracle scale and would be
+    madness at 100 TB - that asymmetry is exactly why the distributed
+    loop exists)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return D.connected_components(pairs)
+
+
+@register(
     "events_json_props",
     """
 SELECT event_type,

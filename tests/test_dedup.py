@@ -163,3 +163,23 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert planted <= pairs  # genuine near-dup survives
     # stop-phrase-only overlap is capped out of the index entirely
     assert pairs - planted == set()
+
+
+def test_connected_components_chain(spark):
+    """Multi-hop chains must converge to one component (propagation
+    depth > 1), disjoint components stay separate, and exactly one
+    canonical survivor is flagged per component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 4)],
+        "id_a long, id_b long",
+    )
+    got = (
+        D.connected_components(pairs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    comp = got.set_index("doc_id")["component_id"].to_dict()
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 20: 1, 10: 10, 11: 10}
+    canon = got[got.is_canonical].doc_id.tolist()
+    assert sorted(canon) == [1, 10]
