@@ -328,6 +328,68 @@ def simhash_pairs(
     )
 
 
+# --- cross-corpus decontamination ---------------------------------------
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Training-vs-benchmark contamination mining: training docs whose
+    n-gram shingle overlap with ANY benchmark doc crosses the
+    threshold (the test-set-leakage check every LLM data pipeline
+    runs before training).
+
+    Same inverted-index shape as ngram_jaccard_pairs but across TWO
+    corpora: explode both sides' shingle hashes, join on the hash —
+    candidates are (train, benchmark) doc pairs sharing >=1 shingle,
+    never a cross join — then count-only containment + Jaccard.
+    ``contain`` is |A∩B| / |B| (share of the *benchmark* doc found in
+    the training doc), the decontamination metric of record; rows pass
+    on EITHER jaccard or containment crossing the threshold. The
+    benchmark corpus is typically tiny next to training data: its
+    exploded index broadcasts, so the only shuffle is the pair-count
+    aggregate — linear in training shingle volume at 100 TB."""
+    t_sh = _spread(train.select(id_col, text_col)).select(
+        F.col(id_col).alias("train_id"),
+        X.shingle_hashes(text_col, n).alias("__sh"),
+    )
+    b_sh = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        X.shingle_hashes(text_col, n).alias("__sh"),
+    )
+    t_sizes = t_sh.select("train_id", F.size("__sh").alias("__nt"))
+    b_sizes = b_sh.select("bench_id", F.size("__sh").alias("__nb"))
+    t_idx = t_sh.select("train_id", F.explode("__sh").alias("__h"))
+    b_idx = b_sh.select("bench_id", F.explode("__sh").alias("__h"))
+    inter = (
+        t_idx.join(F.broadcast(b_idx), "__h")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = F.round(
+        F.col("__inter").cast("double")
+        / F.greatest(F.col("__nt") + F.col("__nb") - F.col("__inter"), F.lit(1)),
+        6,
+    )
+    contain = F.round(
+        F.col("__inter").cast("double") / F.greatest(F.col("__nb"), F.lit(1)), 6
+    )
+    return (
+        inter.join(t_sizes, "train_id")
+        .join(F.broadcast(b_sizes), "bench_id")
+        .withColumn("jaccard", jac)
+        .withColumn("containment", contain)
+        .filter(
+            (F.col("jaccard") >= threshold) | (F.col("containment") >= threshold)
+        )
+        .select("train_id", "bench_id", "jaccard", "containment")
+    )
+
+
 # --- near-dup clustering / survivor selection ---------------------------
 
 def connected_components(

@@ -576,6 +576,37 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_vs_benchmark",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), train AS (SELECT * FROM s WHERE doc_id % 20 <> 0),
+bench AS (SELECT * FROM s WHERE doc_id % 20 = 0)
+SELECT train_id, bench_id, jaccard, containment FROM (
+  SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+         ROUND(CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE)
+               / greatest(len(list_distinct(list_concat(t.sh, b.sh))), 1), 6)
+           AS jaccard,
+         ROUND(CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE)
+               / greatest(len(b.sh), 1), 6) AS containment
+  FROM train t JOIN bench b ON len(list_intersect(t.sh, b.sh)) > 0
+) WHERE jaccard >= 0.5 OR containment >= 0.5
+""",
+)
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination check: the documents table split into
+    a pseudo benchmark (doc_id % 20 == 0) and training remainder;
+    training docs overlapping a benchmark doc above threshold (by
+    Jaccard or benchmark-containment) are flagged. The benchmark-side
+    inverted index broadcasts - the DuckDB twin's all-pairs join is
+    oracle-scale only."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return D.decontaminate(train, bench, "doc_id", "text", threshold=0.5)
+
+
+@register(
     "events_json_props",
     """
 SELECT event_type,

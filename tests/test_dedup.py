@@ -183,3 +183,25 @@ def test_connected_components_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 20: 1, 10: 10, 11: 10}
     canon = got[got.is_canonical].doc_id.tolist()
     assert sorted(canon) == [1, 10]
+
+
+def test_decontaminate_containment(spark):
+    """A benchmark doc fully embedded in a longer training doc must be
+    caught by containment even when Jaccard stays low."""
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    long_train = (
+        "prologue words here and more filler text before the payload "
+        + bench_text
+        + " plus a long epilogue with many additional unrelated tokens "
+        "continuing on and on to dilute the jaccard measure far below "
+        "any reasonable pair threshold for this planted example"
+    )
+    train = spark.createDataFrame(
+        [(1, long_train), (2, "completely unrelated content about spark plans")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = D.decontaminate(train, bench, "doc_id", "text", threshold=0.5).toPandas()
+    assert got.train_id.tolist() == [1]
+    assert got.containment.iloc[0] == 1.0  # fully embedded
+    assert got.jaccard.iloc[0] < 0.5  # jaccard alone would have missed it

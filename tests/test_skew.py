@@ -1,0 +1,63 @@
+"""Salted-join utility: result parity with the plain join, salt on the
+shuffle key in the plan."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from feast_hive_spark.operators.skew import salted_join
+
+
+def test_salted_join_matches_plain(spark):
+    # one pathologically hot key (0) + a tail
+    facts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [0] * 5000 + list(range(1, 101)),
+                "v": list(range(5100)),
+            }
+        )
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(101)), "name": [f"n{i}" for i in range(101)]})
+    )
+    plain = (
+        facts.join(dim, "k")
+        .groupBy("k", "name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    salted = (
+        salted_join(facts, dim, ["k"], salt=8)
+        .groupBy("k", "name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+    # the join key in the physical plan must include the salt column
+    plan = (
+        salted_join(facts, dim, ["k"], salt=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__salt" in plan
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    facts = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 99], "v": [1.0, 2.0, 3.0]})
+    )
+    dim = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "name": ["a", "b"]}))
+    got = (
+        salted_join(facts, dim, ["k"], salt=4, how="left")
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got.k.tolist() == [1, 2, 99]
+    assert pd.isna(got.name.iloc[2])
