@@ -41,13 +41,20 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "q21_sole_returning_supplier",
     "topk_parts_per_brand",
+    "window_user_activity",
+    "cube_order_stats",
+    "percentile_order_value",
     "events_daily_rollup",
+    "events_sliding_rollup",
+    "events_json_props",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
+    "dedup_components",
+    "decontaminate_vs_benchmark",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -353,14 +353,17 @@ def decontaminate(
     benchmark corpus is typically tiny next to training data: its
     exploded index broadcasts, so the only shuffle is the pair-count
     aggregate — linear in training shingle volume at 100 TB."""
+    # cache both shingle tables: sizes and the exploded index each
+    # consume them, and the interpreted HOF shingle evaluation is the
+    # expensive part (one pass instead of two)
     t_sh = _spread(train.select(id_col, text_col)).select(
         F.col(id_col).alias("train_id"),
         X.shingle_hashes(text_col, n).alias("__sh"),
-    )
+    ).cache()
     b_sh = benchmark.select(
         F.col(id_col).alias("bench_id"),
         X.shingle_hashes(text_col, n).alias("__sh"),
-    )
+    ).cache()
     t_sizes = t_sh.select("train_id", F.size("__sh").alias("__nt"))
     b_sizes = b_sh.select("bench_id", F.size("__sh").alias("__nb"))
     t_idx = t_sh.select("train_id", F.explode("__sh").alias("__h"))
