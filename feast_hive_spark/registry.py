@@ -106,6 +106,59 @@ def pit_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pit_query_source",
+    f"""
+WITH ent AS (
+  SELECT event_id AS probe_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+  FROM events WHERE event_type = 'click'
+), matched AS (
+  SELECT ent.probe_id, c.value,
+         ROW_NUMBER() OVER (PARTITION BY ent.probe_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM ent JOIN clicks c ON c.user_id = ent.user_id
+   AND c.ts <= ent.event_timestamp
+   AND c.ts >= ent.event_timestamp - INTERVAL {_TTL_7D} SECOND
+)
+SELECT e.probe_id, e.user_id, e.event_timestamp, m.value AS click_value
+FROM ent e LEFT JOIN (SELECT probe_id, value FROM matched WHERE rn = 1) m
+  USING (probe_id)
+""",
+)
+def pit_query_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 x J1 composition: the SAME as-of join as pit_asof_join but
+    with the feature view fed by a QuerySource (arbitrary SELECT,
+    hive_source.py:239-247) resolved inside the PIT planner — proving
+    the DataSource abstraction composes with retrieval, not just with
+    plain scans. Same oracle as pit_asof_join."""
+    from feast_hive_spark.sources.source import QuerySource
+    from feast_hive_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    src = QuerySource(
+        "SELECT user_id, ts, value, event_id FROM events "
+        "WHERE event_type = 'click'",
+        name="click_stream",
+        event_timestamp_column="ts",
+    )
+    fv = FeatureView(
+        name="click_stats",
+        source=src,
+        join_keys=["user_id"],
+        features=["value"],
+        ttl_seconds=_TTL_7D,
+        event_timestamp_column="ts",
+    )
+    job = get_historical_features(
+        spark, _purchase_entities(ev), [fv], tiebreak_columns=["event_id"]
+    )
+    return job.to_spark_df().withColumnRenamed("value", "click_value")
+
+
+@register(
     "pit_asof_join_ttl0",
     """
 WITH ent AS (

@@ -576,6 +576,61 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_lineitem",
+    """
+WITH one AS (
+  SELECT COUNT(*) AS n FROM lineitem
+)
+SELECT column_name, n AS n_rows, n_null, n_distinct, min_val, max_val, mean_val
+FROM one, (
+  SELECT 'l_quantity' AS column_name,
+         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n_distinct,
+         MIN(CAST(l_quantity AS DOUBLE)) AS min_val,
+         MAX(CAST(l_quantity AS DOUBLE)) AS max_val,
+         ROUND(AVG(CAST(l_quantity AS DOUBLE)), 4) AS mean_val
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice',
+         CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT CAST(l_extendedprice AS DOUBLE)) AS BIGINT),
+         MIN(CAST(l_extendedprice AS DOUBLE)),
+         MAX(CAST(l_extendedprice AS DOUBLE)),
+         ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 4)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount',
+         CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT CAST(l_discount AS DOUBLE)) AS BIGINT),
+         MIN(CAST(l_discount AS DOUBLE)),
+         MAX(CAST(l_discount AS DOUBLE)),
+         ROUND(AVG(CAST(l_discount AS DOUBLE)), 4)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_tax',
+         CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT CAST(l_tax AS DOUBLE)) AS BIGINT),
+         MIN(CAST(l_tax AS DOUBLE)),
+         MAX(CAST(l_tax AS DOUBLE)),
+         ROUND(AVG(CAST(l_tax AS DOUBLE)), 4)
+  FROM lineitem
+)
+""",
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the fact table: Spark computes
+    ALL columns' stats in one aggregate over one scan and unpivots via
+    stack(); the DuckDB twin spells the same stats as per-column
+    UNION branches."""
+    from feast_hive_spark.operators.profile import profile_columns
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@register(
     "decontaminate_vs_benchmark",
     f"""
 WITH s AS (

@@ -64,6 +64,51 @@ def materialize_online(
     )
 
 
+def compact_online(
+    spark: SparkSession, path: str, files_per_bucket: int = 1
+) -> dict[str, int]:
+    """Small-file compaction for the online snapshot.
+
+    Incremental upserts (streaming/events.py:stream_to_online) leave
+    each bucket with one file set per touching batch; point-lookup
+    latency then pays one footer read per file. Compaction rewrites
+    each bucket directory to ``files_per_bucket`` files with the same
+    rename-aside/restore swap the streaming sink uses, so readers never
+    observe a partial bucket. Buckets compact independently — on a
+    cluster the per-bucket jobs are trivially parallelizable, and a
+    bucket untouched since its last compaction can be skipped by the
+    caller (mtime check) — I/O is O(compacted buckets), never
+    O(snapshot). Returns {bucket_dir_name: files_before}."""
+    import shutil
+    from pathlib import Path
+
+    out: dict[str, int] = {}
+    for bdir in sorted(Path(path).glob("__bucket=*")):
+        files_before = len(
+            [p for p in bdir.iterdir() if p.is_file() and not p.name.startswith(("_", "."))]
+        )
+        out[bdir.name] = files_before
+        if files_before <= files_per_bucket:
+            continue
+        tmp = Path(str(bdir) + ".compact")
+        (
+            spark.read.parquet(str(bdir))
+            .coalesce(files_per_bucket)
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        aside = bdir.parent / f".{bdir.name}.precompact"
+        bdir.rename(aside)
+        try:
+            shutil.move(str(tmp), str(bdir))
+        except BaseException:
+            if not bdir.exists():
+                aside.rename(bdir)
+            raise
+        shutil.rmtree(aside, ignore_errors=True)
+    return out
+
+
 def read_online(
     spark: SparkSession,
     path: str,

@@ -75,3 +75,51 @@ def test_lookup_key_dtype_mismatch(spark, tmp_path):
     got = read_online(spark, path, ["driver_id"], [(7,), (9,)]).toPandas()
     vals = got.set_index("driver_id")["value"]
     assert vals[7] == 1.0 and vals[9] == 3.0 and len(vals) == 2
+
+
+def test_compact_online(spark, tmp_path):
+    """Compaction collapses multi-file buckets to one file without
+    changing a single row, and point lookups still work."""
+    from pathlib import Path
+
+    from feast_hive_spark.sinks import compact_online
+
+    now = datetime(2024, 5, 1, 12, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "driver_id": list(range(40)),
+            "value": [float(i) for i in range(40)],
+            "ts": [now] * 40,
+            "created_ts": [now] * 40,
+        }
+    )
+    path = str(tmp_path / "online_many")
+    # fabricate the multi-file-per-bucket layout an incremental sink
+    # accumulates (AQE coalesces a tiny materialize to 1 file/bucket)
+    for chunk in (pdf.driver_id < 20, pdf.driver_id >= 20):
+        (
+            spark.createDataFrame(pdf[chunk])
+            .withColumn("__bucket", F.pmod(F.hash("driver_id"), F.lit(16)))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("__bucket")
+            .parquet(path)
+        )
+    before = spark.read.parquet(path).toPandas().sort_values("driver_id")
+    multi = [
+        b for b in Path(path).glob("__bucket=*")
+        if len([f for f in b.iterdir() if f.suffix == ".parquet"]) > 1
+    ]
+    assert multi, "fixture should produce multi-file buckets"
+
+    stats = compact_online(spark, path)
+    assert any(v > 1 for v in stats.values())
+    for b in Path(path).glob("__bucket=*"):
+        n = len([f for f in b.iterdir() if f.suffix == ".parquet"])
+        assert n == 1, f"{b.name} has {n} files"
+    after = spark.read.parquet(path).toPandas().sort_values("driver_id")
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+    got = read_online(spark, path, ["driver_id"], [(5,), (17,)]).toPandas()
+    assert sorted(got.driver_id.tolist()) == [5, 17]
