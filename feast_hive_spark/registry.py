@@ -553,3 +553,101 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "pit_entity_sql",
+    f"""
+WITH ent AS (
+  SELECT event_id AS probe_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+  FROM events WHERE event_type = 'click'
+), matched AS (
+  SELECT ent.probe_id, c.value,
+         ROW_NUMBER() OVER (PARTITION BY ent.probe_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM ent JOIN clicks c ON c.user_id = ent.user_id
+   AND c.ts <= ent.event_timestamp
+   AND c.ts >= ent.event_timestamp - INTERVAL {_TTL_7D} SECOND
+)
+SELECT e.probe_id, e.user_id, e.event_timestamp, m.value AS click_value
+FROM ent e LEFT JOIN (SELECT probe_id, value FROM matched WHERE rn = 1) m
+  USING (probe_id)
+""",
+)
+def pit_entity_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 x J1: the entity df handed to the PIT planner as a SQL STRING
+    (the reference's upload-entity-df-as-SQL path, hive.py:446-459) —
+    fully lazy, no CTAS, same oracle as pit_asof_join."""
+    from feast_hive_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    fv = FeatureView(
+        name="click_stats",
+        source=ev.filter(F.col("event_type") == "click"),
+        join_keys=["user_id"],
+        features=["value"],
+        ttl_seconds=_TTL_7D,
+        event_timestamp_column="ts",
+    )
+    entity_sql = (
+        "SELECT event_id AS probe_id, user_id, ts AS event_timestamp "
+        "FROM events WHERE event_type = 'purchase'"
+    )
+    job = get_historical_features(
+        spark, entity_sql, [fv], tiebreak_columns=["event_id"]
+    )
+    return job.to_spark_df().withColumnRenamed("value", "click_value")
+
+
+@register(
+    "pit_composite_keys",
+    """
+WITH ent AS (
+  SELECT event_id AS probe_id, user_id, event_type,
+         CAST(ts AS TIMESTAMP) AS event_timestamp
+  FROM events WHERE event_id % 5 = 0
+), feats AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+  FROM events
+), matched AS (
+  SELECT ent.probe_id, f.value,
+         ROW_NUMBER() OVER (PARTITION BY ent.probe_id
+                            ORDER BY f.ts DESC, f.event_id DESC) AS rn
+  FROM ent JOIN feats f
+    ON f.user_id = ent.user_id AND f.event_type = ent.event_type
+   AND f.ts <= ent.event_timestamp
+)
+SELECT e.probe_id, e.user_id, e.event_type, e.event_timestamp,
+       m.value AS last_value
+FROM ent e LEFT JOIN (SELECT probe_id, value FROM matched WHERE rn = 1) m
+  USING (probe_id)
+""",
+)
+def pit_composite_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 with a COMPOSITE entity key (user_id, event_type): the as-of
+    join partitions, joins, and argmaxes on the full key tuple — the
+    multi-entity feature-view shape (reference joins on concatenated
+    rids; we join on the raw tuple, SURVEY P7)."""
+    ev = read_table(spark, sf_dir, "events")
+    entities = ev.filter(F.col("event_id") % 5 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        "event_type",
+        F.col("ts").alias("event_timestamp"),
+    )
+    fv = FeatureView(
+        name="typed_stats",
+        source=ev,
+        join_keys=["user_id", "event_type"],
+        features=["value"],
+        ttl_seconds=0,
+        event_timestamp_column="ts",
+    )
+    job = get_historical_features(
+        spark, entities, [fv], tiebreak_columns=["event_id"]
+    )
+    return job.to_spark_df().withColumnRenamed("value", "last_value")
