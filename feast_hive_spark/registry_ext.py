@@ -725,3 +725,38 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "text_token_percentiles",
+    f"""
+WITH t AS (
+  SELECT lang, CAST({X.duck_token_count_ws('text')} AS DOUBLE) AS n_tok
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+       ROUND(quantile_cont(n_tok, 0.9), 4) AS p90_tokens,
+       MAX(CAST(n_tok AS BIGINT)) AS max_tokens
+FROM t GROUP BY lang
+""",
+)
+def text_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution per language — the report that drives
+    truncation/packing decisions in a training pipeline. Token counting
+    is the shared JVM-side builder; percentiles are the exact
+    interpolated form (see percentile_order_value for the
+    approx_percentile scale note)."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = X.token_count_ws("text").cast("double")
+    return (
+        docs.select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50_tokens"),
+            F.round(F.expr("percentile(n_tok, 0.9)"), 4).alias("p90_tokens"),
+            F.max(F.col("n_tok").cast("long")).alias("max_tokens"),
+        )
+    )

@@ -183,3 +183,58 @@ def test_stream_to_online_incremental_buckets(spark, tmp_path):
 
     got = spark.read.parquet(snap).toPandas().set_index("user_id")
     assert got.loc[7, "value"] == 99.0 and len(got) == 40
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: once the watermark
+    has passed a window's end, a later micro-batch's rows for that
+    window are DROPPED (bounded state = the 100 TB property), and the
+    closed window's final count excludes them."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    base = datetime(2024, 1, 1, 0, 30, 0)
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "value", "ts", "event_type"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    out_dir = str(tmp_path / "late_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, value double, ts timestamp, event_type string"
+            ).format("parquet").option("path", f"{src}/*").load()
+        )
+        agg = SE.windowed_counts(stream, window="1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two rows in hour-0 window
+    write_file("f1", [(1, 1.0, base, "click"), (2, 1.0, base + timedelta(minutes=5), "click")])
+    drain()
+    # batch 2: advances event time far past hour-0 + watermark -> closes it
+    write_file("f2", [(3, 1.0, base + timedelta(hours=3), "click")])
+    drain()
+    # batch 3: a LATE row for hour-0, beyond the watermark -> dropped
+    write_file("f3", [(4, 99.0, base + timedelta(minutes=10), "click")])
+    drain()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    hour0 = got[got.window_start == base.replace(minute=0)]
+    assert len(hour0) == 1
+    assert hour0.n_events.iloc[0] == 2  # late row NOT counted
+    assert hour0.sum_value.iloc[0] == 2.0
