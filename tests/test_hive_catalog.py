@@ -8,6 +8,7 @@ from datetime import datetime, timedelta
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from feast_hive_spark.plans.pit import FeatureView, get_historical_features
 from feast_hive_spark.sources.source import (
@@ -104,3 +105,61 @@ def test_pit_against_metastore_table(spark, feature_table):
     assert got.conv_rate.iloc[0] == 0.5
     assert pd.isna(got.conv_rate.iloc[1])
     assert pd.isna(got.conv_rate.iloc[2])
+
+
+def test_bucketed_tables_colocated_join(spark, sf_dir):
+    """Bucketed catalog tables co-locate the join: writing both fact
+    tables bucketed by the join key into the metastore lets the
+    sort-merge join run with NO Exchange on either side - the
+    pre-shuffled layout every repeated 100 TB fact-fact join should
+    use. (spark.sql.sources.v2.bucketing / bucketed scan is on by
+    default for the v1 saveAsTable path.)"""
+    from feast_hive_spark.sources.tables import read_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB}_bkt")
+    try:
+        read_table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").saveAsTable(f"{DB}_bkt.orders_b")
+        read_table(spark, sf_dir, "lineitem").write.mode("overwrite").bucketBy(
+            8, "l_orderkey"
+        ).sortBy("l_orderkey").saveAsTable(f"{DB}_bkt.lineitem_b")
+
+        o = spark.table(f"{DB}_bkt.orders_b")
+        li = spark.table(f"{DB}_bkt.lineitem_b")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        # at test scale the optimizer would broadcast; disable it so
+        # the plan shows the co-located SMJ a fact-fact join takes
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        # the join itself consumes the bucketed layout - no shuffle
+        # below the join (the aggregate above it may still exchange)
+        smj_idx = plan.find("SortMergeJoin")
+        below_join = plan[smj_idx:]
+        assert "Exchange hashpartitioning" not in below_join, below_join[:500]
+
+        # and the result is still right
+        expected = (
+            read_table(spark, sf_dir, "lineitem")
+            .join(
+                read_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .count()
+            .toPandas()
+            .sort_values("o_orderstatus")
+            .reset_index(drop=True)
+        )
+        got = joined.toPandas().sort_values("o_orderstatus").reset_index(drop=True)
+        assert got.equals(expected)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {DB}_bkt CASCADE")
