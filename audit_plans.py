@@ -64,6 +64,17 @@ AUDITS = {
         ["LeftSemi", "LeftAnti", "PushedFilters"],
         ["CartesianProduct"],
     ),
+    # q8: all dims broadcast around the one fact-fact shuffle
+    "q8_market_share": (["BroadcastHashJoin", "PushedFilters"], ["CartesianProduct"]),
+    # q17: decorrelated per-part threshold; brand filter pushed + broadcast
+    "q17_small_quantity_revenue": (
+        ["BroadcastHashJoin", "PushedFilters"],
+        ["CartesianProduct"],
+    ),
+    # four analytic columns must share ONE Window operator
+    "window_user_activity": (["Window"], ["CartesianProduct"]),
+    # composite-key PIT keeps the skew-immune partial_max_by shape
+    "pit_composite_keys": (["partial_max_by"], ["CartesianProduct"]),
     # embedding dedup, block strategy: the whole corpus must flow
     # through the block-pair FlatMapGroups kernel - no collect, no
     # cartesian product, no broadcast of the corpus itself
