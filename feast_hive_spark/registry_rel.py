@@ -943,3 +943,110 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
     )
+
+
+@register(
+    "full_outer_nation_presence",
+    """
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+), supp AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+  FROM supplier WHERE s_acctbal > 8000 GROUP BY s_nationkey
+)
+SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+""",
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the relational suite lacked):
+    per-nation BUILDING-segment customer counts vs rich-supplier
+    counts, keeping nations present on either side with zero-filled
+    gaps. Both inputs pre-aggregate BEFORE the join, so the outer join
+    runs on two tiny keyed aggregates, not on the fact tables."""
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "interval_overlap_counts",
+    """
+WITH purchases AS (
+  SELECT event_id AS probe_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.probe_id, CAST(COUNT(c.us) AS BIGINT) AS n_nearby_clicks
+FROM purchases p
+LEFT JOIN clicks c ON c.us BETWEEN p.us - 1800000000 AND p.us + 1800000000
+GROUP BY p.probe_id
+""",
+)
+def interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (range) join, binned for scale: clicks within
+    +-30 minutes of each purchase.
+
+    A naive range join is a broadcast-nested-loop (O(n*m) comparisons).
+    The scalable shape: hash clicks into 30-minute time bins once, let
+    every purchase probe only its 3 adjacent bins (sequence+explode),
+    equi-join on the bin id, then apply the exact range predicate as a
+    residual filter. Comparisons drop from all-pairs to pairs sharing
+    a bin - the standard interval-join decomposition (DuckDB's IEJoin
+    achieves the same effect inside the oracle)."""
+    bin_us = 1800 * 1_000_000
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("probe_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.unix_micros("ts").alias("c_us")
+    ).withColumn("__bin", F.floor(F.col("c_us") / bin_us))
+    probed = purchases.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("p_us") - bin_us) / bin_us),
+                F.floor((F.col("p_us") + bin_us) / bin_us),
+            )
+        ),
+    )
+    return (
+        probed.join(clicks, "__bin", "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c_us").between(
+                        F.col("p_us") - bin_us, F.col("p_us") + bin_us
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_nearby_clicks")
+        )
+    )
