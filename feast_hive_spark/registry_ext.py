@@ -760,3 +760,82 @@ def text_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("n_tok").cast("long")).alias("max_tokens"),
         )
     )
+
+
+@register(
+    "events_sessionize_batch",
+    """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - LAG(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1970-01-01')
+                     OVER (PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), tagged AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_last_event,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM tagged GROUP BY user_id, session_no
+""",
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands: a new session starts
+    where the gap to the previous event exceeds 30 minutes (lag), and
+    the running sum of session starts numbers the islands. The exact
+    batch twin of streaming session_window (same gap rule), verified
+    equivalent in tests/test_streaming.py - one window pass + one
+    aggregate, both partitioned by user."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1, 0).over(w)
+    tagged = ev.withColumn(
+        "new_session", F.when(gap > 1800, 1).otherwise(0)
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        tagged.groupBy("user_id", F.col("session_no").cast("long").alias("session_no"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "user_event_type_profile",
+    """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',')
+         AS event_types,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregation: per-user sorted distinct event-type set
+    (as a canonical comma string so both engines hash identically) +
+    cardinalities. collect_set is the mergeable partial-agg shape -
+    no row explosion, set size bounded by the type vocabulary."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -238,3 +238,41 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert len(hour0) == 1
     assert hour0.n_events.iloc[0] == 2  # late row NOT counted
     assert hour0.sum_value.iloc[0] == 2.0
+
+
+def test_sessionize_batch_twin_matches_streaming(spark, sf_dir):
+    """The gaps-and-islands batch sessionization (oracle-gated registry
+    entry) and streaming session_window produce the SAME sessions:
+    same (user, start), same event counts and sums, and the streaming
+    session_end is exactly last_event + gap."""
+    from datetime import timedelta
+
+    from feast_hive_spark.registry import REGISTRY
+    import feast_hive_spark.registry_ext  # noqa: F401
+
+    stream = SE.read_event_stream(spark, sf_dir)
+    result = SE.sessionize(stream, gap="30 minutes", watermark="10 days")
+    SE.run_to_memory(result, "sess_twin", output_mode="complete")
+    streaming = (
+        spark.sql("SELECT * FROM sess_twin")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        REGISTRY["events_sessionize_batch"][0](spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(streaming) == len(batch) > 0
+    assert (streaming.user_id.to_numpy() == batch.user_id.to_numpy()).all()
+    assert (
+        streaming.session_start.to_numpy() == batch.session_start.to_numpy()
+    ).all()
+    assert (streaming.n_events.to_numpy() == batch.n_events.to_numpy()).all()
+    assert (
+        abs(streaming.sum_value.to_numpy() - batch.sum_value.to_numpy()) < 1e-6
+    ).all()
+    expected_end = batch.session_last_event + timedelta(minutes=30)
+    assert (streaming.session_end.to_numpy() == expected_end.to_numpy()).all()
