@@ -73,6 +73,15 @@ AUDITS = {
     ),
     # four analytic columns must share ONE Window operator
     "window_user_activity": (["Window"], ["CartesianProduct"]),
+    # binned interval join: equi-join on the bin, NEVER a nested loop
+    "interval_overlap_counts": (
+        ["PushedFilters"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    # gaps-and-islands: windows + final agg, single user_id shuffle
+    "events_sessionize_batch": (["Window"], ["CartesianProduct"]),
+    # full outer over two pre-aggregated sides
+    "full_outer_nation_presence": (["FullOuter"], ["CartesianProduct"]),
     # composite-key PIT keeps the skew-immune partial_max_by shape
     "pit_composite_keys": (["partial_max_by"], ["CartesianProduct"]),
     # embedding dedup, block strategy: the whole corpus must flow

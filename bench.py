@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "events_daily_rollup",
     "events_sliding_rollup",
     "events_json_props",
+    "events_sessionize_batch",
+    "interval_overlap_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
