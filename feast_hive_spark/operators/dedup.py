@@ -630,10 +630,15 @@ def lsh_cosine_pairs(
     threshold: float = 0.45,
     n_planes: int = 4,
     n_tables: int = 12,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs via multi-table sign-LSH
     bucketing + exact within-candidate verification.
+
+    ``dim`` defaults to inference from the data: the md5-derived
+    hyperplanes are a pure function of (n_planes, dim, seed), so every
+    batch regenerates the identical planes from the vectors' length —
+    no broadcast state and no hardcoded dimensionality.
 
     Each row gets ``n_tables`` independent ``n_planes``-bit sign
     buckets against deterministic md5-seeded hyperplanes
@@ -650,24 +655,29 @@ def lsh_cosine_pairs(
     the operator has an exact DuckDB twin (vector.py:duck_sign_bucket)
     and is hash-gated despite being approximate."""
     base = _spread(df.select(id_col, vec_col))
-    planes = np.array(
-        [
-            row
-            for t in range(n_tables)
-            for row in V.hyperplanes(n_planes, dim, seed=f"t{t}")
-        ],
-        dtype=np.float64,
-    )
     powers = 1 << np.arange(n_planes)
-    b_planes = df.sparkSession.sparkContext.broadcast(planes)
+
+    def make_planes(d: int) -> np.ndarray:
+        return np.array(
+            [
+                row
+                for t in range(n_tables)
+                for row in V.hyperplanes(n_planes, d, seed=f"t{t}")
+            ],
+            dtype=np.float64,
+        )
+
+    fixed_planes = make_planes(dim) if dim is not None else None
 
     def bucketer(batches):
-        P = b_planes.value
+        P = fixed_planes
         for batch in batches:
             ids = batch[id_col].to_numpy()
             if ids.size == 0:
                 continue
             M = V.np_matrix(batch[vec_col])  # raw: sign(dot) is scale-free
+            if P is None:
+                P = make_planes(M.shape[1])
             signs = (M @ P.T) >= 0
             buckets = np.stack(
                 [

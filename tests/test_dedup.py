@@ -205,3 +205,17 @@ def test_decontaminate_containment(spark):
     assert got.train_id.tolist() == [1]
     assert got.containment.iloc[0] == 1.0  # fully embedded
     assert got.jaccard.iloc[0] < 0.5  # jaccard alone would have missed it
+
+
+def test_embedding_cosine_edge_cases(spark):
+    """Empty and single-row corpora: every strategy returns an empty
+    pair set without erroring (block path's P sizing, LSH bucketing,
+    and broadcast kernel all degenerate safely)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    for strategy in ("block", "lsh", "broadcast"):
+        for df in (empty, one):
+            got = D.embedding_cosine_pairs(
+                df, "vec_id", "embedding", threshold=0.5, strategy=strategy
+            ).toPandas()
+            assert len(got) == 0, (strategy, df.count())
