@@ -242,9 +242,12 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 4,
     n_tables: int = 12,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH + exact rerank.
+    ``dim`` defaults to inference from the (collected) query matrix —
+    the md5-derived planes are a pure function of (n_planes, dim,
+    seed), so nothing is hardcoded to one embedding width.
 
     OR-amplification: ``n_tables`` independent hash tables, each a
     ``n_planes``-bit sign bucket against deterministic (md5-seeded)
@@ -258,6 +261,9 @@ def lsh_topk(
     the global shuffle is O(batches * queries * k). Unlike brute
     force, the per-batch matmul scores only bucket-colliding rows."""
     spark = candidates.sparkSession
+    q_ids, Qn = _query_matrix(queries, id_col, vec_col)
+    if dim is None:
+        dim = Qn.shape[1] if Qn.size else 1
     planes = np.array(
         [
             row
@@ -267,8 +273,6 @@ def lsh_topk(
         dtype=np.float64,
     )  # (n_tables*n_planes, dim)
     powers = 1 << np.arange(n_planes)
-
-    q_ids, Qn = _query_matrix(queries, id_col, vec_col)
     if q_ids.size:
         qsigns = (Qn @ planes.T) >= 0  # (n_q, tables*planes)
         qbuckets = np.stack(
