@@ -128,6 +128,86 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState`` with
+    **event-time timeout eviction** — the full custom-operator shape
+    that the built-in ``session_window`` hides: explicit per-key state
+    (open session aggregates), explicit close conditions, and state
+    that cannot grow unboundedly because idle keys are evicted when
+    the watermark passes their session gap.
+
+    A key's open session extends while events arrive within
+    ``gap_seconds`` of its last event; an in-batch gap closes and
+    emits the previous session immediately; otherwise the session is
+    emitted when the event-time timeout fires (watermark >
+    last_event + gap). Emitted rows are CLOSED sessions only — the
+    exactly-once append-mode contract. State per key is four scalars,
+    hash-partitioned across executors."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        closed = []
+        if state.hasTimedOut:
+            start_us, last_us, n, s = state.get
+            closed.append((key[0], start_us, last_us, n, s))
+            state.remove()
+        else:
+            times, values = [], []
+            for pdf in pdfs:
+                # pandas ns epoch -> us
+                times.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf[ts_col]))
+                values.extend(float(v) if v == v else 0.0 for v in pdf[value_col])
+            order = sorted(range(len(times)), key=lambda i: times[i])
+            if state.exists:
+                start_us, last_us, n, s = state.get
+            else:
+                start_us, last_us, n, s = None, None, 0, 0.0
+            for i in order:
+                t_us = times[i]
+                if last_us is not None and t_us - last_us > gap_us:
+                    closed.append((key[0], start_us, last_us, n, s))
+                    start_us, last_us, n, s = None, None, 0, 0.0
+                if start_us is None:
+                    start_us = t_us
+                last_us = t_us
+                n += 1
+                s += values[i]
+            if start_us is not None:
+                state.update((start_us, last_us, n, s))
+                # evict when the watermark passes last_event + gap
+                state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_last_event": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "sum_value": [round(c[4], 2) for c in closed],
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} long, session_start timestamp, "
+            "session_last_event timestamp, n_events long, sum_value double"
+        ),
+        stateStructType="start_us long, last_us long, n long, s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_to_online(
     events: DataFrame,
     path: str,

@@ -276,3 +276,72 @@ def test_sessionize_batch_twin_matches_streaming(spark, sf_dir):
     ).all()
     expected_end = batch.session_last_event + timedelta(minutes=30)
     assert (streaming.session_end.to_numpy() == expected_end.to_numpy()).all()
+
+
+def test_sessionize_stateful_event_time_eviction(spark, tmp_path):
+    """Custom applyInPandasWithState sessionizer: an in-batch gap
+    closes a session immediately; an idle key's open session is
+    EVICTED (emitted + state removed) when a later batch's watermark
+    passes its gap - bounded state by construction. Only closed
+    sessions are ever emitted (append contract)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "value", "ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id long, value double, ts timestamp")
+            .format("parquet").option("path", f"{src}/*").load()
+            .withWatermark("ts", "1 minute")
+        )
+        q = (
+            SE.sessionize_stateful(stream, gap_seconds=1800)
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: user 1 has session A (2 events) then an in-batch gap
+    # opens session B; user 2 has one open session
+    write_file("f1", [
+        (1, 1.0, t0), (1, 2.0, t0 + timedelta(minutes=10)),
+        (1, 5.0, t0 + timedelta(hours=2)),
+        (2, 7.0, t0 + timedelta(hours=2)),
+    ])
+    drain()
+    got1 = spark.read.parquet(out).toPandas()
+    # only session A is closed; B and user-2's session remain in state
+    assert len(got1) == 1
+    a = got1.iloc[0]
+    assert a.user_id == 1 and a.n_events == 2 and a.sum_value == 3.0
+    assert a.session_start == t0
+    assert a.session_last_event == t0 + timedelta(minutes=10)
+
+    # batch 2: far-future event advances the watermark past both open
+    # sessions' gaps -> event-time timeout evicts and emits them
+    write_file("f2", [(3, 0.5, t0 + timedelta(hours=9))])
+    drain()
+    got2 = spark.read.parquet(out).toPandas().sort_values(
+        ["user_id", "session_start"]
+    ).reset_index(drop=True)
+    assert len(got2) == 3
+    evicted = got2[got2.session_start == t0 + timedelta(hours=2)]
+    assert sorted(evicted.user_id.tolist()) == [1, 2]
+    assert evicted.n_events.tolist() == [1, 1]
+    # user 3's session is still open -> not emitted
+    assert 3 not in got2.user_id.tolist()
