@@ -1050,3 +1050,30 @@ def interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_nearby_clicks")
         )
     )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither ROLLUP nor CUBE): per-status and
+    per-priority totals in ONE Expand+aggregate pass over one scan -
+    the two-reports-one-scan shape."""
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
