@@ -1,0 +1,71 @@
+"""Sequence packing: assign documents to fixed-token-budget bins — the
+batch-construction step of an LLM training pipeline (concatenate docs
+up to ~context-length tokens per sample).
+
+Semantics: contiguous greedy fill over the global (length desc, id)
+order — each doc lands in the bin where its start offset falls
+(``floor((cum - len) / capacity)``). Docs are never split; a bin can
+overrun by less than one doc (the standard streaming-pack contract,
+deterministic and oracle-able, unlike best-fit heuristics).
+
+Scale shape: a global running sum needs a total order, and a single
+global window would serialize on one partition. Instead the classic
+distributed prefix-sum: range-repartition on the sort key (so
+partition boundaries respect the global order), compute per-partition
+totals (tiny, collected), broadcast the cumulative partition offsets
+back, and finish with partition-LOCAL window cumsums plus the offset —
+every heavy step stays parallel."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    capacity: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, len) -> (id, len, bin_id) under contiguous greedy packing.
+
+    ``num_partitions`` defaults to the session's shuffle partitions;
+    per-partition totals are the ONLY thing collected (one small row
+    per partition)."""
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = df.select(
+        F.col(id_col), F.col(len_col).cast("long").alias("__len")
+    )
+    ordered = base.repartitionByRange(
+        n_part, F.col("__len").desc(), F.col(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+
+    totals = {
+        r["__pid"]: r["__sum"]
+        for r in ordered.groupBy("__pid").agg(F.sum("__len").alias("__sum")).collect()
+    }
+    offset = 0
+    offsets = {}
+    for pid in sorted(totals):
+        offsets[pid] = offset
+        offset += totals[pid]
+    offset_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("__pid")]
+
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("__len").desc(), F.col(id_col)
+    )
+    cum = F.sum("__len").over(w) + F.coalesce(offset_expr, F.lit(0))
+    return (
+        ordered.withColumn(
+            "bin_id",
+            F.floor((cum - F.col("__len")) / F.lit(capacity)).cast("long"),
+        )
+        .select(F.col(id_col), F.col("__len").alias(len_col), "bin_id")
+    )

@@ -728,6 +728,37 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences_2048",
+    f"""
+WITH lens AS (
+  SELECT doc_id, CAST({X.duck_token_count_ws('text')} AS BIGINT) AS n_tok
+  FROM documents
+), ordered AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM lens
+)
+SELECT doc_id, n_tok,
+       CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin_id
+FROM ordered
+""",
+)
+def pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 2048-token bins (operators/pack.py): the
+    distributed prefix-sum implementation must reproduce the oracle's
+    single global running sum exactly - range partitioning + broadcast
+    partition offsets ARE the global order."""
+    from feast_hive_spark.operators.pack import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", X.token_count_ws("text").cast("long").alias("n_tok")
+    )
+    return pack_sequences(lens, "doc_id", "n_tok", capacity=2048)
+
+
+@register(
     "text_token_percentiles",
     f"""
 WITH t AS (

@@ -112,3 +112,35 @@ def test_quality_monotone_in_length(spark):
         .set_index("doc_id")["q"]
     )
     assert got[2] > got[1]
+
+
+def test_pack_sequences_semantics(spark):
+    """Contiguous greedy packing: global (len desc, id) order, docs
+    unsplit, each bin's start offsets within one capacity stride, and
+    overrun bounded by one doc."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.pack import pack_sequences
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(20), "n_tok": [300, 250, 250, 200, 150, 150, 100,
+                                        100, 90, 80, 70, 60, 50, 40, 30,
+                                        20, 10, 10, 5, 5]}
+    )
+    got = pack_sequences(
+        spark.createDataFrame(pdf.sample(frac=1, random_state=7)),
+        "doc_id", "n_tok", capacity=500, num_partitions=4,
+    ).toPandas().sort_values(["bin_id", "doc_id"]).reset_index(drop=True)
+
+    assert len(got) == 20 and got.doc_id.nunique() == 20  # unsplit
+    # reproduce the contiguous rule in pure python
+    order = pdf.sort_values(["n_tok", "doc_id"], ascending=[False, True])
+    cum = 0
+    expected = {}
+    for r in order.itertuples():
+        expected[r.doc_id] = cum // 500
+        cum += r.n_tok
+    assert got.set_index("doc_id")["bin_id"].to_dict() == expected
+    # bins overrun by at most one doc
+    per_bin = got.groupby("bin_id")["n_tok"].sum()
+    assert (per_bin <= 500 + pdf.n_tok.max()).all()
