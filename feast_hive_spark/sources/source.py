@@ -244,6 +244,47 @@ class ParquetSource(DataSource):
         return {"path": self.path}
 
 
+class FileSource(DataSource):
+    """Generic file-format source (engine addition): any Spark
+    DataSource-V2 batch format — csv, json, orc, avro, text — with
+    reader options. ParquetSource stays the parquet-optimized path
+    (nanos handling); this covers the long tail of landing-zone
+    formats a feature pipeline ingests before columnarizing.
+
+    Note the scale asymmetry, deliberately documented: csv/json scans
+    have no row-group statistics, so filters are evaluated post-parse
+    rather than skipping I/O — fine for ingest, wrong for serving;
+    `to_df(...).write.parquet(...)` is the one-liner promotion."""
+
+    source_kind = "file"
+
+    def __init__(
+        self,
+        path: str,
+        format: str,
+        name: Optional[str] = None,
+        options: Optional[dict[str, str]] = None,
+        **kwargs,
+    ):
+        if not path:
+            raise ValueError("path is required")
+        if not format:
+            raise ValueError("format is required")
+        super().__init__(name=name or path, **kwargs)
+        self.path = path
+        self.format = format
+        self.options = dict(options or {})
+
+    def _load(self, spark: SparkSession) -> DataFrame:
+        return spark.read.format(self.format).options(**self.options).load(self.path)
+
+    def get_table_query_string(self) -> str:
+        return f"{self.format}.`{self.path}`"
+
+    def _extra_json(self) -> dict:
+        return {"path": self.path, "format": self.format, "options": self.options}
+
+
 def source_from_json(s: str) -> DataSource:
     """Round-trip deserializer (replaces from_proto,
     hive_source.py:164-198)."""
@@ -264,4 +305,12 @@ def source_from_json(s: str) -> DataSource:
         return QuerySource(d["query"], name=d.get("name"), **common)
     if kind == "parquet":
         return ParquetSource(d["path"], name=d.get("name"), **common)
+    if kind == "file":
+        return FileSource(
+            d["path"],
+            d["format"],
+            name=d.get("name"),
+            options=d.get("options"),
+            **common,
+        )
     raise ValueError(f"Unknown source kind: {kind}")

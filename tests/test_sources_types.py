@@ -160,3 +160,55 @@ def test_empty_df_keeps_columns(spark):
     out = df.filter("a > 0").toPandas()
     assert list(out.columns) == ["a", "b", "c"]
     assert len(out) == 0
+
+
+def test_file_source_csv_json(spark, tmp_path):
+    """Generic FileSource: csv (with header/schema options) and json
+    round-trip through scan, schema introspection, validation, JSON
+    (de)serialization, and a pull_latest end-to-end."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from feast_hive_spark.plans.pull import pull_latest
+    from feast_hive_spark.sources.source import FileSource
+
+    now = datetime(2024, 4, 1, 10, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "v": [0.5, 0.9, 0.7],
+            "ts": [now - timedelta(hours=2), now - timedelta(hours=1), now],
+        }
+    )
+    csv_path = str(tmp_path / "feat_csv")
+    spark.createDataFrame(pdf).coalesce(1).write.option("header", True).csv(csv_path)
+
+    src = FileSource(
+        csv_path,
+        "csv",
+        name="feat_csv",
+        options={"header": "true", "inferSchema": "true"},
+        event_timestamp_column="ts",
+    )
+    cols = dict(src.get_table_column_names_and_types(spark))
+    assert cols["k"] == "int" and cols["v"] == "double"
+    src.validate(spark)
+
+    back = source_from_json(src.to_json())
+    assert back == src and back.options["header"] == "true"
+
+    got = pull_latest(
+        src.to_df(spark), ["k"], ["v"], "ts", None,
+        now - timedelta(days=1), now,
+    ).toPandas().set_index("k")["v"]
+    assert got[1] == 0.9 and got[2] == 0.7
+
+    json_path = str(tmp_path / "feat_json")
+    spark.createDataFrame(pdf).coalesce(1).write.json(json_path)
+    jsrc = FileSource(json_path, "json", event_timestamp_column="ts")
+    assert jsrc.to_df(spark).count() == 3
+    assert jsrc.get_table_query_string() == f"json.`{json_path}`"
+
+    with pytest.raises(DataSourceNotFoundException):
+        FileSource(str(tmp_path / "nope"), "csv").validate(spark)
