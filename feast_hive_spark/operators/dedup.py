@@ -424,6 +424,18 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
+    # The pair graph is usually FAR smaller than the corpus that
+    # produced it; size the per-round shuffles to the graph, not to
+    # the session default, so each of the O(diameter) iterations pays
+    # a handful of tasks instead of a full-width shuffle. (One count
+    # against the cached edges; at genuinely large edge counts the
+    # session parallelism is kept.)
+    n_edges = sym.count()
+    spark = pairs.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    small = max(2, min(target, n_edges // 50_000 + 2))
+    if small < target:
+        sym = sym.repartition(small).cache()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

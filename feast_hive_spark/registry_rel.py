@@ -1077,3 +1077,114 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+
+
+@register(
+    "q2_best_supplier_per_part",
+    """
+WITH shipped AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), ranked AS (
+  SELECT s.l_partkey, s.l_suppkey, su.s_acctbal, su.s_name,
+         ROW_NUMBER() OVER (PARTITION BY s.l_partkey
+                            ORDER BY su.s_acctbal DESC, s.l_suppkey) AS rn
+  FROM shipped s
+  JOIN supplier su ON su.s_suppkey = s.l_suppkey
+  JOIN nation n ON n.n_nationkey = su.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT p.p_partkey, p.p_name, rk.s_name, rk.s_acctbal
+FROM ranked rk JOIN part p ON p.p_partkey = rk.l_partkey
+WHERE rk.rn = 1 AND p.p_size < 5
+ORDER BY rk.s_acctbal DESC, p.p_partkey
+LIMIT 20
+""",
+)
+def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem standing in for partsupp, acctbal for
+    supply cost): per-part argmax supplier within a region, then a
+    top-20. The per-part correlated subquery decorrelates into one
+    ranking window over the distinct (part, supplier) pairs; region
+    pruning shrinks the supplier dim BEFORE its broadcast, and
+    WindowGroupLimit keeps only rank-1 rows ahead of the final
+    TakeOrdered."""
+    li = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size") < 5)
+    from pyspark.sql import Window
+
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    regional = (
+        su.join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("l_suppkey")
+    )
+    ranked = (
+        shipped.join(F.broadcast(regional), shipped.l_suppkey == regional.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        ranked.join(F.broadcast(p), ranked.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q20_part_family_suppliers",
+    """
+WITH per AS (
+  SELECT l.l_suppkey,
+         SUM(CASE WHEN p.p_name LIKE '%rod%' THEN l.l_quantity ELSE 0 END)
+           AS fam_qty,
+         SUM(l.l_quantity) AS tot_qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       ROUND(fam.fam_qty, 2) AS fam_qty, ROUND(fam.tot_qty, 2) AS tot_qty
+FROM supplier s
+JOIN (SELECT * FROM per WHERE fam_qty > 0.15 * tot_qty) fam
+  ON fam.l_suppkey = s.s_suppkey
+""",
+)
+def q20_part_family_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp): suppliers whose shipments of a
+    part family exceed a share of their total volume - the nested-
+    aggregation IN-subquery decorrelated into one conditional-sum
+    aggregate + a filtered equi join. One fact scan, one shuffle by
+    supplier, supplier dim broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    per = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("p_name").like("%rod%"), F.col("l_quantity")).otherwise(
+                    0.0
+                )
+            ).alias("fam_qty"),
+            F.sum("l_quantity").alias("tot_qty"),
+        )
+        .filter(F.col("fam_qty") > 0.15 * F.col("tot_qty"))
+    )
+    return (
+        F.broadcast(s)
+        .join(per, s.s_suppkey == per.l_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("fam_qty", 2).alias("fam_qty"),
+            F.round("tot_qty", 2).alias("tot_qty"),
+        )
+    )
