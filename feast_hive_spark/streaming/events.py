@@ -128,6 +128,58 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_interval_join(
+    events: DataFrame,
+    window_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner self-join with an event-time interval
+    condition: every (purchase, click) pair whose timestamps lie
+    within ±``window_seconds`` — the streaming twin of the batch
+    ``interval_overlap_counts`` decomposition.
+
+    Stream-stream joins REQUIRE an equality predicate (state is keyed
+    by it), which is exactly what the batch operator's binned
+    decomposition provides: clicks hash into window-sized time bins,
+    purchases probe their 3 adjacent bins (sequence+explode), the join
+    keys on the bin, and the exact interval predicate runs as the
+    residual condition. Both sides carry watermarks and the time
+    condition bounds both event times, so Spark derives a finite
+    state-retention window per side and evicts buffered rows the
+    watermark has passed — state is O(rows per active bin), not
+    O(stream). Append-mode output; pairs emit as both sides arrive."""
+    bin_us = window_seconds * 1_000_000
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("probe_id"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", watermark)
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor((F.unix_micros("p_ts") - bin_us) / bin_us),
+                    F.floor((F.unix_micros("p_ts") + bin_us) / bin_us),
+                )
+            ),
+        )
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", watermark)
+        .withColumn("__bin", F.floor(F.unix_micros("c_ts") / bin_us))
+    )
+    cond = (p["__bin"] == c["__bin"]) & F.col("c_ts").between(
+        F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECOND"),
+        F.col("p_ts") + F.expr(f"INTERVAL {window_seconds} SECOND"),
+    )
+    return p.join(c, cond, "inner").drop("__bin")
+
+
 def sessionize_stateful(
     events: DataFrame,
     gap_seconds: int = 1800,

@@ -345,3 +345,36 @@ def test_sessionize_stateful_event_time_eviction(spark, tmp_path):
     assert evicted.n_events.tolist() == [1, 1]
     # user 3's session is still open -> not emitted
     assert 3 not in got2.user_id.tolist()
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval self-join emits exactly the pair set of
+    the equivalent batch range join (single-file source -> one batch,
+    nothing late)."""
+    stream = SE.read_event_stream(spark, sf_dir)
+    joined = SE.stream_interval_join(stream, window_seconds=1800)
+    SE.run_to_memory(joined, "ss_pairs", output_mode="append")
+    got = spark.sql("SELECT probe_id, click_id FROM ss_pairs").toPandas()
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("probe_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    exp = (
+        p.join(
+            c,
+            F.expr(
+                "c_ts BETWEEN p_ts - INTERVAL 1800 SECOND "
+                "AND p_ts + INTERVAL 1800 SECOND"
+            ),
+        )
+        .select("probe_id", "click_id")
+        .toPandas()
+    )
+    assert len(got) == len(exp) > 0
+    assert set(zip(got.probe_id, got.click_id)) == set(
+        zip(exp.probe_id, exp.click_id)
+    )
