@@ -435,7 +435,10 @@ def connected_components(
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     small = max(2, min(target, n_edges // 50_000 + 2))
     if small < target:
+        wide = sym
         sym = sym.repartition(small).cache()
+        sym.count()  # materialize the narrow copy, then drop the wide one
+        wide.unpersist()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

@@ -54,9 +54,12 @@ def pack_sequences(
     for pid in sorted(totals):
         offsets[pid] = offset
         offset += totals[pid]
-    offset_expr = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )[F.col("__pid")]
+    if offsets:
+        offset_expr = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("__pid")]
+    else:  # empty input: zero-arg create_map is untyped -> plain 0
+        offset_expr = F.lit(0)
 
     w = Window.partitionBy("__pid").orderBy(
         F.col("__len").desc(), F.col(id_col)

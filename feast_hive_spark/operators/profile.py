@@ -21,6 +21,8 @@ def profile_columns(df: DataFrame, numeric_cols: Sequence[str]) -> DataFrame:
     Output: (column, n_rows, n_null, n_distinct, min_val, max_val,
     mean_val) — one row per profiled column, computed in a SINGLE
     aggregate over a single scan however many columns are profiled."""
+    if not numeric_cols:
+        raise ValueError("profile_columns requires at least one column")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in numeric_cols:
         col = F.col(c).cast("double")

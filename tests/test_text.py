@@ -144,3 +144,10 @@ def test_pack_sequences_semantics(spark):
     # bins overrun by at most one doc
     per_bin = got.groupby("bin_id")["n_tok"].sum()
     assert (per_bin <= 500 + pdf.n_tok.max()).all()
+
+
+def test_pack_sequences_empty(spark):
+    from feast_hive_spark.operators.pack import pack_sequences
+
+    empty = spark.createDataFrame([], "doc_id long, n_tok long")
+    assert pack_sequences(empty, "doc_id", "n_tok", capacity=100).count() == 0
