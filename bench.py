@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine_lsh",
     "dedup_components",
     "decontaminate_vs_benchmark",
+    "curation_pipeline",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

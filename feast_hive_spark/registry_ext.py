@@ -870,3 +870,61 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").cast("long").alias("n_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "curation_pipeline",
+    f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {X.duck_quality_score('text')} AS quality,
+         CAST({X.duck_token_count_ws('text')} AS BIGINT) AS n_tok
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), survivors AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+), lens AS (
+  SELECT k.doc_id, k.n_tok, k.quality
+  FROM kept k JOIN survivors s ON s.doc_id = k.doc_id
+), ordered AS (
+  SELECT doc_id, n_tok, quality,
+         SUM(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM lens
+)
+SELECT doc_id, n_tok, ROUND(quality, 6) AS quality,
+       CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin_id
+FROM ordered
+""",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation story in ONE lazy plan:
+    quality-score filter -> exact-dedup survivor selection -> sequence
+    packing into 2048-token bins. Every stage is an operator gated on
+    its own elsewhere; this entry proves they COMPOSE - one logical
+    plan, Catalyst free to pipeline the filter into the scan, the
+    dedup argmin into one shuffle, and the packing prefix-sum on the
+    (already small) survivor set."""
+    from feast_hive_spark.operators.pack import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        X.quality_score("text").alias("quality"),
+        X.token_count_ws("text").cast("long").alias("n_tok"),
+    ).filter(F.col("quality") >= 0.5)
+    survivors = (
+        scored.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    lens = scored.join(survivors, "doc_id").select("doc_id", "n_tok", "quality")
+    packed = pack_sequences(
+        lens.select("doc_id", "n_tok"), "doc_id", "n_tok", capacity=2048
+    )
+    return (
+        packed.join(lens.select("doc_id", F.round("quality", 6).alias("quality")), "doc_id")
+        .select("doc_id", "n_tok", "quality", "bin_id")
+    )
