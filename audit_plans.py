@@ -37,6 +37,12 @@ AUDITS = {
     "q4_priority_with_returns": (["LeftSemi", "PushedFilters"], ["CartesianProduct"]),
     # q13: LEFT JOIN with ON-clause predicate; status filter pushed to
     # the orders scan, outer join preserved
+    # q11: per-part agg shuffles once; the global threshold is a 1-row
+    # broadcast (the only intended nested loop); supplier side broadcast
+    "q11_important_part_values": (
+        ["BroadcastHashJoin", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     "q13_customer_distribution": (["PushedFilters"], ["CartesianProduct"]),
     # q19: single-side conjuncts of the OR must be extracted and pushed
     # below the broadcast join

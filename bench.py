@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "q6_revenue_delta",
     "q7_nation_volume_shipping",
     "q9_product_type_profit",
+    "q11_important_part_values",
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",

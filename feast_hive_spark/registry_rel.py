@@ -1188,3 +1188,59 @@ def q20_part_family_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("tot_qty", 2).alias("tot_qty"),
         )
     )
+
+
+@register(
+    "q11_important_part_values",
+    """
+WITH partvalue AS (
+  SELECT l.l_partkey,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_7', 'NATION_8', 'NATION_9')
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, ROUND(value, 2) AS value
+FROM partvalue
+WHERE value > (SELECT ROUND(SUM(value) * 0.001, 0) FROM partvalue)
+""",
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock), adapted to lineitem-as-partsupp
+    like q2/q20 (no partsupp table in this dataset; reference domain has
+    arbitrary Hive tables, hive.py:224-237). Per-part value concentration
+    vs a global-fraction threshold: the HAVING subquery total is the same
+    aggregate re-reduced, broadcast as a 1-row literal (crossJoin of a
+    scalar, never a driver collect). The per-part aggregation shuffles
+    once on l_partkey; the global total is a map-side partial over that
+    already-reduced output, so the threshold costs no second scan at
+    scale. Threshold rounded to integer on both engines so float
+    summation order cannot flip a boundary row (q22 pattern)."""
+    nations = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9")
+    )
+    supp = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    partvalue = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value"
+            )
+        )
+    )
+    thr = partvalue.agg(F.round(F.sum("value") * 0.001, 0).alias("__thr"))
+    return (
+        partvalue.crossJoin(F.broadcast(thr))
+        .filter(F.col("value") > F.col("__thr"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
