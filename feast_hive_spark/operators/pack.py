@@ -38,12 +38,18 @@ def pack_sequences(
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    base = df.select(
-        F.col(id_col), F.col(len_col).cast("long").alias("__len")
+    base = df.withColumn("__len", F.col(len_col).cast("long"))
+    # The per-partition totals pass below is eager, so without a cache
+    # the (possibly expensive) upstream plan would run twice — once for
+    # the totals and again for the returned DataFrame. Cache the
+    # range-partitioned input: the totals job populates it, the final
+    # window reads it back. Extra (non id/len) columns ride along so
+    # callers don't need a join to recover them.
+    ordered = (
+        base.repartitionByRange(n_part, F.col("__len").desc(), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
     )
-    ordered = base.repartitionByRange(
-        n_part, F.col("__len").desc(), F.col(id_col)
-    ).withColumn("__pid", F.spark_partition_id())
 
     totals = {
         r["__pid"]: r["__sum"]
@@ -65,10 +71,11 @@ def pack_sequences(
         F.col("__len").desc(), F.col(id_col)
     )
     cum = F.sum("__len").over(w) + F.coalesce(offset_expr, F.lit(0))
+    extra = [c for c in df.columns if c not in (id_col, len_col)]
     return (
         ordered.withColumn(
             "bin_id",
             F.floor((cum - F.col("__len")) / F.lit(capacity)).cast("long"),
         )
-        .select(F.col(id_col), F.col("__len").alias(len_col), "bin_id")
+        .select(F.col(id_col), F.col("__len").alias(len_col), *extra, "bin_id")
     )

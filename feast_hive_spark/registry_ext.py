@@ -920,11 +920,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    lens = scored.join(survivors, "doc_id").select("doc_id", "n_tok", "quality")
-    packed = pack_sequences(
-        lens.select("doc_id", "n_tok"), "doc_id", "n_tok", capacity=2048
+    lens = scored.join(survivors, "doc_id").select(
+        "doc_id", "n_tok", F.round("quality", 6).alias("quality")
     )
-    return (
-        packed.join(lens.select("doc_id", F.round("quality", 6).alias("quality")), "doc_id")
-        .select("doc_id", "n_tok", "quality", "bin_id")
+    # quality rides through the packer (passthrough columns), so the
+    # scan -> score -> dedup subtree is computed exactly once (the
+    # packer's eager totals pass populates its cache) — no join-back.
+    return pack_sequences(lens, "doc_id", "n_tok", capacity=2048).select(
+        "doc_id", "n_tok", "quality", "bin_id"
     )
