@@ -43,6 +43,13 @@ AUDITS = {
         ["BroadcastHashJoin", "PushedFilters"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # hash split: stateless per-row assignment; only the 3-group agg
+    # may exchange — no join, no window
+    "split_train_val_test": (["HashAggregate"], ["SortMergeJoin", "Window"]),
+    # stratified exact: ONE window keyed by stratum, no join
+    "stratified_sample_by_lang": (["Window"], ["SortMergeJoin", "CartesianProduct"]),
+    # scrub: pure map — a single regexp project, zero exchanges
+    "scrub_forbidden_terms": ([], ["Exchange", "Join"]),
     "q13_customer_distribution": (["PushedFilters"], ["CartesianProduct"]),
     # q19: single-side conjuncts of the OR must be extracted and pushed
     # below the broadcast join

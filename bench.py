@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "dedup_components",
     "decontaminate_vs_benchmark",
     "curation_pipeline",
+    "split_train_val_test",
+    "stratified_sample_by_lang",
+    "scrub_forbidden_terms",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -1,0 +1,129 @@
+"""Corpus-curation operators: deterministic train/val/test splits,
+stratified sampling, and forbidden-term scrubbing.
+
+These are the bookkeeping steps of a training-data pipeline that must
+be REPRODUCIBLE across runs, engines, and cluster sizes — so every
+random choice here is an md5-derived hash of row identity (the repo's
+cross-engine ``H48`` primitive, functions/text.py), never an RNG.
+That makes each operator a pure, shuffle-free map (split, scrub) or a
+single keyed shuffle (exact stratified sample), and lets DuckDB twins
+hash-gate them exactly.
+
+Scale notes (100 TB):
+- ``hash_split`` is stateless per-row — no shuffle, no state, and the
+  assignment of a given id never changes when the corpus grows; new
+  docs land in splits at the configured rates.
+- ``stratified_sample`` exact mode shuffles on the stratum key; a
+  dominant stratum (e.g. 90 % English) serializes that stratum's sort
+  into one task. ``mode="hash"`` is the scale path: a stateless
+  per-row hash-threshold filter with expected (not exact) per-stratum
+  fractions and zero shuffles.
+- ``scrub_terms`` is one regexp pass inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from feast_hive_spark.functions.text import h48
+
+#: basis-point resolution for hash-derived fractions (1/10000)
+_BP = 10000
+
+
+def _bucket(id_col: str, salt: str) -> Column:
+    """Deterministic [0, _BP) bucket of a row id under a salt."""
+    return F.pmod(
+        h48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(_BP),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fracs: Sequence[float] = (0.9, 0.05, 0.05),
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Append a ``split`` column assigning each row to a named split.
+
+    Buckets ``H48(salt ':' id) mod 10000`` against cumulative
+    fraction thresholds. Deterministic in the id alone: re-runs,
+    repartitioning, and corpus growth never move an existing row
+    between splits (the property that keeps eval sets uncontaminated
+    across dataset versions)."""
+    if len(fracs) != len(names):
+        raise ValueError("fracs and names must align")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"fracs must sum to 1, got {sum(fracs)}")
+    b = _bucket(id_col, salt)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    thresholds = []
+    for frac in fracs[:-1]:
+        cum += frac
+        thresholds.append(int(round(cum * _BP)))
+    for name, thr in zip(reversed(names[:-1]), reversed(thresholds)):
+        expr = F.when(b < thr, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    frac: float,
+    id_col: str,
+    mode: str = "exact",
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep a deterministic ``frac`` of rows per stratum.
+
+    ``mode="exact"``: rank rows within each stratum by hash and keep
+    the first ``ceil(frac * n)`` — exactly reproducible counts, one
+    shuffle on the stratum key (skew-sensitive: a dominant stratum
+    sorts in one task).
+
+    ``mode="hash"``: keep rows whose hash bucket clears
+    ``frac * 10000`` — a stateless filter with binomial (expected
+    ``frac``) per-stratum counts and NO shuffle; the 100-TB path."""
+    if mode == "hash":
+        return df.filter(_bucket(id_col, salt) < int(round(frac * _BP)))
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}")
+    h = _bucket(id_col, salt)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    wc = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.lit(frac) * F.col("__n")))
+        .drop("__rn", "__n")
+    )
+
+
+def scrub_terms(
+    df: DataFrame,
+    text_col: str,
+    terms: Sequence[str],
+    token: str = "[TERM]",
+) -> DataFrame:
+    """Replace whole-word occurrences of ``terms`` with ``token``.
+
+    Adds ``{text_col}_clean`` and ``n_scrubbed`` (match count before
+    replacement). One regexp pass, whole-stage codegen, no Python —
+    the shape for lexicon redaction (PII tokens, benchmark strings,
+    boilerplate) over an arbitrarily large corpus. Patterns are
+    word-boundary alternations, valid in both Java regex and RE2 so
+    the DuckDB twin matches byte-for-byte."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    return df.withColumn(
+        f"{text_col}_clean", F.regexp_replace(F.col(text_col), pat, token)
+    ).withColumn(
+        "n_scrubbed", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+    )

@@ -929,3 +929,103 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(lens, "doc_id", "n_tok", capacity=2048).select(
         "doc_id", "n_tok", "quality", "bin_id"
     )
+
+
+# =====================================================================
+# curation bookkeeping: splits, stratified sampling, term scrubbing
+# =====================================================================
+
+_SPLIT_B = (
+    "CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12)) "
+    "AS BIGINT) % 10000"
+)
+_STRAT_H = (
+    "CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 12)) "
+    "AS BIGINT) % 10000"
+)
+
+
+@register(
+    "split_train_val_test",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST({X.duck_token_count_ws('text')} AS BIGINT) AS n_tok,
+         {_SPLIT_B} AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM t
+GROUP BY 1
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 hash split with per-split doc/token
+    tallies. The assignment is a stateless per-row hash (no shuffle,
+    no RNG, stable under corpus growth — eval rows can never leak into
+    train on a re-run); the only exchange is the 3-group final agg."""
+    from feast_hive_spark.operators.curate import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = hash_split(docs, "doc_id", (0.9, 0.05, 0.05))
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count_ws("text").cast("long")).alias("sum_tok"),
+    )
+
+
+@register(
+    "stratified_sample_by_lang",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         {X.duck_language_id('text')} AS lang,
+         {_STRAT_H} AS h
+  FROM documents
+)
+SELECT doc_id, lang
+FROM t
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        <= CAST(ceil(0.2 * (COUNT(*) OVER (PARTITION BY lang))) AS BIGINT)
+""",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20 % per-language sample: hash-ranked row_number vs a
+    per-stratum count, one shuffle keyed by language. The shuffle-free
+    approximate path (mode="hash") is tested against this one in
+    tests/test_curate.py; both are deterministic in doc_id."""
+    from feast_hive_spark.operators.curate import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", X.language_id("text").alias("lang")
+    )
+    return stratified_sample(docs, "lang", 0.2, "doc_id", mode="exact")
+
+
+_SCRUB_PAT = r"\b(customer|supplier|order)\b"
+
+
+@register(
+    "scrub_forbidden_terms",
+    f"""
+SELECT doc_id,
+       md5(regexp_replace(text, '{_SCRUB_PAT}', '[TERM]', 'g')) AS clean_md5,
+       CAST(len(regexp_extract_all(text, '{_SCRUB_PAT}')) AS BIGINT) AS n_scrubbed
+FROM documents
+""",
+)
+def scrub_forbidden_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-word lexicon scrub (the PII/benchmark-redaction shape):
+    one codegen'd regexp pass, zero shuffles; gated on the md5 of the
+    scrubbed text so the replacement itself is byte-verified."""
+    from feast_hive_spark.operators.curate import scrub_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = scrub_terms(docs, "text", ["customer", "supplier", "order"])
+    return out.select(
+        "doc_id", F.md5("text_clean").alias("clean_md5"), "n_scrubbed"
+    )

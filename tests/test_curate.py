@@ -1,0 +1,107 @@
+"""Curation operators: deterministic hash split, stratified sampling
+(exact vs hash mode), whole-word term scrubbing."""
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feast_hive_spark.operators.curate import (
+    hash_split,
+    scrub_terms,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=2000):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(n)),
+                "grp": [f"g{i % 3}" for i in range(n)],
+            }
+        )
+    )
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    df = _docs(spark)
+    out = hash_split(df, "doc_id", (0.8, 0.1, 0.1)).toPandas()
+    counts = out["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    # binomial tolerance at n=2000: train within [0.75, 0.85]
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    # determinism: repartitioned input yields the identical assignment
+    out2 = (
+        hash_split(df.repartition(13), "doc_id", (0.8, 0.1, 0.1))
+        .toPandas()
+        .set_index("doc_id")["split"]
+        .sort_index()
+    )
+    assert (out.set_index("doc_id")["split"].sort_index() == out2).all()
+
+
+def test_hash_split_stable_under_growth(spark):
+    """An id's split never changes when the corpus grows."""
+    small = hash_split(_docs(spark, 500), "doc_id").toPandas()
+    big = hash_split(_docs(spark, 2000), "doc_id").toPandas()
+    merged = small.merge(big, on="doc_id", suffixes=("_s", "_b"))
+    assert (merged["split_s"] == merged["split_b"]).all()
+
+
+def test_hash_split_validates_args(spark):
+    df = _docs(spark, 10)
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", (0.5, 0.4))  # doesn't sum to 1
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", (0.5, 0.5), names=("a",))
+
+
+def test_stratified_exact_counts(spark):
+    df = _docs(spark, 900)  # 300 per group
+    out = stratified_sample(df, "grp", 0.1, "doc_id", mode="exact").toPandas()
+    assert out.groupby("grp").size().tolist() == [30, 30, 30]
+    # deterministic: same rows again
+    out2 = stratified_sample(df, "grp", 0.1, "doc_id", mode="exact").toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_stratified_hash_mode_approximates_exact(spark):
+    df = _docs(spark, 3000)
+    out = stratified_sample(df, "grp", 0.2, "doc_id", mode="hash").toPandas()
+    per = out.groupby("grp").size() / 1000
+    assert ((per > 0.14) & (per < 0.26)).all()
+    # hash mode is a pure filter: no exchange in the plan
+    plan = stratified_sample(
+        df, "grp", 0.2, "doc_id", mode="hash"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_scrub_terms_matches_python_re(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "the customer met a supplier",
+                    "customers are not scrubbed (substring)",
+                    "order order ORDER",  # case-sensitive: 2 hits
+                    "nothing here",
+                ],
+            }
+        )
+    )
+    out = (
+        scrub_terms(df, "text", ["customer", "supplier", "order"])
+        .toPandas()
+        .set_index("doc_id")
+    )
+    pat = re.compile(r"\b(customer|supplier|order)\b")
+    src = df.toPandas().set_index("doc_id")
+    for i in src.index:
+        assert out.loc[i, "text_clean"] == pat.sub("[TERM]", src.loc[i, "text"])
+        assert out.loc[i, "n_scrubbed"] == len(pat.findall(src.loc[i, "text"]))
+    with pytest.raises(ValueError):
+        scrub_terms(df, "text", [])
