@@ -50,6 +50,11 @@ AUDITS = {
     "stratified_sample_by_lang": (["Window"], ["SortMergeJoin", "CartesianProduct"]),
     # scrub: pure map — a single regexp project, zero exchanges
     "scrub_forbidden_terms": ([], ["Exchange", "Join"]),
+    # repetition stats: pure map — nested lambdas, zero exchanges
+    "text_repetition_stats": ([], ["Exchange", "Join"]),
+    # mix weights: two-level reduce; the only nested loop is the 1-row
+    # totals broadcast
+    "corpus_mix_weights": (["HashAggregate"], ["SortMergeJoin"]),
     "q13_customer_distribution": (["PushedFilters"], ["CartesianProduct"]),
     # q19: single-side conjuncts of the OR must be extracted and pushed
     # below the broadcast join

@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "split_train_val_test",
     "stratified_sample_by_lang",
     "scrub_forbidden_terms",
+    "text_repetition_stats",
+    "langid_confusion",
+    "corpus_mix_weights",
+    "label_centroids",
+    "knn_label_accuracy",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -177,6 +177,75 @@ def token_hashes(col: str) -> Column:
     )
 
 
+def bigrams_of(w: Column) -> Column:
+    """Word bigram array from an ALREADY-MATERIALIZED token array
+    column, duplicates kept (repetition weighting).
+
+    Callers must project the token array into a named column first
+    (so it's a bound attribute, not an inline split() expression):
+    inside a transform() lambda an inline expression is re-evaluated
+    per element, turning the row cost quadratic in document length.
+    element_at on a materialized array is O(1)."""
+    return F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigrams(col: str) -> Column:
+    """Word bigram array of a raw text column. Convenience wrapper —
+    for hot paths project words(col) first and use bigrams_of (see
+    its docstring for why)."""
+    return bigrams_of(words(col))
+
+
+def distinct_ratio(arr: Column) -> Column:
+    """|distinct| / |all| of an array column (lexical diversity)."""
+    return F.round(
+        F.size(F.array_distinct(arr))
+        / F.greatest(F.size(arr), F.lit(1)).cast("double"),
+        6,
+    )
+
+
+def top_freq_frac(arr: Column) -> Column:
+    """Frequency share of the modal element: count(mode) / |arr|.
+
+    Modal count == longest equal-run in the sorted array, so this is
+    array_sort + one aggregate() pass with a (prev, run, best) struct
+    accumulator — O(n log n) per row, pure map, no shuffle. (The naive
+    distinct×filter nested-lambda form is O(distinct·n) per row and
+    was measured 100×+ slower on real documents at sf0.1.)"""
+    best = F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc.prev), acc.run + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return F.round(
+        best / F.greatest(F.size(arr), F.lit(1)).cast("double"),
+        6,
+    )
+
+
 def simhash(col: str) -> Column:
     """SimHash fingerprint over token hashes: bit i of the output is 1
     iff the sum over tokens of (+1 if bit i of the token hash else -1)
@@ -300,3 +369,31 @@ def duck_simhash(col: str) -> str:
             f"(CASE WHEN coalesce({vote}, 0) >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         )
     return " + ".join(bit_terms)
+
+
+def duck_bigrams(col: str) -> str:
+    w = duck_words(col)
+    return (
+        f"CASE WHEN len({w}) >= 2 THEN "
+        f"list_transform(range(1, len({w})), "
+        f"i -> {w}[i] || ' ' || {w}[i+1]) "
+        f"ELSE [] END"
+    )
+
+
+def duck_distinct_ratio(arr: str) -> str:
+    return (
+        f"ROUND(len(list_distinct({arr})) "
+        f"/ CAST(greatest(len({arr}), 1) AS DOUBLE), 6)"
+    )
+
+
+def duck_top_freq_frac(arr: str) -> str:
+    top = (
+        f"list_max(list_transform(list_distinct({arr}), "
+        f"x -> len(list_filter({arr}, y -> y = x))))"
+    )
+    return (
+        f"ROUND(coalesce({top}, 0) "
+        f"/ CAST(greatest(len({arr}), 1) AS DOUBLE), 6)"
+    )

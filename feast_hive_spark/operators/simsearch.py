@@ -329,3 +329,96 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --- embedding-label analytics ------------------------------------------
+
+def label_centroids(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-label elementwise centroid of an embedding column, one row
+    per (label, pos) with the mean component value.
+
+    posexplode -> (label, pos) hash aggregate: the shuffle key space is
+    n_labels x dim (tiny, fixed), so partial aggregation collapses the
+    corpus map-side and the exchange carries kilobytes regardless of
+    row count — the right shape at any scale. Component sums accumulate
+    in integer micro-units so float summation order is identical across
+    engines (and across cluster sizes)."""
+    x = df.select(
+        F.col(label_col).cast("long").alias("label"),
+        F.posexplode(vec_col).alias("pos", "__v"),
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("__v").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("__vu"),
+    )
+    return (
+        x.groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum("__vu") / (1000000.0 * F.count(F.lit(1))), 6
+            ).alias("centroid_val")
+        )
+    )
+
+
+def knn_label_accuracy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """kNN label-consistency evaluation: predict each vector's label by
+    majority vote of its k nearest neighbors (cosine, self excluded),
+    and report per-label (n, n_correct) — the embedding-quality probe a
+    pipeline runs before trusting clusters or ANN filters.
+
+    The all-pairs distance matrix comes from the distributed block-pair
+    kernel (dedup._block_cosine_pairs): no driver collect, per-task
+    memory O(block x dim), FLOPs spread across the cluster. Exact
+    evaluation is inherently O(n^2) — at 100 TB you run it on a
+    hash-sampled slice (operators/curate.py:hash_split) or feed LSH
+    candidates instead; the vote/accuracy tail of the plan is identical
+    either way. Ranking ties break on (cosine desc, neighbor id), votes
+    on (count desc, label asc) — deterministic across engines."""
+    from feast_hive_spark.operators.dedup import _block_cosine_pairs
+
+    labels = df.select(
+        F.col(id_col).alias("__id"), F.col(label_col).cast("long").alias("__lbl")
+    )
+    pairs = _block_cosine_pairs(df, id_col, vec_col, threshold=-1.1)
+    sym = pairs.select(
+        F.col("id_a").alias("q"), F.col("id_b").alias("nb"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("q"), F.col("id_a").alias("nb"), "cosine"
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("nb"))
+    topk = (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .join(labels.withColumnRenamed("__id", "nb"), "nb")
+        .withColumnRenamed("__lbl", "nb_label")
+    )
+    votes = topk.groupBy("q", "nb_label").agg(F.count(F.lit(1)).alias("__c"))
+    wv = Window.partitionBy("q").orderBy(F.desc("__c"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .select("q", F.col("nb_label").alias("pred"))
+    )
+    return (
+        pred.join(labels.withColumnRenamed("__id", "q"), "q")
+        .groupBy(F.col("__lbl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("pred") == F.col("__lbl"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )

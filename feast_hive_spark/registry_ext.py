@@ -1029,3 +1029,185 @@ def scrub_forbidden_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.md5("text_clean").alias("clean_md5"), "n_scrubbed"
     )
+
+
+@register(
+    "text_repetition_stats",
+    f"""
+SELECT doc_id,
+       CAST({X.duck_token_count_ws('text')} AS BIGINT) AS n_tok,
+       {X.duck_distinct_ratio(X.duck_words('text'))} AS distinct_tok_ratio,
+       {X.duck_top_freq_frac(X.duck_bigrams('text'))} AS top_bigram_frac
+FROM documents
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity quality signals (the Gopher-rules shape):
+    lexical diversity (distinct-token ratio) and the frequency share of
+    the modal bigram. Pure map over the scan — zero shuffles, and each
+    row costs O(n log n) in its own token count (sorted run-length for
+    the mode), so the operator is linear in corpus size at any scale.
+
+    The token/bigram arrays are projected as named columns BEFORE the
+    lambda-consuming expressions: multi-use expensive aliases survive
+    CollapseProject, so split() runs once per row instead of once per
+    array element (measured 16× on sf0.1)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", X.words("text").alias("__w"))
+    bg = w.select(
+        "doc_id", "__w", X.bigrams_of(F.col("__w")).alias("__bg")
+    )
+    return bg.select(
+        "doc_id",
+        F.size("__w").cast("long").alias("n_tok"),
+        X.distinct_ratio(F.col("__w")).alias("distinct_tok_ratio"),
+        X.top_freq_frac(F.col("__bg")).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "langid_confusion",
+    f"""
+SELECT lang AS gold, pred, COUNT(*) AS n
+FROM (
+  SELECT lang, {X.duck_language_id('text')} AS pred FROM documents
+)
+GROUP BY lang, pred
+""",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID evaluated against the corpus's gold
+    ``lang`` column as a confusion matrix — the classifier-quality
+    report a pipeline runs before trusting a filter. One scan, one
+    tiny-key agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("gold"),
+            X.language_id("text").alias("pred"),
+        )
+        .groupBy("gold", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "corpus_mix_weights",
+    f"""
+WITH scored AS (
+  SELECT source,
+         CAST({X.duck_token_count_ws('text')} AS BIGINT) AS n_tok,
+         CAST(ROUND({X.duck_quality_score('text')} * 1000000, 0) AS BIGINT) AS q_u
+  FROM documents
+), g AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         ROUND(SUM(q_u) / (1000000.0 * COUNT(*)), 6) AS avg_quality
+  FROM scored GROUP BY source
+)
+SELECT source, n_docs, sum_tok, avg_quality,
+       ROUND(CAST((SELECT SUM(n_docs) FROM g) AS DOUBLE)
+             / ((SELECT COUNT(*) FROM g) * n_docs), 6) AS mix_weight
+FROM g
+""",
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix report per source + the deterministic resampling
+    weight that would rebalance to a uniform source mix
+    (weight = total/(n_sources·n_docs); >1 upsample, <1 downsample).
+    Quality is averaged in integer micro-units so float summation
+    order can't flake the hash. The totals are a second reduce over
+    the (tiny) grouped result, broadcast back — no second corpus
+    scan, no driver collect."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        X.token_count_ws("text").cast("long").alias("n_tok"),
+        F.round(X.quality_score("text") * 1000000, 0)
+        .cast("long")
+        .alias("q_u"),
+    )
+    g = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.round(F.sum("q_u") / (1000000.0 * F.count(F.lit(1))), 6).alias(
+            "avg_quality"
+        ),
+    )
+    tot = g.agg(
+        F.sum("n_docs").alias("__tot"),
+        F.count(F.lit(1)).alias("__nsrc"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sum_tok",
+        "avg_quality",
+        F.round(
+            F.col("__tot").cast("double") / (F.col("__nsrc") * F.col("n_docs")), 6
+        ).alias("mix_weight"),
+    )
+
+
+@register(
+    "label_centroids",
+    """
+WITH x AS (
+  SELECT CAST(label AS BIGINT) AS label, i AS pos,
+         CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vu
+  FROM embeddings, range(0, 64) r(i)
+  WHERE i < len(embedding)
+)
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       ROUND(SUM(vu) / (1000000.0 * COUNT(*)), 6) AS centroid_val
+FROM x
+GROUP BY label, pos
+""",
+)
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (posexplode -> tiny-key agg;
+    micro-unit sums make the float reduction order-independent)."""
+    from feast_hive_spark.operators.simsearch import label_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = label_centroids(emb, "embedding", "label")
+    return out.select("label", F.col("pos").cast("long").alias("pos"), "centroid_val")
+
+
+@register(
+    "knn_label_accuracy",
+    f"""
+WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label FROM embeddings),
+p AS (
+  SELECT a.vec_id AS q, b.vec_id AS nb, b.label AS nb_label,
+         ROUND({V.duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), topk AS (
+  SELECT q, nb_label FROM (
+    SELECT q, nb_label,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, nb) AS rn
+    FROM p
+  ) WHERE rn <= 5
+), votes AS (
+  SELECT q, nb_label, COUNT(*) AS c FROM topk GROUP BY q, nb_label
+), pred AS (
+  SELECT q, nb_label AS pred FROM (
+    SELECT q, nb_label,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, nb_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT e.label AS label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN pr.pred = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM pred pr JOIN e ON e.vec_id = pr.q
+GROUP BY e.label
+""",
+)
+def knn_label_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-consistency (k=5 majority vote) per label — the
+    embedding-quality probe; all-pairs via the distributed block
+    kernel, no driver collect."""
+    from feast_hive_spark.operators.simsearch import knn_label_accuracy
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return knn_label_accuracy(emb, "vec_id", "embedding", "label", k=5)

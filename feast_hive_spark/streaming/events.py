@@ -128,6 +128,28 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact-dedup on arrival keys — idempotent ingest for
+    at-least-once upstreams (kafka redeliveries, file re-drops), the
+    streaming twin of ``operators/dedup.py:exact_dedup``.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key
+    seen inside the watermark horizon and EVICTS it once event time
+    passes key_ts + watermark — state is bounded by the duplicate
+    window, not stream lifetime (a plain ``dropDuplicates`` on a
+    stream would grow state forever). Duplicates arriving later than
+    the watermark are by-contract re-emitted; size the watermark to
+    the upstream's redelivery window."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def stream_interval_join(
     events: DataFrame,
     window_seconds: int = 1800,

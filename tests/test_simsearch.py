@@ -99,3 +99,63 @@ def test_brute_force_no_self_rows_tiny_corpus(spark):
     assert (got.query_id != got.neighbor_id).all()
     assert np.isfinite(got.cosine).all()
     assert len(got) == 2  # only two non-self candidates exist
+
+
+def test_label_centroids_match_numpy(emb, emb_np, spark):
+    from feast_hive_spark.operators.simsearch import label_centroids
+
+    got = label_centroids(emb, "embedding", "label").toPandas()
+    pdf = emb.select("vec_id", "label").toPandas()
+    ids, V = emb_np
+    # numpy twin with the same micro-unit accumulation
+    import numpy as np
+
+    raw = emb.select("embedding").toPandas()["embedding"]
+    M = np.array([np.asarray(v, dtype=np.float64) for v in raw])
+
+    def half_away(x, dec=0):  # Spark/DuckDB ROUND, not numpy's half-even
+        s = 10.0**dec
+        return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+    Vu = half_away(M * 1_000_000)
+    for lbl in pdf.label.unique():
+        mask = (pdf.label == lbl).to_numpy()
+        exp = half_away(Vu[mask].sum(axis=0) / (1_000_000.0 * mask.sum()), 6)
+        sub = got[got.label == lbl].sort_values("pos")
+        assert np.allclose(sub.centroid_val.to_numpy(), exp, atol=1e-9)
+
+
+def test_knn_label_accuracy_matches_numpy(emb, emb_np):
+    from feast_hive_spark.operators.simsearch import knn_label_accuracy
+
+    got = (
+        knn_label_accuracy(emb, "vec_id", "embedding", "label", k=5)
+        .toPandas()
+        .set_index("label")
+        .sort_index()
+    )
+    ids, Vn = emb_np
+    labels = emb.select("vec_id", "label").toPandas().set_index("vec_id")["label"]
+    import numpy as np
+
+    S = np.round(Vn @ Vn.T, 6)
+    order = np.argsort(ids)
+    correct: dict[int, int] = {}
+    total: dict[int, int] = {}
+    for qi, q in enumerate(ids):
+        sims = [
+            (-S[qi, ci], ids[ci]) for ci in range(len(ids)) if ids[ci] != q
+        ]
+        sims.sort()
+        top = [labels[nb] for _, nb in sims[:5]]
+        votes: dict[int, int] = {}
+        for lb in top:
+            votes[lb] = votes.get(lb, 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        gold = labels[q]
+        total[gold] = total.get(gold, 0) + 1
+        if pred == gold:
+            correct[gold] = correct.get(gold, 0) + 1
+    for lbl in total:
+        assert got.loc[lbl, "n"] == total[lbl]
+        assert got.loc[lbl, "n_correct"] == correct.get(lbl, 0)

@@ -378,3 +378,61 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
     assert set(zip(got.probe_id, got.click_id)) == set(
         zip(exp.probe_id, exp.click_id)
     )
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Exact duplicates redelivered in a LATER micro-batch must be
+    suppressed by dropDuplicatesWithinWatermark state (idempotent
+    ingest); output keys equal the batch-distinct set."""
+    from datetime import datetime, timedelta
+    from pathlib import Path
+
+    import pandas as pd
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = pd.DataFrame(
+        {
+            "event_id": list(range(50)),
+            "ts": [t0 + timedelta(minutes=i) for i in range(50)],
+            "value": [float(i) for i in range(50)],
+        }
+    )
+    # batch 1: originals; batch 2: the SAME rows redelivered (plus a
+    # watermark-advancing fresh row so the second file isn't dropped
+    # wholesale by file-source dedup of identical paths)
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b1")
+    )
+    redelivered = pd.concat(
+        [
+            rows,
+            pd.DataFrame(
+                {
+                    "event_id": [999],
+                    "ts": [t0 + timedelta(minutes=55)],
+                    "value": [999.0],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    spark.createDataFrame(redelivered).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .format("parquet")
+        .option("path", f"{src}/*")
+        .option("maxFilesPerTrigger", 1)  # force per-file micro-batches
+        .load()
+    )
+    out = SE.dedup_stream(stream, ("event_id",), watermark="2 hours")
+    SE.run_to_memory(out, "dedup_stream_sink", output_mode="append")
+    got = spark.sql("SELECT event_id FROM dedup_stream_sink").toPandas()
+
+    assert len(got) == 51  # 50 originals + the fresh row, dups dropped
+    assert got.event_id.is_unique
+    assert set(got.event_id) == set(range(50)) | {999}
