@@ -50,6 +50,13 @@ AUDITS = {
     "stratified_sample_by_lang": (["Window"], ["SortMergeJoin", "CartesianProduct"]),
     # scrub: pure map — a single regexp project, zero exchanges
     "scrub_forbidden_terms": ([], ["Exchange", "Join"]),
+    # pii: pure regex map — zero exchanges
+    "pii_scrub_stats": ([], ["Exchange", "Join"]),
+    # gopher flags: pure map — integer threshold algebra, zero exchanges
+    "gopher_quality_flags": ([], ["Exchange", "Join"]),
+    # zipf: partial agg must collapse corpus map-side before the
+    # token exchange; window runs over vocab only
+    "vocab_zipf": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
     # repetition stats: pure map — nested lambdas, zero exchanges
     "text_repetition_stats": ([], ["Exchange", "Join"]),
     # mix weights: two-level reduce; the only nested loop is the 1-row

@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "split_train_val_test",
     "stratified_sample_by_lang",
     "scrub_forbidden_terms",
+    "pii_scrub_stats",
+    "gopher_quality_flags",
+    "vocab_zipf",
     "text_repetition_stats",
     "langid_confusion",
     "corpus_mix_weights",

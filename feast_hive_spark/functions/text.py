@@ -213,15 +213,15 @@ def distinct_ratio(arr: Column) -> Column:
     )
 
 
-def top_freq_frac(arr: Column) -> Column:
-    """Frequency share of the modal element: count(mode) / |arr|.
+def modal_count(arr: Column) -> Column:
+    """Occurrence count of the modal element (0 for empty arrays).
 
     Modal count == longest equal-run in the sorted array, so this is
     array_sort + one aggregate() pass with a (prev, run, best) struct
     accumulator — O(n log n) per row, pure map, no shuffle. (The naive
     distinct×filter nested-lambda form is O(distinct·n) per row and
     was measured 100×+ slower on real documents at sf0.1.)"""
-    best = F.aggregate(
+    return F.aggregate(
         F.array_sort(arr),
         F.struct(
             F.lit(None).cast("string").alias("prev"),
@@ -240,10 +240,55 @@ def top_freq_frac(arr: Column) -> Column:
         ),
         lambda acc: acc.best,
     )
+
+
+def top_freq_frac(arr: Column) -> Column:
+    """Frequency share of the modal element: count(mode) / |arr|."""
     return F.round(
-        best / F.greatest(F.size(arr), F.lit(1)).cast("double"),
+        modal_count(arr) / F.greatest(F.size(arr), F.lit(1)).cast("double"),
         6,
     )
+
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+# redaction order matters: emails first (their domain may look like an
+# IP), then IPs, then +phone runs
+PII_PATTERNS: list[tuple[str, str]] = [
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+]
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    """Count of non-overlapping PII regex matches in a text column.
+
+    Patterns are restricted to the Java-regex ∩ RE2 common subset
+    (character classes, bounded repeats, \\b — no alternation, no
+    lookaround) so Spark and the DuckDB oracle find identical spans."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with a typed placeholder, in the fixed
+    PII_PATTERNS order. Pure codegen map — no shuffle, no Python."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def duck_pii_count(col: str, pattern: str) -> str:
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+def duck_redact_pii(col: str) -> str:
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
 
 
 def simhash(col: str) -> Column:
@@ -378,6 +423,14 @@ def duck_bigrams(col: str) -> str:
         f"list_transform(range(1, len({w})), "
         f"i -> {w}[i] || ' ' || {w}[i+1]) "
         f"ELSE [] END"
+    )
+
+
+def duck_modal_count(arr: str) -> str:
+    # quadratic list expr is fine oracle-side (sf0.01 only)
+    return (
+        f"coalesce(list_max(list_transform(list_distinct({arr}), "
+        f"x -> len(list_filter({arr}, y -> y = x)))), 0)"
     )
 
 

@@ -8,7 +8,7 @@ Importing this module populates feast_hive_spark.registry.REGISTRY.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feast_hive_spark.functions import text as X
@@ -1211,3 +1211,225 @@ def knn_label_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return knn_label_accuracy(emb, "vec_id", "embedding", "label", k=5)
+
+
+@register(
+    "pii_scrub_stats",
+    f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 3 > 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1 and 192.168.' || CAST(doc_id % 50 AS VARCHAR) || '.7' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN ' tel +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0') ELSE '' END)
+         AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST({X.duck_pii_count('t', X.PII_EMAIL_RE)} AS BIGINT) AS n_email,
+       CAST({X.duck_pii_count('t', X.PII_IPV4_RE)} AS BIGINT) AS n_ip,
+       CAST({X.duck_pii_count('t', X.PII_PHONE_RE)} AS BIGINT) AS n_phone,
+       md5({X.duck_redact_pii('t')}) AS clean_md5
+FROM aug
+""",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: per-doc counts of
+    email / IPv4 / +phone regex matches and the md5 of the redacted
+    text. Pure codegen map — one scan, zero shuffles, linear at any
+    corpus size.
+
+    The synthetic corpus contains no real PII, so both engines first
+    augment each document with DETERMINISTIC doc_id-derived PII
+    (modulo-varied so counts differ across rows) — the oracle then
+    genuinely proves the Spark (Java regex) and DuckDB (RE2) engines
+    match identical spans; patterns are restricted to the common
+    regex subset (functions/text.py:PII_PATTERNS)."""
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 > 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 200).cast("string"),
+                    F.lit(".0.1 and 192.168."),
+                    (did % 50).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" tel +1555"),
+                    F.lpad(did.cast("string"), 7, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        X.pii_count(F.col("t"), X.PII_EMAIL_RE).cast("long").alias("n_email"),
+        X.pii_count(F.col("t"), X.PII_IPV4_RE).cast("long").alias("n_ip"),
+        X.pii_count(F.col("t"), X.PII_PHONE_RE).cast("long").alias("n_phone"),
+        F.md5(X.redact_pii(F.col("t"))).alias("clean_md5"),
+    )
+
+
+_GOPHER_STOP = X._quote_list(X.EN_STOPWORDS)
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+WITH w AS (
+  SELECT doc_id,
+         {X.duck_words('text')} AS w,
+         {X.duck_bigrams('text')} AS bg
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tok,
+         CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sum_wlen,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(w, y -> y IN ({_GOPHER_STOP}))) AS BIGINT) AS n_stop,
+         CAST(len(bg) AS BIGINT) AS n_bg,
+         CAST({X.duck_modal_count('bg')} AS BIGINT) AS top_bg
+  FROM w
+)
+SELECT doc_id, n_tok,
+       (n_tok BETWEEN 30 AND 60) AS flag_len,
+       (425 * n_tok <= 100 * sum_wlen AND 100 * sum_wlen <= 455 * n_tok) AS flag_wlen,
+       (n_stop >= 2) AS flag_stop,
+       (2 * n_distinct >= n_tok) AS flag_distinct,
+       (10 * top_bg <= n_bg) AS flag_rep,
+       (n_tok BETWEEN 30 AND 60
+        AND 425 * n_tok <= 100 * sum_wlen AND 100 * sum_wlen <= 455 * n_tok
+        AND n_stop >= 2
+        AND 2 * n_distinct >= n_tok
+        AND 10 * top_bg <= n_bg) AS keep
+FROM m
+""",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality gate (the Rae et al. 2021 repetition/shape
+    heuristics re-expressed for this corpus): per-document boolean
+    flags for token-count bounds, mean word length in [4.25, 4.55],
+    >=2 stopwords, distinct-token ratio >= 0.5, and modal-bigram share
+    <= 0.1, plus the conjunctive keep decision.
+
+    Every threshold is evaluated in INTEGER arithmetic (mean-in-range
+    as cross-multiplied sums, ratios as scaled counts) so the two
+    engines can't diverge on float rounding. Pure map over one scan —
+    zero shuffles; per-row cost O(n log n) in document length."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", X.words("text").alias("__w"))
+    bg = w.select("doc_id", "__w", X.bigrams_of(F.col("__w")).alias("__bg"))
+    m = bg.select(
+        "doc_id",
+        F.size("__w").cast("long").alias("n_tok"),
+        F.aggregate(
+            F.col("__w"), F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        .cast("long")
+        .alias("sum_wlen"),
+        F.size(F.array_distinct("__w")).cast("long").alias("n_distinct"),
+        F.size(
+            F.filter(F.col("__w"), lambda x: x.isin(*X.EN_STOPWORDS))
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.size("__bg").cast("long").alias("n_bg"),
+        X.modal_count(F.col("__bg")).cast("long").alias("top_bg"),
+    )
+    flag_len = F.col("n_tok").between(30, 60)
+    flag_wlen = (425 * F.col("n_tok") <= 100 * F.col("sum_wlen")) & (
+        100 * F.col("sum_wlen") <= 455 * F.col("n_tok")
+    )
+    flag_stop = F.col("n_stop") >= 2
+    flag_distinct = 2 * F.col("n_distinct") >= F.col("n_tok")
+    flag_rep = 10 * F.col("top_bg") <= F.col("n_bg")
+    return m.select(
+        "doc_id",
+        "n_tok",
+        flag_len.alias("flag_len"),
+        flag_wlen.alias("flag_wlen"),
+        flag_stop.alias("flag_stop"),
+        flag_distinct.alias("flag_distinct"),
+        flag_rep.alias("flag_rep"),
+        (flag_len & flag_wlen & flag_stop & flag_distinct & flag_rep).alias(
+            "keep"
+        ),
+    )
+
+
+@register(
+    "vocab_zipf",
+    f"""
+WITH tok AS (
+  SELECT unnest({X.duck_words('text')}) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank,
+         SUM(n) OVER (ORDER BY n DESC, token
+                      ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n) OVER () AS tot
+  FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, n,
+       ROUND(CAST(cum_n AS DOUBLE) / tot, 6) AS cum_share
+FROM ranked
+WHERE rank <= 100
+""",
+)
+def vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token vocabulary with Zipf diagnostics: top-100 tokens by
+    frequency with deterministic rank (count desc, token asc) and the
+    cumulative frequency share — the vocabulary-skew report a pipeline
+    reads before choosing tokenizer/filters.
+
+    Shape: explode -> token-keyed hash agg (partial map-side combine
+    collapses each partition to its distinct tokens before the
+    exchange, so the shuffle carries the VOCABULARY, not the corpus)
+    -> single-partition window over the tiny count table. The global
+    window runs on n_distinct_tokens rows, never on corpus rows —
+    fine at any corpus scale (vocab is sublinear), and the top-100
+    limit is applied after rank so ties are stable cross-engine."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(X.words("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"),
+        "token",
+        "n",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("n").over(wall).alias("tot"),
+    )
+    return ranked.filter(F.col("rank") <= 100).select(
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        "n",
+        F.round(F.col("cum_n").cast("double") / F.col("tot"), 6).alias(
+            "cum_share"
+        ),
+    )

@@ -151,3 +151,40 @@ def test_pack_sequences_empty(spark):
 
     empty = spark.createDataFrame([], "doc_id long, n_tok long")
     assert pack_sequences(empty, "doc_id", "n_tok", capacity=100).count() == 0
+
+
+def test_pii_redaction_matches_python_re(spark):
+    """Spark's Java-regex redaction must agree with Python re on the
+    restricted common-subset patterns (which RE2/DuckDB also share)."""
+    import re
+
+    from feast_hive_spark.functions import text as X
+
+    fixtures = [
+        "reach me at jane.doe+spam@mail.example.co or 10.0.0.1",
+        "call +4915123456789 now; backup host 192.168.001.254 ok",
+        "no pii here at all",
+        "a@b.io x@y.z 1.2.3.4.5 +12 +1234567 999.999.999.999",
+        "trailing ip 8.8.8.8",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(fixtures)], "i long, t string")
+    got = (
+        df.select(
+            "i",
+            X.redact_pii(F.col("t")).alias("red"),
+            X.pii_count(F.col("t"), X.PII_EMAIL_RE).alias("ne"),
+            X.pii_count(F.col("t"), X.PII_IPV4_RE).alias("ni"),
+            X.pii_count(F.col("t"), X.PII_PHONE_RE).alias("np"),
+        )
+        .toPandas()
+        .set_index("i")
+        .sort_index()
+    )
+    for i, t in enumerate(fixtures):
+        exp = t
+        for pat, repl in X.PII_PATTERNS:
+            exp = re.sub(pat, repl, exp)
+        assert got.loc[i, "red"] == exp, (t, got.loc[i, "red"], exp)
+        assert got.loc[i, "ne"] == len(re.findall(X.PII_EMAIL_RE, t))
+        assert got.loc[i, "ni"] == len(re.findall(X.PII_IPV4_RE, t))
+        assert got.loc[i, "np"] == len(re.findall(X.PII_PHONE_RE, t))
