@@ -30,7 +30,10 @@ TABLES = [
     "embeddings",
 ]
 
-# Columns stored as parquet TIMESTAMP(NANOS): read as long, rebuild.
+# Columns that MAY be stored as parquet TIMESTAMP(NANOS) depending on
+# the testdata generation vintage: read as long, rebuild. Newer testdata
+# writes plain TIMESTAMP(MICROS); we detect the actual loaded dtype and
+# only convert when the reader surfaced a long.
 _NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
@@ -45,9 +48,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for c in nano_cols:
         # integer div: float division would lose precision above 2^53 ns
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

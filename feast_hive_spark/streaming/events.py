@@ -19,32 +19,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) -> long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_as_long: bool) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            # long when parquet stores TIMESTAMP(NANOS); timestamp otherwise
+            T.StructField("ts", T.LongType() if ts_as_long else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _ts_is_nanos(sf_dir: str) -> bool:
+    """Footer-only sniff: does events.parquet store ts as NANOS (which
+    Spark can only read as long)?"""
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(f"{sf_dir}/events.parquet", format="parquet").schema
+        field = schema.field("ts")
+        return str(field.type) == "timestamp[ns]"
+    except Exception:  # noqa: BLE001 - assume modern micros layout
+        return False
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch locally; on a cluster this would be a kafka source
     with the same downstream plan)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos = _ts_is_nanos(sf_dir)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_as_long=nanos))
         .format("parquet")
         .option("path", f"{sf_dir}")
         .option("pathGlobFilter", "events.parquet")
         .load()
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_counts(
