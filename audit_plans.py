@@ -13,6 +13,7 @@ import re
 import sys
 
 from feast_hive_spark.registry import REGISTRY
+import feast_hive_spark.registry_corpus  # noqa: F401
 import feast_hive_spark.registry_ext  # noqa: F401
 import feast_hive_spark.registry_rel  # noqa: F401
 from feast_hive_spark.session import get_spark

@@ -21,6 +21,7 @@ import sys
 import time
 
 from feast_hive_spark.registry import REGISTRY
+import feast_hive_spark.registry_corpus  # noqa: F401
 import feast_hive_spark.registry_ext  # noqa: F401
 import feast_hive_spark.registry_rel  # noqa: F401
 from feast_hive_spark.session import get_spark
@@ -65,6 +66,11 @@ BENCH_QUERIES = [
     "pii_scrub_stats",
     "gopher_quality_flags",
     "vocab_zipf",
+    "dedup_paragraph_chunks",
+    "bm25_search_topk",
+    "temperature_sample_by_lang",
+    "embedding_quantization_error",
+    "bigram_pmi_top",
     "text_repetition_stats",
     "langid_confusion",
     "corpus_mix_weights",

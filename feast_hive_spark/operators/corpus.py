@@ -1,0 +1,319 @@
+"""Corpus-statistics operators: chunk-level (paragraph) dedup, BM25
+relevance search, temperature-reweighted sampling, embedding
+quantization diagnostics, and PMI collocation mining.
+
+These extend the curation family (operators/curate.py) with the
+*content-aware* steps of an LLM training-data pipeline — the CCNet /
+Gopher / RETRO lineage of corpus preparation — each re-expressed as a
+declarative Spark plan with a DuckDB oracle twin (registry_ext.py).
+
+Scale notes (100 TB):
+- ``chunk_dedup`` shuffles only 8-byte chunk *hashes* to decide
+  survivors; the document text itself crosses the wire exactly once
+  (the doc-keyed reassembly join). A naive explode→window→regroup
+  would shuffle the full corpus text twice.
+- ``bm25_score`` is shuffle-free per document: term frequencies come
+  from JVM-side ``filter()`` over the token array (no explode), and
+  the corpus-level statistics (N, avgdl, per-term document
+  frequencies) are a single tiny aggregate broadcast back as a 1-row
+  cross join — the q11 scalar-threshold shape.
+- ``temperature_sample`` piggybacks on the md5 ``H48`` primitive
+  (functions/text.py): per-group keep probabilities are computed from
+  a #groups-row aggregate (broadcast), acceptance is a stateless
+  per-row hash threshold — zero data shuffles at any corpus size.
+- ``quantize_error_stats`` is elementwise array math inside codegen
+  followed by one #labels-group aggregate; per-row errors are fixed
+  to micro-unit BIGINTs before summing so cross-engine aggregation is
+  exact regardless of float summation order.
+- ``bigram_pmi`` shuffles (bigram, 1) pairs — bounded by token count,
+  never materializes per-document cross products; unigram attach
+  joins shuffle only the distinct vocabulary.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feast_hive_spark.functions.text import h48
+
+#: micro-unit scale for cross-engine-exact fixed-point sums
+_MICRO = 1_000_000
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet shape, re-chunked).
+
+    Splits each document into consecutive ``chunk_tokens``-token
+    chunks, keeps only the globally FIRST occurrence of each distinct
+    chunk (ordered by ``(id, position)``), and reassembles the
+    surviving chunks in document order. Returns one row per document:
+    ``id, n_chunks, n_kept, clean_fp`` (md5 of the cleaned text).
+
+    Two-phase plan so the heavy text is shuffled once, not twice:
+
+    1. survivor vote: explode ``(id, cpos, md5(chunk))`` — 8-byte
+       hashes only — and take ``row_number() == 1`` per hash ordered
+       by ``(id, cpos)``; aggregate kept positions per document.
+    2. reassembly: join the per-document kept-position arrays back to
+       the original rows on ``id`` and re-slice the token array
+       JVM-side (``transform`` + ``slice`` + ``concat_ws``).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+    )
+
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.md5(chunk_at(i)),
+                )
+            ).alias("cpos", "__ch"),
+        )
+    )
+    w = Window.partitionBy("__ch").orderBy(F.col(id_col).asc(), F.col("cpos").asc())
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__rn") == 1, F.col("cpos")))
+            ).alias("__keep"),
+        )
+    )
+    reassembled = df.join(kept, id_col).select(
+        F.col(id_col),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.size("__keep").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ", F.transform(F.col("__keep"), lambda i: chunk_at(i))
+            )
+        ).alias("clean_fp"),
+    )
+    return reassembled
+
+
+def bm25_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-``k`` document retrieval for a fixed term set.
+
+    Term frequencies are computed per document with JVM-side
+    ``filter()`` over the whitespace token array — no explode, no
+    per-term shuffle. Corpus statistics (``N``, ``avgdl``, per-term
+    document frequencies) are ONE tiny aggregate, attached back as a
+    broadcast 1-row cross join (same shape as q11's scalar
+    threshold). Scores use the Robertson/Sparck-Jones idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` rounded to 4 decimals, with
+    a total order (score desc, id asc) before the LIMIT.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.split(F.col(text_col), " ")
+    tf_cols = [
+        F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"__tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    base = df.select(F.col(id_col), F.size(toks).alias("__dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
+            / (F.col(f"__df_{i}") + F.lit(0.5))
+        )
+        part = idf * (tf * (k1 + 1)) / (
+            tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select(F.col(id_col), F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.6,
+    budget_frac: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-reweighted corpus sampling (the multilingual-mix
+    shape: p_g ∝ n_g^alpha flattens head groups, up-weights the tail).
+
+    With ``T = budget_frac * N`` total slots, group ``g`` keeps
+    ``min(1, T * w_g / n_g)`` of its rows where
+    ``w_g = n_g^alpha / Σ n_h^alpha``. Acceptance is the stateless
+    md5 ``H48`` basis-point threshold shared with hash_split /
+    stratified_sample — deterministic per id, no RNG, no shuffle of
+    the data rows; only the #groups-row stats aggregate moves, then
+    broadcasts back. Keep probabilities are rounded to basis points
+    so the threshold integer is identical across engines.
+    """
+    stats = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng"))
+    tot = stats.agg(
+        F.sum("__ng").alias("__n"),
+        F.sum(F.pow(F.col("__ng").cast("double"), F.lit(alpha))).alias("__z"),
+    )
+    probs = stats.crossJoin(F.broadcast(tot)).select(
+        F.col(group_col),
+        F.col("__ng"),
+        F.least(
+            F.lit(10000),
+            F.round(
+                F.lit(budget_frac)
+                * F.col("__n")
+                * F.pow(F.col("__ng").cast("double"), F.lit(alpha))
+                / F.col("__z")
+                / F.col("__ng")
+                * 10000
+            ).cast("long"),
+        ).alias("keep_bp"),
+    )
+    bucket = F.pmod(
+        h48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(10000)
+    )
+    return (
+        df.join(F.broadcast(probs), group_col)
+        .filter(bucket < F.col("keep_bp"))
+        .drop("__ng")
+    )
+
+
+def quantize_error_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector int quantization reconstruction error.
+
+    Each vector is quantized with scale ``max|x| / (2^(bits-1)-1)``
+    and error ``rel = Σ|x - round(x/s)*s| / Σ|x|``. All math is
+    elementwise double arithmetic inside whole-stage codegen
+    (``transform``/``aggregate`` — array-order fold, so the float sum
+    is bit-identical across engines); per-row ``rel`` is fixed to
+    micro-unit BIGINTs before the per-label aggregate, making the
+    cross-engine comparison exact under any row order. Returns per
+    label: ``n_vecs, avg_rel_err, max_rel_err``.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    scale = F.array_max(F.transform(xs, lambda x: F.abs(x))) / F.lit(qmax)
+    err = dsum(
+        F.transform(xs, lambda x: F.abs(x - F.round(x / scale) * scale))
+    )
+    norm = dsum(F.transform(xs, lambda x: F.abs(x)))
+    rel_micro = F.round(err / norm * _MICRO).cast("long")
+    per_row = df.select(F.col(label_col), rel_micro.alias("__rm"))
+    return (
+        per_row.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("__rm") / F.count(F.lit(1)) / _MICRO, 6).alias("avg_rel_err"),
+            F.round(F.max("__rm") / _MICRO, 6).alias("max_rel_err"),
+        )
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 25,
+    top_n: int = 30,
+) -> DataFrame:
+    """Top-``top_n`` bigram collocations by pointwise mutual
+    information: ``pmi = ln(c_ab * U^2 / (B * c_a * c_b))`` over
+    unigram total ``U`` and bigram total ``B``.
+
+    Bigrams are built JVM-side from the token array (``transform``
+    over a 0..n-2 sequence — no self-join, no window); the only
+    shuffles are the two count aggregates, keyed by bigram and by
+    token, whose widths are the vocabulary sizes, not the corpus.
+    Unigram counts attach to bigram counts via two vocabulary-sized
+    joins; the two scalar totals ride a broadcast 1-row cross join.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # guard: F.sequence infers step -1 when start > stop, so a 1-token
+    # document would yield [0, -1] instead of an empty bigram list
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.get(toks, i).alias("w1"),
+                F.get(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bigrams = df.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    totals = uni.agg(F.sum("c_w").alias("__u")).crossJoin(
+        bg_counts.agg(F.sum("c_ab").alias("__b"))
+    )
+    joined = (
+        bg_counts.filter(F.col("c_ab") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_a"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_b"), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    # totals enter as doubles so numerator/denominator op order and
+    # types mirror the SQL twin exactly (and c_b * c_a * b can't
+    # overflow long at large corpus sizes)
+    pmi = F.round(
+        F.log(
+            F.col("c_ab").cast("double")
+            * F.col("__u").cast("double")
+            * F.col("__u").cast("double")
+            / (F.col("__b").cast("double") * F.col("c_a") * F.col("c_b"))
+        ),
+        4,
+    )
+    return (
+        joined.select("w1", "w2", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_n)
+    )

@@ -1,0 +1,226 @@
+"""Corpus-statistics registry entries (operators/corpus.py): each
+Spark plan paired with a DuckDB oracle twin built from the SAME
+constants, so the driver's hash gate proves cross-engine equivalence.
+
+Importing this module populates feast_hive_spark.registry.REGISTRY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_hive_spark.operators import corpus as C
+from feast_hive_spark.registry import register
+from feast_hive_spark.sources.tables import read_table
+
+# shared constants — the Spark call AND the SQL twin derive from these
+_CHUNK_TOKENS = 8
+_BM25_TERMS = ("spark", "vector", "merge", "window")
+_BM25_K = 15
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_TEMP_ALPHA = 0.6
+_TEMP_BUDGET = 0.5
+_PMI_MIN_COUNT = 25
+_PMI_TOP_N = 30
+
+_H48_SQL = "CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+
+@register(
+    "dedup_paragraph_chunks",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS cpos,
+         array_to_string(t[i*{_CHUNK_TOKENS}+1 : i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS}], ' ') AS chunk
+  FROM tok, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(t) / {_CHUNK_TOKENS}.0) AS INT) - 1)) AS i
+  )
+),
+ranked AS (
+  SELECT doc_id, cpos, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, cpos) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(chunk, ' ' ORDER BY cpos) FILTER (WHERE rn = 1), '')) AS clean_fp
+FROM ranked
+GROUP BY doc_id
+""",
+)
+def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph (chunk) dedup: drop every repeat of a
+    chunk after its global first occurrence, reassemble survivors in
+    document order. Survivor voting shuffles 8-byte chunk hashes
+    only; document text crosses the wire once (doc-keyed join)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.chunk_dedup(docs, "doc_id", "text", chunk_tokens=_CHUNK_TOKENS)
+
+
+def _bm25_oracle() -> str:
+    tf_defs = ",\n         ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_defs = ",\n         ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    parts = " + ".join(
+        f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * ({k1} + 1))"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * ({1 - b} + {b} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(t) AS dl,
+         {tf_defs}
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+         {df_defs}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, ROUND({parts}, 4) AS bm25
+  FROM base, stats
+)
+SELECT doc_id, bm25 FROM scored
+WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {_BM25_K}
+"""
+
+
+@register("bm25_search_topk", _bm25_oracle())
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query-term set: per-doc term
+    frequencies via JVM array filter (no explode), corpus stats via
+    one broadcast 1-row aggregate — shuffle-free per document."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.bm25_score(
+        docs, "doc_id", "text", list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+@register(
+    "temperature_sample_by_lang",
+    f"""
+WITH s AS (
+  SELECT lang, COUNT(*) AS ng FROM documents GROUP BY lang
+),
+t AS (
+  SELECT SUM(ng) AS n, SUM(pow(CAST(ng AS DOUBLE), {_TEMP_ALPHA})) AS z FROM s
+),
+p AS (
+  SELECT lang, ng,
+         LEAST(10000, CAST(ROUND({_TEMP_BUDGET} * n * pow(CAST(ng AS DOUBLE), {_TEMP_ALPHA}) / z / ng * 10000) AS BIGINT)) AS keep_bp
+  FROM s, t
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(p.keep_bp) AS keep_bp
+FROM documents d
+JOIN p ON d.lang = p.lang
+WHERE {_H48_SQL} % 10000 < p.keep_bp
+GROUP BY d.lang
+""",
+)
+def temperature_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted sampling (p_g ∝ n_g^alpha): stateless
+    md5-threshold acceptance, per-group keep probabilities from a
+    #groups-row broadcast — zero data shuffles besides this final
+    reporting aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    kept = C.temperature_sample(
+        docs, "lang", "doc_id", alpha=_TEMP_ALPHA, budget_frac=_TEMP_BUDGET
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("keep_bp").alias("keep_bp"),
+    )
+
+
+@register(
+    "embedding_quantization_error",
+    """
+WITH scaled AS (
+  SELECT label, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+  FROM embeddings
+),
+q AS (
+  SELECT label,
+         CAST(ROUND(
+           list_sum(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / s) * s)))
+           / list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           * 1000000) AS BIGINT) AS rm
+  FROM scaled
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(rm) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_rel_err,
+       ROUND(MAX(rm) / 1000000.0, 6) AS max_rel_err
+FROM q
+GROUP BY label
+""",
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization reconstruction error per label:
+    elementwise codegen array math; per-row error fixed to micro-unit
+    BIGINTs before the aggregate so cross-engine sums are exact."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return C.quantize_error_stats(emb, "vec_id", "embedding", "label", bits=8)
+
+
+@register(
+    "bigram_pmi_top",
+    f"""
+WITH tok AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+),
+bgc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY w1, w2
+),
+unic AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT unnest(t) AS w FROM tok)
+  GROUP BY w
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(c_w) AS DOUBLE) FROM unic) AS u,
+         (SELECT CAST(SUM(c_ab) AS DOUBLE) FROM bgc) AS b
+)
+SELECT bgc.w1, bgc.w2, c_ab,
+       ROUND(ln(CAST(c_ab AS DOUBLE) * u * u / (b * a.c_w * bb.c_w)), 4) AS pmi
+FROM bgc
+JOIN unic a ON bgc.w1 = a.w
+JOIN unic bb ON bgc.w2 = bb.w
+CROSS JOIN tot
+WHERE c_ab >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, bgc.w1 ASC, bgc.w2 ASC
+LIMIT {_PMI_TOP_N}
+""",
+)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by PMI: bigrams built JVM-side from the
+    token array (no self-join/window); shuffles are vocabulary-sized
+    count aggregates, totals ride a broadcast 1-row cross join."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.bigram_pmi(
+        docs, "text", min_count=_PMI_MIN_COUNT, top_n=_PMI_TOP_N
+    )

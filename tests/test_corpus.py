@@ -1,0 +1,192 @@
+"""Unit tests for operators/corpus.py against independent Python
+oracles (the DuckDB hash gate covers the registry entries; these pin
+the operator semantics on hand-built fixtures)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feast_hive_spark.operators import corpus as C
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+# ---------------------------------------------------------------- chunk dedup
+
+
+def _py_chunk_dedup(rows, ct):
+    """Independent reference: global first-occurrence chunk dedup."""
+    seen = {}
+    out = {}
+    for doc_id, text in sorted(rows):
+        toks = text.split(" ")
+        chunks = [
+            " ".join(toks[i * ct : i * ct + ct])
+            for i in range(math.ceil(len(toks) / ct))
+        ]
+        for pos, ch in enumerate(chunks):
+            seen.setdefault(ch, (doc_id, pos))
+        out[doc_id] = chunks
+    res = {}
+    for doc_id, chunks in out.items():
+        kept = [
+            ch for pos, ch in enumerate(chunks) if seen[ch] == (doc_id, pos)
+        ]
+        res[doc_id] = (
+            len(chunks),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return res
+
+
+def test_chunk_dedup_drops_global_repeats(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d x y"),  # first chunk duplicates doc 1's
+        (3, "a b c d e f"),  # fully duplicate doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_fp"])
+        for r in C.chunk_dedup(df, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    assert got == _py_chunk_dedup(rows, 2)
+    # doc 3 must be fully emptied and hash the empty string
+    assert got[3][1] == 0
+    assert got[3][2] == hashlib.md5(b"").hexdigest()
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    df = spark.createDataFrame([(7, "x y x y z w")], ["doc_id", "text"])
+    row = C.chunk_dedup(df, "doc_id", "text", chunk_tokens=2).collect()[0]
+    assert (row["n_chunks"], row["n_kept"]) == (3, 2)
+    assert row["clean_fp"] == hashlib.md5(b"x y z w").hexdigest()
+
+
+# ---------------------------------------------------------------------- BM25
+
+
+def _py_bm25(rows, terms, k1=1.2, b=0.75):
+    docs = {d: t.split(" ") for d, t in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    scores = {}
+    for d, toks in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            dfreq = sum(1 for tt in docs.values() if t in tt)
+            idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if round(s, 4) > 0:
+            scores[d] = round(s, 4)
+    return scores
+
+
+def test_bm25_matches_python_oracle(spark):
+    rows = [
+        (1, "spark join table spark"),
+        (2, "table scan filter sort"),
+        (3, "vector spark vector vector"),
+        (4, "sort filter scan group"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in C.bm25_score(df, "doc_id", "text", ["spark", "vector"], k=10).collect()
+    }
+    exp = _py_bm25(rows, ["spark", "vector"])
+    assert got == pytest.approx(exp)
+    # docs without any query term are excluded
+    assert 2 not in got and 4 not in got
+
+
+def test_bm25_rejects_empty_terms(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        C.bm25_score(df, "doc_id", "text", [])
+
+
+# -------------------------------------------------------- temperature sample
+
+
+def test_temperature_sample_deterministic_and_thresholded(spark):
+    rows = [(i, "en" if i < 80 else "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = C.temperature_sample(df, "lang", "doc_id", alpha=0.5, budget_frac=0.5)
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.collect())
+    assert a == b and 0 < len(a) < 100
+    # every kept row clears its group threshold; python recompute
+    z = 80**0.5 + 20**0.5
+    probs = {
+        g: min(10000, round(0.5 * 100 * (n**0.5) / z / n * 10000))
+        for g, n in (("en", 80), ("fr", 20))
+    }
+    for r in kept.collect():
+        assert _h48(f"temp:{r['doc_id']}") % 10000 < probs[r["lang"]]
+    # the tail group keeps a HIGHER fraction than the head group
+    frac = {
+        g: sum(1 for r in kept.collect() if r["lang"] == g) / n
+        for g, n in (("en", 80), ("fr", 20))
+    }
+    assert frac["fr"] > frac["en"]
+
+
+# ------------------------------------------------------------- quantization
+
+
+def test_quantize_error_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(16).astype(np.float32)], i % 2)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        r["label"]: (r["n_vecs"], r["avg_rel_err"], r["max_rel_err"])
+        for r in C.quantize_error_stats(df, "vec_id", "embedding", "label").collect()
+    }
+    micros = {0: [], 1: []}
+    for _, v, lab in rows:
+        x = np.array(v, dtype=np.float64)
+        s = np.abs(x).max() / 127.0
+        err = np.abs(x - np.round(x / s) * s).sum()
+        micros[lab].append(round(err / np.abs(x).sum() * 1e6))
+    for lab, ms in micros.items():
+        n, avg, mx = got[lab]
+        assert n == len(ms)
+        assert avg == pytest.approx(round(sum(ms) / len(ms) / 1e6, 6))
+        assert mx == pytest.approx(round(max(ms) / 1e6, 6))
+        # int8 at 16 dims keeps relative error well under 2%
+        assert avg < 0.02
+
+
+# ---------------------------------------------------------------- bigram PMI
+
+
+def test_bigram_pmi_matches_python(spark):
+    rows = [(1, "a b a b c"), (2, "a b d"), (3, "e")]  # doc 3: 1 token, no bigrams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["w1"], r["w2"]): (r["c_ab"], r["pmi"])
+        for r in C.bigram_pmi(df, "text", min_count=2, top_n=10).collect()
+    }
+    # bigrams: (a,b)x3 (b,a)x1 (b,c)x1 (b,d)x1 — only (a,b) clears min_count=2
+    uni = {"a": 3, "b": 3, "c": 1, "d": 1, "e": 1}
+    u, b_tot = sum(uni.values()), 6
+    exp_pmi = round(math.log(3 * u * u / (b_tot * uni["a"] * uni["b"])), 4)
+    assert got == {("a", "b"): (3, exp_pmi)}
+
+
+def test_bigram_pmi_single_token_docs_only(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "alone")], ["doc_id", "text"])
+    assert C.bigram_pmi(df, "text", min_count=1, top_n=5).count() == 0
