@@ -66,14 +66,18 @@ def chunk_dedup(
        the original rows on ``id`` and re-slice the token array
        JVM-side (``transform`` + ``slice`` + ``concat_ws``).
     """
-    toks = F.split(F.col(text_col), " ")
+    # tokenize ONCE into a real column — a lambda body referencing
+    # split(text) re-tokenizes the document on every element access
+    # (Catalyst does not CSE through lambdas)
+    tokd = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunk_at = lambda i: F.concat_ws(  # noqa: E731
         " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
     )
 
     exploded = (
-        df.select(
+        tokd.select(
             F.col(id_col),
             F.posexplode(
                 F.transform(
@@ -94,7 +98,7 @@ def chunk_dedup(
             ).alias("__keep"),
         )
     )
-    reassembled = df.join(kept, id_col).select(
+    reassembled = tokd.join(kept, id_col).select(
         F.col(id_col),
         F.col("n_chunks").cast("long").alias("n_chunks"),
         F.size("__keep").cast("long").alias("n_kept"),
@@ -129,12 +133,13 @@ def bm25_score(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    toks = F.split(F.col(text_col), " ")
+    tokd = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
     tf_cols = [
         F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"__tf_{i}")
         for i, t in enumerate(query_terms)
     ]
-    base = df.select(F.col(id_col), F.size(toks).alias("__dl"), *tf_cols)
+    base = tokd.select(F.col(id_col), F.size(toks).alias("__dl"), *tf_cols)
     stats = base.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("__dl").alias("__avgdl"),
@@ -271,7 +276,12 @@ def bigram_pmi(
     Unigram counts attach to bigram counts via two vocabulary-sized
     joins; the two scalar totals ride a broadcast 1-row cross join.
     """
-    toks = F.split(F.col(text_col), " ")
+    # materialize the token array in its own projection: a lambda body
+    # referencing split(text) re-tokenizes the document on EVERY
+    # element access (Catalyst does not CSE through lambdas), turning
+    # per-doc work quadratic — with a real column it is computed once
+    tokd = df.select(F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
     # guard: F.sequence infers step -1 when start > stop, so a 1-token
     # document would yield [0, -1] instead of an empty bigram list
     pairs = F.when(
@@ -284,15 +294,19 @@ def bigram_pmi(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bigrams = df.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    bigrams = tokd.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
     bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     uni = (
-        df.select(F.explode(toks).alias("w"))
+        tokd.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
     )
-    totals = uni.agg(F.sum("c_w").alias("__u")).crossJoin(
-        bg_counts.agg(F.sum("c_ab").alias("__b"))
+    # scalar totals straight from the token-array sizes — one cheap
+    # scan-side aggregate instead of re-running the explode+groupBy
+    # subplans a second time just to sum their counts
+    totals = tokd.select(F.size(toks).alias("__nt")).agg(
+        F.sum("__nt").alias("__u"),
+        F.sum(F.greatest(F.col("__nt") - 1, F.lit(0))).alias("__b"),
     )
     joined = (
         bg_counts.filter(F.col("c_ab") >= min_count)
