@@ -133,23 +133,51 @@ def fingerprint(col: str) -> Column:
     return h48(F.concat_ws(" ", words(col)))
 
 
-def shingles(col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
-    w = f"split(lower({col}), '{TOKEN_RE_SQL}')"
-    return F.expr(
-        f"CASE WHEN size({w}) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size({w})-{n}), "
-        f"i -> concat_ws(' ', slice({w}, i+1, {n})))) "
-        f"ELSE array() END"
+def tokens_array(col: str) -> Column:
+    """Lowercased token array — the shared shingle tokenizer.
+
+    Project this into a real column BEFORE building shingles from it:
+    Catalyst does not CSE a split() referenced inside a higher-order-
+    function lambda, so slicing an inline split re-tokenizes the
+    document on every shingle (quadratic per-doc work, measured 2.3x
+    at sf0.1)."""
+    return F.expr(f"split(lower({col}), '{TOKEN_RE_SQL}')")
+
+
+def shingles_from(tok: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) over a
+    pre-materialized token-array column."""
+    return F.when(
+        F.size(tok) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - n),
+                lambda i: F.concat_ws(" ", F.slice(tok, i + F.lit(1), n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes_from(tok: Column, n: int = 3) -> Column:
+    """H48 of each distinct shingle of a token-array column."""
+    return F.transform(
+        shingles_from(tok, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
     )
+
+
+def shingles(col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles straight from a text column.
+
+    Convenience for tests/small inputs — the inline split inside the
+    transform lambda re-evaluates per element; hot paths should
+    project ``tokens_array`` first and use ``shingles_from``."""
+    return shingles_from(tokens_array(col), n)
 
 
 def shingle_hashes(col: str, n: int = 3) -> Column:
-    """H48 of each distinct shingle."""
-    return F.transform(
-        shingles(col, n),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
-    )
+    """H48 of each distinct shingle (see ``shingles`` perf caveat)."""
+    return shingle_hashes_from(tokens_array(col), n)
 
 
 def minhash_signature(hashes: Column) -> Column:

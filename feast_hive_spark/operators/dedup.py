@@ -149,7 +149,9 @@ def ngram_jaccard_pairs(
     ``None`` (default) keeps the operator exact; AQE skew-join
     splitting still spreads moderate hot keys."""
     with_sh = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), X.shingle_hashes(text_col, n).alias("__sh")
+        F.col(id_col), X.tokens_array(text_col).alias("__tk")
+    ).select(
+        F.col(id_col), X.shingle_hashes_from(F.col("__tk"), n).alias("__sh")
     ).cache()
     sizes = with_sh.select(F.col(id_col), F.size("__sh").alias("__n"))
     exploded = with_sh.select(id_col, F.explode("__sh").alias("__h"))
@@ -208,7 +210,9 @@ def minhash_lsh_pairs(
     bucket) and the verification joins — never all-pairs."""
     rows_per_band = len(X.MINHASH_COEFS) // bands
     with_sh = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), X.shingle_hashes(text_col, n).alias("__sh")
+        F.col(id_col), X.tokens_array(text_col).alias("__tk")
+    ).select(
+        F.col(id_col), X.shingle_hashes_from(F.col("__tk"), n).alias("__sh")
     ).cache()
     sigs = with_sh.select(
         id_col, X.minhash_signature(F.col("__sh")).alias("__sig")
@@ -357,12 +361,14 @@ def decontaminate(
     # consume them, and the interpreted HOF shingle evaluation is the
     # expensive part (one pass instead of two)
     t_sh = _spread(train.select(id_col, text_col)).select(
-        F.col(id_col).alias("train_id"),
-        X.shingle_hashes(text_col, n).alias("__sh"),
+        F.col(id_col).alias("train_id"), X.tokens_array(text_col).alias("__tk")
+    ).select(
+        "train_id", X.shingle_hashes_from(F.col("__tk"), n).alias("__sh")
     ).cache()
     b_sh = benchmark.select(
-        F.col(id_col).alias("bench_id"),
-        X.shingle_hashes(text_col, n).alias("__sh"),
+        F.col(id_col).alias("bench_id"), X.tokens_array(text_col).alias("__tk")
+    ).select(
+        "bench_id", X.shingle_hashes_from(F.col("__tk"), n).alias("__sh")
     ).cache()
     t_sizes = t_sh.select("train_id", F.size("__sh").alias("__nt"))
     b_sizes = b_sh.select("bench_id", F.size("__sh").alias("__nb"))
