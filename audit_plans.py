@@ -123,6 +123,30 @@ AUDITS = {
         ["FlatMapGroupsInPandas", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # chunk dedup: survivor vote shuffles chunk hashes (Window), text
+    # crosses the wire once in the doc-keyed reassembly join
+    "dedup_paragraph_chunks": (["Window"], ["CartesianProduct"]),
+    # BM25: per-doc tf from array filters; corpus stats are ONE 1-row
+    # broadcast nested loop (intended); no data-sized join or window
+    "bm25_search_topk": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["SortMergeJoin", "Window"],
+    ),
+    # temperature sampling: stateless hash filter + broadcast of the
+    # #groups-row probability table — no data shuffle before the
+    # reporting aggregate
+    "temperature_sample_by_lang": (["BroadcastHashJoin"], ["SortMergeJoin", "Window"]),
+    # int8 quantization: elementwise codegen + one #labels-group agg
+    "embedding_quantization_error": (
+        ["HashAggregate"],
+        ["Join", "Window"],
+    ),
+    # PMI: vocabulary-sized aggregates; totals ride the 1-row
+    # broadcast; never a corpus-sized sort-merge join
+    "bigram_pmi_top": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 KEEP = re.compile(
