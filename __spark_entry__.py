@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from feast_hive_spark import registry
+import feast_hive_spark.registry_analytics  # noqa: F401
 import feast_hive_spark.registry_corpus  # noqa: F401
 import feast_hive_spark.registry_ext  # noqa: F401
 import feast_hive_spark.registry_rel  # noqa: F401 — populates REGISTRY

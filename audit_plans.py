@@ -13,6 +13,7 @@ import re
 import sys
 
 from feast_hive_spark.registry import REGISTRY
+import feast_hive_spark.registry_analytics  # noqa: F401
 import feast_hive_spark.registry_corpus  # noqa: F401
 import feast_hive_spark.registry_ext  # noqa: F401
 import feast_hive_spark.registry_rel  # noqa: F401
@@ -141,6 +142,16 @@ AUDITS = {
         ["HashAggregate"],
         ["Join", "Window"],
     ),
+    # rolling range frame: ONE user-keyed window shuffle, no join
+    "events_rolling_7d": (["Window"], ["Join", "CartesianProduct"]),
+    # transitions: one window + one agg, no join
+    "event_transition_matrix": (["Window", "HashAggregate"], ["Join"]),
+    # salted join: the dim replication must stay a hash join — never
+    # a nested loop — and the fact scan reads only needed columns
+    "salted_join_segments": (["HashAggregate"], ["CartesianProduct", "SortMergeJoin"]),
+    # z-order: bounds are the only nested loop (1 row); the key is
+    # computed in a single codegen stage, one bucket aggregate
+    "zorder_layout_quality": (["HashAggregate"], ["SortMergeJoin", "Window"]),
     # PMI: vocabulary-sized aggregates; totals ride the 1-row
     # broadcast; never a corpus-sized sort-merge join
     "bigram_pmi_top": (

@@ -21,6 +21,7 @@ import sys
 import time
 
 from feast_hive_spark.registry import REGISTRY
+import feast_hive_spark.registry_analytics  # noqa: F401
 import feast_hive_spark.registry_corpus  # noqa: F401
 import feast_hive_spark.registry_ext  # noqa: F401
 import feast_hive_spark.registry_rel  # noqa: F401
@@ -67,6 +68,11 @@ BENCH_QUERIES = [
     "gopher_quality_flags",
     "vocab_zipf",
     "dedup_paragraph_chunks",
+    "events_rolling_7d",
+    "cohort_retention_weekly",
+    "event_transition_matrix",
+    "salted_join_segments",
+    "zorder_layout_quality",
     "bm25_search_topk",
     "temperature_sample_by_lang",
     "embedding_quantization_error",

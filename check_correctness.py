@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 
 from feast_hive_spark.registry import REGISTRY
+import feast_hive_spark.registry_analytics  # noqa: F401
 import feast_hive_spark.registry_corpus  # noqa: F401
 import feast_hive_spark.registry_ext  # noqa: F401
 import feast_hive_spark.registry_rel  # noqa: F401

@@ -1,0 +1,206 @@
+"""Event-analytics + data-layout registry entries: time-range rolling
+windows, cohort retention, event transition matrices, a gated
+salted-join parity demo, and Z-order layout quality — each with a
+DuckDB oracle twin sharing the same constants.
+
+Importing this module populates feast_hive_spark.registry.REGISTRY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feast_hive_spark.operators import layout as L
+from feast_hive_spark.operators.skew import salted_join
+from feast_hive_spark.registry import register
+from feast_hive_spark.sources.tables import read_table
+
+_ROLL_SECONDS = 7 * 86400
+_Z_BITS = 8
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 6  # top 6 bits -> 64 buckets
+
+
+@register(
+    "events_rolling_7d",
+    f"""
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN {_ROLL_SECONDS} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 1000000, 4) AS roll7_value
+FROM events
+""",
+)
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregate: per event, the 7-day trailing sum
+    of ``value`` for its user. The frame is a true range frame over
+    epoch seconds (ties share a frame, so the result is order-
+    independent); values are fixed to micro-unit BIGINTs before the
+    window sum so the cross-engine total is exact under any
+    within-frame order. One shuffle, keyed by user."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-_ROLL_SECONDS, 0)
+    )
+    micro = F.round(F.col("value") * 1000000).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(micro).over(w).cast("double") / 1000000, 4).alias(
+            "roll7_value"
+        ),
+    )
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+WITH f AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+       CAST(date_diff('day',
+             CAST(date_trunc('week', f.first_ts) AS DATE),
+             CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the Monday of their
+    first event, distinct-user counts at each week offset. Two
+    shuffles (first-event agg, cohort-cell agg); the per-user firsts
+    join is broadcast-eligible because it is one row per user."""
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = F.to_date(F.date_trunc("week", F.col("first_ts")))
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            cohort.alias("cohort_week"),
+            F.floor(F.datediff(wk, cohort) / 7).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+WITH nxt AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM nxt
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user. The (ts, event_id) order key is a total order
+    (event_id unique), so LEAD is deterministic cross-engine. One
+    user-keyed window shuffle + one transition-cell aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "salted_join_segments",
+    """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 4) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated parity proof for operators/skew.py:salted_join — the
+    salted fact×dim join must produce row-identical results to the
+    plain SQL join (the oracle). The dim (customer) is replicated
+    salt× so a hot user key spreads over salt shuffle partitions;
+    micro-unit fixed-point keeps the aggregated sum exact."""
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on=["user_id"], salt=8)
+    micro = F.round(F.col("value") * 1000000).cast("long")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(micro).cast("double") / 1000000, 4).alias("sum_value"),
+    )
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for b in range(_Z_BITS):
+        for i, g in enumerate(("xi", "yi")):
+            terms.append(f"((({g} >> {b}) & 1) << {b * 2 + (1 - i)})")
+    zexpr = " | ".join(terms)
+    gmax = (1 << _Z_BITS) - 1
+    return f"""
+WITH mm AS (
+  SELECT min(user_id) AS mn0, max(user_id) AS mx0,
+         min(value) AS mn1, max(value) AS mx1 FROM events
+),
+g AS (
+  SELECT user_id, value,
+    CASE WHEN CAST(mx0 - mn0 AS DOUBLE) > 0
+      THEN CAST(floor((user_id - mn0) / CAST(mx0 - mn0 AS DOUBLE) * {gmax}) AS BIGINT)
+      ELSE 0 END AS xi,
+    CASE WHEN CAST(mx1 - mn1 AS DOUBLE) > 0
+      THEN CAST(floor((value - mn1) / CAST(mx1 - mn1 AS DOUBLE) * {gmax}) AS BIGINT)
+      ELSE 0 END AS yi
+  FROM events, mm
+),
+z AS (SELECT user_id, value, {zexpr} AS zv FROM g)
+SELECT zv >> {_Z_BUCKET_SHIFT} AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+       ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value
+FROM z
+GROUP BY zbucket
+"""
+
+
+@register("zorder_layout_quality", _zorder_oracle())
+def zorder_layout_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (user_id, value) onto
+    an 8-bit grid, bucket by the key's top 6 bits (= 64 contiguous
+    z-ranges ≈ output files), and report each bucket's per-column
+    min/max — the zone-map tightness a reader's pruning would see.
+    The key is pure codegen bit algebra; bounds are one broadcast
+    1-row aggregate (operators/layout.py)."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    keyed = L.zorder_keys(ev, ["user_id", "value"], bits=_Z_BITS)
+    return keyed.groupBy(
+        F.shiftright(F.col("__z"), _Z_BUCKET_SHIFT).alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
