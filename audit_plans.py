@@ -152,6 +152,11 @@ AUDITS = {
     # z-order: bounds are the only nested loop (1 row); the key is
     # computed in a single codegen stage, one bucket aggregate
     "zorder_layout_quality": (["HashAggregate"], ["SortMergeJoin", "Window"]),
+    # span dedup: window hashes shuffle, text never does; the final
+    # report join is doc-keyed
+    "span_dedup_stats": (["HashAggregate"], ["CartesianProduct", "Window"]),
+    # tfidf: (doc,term) agg + vocab-sized df join + ONE per-doc window
+    "tfidf_top_terms": (["Window", "HashAggregate"], ["CartesianProduct"]),
     # PMI: vocabulary-sized aggregates; totals ride the 1-row
     # broadcast; never a corpus-sized sort-merge join
     "bigram_pmi_top": (

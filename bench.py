@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "gopher_quality_flags",
     "vocab_zipf",
     "dedup_paragraph_chunks",
+    "span_dedup_stats",
+    "tfidf_top_terms",
     "events_rolling_7d",
     "cohort_retention_weekly",
     "event_transition_matrix",

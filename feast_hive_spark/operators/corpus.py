@@ -331,3 +331,107 @@ def bigram_pmi(
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_n)
     )
+
+
+def span_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 13,
+) -> DataFrame:
+    """Unaligned duplicate-span detection (the Lee et al. 2021
+    "Deduplicating Training Data" shape at token granularity).
+
+    Slides a ``span_tokens``-token window over every position of
+    every document, hashes each window, and reports per document how
+    many of its windows also occur elsewhere in the corpus (in ANY
+    other document, at ANY alignment — this is what distinguishes it
+    from ``chunk_dedup``'s aligned chunks). Returns
+    ``id, n_windows, n_dup_windows, dup_frac``.
+
+    Scale shape: windows explode to (16-byte hash, id) rows — token
+    volume × 1, never text bodies; duplicate marking is one hash-keyed
+    count aggregate joined back by hash. Documents shorter than the
+    span contribute zero windows (and survive with dup_frac 0)."""
+    tokd = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
+    wins = F.when(
+        F.size(toks) >= span_tokens,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - span_tokens),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, span_tokens))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = tokd.select(F.col(id_col), F.explode(wins).alias("__wh"))
+    # a window hash is "duplicated" if it occurs in >1 distinct doc OR
+    # more than once in the same doc (self-repetition is duplication)
+    freq = pos.groupBy("__wh").agg(F.count(F.lit(1)).alias("__c"))
+    marked = pos.join(freq, "__wh").select(
+        id_col, (F.col("__c") > 1).cast("int").alias("__dup")
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("__dup").alias("n_dup_windows"),
+    )
+    # left join back so short documents (zero windows) are reported
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_per_doc: int = 3,
+) -> DataFrame:
+    """Top-``top_per_doc`` TF-IDF keywords per document.
+
+    tf = term count in doc / doc length; idf = ln(N / df_t) over
+    document frequency. The per-(doc, term) table is one explode +
+    count aggregate; document frequencies are a vocabulary-sized
+    aggregate joined in (vocabulary ≪ corpus); ranking is a
+    row_number window per doc with (score desc, term asc) tiebreak.
+    Scores are rounded to 6 decimals BEFORE ranking so the tie order
+    is engine-independent."""
+    tokd = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    n_docs = tokd.agg(F.count(F.lit(1)).alias("__n"))
+    tf = (
+        tokd.select(F.col(id_col), F.size("__toks").alias("__dl"),
+                    F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term", "__dl")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("__tc").cast("double")
+                / F.col("__dl")
+                * F.log(F.col("__n").cast("double") / F.col("__df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_per_doc)
+        .select(id_col, "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )

@@ -224,3 +224,79 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bigram_pmi(
         docs, "text", min_count=_PMI_MIN_COUNT, top_n=_PMI_TOP_N
     )
+
+
+_SPAN_TOKENS = 13
+_TFIDF_TOP = 3
+
+
+@register(
+    "span_dedup_stats",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+win AS (
+  SELECT doc_id, md5(array_to_string(t[i : i+{_SPAN_TOKENS - 1}], ' ')) AS wh
+  FROM tok, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - {_SPAN_TOKENS - 1})) AS i
+  )
+  WHERE len(t) >= {_SPAN_TOKENS}
+),
+freq AS (SELECT wh, COUNT(*) AS c FROM win GROUP BY wh),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM win JOIN freq USING (wh)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(COALESCE(n_dup, 0) / GREATEST(COALESCE(n_windows, 0), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+)
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unaligned duplicate-span detection (Lee et al. 2021 shape):
+    per-doc fraction of sliding 13-token windows that recur anywhere
+    in the corpus at any alignment. Shuffles 16-byte window hashes,
+    never text bodies."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.span_dup_stats(docs, "doc_id", "text", span_tokens=_SPAN_TOKENS)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+n AS (SELECT COUNT(*) AS nd FROM tok),
+tf AS (
+  SELECT doc_id, len(t) AS dl, w AS term, COUNT(*) AS tc
+  FROM tok, LATERAL (SELECT unnest(t) AS w)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, COUNT(*) AS dfq FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(CAST(tc AS DOUBLE) / dl * ln(CAST(nd AS DOUBLE) / dfq), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TFIDF_TOP}
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top 3): one explode +
+    (doc, term) aggregate, a vocabulary-sized df join, and a per-doc
+    row_number window over scores rounded BEFORE ranking so tie order
+    is engine-independent."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.tfidf_top_terms(docs, "doc_id", "text", top_per_doc=_TFIDF_TOP)

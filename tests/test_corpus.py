@@ -190,3 +190,64 @@ def test_bigram_pmi_matches_python(spark):
 def test_bigram_pmi_single_token_docs_only(spark):
     df = spark.createDataFrame([(1, "solo"), (2, "alone")], ["doc_id", "text"])
     assert C.bigram_pmi(df, "text", min_count=1, top_n=5).count() == 0
+
+
+# ----------------------------------------------------------- span dup stats
+
+
+def test_span_dup_stats_detects_unaligned_overlap(spark):
+    rows = [
+        (1, "a b c d e f g h"),        # 8 tokens -> 6 windows of 3
+        (2, "x b c d y z"),            # shares "b c d" at a DIFFERENT offset
+        (3, "p q"),                    # shorter than the span -> 0 windows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in C.span_dup_stats(df, "doc_id", "text", span_tokens=3).collect()
+    }
+    assert got[1] == (6, 1, round(1 / 6, 6))
+    assert got[2] == (4, 1, 0.25)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_span_dup_stats_self_repetition_counts(spark):
+    df = spark.createDataFrame([(9, "a b a b a b")], ["doc_id", "text"])
+    row = C.span_dup_stats(df, "doc_id", "text", span_tokens=3).collect()[0]
+    # windows: "a b a","b a b","a b a","b a b" — all duplicated
+    assert (row["n_windows"], row["n_dup_windows"]) == (4, 4)
+
+
+# ------------------------------------------------------------------- TF-IDF
+
+
+def test_tfidf_top_terms_matches_python(spark):
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry cherry cherry"),
+        (3, "apple date"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+        for r in C.tfidf_top_terms(df, "doc_id", "text", top_per_doc=2).collect()
+    }
+    docs = {d: t.split() for d, t in rows}
+    dfreq = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    import math as m
+
+    exp = {}
+    for d, toks in docs.items():
+        scores = sorted(
+            (
+                (round(toks.count(t) / len(toks) * m.log(3 / dfreq[t]), 6), t)
+                for t in set(toks)
+            ),
+            key=lambda p: (-p[0], p[1]),
+        )
+        for rank, (s, t) in enumerate(scores[:2], 1):
+            exp[(d, rank)] = (t, s)
+    assert got == pytest.approx(exp)
