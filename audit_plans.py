@@ -157,6 +157,11 @@ AUDITS = {
     "span_dedup_stats": (["HashAggregate"], ["CartesianProduct", "Window"]),
     # tfidf: (doc,term) agg + vocab-sized df join + ONE per-doc window
     "tfidf_top_terms": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    # constraint suite: ONE scan-wide aggregate + a count-distinct;
+    # rules never add scans or joins
+    "data_quality_lineitem": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct", "Window"]),
+    # winsorize: percentile bounds broadcast back; no sort-merge join
+    "winsorized_event_values": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
     # PMI: vocabulary-sized aggregates; totals ride the 1-row
     # broadcast; never a corpus-sized sort-merge join
     "bigram_pmi_top": (

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "event_transition_matrix",
     "salted_join_segments",
     "zorder_layout_quality",
+    "data_quality_lineitem",
+    "winsorized_event_values",
     "bm25_search_topk",
     "temperature_sample_by_lang",
     "embedding_quantization_error",

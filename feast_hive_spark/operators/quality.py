@@ -1,0 +1,159 @@
+"""Data-quality validation operators (the deequ/great-expectations
+shape): declarative constraint suites evaluated in ONE aggregate pass,
+plus percentile-based winsorization for robust statistics.
+
+Scale notes (100 TB):
+- ``check_constraints`` compiles every rule to a conditional-count
+  column of a single scan-wide aggregate — rule count never adds
+  passes over the data, and the result is #rules rows.
+- uniqueness is the only rule that needs a shuffle (count-distinct
+  two-phase aggregate); it shares the same jobs as the scan pass via
+  a second tiny aggregate, never a self-join.
+- ``winsorize_stats`` computes per-group exact percentile bounds (one
+  shuffle), broadcasts the #groups-row bounds table back, and clips
+  in codegen — the standard two-pass robust-stats shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One declarative constraint. ``kind`` ∈ {not_null, unique,
+    in_range, matches, accepted_values}."""
+
+    name: str
+    column: str
+    kind: str
+    lo: float | None = None
+    hi: float | None = None
+    pattern: str | None = None
+    values: tuple | None = None
+
+
+def not_null(column: str) -> Rule:
+    return Rule(f"not_null({column})", column, "not_null")
+
+
+def unique(column: str) -> Rule:
+    return Rule(f"unique({column})", column, "unique")
+
+
+def in_range(column: str, lo: float, hi: float) -> Rule:
+    return Rule(f"in_range({column})", column, "in_range", lo=lo, hi=hi)
+
+
+def matches(column: str, pattern: str) -> Rule:
+    return Rule(f"matches({column})", column, "matches", pattern=pattern)
+
+
+def accepted_values(column: str, values: Sequence) -> Rule:
+    return Rule(
+        f"accepted_values({column})", column, "accepted_values",
+        values=tuple(values),
+    )
+
+
+def _violations(rule: Rule) -> Column:
+    c = F.col(rule.column)
+    if rule.kind == "not_null":
+        bad = c.isNull()
+    elif rule.kind == "in_range":
+        bad = c.isNull() | (c < rule.lo) | (c > rule.hi)
+    elif rule.kind == "matches":
+        bad = c.isNull() | ~c.rlike(rule.pattern)
+    elif rule.kind == "accepted_values":
+        bad = c.isNull() | ~c.isin(*rule.values)
+    else:
+        raise ValueError(f"unknown rule kind {rule.kind!r}")
+    return F.sum(bad.cast("long")).alias(rule.name)
+
+
+def check_constraints(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Evaluate a constraint suite; returns one row per rule:
+    ``rule, n_rows, n_violations, passed``.
+
+    All row-local rules fold into ONE aggregate over a single scan;
+    each ``unique`` rule adds one count-distinct aggregate (its
+    violation count is ``n_rows - n_distinct``). The per-rule outputs
+    are stacked with a literal-array explode — no shuffle beyond the
+    aggregates themselves."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    row_rules = [r for r in rules if r.kind != "unique"]
+    uniq_rules = [r for r in rules if r.kind == "unique"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [_violations(r) for r in row_rules]
+    aggs += [
+        F.countDistinct(F.col(r.column)).alias(f"__d_{i}")
+        for i, r in enumerate(uniq_rules)
+    ]
+    agg = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(r.name).alias("rule"),
+            F.col(r.name).alias("n_violations"),
+        )
+        for r in row_rules
+    ] + [
+        F.struct(
+            F.lit(r.name).alias("rule"),
+            (F.col("__n") - F.col(f"__d_{i}")).alias("n_violations"),
+        )
+        for i, r in enumerate(uniq_rules)
+    ]
+    return agg.select(
+        F.col("__n").alias("n_rows"), F.explode(F.array(*entries)).alias("e")
+    ).select(
+        F.col("e.rule").alias("rule"),
+        F.col("n_rows"),
+        F.col("e.n_violations").cast("long").alias("n_violations"),
+        (F.col("e.n_violations") == 0).alias("passed"),
+    )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: float = 0.01,
+    hi_pct: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorized statistics: clip ``value_col`` to its
+    group's exact [lo_pct, hi_pct] percentiles, then report
+    ``n, lo_bound, hi_bound, n_clipped, mean_raw, mean_winsorized``.
+
+    Bounds come from one exact-percentile aggregate per group
+    (#groups rows, broadcast back); clipping runs in codegen; means
+    are micro-unit fixed-point so cross-engine sums are exact."""
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(lo_pct)).alias("__lo"),
+        F.percentile(value_col, F.lit(hi_pct)).alias("__hi"),
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    micro = lambda c: F.round(c * 1000000).cast("long")  # noqa: E731
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("__lo"), 4).alias("lo_bound"),
+            F.round(F.min("__hi"), 4).alias("hi_bound"),
+            F.sum(((v < F.col("__lo")) | (v > F.col("__hi"))).cast("long")).alias(
+                "n_clipped"
+            ),
+            F.round(
+                F.sum(micro(v)).cast("double") / F.count(F.lit(1)) / 1000000, 4
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(micro(clipped)).cast("double") / F.count(F.lit(1)) / 1000000, 4
+            ).alias("mean_winsorized"),
+        )
+    )

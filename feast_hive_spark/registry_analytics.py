@@ -204,3 +204,82 @@ def zorder_layout_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
     )
+
+
+@register(
+    "data_quality_lineitem",
+    """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+    SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v1,
+    SUM(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v2,
+    SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS v3,
+    SUM(CASE WHEN l_linestatus IS NULL OR NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS v4,
+    COUNT(DISTINCT l_orderkey) AS d0
+  FROM lineitem
+)
+SELECT 'not_null(l_orderkey)' AS rule, n AS n_rows, CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS passed FROM s
+UNION ALL
+SELECT 'in_range(l_quantity)', n, CAST(v1 AS BIGINT), v1 = 0 FROM s
+UNION ALL
+SELECT 'in_range(l_discount)', n, CAST(v2 AS BIGINT), v2 = 0 FROM s
+UNION ALL
+SELECT 'accepted_values(l_returnflag)', n, CAST(v3 AS BIGINT), v3 = 0 FROM s
+UNION ALL
+SELECT 'matches(l_linestatus)', n, CAST(v4 AS BIGINT), v4 = 0 FROM s
+UNION ALL
+SELECT 'unique(l_orderkey)', n, CAST(n - d0 AS BIGINT), (n - d0) = 0 FROM s
+""",
+)
+def data_quality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite (the deequ shape) over lineitem:
+    six rules — null, two ranges, accepted values, regex, uniqueness —
+    compiled into ONE scan-wide aggregate (+ one count-distinct);
+    output is #rules rows (operators/quality.py)."""
+    from feast_hive_spark.operators import quality as Q
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return Q.check_constraints(
+        li,
+        [
+            Q.not_null("l_orderkey"),
+            Q.in_range("l_quantity", 1, 50),
+            Q.in_range("l_discount", 0, 0.1),
+            Q.accepted_values("l_returnflag", ["A", "N", "R"]),
+            Q.matches("l_linestatus", "^[OF]$"),
+            Q.unique("l_orderkey"),
+        ],
+    )
+
+
+@register(
+    "winsorized_event_values",
+    """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(MIN(lo), 4) AS lo_bound,
+  ROUND(MIN(hi), 4) AS hi_bound,
+  CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+  ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000, 4) AS mean_raw,
+  ROUND(CAST(SUM(CAST(ROUND(LEAST(GREATEST(value, lo), hi) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000, 4) AS mean_winsorized
+FROM events e
+JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type
+""",
+)
+def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-clipped robust stats per event type: exact [5,95]
+    percentile bounds (one #groups-row aggregate, broadcast back),
+    codegen clipping, micro-unit fixed-point means
+    (operators/quality.py:winsorize_stats)."""
+    from feast_hive_spark.operators import quality as Q
+
+    ev = read_table(spark, sf_dir, "events")
+    return Q.winsorize_stats(ev, "event_type", "value", 0.05, 0.95)

@@ -1,0 +1,67 @@
+"""Tests for operators/quality.py (constraint suites, winsorization)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_hive_spark.operators import quality as Q
+
+
+@pytest.fixture()
+def qdf(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A", "ok-1"),
+            (2, 200.0, "B", "ok-2"),   # out of range
+            (3, None, "A", "bad 3"),   # null value, pattern violation
+            (3, 30.0, "C", "ok-4"),    # dup id, bad category
+        ],
+        ["id", "v", "cat", "tag"],
+    )
+
+
+def test_check_constraints_counts(qdf):
+    res = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in Q.check_constraints(
+            qdf,
+            [
+                Q.not_null("v"),
+                Q.in_range("v", 0, 100),
+                Q.accepted_values("cat", ["A", "B"]),
+                Q.matches("tag", "^ok-[0-9]$"),
+                Q.unique("id"),
+            ],
+        ).collect()
+    }
+    assert res["not_null(v)"] == (4, 1, False)
+    # in_range counts the null as a violation too
+    assert res["in_range(v)"] == (4, 2, False)
+    assert res["accepted_values(cat)"] == (4, 1, False)
+    assert res["matches(tag)"] == (4, 1, False)
+    assert res["unique(id)"] == (4, 1, False)
+
+
+def test_check_constraints_all_pass(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 6.0)], ["id", "v"])
+    res = Q.check_constraints(df, [Q.not_null("v"), Q.unique("id")]).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in res)
+
+
+def test_check_constraints_rejects_empty(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError):
+        Q.check_constraints(df, [])
+
+
+def test_winsorize_stats_clips_outliers(spark):
+    rows = [("a", float(v)) for v in range(1, 100)] + [("a", 10000.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = Q.winsorize_stats(df, "g", "v", 0.01, 0.99).collect()[0]
+    assert r["n"] == 100
+    assert r["n_clipped"] == 2  # one row below p1, one above p99
+    # the raw mean is dragged by the outlier; winsorized is not
+    assert r["mean_raw"] > 140
+    assert 45 < r["mean_winsorized"] < 60
+    assert r["lo_bound"] == pytest.approx(1.99, abs=0.01)
