@@ -99,3 +99,73 @@ def test_connected_components_property(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {n: find(n) for n in parent}
     assert got.set_index("doc_id")["component_id"].to_dict() == expected
+
+
+# ------------------------------------------------- corpus.py property tests
+
+
+def py_chunk_dedup(pdf, ct):
+    import hashlib
+    import math
+
+    seen, chunks_by_doc = {}, {}
+    for r in sorted(pdf.itertuples(), key=lambda r: r.doc_id):
+        toks = r.text.split(" ")
+        chunks = [
+            " ".join(toks[i * ct : i * ct + ct])
+            for i in range(math.ceil(len(toks) / ct))
+        ]
+        chunks_by_doc[r.doc_id] = chunks
+        for pos, ch in enumerate(chunks):
+            seen.setdefault(ch, (r.doc_id, pos))
+    out = {}
+    for doc_id, chunks in chunks_by_doc.items():
+        kept = [c for p, c in enumerate(chunks) if seen[c] == (doc_id, p)]
+        out[doc_id] = (
+            len(chunks),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+@given(corpus())
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_dedup_matches_python_model(spark, pdf):
+    from feast_hive_spark.operators import corpus as C
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_fp"])
+        for r in C.chunk_dedup(df, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    assert got == py_chunk_dedup(pdf, 2)
+
+
+def py_span_stats(pdf, k):
+    from collections import Counter
+
+    wins = {}
+    for r in pdf.itertuples():
+        toks = r.text.split(" ")
+        wins[r.doc_id] = [
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ]
+    freq = Counter(w for ws in wins.values() for w in ws)
+    return {
+        d: (len(ws), sum(1 for w in ws if freq[w] > 1))
+        for d, ws in wins.items()
+    }
+
+
+@given(corpus())
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_span_dup_stats_matches_python_model(spark, pdf):
+    from feast_hive_spark.operators import corpus as C
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in C.span_dup_stats(df, "doc_id", "text", span_tokens=3).collect()
+    }
+    assert got == py_span_stats(pdf, 3)
