@@ -364,11 +364,12 @@ def span_dup_stats(
     ).otherwise(F.array().cast("array<string>"))
     pos = tokd.select(F.col(id_col), F.explode(wins).alias("__wh"))
     # a window hash is "duplicated" if it occurs in >1 distinct doc OR
-    # more than once in the same doc (self-repetition is duplication)
-    freq = pos.groupBy("__wh").agg(F.count(F.lit(1)).alias("__c"))
-    marked = pos.join(freq, "__wh").select(
-        id_col, (F.col("__c") > 1).cast("int").alias("__dup")
-    )
+    # more than once in the same doc (self-repetition is duplication).
+    # count-over-partition marks every occurrence in ONE hash-keyed
+    # shuffle — an agg+join formulation would shuffle the position
+    # table twice (once to build frequencies, once to attach them)
+    wc = F.count(F.lit(1)).over(Window.partitionBy("__wh"))
+    marked = pos.select(F.col(id_col), (wc > 1).cast("int").alias("__dup"))
     per_doc = marked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum("__dup").alias("n_dup_windows"),
