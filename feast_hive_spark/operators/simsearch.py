@@ -29,7 +29,22 @@ from pyspark.sql import functions as F
 from feast_hive_spark.functions import vector as V
 
 
+#: guardrail for the query-side collect — the ANN operators broadcast
+#: the QUERY matrix (by contract the small side; the candidate corpus
+#: never leaves the executors). A silently huge query set would OOM
+#: the driver, so fail loudly instead.
+MAX_QUERY_ROWS = 100_000
+
+
 def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    n = queries.count()
+    if n > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"query set has {n} rows; the ANN search collects+broadcasts "
+            f"the query matrix (limit {MAX_QUERY_ROWS}). For query sets "
+            "this large, run dedup-style pair mining "
+            "(dedup.embedding_cosine_pairs / lsh strategies) instead."
+        )
     qpdf = queries.select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy()
     Qn = V.np_normalize(V.np_matrix(qpdf[vec_col]))

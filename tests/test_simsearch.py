@@ -159,3 +159,15 @@ def test_knn_label_accuracy_matches_numpy(emb, emb_np):
     for lbl in total:
         assert got.loc[lbl, "n"] == total[lbl]
         assert got.loc[lbl, "n_correct"] == correct.get(lbl, 0)
+
+
+def test_query_collect_guardrail(spark):
+    import pytest as _pt
+
+    from feast_hive_spark.operators import simsearch as S
+
+    big = spark.range(S.MAX_QUERY_ROWS + 1).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    with _pt.raises(ValueError, match="query set has"):
+        S._query_matrix(big, "vec_id", "embedding")
