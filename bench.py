@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_metadata",
+    "multimodal_frame_sample",
+    "multimodal_type_rollup",
     "text_analysis",
     "text_lang_quality_rollup",
 ]

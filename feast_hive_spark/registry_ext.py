@@ -1433,3 +1433,75 @@ def vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH v AS (
+  SELECT doc_id, 1 + doc_id % 240 AS n_frames FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, GREATEST(n_frames - 1, 0), 24)) AS BIGINT) AS frame_index
+FROM v
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal.py:sample_frames): every
+    24th frame index of a synthetic per-doc frame count, exploded
+    JVM-side AFTER selection so only kept indices materialize. The
+    stubbed decode step never runs here — the gated part is the
+    fan-out shape a 100 TB video job actually pays for."""
+    from feast_hive_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents")
+    v = docs.select("doc_id", (1 + F.col("doc_id") % 240).alias("n_frames"))
+    out = M.sample_frames(v, "doc_id", "n_frames", every_n=24)
+    return out.select("doc_id", F.col("frame_index").cast("long").alias("frame_index"))
+
+
+@register(
+    "multimodal_type_rollup",
+    """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN '\\x89\\x50\\x4E\\x47\\x0D\\x0A\\x1A\\x0A'::BLOB || encode(text)
+              WHEN doc_id % 3 = 1
+              THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB || encode(text)
+              ELSE encode(text) END AS payload
+  FROM documents
+)
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+            ELSE 'application/octet-stream' END AS media_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+       CAST(MIN(octet_length(payload)) AS BIGINT) AS min_bytes,
+       CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes
+FROM media
+GROUP BY 1
+""",
+)
+def multimodal_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-type storage rollup over the sniffed (not asserted) type
+    column: the partition-planning query a multimodal ingest runs
+    before sizing decode fleets. Metadata-only — payload bytes never
+    shuffle (the aggregate folds octet lengths map-side)."""
+    from feast_hive_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents")
+    enc = F.encode(F.col("text"), "utf-8").cast("binary")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), enc))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit(b"\xff\xd8\xff\xe0"), enc))
+        .otherwise(enc)
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    out = M.attach_metadata(media, "payload", ["doc_id"])
+    return out.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").cast("long").alias("min_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+    )
