@@ -152,9 +152,9 @@ AUDITS = {
     # z-order: bounds are the only nested loop (1 row); the key is
     # computed in a single codegen stage, one bucket aggregate
     "zorder_layout_quality": (["HashAggregate"], ["SortMergeJoin", "Window"]),
-    # span dedup: window hashes shuffle, text never does; the final
-    # report join is doc-keyed
-    "span_dedup_stats": (["HashAggregate"], ["CartesianProduct", "Window"]),
+    # span dedup: ONE hash-keyed count-over-partition window marks
+    # duplicates; text never shuffles; no corpus-sized sort-merge join
+    "span_dedup_stats": (["Window", "HashAggregate"], ["CartesianProduct", "SortMergeJoin"]),
     # tfidf: (doc,term) agg + vocab-sized df join + ONE per-doc window
     "tfidf_top_terms": (["Window", "HashAggregate"], ["CartesianProduct"]),
     # constraint suite: ONE scan-wide aggregate + a count-distinct;
@@ -162,6 +162,10 @@ AUDITS = {
     "data_quality_lineitem": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct", "Window"]),
     # winsorize: percentile bounds broadcast back; no sort-merge join
     "winsorized_event_values": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
+    # forward as-of: union + ONE keyed window; never a range join
+    "asof_forward_daily": (["Window"], ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # delta: two max_by snapshots + key-cardinality join; pushed cutoffs
+    "materialize_delta": (["partial_max_by", "PushedFilters"], ["CartesianProduct", "Window"]),
     # PMI: vocabulary-sized aggregates; totals ride the 1-row
     # broadcast; never a corpus-sized sort-merge join
     "bigram_pmi_top": (

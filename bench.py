@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "span_dedup_stats",
     "tfidf_top_terms",
     "events_rolling_7d",
+    "asof_forward_daily",
+    "materialize_delta",
     "cohort_retention_weekly",
     "event_transition_matrix",
     "salted_join_segments",

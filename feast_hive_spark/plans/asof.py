@@ -1,0 +1,145 @@
+"""Forward as-of join and incremental-materialization delta plans —
+the two temporal complements of the flagship backward PIT join
+(plans/pit.py).
+
+- ``asof_forward_join``: for each probe row, the FIRST source row at
+  or after the probe time (pandas ``merge_asof(direction='forward')``
+  semantics, unbounded horizon). Implemented as a union + one keyed
+  window with a forward IGNORE NULLS ``first_value`` — ONE shuffle on
+  the key, no range join, no per-probe scan, which is the shape that
+  survives 100 TB: the window frame never materializes, Spark streams
+  it per key partition.
+- ``materialize_delta``: the rows whose latest-per-key value CHANGED
+  between two snapshot cutoffs — exactly what an incremental online-
+  store materialization ships (the reference's
+  ``materialize_incremental`` consumer path, hive.py:143-190 feeding
+  Feast's incremental loop). Both snapshots use the skew-immune
+  ``max_by(struct)`` selection; the diff is one per-key join of two
+  1-row-per-key aggregates.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_forward_join(
+    probes: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    probe_ts_col: str,
+    event_ts_col: str,
+    value_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Attach to each probe the first source row with
+    ``event_ts >= probe_ts`` for the same key (NULLs when no future
+    row exists). Returns ``keys + probe_ts + next_ts + next_<value>``.
+
+    Rows from both sides union into one stream ordered by
+    ``(ts, is_event, tiebreak)`` — probes sort BEFORE events at the
+    same timestamp so an exactly-coincident event still matches; the
+    tiebreak column (COALESCEd to -1 on probe rows, mirroring the SQL
+    twin, since ASC NULL placement differs between engines) makes the
+    frame order total, so ties are deterministic cross-engine."""
+    keys = list(keys)
+    ev = source.select(
+        *keys,
+        F.col(event_ts_col).alias("__ts"),
+        *[F.col(v) for v in value_cols],
+        F.lit(1).alias("__is_event"),
+        *(
+            [F.col(tiebreak_col).alias("__tb")]
+            if tiebreak_col
+            else [F.lit(0).alias("__tb")]
+        ),
+    )
+    pr = probes.select(
+        *keys,
+        F.col(probe_ts_col).alias("__ts"),
+        F.lit(0).alias("__is_event"),
+        F.lit(-1).alias("__tb"),
+    )
+    unioned = pr.unionByName(ev, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__is_event").asc(),
+            F.col("__tb").asc(),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_ev = F.col("__is_event") == 1
+    picked = [
+        F.first(F.when(is_ev, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("next_ts")
+    ] + [
+        F.first(F.when(is_ev, F.col(v)), ignorenulls=True)
+        .over(w)
+        .alias(f"next_{v}")
+        for v in value_cols
+    ]
+    return (
+        unioned.select(*keys, "__ts", "__is_event", *picked)
+        .filter(F.col("__is_event") == 0)
+        .select(
+            *keys,
+            F.col("__ts").alias("probe_ts"),
+            "next_ts",
+            *[f"next_{v}" for v in value_cols],
+        )
+    )
+
+
+def materialize_delta(
+    source: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    cutoff_old,
+    cutoff_new,
+) -> DataFrame:
+    """Incremental materialization delta: keys whose latest row (by
+    ``(ts, id)``) changed between ``ts < cutoff_old`` and
+    ``ts < cutoff_new``. Returns
+    ``keys + change_type('new'|'updated') + old_id + new_id + new_value``.
+
+    Each snapshot is one ``max_by(struct(values), struct(ts, id))``
+    aggregate — partial aggregation collapses hot keys map-side, the
+    same skew-immune selection as the PIT join — and the diff is a
+    per-key left join of two key-cardinality tables."""
+    keys = list(keys)
+
+    def latest(df: DataFrame, prefix: str) -> DataFrame:
+        picked = F.max_by(
+            F.struct(F.col(id_col).alias("id"), F.col(value_col).alias("val")),
+            F.struct(F.col(ts_col), F.col(id_col)),
+        )
+        return df.groupBy(*keys).agg(
+            picked.getField("id").alias(f"{prefix}_id"),
+            picked.getField("val").alias(f"{prefix}_value"),
+        )
+
+    old = latest(source.filter(F.col(ts_col) < F.lit(cutoff_old)), "old")
+    new = latest(source.filter(F.col(ts_col) < F.lit(cutoff_new)), "new")
+    return (
+        new.join(old, keys, "left")
+        .filter(
+            F.col("old_id").isNull() | (F.col("old_id") != F.col("new_id"))
+        )
+        .select(
+            *keys,
+            F.when(F.col("old_id").isNull(), F.lit("new"))
+            .otherwise(F.lit("updated"))
+            .alias("change_type"),
+            "old_id",
+            F.col("new_id"),
+            "new_value",
+        )
+    )

@@ -283,3 +283,89 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return Q.winsorize_stats(ev, "event_type", "value", 0.05, 0.95)
+
+
+@register(
+    "asof_forward_daily",
+    """
+WITH u AS (
+  SELECT user_id, ts AS uts, value, event_id, 1 AS is_event FROM events
+  UNION ALL
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP), NULL, -1, 0 FROM events
+),
+w AS (
+  SELECT user_id, uts, is_event,
+    first_value(CASE WHEN is_event = 1 THEN uts END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY uts ASC, is_event ASC, event_id ASC
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts,
+    first_value(CASE WHEN is_event = 1 THEN value END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY uts ASC, is_event ASC, event_id ASC
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_value
+  FROM u
+)
+SELECT user_id, uts AS probe_ts, next_ts, ROUND(next_value, 4) AS next_value
+FROM w WHERE is_event = 0
+""",
+)
+def asof_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (merge_asof direction='forward'): for every
+    (user, day-start) probe, the first event at or after it —
+    unbounded horizon, ONE user-keyed window shuffle, no range join
+    (plans/asof.py). Probes sort before coincident events; event_id
+    totalizes the tie order cross-engine."""
+    from feast_hive_spark.plans.asof import asof_forward_join
+
+    ev = read_table(spark, sf_dir, "events")
+    probes = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("probe_ts")
+    ).distinct()
+    out = asof_forward_join(
+        probes, ev, ["user_id"], "probe_ts", "ts", ["value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", "probe_ts", "next_ts",
+        F.round("next_value", 4).alias("next_value"),
+    )
+
+
+_DELTA_OLD = "2024-01-20"
+_DELTA_NEW = "2024-01-31"
+
+
+@register(
+    "materialize_delta",
+    f"""
+WITH s_old AS (
+  SELECT user_id, event_id AS old_id
+  FROM events WHERE ts < TIMESTAMP '{_DELTA_OLD}'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+s_new AS (
+  SELECT user_id, event_id AS new_id, value AS new_value
+  FROM events WHERE ts < TIMESTAMP '{_DELTA_NEW}'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT n.user_id,
+       CASE WHEN o.old_id IS NULL THEN 'new' ELSE 'updated' END AS change_type,
+       o.old_id, n.new_id, ROUND(n.new_value, 4) AS new_value
+FROM s_new n LEFT JOIN s_old o ON n.user_id = o.user_id
+WHERE o.old_id IS NULL OR o.old_id <> n.new_id
+""",
+)
+def materialize_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-materialization delta (the reference's
+    materialize_incremental consumer semantics): keys whose
+    latest-per-key row changed between two snapshot cutoffs. Both
+    snapshots are skew-immune max_by aggregates; the diff is one
+    key-cardinality left join (plans/asof.py:materialize_delta)."""
+    from feast_hive_spark.plans.asof import materialize_delta
+
+    ev = read_table(spark, sf_dir, "events")
+    out = materialize_delta(
+        ev, ["user_id"], "ts", "event_id", "value", _DELTA_OLD, _DELTA_NEW
+    )
+    return out.select(
+        "user_id", "change_type", "old_id", "new_id",
+        F.round("new_value", 4).alias("new_value"),
+    )
