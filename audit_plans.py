@@ -166,6 +166,9 @@ AUDITS = {
     "asof_forward_daily": (["Window"], ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     # delta: two max_by snapshots + key-cardinality join; pushed cutoffs
     "materialize_delta": (["partial_max_by", "PushedFilters"], ["CartesianProduct", "Window"]),
+    # prefix filtering: rank window + pruned self-join + broadcast
+    # verify; candidates never nest-loop
+    "dedup_jaccard_prefix": (["Window", "BroadcastHashJoin"], ["CartesianProduct"]),
     # PMI: vocabulary-sized aggregates; totals ride the 1-row
     # broadcast; never a corpus-sized sort-merge join
     "bigram_pmi_top": (

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "interval_overlap_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -129,6 +129,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_DUCK_JACCARD} AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+""",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered (PPJoin-style) exact Jaccard: indexes only each
+    doc's rarest |d|-ceil(t|d|)+1 shingles — provably no candidate
+    above threshold is lost, hot stop-phrase shingles never enter the
+    self-join. Same all-pairs oracle as dedup_ngram_jaccard because
+    the results are exactly identical (pure candidate pruning)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
 def _duck_minhash_banded_sql() -> str:
     rows_per_band = len(X.MINHASH_COEFS) // 4
     band_selects = []

@@ -219,3 +219,43 @@ def test_embedding_cosine_edge_cases(spark):
                 df, "vec_id", "embedding", threshold=0.5, strategy=strategy
             ).toPandas()
             assert len(got) == 0, (strategy, df.count())
+
+
+def test_prefix_jaccard_equals_inverted_index(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.prefix_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert plain == pref and len(pref) > 0
+
+
+def test_prefix_index_is_smaller(spark, sf_dir):
+    # the prefix index must hold strictly fewer postings than the full
+    # inverted index at t=0.5 (roughly half, by the prefix-length bound)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from feast_hive_spark.functions import text as X
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_sh = docs.select(
+        F.col("doc_id"), X.tokens_array("text").alias("__tk")
+    ).select(F.col("doc_id"), X.shingle_hashes_from(F.col("__tk"), 3).alias("__sh"))
+    full = with_sh.select(F.explode("__sh")).count()
+    exploded = with_sh.select(
+        "doc_id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__h")
+    )
+    freq = exploded.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("__f").asc(), F.col("__h").asc())
+    pref = (
+        exploded.join(freq, "__h")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__sz") - F.ceil(0.5 * F.col("__sz")) + 1)
+        .count()
+    )
+    assert pref < 0.6 * full
