@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "decontaminate_vs_benchmark",
     "curation_pipeline",
     "split_train_val_test",
+    "epoch_shuffle_head",
     "stratified_sample_by_lang",
     "scrub_forbidden_terms",
     "pii_scrub_stats",

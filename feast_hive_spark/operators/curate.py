@@ -127,3 +127,26 @@ def scrub_terms(
     ).withColumn(
         "n_scrubbed", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order for training data.
+
+    Appends ``shuffle_key = H48('{salt}:{epoch}:' || id)``: a
+    different, reproducible permutation every epoch with ZERO state —
+    any reader that range-partitions + sorts on the key (the z-order
+    writer shape, operators/layout.py) streams the epoch's order
+    without a driver-side permutation or an RNG seed file. Stateless
+    per row, so it composes with splits/sampling and never reshuffles
+    rows that filters already dropped."""
+    key = h48(
+        F.concat(
+            F.lit(f"{salt}:{int(epoch)}:"), F.col(id_col).cast("string")
+        )
+    )
+    return df.withColumn("shuffle_key", key)

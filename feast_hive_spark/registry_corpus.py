@@ -300,3 +300,31 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-independent."""
     docs = read_table(spark, sf_dir, "documents")
     return C.tfidf_top_terms(docs, "doc_id", "text", top_per_doc=_TFIDF_TOP)
+
+
+_EPOCH = 1
+
+
+@register(
+    "epoch_shuffle_head",
+    f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5('epoch:{_EPOCH}:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key ASC, doc_id ASC
+LIMIT 20
+""",
+)
+def epoch_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: the first 20 docs of
+    epoch 1's permutation. Stateless md5 key — reproducible across
+    runs, engines, and cluster sizes with no RNG or driver-side
+    permutation (operators/curate.py:epoch_shuffle)."""
+    from feast_hive_spark.operators.curate import epoch_shuffle
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        epoch_shuffle(docs, "doc_id", _EPOCH)
+        .orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+        .limit(20)
+    )

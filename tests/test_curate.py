@@ -105,3 +105,22 @@ def test_scrub_terms_matches_python_re(spark):
         assert out.loc[i, "n_scrubbed"] == len(pat.findall(src.loc[i, "text"]))
     with pytest.raises(ValueError):
         scrub_terms(df, "text", [])
+
+
+def test_epoch_shuffle_permutations_differ_but_reproduce(spark):
+    from feast_hive_spark.operators.curate import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+
+    def order(epoch):
+        return [
+            r["doc_id"]
+            for r in epoch_shuffle(df, "doc_id", epoch)
+            .orderBy("shuffle_key", "doc_id")
+            .collect()
+        ]
+
+    e0, e1 = order(0), order(1)
+    assert sorted(e0) == sorted(e1) == list(range(50))  # permutations
+    assert e0 != e1                                     # epochs differ
+    assert order(0) == e0                               # reproducible
