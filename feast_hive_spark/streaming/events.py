@@ -92,6 +92,37 @@ def windowed_counts(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    group_col: str,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a static
+    dimension (broadcast — Spark re-resolves the static side per
+    micro-batch, so a slowly-refreshed dim table picks up updates
+    without restarting the query), then windowed counts/sums per
+    dimension attribute. The join adds NO streaming state; only the
+    windowed aggregate holds state, bounded by the watermark."""
+    joined = events.join(F.broadcast(dim), on)
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -436,3 +436,36 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     assert len(got) == 51  # 50 originals + the fresh row, dups dropped
     assert got.event_id.is_unique
     assert set(got.event_id) == set(range(50)) | {999}
+
+
+def test_enrich_stream_matches_batch(spark, sf_dir):
+    from feast_hive_spark.sources.tables import read_table
+    from feast_hive_spark.streaming.events import (
+        enrich_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = read_event_stream(spark, sf_dir)
+    out = enrich_stream(stream, cust, "user_id", "c_mktsegment")
+    run_to_memory(out, "enriched", output_mode="complete")
+    got = {
+        (r["window_start"], r["c_mktsegment"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("enriched").collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    exp = {
+        (r["ws"], r["c_mktsegment"]): (r["n"], r["s"])
+        for r in ev.join(F.broadcast(cust), "user_id")
+        .groupBy(
+            F.window("ts", "1 day").getField("start").alias("ws"), "c_mktsegment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s")
+        )
+        .collect()
+    }
+    assert got == exp and len(got) > 0
