@@ -169,6 +169,10 @@ AUDITS = {
     # prefix filtering: rank window + pruned self-join + broadcast
     # verify; candidates never nest-loop
     "dedup_jaccard_prefix": (["Window", "BroadcastHashJoin"], ["CartesianProduct"]),
+    # fuzzy blocking: equi join on the block key, never all-pairs
+    "fuzzy_part_name_pairs": (["PushedFilters"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # moment-sum corr: ONE scan aggregate, partial agg map-side
+    "price_quantity_corr": (["HashAggregate"], ["Join", "Window"]),
     # PMI: vocabulary-sized aggregates; totals ride the 1-row
     # broadcast; never a corpus-sized sort-merge join
     "bigram_pmi_top": (

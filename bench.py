@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "window_user_activity",
     "cube_order_stats",
     "percentile_order_value",
+    "price_quantity_corr",
+    "fuzzy_part_name_pairs",
     "events_daily_rollup",
     "events_sliding_rollup",
     "events_json_props",

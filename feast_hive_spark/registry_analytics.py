@@ -369,3 +369,103 @@ def materialize_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "change_type", "old_id", "new_id",
         F.round("new_value", 4).alias("new_value"),
     )
+
+
+_FUZZY_MAX_DIST = 4
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    f"""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+ AND a.p_partkey < b.p_partkey
+WHERE a.p_name <> b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+""",
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match: near-identical part names by
+    edit distance, BLOCKED on (brand, type) so the quadratic
+    comparison runs within small blocks instead of all-pairs — the
+    classic record-linkage shape. levenshtein is a JVM intrinsic;
+    the self-join is an equi join on the blocking key (a skewed block
+    would call for the salted_join utility)."""
+    part = read_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+        "p_brand", "p_type",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+        "p_brand", "p_type",
+    )
+    return (
+        a.join(b, ["p_brand", "p_type"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("name_a") != F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= _FUZZY_MAX_DIST)
+        )
+        .select(
+            "key_a", "key_b", "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+    )
+
+
+@register(
+    "price_quantity_corr",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS sy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS sxy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         SUM(CAST(ROUND(l_extendedprice) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND(
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+         6) AS corr_qty_price
+FROM s
+""",
+)
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs (whole-dollar) price per
+    return flag, computed from EXACT integer moment sums — the
+    cross-engine-stable alternative to float-accumulator corr():
+    partial aggregation folds the five sums map-side, the double
+    formula runs once per group on identical integers."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
