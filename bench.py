@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "split_train_val_test",
     "epoch_shuffle_head",
+    "pack_sequences_by_lang",
+    "chi2_event_type_segment",
     "stratified_sample_by_lang",
     "scrub_forbidden_terms",
     "pii_scrub_stats",

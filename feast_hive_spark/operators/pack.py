@@ -79,3 +79,28 @@ def pack_sequences(
         )
         .select(F.col(id_col), F.col("__len").alias(len_col), *extra, "bin_id")
     )
+
+
+def pack_sequences_grouped(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    capacity: int,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group contiguous greedy packing (monolingual batches: each
+    group packs into its own bin space). Same per-doc contract as
+    pack_sequences, but the running sum is a per-group window — groups
+    pack in parallel with ONE shuffle and no driver-side totals pass.
+    A whale group serializes its own sort (the stratified-sample
+    caveat); split such a group with the global packer instead."""
+    base = df.withColumn("__len", F.col(len_col).cast("long"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__len").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("__len").over(w)
+    return base.withColumn(
+        "bin_id", F.floor((cum - F.col("__len")) / F.lit(capacity)).cast("long")
+    ).drop("__len")

@@ -469,3 +469,72 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(corr, 6).alias("corr_qty_price"),
     )
+
+
+@register(
+    "chi2_event_type_segment",
+    """
+WITH obs AS (
+  SELECT e.event_type, c.c_mktsegment AS segment, COUNT(*) AS o
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY e.event_type, c.c_mktsegment
+),
+tot AS (
+  SELECT SUM(o) AS n FROM obs
+),
+margins AS (
+  SELECT obs.event_type, obs.segment, obs.o,
+         rt.row_tot, ct.col_tot, tot.n
+  FROM obs
+  JOIN (SELECT event_type, SUM(o) AS row_tot FROM obs GROUP BY event_type) rt
+    ON obs.event_type = rt.event_type
+  JOIN (SELECT segment, SUM(o) AS col_tot FROM obs GROUP BY segment) ct
+    ON obs.segment = ct.segment
+  CROSS JOIN tot
+),
+cells AS (
+  SELECT CAST(ROUND(
+           pow(o - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+           / (CAST(row_tot AS DOUBLE) * col_tot / n) * 1000000) AS BIGINT) AS cm,
+         o
+  FROM margins
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(o) AS BIGINT) AS n_obs,
+       ROUND(CAST(SUM(cm) AS DOUBLE) / 1000000, 4) AS chi2
+FROM cells
+""",
+)
+def chi2_event_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic between event type and
+    customer segment: observed counts from one join+aggregate,
+    marginals re-reduced from the tiny contingency table (25 cells),
+    per-cell contributions fixed to micro-unit BIGINTs so the final
+    sum is order-independent cross-engine. The scan-sized work is the
+    single observed-count aggregate; everything after runs on #cells
+    rows."""
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    obs = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("segment").agg(F.sum("o").alias("col_tot"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    cm = F.round(F.pow(F.col("o") - exp, 2) / exp * 1000000).cast("long")
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "segment")
+        .crossJoin(F.broadcast(tot))
+        .select(cm.alias("cm"), "o")
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("o").alias("n_obs"),
+        F.round(F.sum("cm").cast("double") / 1000000, 4).alias("chi2"),
+    )

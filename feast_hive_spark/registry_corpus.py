@@ -328,3 +328,37 @@ def epoch_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "pack_sequences_by_lang",
+    """
+WITH lens AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+ordered AS (
+  SELECT doc_id, lang, n_tok,
+         SUM(n_tok) OVER (
+           PARTITION BY lang ORDER BY n_tok DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lens
+)
+SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin_id
+FROM ordered
+""",
+)
+def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sequence packing into 2048-token bins (monolingual
+    batch construction): one per-group window shuffle, groups pack in
+    parallel, no driver totals pass (operators/pack.py:
+    pack_sequences_grouped)."""
+    from feast_hive_spark.operators.pack import pack_sequences_grouped
+
+    docs = read_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    out = pack_sequences_grouped(lens, "doc_id", "n_tok", 2048, ["lang"])
+    return out.select("doc_id", "lang", "n_tok", "bin_id")

@@ -124,3 +124,26 @@ def test_epoch_shuffle_permutations_differ_but_reproduce(spark):
     assert sorted(e0) == sorted(e1) == list(range(50))  # permutations
     assert e0 != e1                                     # epochs differ
     assert order(0) == e0                               # reproducible
+
+
+def test_pack_grouped_respects_groups_and_capacity(spark):
+    from feast_hive_spark.operators.pack import pack_sequences_grouped
+
+    rows = [(i, "en" if i % 2 == 0 else "fr", 600) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+    out = pack_sequences_grouped(df, "doc_id", "n_tok", 1000, ["lang"]).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault((r["lang"], r["bin_id"]), []).append(r["doc_id"])
+    # 5 docs of 600 per lang at capacity 1000 -> starts at 0,600,1200,...
+    # floor(start/1000) -> bins 0,0,1,1,2 per group
+    for lang in ("en", "fr"):
+        sizes = sorted(
+            len(v) for (g, _), v in by_group.items() if g == lang
+        )
+        assert sizes == [1, 2, 2]
+    # bin ids never mix languages
+    assert all(
+        len({lang for (lang, b) in by_group if b == bid}) >= 1
+        for (_, bid) in by_group
+    )
