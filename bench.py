@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "epoch_shuffle_head",
     "pack_sequences_by_lang",
     "chi2_event_type_segment",
+    "funnel_view_click_purchase",
+    "outlier_zscore_counts",
     "stratified_sample_by_lang",
     "scrub_forbidden_terms",
     "pii_scrub_stats",

@@ -538,3 +538,104 @@ def chi2_event_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").alias("n_obs"),
         F.round(F.sum("cm").cast("double") / 1000000, 4).alias("chi2"),
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+FROM firsts
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): per-user
+    first-occurrence times via ONE conditional-min aggregate (no
+    self-joins, no window), then a 1-row stage-count reduce. The
+    classic product-analytics query at its cheapest shape: two
+    aggregates total, the first folding map-side per user."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    stage1 = F.col("t_view").isNotNull()
+    stage2 = stage1 & (F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.sum(stage1.cast("long")).alias("n_view"),
+        F.sum(stage2.cast("long")).alias("n_view_click"),
+        F.sum(stage3.cast("long")).alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "outlier_zscore_counts",
+    """
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS s2
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_type, e.value,
+         CAST(m.s1 AS DOUBLE) / m.n / 100 AS mu,
+         sqrt(CAST(m.s2 AS DOUBLE) / m.n / 100 / 100
+              - pow(CAST(m.s1 AS DOUBLE) / m.n / 100, 2)) AS sigma
+  FROM events e JOIN m ON e.event_type = m.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN abs((value - mu) / sigma) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MIN(mu), 4) AS mean_value
+FROM z
+GROUP BY event_type
+""",
+)
+def outlier_zscore_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type with exact integer
+    moment sums (the price_quantity_corr pattern): mean and variance
+    come from centi-unit BIGINT sums so mu/sigma are bit-identical
+    cross-engine; flagging is then a deterministic per-row compare.
+    Two passes over the fact (moments, then flags) with the moments
+    table broadcast back."""
+    ev = read_table(spark, sf_dir, "events")
+    # centi-units: squared sums stay far from long overflow even at
+    # billions of rows (2e4^2 * 1e9 = 4e17 < 9.2e18)
+    centi = F.round(F.col("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(centi).alias("s1"),
+        F.sum(centi * centi).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n") / 100
+    sigma = F.sqrt(
+        F.col("s2").cast("double") / F.col("n") / 100 / 100
+        - F.pow(mu, F.lit(2.0))
+    )
+    z = ev.join(F.broadcast(m), "event_type").select(
+        "event_type", "value", mu.alias("mu"), sigma.alias("sigma")
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 3).cast("long")
+        ).alias("n_outliers"),
+        F.round(F.min("mu"), 4).alias("mean_value"),
+    )
