@@ -173,6 +173,16 @@ AUDITS = {
     "fuzzy_part_name_pairs": (["PushedFilters"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # moment-sum corr: ONE scan aggregate, partial agg map-side
     "price_quantity_corr": (["HashAggregate"], ["Join", "Window"]),
+    # funnel: two aggregates, zero joins/windows
+    "funnel_view_click_purchase": (["HashAggregate"], ["Join", "Window", "CartesianProduct"]),
+    # z-score: moments broadcast back; no sort-merge join
+    "outlier_zscore_counts": (["HashAggregate", "BroadcastHashJoin"], ["SortMergeJoin", "Window"]),
+    # chi2: one scan-sized aggregate; marginals re-reduce 25 rows
+    "chi2_event_type_segment": (["HashAggregate", "BroadcastHashJoin"], ["SortMergeJoin", "Window"]),
+    # per-group packing: ONE window, no totals collect, no join
+    "pack_sequences_by_lang": (["Window"], ["Join", "CartesianProduct"]),
+    # epoch shuffle: stateless key + top-k; no exchange beyond the sort
+    "epoch_shuffle_head": (["TakeOrderedAndProject"], ["Join", "Window", "HashAggregate"]),
     # PMI: vocabulary-sized aggregates; totals ride the 1-row
     # broadcast; never a corpus-sized sort-merge join
     "bigram_pmi_top": (
