@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "fuzzy_part_name_pairs",
     "events_daily_rollup",
     "events_sliding_rollup",
+    "sliding_distinct_users",
     "events_json_props",
     "events_sessionize_batch",
     "interval_overlap_counts",

@@ -639,3 +639,26 @@ def outlier_zscore_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_outliers"),
         F.round(F.min("mu"), 4).alias("mean_value"),
     )
+
+
+@register(
+    "sliding_distinct_users",
+    """
+SELECT CAST(to_timestamp((floor(epoch(CAST(ts AS TIMESTAMP)) / 43200) - i) * 43200)
+            AS TIMESTAMP) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events, range(0, 2) r(i)
+GROUP BY 1
+""",
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct-user counts (1-day window, 12h slide):
+    the windowed COUNT(DISTINCT) class — Spark's two-phase distinct
+    aggregate runs per replicated window bucket; the DuckDB twin
+    spells out the replication with an explicit range(2) lateral."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("window.start").alias("window_start"), "n_users")
+    )
