@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "outlier_zscore_counts",
     "stratified_sample_by_lang",
     "scrub_forbidden_terms",
+    "quality_weighted_sample",
+    "text_normalize_fp",
+    "value_histogram",
     "pii_scrub_stats",
     "gopher_quality_flags",
     "vocab_zipf",

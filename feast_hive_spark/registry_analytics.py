@@ -662,3 +662,47 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .select(F.col("window.start").alias("window_start"), "n_users")
     )
+
+
+_HIST_BINS = 32
+
+
+@register(
+    "value_histogram",
+    f"""
+WITH mm AS (
+  SELECT min(value) AS mn, max(value) AS mx FROM events
+)
+SELECT LEAST({_HIST_BINS - 1},
+             CAST(floor((value - mn) / CAST(mx - mn AS DOUBLE) * {_HIST_BINS}) AS BIGINT)) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 4) AS lo,
+       ROUND(MAX(value), 4) AS hi
+FROM events, mm
+GROUP BY 1
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of the event value distribution: bounds
+    from one broadcast 1-row aggregate, bin assignment in codegen
+    (the z-order grid formula), one bin-keyed count aggregate whose
+    partial agg collapses the fact map-side."""
+    ev = read_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binc = F.least(
+        F.lit(_HIST_BINS - 1),
+        F.floor(
+            (F.col("value") - F.col("mn"))
+            / (F.col("mx") - F.col("mn")).cast("double")
+            * _HIST_BINS
+        ).cast("long"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(mm))
+        .groupBy(binc.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

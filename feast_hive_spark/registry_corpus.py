@@ -362,3 +362,71 @@ def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pack_sequences_grouped(lens, "doc_id", "n_tok", 2048, ["lang"])
     return out.select("doc_id", "lang", "n_tok", "bin_id")
+
+
+_QW_SCALE = 0.8  # keep_prob = min(1, quality * _QW_SCALE)
+
+
+def _qw_oracle() -> str:
+    from feast_hive_spark.functions.text import duck_quality_score
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {duck_quality_score('text')} AS quality FROM documents
+),
+kept AS (
+  SELECT doc_id, lang
+  FROM scored
+  WHERE CAST(('0x' || substr(md5('qw:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 10000
+        < LEAST(10000, CAST(ROUND(quality * {_QW_SCALE} * 10000) AS BIGINT))
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY lang
+"""
+
+
+@register("quality_weighted_sample", _qw_oracle())
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: per-row keep probability
+    proportional to the document's quality score (min(1, q*0.8)),
+    accepted by the stateless md5 threshold — high-quality docs
+    survive preferentially with zero shuffles and full
+    reproducibility. Reported as per-language kept counts."""
+    from feast_hive_spark.functions.text import h48, quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    keep_bp = F.least(
+        F.lit(10000),
+        F.round(quality_score("text") * _QW_SCALE * 10000).cast("long"),
+    )
+    bucket = F.pmod(
+        h48(F.concat(F.lit("qw:"), F.col("doc_id").cast("string"))), F.lit(10000)
+    )
+    return (
+        docs.filter(bucket < keep_bp)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
+    "text_normalize_fp",
+    """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_fp,
+       (trim(regexp_replace(lower(text), ' +', ' ', 'g')) <> text) AS changed
+FROM documents
+""",
+)
+def text_normalize_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, collapse runs of
+    spaces, trim) — the first stage of every corpus pipeline, gated by
+    the md5 of the normalized text. Pure codegen string ops, zero
+    shuffles; Java regex and RE2 agree on this pattern class."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        (norm != F.col("text")).alias("changed"),
+    )
