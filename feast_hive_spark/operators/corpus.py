@@ -176,6 +176,7 @@ def temperature_sample(
     alpha: float = 0.6,
     budget_frac: float = 0.5,
     salt: str = "temp",
+    keep_col: str | None = None,
 ) -> DataFrame:
     """Temperature-reweighted corpus sampling (the multilingual-mix
     shape: p_g ∝ n_g^alpha flattens head groups, up-weights the tail).
@@ -188,40 +189,47 @@ def temperature_sample(
     the data rows; only the #groups-row stats aggregate moves, then
     broadcasts back. Keep probabilities are rounded to basis points
     so the threshold integer is identical across engines.
+
+    Returns the surviving input rows with their original schema;
+    internal join columns use a ``__ts_`` prefix so an input that
+    happens to carry ``keep_bp``/``__ng`` columns is untouched. Pass
+    ``keep_col`` to additionally expose the per-group basis-point
+    keep threshold under that name (callers that report thresholds —
+    e.g. the registry twin — opt in instead of every caller paying an
+    undocumented extra column).
     """
-    stats = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng"))
+    stats = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ts_ng"))
     tot = stats.agg(
-        F.sum("__ng").alias("__n"),
-        F.sum(F.pow(F.col("__ng").cast("double"), F.lit(alpha))).alias("__z"),
+        F.sum("__ts_ng").alias("__ts_n"),
+        F.sum(F.pow(F.col("__ts_ng").cast("double"), F.lit(alpha))).alias("__ts_z"),
     )
     probs = stats.crossJoin(F.broadcast(tot)).select(
         F.col(group_col),
-        F.col("__ng"),
         F.least(
             F.lit(10000),
             F.round(
                 F.lit(budget_frac)
-                * F.col("__n")
-                * F.pow(F.col("__ng").cast("double"), F.lit(alpha))
-                / F.col("__z")
-                / F.col("__ng")
+                * F.col("__ts_n")
+                * F.pow(F.col("__ts_ng").cast("double"), F.lit(alpha))
+                / F.col("__ts_z")
+                / F.col("__ts_ng")
                 * 10000
             ).cast("long"),
-        ).alias("keep_bp"),
+        ).alias("__ts_keep_bp"),
     )
     bucket = F.pmod(
         h48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(10000)
     )
-    return (
-        df.join(F.broadcast(probs), group_col)
-        .filter(bucket < F.col("keep_bp"))
-        .drop("__ng")
+    kept = df.join(F.broadcast(probs), group_col).filter(
+        bucket < F.col("__ts_keep_bp")
     )
+    if keep_col is not None:
+        return kept.withColumnRenamed("__ts_keep_bp", keep_col)
+    return kept.drop("__ts_keep_bp")
 
 
 def quantize_error_stats(
     df: DataFrame,
-    id_col: str,
     vec_col: str,
     label_col: str,
     bits: int = 8,
@@ -236,6 +244,12 @@ def quantize_error_stats(
     micro-unit BIGINTs before the per-label aggregate, making the
     cross-engine comparison exact under any row order. Returns per
     label: ``n_vecs, avg_rel_err, max_rel_err``.
+
+    An all-zero vector has scale 0 and norm 0; ``err/norm`` would be
+    NaN (and the BIGINT cast silently NULL), so a zero vector is
+    defined as perfectly reconstructed (``rel = 0``) — the CASE guard
+    below and its SQL-twin mirror keep both engines on that branch
+    before any division happens.
     """
     qmax = float(2 ** (bits - 1) - 1)
     xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -247,7 +261,9 @@ def quantize_error_stats(
         F.transform(xs, lambda x: F.abs(x - F.round(x / scale) * scale))
     )
     norm = dsum(F.transform(xs, lambda x: F.abs(x)))
-    rel_micro = F.round(err / norm * _MICRO).cast("long")
+    rel_micro = (
+        F.when(norm > 0, F.round(err / norm * _MICRO)).otherwise(F.lit(0))
+    ).cast("long")
     per_row = df.select(F.col(label_col), rel_micro.alias("__rm"))
     return (
         per_row.groupBy(label_col)

@@ -37,12 +37,15 @@ MAX_QUERY_ROWS = 100_000
 
 
 def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
-    n = queries.count()
+    # bounded probe: LIMIT N+1 stops the scan as soon as the guard can
+    # decide, instead of a full count() action that re-executes the
+    # whole query-side plan even for tiny query sets
+    n = queries.limit(MAX_QUERY_ROWS + 1).count()
     if n > MAX_QUERY_ROWS:
         raise ValueError(
-            f"query set has {n} rows; the ANN search collects+broadcasts "
-            f"the query matrix (limit {MAX_QUERY_ROWS}). For query sets "
-            "this large, run dedup-style pair mining "
+            f"query set exceeds {MAX_QUERY_ROWS} rows; the ANN search "
+            "collects+broadcasts the query matrix. For query sets this "
+            "large, run dedup-style pair mining "
             "(dedup.embedding_cosine_pairs / lsh strategies) instead."
         )
     qpdf = queries.select(id_col, vec_col).toPandas()

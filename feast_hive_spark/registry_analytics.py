@@ -673,8 +673,10 @@ _HIST_BINS = 32
 WITH mm AS (
   SELECT min(value) AS mn, max(value) AS mx FROM events
 )
-SELECT LEAST({_HIST_BINS - 1},
-             CAST(floor((value - mn) / CAST(mx - mn AS DOUBLE) * {_HIST_BINS}) AS BIGINT)) AS bin,
+SELECT CASE WHEN mx > mn THEN
+         LEAST({_HIST_BINS - 1},
+               CAST(floor((value - mn) / CAST(mx - mn AS DOUBLE) * {_HIST_BINS}) AS BIGINT))
+       ELSE 0 END AS bin,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(MIN(value), 4) AS lo,
        ROUND(MAX(value), 4) AS hi
@@ -685,18 +687,22 @@ GROUP BY 1
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bin histogram of the event value distribution: bounds
     from one broadcast 1-row aggregate, bin assignment in codegen
-    (the z-order grid formula), one bin-keyed count aggregate whose
-    partial agg collapses the fact map-side."""
+    (the z-order grid formula, incl. its span>0 degenerate-range
+    guard — a constant column gets bin 0, not NaN), one bin-keyed
+    count aggregate whose partial agg collapses the fact map-side."""
     ev = read_table(spark, sf_dir, "events")
     mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
-    binc = F.least(
-        F.lit(_HIST_BINS - 1),
-        F.floor(
-            (F.col("value") - F.col("mn"))
-            / (F.col("mx") - F.col("mn")).cast("double")
-            * _HIST_BINS
-        ).cast("long"),
-    )
+    binc = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(_HIST_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn")).cast("double")
+                * _HIST_BINS
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
     return (
         ev.crossJoin(F.broadcast(mm))
         .groupBy(binc.alias("bin"))

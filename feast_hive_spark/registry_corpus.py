@@ -142,7 +142,8 @@ def temperature_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting aggregate."""
     docs = read_table(spark, sf_dir, "documents")
     kept = C.temperature_sample(
-        docs, "lang", "doc_id", alpha=_TEMP_ALPHA, budget_frac=_TEMP_BUDGET
+        docs, "lang", "doc_id", alpha=_TEMP_ALPHA, budget_frac=_TEMP_BUDGET,
+        keep_col="keep_bp",
     )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -155,16 +156,17 @@ def temperature_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH scaled AS (
   SELECT label, embedding,
-         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s,
+         list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
 ),
 q AS (
+  -- zero-vector guard mirrors the Spark plan: norm 0 => rel 0, never NaN
   SELECT label,
-         CAST(ROUND(
+         CASE WHEN nrm > 0 THEN CAST(ROUND(
            list_sum(list_transform(embedding,
              x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / s) * s)))
-           / list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
-           * 1000000) AS BIGINT) AS rm
+           / nrm * 1000000) AS BIGINT) ELSE 0 END AS rm
   FROM scaled
 )
 SELECT label,
@@ -180,7 +182,7 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     elementwise codegen array math; per-row error fixed to micro-unit
     BIGINTs before the aggregate so cross-engine sums are exact."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return C.quantize_error_stats(emb, "vec_id", "embedding", "label", bits=8)
+    return C.quantize_error_stats(emb, "embedding", "label", bits=8)
 
 
 @register(

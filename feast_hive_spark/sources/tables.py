@@ -14,6 +14,8 @@ identical microsecond values.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,8 +39,25 @@ TABLES = [
 _NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+# Memoized per (application, sf_dir, table): every caller in one
+# session gets the SAME DataFrame lineage. This is what makes
+# `spark.catalog.cacheTable(view)` substitution reach query plans —
+# Spark's CacheManager matches plan subtrees structurally, and two
+# independent `spark.read.parquet(path)` calls build distinct
+# FileIndex instances that never compare equal, so without memoization
+# a cached view is invisible to queries that re-read the path. The
+# testdata is immutable, so reuse is safe; entries from stopped
+# sessions are pruned on insert.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with normalized schema."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.abspath(sf_dir), name)
+    hit = _DF_CACHE.get(key)
+    if hit is not None:
+        return hit
     # Harden against caller-supplied sessions (the verify driver builds
     # its own SparkSession without our factory): timestamps must be
     # plain TIMESTAMP interpreted at UTC regardless of session defaults.
@@ -53,6 +72,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div: float division would lose precision above 2^53 ns
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for k in [k for k in _DF_CACHE if k[0] != app_id]:
+        del _DF_CACHE[k]
+    _DF_CACHE[key] = df
     return df
 
 

@@ -139,6 +139,23 @@ def test_temperature_sample_deterministic_and_thresholded(spark):
         for g, n in (("en", 80), ("fr", 20))
     }
     assert frac["fr"] > frac["en"]
+    # output schema is the input schema — no internal columns leak out
+    assert kept.columns == ["lang", "doc_id"]
+    with_thresh = C.temperature_sample(
+        df, "lang", "doc_id", alpha=0.5, budget_frac=0.5, keep_col="keep_bp"
+    )
+    assert with_thresh.columns == ["lang", "doc_id", "keep_bp"]
+    for r in with_thresh.collect():
+        assert r["keep_bp"] == probs[r["lang"]]
+
+
+def test_temperature_sample_survives_colliding_input_columns(spark):
+    # input already carrying keep_bp / __ng must pass through untouched
+    rows = [(i, "en" if i < 8 else "fr", 7, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "keep_bp", "__ng"])
+    kept = C.temperature_sample(df, "lang", "doc_id", alpha=0.5, budget_frac=0.9)
+    assert sorted(kept.columns) == sorted(df.columns)
+    assert all(r["keep_bp"] == 7 and r["__ng"] == 7 for r in kept.collect())
 
 
 # ------------------------------------------------------------- quantization
@@ -153,7 +170,7 @@ def test_quantize_error_matches_numpy(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
     got = {
         r["label"]: (r["n_vecs"], r["avg_rel_err"], r["max_rel_err"])
-        for r in C.quantize_error_stats(df, "vec_id", "embedding", "label").collect()
+        for r in C.quantize_error_stats(df, "embedding", "label").collect()
     }
     micros = {0: [], 1: []}
     for _, v, lab in rows:
@@ -168,6 +185,20 @@ def test_quantize_error_matches_numpy(spark):
         assert mx == pytest.approx(round(max(ms) / 1e6, 6))
         # int8 at 16 dims keeps relative error well under 2%
         assert avg < 0.02
+
+
+def test_quantize_error_zero_vector_is_zero_not_nan(spark):
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0], 0),  # all-zero: scale=0, norm=0
+        (2, [1.0, -2.0, 0.5, 0.25], 0),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    [r] = C.quantize_error_stats(df, "embedding", "label").collect()
+    # the zero vector counts as perfectly reconstructed, not NULL-skipped:
+    # n_vecs includes it AND the average divides by 2, not by 1
+    assert r["n_vecs"] == 2
+    assert r["avg_rel_err"] is not None and 0 <= r["avg_rel_err"] < 0.02
+    assert r["max_rel_err"] is not None
 
 
 # ---------------------------------------------------------------- bigram PMI

@@ -169,5 +169,5 @@ def test_query_collect_guardrail(spark):
     big = spark.range(S.MAX_QUERY_ROWS + 1).select(
         F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
     )
-    with _pt.raises(ValueError, match="query set has"):
+    with _pt.raises(ValueError, match="query set exceeds"):
         S._query_matrix(big, "vec_id", "embedding")
