@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_type_rollup",
+    "multimodal_pixel_stats",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -2,15 +2,19 @@
 
 Media are opaque ``binary`` columns plus typed metadata. The Spark
 plumbing — schemas, Arrow-batched ``mapInPandas`` iteration, batch
-shapes, partition behavior — is real and tested; the actual codec
-calls are STUBBED because the image/audio libraries are not in this
-container:
+shapes, partition behavior — is real and tested, and since round 3 the
+image path is really decoded too:
 
-- if PIL/soundfile are importable they are used;
-- otherwise ``allow_fake=True`` switches to a *deterministic fake*
-  (features derived from md5 of the payload bytes) so the pipeline
-  shape is exercised end-to-end, and ``allow_fake=False`` raises
-  ``NotImplementedError`` — the clearly-marked stub boundary.
+- **PNG decode/encode is native** via the stdlib codec in
+  ``functions/png.py`` (zlib+struct; no PIL needed) — feature
+  extraction, pixel stats and resize operate on real pixels for PNG
+  payloads;
+- other formats (JPEG/GIF/audio/video frames) use PIL/soundfile if
+  importable; otherwise ``allow_fake=True`` switches those payloads to
+  a *deterministic fake* (features derived from md5 of the bytes) so
+  the pipeline shape is exercised end-to-end, and ``allow_fake=False``
+  raises ``NotImplementedError`` at execution — the clearly-marked
+  remaining stub boundary.
 
 Scale notes: decode is the textbook Pandas-UDF case — pure Python
 per-item work, Arrow-batched, embarrassingly parallel. The operators
@@ -27,6 +31,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from feast_hive_spark.functions import png
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # noqa: F401
@@ -64,6 +70,23 @@ def attach_metadata(df: DataFrame, binary_col: str, id_cols: list[str]) -> DataF
     )
 
 
+def _decode_image(payload: bytes) -> np.ndarray | None:
+    """(H, W, C) uint8 pixels, or None if no available codec handles
+    the payload (the per-payload stub boundary)."""
+    try:
+        return png.decode(payload)
+    except ValueError:
+        pass
+    if _HAS_PIL:  # pragma: no cover - PIL absent in container
+        import io
+
+        try:
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        except Exception:  # noqa: BLE001
+            return None
+    return None
+
+
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic fake 'decoder': dim floats in [-1, 1) derived from
     md5(payload || i). Stands in for a real image/audio feature
@@ -75,6 +98,18 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
+def _pixel_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Real image features: [width, height, mean, std] + an
+    (dim-4)-bin intensity histogram (fractions in [0, 1])."""
+    flat = img.astype(np.float64).ravel()
+    head = [img.shape[1], img.shape[0], flat.mean(), flat.std()]
+    n_bins = max(dim - 4, 0)
+    if n_bins:
+        hist, _ = np.histogram(flat, bins=n_bins, range=(0.0, 256.0))
+        head.extend(hist / flat.size)
+    return np.asarray(head[:dim], dtype=np.float32)
+
+
 def extract_features(
     df: DataFrame,
     binary_col: str,
@@ -84,29 +119,75 @@ def extract_features(
 ) -> DataFrame:
     """Per-item feature extraction via ``mapInPandas`` (Arrow batches).
 
-    Real decode path requires PIL (absent here); the deterministic
-    fake keeps schema/batching real. Output: (id, feature
-    array<float>, n_bytes)."""
-    if not _HAS_PIL and not allow_fake:
-        raise NotImplementedError(
-            "media decode requires PIL/soundfile, not available in this "
-            "container; pass allow_fake=True for the deterministic stub"
-        )
-
+    Decodable images (PNG natively; more with PIL) yield REAL pixel
+    features ([w, h, mean, std] + intensity histogram). Payloads no
+    codec handles either fall back to the deterministic fake
+    (``allow_fake=True``) or raise ``NotImplementedError`` at
+    execution. Output: (id, feature array<float>, n_bytes)."""
     schema = f"{id_col} long, feature array<float>, n_bytes long"
+
+    def one(payload: bytes) -> np.ndarray:
+        img = _decode_image(payload)
+        if img is not None:
+            return _pixel_features(img, dim)
+        if not allow_fake:
+            raise NotImplementedError(
+                "no codec for this payload (PNG is native; other formats "
+                "need PIL/soundfile, absent in this container); pass "
+                "allow_fake=True for the deterministic stub"
+            )
+        return _fake_features(payload, dim)
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_features(b if isinstance(b, bytes) else bytes(b), dim)
-                for b in pdf[binary_col]
-            ]
+            raw = [b if isinstance(b, bytes) else bytes(b) for b in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "feature": [f.tolist() for f in feats],
-                    "n_bytes": [len(b) for b in pdf[binary_col]],
+                    "feature": [one(b).tolist() for b in raw],
+                    "n_bytes": [len(b) for b in raw],
                 }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(mapper, schema)
+
+
+def image_pixel_stats(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Exact per-image pixel statistics from a REAL decode — the
+    oracle-gated proof that the PNG codec round-trips: width, height,
+    channels, integer pixel sum, min, max. All-integer outputs make the
+    cross-engine comparison exact. Strict: a payload no codec handles
+    raises (callers filter to image rows first)."""
+    schema = (
+        f"{id_col} long, width long, height long, n_channels long, "
+        "sum_pixel long, min_pixel long, max_pixel long"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                payload = b if isinstance(b, bytes) else bytes(b)
+                img = _decode_image(payload)
+                if img is None:
+                    raise ValueError(f"undecodable image payload for {id_col}={i}")
+                rows.append(
+                    (
+                        i,
+                        img.shape[1],
+                        img.shape[0],
+                        img.shape[2],
+                        int(img.astype(np.int64).sum()),
+                        int(img.min()),
+                        int(img.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_channels",
+                    "sum_pixel", "min_pixel", "max_pixel",
+                ],
             )
 
     return df.select(id_col, binary_col).mapInPandas(mapper, schema)
@@ -120,21 +201,15 @@ def resize_images(
     height: int = 64,
     allow_fake: bool = True,
 ) -> DataFrame:
-    """Thumbnail/resize plumbing via ``mapInPandas``.
+    """Thumbnail/resize via ``mapInPandas``.
 
-    With PIL present each payload is decoded, resized to
-    (width, height) and re-encoded PNG; without it the deterministic
-    fake emits an md5-keystream payload of exactly width*height bytes
-    (one byte per output pixel) so the schema, batch shape and output
-    sizing behave like the real thing. Media bytes stay in a map-only
-    stage — the resized column is produced and (by the caller) sunk
-    without ever entering a shuffle."""
-    if not _HAS_PIL and not allow_fake:
-        raise NotImplementedError(
-            "image resize requires PIL, not available in this container; "
-            "pass allow_fake=True for the deterministic stub"
-        )
-
+    Decodable images are really resized (nearest-neighbor) and
+    re-encoded PNG with the stdlib codec; payloads no codec handles
+    either get the deterministic fake (an md5-keystream payload of
+    exactly width*height bytes) or raise ``NotImplementedError`` at
+    execution when ``allow_fake=False``. Media bytes stay in a
+    map-only stage — the resized column is produced and (by the
+    caller) sunk without ever entering a shuffle."""
     schema = f"{id_col} long, thumb binary, width int, height int, n_bytes_in long"
 
     def _fake_resize(payload: bytes) -> bytes:
@@ -145,24 +220,27 @@ def resize_images(
             out.extend(seed)
         return bytes(out[: width * height])
 
+    def one(payload: bytes) -> bytes:
+        img = _decode_image(payload)
+        if img is not None:
+            ys = (np.arange(height) * img.shape[0]) // height
+            xs = (np.arange(width) * img.shape[1]) // width
+            return png.encode(img[ys][:, xs])
+        if not allow_fake:
+            raise NotImplementedError(
+                "no codec for this payload (PNG is native; other formats "
+                "need PIL, absent in this container); pass allow_fake=True "
+                "for the deterministic stub"
+            )
+        return _fake_resize(payload)
+
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raw = [b if isinstance(b, bytes) else bytes(b) for b in pdf[binary_col]]
-            if _HAS_PIL:  # pragma: no cover - PIL absent in container
-                import io
-
-                thumbs = []
-                for b in raw:
-                    img = Image.open(io.BytesIO(b)).resize((width, height))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    thumbs.append(buf.getvalue())
-            else:
-                thumbs = [_fake_resize(b) for b in raw]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "thumb": thumbs,
+                    "thumb": [one(b) for b in raw],
                     "width": width,
                     "height": height,
                     "n_bytes_in": [len(b) for b in raw],

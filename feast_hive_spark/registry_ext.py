@@ -1483,6 +1483,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_pixel_stats",
+    """
+SELECT d.doc_id,
+       CAST(8 + d.doc_id % 5 AS BIGINT) AS width,
+       CAST(6 + d.doc_id % 4 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(SUM((d.doc_id * 31 + 7 * t.k) % 256) AS BIGINT) AS sum_pixel,
+       CAST(MIN((d.doc_id * 31 + 7 * t.k) % 256) AS BIGINT) AS min_pixel,
+       CAST(MAX((d.doc_id * 31 + 7 * t.k) % 256) AS BIGINT) AS max_pixel
+FROM documents d,
+     LATERAL (SELECT unnest(range(0, (8 + d.doc_id % 5) * (6 + d.doc_id % 4))) AS k) t
+GROUP BY d.doc_id
+""",
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-gated: per doc, a grayscale PNG is
+    encoded from the deterministic pixel formula
+    ``v(k) = (doc_id*31 + 7k) % 256`` (stdlib codec, functions/png.py),
+    then decoded back by ``image_pixel_stats`` into exact integer
+    stats. The DuckDB twin computes the same stats straight from the
+    formula — it never sees a PNG, so a hash match proves the
+    encode->decode round trip is pixel-exact. Both codec halves run
+    Arrow-batched in map-only stages; payload bytes never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.functions import png
+    from feast_hive_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def mk(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                w, h = 8 + int(d) % 5, 6 + int(d) % 4
+                k = np.arange(w * h, dtype=np.int64)
+                img = ((int(d) * 31 + 7 * k) % 256).astype(np.uint8).reshape(h, w)
+                payloads.append(png.encode(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(mk, "doc_id long, payload binary")
+    return M.image_pixel_stats(media, "payload", "doc_id")
+
+
+@register(
     "multimodal_type_rollup",
     """
 WITH media AS (

@@ -1,12 +1,15 @@
-"""Multimodal plumbing tests: binary columns, metadata sniffing,
-mapInPandas feature extraction, frame sampling."""
+"""Multimodal tests: binary columns, metadata sniffing, REAL PNG
+decode (stdlib codec), mapInPandas feature extraction, resize, frame
+sampling."""
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from feast_hive_spark.functions import png
 from feast_hive_spark.operators import multimodal as M
 
 
@@ -48,9 +51,130 @@ def test_extract_features_deterministic(media):
 
 
 def test_extract_features_stub_gate(media):
+    # the fixture's pseudo-PNG (valid magic, garbage body) is not
+    # decodable, so with allow_fake=False the stub boundary raises at
+    # execution (surfaced by Spark as a PythonException wrapper)
     if not M._HAS_PIL:
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(Exception, match="no codec for this payload"):
             M.extract_features(media, "payload", "media_id", allow_fake=False).collect()
+
+
+# ------------------------------------------------------------ real PNG decode
+
+
+def _png_media(spark):
+    rng = np.random.RandomState(11)
+    rows = []
+    for i, shape in [(1, (10, 7)), (2, (4, 4, 3)), (3, (6, 3, 4))]:
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        rows.append((i, png.encode(arr), arr))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "media_id long, payload binary"
+    )
+    return df, {i: a for i, _, a in rows}
+
+
+def test_png_codec_round_trip():
+    rng = np.random.RandomState(3)
+    for ch in (1, 2, 3, 4):
+        a = rng.randint(0, 256, size=(9, 5, ch), dtype=np.uint8)
+        dec = png.decode(png.encode(a))
+        assert dec.shape == a.shape and (dec == a).all()
+
+
+def test_png_decode_all_filters():
+    """Decoder handles all five scanline filters (our encoder only
+    emits filter 0, so build filtered scanlines with an independent
+    reference implementation)."""
+    import struct
+    import zlib
+
+    def apply_filter(f, cur, prev, ch):
+        out = np.zeros_like(cur, dtype=np.int64)
+        for x in range(len(cur)):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(cur[x]) - pred) & 0xFF
+        return out.astype(np.uint8)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    rows = img.reshape(h, w * ch)
+    raw, prev = b"", np.zeros(w * ch, dtype=np.uint8)
+    for r in range(h):
+        f = r % 5
+        raw += bytes([f]) + apply_filter(f, rows[r], prev, ch).tobytes()
+        prev = rows[r]
+    data = (
+        png.SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (png.decode(data) == img).all()
+
+
+def test_extract_features_real_pixels(spark):
+    df, arrays = _png_media(spark)
+    got = M.extract_features(df, "payload", "media_id", dim=8).toPandas()
+    for _, r in got.iterrows():
+        a = arrays[r.media_id].astype(np.float64)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        flat = a.ravel()
+        f = list(r.feature)
+        assert f[0] == a.shape[1] and f[1] == a.shape[0]
+        assert f[2] == pytest.approx(flat.mean(), rel=1e-6)
+        assert f[3] == pytest.approx(flat.std(), rel=1e-6)
+        hist, _ = np.histogram(flat, bins=4, range=(0.0, 256.0))
+        assert f[4:] == pytest.approx(list(hist / flat.size), rel=1e-6)
+
+
+def test_image_pixel_stats_exact(spark):
+    df, arrays = _png_media(spark)
+    got = M.image_pixel_stats(df, "payload", "media_id").toPandas()
+    for _, r in got.iterrows():
+        a = arrays[r.media_id]
+        ch = 1 if a.ndim == 2 else a.shape[2]
+        assert (r.width, r.height, r.n_channels) == (a.shape[1], a.shape[0], ch)
+        assert r.sum_pixel == int(a.astype(np.int64).sum())
+        assert r.min_pixel == int(a.min()) and r.max_pixel == int(a.max())
+
+
+def test_resize_images_real_png(spark):
+    df, arrays = _png_media(spark)
+    got = M.resize_images(
+        df, "payload", "media_id", width=3, height=2, allow_fake=False
+    ).toPandas()
+    for _, r in got.iterrows():
+        a = arrays[r.media_id]
+        if a.ndim == 2:
+            a = a[:, :, None]
+        thumb = png.decode(bytes(r.thumb))
+        assert thumb.shape == (2, 3, a.shape[2])
+        ys = (np.arange(2) * a.shape[0]) // 2
+        xs = (np.arange(3) * a.shape[1]) // 3
+        assert (thumb == a[ys][:, xs]).all()
 
 
 def test_sample_frames(spark):
@@ -78,6 +202,7 @@ def test_resize_images_plumbing(media):
     b = {r.media_id: bytes(r.thumb) for r in again.itertuples()}
     assert a == b  # deterministic
 
+    # strict mode raises at execution for payloads no codec handles
     if not M._HAS_PIL:
-        with pytest.raises(NotImplementedError):
-            M.resize_images(media, "payload", "media_id", allow_fake=False)
+        with pytest.raises(Exception, match="no codec for this payload"):
+            M.resize_images(media, "payload", "media_id", allow_fake=False).collect()
