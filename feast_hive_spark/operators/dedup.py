@@ -481,6 +481,179 @@ def connected_components(
     )
 
 
+def _driver_union_find(
+    pairs: DataFrame, rows, id_a: str, id_b: str
+) -> DataFrame:
+    """Union-find over an already-collected (small, guarded) edge
+    list; output schema/typing mirrors the distributed paths."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(n, find(n)) for n in parent]
+    id_type = dict(pairs.dtypes)[id_a]
+    spark = pairs.sparkSession
+    labels = spark.createDataFrame(
+        out, f"doc_id {id_type}, component_id {id_type}"
+    )
+    return labels.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("component_id")
+    )
+
+
+def _star_components(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iters: int,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014) until the
+    edge set reaches a fixpoint.  Returns (star_edges, rounds): at the
+    fixpoint every edge is (node, component_min).
+
+    Each round is two groupBy-min + join passes over the *current*
+    edge set — the same shuffle primitives as plain min-label
+    propagation, but the edge set itself contracts toward stars, so a
+    path of length N converges in O(log N) rounds instead of O(N).
+    The fixpoint test is a (count, xxhash64-sum) checksum of the edge
+    set, which rides the same job that materializes the round's cache
+    — no extra pass."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+            F.least(F.col(id_a), F.col(id_b)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    # Materialize the cache BEFORE the loop: round 1 reads `edges`
+    # from two branches (sym = edges ∪ reversed), and an unmaterialized
+    # cache would compute the upstream pair-mining plan once per
+    # branch (for a dedup graph that plan is the whole pair-mining
+    # pipeline).  Per-round shuffle widths are left to AQE coalescing —
+    # the graph is tiny relative to the corpus that produced it.
+    edges.count()
+    prev = None
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # Large-star: symmetric neighborhoods; every neighbor LARGER
+        # than u is re-pointed at min(N(u) ∪ {u}).  Output stays
+        # oriented src > dst because the min is ≤ u < v.
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("__mn"))
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("src"),
+                F.least(F.col("__mn"), F.col("src")).alias("dst"),
+            )
+            .distinct()
+        )
+        # Small-star: edges are already oriented src > dst, so every
+        # u's smaller-neighborhood min is just min(dst); all of u's
+        # smaller neighbors plus u itself re-point at it.
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("__mn"))
+        small = (
+            large.join(mins2, "src")
+            .filter(F.col("dst") != F.col("__mn"))
+            .select(F.col("dst").alias("src"), F.col("__mn").alias("dst"))
+            .union(mins2.select("src", F.col("__mn").alias("dst")))
+            .distinct()
+        )
+        # localCheckpoint (not cache): each round's plan references the
+        # previous round's edges ~8x through sym/large/small, so WITHOUT
+        # lineage truncation the logical plan grows exponentially with
+        # the round count and analysis itself blows up.  On a cluster
+        # you'd trade this for reliable checkpoint() if executor loss
+        # mid-algorithm must be recoverable.
+        small = small.localCheckpoint(eager=True)
+        # decimal sum: a plain long sum of 64-bit hashes overflows
+        # under ANSI mode
+        cnt, chk = small.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(28,0)")),
+        ).first()
+        edges.unpersist()
+        edges = small
+        if (cnt, chk) == prev:
+            break
+        prev = (cnt, chk)
+    return edges, rounds
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+    small_graph_threshold: int = 200_000,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction — same output contract as :func:`connected_components`
+    ((doc_id, component_id, is_canonical) for every node in a pair)
+    but with O(log diameter) rounds instead of O(diameter).
+
+    Plain min-label propagation moves the minimum ONE hop per round,
+    so a path component of length N needs N rounds — past ``max_iters``
+    it silently returns un-converged labels.  Star contraction halves
+    the effective diameter every round, making deep chains safe; this
+    is the default used by the registry's ``dedup_components``.
+
+    Small-graph fast path: iterative algorithms pay O(rounds) job
+    rounds of scheduler+shuffle latency regardless of data size, and a
+    DEDUP pair graph is usually minuscule next to the corpus that
+    produced it (a 60k-doc sf0.1 corpus yields ~256 edges).  When a
+    guarded LIMIT-probe shows at most ``small_graph_threshold`` edges
+    (same guardrail pattern as the PIT broadcast threshold — ~few MB
+    of driver memory, never unbounded), the edges are collected and
+    union-find runs on the driver in microseconds; the distributed
+    contraction loop is reserved for graphs that are actually big.
+    Set ``small_graph_threshold=0`` to force the distributed path."""
+    if small_graph_threshold:
+        probe = (
+            pairs.select(F.col(id_a), F.col(id_b))
+            .limit(small_graph_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= small_graph_threshold:
+            return _driver_union_find(pairs, probe, id_a, id_b)
+    star, _ = _star_components(pairs, id_a, id_b, max_iters)
+    nodes = (
+        pairs.select(F.col(id_a).alias("doc_id"))
+        .union(pairs.select(F.col(id_b).alias("doc_id")))
+        .distinct()
+    )
+    # At the fixpoint each non-root node has exactly one star edge to
+    # its component min; roots have none and label themselves.
+    labels = star.groupBy("src").agg(F.min("dst").alias("__label"))
+    out = nodes.join(labels, nodes.doc_id == labels.src, "left").select(
+        "doc_id",
+        F.coalesce(F.col("__label"), F.col("doc_id")).alias("component_id"),
+    )
+    star.unpersist()
+    return out.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("component_id")
+    )
+
+
 # --- embedding cosine ---------------------------------------------------
 
 def cosine_verify_pairs(

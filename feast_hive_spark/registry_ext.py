@@ -587,14 +587,14 @@ FROM reach GROUP BY src
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair graph -> connected components -> canonical
-    survivor per component (iterative min-label propagation; the
-    DuckDB twin computes the same fixpoint via a recursive-CTE
-    transitive closure, which is fine at oracle scale and would be
-    madness at 100 TB - that asymmetry is exactly why the distributed
-    loop exists)."""
+    survivor per component (alternating large-star/small-star
+    contraction, O(log diameter) rounds; the DuckDB twin computes the
+    same fixpoint via a recursive-CTE transitive closure, which is
+    fine at oracle scale and would be madness at 100 TB - that
+    asymmetry is exactly why the distributed loop exists)."""
     docs = read_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    return D.connected_components(pairs)
+    return D.connected_components_star(pairs)
 
 
 @register(

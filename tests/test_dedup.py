@@ -185,6 +185,50 @@ def test_connected_components_chain(spark):
     assert sorted(canon) == [1, 10]
 
 
+def test_star_components_chain_and_rounds(spark):
+    """Large-star/small-star must label a DEEP chain correctly in
+    O(log N) rounds — the regime where plain min-label propagation
+    needs N rounds (a 64-chain exceeds its default max_iters budget
+    entirely).  Also checks a disjoint component and canonical flags
+    survive the contraction."""
+    n = 64
+    rows = [(i, i + 1) for i in range(1, n)] + [(100, 101), (101, 102)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    star, rounds = D._star_components(pairs, "id_a", "id_b", max_iters=50)
+    star.unpersist()
+    # diameter-63 chain: log2(63) ~ 6 contraction rounds (+1 to
+    # observe the fixpoint), vs 63 rounds for plain propagation
+    assert rounds <= 10
+    for thresh in (200_000, 0):  # driver fast path AND distributed path
+        got = (
+            D.connected_components_star(pairs, small_graph_threshold=thresh)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert (got.loc[1:n, "component_id"] == 1).all()
+        assert (got.loc[100:102, "component_id"] == 100).all()
+        assert sorted(got[got.is_canonical].index.tolist()) == [1, 100]
+
+
+def test_star_components_matches_plain_on_shallow_graph(spark):
+    """On the shallow graphs plain propagation handles, both
+    algorithms return byte-identical output."""
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (7, 8), (2, 2), (4, 1), (1, 6)],
+        "id_a long, id_b long",
+    )
+    plain = (
+        D.connected_components(pairs).toPandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    star = (
+        D.connected_components_star(pairs).toPandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert plain.equals(star)
+
+
 def test_decontaminate_containment(spark):
     """A benchmark doc fully embedded in a longer training doc must be
     caught by containment even when Jaccard stays low."""

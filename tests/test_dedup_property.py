@@ -99,6 +99,9 @@ def test_connected_components_property(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {n: find(n) for n in parent}
     assert got.set_index("doc_id")["component_id"].to_dict() == expected
+    # the large-star/small-star variant must agree with the same oracle
+    star = D.connected_components_star(pairs).toPandas()
+    assert star.set_index("doc_id")["component_id"].to_dict() == expected
 
 
 # ------------------------------------------------- corpus.py property tests
