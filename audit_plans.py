@@ -189,6 +189,24 @@ AUDITS = {
         ["HashAggregate", "TakeOrderedAndProject"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # daily HLL sketches union per type (fixed-size partials both
+    # levels); the exact check joins back via broadcast
+    "sketch_rollup_daily_users": (
+        ["hll_union_agg", "hll_sketch_agg", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "Window"],
+    ),
+    # HLL sketch rides the same aggregate as the exact check; the
+    # sketch partial is fixed-size (no value shuffle of its own)
+    "approx_distinct_users_bounded": (
+        ["approx_count_distinct", "HashAggregate"],
+        ["Join", "CartesianProduct", "Window"],
+    ),
+    # mergeable percentile summary; rank re-check joins the #groups-row
+    # sketch output back via broadcast — never a fact-fact shuffle join
+    "approx_percentile_rank_bounded": (
+        ["approx_percentile", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "Window"],
+    ),
 }
 
 KEEP = re.compile(

@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "corpus_mix_weights",
     "label_centroids",
     "knn_label_accuracy",
+    "sketch_rollup_daily_users",
+    "approx_distinct_users_bounded",
+    "approx_percentile_rank_bounded",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_type_rollup",

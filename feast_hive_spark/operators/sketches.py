@@ -1,0 +1,53 @@
+"""Mergeable-sketch operators (Apache DataSketches via Spark's
+hll_sketch_agg family).
+
+The 100 TB pattern these encode: build fixed-size sketches ONCE at
+ingest granularity (per day / per partition), persist them, and answer
+any coarser rollup (weekly, global, sliced) by UNIONING sketches —
+never rescanning the raw data.  A daily user sketch is ~KBs regardless
+of cardinality; re-aggregating a year of them touches 365 rows per
+group instead of 10^11 events.  The reference has no sketch surface
+(Hive would offer the same via its own DataSketches UDFs); this is a
+beyond-reference scale operator gated by tolerance oracles
+(registry_analytics.sketch_rollup_daily_users)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# lgConfigK=12 (Spark default) -> HLL relative standard error ~1.6%;
+# verdicts gate at 3 sigma.
+HLL_LG_K = 12
+HLL_RSE = 1.04 / (2**HLL_LG_K) ** 0.5
+
+
+def hll_daily_sketches(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The ingest-time artifact: one HLL sketch of ``id_col`` per
+    (key, day).  This is what a production pipeline would persist
+    next to the raw partition — columns (*key_cols, day, sketch)."""
+    return df.groupBy(
+        *key_cols, F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.hll_sketch_agg(F.col(id_col), F.lit(HLL_LG_K)).alias("sketch"))
+
+
+def hll_rollup(
+    sketches: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Re-aggregate persisted sketches to a coarser grain: union the
+    fixed-size sketches per key and estimate.  Touches only the
+    sketch rows — the raw data is never rescanned.  Output:
+    (*key_cols, n_buckets, approx_distinct)."""
+    return sketches.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
+            "approx_distinct"
+        ),
+    )

@@ -712,3 +712,144 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+_HLL_RSD = 0.02  # HyperLogLog++ target relative standard deviation
+
+
+@register(
+    "approx_distinct_users_bounded",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bounds
+FROM events GROUP BY event_type
+""",
+)
+def approx_distinct_users_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB cardinality path, tolerance-gated: per event type,
+    ``approx_count_distinct`` (HyperLogLog++, rsd=2%; fixed-size
+    mergeable sketch — the map-side partial is ~KBs regardless of
+    cardinality, vs COUNT DISTINCT's full value shuffle) is checked
+    against the exact count computed in the same scan.  The query
+    EMITS the bound verdict (|approx-exact|/exact <= 3*rsd) rather
+    than the approximate value, so the DuckDB twin is a plain exact
+    aggregate + TRUE — the hash gate then proves the sketch's error
+    bound held, which is exactly the property the scale path relies
+    on."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("__appx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("__appx") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                <= 3 * _HLL_RSD
+            ).alias("within_bounds"),
+        )
+    )
+
+
+@register(
+    "sketch_rollup_daily_users",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS BIGINT) AS n_buckets,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bounds
+FROM events GROUP BY event_type
+""",
+)
+def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch rollup pattern, tolerance-gated: one HLL
+    sketch of user_id per (event_type, day) — the fixed-size artifact
+    a production pipeline persists at ingest — then a rollup that
+    UNIONS the sketches per event type and estimates, never rescanning
+    raw events.  At 100 TB the rollup touches #days rows per group
+    instead of the event log.  The verdict (|est-exact|/exact <=
+    3*RSE, exact recomputed independently here) is what the hash gate
+    certifies; the DuckDB twin is the exact aggregate + TRUE."""
+    from feast_hive_spark.operators import sketches as SK
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = SK.hll_daily_sketches(ev, ["event_type"], "ts", "user_id")
+    roll = SK.hll_rollup(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return roll.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_buckets",
+        "n_exact",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            <= 3 * SK.HLL_RSE
+        ).alias("within_bounds"),
+    )
+
+
+_PCTL_ACCURACY = 10_000  # approx_percentile rank error eps = 1/accuracy
+
+
+@register(
+    "approx_percentile_rank_bounded",
+    """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def approx_percentile_rank_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB percentile path, tolerance-gated: per order status,
+    ``approx_percentile`` (Greenwald-Khanna-style mergeable summary;
+    partials of bounded size vs exact percentile's per-group sort) is
+    checked against its published guarantee — the returned value's
+    RANK lies within eps*N of the target rank, eps = 1/accuracy.  The
+    rank of each approximate value is recomputed exactly in a second
+    pass (count of rows <= v, via a broadcast of the #groups-row
+    sketch output), and the query emits the verdict booleans, so the
+    DuckDB twin is COUNT(*) + TRUE and the hash gate proves the rank
+    bound held."""
+    o = read_table(spark, sf_dir, "orders")
+    eps = 1.0 / _PCTL_ACCURACY
+    appx = o.groupBy("o_orderstatus").agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, array(0.5, 0.9), {_PCTL_ACCURACY})"
+        ).alias("__v")
+    )
+    j = o.join(F.broadcast(appx), "o_orderstatus")
+    agg = j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= F.col("__v")[0], 1).otherwise(0)
+        ).alias("__rk50"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= F.col("__v")[1], 1).otherwise(0)
+        ).alias("__rk90"),
+    )
+
+    def rank_ok(rk: str, p: float):
+        n = F.col("n").cast("double")
+        # +/-1 absorbs the floor/ceil ambiguity at the exact target rank
+        return (F.col(rk) >= (p - eps) * n - 1) & (
+            F.col(rk) <= (p + eps) * n + 1
+        )
+
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        rank_ok("__rk50", 0.5).alias("p50_rank_ok"),
+        rank_ok("__rk90", 0.9).alias("p90_rank_ok"),
+    )
