@@ -362,10 +362,13 @@ def _join_feature_view(
     # key (one key matching millions of feature rows) reduces to one
     # row per partition BEFORE the shuffle — skew-immune at 100 TB.
     #
-    # row_number window: same result; Spark's WindowGroupLimit makes
-    # it a streaming top-1 (no full sort), but all rows of a hot
-    # (key, entity_ts) group still travel through one shuffle
-    # partition. Kept selectable for comparison/debugging.
+    # row_number window: same result; Spark's WindowGroupLimit rewrite
+    # inserts a partial top-1 BEFORE the shuffle too (load-verified in
+    # test_pit_skew.py), so on this engine version both strategies are
+    # skew-immune; on engines without the rewrite the window path ships
+    # every hot-key row through one shuffle partition (the negative-
+    # control test demonstrates it by disabling the rewrite). Kept
+    # selectable for comparison/debugging.
     ord_cols = [F.col(_EVENT_TS)]
     if created_ts:
         ord_cols.append(F.col(_CREATED_TS))
