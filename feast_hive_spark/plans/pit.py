@@ -262,12 +262,17 @@ def get_historical_features(
         ent = ent.cache()
 
         # J2 kept manual: one tiny job for global bounds -> literal
-        # pushdown filters on every feature scan.
+        # pushdown filters on every feature scan.  The broadcast-guard
+        # row count rides the SAME aggregate (and the same job
+        # materializes the entity cache) — one driver-blocking job
+        # here, not three.
         bounds = ent.agg(
-            F.min(_ENTITY_TS).alias("mn"), F.max(_ENTITY_TS).alias("mx")
+            F.min(_ENTITY_TS).alias("mn"),
+            F.max(_ENTITY_TS).alias("mx"),
+            F.count(F.lit(1)).alias("cnt"),
         ).first()
         if broadcast_entities == "auto":
-            do_broadcast = ent.count() <= broadcast_threshold_rows
+            do_broadcast = bounds["cnt"] <= broadcast_threshold_rows
         else:
             do_broadcast = bool(broadcast_entities)
         result = ent
