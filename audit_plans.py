@@ -189,6 +189,24 @@ AUDITS = {
         ["HashAggregate", "TakeOrderedAndProject"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # SCD2: lag change-filter + lead interval ride ONE key shuffle
+    # (filter preserves the partitioning); no join anywhere
+    "scd2_user_event_history": (
+        ["Window"],
+        ["Join", "CartesianProduct", "HashAggregate"],
+    ),
+    # chunker: pure codegen explode, embarrassingly parallel — any
+    # exchange or join in this plan is a defect
+    "chunk_documents_overlap": (
+        ["Scan parquet"],
+        ["Exchange", "Join", "Window", "HashAggregate"],
+    ),
+    # vocab-sized scoring side; corpus stream joins it (AQE broadcast
+    # at small vocab) and re-aggregates per doc — no sort-merge join
+    "unigram_nll_scores": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "Window"],
+    ),
     # daily HLL sketches union per type (fixed-size partials both
     # levels); the exact check joins back via broadcast
     "sketch_rollup_daily_users": (

@@ -101,9 +101,12 @@ BENCH_QUERIES = [
     "gopher_quality_flags",
     "vocab_zipf",
     "dedup_paragraph_chunks",
+    "chunk_documents_overlap",
+    "unigram_nll_scores",
     "span_dedup_stats",
     "events_rolling_7d",
     "asof_forward_daily",
+    "scd2_user_event_history",
     "materialize_delta",
     "cohort_retention_weekly",
     "event_transition_matrix",

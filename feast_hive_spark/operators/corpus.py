@@ -37,10 +37,107 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from feast_hive_spark.functions import text as X
 from feast_hive_spark.functions.text import h48
 
 #: micro-unit scale for cross-engine-exact fixed-point sums
 _MICRO = 1_000_000
+
+
+def unigram_nll_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Unigram language-model scoring: each document's average
+    negative log-likelihood under the corpus's own unigram
+    distribution — the classic cheap quality/outlier signal (high
+    avg-NLL = rare-token-heavy documents: boilerplate, code dumps,
+    non-target-language, gibberish).
+
+    Plan shape for 100 TB: token probabilities are computed on the
+    VOCABULARY (one grouped count over exploded tokens + a 1-row
+    total broadcast), so the expensive side of the scoring join is
+    vocabulary-sized; the corpus-sized token stream then joins to it
+    (AQE broadcasts the vocab while it fits, shuffle-join beyond) and
+    re-aggregates per document.  Per-token NLL is fixed-pointed to
+    micro-nats BEFORE the sum so the result hash-matches the DuckDB
+    twin despite float summation-order differences.
+
+    Output: (id, n_tok, avg_nll) with avg_nll in nats, 4 dp."""
+    toks = df.select(
+        F.col(id_col), F.explode(X.words(text_col)).alias("__tok")
+    )
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__T"))
+    # ln(T) - ln(cnt) in micro-nats, BIGINT, computed vocab-side
+    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "__tok",
+        F.round(
+            (F.log(F.col("__T").cast("double")) - F.log(F.col("__cnt").cast("double")))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("__nll_micro"),
+    )
+    return (
+        toks.join(scored_vocab, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("__nll_micro").alias("__sum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tok"),
+            F.round(
+                F.col("__sum").cast("double") / F.col("n_tok") / 1_000_000, 4
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window chunking with overlap — the RAG/pretraining
+    prep shape (fixed-size context windows with ``chunk_tokens -
+    stride`` tokens of overlap so no boundary-spanning content is
+    lost).  Output: one row per chunk, ``(id, chunk_idx, start_tok,
+    n_tok, chunk_fp)`` with a 16-hex-char md5 fingerprint of the
+    chunk text (the dedup/lineage key downstream).
+
+    Plan shape: tokenize once into a real column, generate start
+    offsets with ``sequence`` (inclusive stop — identical semantics
+    to DuckDB's generate_series, which the oracle twin uses),
+    ``posexplode`` and re-slice the token array JVM-side.  Entirely
+    codegen; rows out = sum(ceil(n_tok/stride)) per doc, never a
+    shuffle — chunking is embarrassingly parallel over documents."""
+    tokd = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    ex = tokd.select(
+        F.col(id_col),
+        F.col("__toks"),
+        n.alias("__n"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start_tok") + 1, chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tok"),
+        F.substring(F.md5(F.concat_ws(" ", chunk)), 1, 16).alias("chunk_fp"),
+    )
 
 
 def chunk_dedup(

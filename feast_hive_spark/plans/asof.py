@@ -96,6 +96,50 @@ def asof_forward_join(
     )
 
 
+def scd2_build(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change-event
+    stream: collapse consecutive rows whose tracked attributes did not
+    change, then assign each surviving version its validity interval.
+    Output: ``keys + attr_cols + valid_from + valid_to + is_current``
+    (``valid_to`` NULL on the open current version) — the standard
+    warehouse dimension-history shape the reference's Hive users build
+    with HiveQL windows.
+
+    Plan shape: ONE shuffle on the key. Change detection is a ``lag``
+    over (key, ts[, tiebreak]); the post-filter ``lead`` for
+    ``valid_to`` runs over the SAME partitioning, which the filter
+    preserves, so Catalyst plans a single Exchange feeding both
+    windows (asserted in the plan audit).
+
+    NULL caveat: a NULL attribute compares as "no change" (struct
+    inequality is NULL-propagating, same as SQL ``<>``) — use sentinel
+    values if NULL-to-value transitions must open a new version."""
+    keys = list(keys)
+    attr_cols = list(attr_cols)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    attrs = F.struct(*[F.col(a) for a in attr_cols])
+    changed = (
+        changes.withColumn("__prev", F.lag(attrs).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != attrs))
+        .drop("__prev")
+    )
+    return changed.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
 def materialize_delta(
     source: DataFrame,
     keys: Sequence[str],

@@ -329,6 +329,40 @@ def asof_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_user_event_history",
+    """
+WITH chg AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+  FROM events
+), vers AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM vers
+""",
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build (plans/asof.scd2_build):
+    collapse consecutive same-attribute change events per user, then
+    assign validity intervals — one key shuffle feeds both the lag
+    change-filter and the lead interval window. The warehouse
+    dimension-history shape Hive users hand-write with HiveQL
+    windows."""
+    from feast_hive_spark.plans.asof import scd2_build
+
+    ev = read_table(spark, sf_dir, "events")
+    return scd2_build(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_col="event_id"
+    )
+
+
 _DELTA_OLD = "2024-01-20"
 _DELTA_NEW = "2024-01-31"
 

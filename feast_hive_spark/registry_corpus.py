@@ -27,6 +27,73 @@ _PMI_TOP_N = 30
 
 _H48_SQL = "CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
 
+@register(
+    "unigram_nll_scores",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), total AS (
+  SELECT SUM(cnt) AS T FROM vocab
+), scored AS (
+  SELECT tok,
+         CAST(round((ln(CAST(T AS DOUBLE)) - ln(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT) AS nll_micro
+  FROM vocab, total
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000, 4) AS avg_nll
+FROM toks t JOIN scored s ON t.tok = s.tok
+GROUP BY t.doc_id
+""",
+)
+def unigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the
+    corpus's own unigram LM — the cheap quality/outlier score
+    (rare-token-heavy docs float to the top). Probabilities are
+    computed vocabulary-side and fixed-pointed to micro-nats before
+    the per-doc sum, so the value hash matches DuckDB exactly."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.unigram_nll_scores(docs, "doc_id", "text")
+
+
+_OV_CHUNK = 32  # sliding-window chunk size (tokens)
+_OV_STRIDE = 24  # window stride -> 8 tokens of overlap
+
+
+@register(
+    "chunk_documents_overlap",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, greatest(n - 1, 0), {_OV_STRIDE})) AS gs
+  FROM t
+)
+SELECT doc_id,
+       CAST(gs // {_OV_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(gs AS BIGINT) AS start_tok,
+       CAST(LEAST({_OV_CHUNK}, n - gs) AS BIGINT) AS n_tok,
+       substr(md5(array_to_string(toks[gs + 1 : gs + {_OV_CHUNK}], ' ')), 1, 16) AS chunk_fp
+FROM g
+""",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (RAG / pretraining context
+    windows): every document becomes ceil(n_tok/stride) chunks of up
+    to {chunk} tokens with {overlap} tokens of overlap, each carrying
+    a 16-hex md5 fingerprint. Pure codegen explode — no shuffle; the
+    DuckDB twin is generate_series over the same token arrays."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.chunk_overlap(
+        docs, "doc_id", "text", chunk_tokens=_OV_CHUNK, stride=_OV_STRIDE
+    )
+
 
 @register(
     "dedup_paragraph_chunks",

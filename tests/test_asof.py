@@ -77,3 +77,58 @@ def test_materialize_delta_classifies(spark):
         1: ("updated", 10, 11, 2.0),
         3: ("new", None, 13, 4.0),
     }
+
+
+def test_scd2_build_collapses_and_intervals(spark):
+    """No-change events collapse into the open version; every change
+    closes the prior interval at exactly the new valid_from; exactly
+    one open (is_current) version per key."""
+    from feast_hive_spark.plans.asof import scd2_build
+
+    rows = [
+        (1, _ts("2024-01-01"), 1, "a"),
+        (1, _ts("2024-01-02"), 2, "a"),  # no change -> collapsed
+        (1, _ts("2024-01-03"), 3, "b"),  # change
+        (1, _ts("2024-01-04"), 4, "a"),  # back to a -> NEW version
+        (2, _ts("2024-01-01"), 5, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "attr"])
+    out = (
+        scd2_build(df, ["k"], "ts", ["attr"], tiebreak_col="eid")
+        .toPandas()
+        .sort_values(["k", "valid_from"])
+        .reset_index(drop=True)
+    )
+    out = out.astype(object).where(out.notna(), None)  # NaT -> None
+    got = list(
+        map(tuple, out[["k", "attr", "valid_from", "valid_to", "is_current"]].values)
+    )
+    assert got == [
+        (1, "a", _ts("2024-01-01"), _ts("2024-01-03"), False),
+        (1, "b", _ts("2024-01-03"), _ts("2024-01-04"), False),
+        (1, "a", _ts("2024-01-04"), None, True),
+        (2, "x", _ts("2024-01-01"), None, True),
+    ]
+    assert out.groupby("k").is_current.sum().eq(1).all()
+
+
+def test_scd2_same_ts_tiebreak_deterministic(spark):
+    """Two changes at the SAME timestamp: the tiebreak column orders
+    them, the earlier one gets a zero-length interval."""
+    from feast_hive_spark.plans.asof import scd2_build
+
+    rows = [
+        (1, _ts("2024-01-01"), 1, "a"),
+        (1, _ts("2024-01-05"), 2, "b"),
+        (1, _ts("2024-01-05"), 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "attr"])
+    out = (
+        scd2_build(df, ["k"], "ts", ["attr"], tiebreak_col="eid")
+        .toPandas()
+        .sort_values(["valid_from", "attr"])
+    )
+    assert out.attr.tolist() == ["a", "b", "c"]
+    b = out[out.attr == "b"].iloc[0]
+    assert b.valid_from == b.valid_to == _ts("2024-01-05")
+    assert out[out.attr == "c"].iloc[0].is_current

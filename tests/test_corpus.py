@@ -282,3 +282,84 @@ def test_tfidf_top_terms_matches_python(spark):
         for rank, (s, t) in enumerate(scores[:2], 1):
             exp[(d, rank)] = (t, s)
     assert got == pytest.approx(exp)
+
+
+def _py_chunk_overlap(text, chunk, stride):
+    import hashlib
+
+    toks = text.split(" ")
+    n = len(toks)
+    out = []
+    for idx, start in enumerate(range(0, max(n - 1, 0) + 1, stride)):
+        piece = toks[start : start + chunk]
+        fp = hashlib.md5(" ".join(piece).encode()).hexdigest()[:16]
+        out.append((idx, start, min(chunk, n - start), fp))
+    return out
+
+
+def test_chunk_overlap_matches_python(spark):
+    """Sliding-window chunker vs a direct python model across the edge
+    cases: doc shorter than one chunk, exact multiple of stride, one
+    token, and overlap-region correctness."""
+    import pandas as pd
+
+    docs = {
+        1: " ".join(f"w{i}" for i in range(100)),  # multiple windows
+        2: " ".join(f"w{i}" for i in range(5)),  # shorter than chunk
+        3: " ".join(f"w{i}" for i in range(48)),  # exact 2*stride
+        4: "solo",  # single token
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": docs.keys(), "text": docs.values()})
+    )
+    from feast_hive_spark.operators import corpus as C
+
+    got = (
+        C.chunk_overlap(df, "doc_id", "text", chunk_tokens=32, stride=24)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    for doc_id, text in docs.items():
+        exp = _py_chunk_overlap(text, 32, 24)
+        sub = got[got.doc_id == doc_id]
+        assert (
+            list(map(tuple, sub[["chunk_idx", "start_tok", "n_tok", "chunk_fp"]].values))
+            == exp
+        ), f"doc {doc_id}"
+
+
+def test_unigram_nll_matches_python(spark):
+    """Unigram LM scoring vs a direct python model (Counter + log),
+    including the fixed-point micro-nat rounding step."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the the the the",
+        3: "rare unique singleton words here",
+        4: "the cat",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": texts.keys(), "text": texts.values()})
+    )
+    from feast_hive_spark.operators import corpus as C
+
+    got = (
+        C.unigram_nll_scores(df, "doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    all_toks = [t for s in texts.values() for t in s.lower().split()]
+    cnt, T = Counter(all_toks), len(all_toks)
+    micro = {t: round((math.log(T) - math.log(c)) * 1e6) for t, c in cnt.items()}
+    for doc_id, s in texts.items():
+        toks = s.lower().split()
+        exp = round(sum(micro[t] for t in toks) / len(toks) / 1e6, 4)
+        assert got.loc[doc_id, "n_tok"] == len(toks)
+        assert abs(got.loc[doc_id, "avg_nll"] - exp) < 1e-9
+    # the repetitive doc must score LOWER (more likely) than the rare one
+    assert got.loc[2, "avg_nll"] < got.loc[3, "avg_nll"]
