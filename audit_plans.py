@@ -189,6 +189,12 @@ AUDITS = {
         ["HashAggregate", "TakeOrderedAndProject"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # perceptual-hash pairing: band self-join + two hash-joins back
+    # to the band table; media bytes never shuffle, no cross join
+    "multimodal_ahash_near_dup": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
     # SCD2: lag change-filter + lead interval ride ONE key shuffle
     # (filter preserves the partitioning); no join anywhere
     "scd2_user_event_history": (

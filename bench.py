@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "multimodal_type_rollup",
     "multimodal_pixel_stats",
+    "multimodal_ahash_near_dup",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

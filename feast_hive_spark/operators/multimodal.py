@@ -273,3 +273,93 @@ def sample_frames(
             ).alias("frame_index"),
         )
     )
+
+
+def image_ahash_bands(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Perceptual average-hash of each decodable image, emitted as
+    FOUR 16-bit band integers (one per 16 bits of the 64-bit aHash) —
+    the join keys for banded near-dup pairing.
+
+    Hash definition (deterministic, integer-exact, reproducible in
+    plain SQL so the oracle can recompute it without a decoder):
+    sample the image on an 8x8 grid at ``(r*H//8, c*W//8)`` (channel
+    0), set bit ``b = r*8+c`` iff ``64*pixel > sum(64 samples)``
+    (the integer-exact form of pixel > mean), and pack bits
+    ``16j..16j+15`` little-endian into band ``j``.  Sampling (vs
+    block averaging) keeps the arithmetic exact on both engines.
+
+    Decode runs Arrow-batched in a map-only stage; only (id, 4
+    smallints) ever reach a shuffle."""
+    schema = f"{id_col} long, b0 long, b1 long, b2 long, b3 long"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                payload = b if isinstance(b, bytes) else bytes(b)
+                img = _decode_image(payload)
+                if img is None:
+                    raise ValueError(f"undecodable image payload for {id_col}={i}")
+                h, w = img.shape[0], img.shape[1]
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                s = img[ys][:, xs, 0].astype(np.int64).ravel()  # b = r*8+c
+                bits = (64 * s > s.sum()).astype(np.int64)
+                bands = [
+                    int((bits[16 * j : 16 * (j + 1)] << np.arange(16)).sum())
+                    for j in range(4)
+                ]
+                rows.append((i, *bands))
+            yield pd.DataFrame(rows, columns=[id_col, "b0", "b1", "b2", "b3"])
+
+    return df.select(id_col, binary_col).mapInPandas(mapper, schema)
+
+
+def ahash_near_dup_pairs(
+    bands: DataFrame,
+    id_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Banded perceptual-hash near-dup pairing over the output of
+    :func:`image_ahash_bands` — the SimHash machinery applied to image
+    content: candidates collide on at least one of the four 16-bit
+    bands (pigeonhole: hamming <= 3 is guaranteed recall; beyond that
+    recall is approximate but the scheme is deterministic, so the
+    DuckDB twin reproduces it bit-for-bit), then exact hamming
+    verification by ``bit_count(xor)`` over all four bands.
+
+    Output: (id_a, id_b, hamming), id_a < id_b.  Entirely JVM-side;
+    the join input is 4 rows of (band_idx, value) per image."""
+    melted = bands.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__band", "__v"),
+    )
+    cand = (
+        melted.alias("l")
+        .join(
+            melted.alias("r"),
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__v") == F.col("r.__v"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    la = bands.select(*[F.col(c).alias(f"a_{c}") for c in bands.columns])
+    lb = bands.select(*[F.col(c).alias(f"b_{c}") for c in bands.columns])
+    ham = sum(
+        F.bit_count(F.col(f"a_b{j}").bitwiseXOR(F.col(f"b_b{j}")))
+        for j in range(4)
+    )
+    return (
+        cand.join(la, cand.id_a == F.col(f"a_{id_col}"))
+        .join(lb, cand.id_b == F.col(f"b_{id_col}"))
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

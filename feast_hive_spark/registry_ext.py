@@ -1483,6 +1483,88 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_ahash_near_dup",
+    """
+WITH g AS (
+  SELECT doc_id, doc_id // 5 AS base,
+         8 + (doc_id // 5) % 5 AS w, 6 + (doc_id // 5) % 4 AS h
+  FROM documents
+), cells AS (
+  SELECT doc_id, base, w, h, unnest(range(0, 64)) AS b FROM g
+), px AS (
+  SELECT doc_id, b,
+         ((b // 8) * h // 8) * w + ((b % 8) * w // 8) AS k,
+         base, w, h
+  FROM cells
+), vals AS (
+  SELECT doc_id, b,
+         (base * 31 + 7 * k
+          + CASE WHEN k % 37 = 0 THEN doc_id % 5 ELSE 0 END) % 256 AS v
+  FROM px
+), sums AS (
+  SELECT doc_id, b, v, SUM(v) OVER (PARTITION BY doc_id) AS s FROM vals
+), bands AS (
+  SELECT doc_id, b // 16 AS j,
+         CAST(SUM(CASE WHEN 64 * v > s THEN (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS val
+  FROM sums GROUP BY doc_id, b // 16
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.j = r.j AND l.val = r.val AND l.doc_id < r.doc_id
+), wide AS (
+  SELECT doc_id,
+         MAX(CASE WHEN j = 0 THEN val END) AS b0,
+         MAX(CASE WHEN j = 1 THEN val END) AS b1,
+         MAX(CASE WHEN j = 2 THEN val END) AS b2,
+         MAX(CASE WHEN j = 3 THEN val END) AS b3
+  FROM bands GROUP BY doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(a.b0, bb.b0)) + bit_count(xor(a.b1, bb.b1))
+          + bit_count(xor(a.b2, bb.b2)) + bit_count(xor(a.b3, bb.b3)) AS BIGINT) AS hamming
+FROM cand
+JOIN wide a ON cand.id_a = a.doc_id
+JOIN wide bb ON cand.id_b = bb.doc_id
+WHERE bit_count(xor(a.b0, bb.b0)) + bit_count(xor(a.b1, bb.b1))
+    + bit_count(xor(a.b2, bb.b2)) + bit_count(xor(a.b3, bb.b3)) <= 6
+""",
+)
+def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hashing over REAL decoded
+    pixels: every 5 docs share a base pattern with a sparse per-doc
+    perturbation; each is encoded to PNG (stdlib codec), decoded
+    back, average-hashed on an 8x8 sample grid, and paired through
+    the 4x16-bit band join with exact hamming verification
+    (operators/multimodal.image_ahash_bands / ahash_near_dup_pairs).
+    The DuckDB twin recomputes the hash straight from the pixel
+    formula — it never sees a PNG — so a hash match proves decode,
+    sampling, bit packing, banding and pairing are all bit-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.functions import png
+    from feast_hive_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def mk(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                base = int(d) // 5
+                w, h = 8 + base % 5, 6 + base % 4
+                k = np.arange(w * h, dtype=np.int64)
+                v = (base * 31 + 7 * k + np.where(k % 37 == 0, int(d) % 5, 0)) % 256
+                payloads.append(png.encode(v.astype(np.uint8).reshape(h, w)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(mk, "doc_id long, payload binary")
+    bands = M.image_ahash_bands(media, "payload", "doc_id")
+    return M.ahash_near_dup_pairs(bands, "doc_id", max_hamming=6)
+
+
+@register(
     "multimodal_pixel_stats",
     """
 SELECT d.doc_id,

@@ -206,3 +206,42 @@ def test_resize_images_plumbing(media):
     if not M._HAS_PIL:
         with pytest.raises(Exception, match="no codec for this payload"):
             M.resize_images(media, "payload", "media_id", allow_fake=False).collect()
+
+
+def test_image_ahash_bands_and_pairs(spark):
+    """aHash: identical images pair at hamming 0, a lightly-perturbed
+    copy pairs within the threshold, an unrelated image doesn't pair;
+    brightness-shift invariance is part of the hash's contract."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.functions import png
+    from feast_hive_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    perturbed = base.copy()
+    perturbed[0, 0] ^= 4  # tiny localized change
+    other = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    rows = [
+        (1, png.encode(base)),
+        (2, png.encode(base)),          # exact duplicate
+        (3, png.encode(perturbed)),     # near duplicate
+        (4, png.encode(other)),         # unrelated
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"])
+    )
+    bands = M.image_ahash_bands(df, "payload", "doc_id")
+    bp = bands.toPandas().set_index("doc_id")
+    assert (bp.loc[1] == bp.loc[2]).all()
+    assert (bp[["b0", "b1", "b2", "b3"]] < 2**16).all().all()
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.ahash_near_dup_pairs(bands, "doc_id", max_hamming=6)
+        .collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert not any(4 in p for p in pairs)
