@@ -195,6 +195,12 @@ AUDITS = {
         ["HashAggregate"],
         ["CartesianProduct"],
     ),
+    # nearest as-of: both directions ride ONE union + ONE key window
+    # shuffle; no join, no cartesian
+    "asof_nearest_daily": (
+        ["Window"],
+        ["Join", "CartesianProduct"],
+    ),
     # SCD2: lag change-filter + lead interval ride ONE key shuffle
     # (filter preserves the partitioning); no join anywhere
     "scd2_user_event_history": (

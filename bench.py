@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "span_dedup_stats",
     "events_rolling_7d",
     "asof_forward_daily",
+    "asof_nearest_daily",
     "scd2_user_event_history",
     "materialize_delta",
     "cohort_retention_weekly",

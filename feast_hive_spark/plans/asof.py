@@ -96,6 +96,94 @@ def asof_forward_join(
     )
 
 
+def asof_nearest_join(
+    probes: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    probe_ts_col: str,
+    event_ts_col: str,
+    value_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Attach to each probe the source row whose timestamp is NEAREST
+    in absolute time (pandas ``merge_asof(direction='nearest')``
+    semantics; backward wins exact ties in distance).  Both candidate
+    directions come from the SAME unioned stream and the SAME key
+    partitioning — one shuffle total: a backward ``last_value IGNORE
+    NULLS`` and a forward ``first_value IGNORE NULLS`` window over one
+    sort, then a codegen pick of the closer side.
+
+    Returns ``keys + probe_ts + nearest_ts + nearest_<value>``."""
+    keys = list(keys)
+    ev = source.select(
+        *keys,
+        F.col(event_ts_col).alias("__ts"),
+        *[F.col(v) for v in value_cols],
+        F.lit(1).alias("__is_event"),
+        *(
+            [F.col(tiebreak_col).alias("__tb")]
+            if tiebreak_col
+            else [F.lit(0).alias("__tb")]
+        ),
+    )
+    pr = probes.select(
+        *keys,
+        F.col(probe_ts_col).alias("__ts"),
+        F.lit(0).alias("__is_event"),
+        F.lit(-1).alias("__tb"),
+    )
+    unioned = pr.unionByName(ev, allowMissingColumns=True)
+    order = [
+        F.col("__ts").asc(),
+        F.col("__is_event").asc(),
+        F.col("__tb").asc(),
+    ]
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_ev = F.col("__is_event") == 1
+    cols = [("__ts", "ts")] + [(v, v) for v in value_cols]
+    picked = []
+    for src_c, out_c in cols:
+        picked.append(
+            F.last(F.when(is_ev, F.col(src_c)), ignorenulls=True)
+            .over(wb)
+            .alias(f"__bk_{out_c}")
+        )
+        picked.append(
+            F.first(F.when(is_ev, F.col(src_c)), ignorenulls=True)
+            .over(wf)
+            .alias(f"__fw_{out_c}")
+        )
+    stream = (
+        unioned.select(*keys, "__ts", "__is_event", *picked)
+        .filter(F.col("__is_event") == 0)
+    )
+    # closer side wins; backward wins exact ties; a NULL side loses
+    # double-epoch distances keep sub-second precision (DuckDB's
+    # epoch() matches Spark's double cast, fraction included)
+    bk_d = F.col("__ts").cast("double") - F.col("__bk_ts").cast("double")
+    fw_d = F.col("__fw_ts").cast("double") - F.col("__ts").cast("double")
+    use_bk = F.col("__fw_ts").isNull() | (
+        F.col("__bk_ts").isNotNull() & (bk_d <= fw_d)
+    )
+    out_cols = [
+        F.when(use_bk, F.col(f"__bk_{o}")).otherwise(F.col(f"__fw_{o}"))
+        .alias(f"nearest_{o}" if o != "ts" else "nearest_ts")
+        for _, o in cols
+    ]
+    return stream.select(
+        *keys, F.col("__ts").alias("probe_ts"), *out_cols
+    )
+
+
 def scd2_build(
     changes: DataFrame,
     keys: Sequence[str],

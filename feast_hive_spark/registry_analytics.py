@@ -330,6 +330,65 @@ def asof_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_nearest_daily",
+    """
+WITH u AS (
+  SELECT user_id, ts AS uts, value, event_id, 1 AS is_event FROM events
+  UNION ALL
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP), NULL, -1, 0 FROM events
+),
+w AS (
+  SELECT user_id, uts, is_event,
+    last_value(CASE WHEN is_event = 1 THEN uts END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY uts ASC, is_event ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bk_ts,
+    last_value(CASE WHEN is_event = 1 THEN value END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY uts ASC, is_event ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bk_v,
+    first_value(CASE WHEN is_event = 1 THEN uts END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY uts ASC, is_event ASC, event_id ASC
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fw_ts,
+    first_value(CASE WHEN is_event = 1 THEN value END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY uts ASC, is_event ASC, event_id ASC
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fw_v
+  FROM u
+),
+pick AS (
+  SELECT user_id, uts, is_event,
+         fw_ts IS NULL OR (bk_ts IS NOT NULL
+           AND epoch(uts) - epoch(bk_ts) <= epoch(fw_ts) - epoch(uts)) AS use_bk,
+         bk_ts, bk_v, fw_ts, fw_v
+  FROM w
+)
+SELECT user_id, uts AS probe_ts,
+       CASE WHEN use_bk THEN bk_ts ELSE fw_ts END AS nearest_ts,
+       ROUND(CASE WHEN use_bk THEN bk_v ELSE fw_v END, 4) AS nearest_value
+FROM pick WHERE is_event = 0
+""",
+)
+def asof_nearest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join (merge_asof direction='nearest'):
+    for every (user, day-start) probe, the event with minimum |Δt| —
+    backward and forward candidates ride ONE union + ONE key-window
+    shuffle, the closer side picked in codegen (backward wins exact
+    ties; plans/asof.asof_nearest_join)."""
+    from feast_hive_spark.plans.asof import asof_nearest_join
+
+    ev = read_table(spark, sf_dir, "events")
+    probes = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("probe_ts")
+    ).distinct()
+    out = asof_nearest_join(
+        probes, ev, ["user_id"], "probe_ts", "ts", ["value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", "probe_ts", "nearest_ts",
+        F.round("nearest_value", 4).alias("nearest_value"),
+    )
+
+
+@register(
     "scd2_user_event_history",
     """
 WITH chg AS (

@@ -132,3 +132,49 @@ def test_scd2_same_ts_tiebreak_deterministic(spark):
     b = out[out.attr == "b"].iloc[0]
     assert b.valid_from == b.valid_to == _ts("2024-01-05")
     assert out[out.attr == "c"].iloc[0].is_current
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """Nearest-direction as-of vs pandas merge_asof on a fixture with
+    backward-closer, forward-closer, exact-tie, and no-backward
+    probes."""
+    import pandas as pd
+
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-10"), 10.0, 1),
+            (1, _ts("2024-01-20"), 20.0, 2),
+            (2, _ts("2024-01-05"), 5.0, 3),
+        ],
+        ["k", "ts", "v", "eid"],
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-11")),  # backward closer
+            (1, _ts("2024-01-19")),  # forward closer
+            (1, _ts("2024-01-15")),  # exact tie -> backward wins
+            (2, _ts("2024-01-01")),  # no backward -> forward
+            (3, _ts("2024-01-01")),  # no events at all -> NULLs
+        ],
+        ["k", "pts"],
+    )
+    from feast_hive_spark.plans.asof import asof_nearest_join
+
+    got = (
+        asof_nearest_join(probes, events, ["k"], "pts", "ts", ["v"], "eid")
+        .toPandas()
+        .sort_values(["k", "probe_ts"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        probes.toPandas().rename(columns={"pts": "probe_ts"})
+        .sort_values("probe_ts"),
+        events.toPandas().sort_values("ts"),
+        left_on="probe_ts",
+        right_on="ts",
+        by="k",
+        direction="nearest",
+    ).sort_values(["k", "probe_ts"]).reset_index(drop=True)
+    assert got.nearest_ts.tolist() == exp.ts.tolist()
+    for g, e in zip(got.nearest_v.tolist(), exp.v.tolist()):
+        assert (pd.isna(g) and pd.isna(e)) or g == e
