@@ -195,6 +195,12 @@ AUDITS = {
         ["HashAggregate"],
         ["CartesianProduct"],
     ),
+    # heavy hitters: candidate set must reach the full scan as a
+    # broadcast semi join, never a shuffle join of the fact table
+    "heavy_hitter_users": (
+        ["LeftSemi", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "Window"],
+    ),
     # nearest as-of: both directions ride ONE union + ONE key window
     # shuffle; no join, no cartesian
     "asof_nearest_daily": (

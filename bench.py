@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "fuzzy_part_name_pairs",
     "events_sliding_rollup",
     "sliding_distinct_users",
+    "heavy_hitter_users",
     "events_json_props",
     "events_sessionize_batch",
     "interval_overlap_counts",

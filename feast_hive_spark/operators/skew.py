@@ -57,3 +57,51 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return f.join(d, keys + ["__salt"], how).drop("__salt")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    row_id_col: str,
+    min_count: int,
+    sample_bp: int = 1000,
+    guard: int = 4,
+) -> DataFrame:
+    """Two-pass heavy-hitter detection: the values of ``value_col``
+    occurring at least ``min_count`` times, with EXACT counts —
+    without ever shuffling the full distinct-value set.
+
+    Pass 1 aggregates a deterministic ``sample_bp``/10000 row sample
+    (hash of ``row_id_col``; per-ROW sampling, so a value's sample
+    count concentrates at rate*count) and keeps candidates whose
+    sample count clears ``min_count * rate / guard``.  Pass 2
+    broadcast-semi-filters the full scan to candidate values only and
+    counts exactly.  At 100 TB with a heavy-tailed key column the
+    exact single-pass groupBy shuffles ~every distinct value; here
+    pass 1 shuffles a 10x-100x smaller sample and pass 2's shuffle
+    carries only rows of the few candidate values.
+
+    The ``guard`` divisor bounds the false-negative risk (a true
+    heavy hitter sampling below threshold/guard): with rate*count >=
+    10 expected sample occurrences and guard=4, the Chernoff tail is
+    < 1e-4 per value — and the hash is deterministic, so a given
+    dataset either always passes or always fails its exactness check
+    (the registry twin IS the exact query; the gate certifies no
+    hitter was missed).  Output: (value_col, n), n >= min_count."""
+    rate = sample_bp / 10_000.0
+    sample = df.filter(
+        F.pmod(F.xxhash64(F.col(row_id_col), F.lit("hh")), F.lit(10_000))
+        < F.lit(sample_bp)
+    )
+    cand = (
+        sample.groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("__sn"))
+        .filter(F.col("__sn") >= min_count * rate / guard)
+        .select(value_col)
+    )
+    return (
+        df.join(F.broadcast(cand), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

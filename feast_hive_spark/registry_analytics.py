@@ -330,6 +330,29 @@ def asof_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "heavy_hitter_users",
+    """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id HAVING COUNT(*) >= 70
+""",
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass heavy-hitter detection (operators/skew.heavy_hitters):
+    candidates from a 20% deterministic row sample, exact counts for
+    candidates only via a broadcast semi filter — never a full
+    distinct-value shuffle. The DuckDB twin is the exact single-pass
+    HAVING query, so the hash gate certifies the sampling pass missed
+    no true hitter on this dataset (deterministic hash: it either
+    always holds or always fails)."""
+    from feast_hive_spark.operators.skew import heavy_hitters
+
+    ev = read_table(spark, sf_dir, "events")
+    return heavy_hitters(
+        ev, "user_id", "event_id", min_count=70, sample_bp=2000
+    )
+
+
+@register(
     "asof_nearest_daily",
     """
 WITH u AS (

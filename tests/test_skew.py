@@ -61,3 +61,28 @@ def test_salted_left_join_preserves_unmatched(spark):
     )
     assert got.k.tolist() == [1, 2, 99]
     assert pd.isna(got.name.iloc[2])
+
+
+def test_heavy_hitters_exact_on_heavy_tail(spark):
+    """Two-pass detection must equal the exact HAVING query on a
+    heavy-tailed fixture: few hot values + a long tail of singletons
+    (the regime the operator exists for)."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.skew import heavy_hitters
+
+    rows = []
+    rid = 0
+    for v, n in [("hot1", 500), ("hot2", 120), ("warm", 99)]:
+        for _ in range(n):
+            rows.append((rid, v)); rid += 1
+    for i in range(2000):  # singleton tail
+        rows.append((rid, f"tail{i}")); rid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["rid", "val"])
+    )
+    got = {
+        (r.val, r.n)
+        for r in heavy_hitters(df, "val", "rid", min_count=100).collect()
+    }
+    assert got == {("hot1", 500), ("hot2", 120)}  # warm=99 excluded
