@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "dedup_components",
+    "pagerank_near_dup",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

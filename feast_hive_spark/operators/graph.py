@@ -1,0 +1,83 @@
+"""Graph-analytics operators over pair/edge tables.
+
+Connected components lives with the dedup family
+(operators/dedup.py: plain propagation + large-star/small-star); this
+module holds the general iterative-computation pattern on the same
+edge primitives, with PageRank as the canonical instance.
+
+Cross-engine determinism: iterative float math diverges between
+engines through summation order, so ranks are carried as BIGINT
+fixed-point (1e-12 units) with integer division everywhere — every
+iteration is bit-identical in Spark and the DuckDB oracle's chained
+CTEs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 1e-12 rank units
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph (each
+    pair becomes two directed edges, so every node has out-degree
+    >= 1 — no dangling-mass handling needed).
+
+    ``r_{k+1}(v) = round((100-d)%/N * SCALE) + (d * Σ_{u→v} r_k(u)
+    div deg(u)) div 100`` — all BIGINT, floor division, deterministic.
+    A fixed small ``iters`` (default 3) is the production shape for
+    score features ("2-3 hops of influence"); convergence-to-epsilon
+    would just be this loop with a delta check like
+    connected_components'.
+
+    Per-iteration cost: one join of edges to the N-row rank table +
+    one grouped sum — shuffles sized to the GRAPH, not the corpus
+    that produced it.  The edge table is cached once; at 3 iterations
+    plan growth is linear so no lineage truncation is needed (the
+    O(log N)-round star loop in dedup.py shows the localCheckpoint
+    variant).  Output: (node, rank_e12)."""
+    sym = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .union(
+            pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .cache()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    n_row = F.broadcast(deg.agg(F.count(F.lit(1)).alias("nn")))
+    base_pct = 100 - damping_pct
+    # r0 = round(SCALE / N)
+    ranks = deg.crossJoin(n_row).select(
+        F.col("s").alias("node"),
+        F.round(F.lit(float(SCALE)) / F.col("nn")).cast("long").alias("r"),
+    )
+    edges_deg = sym.join(deg, "s").cache()
+    for _ in range(iters):
+        contrib = edges_deg.join(
+            ranks, edges_deg.s == ranks.node
+        ).select(
+            F.col("d"), F.expr("r div dg").alias("__c")
+        )
+        ranks = (
+            contrib.groupBy("d")
+            .agg(F.sum("__c").alias("__sum"))
+            .crossJoin(n_row)
+            .select(
+                F.col("d").alias("node"),
+                (
+                    F.round(F.lit(float(base_pct) / 100.0 * SCALE) / F.col("nn")).cast("long")
+                    + F.expr(f"({damping_pct} * __sum) div 100")
+                ).alias("r"),
+            )
+        )
+    out = ranks.select(F.col("node"), F.col("r").alias("rank_e12"))
+    return out

@@ -597,6 +597,69 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components_star(pairs)
 
 
+def _pagerank_sql(iters: int = 3) -> str:
+    """Chained-CTE DuckDB twin of operators/graph.pagerank on the
+    ngram-Jaccard pair graph — one CTE per iteration, identical
+    integer fixed-point arithmetic (BIGINT 1e-12 units, floor
+    division), shared base constants."""
+    from feast_hive_spark.operators.graph import SCALE
+
+    base = 0.15 * SCALE  # python-evaluated once; embedded in BOTH engines
+    sql = [
+        f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), prs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_DUCK_JACCARD} AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL SELECT id_b, id_a FROM prs
+), deg AS (
+  SELECT src, COUNT(*) AS dg FROM sym GROUP BY src
+), n AS (
+  SELECT COUNT(*) AS nn FROM deg
+), r0 AS (
+  SELECT src AS node, CAST(round({float(SCALE)!r} / nn) AS BIGINT) AS r
+  FROM deg, n
+)"""
+    ]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql.append(
+            f""", i{k} AS (
+  SELECT e.dst AS node,
+         CAST(round({base!r} / nn) AS BIGINT)
+         + CAST((85 * SUM(p.r // d.dg)) // 100 AS BIGINT) AS r
+  FROM sym e
+  JOIN {prev} p ON e.src = p.node
+  JOIN deg d ON d.src = e.src, n
+  GROUP BY e.dst, nn
+)"""
+        )
+        prev = f"i{k}"
+    sql.append(f"\nSELECT node AS doc_id, r AS rank_e12 FROM {prev}")
+    return "".join(sql)
+
+
+@register("pagerank_near_dup", _pagerank_sql())
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the near-dup pair graph
+    (operators/graph.pagerank): the 'most central duplicate' score a
+    curation pipeline uses to pick cluster representatives. Three
+    iterations of BIGINT fixed-point arithmetic — bit-identical to
+    the DuckDB twin's chained CTEs; shuffles sized to the graph, not
+    the corpus."""
+    from feast_hive_spark.operators.graph import pagerank
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pr = pagerank(pairs, "id_a", "id_b", iters=3)
+    return pr.select(F.col("node").alias("doc_id"), "rank_e12")
+
+
 @register(
     "profile_lineitem",
     """

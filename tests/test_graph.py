@@ -1,0 +1,41 @@
+"""operators/graph.py tests against a direct python model of the
+same integer fixed-point PageRank recurrence."""
+
+from feast_hive_spark.operators.graph import SCALE, pagerank
+
+
+def _py_pagerank(edges, iters=3):
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    nodes = sorted({s for s, _ in sym})
+    deg = {v: sum(1 for s, _ in sym if s == v) for v in nodes}
+    nn = len(nodes)
+    r = {v: round(float(SCALE) / nn) for v in nodes}
+    base = 0.15 * SCALE
+    for _ in range(iters):
+        nxt = {}
+        for v in nodes:
+            s = sum(r[u] // deg[u] for u, d in sym if d == v)
+            nxt[v] = round(base / nn) + (85 * s) // 100
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_python_model(spark):
+    edges = [(1, 2), (1, 3), (1, 4), (4, 5), (6, 7)]  # hub + chain + pair
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.rank_e12 for r in pagerank(pairs).collect()}
+    exp = _py_pagerank(edges)
+    assert got == exp
+    # the hub out-ranks every leaf, and total mass stays ~1
+    assert got[1] == max(got.values())
+    assert abs(sum(got.values()) - SCALE) < SCALE * 0.02
+
+
+def test_pagerank_symmetric_pair_equal_ranks(spark):
+    pairs = spark.createDataFrame([(10, 20)], "id_a long, id_b long")
+    got = {r.node: r.rank_e12 for r in pagerank(pairs).collect()}
+    assert got[10] == got[20]
