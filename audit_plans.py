@@ -195,6 +195,12 @@ AUDITS = {
         ["HashAggregate"],
         ["CartesianProduct"],
     ),
+    # gramian: corpus flows through the Arrow kernel map-side; only
+    # d^2-per-batch partials shuffle into the final aggregate
+    "embedding_gramian": (
+        ["HashAggregate"],
+        ["Join", "CartesianProduct", "Window"],
+    ),
     # heavy hitters: candidate set must reach the full scan as a
     # broadcast semi join, never a shuffle join of the fact table
     "heavy_hitter_users": (

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "winsorized_event_values",
     "temperature_sample_by_lang",
     "embedding_quantization_error",
+    "embedding_gramian",
     "bigram_pmi_top",
     "text_repetition_stats",
     "langid_confusion",

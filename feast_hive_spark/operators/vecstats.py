@@ -1,0 +1,61 @@
+"""Distributed embedding-matrix statistics.
+
+The Gramian (uncentered second-moment matrix) X^T X is the building
+block of PCA/whitening/linear-probe fits over embedding tables: a
+d×d reduction of an n×d matrix.  The 100 TB shape is
+partial-sums-per-partition: each Arrow batch contributes a d×d
+partial computed by vectorized BLAS locally, and only d² scalars per
+batch ever reach the shuffle — the corpus itself never moves.
+
+Cross-engine determinism: each row's pairwise product is rounded to
+micro-units and accumulated as BIGINT, so the sum is
+order-independent and the DuckDB twin (a positions×positions
+rescan) hash-matches bit-for-bit despite both engines summing in
+different orders."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gramian_e6(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """d×d Gramian of an ``array<float>`` column in exact micro-unit
+    fixed point: output rows ``(i, j, sum_e6)`` where ``sum_e6 =
+    Σ_rows round(v[i]*v[j]*1e6)`` as BIGINT.
+
+    Each ``mapInPandas`` batch emits one d² partial (slab-wise numpy
+    outer products, 256 rows at a time, so per-task memory is
+    O(slab·d²) regardless of batch size); the final shuffle carries
+    #batches × d² small rows."""
+    schema = "i int, j int, s long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ii, jj = np.indices((dim, dim))
+        for pdf in batches:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            acc = np.zeros((dim, dim), dtype=np.int64)
+            for lo in range(0, vecs.shape[0], 256):
+                slab = vecs[lo : lo + 256]
+                prods = slab[:, :, None] * slab[:, None, :] * 1e6
+                acc += np.round(prods).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "s": acc.ravel()}
+            )
+
+    partials = df.select(vec_col).mapInPandas(kernel, schema)
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").alias("sum_e6"))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "sum_e6",
+        )
+    )

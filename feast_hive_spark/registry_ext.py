@@ -597,6 +597,33 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components_star(pairs)
 
 
+@register(
+    "embedding_gramian",
+    """
+WITH idx AS (SELECT unnest(range(1, 65)) AS p),
+prs AS (SELECT a.p AS pi, b.p AS pj FROM idx a, idx b)
+SELECT CAST(prs.pi - 1 AS BIGINT) AS i,
+       CAST(prs.pj - 1 AS BIGINT) AS j,
+       CAST(SUM(CAST(round(CAST(e.embedding[prs.pi] AS DOUBLE)
+                           * CAST(e.embedding[prs.pj] AS DOUBLE)
+                           * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6
+FROM embeddings e, prs
+GROUP BY 1, 2
+""",
+)
+def embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gramian (X^T X) of the embedding table in exact
+    micro-unit fixed point (operators/vecstats.gramian_e6): the
+    PCA/whitening building block. Each Arrow batch ships one d²
+    partial; the corpus never shuffles. Per-row products are rounded
+    BEFORE summation, so the BIGINT total is order-independent and
+    hash-matches the DuckDB positions-rescan twin."""
+    from feast_hive_spark.operators.vecstats import gramian_e6
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return gramian_e6(emb, "embedding", 64)
+
+
 def _pagerank_sql(iters: int = 3) -> str:
     """Chained-CTE DuckDB twin of operators/graph.pagerank on the
     ngram-Jaccard pair graph — one CTE per iteration, identical

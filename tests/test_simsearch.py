@@ -171,3 +171,29 @@ def test_query_collect_guardrail(spark):
     )
     with _pt.raises(ValueError, match="query set exceeds"):
         S._query_matrix(big, "vec_id", "embedding")
+
+
+def test_gramian_matches_numpy(spark):
+    """Distributed micro-unit Gramian vs a direct numpy model,
+    including the round-before-sum order independence."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.operators.vecstats import gramian_e6
+
+    rng = np.random.RandomState(11)
+    X32 = rng.randn(300, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": [list(map(float, r)) for r in X32]})
+    ).repartition(7)  # force multiple partial matrices
+    got = {
+        (r.i, r.j): r.sum_e6
+        for r in gramian_e6(df, "embedding", 8).collect()
+    }
+    X = X32.astype(np.float64)
+    exp = np.round(X[:, :, None] * X[:, None, :] * 1e6).astype(np.int64).sum(axis=0)
+    assert len(got) == 64
+    for (i, j), s in got.items():
+        assert s == exp[i, j]
+    # symmetry holds exactly in fixed point
+    assert all(got[(i, j)] == got[(j, i)] for i in range(8) for j in range(8))
