@@ -201,6 +201,12 @@ AUDITS = {
         ["HashAggregate"],
         ["Join", "CartesianProduct", "Window"],
     ),
+    # CDC apply: union + ONE skew-immune max_by shuffle; partial
+    # aggregation must collapse whale keys map-side, no join
+    "cdc_apply_user_state": (
+        ["partial_max_by"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
     # heavy hitters: candidate set must reach the full scan as a
     # broadcast semi join, never a shuffle join of the fact table
     "heavy_hitter_users": (

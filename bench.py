@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "asof_nearest_daily",
     "scd2_user_event_history",
     "materialize_delta",
+    "cdc_apply_user_state",
     "cohort_retention_weekly",
     "event_transition_matrix",
     "salted_join_segments",

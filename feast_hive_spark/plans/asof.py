@@ -228,6 +228,66 @@ def scd2_build(
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    op_col: str,
+    value_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """MERGE-INTO semantics as one plan: apply a CDC change stream
+    (``op_col`` in {'upsert','delete'}) to a snapshot and return the
+    resulting latest state per key.  Snapshot rows participate as
+    upserts that sort BEFORE any change at the same timestamp, the
+    per-key winner is picked with the same skew-immune
+    ``max_by(struct)`` aggregate as the PIT join (one shuffle on the
+    key, whale keys collapse map-side), and keys whose winner is a
+    delete drop out.  This is what a batch CDC compaction job (Hudi/
+    Delta-style) does each cycle, expressed engine-natively.
+
+    Output: ``keys + value_cols + ts_col`` for live keys only."""
+    keys = list(keys)
+    value_cols = list(value_cols)
+    snap = snapshot.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit("upsert").alias("__op"),
+        *[F.col(v) for v in value_cols],
+        F.lit(-1).cast("long").alias("__tb"),
+        F.lit(0).alias("__src"),
+    )
+    chg = changes.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.col(op_col).alias("__op"),
+        *[F.col(v) for v in value_cols],
+        (
+            F.col(tiebreak_col).cast("long")
+            if tiebreak_col
+            else F.lit(0).cast("long")
+        ).alias("__tb"),
+        F.lit(1).alias("__src"),
+    )
+    unioned = snap.unionByName(chg)
+    payload = F.struct(
+        F.col("__op"), F.col("__ts"), *[F.col(v) for v in value_cols]
+    )
+    order = F.struct(F.col("__ts"), F.col("__src"), F.col("__tb"))
+    latest = unioned.groupBy(*keys).agg(
+        F.max_by(payload, order).alias("__w")
+    )
+    return (
+        latest.filter(F.col("__w.__op") != "delete")
+        .select(
+            *keys,
+            *[F.col(f"__w.{v}").alias(v) for v in value_cols],
+            F.col("__w.__ts").alias(ts_col),
+        )
+    )
+
+
 def materialize_delta(
     source: DataFrame,
     keys: Sequence[str],

@@ -329,6 +329,77 @@ def asof_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_CUTOFF = "2024-01-15"
+
+
+@register(
+    "cdc_apply_user_state",
+    f"""
+WITH snap AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{_CDC_CUTOFF}'
+  ) WHERE rn = 1
+), allr AS (
+  SELECT user_id, ts, 'upsert' AS op, value,
+         CAST(-1 AS BIGINT) AS tb, 0 AS src
+  FROM snap
+  UNION ALL
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'upsert' END,
+         value, event_id, 1
+  FROM events WHERE ts >= TIMESTAMP '{_CDC_CUTOFF}'
+), win AS (
+  SELECT user_id, ts, op, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, src DESC, tb DESC) AS rn
+  FROM allr
+)
+SELECT user_id, ROUND(value, 4) AS value, ts
+FROM win WHERE rn = 1 AND op <> 'delete'
+""",
+)
+def cdc_apply_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC compaction (plans/asof.apply_cdc): a pre-cutoff
+    latest-per-user snapshot plus a post-cutoff change stream where
+    purchases act as deletes — MERGE INTO expressed as ONE
+    skew-immune max_by aggregate over the union, deletes filtered
+    from the winners. The Hudi/Delta-style upsert cycle,
+    engine-native."""
+    from feast_hive_spark.plans.asof import apply_cdc
+
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    pre = ev.filter(F.col("ts") < cutoff)
+    snapshot = (
+        pre.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "value"), F.struct("ts", "event_id")
+            ).alias("__s")
+        )
+        .select("user_id", F.col("__s.ts").alias("ts"), F.col("__s.value").alias("value"))
+    )
+    changes = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    out = apply_cdc(
+        snapshot, changes, ["user_id"], "ts", "op", ["value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", F.round("value", 4).alias("value"), "ts"
+    )
+
+
 @register(
     "heavy_hitter_users",
     """

@@ -178,3 +178,53 @@ def test_asof_nearest_matches_pandas(spark):
     assert got.nearest_ts.tolist() == exp.ts.tolist()
     for g, e in zip(got.nearest_v.tolist(), exp.v.tolist()):
         assert (pd.isna(g) and pd.isna(e)) or g == e
+
+
+def test_apply_cdc_semantics(spark):
+    """MERGE semantics: later upsert replaces snapshot, delete removes
+    the key, key untouched by changes survives, insert-only key
+    appears, and a delete followed by a later upsert resurrects."""
+    from feast_hive_spark.plans.asof import apply_cdc
+
+    snapshot = spark.createDataFrame(
+        [(1, _ts("2024-01-01"), 10.0), (2, _ts("2024-01-01"), 20.0),
+         (3, _ts("2024-01-01"), 30.0), (5, _ts("2024-01-01"), 50.0)],
+        ["k", "ts", "v"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-10"), 11.0, "upsert", 1),   # replaces
+            (2, _ts("2024-01-10"), 0.0, "delete", 2),    # removes
+            (4, _ts("2024-01-10"), 40.0, "upsert", 3),   # new key
+            (5, _ts("2024-01-10"), 0.0, "delete", 4),    # delete...
+            (5, _ts("2024-01-11"), 55.0, "upsert", 5),   # ...then back
+        ],
+        ["k", "ts", "v", "op", "eid"],
+    )
+    got = {
+        r.k: (r.v, r.ts)
+        for r in apply_cdc(
+            snapshot, changes, ["k"], "ts", "op", ["v"], "eid"
+        ).collect()
+    }
+    assert got == {
+        1: (11.0, _ts("2024-01-10")),
+        3: (30.0, _ts("2024-01-01")),
+        4: (40.0, _ts("2024-01-10")),
+        5: (55.0, _ts("2024-01-11")),
+    }
+
+
+def test_apply_cdc_same_ts_change_beats_snapshot(spark):
+    """A change at exactly the snapshot timestamp wins (src ordering),
+    and among simultaneous changes the tiebreak decides."""
+    from feast_hive_spark.plans.asof import apply_cdc
+
+    t = _ts("2024-01-05")
+    snapshot = spark.createDataFrame([(1, t, 1.0)], ["k", "ts", "v"])
+    changes = spark.createDataFrame(
+        [(1, t, 2.0, "upsert", 1), (1, t, 3.0, "upsert", 9)],
+        ["k", "ts", "v", "op", "eid"],
+    )
+    [r] = apply_cdc(snapshot, changes, ["k"], "ts", "op", ["v"], "eid").collect()
+    assert r.v == 3.0  # highest tiebreak among coincident changes
