@@ -201,6 +201,12 @@ AUDITS = {
         ["HashAggregate"],
         ["Join", "CartesianProduct", "Window"],
     ),
+    # quantile binning: boundaries broadcast back; bin assignment in
+    # codegen; no sort-merge join, no window
+    "quantile_bins_order_value": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "Window"],
+    ),
     # CDC apply: union + ONE skew-immune max_by shuffle; partial
     # aggregation must collapse whale keys map-side, no join
     "cdc_apply_user_state": (

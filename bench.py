@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "window_user_activity",
     "cube_order_stats",
     "percentile_order_value",
+    "quantile_bins_order_value",
     "fuzzy_part_name_pairs",
     "events_sliding_rollup",
     "sliding_distinct_users",

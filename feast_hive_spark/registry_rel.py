@@ -946,6 +946,54 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_bins_order_value",
+    """
+WITH b AS (
+  SELECT o_orderstatus,
+         ROUND(quantile_cont(o_totalprice, 0.25), 4) AS b1,
+         ROUND(quantile_cont(o_totalprice, 0.50), 4) AS b2,
+         ROUND(quantile_cont(o_totalprice, 0.75), 4) AS b3
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       1 + CAST(o.o_totalprice > b.b1 AS INT)
+         + CAST(o.o_totalprice > b.b2 AS INT)
+         + CAST(o.o_totalprice > b.b3 AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o.o_totalprice), 2) AS sum_value
+FROM orders o JOIN b USING (o_orderstatus)
+GROUP BY 1, 2
+""",
+)
+def quantile_bins_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretizer (the feature-binning shape): per-group
+    quartile boundaries from ONE #groups-row aggregate broadcast back
+    onto the fact scan, bin assignment in codegen, then the binned
+    rollup. Boundaries are rounded to 4dp in BOTH engines before
+    comparison so the bin edges are bit-identical cross-engine. At
+    100 TB swap the exact percentile for approx_percentile (see
+    approx_percentile_rank_bounded for its tolerance gate) — the plan
+    shape is unchanged."""
+    o = read_table(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("b1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("b2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("b3"),
+    )
+    j = o.join(F.broadcast(bounds), "o_orderstatus")
+    binc = (
+        F.lit(1)
+        + (F.col("o_totalprice") > F.col("b1")).cast("int")
+        + (F.col("o_totalprice") > F.col("b2")).cast("int")
+        + (F.col("o_totalprice") > F.col("b3")).cast("int")
+    )
+    return j.groupBy("o_orderstatus", binc.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_value"),
+    )
+
+
+@register(
     "full_outer_nation_presence",
     """
 WITH cust AS (
