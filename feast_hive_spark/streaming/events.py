@@ -447,6 +447,81 @@ def stream_to_online(
     return writer.start()
 
 
+def stream_to_sketches(
+    events: DataFrame,
+    path: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    checkpoint_dir: str | None = None,
+) -> "object":
+    """Continuously maintain the per-(key, day) HLL sketch table
+    (operators/sketches.py) from an event stream via ``foreachBatch``:
+    each micro-batch's rows are sketched and UNIONED into the persisted
+    sketch table, so any distinct-count rollup is answerable at any
+    time without rescanning history — the streaming half of the
+    sketch-once/rollup-forever pattern.
+
+    The merge is a full read-union-rewrite of the sketch table, which
+    is sound because the table is tiny by construction (#keys × #days
+    rows of ~KB sketches, independent of event volume); at millions of
+    keys you'd switch to the bucket-incremental swap exactly as
+    ``stream_to_online`` does. The rewrite uses the same rename-aside
+    promotion so a crash never loses the committed table.
+
+    Exactly-once without transactions: HLL union is semantically
+    IDEMPOTENT (the sketch is a set summary — re-observing the same
+    items changes no estimate), so a checkpoint-driven replay of a
+    micro-batch converges to a table with identical estimates; the
+    serialized bytes may differ because DataSketches re-unioning can
+    switch internal representation.  Returns the StreamingQuery."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.errors import AnalysisException
+
+    from feast_hive_spark.operators.sketches import hll_daily_sketches
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = hll_daily_sketches(batch_df, key_cols, ts_col, id_col)
+        merged = batch_sk
+        if Path(path).exists():
+            try:
+                existing = spark.read.parquet(path)
+                merged = existing.unionByName(batch_sk)
+            except AnalysisException:
+                pass  # empty dir from a cancelled first write
+        final = (
+            merged.groupBy(*key_cols, "day")
+            .agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
+            .coalesce(1)
+        )
+        tmp = path + f".epoch{epoch_id}"
+        final.write.mode("overwrite").parquet(tmp)
+        aside = path + f".epoch{epoch_id}.old"
+        had_old = Path(path).exists()
+        if had_old:
+            Path(path).rename(aside)
+        try:
+            Path(tmp).rename(path)
+        except BaseException:
+            if had_old and not Path(path).exists():
+                Path(aside).rename(path)
+            raise
+        if had_old:
+            shutil.rmtree(aside, ignore_errors=True)
+
+    writer = (
+        events.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def run_to_memory(result: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming plan to completion against the memory sink
     (local smoke path: one parquet file -> one micro-batch)."""
