@@ -207,6 +207,12 @@ AUDITS = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["SortMergeJoin", "CartesianProduct", "Window"],
     ),
+    # skew report: count collapses map-side; top-N via TakeOrdered
+    # (never a full sort); totals are 1-row broadcasts
+    "key_skew_report_suppkey": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["SortMergeJoin"],
+    ),
     # CDC apply: union + ONE skew-immune max_by shuffle; partial
     # aggregation must collapse whale keys map-side, no join
     "cdc_apply_user_state": (

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "decontaminate_vs_benchmark",
     "curation_pipeline",
     "split_train_val_test",
+    "group_split_no_leakage",
     "epoch_shuffle_head",
     "pack_sequences_by_lang",
     "outlier_zscore_counts",
@@ -116,6 +117,7 @@ BENCH_QUERIES = [
     "cohort_retention_weekly",
     "event_transition_matrix",
     "salted_join_segments",
+    "key_skew_report_suppkey",
     "zorder_layout_quality",
     "data_quality_lineitem",
     "winsorized_event_values",

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -104,4 +104,59 @@ def heavy_hitters(
         .groupBy(value_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-flight skew diagnostic for a planned join/aggregation key:
+    the top-N heaviest key values with their row share, plus the
+    whole-key-space concentration stats every row repeats (total rows,
+    distinct keys, max single-key share, share held by the top N).
+    Reading this BEFORE a big join is how you decide between a plain
+    shuffle, salting (salted_join), or AQE skew splitting.
+
+    One grouped count (partial agg collapses map-side), one top-N
+    (TakeOrdered — no full sort), and a 1-row broadcast of the
+    global stats. Output: (rank, key_value, n_rows, share_bp,
+    total_rows, n_keys, top{N}_share_bp)."""
+    keyed = df.groupBy(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias(
+            "key_value"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    top = (
+        keyed.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+            ),
+        )
+    )
+    totals = F.broadcast(
+        keyed.agg(
+            F.sum("n_rows").alias("total_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    )
+    top_share = F.broadcast(
+        top.agg(F.sum("n_rows").alias("__top_rows"))
+    )
+    return (
+        top.crossJoin(totals)
+        .crossJoin(top_share)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "key_value",
+            "n_rows",
+            F.expr("(n_rows * 10000) div total_rows").alias("share_bp"),
+            "total_rows",
+            "n_keys",
+            F.expr("(__top_rows * 10000) div total_rows").alias("top_share_bp"),
+        )
     )

@@ -329,6 +329,93 @@ def asof_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "group_split_no_leakage",
+    """
+WITH t AS (
+  SELECT user_id, event_id,
+         CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substr(md5('split:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+)
+SELECT split,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS no_leakage
+FROM t GROUP BY split
+""",
+)
+def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware (leakage-safe) split: hashing the GROUP key
+    (user_id) instead of the row id puts every row of a user in
+    exactly one fold — the split you need when correlated rows (same
+    user/document/session) would otherwise leak train information
+    into eval. The emitted no_leakage verdict recomputes the
+    guarantee inside the query: distinct users summed per split must
+    equal global distinct users (each user in exactly one fold)."""
+    from feast_hive_spark.operators.curate import hash_split
+
+    ev = read_table(spark, sf_dir, "events")
+    labeled = hash_split(ev, "user_id", (0.8, 0.1, 0.1))
+    per = labeled.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    total = F.broadcast(
+        ev.agg(F.countDistinct("user_id").alias("__g"))
+    )
+    chk = F.broadcast(
+        per.agg(F.sum("n_users").alias("__s"))
+    )
+    return (
+        per.crossJoin(total)
+        .crossJoin(chk)
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            (F.col("__s") == F.col("__g")).alias("no_leakage"),
+        )
+    )
+
+
+@register(
+    "key_skew_report_suppkey",
+    """
+WITH keyed AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS key_value, COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM keyed
+), top AS (
+  SELECT key_value, n_rows,
+         ROW_NUMBER() OVER (ORDER BY n_rows DESC, key_value) AS rank
+  FROM keyed ORDER BY n_rows DESC, key_value LIMIT 10
+), ts AS (
+  SELECT SUM(n_rows) AS top_rows FROM top
+)
+SELECT CAST(rank AS BIGINT) AS rank, key_value,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((n_rows * 10000) // total_rows AS BIGINT) AS share_bp,
+       CAST(total_rows AS BIGINT) AS total_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST((top_rows * 10000) // total_rows AS BIGINT) AS top_share_bp
+FROM top, tot, ts
+""",
+)
+def key_skew_report_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight (operators/skew.key_skew_report): the
+    heaviest supplier keys in lineitem with row shares and whole-space
+    concentration — the read you do before choosing plain shuffle vs
+    salting vs AQE skew split. One map-side-collapsed count, one
+    TakeOrdered top-N, two 1-row broadcasts."""
+    from feast_hive_spark.operators.skew import key_skew_report
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return key_skew_report(li, ["l_suppkey"], top_n=10)
+
+
 _CDC_CUTOFF = "2024-01-15"
 
 

@@ -86,3 +86,24 @@ def test_heavy_hitters_exact_on_heavy_tail(spark):
         for r in heavy_hitters(df, "val", "rid", min_count=100).collect()
     }
     assert got == {("hot1", 500), ("hot2", 120)}  # warm=99 excluded
+
+
+def test_key_skew_report_shares(spark):
+    """Top-N heaviest keys with exact shares; the whale dominates."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.skew import key_skew_report
+
+    rows = [(i, "whale" if i % 2 == 0 else f"k{i % 7}") for i in range(1000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["rid", "key"]))
+    rep = (
+        key_skew_report(df, ["key"], top_n=3)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert rep.key_value.tolist()[0] == "whale"
+    assert rep.n_rows.tolist()[0] == 500
+    assert rep.share_bp.tolist()[0] == 5000
+    assert (rep.total_rows == 1000).all() and (rep.n_keys == 8).all()
+    assert rep.top_share_bp.iloc[0] == (500 + 72 + 72) * 10000 // 1000
