@@ -207,6 +207,12 @@ AUDITS = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["SortMergeJoin", "CartesianProduct", "Window"],
     ),
+    # skip-gram: pair generation in HOFs over collected histories —
+    # ONE key shuffle, never the self-join the naive plan would use
+    "skipgram_event_pairs": (
+        ["HashAggregate"],
+        ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+    ),
     # skew report: count collapses map-side; top-N via TakeOrdered
     # (never a full sort); totals are 1-row broadcasts
     "key_skew_report_suppkey": (

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "cdc_apply_user_state",
     "cohort_retention_weekly",
     "event_transition_matrix",
+    "user_event_sequences",
+    "skipgram_event_pairs",
     "salted_join_segments",
     "key_skew_report_suppkey",
     "zorder_layout_quality",

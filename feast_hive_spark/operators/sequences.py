@@ -1,0 +1,86 @@
+"""Event-sequence training-data prep: per-entity ordered histories
+and skip-gram co-occurrence pairs (the item2vec / behavior-model
+input shapes).
+
+Both operators use the collect-ordered-array shape: ONE shuffle on
+the entity key brings a user's events together, ordering is imposed
+by ``array_sort`` over a (ts, tiebreak, payload) struct (deterministic
+under equal timestamps), and all pair/sequence generation happens in
+JVM higher-order functions — no self-join (the naive skip-gram plan
+joins the event table to itself on the user key: two shuffles and a
+position range filter; this is one shuffle and codegen).
+
+Per-group state is the user's own history — bounded by the longest
+single history, the same envelope any sequence-model featurizer
+needs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ordered_seq(
+    df: DataFrame, key_col: str, ts_col: str, item_col: str, tiebreak_col: str
+):
+    """Grouped, (ts, tiebreak)-ordered array of items per key."""
+    packed = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak_col).alias("tb"),
+                F.col(item_col).alias("it"),
+            )
+        )
+    )
+    return F.transform(packed, lambda x: x["it"])
+
+
+def event_sequences(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    item_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key ordered event history: ``(key, n_events, seq_fp)``
+    where ``seq_fp`` is the md5 of the space-joined item sequence —
+    the stable lineage/dedup key for a training sample built from
+    that history."""
+    seq = _ordered_seq(df, key_col, ts_col, item_col, tiebreak_col)
+    return df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.md5(F.concat_ws(" ", seq)).alias("seq_fp"),
+    )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    item_col: str,
+    tiebreak_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Directed skip-gram co-occurrence counts: for each key's ordered
+    event sequence, every (item[i], item[j]) with ``i < j <= i+window``
+    counts once — the training-pair corpus for item2vec-style
+    embedding fits.  Output: ``(item_a, item_b, n)``."""
+    seq = _ordered_seq(df, key_col, ts_col, item_col, tiebreak_col)
+    pairs = F.flatten(
+        F.transform(
+            seq,
+            lambda x, i: F.transform(
+                F.slice(seq, i + 2, window),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    grouped = df.groupBy(key_col).agg(pairs.alias("__pairs"))
+    return (
+        grouped.select(F.explode("__pairs").alias("__p"))
+        .groupBy(
+            F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -330,6 +330,57 @@ def asof_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_event_sequences",
+    """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS seq_fp
+FROM events GROUP BY user_id
+""",
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event history fingerprints
+    (operators/sequences.event_sequences): ONE key shuffle collects
+    each history, ordering via array_sort over (ts, event_id, item)
+    structs, fingerprint in codegen — the stable sample key for
+    sequence-model training data."""
+    from feast_hive_spark.operators.sequences import event_sequences
+
+    ev = read_table(spark, sf_dir, "events")
+    return event_sequences(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@register(
+    "skipgram_event_pairs",
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events
+)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM o a JOIN o b
+  ON a.user_id = b.user_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+GROUP BY 1, 2
+""",
+)
+def skipgram_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence corpus (window 3) for item2vec-style
+    training (operators/sequences.skipgram_pairs): pair generation in
+    JVM higher-order functions over each user's collected history —
+    one shuffle, no self-join (the DuckDB twin IS the naive
+    self-join, which is the contrast: identical output, half the
+    shuffles)."""
+    from feast_hive_spark.operators.sequences import skipgram_pairs
+
+    ev = read_table(spark, sf_dir, "events")
+    return skipgram_pairs(
+        ev, "user_id", "ts", "event_type", "event_id", window=3
+    )
+
+
+@register(
     "group_split_no_leakage",
     """
 WITH t AS (

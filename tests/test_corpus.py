@@ -363,3 +363,46 @@ def test_unigram_nll_matches_python(spark):
         assert abs(got.loc[doc_id, "avg_nll"] - exp) < 1e-9
     # the repetitive doc must score LOWER (more likely) than the rare one
     assert got.loc[2, "avg_nll"] < got.loc[3, "avg_nll"]
+
+
+def test_skipgram_pairs_matches_python(spark):
+    """Skip-gram pair counts vs a python model, including window
+    clipping at sequence end and same-ts tiebreak ordering."""
+    import pandas as pd
+    from collections import Counter
+
+    from feast_hive_spark.operators.sequences import (
+        event_sequences,
+        skipgram_pairs,
+    )
+
+    rows = [
+        (1, 1, 1, "a"), (1, 2, 2, "b"), (1, 3, 3, "c"), (1, 4, 4, "d"),
+        (2, 1, 5, "x"), (2, 1, 6, "y"),  # same ts -> event_id orders
+        (3, 1, 7, "z"),                  # singleton: no pairs
+    ]
+    pdf = pd.DataFrame(rows, columns=["u", "t", "eid", "it"])
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.item_a, r.item_b): r.n
+        for r in skipgram_pairs(df, "u", "t", "it", "eid", window=2).collect()
+    }
+    exp = Counter()
+    for u in (1, 2, 3):
+        seq = [r.it for r in sorted(
+            (r for r in pdf.itertuples() if r.u == u),
+            key=lambda r: (r.t, r.eid),
+        )]
+        for i, a in enumerate(seq):
+            for b in seq[i + 1 : i + 3]:
+                exp[(a, b)] += 1
+    assert got == dict(exp)
+
+    seqs = {
+        r.u: (r.n_events, r.seq_fp)
+        for r in event_sequences(df, "u", "t", "it", "eid").collect()
+    }
+    import hashlib
+
+    assert seqs[2] == (2, hashlib.md5(b"x y").hexdigest())
+    assert seqs[1][0] == 4
