@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "stratified_sample_by_lang",
     "scrub_forbidden_terms",
     "quality_weighted_sample",
+    "negative_samples_users",
     "text_normalize_fp",
     "pii_scrub_stats",
     "gopher_quality_flags",

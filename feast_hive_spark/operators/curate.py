@@ -150,3 +150,73 @@ def epoch_shuffle(
         )
     )
     return df.withColumn("shuffle_key", key)
+
+
+def negative_samples(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    n_items: int,
+    k: int = 5,
+    oversample: int = 8,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for recommender/contrastive
+    training: per user, ``k`` item ids the user has NOT interacted
+    with, drawn by hashing (user, slot) into the item space.  Output:
+    ``(user, neg_rank 1..k, item)``.
+
+    Hash-based (no RNG) so re-runs, repartitioning and corpus growth
+    reproduce the same negatives — eval contamination can't creep in
+    through sampler state.  Plan: ONE shuffle collects each user's
+    positive set; candidates explode from a ``sequence`` of
+    ``k*oversample`` slots in codegen, are rejected against the
+    positive array, deduped (two slots may hash to one item) and
+    rank-filtered per user.  Per-group memory = one user's positive
+    set, the same bound the training featurizer already needs."""
+    pos = (
+        interactions.select(
+            F.col(user_col).alias("__u"), F.col(item_col).alias("__it")
+        )
+        .distinct()
+        .groupBy("__u")
+        .agg(F.collect_set("__it").alias("__pos"))
+    )
+    slots = pos.select(
+        "__u",
+        "__pos",
+        F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1))).alias(
+            "__slot"
+        ),
+    )
+    cand_item = F.pmod(
+        h48(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col("__u").cast("string"),
+                F.lit(":"),
+                F.col("__slot").cast("string"),
+            )
+        ),
+        F.lit(n_items),
+    )
+    cands = slots.select(
+        "__u", "__slot", cand_item.alias("__item"), "__pos"
+    ).filter(~F.array_contains(F.col("__pos"), F.col("__item")))
+    first_slot = Window.partitionBy("__u", "__item").orderBy("__slot")
+    ranked = (
+        cands.withColumn("__dup", F.row_number().over(first_slot))
+        .filter(F.col("__dup") == 1)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__u").orderBy("__slot")
+            ),
+        )
+        .filter(F.col("__rk") <= k)
+    )
+    return ranked.select(
+        F.col("__u").alias(user_col),
+        F.col("__rk").cast("long").alias("neg_rank"),
+        F.col("__item").cast("long").alias("item"),
+    )

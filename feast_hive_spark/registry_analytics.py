@@ -330,6 +330,56 @@ def asof_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "negative_samples_users",
+    """
+WITH pos AS (
+  SELECT DISTINCT user_id, event_id % 1000 AS item FROM events
+), usr AS (
+  SELECT DISTINCT user_id FROM events
+), gen AS (
+  SELECT user_id, unnest(range(0, 40)) AS slot FROM usr
+), cand AS (
+  SELECT user_id, slot,
+         CAST(('0x' || substr(md5('neg:' || CAST(user_id AS VARCHAR) || ':' || CAST(slot AS VARCHAR)), 1, 12)) AS BIGINT) % 1000 AS item
+  FROM gen
+), ok AS (
+  SELECT c.user_id, c.slot, c.item
+  FROM cand c LEFT JOIN pos p
+    ON c.user_id = p.user_id AND c.item = p.item
+  WHERE p.item IS NULL
+), ded AS (
+  SELECT user_id, slot, item,
+         ROW_NUMBER() OVER (PARTITION BY user_id, item ORDER BY slot) AS dup
+  FROM ok
+), r AS (
+  SELECT user_id, slot, item,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slot) AS rk
+  FROM ded WHERE dup = 1
+)
+SELECT user_id, CAST(rk AS BIGINT) AS neg_rank, CAST(item AS BIGINT) AS item
+FROM r WHERE rk <= 5
+""",
+)
+def negative_samples_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling
+    (operators/curate.negative_samples): 5 hash-drawn non-interacted
+    items per user from a 1000-item space (items = event_id % 1000),
+    positives rejected against the collected per-user set,
+    hash-collision candidates deduped to their first slot. No RNG
+    anywhere — the twin reproduces the exact sample from the shared
+    md5 formula."""
+    from feast_hive_spark.operators.curate import negative_samples
+
+    ev = read_table(spark, sf_dir, "events")
+    inter = ev.select(
+        "user_id", (F.col("event_id") % 1000).alias("item")
+    )
+    return negative_samples(
+        inter, "user_id", "item", n_items=1000, k=5
+    )
+
+
+@register(
     "user_event_sequences",
     """
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

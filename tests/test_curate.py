@@ -147,3 +147,25 @@ def test_pack_grouped_respects_groups_and_capacity(spark):
         len({lang for (lang, b) in by_group if b == bid}) >= 1
         for (_, bid) in by_group
     )
+
+
+def test_negative_samples_properties(spark):
+    """Negatives never collide with positives, are exactly k per user,
+    deduped, rank-ordered by slot, and fully deterministic."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.curate import negative_samples
+
+    rows = [(u, it) for u in range(1, 6) for it in range(u * 3)]  # user u owns items 0..3u-1
+    inter = spark.createDataFrame(pd.DataFrame(rows, columns=["u", "it"]))
+    out = negative_samples(inter, "u", "it", n_items=30, k=4).toPandas()
+    pos = {u: {it for uu, it in rows if uu == u} for u in range(1, 6)}
+    assert len(out) == 5 * 4
+    for u, grp in out.groupby("u"):
+        assert sorted(grp.neg_rank) == [1, 2, 3, 4]
+        assert len(set(grp.item)) == 4
+        assert not (set(grp.item) & pos[u])
+    again = negative_samples(inter, "u", "it", n_items=30, k=4).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
