@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "key_skew_report_suppkey",
     "zorder_layout_quality",
     "data_quality_lineitem",
+    "referential_integrity_audit",
     "winsorized_event_values",
     "temperature_sample_by_lang",
     "embedding_quantization_error",

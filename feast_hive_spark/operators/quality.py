@@ -157,3 +157,46 @@ def winsorize_stats(
             ).alias("mean_winsorized"),
         )
     )
+
+
+def foreign_key_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_cols: Sequence[str],
+    parent_cols: Sequence[str],
+    name: str,
+) -> DataFrame:
+    """Referential-integrity audit: one row ``(constraint, n_child,
+    n_orphans, ok)`` counting child rows whose key has no parent.
+
+    Implemented as a left join of the child's key columns against the
+    deduped parent key set plus one aggregate — the join strategy is
+    left to AQE (a dimension parent broadcasts, a fact-sized parent
+    shuffle-joins), and only the key columns are scanned on either
+    side.  Compose several checks with unionByName for a whole-schema
+    audit in one DataFrame.  NULL child keys count as orphans (they
+    reference no parent), matching SQL NOT EXISTS semantics."""
+    keys = list(child_cols)
+    pk = (
+        parent.select(
+            *[
+                F.col(p).alias(c)
+                for p, c in zip(parent_cols, child_cols)
+            ]
+        )
+        .dropDuplicates()
+        .withColumn("__hit", F.lit(1))
+    )
+    j = child.select(*keys).join(pk, on=keys, how="left")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphans"),
+    )
+    return agg.select(
+        F.lit(name).alias("constraint"),
+        "n_child",
+        "n_orphans",
+        (F.col("n_orphans") == 0).alias("ok"),
+    )

@@ -330,6 +330,59 @@ def asof_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "referential_integrity_audit",
+    """
+SELECT 'lineitem->orders' AS constraint,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) = 0 AS ok
+UNION ALL
+SELECT 'lineitem->part',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)) = 0
+UNION ALL
+SELECT 'orders->customer',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0
+""",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema FK audit (operators/quality.foreign_key_check):
+    three child->parent checks unioned into one DataFrame, each a
+    key-columns-only left join (strategy left to AQE: dim parents
+    broadcast, fact parents shuffle) plus one aggregate."""
+    from feast_hive_spark.operators.quality import foreign_key_check
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    p = read_table(spark, sf_dir, "part")
+    c = read_table(spark, sf_dir, "customer")
+    checks = [
+        foreign_key_check(li, o, ["l_orderkey"], ["o_orderkey"], "lineitem->orders"),
+        foreign_key_check(li, p, ["l_partkey"], ["p_partkey"], "lineitem->part"),
+        foreign_key_check(o, c, ["o_custkey"], ["c_custkey"], "orders->customer"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
+@register(
     "negative_samples_users",
     """
 WITH pos AS (

@@ -65,3 +65,26 @@ def test_winsorize_stats_clips_outliers(spark):
     assert r["mean_raw"] > 140
     assert 45 < r["mean_winsorized"] < 60
     assert r["lo_bound"] == pytest.approx(1.99, abs=0.01)
+
+
+def test_foreign_key_check_counts_orphans(spark):
+    from feast_hive_spark.operators.quality import foreign_key_check
+
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "c"), (9, "d"), (None, "e")],
+        "fk int, payload string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    [r] = foreign_key_check(
+        child, parent, ["fk"], ["pk"], "child->parent"
+    ).collect()
+    # two rows with fk=9 and the NULL row are all orphans
+    assert (r.constraint, r.n_child, r.n_orphans, r.ok) == (
+        "child->parent", 5, 3, False,
+    )
+
+    clean = spark.createDataFrame([(1, "x")], "fk int, payload string")
+    [r2] = foreign_key_check(
+        clean, parent, ["fk"], ["pk"], "ok-check"
+    ).collect()
+    assert (r2.n_orphans, r2.ok) == (0, True)
