@@ -207,6 +207,12 @@ AUDITS = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["SortMergeJoin", "CartesianProduct", "Window"],
     ),
+    # rolling z-flags: count/sum/sumsq share ONE range frame over
+    # one user-keyed shuffle; no join
+    "rolling_zscore_flags": (
+        ["Window"],
+        ["Join", "CartesianProduct"],
+    ),
     # skip-gram: pair generation in HOFs over collected histories —
     # ONE key shuffle, never the self-join the naive plan would use
     "skipgram_event_pairs": (

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "unigram_nll_scores",
     "span_dedup_stats",
     "events_rolling_7d",
+    "rolling_zscore_flags",
     "asof_forward_daily",
     "asof_nearest_daily",
     "scd2_user_event_history",

@@ -57,6 +57,68 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_zscore_flags",
+    f"""
+WITH m AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 1000) AS BIGINT) AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), w AS (
+  SELECT event_id, user_id, u,
+         COUNT(*) OVER fr AS n,
+         SUM(u) OVER fr AS s,
+         SUM(u * u) OVER fr AS sq
+  FROM m
+  WINDOW fr AS (PARTITION BY user_id ORDER BY es
+                RANGE BETWEEN {_ROLL_SECONDS} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, CAST(n AS BIGINT) AS n_win,
+       (CAST(n AS HUGEINT) * u - CAST(s AS HUGEINT))
+         * (CAST(n AS HUGEINT) * u - CAST(s AS HUGEINT))
+       > 9 * (CAST(n AS HUGEINT) * CAST(sq AS HUGEINT)
+              - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS flagged
+FROM w
+""",
+)
+def rolling_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags: per event, whether its value
+    sits more than 3 sigma from its user's 7-day trailing mean — the
+    streaming-monitoring shape in batch. The z-test is evaluated in
+    EXACT integer arithmetic: milli-unit BIGINTs feed the range
+    window (order-independent sums), and the comparison
+    ``(n*u - s)^2 > 9*(n*sq - s^2)`` is cross-multiplied into
+    decimal(38)/HUGEINT so no engine ever divides — flags are
+    bit-identical cross-engine. ONE user-keyed shuffle; count, sum
+    and sum-of-squares share the frame."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-_ROLL_SECONDS, 0)
+    )
+    u = F.round(F.col("value") * 1000).cast("long")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        u.alias("u"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(u).over(w).alias("s"),
+        F.sum(u * u).over(w).alias("sq"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nn, s, sq, uu = d(F.col("n")), d(F.col("s")), d(F.col("sq")), d(F.col("u"))
+    dev = nn * uu - s
+    flagged = (dev * dev) > (9 * (nn * sq - s * s))
+    return base.select(
+        "event_id",
+        "user_id",
+        F.col("n").cast("long").alias("n_win"),
+        flagged.alias("flagged"),
+    )
+
+
+@register(
     "cohort_retention_weekly",
     """
 WITH f AS (
