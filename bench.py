@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "span_dedup_stats",
     "events_rolling_7d",
     "rolling_zscore_flags",
+    "daily_value_autocorrelation",
     "asof_forward_daily",
     "asof_nearest_daily",
     "scd2_user_event_history",

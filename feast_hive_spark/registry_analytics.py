@@ -56,6 +56,89 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "daily_value_autocorrelation",
+    f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), st AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s FROM d
+), l AS (
+  SELECT x,
+         {", ".join(f"lead(x, {k}) OVER (ORDER BY day) AS x{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+  FROM d
+), den AS (
+  SELECT SUM((n * x - s) * (n * x - s)) AS dd FROM l, st
+)
+{" UNION ALL ".join(
+    f"SELECT CAST({k} AS BIGINT) AS lag, "
+    f"ROUND(CAST(SUM(CASE WHEN x{k} IS NOT NULL THEN (n * x - s) * (n * x{k} - s) END) AS DOUBLE) "
+    f"/ CAST(dd AS DOUBLE), 6) AS acf FROM l, st, den GROUP BY dd"
+    for k in range(1, _ACF_MAX_LAG + 1)
+)}
+""",
+)
+def daily_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily total-value series at lags 1..7
+    (the seasonality diagnostic). The mean never materializes:
+    deviations are cross-multiplied to (n*x - S) integers and both
+    the lag covariance and the variance are EXACT decimal(38)/HUGEINT
+    sums, so the final double ratio is the same two integers divided
+    in both engines. The series itself is #days rows (one daily
+    pre-aggregate collapses the events map-side); the ordered lag
+    window runs on that tiny series, where a single-partition window
+    is the correct plan."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("x")
+    )
+    st = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").cast("decimal(38,0)").alias("s"),
+        )
+    )
+    w = Window.orderBy("day")
+    lags = daily.select(
+        "x",
+        *[F.lead("x", k).over(w).alias(f"x{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    ).crossJoin(st)
+    dev = F.col("n") * F.col("x").cast("decimal(38,0)") - F.col("s")
+    den = F.broadcast(lags.agg(F.sum(dev * dev).alias("dd")))
+    entries = [
+        F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            F.sum(
+                F.when(
+                    F.col(f"x{k}").isNotNull(),
+                    dev
+                    * (
+                        F.col("n") * F.col(f"x{k}").cast("decimal(38,0)")
+                        - F.col("s")
+                    ),
+                )
+            ).alias("num"),
+        )
+        for k in range(1, _ACF_MAX_LAG + 1)
+    ]
+    nums = lags.agg(F.array(*entries).alias("__a")).select(
+        F.explode("__a").alias("e")
+    )
+    return nums.crossJoin(den).select(
+        F.col("e.lag").alias("lag"),
+        F.round(
+            F.col("e.num").cast("double") / F.col("dd").cast("double"), 6
+        ).alias("acf"),
+    )
+
+
 @register(
     "rolling_zscore_flags",
     f"""
