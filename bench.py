@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "event_transition_matrix",
     "user_event_sequences",
     "skipgram_event_pairs",
+    "next_item_training_samples",
     "salted_join_segments",
     "key_skew_report_suppkey",
     "zorder_layout_quality",

@@ -16,7 +16,7 @@ needs."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,4 +83,44 @@ def skipgram_pairs(
             F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b")
         )
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def next_item_samples(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    item_col: str,
+    tiebreak_col: str,
+    context: int = 5,
+) -> DataFrame:
+    """Next-item-prediction dataset prep: every event becomes a
+    training sample whose label is the event's item and whose
+    features are the entity's ``context`` most recent prior items —
+    the sequential-recommendation / behavior-LM input shape.
+
+    One key-window shuffle: a running ``collect_list`` over the
+    preceding frame (frame order = the window's (ts, tiebreak)
+    sort, deterministic), tail-sliced to the context length in
+    codegen.  The context is emitted as a fingerprint + length so
+    downstream joins/dedups shuffle 16 bytes, not arrays; swap the
+    md5 for the raw slice when the trainer wants the items
+    themselves.  Output: (key, tiebreak, n_context, ctx_fp, label)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = F.collect_list(F.col(item_col)).over(w)
+    ctx = F.slice(
+        hist,
+        F.greatest(F.lit(1), F.size(hist) - (context - 1)),
+        context,
+    )
+    return df.select(
+        F.col(key_col),
+        F.col(tiebreak_col),
+        F.size(ctx).cast("long").alias("n_context"),
+        F.md5(F.concat_ws(" ", ctx)).alias("ctx_fp"),
+        F.col(item_col).alias("label"),
     )

@@ -629,6 +629,43 @@ def skipgram_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "next_item_training_samples",
+    """
+WITH h0 AS (
+  SELECT event_id, user_id, event_type,
+         list(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS hist0
+  FROM events
+), h AS (
+  SELECT event_id, user_id, event_type,
+         COALESCE(hist0, CAST([] AS VARCHAR[])) AS hist
+  FROM h0
+)
+SELECT user_id, event_id,
+       CAST(len(hist[greatest(1, len(hist) - 4):len(hist)]) AS BIGINT) AS n_context,
+       md5(COALESCE(array_to_string(hist[greatest(1, len(hist) - 4):len(hist)], ' '), '')) AS ctx_fp,
+       event_type AS label
+FROM h
+""",
+)
+def next_item_training_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-recommendation dataset prep
+    (operators/sequences.next_item_samples): every event becomes
+    (last-5-items context fingerprint, label) via ONE key-window
+    shuffle — running collect_list over the preceding frame,
+    tail-sliced in codegen. Context travels as a 16-byte md5, not an
+    array."""
+    from feast_hive_spark.operators.sequences import next_item_samples
+
+    ev = read_table(spark, sf_dir, "events")
+    return next_item_samples(
+        ev, "user_id", "ts", "event_type", "event_id", context=5
+    )
+
+
+@register(
     "group_split_no_leakage",
     """
 WITH t AS (
