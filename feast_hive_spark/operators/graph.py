@@ -13,10 +13,50 @@ CTEs."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000_000  # 1e-12 rank units
+
+
+def _driver_pagerank(
+    spark, rows, id_type: str, iters: int, damping_pct: int
+) -> DataFrame:
+    """The same integer recurrence on a collected (small, guarded)
+    edge list — bit-identical to the distributed loop because every
+    step is BIGINT floor arithmetic."""
+    sym = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    out_nbrs: dict = {}
+    for s, d in sym:
+        out_nbrs.setdefault(s, []).append(d)
+    deg = {v: len(ns) for v, ns in out_nbrs.items()}
+    nn = len(deg)
+    if nn == 0:
+        return spark.createDataFrame(
+            [], f"node {id_type}, rank_e12 long"
+        )
+    # HALF_UP rounding to match Spark's round() (python round() is
+    # half-even); all values are positive
+    half_up = lambda x: int(math.floor(x + 0.5))  # noqa: E731
+    r = {v: half_up(float(SCALE) / nn) for v in deg}
+    base = half_up(float(100 - damping_pct) / 100.0 * SCALE / nn)
+    for _ in range(iters):
+        acc = {v: 0 for v in deg}
+        for u, ns in out_nbrs.items():
+            c = r[u] // deg[u]
+            for d in ns:
+                acc[d] += c
+        r = {v: base + (damping_pct * a) // 100 for v, a in acc.items()}
+    return spark.createDataFrame(
+        list(r.items()), f"node {id_type}, rank_e12 long"
+    )
 
 
 def pagerank(
@@ -25,6 +65,7 @@ def pagerank(
     id_b: str = "id_b",
     iters: int = 3,
     damping_pct: int = 85,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair graph (each
     pair becomes two directed edges, so every node has out-degree
@@ -37,12 +78,31 @@ def pagerank(
     would just be this loop with a delta check like
     connected_components'.
 
-    Per-iteration cost: one join of edges to the N-row rank table +
-    one grouped sum — shuffles sized to the GRAPH, not the corpus
-    that produced it.  The edge table is cached once; at 3 iterations
+    Small-graph fast path (same guardrail pattern as
+    connected_components_star): a LIMIT-probe under
+    ``small_graph_threshold`` edges routes to a driver loop running
+    the IDENTICAL integer recurrence — iterative jobs cost O(iters)
+    scheduler rounds regardless of data size, and a dedup pair graph
+    is usually tiny.  Set ``small_graph_threshold=0`` to force the
+    distributed path.
+
+    Per-iteration cost (distributed path): one join of edges to the
+    N-row rank table + one grouped sum — shuffles sized to the GRAPH,
+    not the corpus that produced it.  The edge table is cached once; at 3 iterations
     plan growth is linear so no lineage truncation is needed (the
     O(log N)-round star loop in dedup.py shows the localCheckpoint
     variant).  Output: (node, rank_e12)."""
+    if small_graph_threshold:
+        probe = (
+            pairs.select(F.col(id_a), F.col(id_b))
+            .limit(small_graph_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= small_graph_threshold:
+            id_type = dict(pairs.dtypes)[id_a]
+            return _driver_pagerank(
+                pairs.sparkSession, probe, id_type, iters, damping_pct
+            )
     sym = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .union(

@@ -27,9 +27,14 @@ def _py_pagerank(edges, iters=3):
 def test_pagerank_matches_python_model(spark):
     edges = [(1, 2), (1, 3), (1, 4), (4, 5), (6, 7)]  # hub + chain + pair
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r.node: r.rank_e12 for r in pagerank(pairs).collect()}
     exp = _py_pagerank(edges)
-    assert got == exp
+    # driver fast path AND distributed path must both match exactly
+    for thresh in (200_000, 0):
+        got = {
+            r.node: r.rank_e12
+            for r in pagerank(pairs, small_graph_threshold=thresh).collect()
+        }
+        assert got == exp, f"threshold={thresh}"
     # the hub out-ranks every leaf, and total mass stays ~1
     assert got[1] == max(got.values())
     assert abs(sum(got.values()) - SCALE) < SCALE * 0.02
