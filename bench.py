@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "heavy_hitter_users",
     "events_json_props",
     "events_sessionize_batch",
+    "click_attribution_batch",
     "interval_overlap_counts",
     "decontaminate_vs_benchmark",
     "curation_pipeline",

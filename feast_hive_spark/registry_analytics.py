@@ -629,6 +629,47 @@ def skipgram_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "click_attribution_batch",
+    """
+WITH p AS (
+  SELECT user_id, event_id AS probe_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.probe_id, c.click_id
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 1800 SECOND
+ AND c.c_ts <= p.p_ts
+""",
+)
+def click_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase attribution, batch form: every purchase LEFT
+    OUTER joined to the same user's clicks in the preceding 30
+    minutes (NULL when none) — the closed-window completion twin of
+    streaming.stream_click_attribution, whose watermarked outer join
+    is the live path. Equality on user_id keys the join; the interval
+    is the residual condition."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("probe_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (p["user_id"] == c["c_user"])
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1800 SECOND"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return p.join(c, cond, "leftOuter").select("probe_id", "click_id")
+
+
+@register(
     "next_item_training_samples",
     """
 WITH h0 AS (

@@ -252,6 +252,57 @@ def stream_interval_join(
     return p.join(c, cond, "inner").drop("__bin")
 
 
+def stream_click_attribution(
+    events: DataFrame,
+    window_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, attributed to
+    the same user's click(s) in the preceding ``window_seconds`` —
+    NULL click columns when no click preceded it.  The canonical
+    watermarked outer-join shape: the user_id equality keys the join
+    state, the one-sided interval condition (`c_ts` in
+    [p_ts - W, p_ts]) bounds BOTH buffers, so state is evicted as the
+    watermark passes and never grows with the stream.
+
+    Outer-join semantics worth knowing (and tested): a purchase with
+    no click is emitted only once the watermark has moved PAST its
+    eviction point — i.e., NULL rows trail the matched rows by up to
+    (watermark + window), and rows from the final micro-batches of a
+    terminating stream may never flush.  Downstream consumers that
+    need completion run a batch twin over the closed window instead;
+    the streaming join is for the continuously-attributed live path."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("probe_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (p["user_id"] == c["c_user"])
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECOND")
+        )
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return p.join(c, cond, "leftOuter").select(
+        "user_id", "probe_id", "p_ts", "click_id", "c_ts"
+    )
+
+
 def sessionize_stateful(
     events: DataFrame,
     gap_seconds: int = 1800,

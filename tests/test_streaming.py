@@ -469,3 +469,85 @@ def test_enrich_stream_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_click_attribution_left_outer(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER join: matched attribution
+    rows equal the batch twin's; NULL rows appear for early unmatched
+    purchases once the watermark passes them, and every emitted NULL
+    row is correct per the batch twin (trailing-batch NULLs may
+    legitimately never flush — documented semantics)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # batch A (early): user 1 click->purchase (match), user 2 purchase
+    # with no click (must surface as NULL once watermark passes)
+    for u, typ, off in [
+        (1, "click", 0), (1, "purchase", 600), (2, "purchase", 700),
+    ]:
+        rows.append((eid, u, typ, base + timedelta(seconds=off), 1.0)); eid += 1
+    # batch B (2h later): advances the watermark far past batch A
+    for u, typ, off in [(3, "click", 7200), (3, "purchase", 7300)]:
+        rows.append((eid, u, typ, base + timedelta(seconds=off), 1.0)); eid += 1
+    # batch C (4h later): advances watermark past batch B
+    for u, typ, off in [(4, "purchase", 14400)]:
+        rows.append((eid, u, typ, base + timedelta(seconds=off), 1.0)); eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    src = str(tmp_path / "attr_src")
+    for i, lo in enumerate([(0, 3), (3, 5), (5, 6)]):
+        spark.createDataFrame(pdf.iloc[lo[0]:lo[1]]).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    ev = spark.createDataFrame(pdf)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = SE.stream_click_attribution(
+        stream, window_seconds=1800, watermark="10 minutes"
+    )
+    SE.run_to_memory(out, "attributed", output_mode="append")
+    got = spark.sql(
+        "SELECT probe_id, click_id FROM attributed"
+    ).toPandas()
+
+    exp = (
+        SE_batch_attribution(ev)
+        .select("probe_id", "click_id")
+        .toPandas()
+    )
+    got_pairs = set(map(tuple, got.fillna(-1).values.tolist()))
+    exp_pairs = set(map(tuple, exp.fillna(-1).values.tolist()))
+    # every emitted row is correct
+    assert got_pairs <= exp_pairs
+    # the matched rows all arrived
+    assert {p for p in exp_pairs if p[1] != -1} <= got_pairs
+    # the EARLY unmatched purchase flushed as a NULL row (user 2);
+    # trailing-batch purchases (user 4) may legitimately be withheld
+    assert (2.0, -1) in {
+        (p, c) for p, c in got.fillna(-1)[["probe_id", "click_id"]].values
+    }
+
+
+def SE_batch_attribution(ev):
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("probe_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (p["user_id"] == c["c_user"])
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1800 SECOND"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return p.join(c, cond, "leftOuter")
