@@ -207,6 +207,22 @@ AUDITS = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["SortMergeJoin", "CartesianProduct", "Window"],
     ),
+    # ACF: events collapse map-side into #days rows; the lag window
+    # runs on the tiny series; no sort-merge join anywhere
+    "daily_value_autocorrelation": (
+        ["HashAggregate", "Window"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # next-item: ONE key window (running collect_list); no join
+    "next_item_training_samples": (
+        ["Window"],
+        ["Join", "CartesianProduct"],
+    ),
+    # attribution: equality+interval join, never a nested loop
+    "click_attribution_batch": (
+        [],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
     # rolling z-flags: count/sum/sumsq share ONE range frame over
     # one user-keyed shuffle; no join
     "rolling_zscore_flags": (
