@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_recall_report",
     "q7_nation_volume_shipping",
     "q9_product_type_profit",
     "q11_important_part_values",

@@ -434,6 +434,63 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _ann_recall_oracle() -> str:
+    """Composes the two already-validated ANN twins (exact brute
+    force + the full sign-LSH bucket scheme) and computes recall@5
+    between them — measuring the approximation is itself an
+    oracle-gated query."""
+    from feast_hive_spark.registry import REGISTRY
+
+    bf_sql = REGISTRY["ann_cosine_topk"][1]
+    lsh_sql = REGISTRY["ann_lsh_topk"][1]
+    return f"""
+WITH bf AS (SELECT * FROM ({bf_sql}) t1),
+lsh AS (SELECT * FROM ({lsh_sql}) t2),
+m AS (
+  SELECT bf.query_id, COUNT(*) AS n_match
+  FROM bf JOIN lsh USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(n_match, 0) AS BIGINT) AS n_match,
+       CAST(COALESCE(n_match, 0) * 2000 AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN m USING (query_id)
+"""
+
+
+@register("ann_recall_report", _ann_recall_oracle())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH index against exact brute force, per
+    query — the measure-your-approximation query every ANN deployment
+    needs. Deterministic hyperplanes make the recall gaps themselves
+    engine-reproducible, so the DuckDB twin (the two validated ANN
+    twins composed) hash-matches the report exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = S.brute_force_topk(emb, q, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ls = S.lsh_topk(
+        emb, q, "vec_id", "embedding", k=5, n_planes=4, n_tables=12
+    ).select("query_id", "neighbor_id")
+    m = bf.join(ls, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_match")
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(m, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_match"), F.lit(0)).alias("n_match"),
+            (F.coalesce(F.col("n_match"), F.lit(0)) * 2000).alias(
+                "recall_bp"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # multimodal (binary-column plumbing; decode stays stubbed)
 # =====================================================================
