@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "temperature_sample_by_lang",
     "embedding_quantization_error",
     "embedding_gramian",
+    "embedding_covariance",
     "bigram_pmi_top",
     "text_repetition_stats",
     "langid_confusion",

@@ -59,3 +59,41 @@ def gramian_e6(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
             "sum_e6",
         )
     )
+
+
+def covariance_num_e6(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Exact integer covariance numerators: ``cov_num[i,j] =
+    n * G6[i,j] - s3[i] * s3[j]`` where ``G6`` is the micro-unit
+    Gramian and ``s3[i] = Σ round(v[i]*1e3)`` — i.e. n² times the
+    covariance in 1e-6 units, defined PURELY over rounded integers so
+    both engines agree bit-for-bit (divide by n² client-side for the
+    float matrix; swap BIGINT for decimal(38) when n*G6 approaches
+    2^63 at full scale).
+
+    The marginal sums ride a posexplode + per-position aggregate —
+    the explode fans out d× but the partial aggregate collapses it to
+    d rows per map partition before the shuffle."""
+    g = gramian_e6(df, vec_col, dim)
+    s = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "__v"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.round(F.col("__v") * 1000).cast("long")).alias("s3"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = s.select(
+        F.col("pos").alias("i"), F.col("s3").alias("__si"), "n"
+    )
+    b = s.select(F.col("pos").alias("j"), F.col("s3").alias("__sj"))
+    return (
+        g.join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sum_e6") - F.col("__si") * F.col("__sj"))
+            .cast("long")
+            .alias("cov_num"),
+        )
+    )

@@ -681,6 +681,42 @@ def embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gramian_e6(emb, "embedding", 64)
 
 
+@register(
+    "embedding_covariance",
+    """
+WITH idx AS (SELECT unnest(range(1, 65)) AS p),
+prs AS (SELECT a.p AS pi, b.p AS pj FROM idx a, idx b),
+g AS (
+  SELECT prs.pi, prs.pj,
+         CAST(SUM(CAST(round(CAST(e.embedding[prs.pi] AS DOUBLE)
+                             * CAST(e.embedding[prs.pj] AS DOUBLE)
+                             * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6
+  FROM embeddings e, prs GROUP BY 1, 2
+),
+s AS (
+  SELECT idx.p,
+         CAST(SUM(CAST(round(CAST(e.embedding[idx.p] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s3,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings e, idx GROUP BY 1
+)
+SELECT CAST(g.pi - 1 AS BIGINT) AS i, CAST(g.pj - 1 AS BIGINT) AS j,
+       CAST(a.n * g.sum_e6 - a.s3 * b.s3 AS BIGINT) AS cov_num
+FROM g JOIN s a ON a.p = g.pi JOIN s b ON b.p = g.pj
+""",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered covariance numerators of the embedding table
+    (operators/vecstats.covariance_num_e6): n²·cov in exact integer
+    fixed point — the Gramian partials plus posexplode marginal sums
+    (partial agg collapses the d-fold fan-out map-side), combined via
+    two d-row broadcasts. Divide by n² client-side for the float
+    matrix; the PCA input without a single float sum."""
+    from feast_hive_spark.operators.vecstats import covariance_num_e6
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return covariance_num_e6(emb, "embedding", 64)
+
+
 def _pagerank_sql(iters: int = 3) -> str:
     """Chained-CTE DuckDB twin of operators/graph.pagerank on the
     ngram-Jaccard pair graph — one CTE per iteration, identical

@@ -197,3 +197,32 @@ def test_gramian_matches_numpy(spark):
         assert s == exp[i, j]
     # symmetry holds exactly in fixed point
     assert all(got[(i, j)] == got[(j, i)] for i in range(8) for j in range(8))
+
+
+def test_covariance_matches_numpy(spark):
+    """Integer covariance numerators vs numpy, and the derived float
+    covariance approximates np.cov to fixed-point tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.operators.vecstats import covariance_num_e6
+
+    rng = np.random.RandomState(5)
+    X32 = rng.randn(200, 6).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(200), "embedding": [list(map(float, r)) for r in X32]})
+    ).repartition(5)
+    got = {
+        (r.i, r.j): r.cov_num
+        for r in covariance_num_e6(df, "embedding", 6).collect()
+    }
+    X = X32.astype(np.float64)
+    n = X.shape[0]
+    G = np.round(X[:, :, None] * X[:, None, :] * 1e6).astype(np.int64).sum(axis=0)
+    s3 = np.round(X * 1e3).astype(np.int64).sum(axis=0)
+    for (i, j), v in got.items():
+        assert v == n * G[i, j] - s3[i] * s3[j]
+    # derived float covariance ~ population covariance
+    C = np.array([[got[(i, j)] / (n * n) / 1e6 for j in range(6)] for i in range(6)])
+    exp = np.cov(X.T, bias=True)
+    assert np.abs(C - exp).max() < 1e-2
