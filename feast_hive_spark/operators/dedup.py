@@ -513,6 +513,20 @@ def _driver_union_find(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the MEMORY_AND_DISK blocks behind a localCheckpoint-ed
+    DataFrame.  ``DataFrame.unpersist()`` is a no-op for these — the
+    blocks are RDD-level cache on the checkpointed RDD, not registered
+    with the CacheManager — so we reach the ``LogicalRDD``'s
+    underlying RDD through the JVM plan.  Best effort: on any
+    internals mismatch the blocks are simply left to the
+    ContextCleaner (freed when the JVM GCs the RDD handle)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _star_components(
     pairs: DataFrame,
     id_a: str,
@@ -591,7 +605,15 @@ def _star_components(
             F.count(F.lit(1)),
             F.sum(F.xxhash64("src", "dst").cast("decimal(28,0)")),
         ).first()
-        edges.unpersist()
+        # The new round is materialized (eager checkpoint + the
+        # checksum job above), so the previous round's blocks can go.
+        # Round 1's input is a real .cache() (CacheManager-registered);
+        # later rounds are localCheckpoint blocks, which unpersist()
+        # cannot see — free the underlying RDD instead.
+        if rounds == 1:
+            edges.unpersist()
+        else:
+            _free_local_checkpoint(edges)
         edges = small
         if (cnt, chk) == prev:
             break
@@ -647,11 +669,15 @@ def connected_components_star(
     out = nodes.join(labels, nodes.doc_id == labels.src, "left").select(
         "doc_id",
         F.coalesce(F.col("__label"), F.col("doc_id")).alias("component_id"),
-    )
-    star.unpersist()
-    return out.withColumn(
+    ).withColumn(
         "is_canonical", F.col("doc_id") == F.col("component_id")
     )
+    # Materialize the node-sized labels, then free the final round's
+    # star blocks (a DataFrame.unpersist() here would be a no-op —
+    # localCheckpoint blocks aren't CacheManager-registered).
+    out = out.localCheckpoint(eager=True)
+    _free_local_checkpoint(star)
+    return out
 
 
 # --- embedding cosine ---------------------------------------------------

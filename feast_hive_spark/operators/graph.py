@@ -93,12 +93,12 @@ def pagerank(
     O(log N)-round star loop in dedup.py shows the localCheckpoint
     variant).  Output: (node, rank_e12)."""
     if small_graph_threshold:
-        probe = (
-            pairs.select(F.col(id_a), F.col(id_b))
-            .limit(small_graph_threshold + 1)
-            .collect()
-        )
-        if len(probe) <= small_graph_threshold:
+        # Cheap LIMIT-probe via count() first (simsearch.py:43 idiom):
+        # never ship edge rows to the driver unless the graph really
+        # is under the threshold and the fast path will use them.
+        slim = pairs.select(F.col(id_a), F.col(id_b))
+        if slim.limit(small_graph_threshold + 1).count() <= small_graph_threshold:
+            probe = slim.collect()
             id_type = dict(pairs.dtypes)[id_a]
             return _driver_pagerank(
                 pairs.sparkSession, probe, id_type, iters, damping_pct
@@ -140,4 +140,10 @@ def pagerank(
             )
         )
     out = ranks.select(F.col("node"), F.col("r").alias("rank_e12"))
+    # Materialize the node-sized result (truncates the iterative
+    # lineage), then release the two cached graph tables — otherwise
+    # they leak executor storage memory across registry/bench runs.
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    edges_deg.unpersist()
     return out

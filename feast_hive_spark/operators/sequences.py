@@ -99,24 +99,24 @@ def next_item_samples(
     features are the entity's ``context`` most recent prior items —
     the sequential-recommendation / behavior-LM input shape.
 
-    One key-window shuffle: a running ``collect_list`` over the
-    preceding frame (frame order = the window's (ts, tiebreak)
-    sort, deterministic), tail-sliced to the context length in
-    codegen.  The context is emitted as a fingerprint + length so
-    downstream joins/dedups shuffle 16 bytes, not arrays; swap the
-    md5 for the raw slice when the trainer wants the items
-    themselves.  Output: (key, tiebreak, n_context, ctx_fp, label)."""
+    One key-window shuffle: ``collect_list`` over a BOUNDED sliding
+    frame ``rowsBetween(-context, -1)`` (frame order = the window's
+    (ts, tiebreak) sort, deterministic) — O(context) work and state
+    per row, so a whale key with millions of events costs the same
+    per row as anyone else.  (An unbounded-preceding frame + tail
+    slice is byte-identical output but materializes the FULL running
+    prefix array per row: O(n^2) element copies on a hot key — the
+    scale-killer this frame avoids.)  The context is emitted as a
+    fingerprint + length so downstream joins/dedups shuffle 16
+    bytes, not arrays; swap the md5 for the raw slice when the
+    trainer wants the items themselves.
+    Output: (key, tiebreak, n_context, ctx_fp, label)."""
     w = (
         Window.partitionBy(key_col)
         .orderBy(F.col(ts_col), F.col(tiebreak_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(-context, -1)
     )
-    hist = F.collect_list(F.col(item_col)).over(w)
-    ctx = F.slice(
-        hist,
-        F.greatest(F.lit(1), F.size(hist) - (context - 1)),
-        context,
-    )
+    ctx = F.collect_list(F.col(item_col)).over(w)
     return df.select(
         F.col(key_col),
         F.col(tiebreak_col),

@@ -67,8 +67,15 @@ def covariance_num_e6(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     Gramian and ``s3[i] = Σ round(v[i]*1e3)`` — i.e. n² times the
     covariance in 1e-6 units, defined PURELY over rounded integers so
     both engines agree bit-for-bit (divide by n² client-side for the
-    float matrix; swap BIGINT for decimal(38) when n*G6 approaches
-    2^63 at full scale).
+    float matrix).
+
+    Overflow safety: the products ``n*G6`` and ``si*sj`` are computed
+    in decimal(38,0) — any int64×int64 product has at most 38 digits,
+    so the intermediate arithmetic is always exact regardless of
+    corpus size.  The result is cast back to BIGINT only after an
+    explicit range check; a value outside int64 raises (with the fix:
+    rescale the inputs) instead of silently wrapping.  The guard is
+    free — this is a d²-row result.
 
     The marginal sums ride a posexplode + per-position aggregate —
     the explode fans out d× but the partial aggregate collapses it to
@@ -86,14 +93,24 @@ def covariance_num_e6(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         F.col("pos").alias("i"), F.col("s3").alias("__si"), "n"
     )
     b = s.select(F.col("pos").alias("j"), F.col("s3").alias("__sj"))
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("sum_e6").cast(dec) - F.col(
+        "__si"
+    ).cast(dec) * F.col("__sj").cast(dec)
+    i64_max = F.lit("9223372036854775807").cast(dec)
+    guarded = F.when(F.abs(num) <= i64_max, num.cast("long")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "covariance_num_e6 exceeds int64 — rescale inputs "
+                    "or consume the decimal form; value="
+                ),
+                num.cast("string"),
+            )
+        )
+    )
     return (
         g.join(F.broadcast(a), "i")
         .join(F.broadcast(b), "j")
-        .select(
-            "i",
-            "j",
-            (F.col("n") * F.col("sum_e6") - F.col("__si") * F.col("__sj"))
-            .cast("long")
-            .alias("cov_num"),
-        )
+        .select("i", "j", guarded.alias("cov_num"))
     )

@@ -113,6 +113,15 @@ def asof_nearest_join(
     NULLS`` and a forward ``first_value IGNORE NULLS`` window over one
     sort, then a codegen pick of the closer side.
 
+    Row-consistent values: each direction resolves ONE packed struct
+    ``(ts, value_cols...)`` — the event struct is never NULL even when
+    individual value columns are, so all ``nearest_<value>`` outputs
+    come from the SAME source row as ``nearest_ts`` (a NULL in the
+    nearest row stays NULL, exactly as ``merge_asof`` attaches it).
+    Resolving each value column with its own IGNORE-NULLS window would
+    instead stitch older rows' values under the nearest row's
+    timestamp.
+
     Returns ``keys + probe_ts + nearest_ts + nearest_<value>``."""
     keys = list(keys)
     ev = source.select(
@@ -149,38 +158,38 @@ def asof_nearest_join(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     is_ev = F.col("__is_event") == 1
-    cols = [("__ts", "ts")] + [(v, v) for v in value_cols]
-    picked = []
-    for src_c, out_c in cols:
-        picked.append(
-            F.last(F.when(is_ev, F.col(src_c)), ignorenulls=True)
-            .over(wb)
-            .alias(f"__bk_{out_c}")
-        )
-        picked.append(
-            F.first(F.when(is_ev, F.col(src_c)), ignorenulls=True)
-            .over(wf)
-            .alias(f"__fw_{out_c}")
-        )
+    packed = F.struct(
+        F.col("__ts").alias("ts"),
+        *[F.col(v).alias(v) for v in value_cols],
+    )
     stream = (
-        unioned.select(*keys, "__ts", "__is_event", *picked)
+        unioned.select(
+            *keys,
+            "__ts",
+            "__is_event",
+            F.last(F.when(is_ev, packed), ignorenulls=True)
+            .over(wb)
+            .alias("__bk"),
+            F.first(F.when(is_ev, packed), ignorenulls=True)
+            .over(wf)
+            .alias("__fw"),
+        )
         .filter(F.col("__is_event") == 0)
     )
     # closer side wins; backward wins exact ties; a NULL side loses
     # double-epoch distances keep sub-second precision (DuckDB's
     # epoch() matches Spark's double cast, fraction included)
-    bk_d = F.col("__ts").cast("double") - F.col("__bk_ts").cast("double")
-    fw_d = F.col("__fw_ts").cast("double") - F.col("__ts").cast("double")
-    use_bk = F.col("__fw_ts").isNull() | (
-        F.col("__bk_ts").isNotNull() & (bk_d <= fw_d)
-    )
-    out_cols = [
-        F.when(use_bk, F.col(f"__bk_{o}")).otherwise(F.col(f"__fw_{o}"))
-        .alias(f"nearest_{o}" if o != "ts" else "nearest_ts")
-        for _, o in cols
-    ]
+    bk_ts = F.col("__bk.ts")
+    fw_ts = F.col("__fw.ts")
+    bk_d = F.col("__ts").cast("double") - bk_ts.cast("double")
+    fw_d = fw_ts.cast("double") - F.col("__ts").cast("double")
+    use_bk = fw_ts.isNull() | (bk_ts.isNotNull() & (bk_d <= fw_d))
+    pick = F.when(use_bk, F.col("__bk")).otherwise(F.col("__fw"))
     return stream.select(
-        *keys, F.col("__ts").alias("probe_ts"), *out_cols
+        *keys,
+        F.col("__ts").alias("probe_ts"),
+        pick["ts"].alias("nearest_ts"),
+        *[pick[v].alias(f"nearest_{v}") for v in value_cols],
     )
 
 

@@ -695,9 +695,12 @@ def next_item_training_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-recommendation dataset prep
     (operators/sequences.next_item_samples): every event becomes
     (last-5-items context fingerprint, label) via ONE key-window
-    shuffle — running collect_list over the preceding frame,
-    tail-sliced in codegen. Context travels as a 16-byte md5, not an
-    array."""
+    shuffle — collect_list over a BOUNDED sliding frame
+    (rows between -5 and -1), O(context) per row even on whale keys.
+    Context travels as a 16-byte md5, not an array. (The DuckDB twin
+    keeps the unbounded-prefix + tail-slice formulation — byte-
+    identical output, and DuckDB's list window doesn't pay Spark's
+    per-row buffer copy.)"""
     from feast_hive_spark.operators.sequences import next_item_samples
 
     ev = read_table(spark, sf_dir, "events")
@@ -896,31 +899,31 @@ WITH u AS (
   SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP), NULL, -1, 0 FROM events
 ),
 w AS (
+  -- one packed struct per direction: nearest_value always comes from
+  -- the SAME source row as nearest_ts (matched-row semantics, like
+  -- pandas merge_asof — a NULL value in the nearest row stays NULL)
   SELECT user_id, uts, is_event,
-    last_value(CASE WHEN is_event = 1 THEN uts END IGNORE NULLS) OVER (
+    last_value(CASE WHEN is_event = 1
+        THEN struct_pack(ts := uts, v := value) END IGNORE NULLS) OVER (
       PARTITION BY user_id ORDER BY uts ASC, is_event ASC, event_id ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bk_ts,
-    last_value(CASE WHEN is_event = 1 THEN value END IGNORE NULLS) OVER (
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bk,
+    first_value(CASE WHEN is_event = 1
+        THEN struct_pack(ts := uts, v := value) END IGNORE NULLS) OVER (
       PARTITION BY user_id ORDER BY uts ASC, is_event ASC, event_id ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bk_v,
-    first_value(CASE WHEN is_event = 1 THEN uts END IGNORE NULLS) OVER (
-      PARTITION BY user_id ORDER BY uts ASC, is_event ASC, event_id ASC
-      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fw_ts,
-    first_value(CASE WHEN is_event = 1 THEN value END IGNORE NULLS) OVER (
-      PARTITION BY user_id ORDER BY uts ASC, is_event ASC, event_id ASC
-      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fw_v
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fw
   FROM u
 ),
 pick AS (
   SELECT user_id, uts, is_event,
-         fw_ts IS NULL OR (bk_ts IS NOT NULL
-           AND epoch(uts) - epoch(bk_ts) <= epoch(fw_ts) - epoch(uts)) AS use_bk,
-         bk_ts, bk_v, fw_ts, fw_v
+         struct_extract(fw, 'ts') IS NULL OR (struct_extract(bk, 'ts') IS NOT NULL
+           AND epoch(uts) - epoch(struct_extract(bk, 'ts'))
+               <= epoch(struct_extract(fw, 'ts')) - epoch(uts)) AS use_bk,
+         bk, fw
   FROM w
 )
 SELECT user_id, uts AS probe_ts,
-       CASE WHEN use_bk THEN bk_ts ELSE fw_ts END AS nearest_ts,
-       ROUND(CASE WHEN use_bk THEN bk_v ELSE fw_v END, 4) AS nearest_value
+       struct_extract(CASE WHEN use_bk THEN bk ELSE fw END, 'ts') AS nearest_ts,
+       ROUND(struct_extract(CASE WHEN use_bk THEN bk ELSE fw END, 'v'), 4) AS nearest_value
 FROM pick WHERE is_event = 0
 """,
 )

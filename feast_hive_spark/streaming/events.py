@@ -517,8 +517,14 @@ def stream_to_sketches(
     is sound because the table is tiny by construction (#keys × #days
     rows of ~KB sketches, independent of event volume); at millions of
     keys you'd switch to the bucket-incremental swap exactly as
-    ``stream_to_online`` does. The rewrite uses the same rename-aside
-    promotion so a crash never loses the committed table.
+    ``stream_to_online`` does. The rewrite uses rename-aside promotion
+    with START-OF-UPSERT recovery: POSIX rename can't atomically swap
+    a non-empty directory, so a crash in the instant between "live
+    renamed aside" and "replacement promoted" can leave no live table
+    — the next upsert detects the orphaned aside and restores it
+    BEFORE reading/merging, so committed history is never rebuilt from
+    a lone micro-batch.  (In-process exceptions additionally roll the
+    aside back immediately.)
 
     Exactly-once without transactions: HLL union is semantically
     IDEMPOTENT (the sketch is a set summary — re-observing the same
@@ -533,8 +539,32 @@ def stream_to_sketches(
 
     from feast_hive_spark.operators.sketches import hll_daily_sketches
 
+    import re
+
+    def _recover(live: "Path") -> None:
+        """Crash recovery before any read: if a previous run died
+        after renaming the live table aside but before promoting its
+        replacement, restore the newest aside; if the live table
+        exists, any leftover asides are stale — drop them."""
+        asides = sorted(
+            live.parent.glob(live.name + ".epoch*.old"),
+            key=lambda p: int(
+                re.search(r"\.epoch(\d+)\.old$", p.name).group(1)
+            ),
+        )
+        if not asides:
+            return
+        if live.exists():
+            for a in asides:
+                shutil.rmtree(a, ignore_errors=True)
+        else:
+            asides[-1].rename(live)
+            for a in asides[:-1]:
+                shutil.rmtree(a, ignore_errors=True)
+
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover(Path(path))
         batch_sk = hll_daily_sketches(batch_df, key_cols, ts_col, id_col)
         merged = batch_sk
         if Path(path).exists():

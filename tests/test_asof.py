@@ -180,6 +180,31 @@ def test_asof_nearest_matches_pandas(spark):
         assert (pd.isna(g) and pd.isna(e)) or g == e
 
 
+def test_asof_nearest_null_value_row_consistent(spark):
+    """A NULL value column in the NEAREST source row must stay NULL in
+    the output (matched-row semantics, like pandas merge_asof) — not
+    silently fall back to an older row's non-NULL value while
+    nearest_ts reports the nearest row.  Regression for the stitched
+    per-column IGNORE-NULLS construction."""
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-10"), 10.0, 1),
+            (1, _ts("2024-01-20"), None, 2),  # nearest to the probe, NULL v
+        ],
+        "k int, ts timestamp, v double, eid int",
+    )
+    probes = spark.createDataFrame(
+        [(1, _ts("2024-01-19"))], "k int, pts timestamp"
+    )
+    from feast_hive_spark.plans.asof import asof_nearest_join
+
+    row = asof_nearest_join(
+        probes, events, ["k"], "pts", "ts", ["v"], "eid"
+    ).collect()[0]
+    assert row.nearest_ts == _ts("2024-01-20")
+    assert row.nearest_v is None  # NOT 10.0 stitched from the older row
+
+
 def test_apply_cdc_semantics(spark):
     """MERGE semantics: later upsert replaces snapshot, delete removes
     the key, key untouched by changes survives, insert-only key

@@ -21,39 +21,7 @@ N_FEAT = 200_000
 N_KEYS = 40
 
 
-def _shuffle_records(df) -> list[int]:
-    """recordsRead of every ShuffleExchange in the executed (AQE-final)
-    physical plan.  py4j traversal: adaptive roots re-enter via
-    executedPlan(), materialized stages via plan(), reused exchanges
-    via child()."""
-
-    def walk(node):
-        cls = node.getClass().getSimpleName()
-        mets = {}
-        it = node.metrics().iterator()
-        while it.hasNext():
-            kv = it.next()
-            mets[kv._1()] = kv._2().value()
-        yield cls, mets
-        if "AdaptiveSparkPlan" in cls:
-            yield from walk(node.executedPlan())
-            return
-        if "QueryStage" in cls:
-            yield from walk(node.plan())
-            return
-        if "ReusedExchange" in cls:
-            yield from walk(node.child())
-            return
-        ch = node.children()
-        for i in range(ch.size()):
-            yield from walk(ch.apply(i))
-
-    plan = df._jdf.queryExecution().executedPlan()
-    return [
-        m["recordsRead"]
-        for cls, m in walk(plan)
-        if cls == "ShuffleExchangeExec" and "recordsRead" in m
-    ]
+from conftest import shuffle_records as _shuffle_records  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -130,3 +130,32 @@ def test_stream_to_sketches_incremental_equals_batch(spark, tmp_path, events):
     before = estimates()
     run("ck2")
     assert estimates() == before
+
+    # crash-window recovery: simulate a process death in the instant
+    # between "live table renamed aside" and "replacement promoted" —
+    # the next upsert must restore the orphaned aside BEFORE merging.
+    # Critically, the next batch is NEW data only (checkpoint ck2 has
+    # already consumed files a and b): without recovery the table
+    # would be rebuilt from this lone micro-batch and the estimates
+    # would collapse.
+    import pathlib
+
+    live = pathlib.Path(table)
+    live.rename(pathlib.Path(table + ".epoch7.old"))
+    assert not live.exists()
+    # 50 already-seen users -> HLL-idempotent, estimates must not move
+    ev.limit(50).coalesce(1).write.parquet(src + "/c")
+    run("ck2")
+    assert estimates() == before
+    assert not pathlib.Path(table + ".epoch7.old").exists()
+
+    # stale-aside cleanup: an aside left AFTER a successful promotion
+    # (crash before rmtree) is dropped, never merged over the live
+    # table
+    import shutil
+
+    shutil.copytree(table, table + ".epoch9.old")
+    ev.limit(10).coalesce(1).write.parquet(src + "/d")
+    run("ck2")
+    assert estimates() == before
+    assert not pathlib.Path(table + ".epoch9.old").exists()
