@@ -509,27 +509,43 @@ def tfidf_top_terms(
     id_col: str,
     text_col: str,
     top_per_doc: int = 3,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Top-``top_per_doc`` TF-IDF keywords per document.
 
     tf = term count in doc / doc length; idf = ln(N / df_t) over
-    document frequency. The per-(doc, term) table is one explode +
-    count aggregate; document frequencies are a vocabulary-sized
-    aggregate joined in (vocabulary ≪ corpus); ranking is a
-    row_number window per doc with (score desc, term asc) tiebreak.
-    Scores are rounded to 6 decimals BEFORE ranking so the tie order
-    is engine-independent."""
+    document frequency. Scores are rounded to 6 decimals BEFORE
+    ranking so the tie order is engine-independent.
+
+    Plan shape — the document text moves through exactly ONE shuffle:
+    the input is hash-partitioned by ``id_col`` up front (document
+    rows, cheaper than any exploded token stream), and that single
+    partitioning satisfies BOTH the per-(doc, term) count aggregate
+    (clustering on a superset of the partition key needs no new
+    exchange) and the per-doc ranking window — Catalyst inserts no
+    further exchanges, and WindowGroupLimit caps the sort at
+    ``top_per_doc`` per document. Document frequencies come from an
+    independent ``array_distinct`` branch whose partial aggregation
+    collapses to one row per (partition, term) before its
+    vocabulary-sized shuffle, then join back as a broadcast
+    (``broadcast_vocab=False`` falls back to a shuffle join for
+    corpora whose vocabulary outgrows executor memory)."""
     tokd = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     n_docs = tokd.agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = (
+        tokd.select(F.explode(F.array_distinct("__toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
     tf = (
-        tokd.select(F.col(id_col), F.size("__toks").alias("__dl"),
-                    F.explode("__toks").alias("term"))
+        tokd.repartition(F.col(id_col))
+        .select(F.col(id_col), F.size("__toks").alias("__dl"),
+                F.explode("__toks").alias("term"))
         .groupBy(id_col, "term", "__dl")
         .agg(F.count(F.lit(1)).alias("__tc"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq) if broadcast_vocab else dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from feast_hive_spark.functions import round_nonneg_long
 from feast_hive_spark.operators import layout as L
 from feast_hive_spark.operators.skew import salted_join
 from feast_hive_spark.registry import register
@@ -46,7 +47,7 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").cast("long"))
         .rangeBetween(-_ROLL_SECONDS, 0)
     )
-    micro = F.round(F.col("value") * 1000000).cast("long")
+    micro = round_nonneg_long(F.col("value") * 1000000)
     return ev.select(
         "event_id",
         "user_id",
@@ -180,7 +181,7 @@ def rolling_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").cast("long"))
         .rangeBetween(-_ROLL_SECONDS, 0)
     )
-    u = F.round(F.col("value") * 1000).cast("long")
+    u = round_nonneg_long(F.col("value") * 1000)
     base = ev.select(
         "event_id",
         "user_id",
@@ -291,7 +292,7 @@ def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     joined = salted_join(ev, cust, on=["user_id"], salt=8)
-    micro = F.round(F.col("value") * 1000000).cast("long")
+    micro = round_nonneg_long(F.col("value") * 1000000)
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(micro).cast("double") / 1000000, 4).alias("sum_value"),
@@ -1104,7 +1105,7 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula runs once per group on identical integers."""
     li = read_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
-    y = F.round(F.col("l_extendedprice")).cast("long")
+    y = round_nonneg_long(F.col("l_extendedprice"))
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -1176,17 +1177,23 @@ def chi2_event_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "segment")
         .agg(F.count(F.lit(1)).alias("o"))
     )
-    rt = obs.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
-    ct = obs.groupBy("segment").agg(F.sum("o").alias("col_tot"))
-    tot = obs.agg(F.sum("o").alias("n"))
-    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
-    cm = F.round(F.pow(F.col("o") - exp, 2) / exp * 1000000).cast("long")
-    cells = (
-        obs.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "segment")
-        .crossJoin(F.broadcast(tot))
-        .select(cm.alias("cm"), "o")
+    # marginals as whole-partition window sums over the coalesced
+    # 25-cell table: SinglePartition satisfies every clustering
+    # requirement, so all three windows run in ONE stage with no
+    # exchange and no re-read of `obs` — vs. three self-join branches
+    # each costing a broadcast-build job. The coalesce is safe at any
+    # data scale because the contingency table is (#types x #segments)
+    # rows no matter how many events feed it.
+    w_rt = Window.partitionBy("event_type")
+    w_ct = Window.partitionBy("segment")
+    w_n = Window.partitionBy()
+    exp = (
+        F.sum("o").over(w_rt).cast("double")
+        * F.sum("o").over(w_ct)
+        / F.sum("o").over(w_n)
     )
+    cm = F.round(F.pow(F.col("o") - exp, 2) / exp * 1000000).cast("long")
+    cells = obs.coalesce(1).select(cm.alias("cm"), "o")
     return cells.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.sum("o").alias("n_obs"),
@@ -1272,7 +1279,7 @@ def outlier_zscore_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     # centi-units: squared sums stay far from long overflow even at
     # billions of rows (2e4^2 * 1e9 = 4e17 < 9.2e18)
-    centi = F.round(F.col("value") * 100).cast("long")
+    centi = round_nonneg_long(F.col("value") * 100)
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(centi).alias("s1"),

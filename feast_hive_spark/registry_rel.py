@@ -267,15 +267,31 @@ LIMIT 20
 """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: groupBy + HAVING threshold + top-k."""
+    """TPC-H Q18 shape: groupBy + HAVING threshold + top-k.
+
+    Aggregate-before-join: lineitem reduces to one row per orderkey
+    (map-side partial agg does most of it before the one shuffle) and
+    the >120 filter runs on that, so the orders join sees only the
+    few qualifying keys — AQE broadcasts that side at runtime instead
+    of shuffling the full orders table, and the top-20 is a
+    TakeOrdered, never a global sort. Joining the raw 4x-wider
+    (lineitem x orders) stream first and aggregating after would
+    shuffle every line row with its order payload attached."""
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 120)
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.sum("l_quantity") > 120)
-        .select("o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        orders.join(qual, orders.o_orderkey == qual.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("__sq"), 2).alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )

@@ -72,6 +72,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div: float division would lose precision above 2^53 ns
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Opt-in (bench): the sf<=0.1 testdata files are single-row-group
+    # parquet, so file splitting cannot raise scan parallelism past
+    # ~1 task/table no matter the split confs — an artifact of tiny
+    # files, not of the engine (cluster-scale tables have thousands of
+    # row groups). Re-spread once before the table is pinned in cache
+    # so map-side work uses the machine; semantics are unchanged
+    # (every consumer orders explicitly where order matters).
+    # Spec: "16" (all tables) or "documents=32,lineitem=8" (per table:
+    # CPU-heavy scans want width, shuffle-dominated ones stay narrow).
+    nparts = os.environ.get("SPARK_GRAFT_SCAN_PARTITIONS")
+    if nparts:
+        if "=" in nparts:
+            per = dict(
+                kv.split("=", 1) for kv in nparts.split(",") if "=" in kv
+            )
+            n = per.get(name)
+        else:
+            n = nparts
+        if n:
+            df = df.repartition(int(n))
     for k in [k for k in _DF_CACHE if k[0] != app_id]:
         del _DF_CACHE[k]
     _DF_CACHE[key] = df
