@@ -664,7 +664,7 @@ def click_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cond = (
         (p["user_id"] == c["c_user"])
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1800 SECOND"))
+        & (F.unix_micros("c_ts") >= F.unix_micros("p_ts") - F.lit(1800 * 1_000_000))
         & (F.col("c_ts") <= F.col("p_ts"))
     )
     return p.join(c, cond, "leftOuter").select("probe_id", "click_id")
