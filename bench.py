@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "multimodal_type_rollup",
     "multimodal_pixel_stats",
+    "multimodal_jpeg_pixel_stats",
     "multimodal_ahash_near_dup",
 ]
 
@@ -187,13 +188,23 @@ def bench_conf(sf: float | None) -> dict[str, str]:
     # codec setup that dwarfs the data. At larger sf the width should
     # track cores; AQE splits/coalesces from there either way.
     small = sf is not None and sf <= 0.1
-    return {
+    conf = {
         "spark.sql.shuffle.partitions": os.environ.get(
             "SPARK_GRAFT_BENCH_SHUFFLE",
             "8" if small else os.environ.get("SPARK_GRAFT_CPUS", "32"),
         ),
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     }
+    if small:
+        # size-based coalescing with the 64MB default advisory target
+        # collapses EVERY sf0.1 shuffle to one partition — right for
+        # the many tiny stages, but it serializes the CPU-heavy
+        # reduce stages (exact percentiles, shingle joins, Arrow-UDF
+        # kernels: measured 1.5-2.5x). A 1MB advisory keeps those
+        # ~10MB stages ~8-wide while still folding the tiny ones.
+        # At cluster scale the 64MB default is correct.
+        conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "1m"
+    return conf
 
 
 def _noop(df) -> None:
@@ -249,7 +260,10 @@ def main() -> None:
         # splitting cannot widen the scan, so the CPU-bound text
         # pipeline runs 3-wide on 32 cores unless the documents table
         # is re-spread once before caching (see sources/tables.py)
-        os.environ.setdefault("SPARK_GRAFT_SCAN_PARTITIONS", "documents=32")
+        # 8, not 32: the text family is CPU-bound and wants width, but
+        # the multimodal mapInPandas queries pay per-partition Python/
+        # Arrow overhead — 8 is the measured balance point
+        os.environ.setdefault("SPARK_GRAFT_SCAN_PARTITIONS", "documents=8")
 
     spark = get_spark("bench")
     for k, v in conf.items():

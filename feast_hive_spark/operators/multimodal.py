@@ -9,7 +9,11 @@ image path is really decoded too:
   ``functions/png.py`` (zlib+struct; no PIL needed) — feature
   extraction, pixel stats and resize operate on real pixels for PNG
   payloads;
-- other formats (JPEG/GIF/audio/video frames) use PIL/soundfile if
+- **baseline JPEG decode/encode is native too** (``functions/
+  jpeg.py``: SOF0, 8-bit, grayscale/YCbCr, 4:4:4/4:2:2/4:2:0,
+  restart markers); progressive/arithmetic JPEGs fall through the
+  same gate as the formats below;
+- other formats (GIF/audio/video frames) use PIL/soundfile if
   importable; otherwise ``allow_fake=True`` switches those payloads to
   a *deterministic fake* (features derived from md5 of the bytes) so
   the pipeline shape is exercised end-to-end, and ``allow_fake=False``
@@ -32,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from feast_hive_spark.functions import png
+from feast_hive_spark.functions import jpeg, png
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # noqa: F401
@@ -75,6 +79,10 @@ def _decode_image(payload: bytes) -> np.ndarray | None:
     the payload (the per-payload stub boundary)."""
     try:
         return png.decode(payload)
+    except ValueError:
+        pass
+    try:
+        return jpeg.decode(payload)
     except ValueError:
         pass
     if _HAS_PIL:  # pragma: no cover - PIL absent in container

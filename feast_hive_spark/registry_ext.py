@@ -1795,6 +1795,60 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_pixel_stats",
+    """
+SELECT d.doc_id,
+       CAST(8 * (1 + d.doc_id % 3) AS BIGINT) AS width,
+       CAST(8 * (1 + d.doc_id % 2) AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(64 * SUM((d.doc_id * 37 + gx.x * 11 + gy.y * 23) % 256) AS BIGINT) AS sum_pixel,
+       CAST(MIN((d.doc_id * 37 + gx.x * 11 + gy.y * 23) % 256) AS BIGINT) AS min_pixel,
+       CAST(MAX((d.doc_id * 37 + gx.x * 11 + gy.y * 23) % 256) AS BIGINT) AS max_pixel
+FROM documents d,
+     LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 3)) AS x) gx,
+     LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 2)) AS y) gy
+GROUP BY d.doc_id
+""",
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode, oracle-gated (the JPEG twin of
+    multimodal_pixel_stats): per doc, a grayscale baseline JPEG is
+    encoded from 8x8-constant blocks ``v(bx,by) = (doc_id*37 + 11bx
+    + 23by) % 256`` (functions/jpeg.py, flat q=1). Constant blocks
+    are pure DC, where flat-q=1 quantization is mathematically
+    lossless — so the decoded stats must be BIT-EXACT, and the DuckDB
+    twin computes them straight from the block formula without ever
+    seeing a JPEG. A hash match proves the entropy coding, dequant,
+    IDCT and layout logic of the decoder end-to-end. Both codec
+    halves run Arrow-batched in map-only stages; payloads never
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.functions import jpeg
+    from feast_hive_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def mk(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                bw, bh = 1 + int(d) % 3, 1 + int(d) % 2
+                bx, by = np.meshgrid(np.arange(bw), np.arange(bh))
+                blocks = ((int(d) * 37 + bx * 11 + by * 23) % 256).astype(
+                    np.uint8
+                )
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                payloads.append(jpeg.encode(img[:, :, None], qluma=1))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(mk, "doc_id long, payload binary")
+    return M.image_pixel_stats(media, "payload", "doc_id")
+
+
+@register(
     "multimodal_type_rollup",
     """
 WITH media AS (
