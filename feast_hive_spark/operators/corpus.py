@@ -565,3 +565,111 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_per_doc)
         .select(id_col, "term", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct n-token
+    shingles whose FIRST corpus occurrence (minimum ``id_col``) is
+    this document — the contribution/redundancy signal curation
+    pipelines use to rank candidate documents against an existing
+    corpus (high novelty = new content, near-zero = boilerplate).
+
+    Plan shape: distinct shingles are hashed to 48-bit ints map-side
+    (the shuffle moves slim (id, hash) pairs, never shingle text), the
+    first-occurrence owner comes from ONE min-window keyed by shingle
+    hash, and the per-doc rollup is the only other shuffle. Documents
+    shorter than ``n`` tokens have no shingles and drop out (the twin
+    mirrors this via its inner unnest).
+
+    Output: ``(id, n_shingles, n_novel, novelty)`` with novelty
+    rounded to 6 decimals.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(X.shingle_hashes_from(F.col("__toks"), n)).alias("__sh"),
+    )
+    w = Window.partitionBy("__sh")
+    flagged = pairs.select(
+        F.col(id_col),
+        (F.col(id_col) == F.min(id_col).over(w)).cast("long").alias("__novel"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("__novel").alias("n_novel"),
+        F.round(F.sum("__novel") / F.count(F.lit(1)), 6).alias("novelty"),
+    )
+
+
+def select_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_frac: float = 0.5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget —
+    the "build the best dataset that fits the compute budget" shape:
+    order documents by (quality desc, id), keep the prefix whose
+    cumulative whitespace-token count stays within ``budget_frac`` of
+    the corpus total.
+
+    The global running sum is a distributed prefix-sum, NOT a global
+    single-partition window: range-partition on the sort key, one
+    per-partition totals job (the only collect, O(partitions) rows —
+    which also yields the corpus total, so no separate pass for the
+    budget), then a partition-local cumulative window plus broadcast
+    offsets. Same scale pattern as operators/pack.py.
+
+    Output: ``(id, quality, n_tok, cum_tok)`` for selected docs.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    scored = df.select(
+        F.col(id_col),
+        X.quality_score(text_col).alias("quality"),
+        X.token_count_ws(text_col).cast("long").alias("n_tok"),
+    )
+    ordered = (
+        scored.repartitionByRange(
+            n_part, F.col("quality").desc(), F.col(id_col)
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    totals = {
+        r["__pid"]: r["__sum"]
+        for r in ordered.groupBy("__pid")
+        .agg(F.sum("n_tok").alias("__sum"))
+        .collect()
+    }
+    offset = 0
+    offsets = {}
+    for pid in sorted(totals):
+        offsets[pid] = offset
+        offset += totals[pid]
+    budget = int(offset * budget_frac)  # offset == corpus total here
+    if offsets:
+        offset_expr = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("__pid")]
+    else:
+        offset_expr = F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    cum = F.sum("n_tok").over(w) + F.coalesce(offset_expr, F.lit(0))
+    return (
+        ordered.withColumn("cum_tok", cum.cast("long"))
+        .filter(F.col("cum_tok") <= F.lit(budget))
+        .select(id_col, "quality", "n_tok", "cum_tok")
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feast_hive_spark.functions import text as X
 from feast_hive_spark.operators import corpus as C
 from feast_hive_spark.registry import register
 from feast_hive_spark.sources.tables import read_table
@@ -499,3 +500,61 @@ def text_normalize_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_fp"),
         (norm != F.col("text")).alias("changed"),
     )
+
+
+@register(
+    "shingle_novelty_scores",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest({X.duck_shingle_hashes('text', 3)}) AS sh
+  FROM documents
+), firsts AS (
+  SELECT doc_id, sh, MIN(doc_id) OVER (PARTITION BY sh) AS first_doc
+  FROM sh
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS novelty
+FROM firsts GROUP BY doc_id
+""",
+)
+def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty vs the rest of the corpus: share of the doc's
+    distinct 3-gram shingles first introduced by this doc (min-doc_id
+    ownership) — the contribution/redundancy ranking signal for
+    corpus curation. One slim (id, 48-bit shingle hash) shuffle for
+    the ownership window, one per-doc rollup."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.shingle_novelty(docs, "doc_id", "text", n=3)
+
+
+@register(
+    "token_budget_selection",
+    f"""
+WITH q AS (
+  SELECT doc_id, {X.duck_quality_score('text')} AS quality,
+         CAST({X.duck_token_count_ws('text')} AS BIGINT) AS n_tok
+  FROM documents
+), tot AS (SELECT SUM(n_tok) AS T FROM q),
+c AS (
+  SELECT doc_id, quality, n_tok,
+         SUM(n_tok) OVER (ORDER BY quality DESC, doc_id) AS cum_tok
+  FROM q
+)
+SELECT doc_id, quality, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c, tot WHERE cum_tok <= CAST(floor(0.5 * T) AS BIGINT)
+""",
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first greedy selection under a token budget (half the
+    corpus total): the docs whose cumulative token count, in
+    (quality desc, doc_id) order, fits the budget. The running sum is
+    a distributed prefix-sum (range partition + per-partition window
+    + broadcast offsets — operators/pack.py pattern), never a global
+    single-partition window; the per-partition totals collect also
+    yields the corpus total, so the budget costs no extra pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.select_token_budget(docs, "doc_id", "text", budget_frac=0.5)

@@ -1893,3 +1893,69 @@ def multimodal_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_bytes").cast("long").alias("min_bytes"),
         F.max("n_bytes").cast("long").alias("max_bytes"),
     )
+
+
+@register(
+    "near_dup_canonical_by_quality",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_DUCK_JACCARD} AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.src, e.dst FROM r JOIN sym e ON r.dst = e.src
+  ) SELECT * FROM r
+), comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+  FROM reach GROUP BY src
+), scored AS (
+  SELECT c.doc_id, c.component_id,
+         {X.duck_quality_score('d.text')} AS quality
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT doc_id, component_id, quality,
+       (quality, -doc_id) = MAX((quality, -doc_id))
+         OVER (PARTITION BY component_id) AS keep
+FROM scored
+""",
+)
+def near_dup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style canonical selection: near-dup clusters from the
+    3-gram Jaccard pair graph (>= 0.5), connected components
+    (large-star/small-star), and per-cluster survivor = argmax
+    (quality, lowest doc_id tiebreak). keep=true marks the one doc per
+    cluster a curation pipeline retains; everything else is the
+    discard list. The components loop is the O(log d) distributed
+    contraction; the argmax is one component-keyed window over
+    cluster-sized rows (never text). The DuckDB twin recomputes the
+    same fixpoint via recursive CTE — oracle-tractable, cluster-
+    intractable, which is the point of the distributed path."""
+    from feast_hive_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = D.connected_components_star(pairs).select("doc_id", "component_id")
+    scored = comp.join(
+        docs.select("doc_id", X.quality_score("text").alias("quality")),
+        "doc_id",
+    )
+    w = Window.partitionBy("component_id")
+    best = F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("__nid"))).over(w)
+    return scored.select(
+        "doc_id",
+        "component_id",
+        "quality",
+        (
+            (F.col("quality") == best["quality"])
+            & (F.col("doc_id") == -best["__nid"])
+        ).alias("keep"),
+    )
