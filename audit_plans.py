@@ -155,8 +155,24 @@ AUDITS = {
     # span dedup: ONE hash-keyed count-over-partition window marks
     # duplicates; text never shuffles; no corpus-sized sort-merge join
     "span_dedup_stats": (["Window", "HashAggregate"], ["CartesianProduct", "SortMergeJoin"]),
-    # tfidf: (doc,term) agg + vocab-sized df join + ONE per-doc window
-    "tfidf_top_terms": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    # tfidf: doc-keyed repartition feeds BOTH the (doc,term) agg and
+    # the ranking window (no further exchange); vocab joins broadcast
+    "tfidf_top_terms": (
+        ["Window", "HashAggregate", "BroadcastHashJoin", "WindowGroupLimit"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # q18: aggregate-before-join — lineitem reduces per orderkey and
+    # the >120 filter runs before orders ever joins; top-20 is a
+    # TakeOrdered, not a global sort
+    "q18_large_orders": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+    ),
+    # novelty: slim (id, shingle-hash) shuffle + per-doc rollup
+    "shingle_novelty_scores": (["Window", "HashAggregate"], ["CartesianProduct", "SortMergeJoin"]),
+    # token budget: range-partitioned prefix sum, no single-partition
+    # global window (the Exchange must be rangepartitioning)
+    "token_budget_selection": (["rangepartitioning", "Window"], ["SinglePartition"]),
     # constraint suite: ONE scan-wide aggregate + a count-distinct;
     # rules never add scans or joins
     "data_quality_lineitem": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct", "Window"]),
@@ -177,8 +193,10 @@ AUDITS = {
     "funnel_view_click_purchase": (["HashAggregate"], ["Join", "Window", "CartesianProduct"]),
     # z-score: moments broadcast back; no sort-merge join
     "outlier_zscore_counts": (["HashAggregate", "BroadcastHashJoin"], ["SortMergeJoin", "Window"]),
-    # chi2: one scan-sized aggregate; marginals re-reduce 25 rows
-    "chi2_event_type_segment": (["HashAggregate", "BroadcastHashJoin"], ["SortMergeJoin", "Window"]),
+    # chi2: one scan-sized aggregate; marginals are whole-partition
+    # windows over the coalesced 25-cell table (SinglePartition
+    # satisfies every clustering -> zero extra exchanges/joins)
+    "chi2_event_type_segment": (["HashAggregate", "BroadcastHashJoin", "Window"], ["SortMergeJoin"]),
     # per-group packing: ONE window, no totals collect, no join
     "pack_sequences_by_lang": (["Window"], ["Join", "CartesianProduct"]),
     # epoch shuffle: stateless key + top-k; no exchange beyond the sort

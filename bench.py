@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "dedup_paragraph_chunks",
     "chunk_documents_overlap",
     "unigram_nll_scores",
+    "shingle_novelty_scores",
+    "token_budget_selection",
+    "near_dup_canonical_by_quality",
     "span_dedup_stats",
     "events_rolling_7d",
     "rolling_zscore_flags",
