@@ -349,19 +349,41 @@ def quantize_error_stats(
     before any division happens.
     """
     qmax = float(2 ** (bits - 1) - 1)
-    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dsum = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0.0), lambda acc, x: acc + x
     )
-    scale = F.array_max(F.transform(xs, lambda x: F.abs(x))) / F.lit(qmax)
-    err = dsum(
-        F.transform(xs, lambda x: F.abs(x - F.round(x / scale) * scale))
+    # Stage the shared subexpressions as real COLUMNS between selects:
+    # Catalyst does not CSE through lambda bodies, so an expression
+    # `scale` referenced inside the per-element quantization lambda
+    # would re-run the array_max over the whole vector for EVERY
+    # element — O(d^2) per row (measured ~2x on the bench query).
+    # Bound column references are O(1) per access.
+    staged = df.select(
+        F.col(label_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__xs"),
     )
-    norm = dsum(F.transform(xs, lambda x: F.abs(x)))
+    staged = staged.select(
+        F.col(label_col),
+        "__xs",
+        F.transform(F.col("__xs"), lambda x: F.abs(x)).alias("__ax"),
+    )
+    staged = staged.select(
+        F.col(label_col),
+        "__xs",
+        "__ax",
+        (F.array_max("__ax") / F.lit(qmax)).alias("__scale"),
+    )
+    scale = F.col("__scale")
+    err = dsum(
+        F.transform(
+            F.col("__xs"), lambda x: F.abs(x - F.round(x / scale) * scale)
+        )
+    )
+    norm = dsum(F.col("__ax"))
     rel_micro = (
         F.when(norm > 0, F.round(err / norm * _MICRO)).otherwise(F.lit(0))
     ).cast("long")
-    per_row = df.select(F.col(label_col), rel_micro.alias("__rm"))
+    per_row = staged.select(F.col(label_col), rel_micro.alias("__rm"))
     return (
         per_row.groupBy(label_col)
         .agg(

@@ -66,7 +66,18 @@ def skipgram_pairs(
     event sequence, every (item[i], item[j]) with ``i < j <= i+window``
     counts once — the training-pair corpus for item2vec-style
     embedding fits.  Output: ``(item_a, item_b, n)``."""
-    seq = _ordered_seq(df, key_col, ts_col, item_col, tiebreak_col)
+    # Materialize the ordered sequence as a real COLUMN before the
+    # pair lambdas touch it: Catalyst does not CSE through lambda
+    # bodies, so referencing the (sort+transform) EXPRESSION inside
+    # the per-position slice re-evaluated the whole O(n log n)
+    # sequence build for every position — O(n^2 log n) per key, a
+    # whale-key scale-killer (measured 4x on the bench query). A
+    # bound column reference is O(1) per access; the pair generation
+    # is then the genuine O(n * window).
+    grouped = df.groupBy(key_col).agg(
+        _ordered_seq(df, key_col, ts_col, item_col, tiebreak_col).alias("__seq")
+    )
+    seq = F.col("__seq")
     pairs = F.flatten(
         F.transform(
             seq,
@@ -76,9 +87,8 @@ def skipgram_pairs(
             ),
         )
     )
-    grouped = df.groupBy(key_col).agg(pairs.alias("__pairs"))
     return (
-        grouped.select(F.explode("__pairs").alias("__p"))
+        grouped.select(F.explode(pairs).alias("__p"))
         .groupBy(
             F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b")
         )
