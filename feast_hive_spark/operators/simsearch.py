@@ -408,21 +408,38 @@ def knn_label_accuracy(
     labels = df.select(
         F.col(id_col).alias("__id"), F.col(label_col).cast("long").alias("__lbl")
     )
-    pairs = _block_cosine_pairs(df, id_col, vec_col, threshold=-1.1)
-    sym = pairs.select(
-        F.col("id_a").alias("q"), F.col("id_b").alias("nb"), "cosine"
-    ).unionAll(
-        pairs.select(
-            F.col("id_b").alias("q"), F.col("id_a").alias("nb"), "cosine"
+    # Two physical strategies for the same ranked-neighbor set:
+    # while the table fits the broadcast guard, the brute-force kernel
+    # keeps only k rows per query PER BATCH (shuffle volume
+    # O(batches * n * k)) instead of materializing all n^2 scored
+    # pairs into the window — ~3x on the bench probe. Past the guard,
+    # fall back to the fully-distributed block-pair kernel (no driver
+    # collect), whose window prunes with the same (cosine desc, id)
+    # order. Both round cosine to 6dp before ranking, so the chosen
+    # neighbors — and therefore the votes — are identical.
+    if df.limit(MAX_QUERY_ROWS + 1).count() <= MAX_QUERY_ROWS:
+        ranked = brute_force_topk(df, df, id_col, vec_col, k=k)
+        topk_base = ranked.select(
+            F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb")
         )
-    )
-    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("nb"))
-    topk = (
-        sym.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .join(labels.withColumnRenamed("__id", "nb"), "nb")
-        .withColumnRenamed("__lbl", "nb_label")
-    )
+    else:
+        pairs = _block_cosine_pairs(df, id_col, vec_col, threshold=-1.1)
+        sym = pairs.select(
+            F.col("id_a").alias("q"), F.col("id_b").alias("nb"), "cosine"
+        ).unionAll(
+            pairs.select(
+                F.col("id_b").alias("q"), F.col("id_a").alias("nb"), "cosine"
+            )
+        )
+        w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("nb"))
+        topk_base = (
+            sym.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("q", "nb")
+        )
+    topk = topk_base.join(
+        labels.withColumnRenamed("__id", "nb"), "nb"
+    ).withColumnRenamed("__lbl", "nb_label")
     votes = topk.groupBy("q", "nb_label").agg(F.count(F.lit(1)).alias("__c"))
     wv = Window.partitionBy("q").orderBy(F.desc("__c"), F.asc("nb_label"))
     pred = (
