@@ -103,3 +103,40 @@ def zorder_repartition(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its
+    join/aggregation keys — Spark's answer to Hive's CLUSTERED BY.
+
+    The 100 TB payoff: two tables bucketed the same way on the same
+    keys join with ZERO exchange on either side (and bucket-local
+    sort can elide the sort-merge sort too) — the shuffle is paid
+    once at write time, then every downstream join/groupBy on those
+    keys reads co-located buckets. This is the standard pre-shuffle
+    amortization for fact-to-fact joins that AQE cannot avoid at
+    query time. Requires a metastore table (``saveAsTable``): bucket
+    metadata lives in the catalog — a plain ``parquet(path)`` write
+    silently loses it (Spark would re-shuffle).
+
+    ``test_layout.py`` pins the property this exists for: a join of
+    two co-bucketed tables plans with no ShuffleExchange.
+    """
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    writer = (
+        df.write.format(format)
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -1059,17 +1059,29 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
         "p_brand", "p_type",
     )
+    # bounded edit distance: the length-gap prefilter discards pairs a
+    # trivial lower bound already rejects, and the threshold form of
+    # levenshtein runs the banded O(len * k) recurrence (returning -1
+    # past the bound) instead of the full O(len^2) matrix — computed
+    # ONCE (filter + projection reuse the column), ~2x on the bench
+    # block-join. Distances for surviving pairs are exact, so the
+    # oracle twin's unbounded formulation agrees.
     return (
         a.join(b, ["p_brand", "p_type"])
         .filter(
             (F.col("key_a") < F.col("key_b"))
             & (F.col("name_a") != F.col("name_b"))
-            & (F.levenshtein("name_a", "name_b") <= _FUZZY_MAX_DIST)
+            & (
+                F.abs(F.length("name_a") - F.length("name_b"))
+                <= _FUZZY_MAX_DIST
+            )
         )
-        .select(
-            "key_a", "key_b", "name_a", "name_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        .withColumn(
+            "dist",
+            F.levenshtein("name_a", "name_b", _FUZZY_MAX_DIST).cast("long"),
         )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _FUZZY_MAX_DIST))
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
 
 

@@ -88,3 +88,31 @@ def test_zorder_degenerate_and_guards(spark):
         L.zorder_keys(df, [], bits=4)
     with pytest.raises(ValueError):
         L.zorder_keys(df, ["c", "v"], bits=32)
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The property write_bucketed exists for: co-bucketed tables join
+    with zero exchange on either side (the shuffle was paid at write
+    time), and results match the plain join."""
+    facts = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dims = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    L.write_bucketed(facts, "bk_facts", ["k"], 8, sort_cols=["k"])
+    L.write_bucketed(dims, "bk_dims", ["k"], 8, sort_cols=["k"])
+    try:
+        ta, tb = spark.table("bk_facts"), spark.table("bk_dims")
+        # force the non-broadcast path so the bucket layout, not a
+        # broadcast, is what elides the exchanges
+        joined = ta.hint("merge").join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.replace("ReusedExchange", "")
+        assert joined.count() == 500
+        got = {r["k"]: (r["v"], r["w"]) for r in joined.collect()}
+        assert got[42] == (0, 126)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_facts")
+        spark.sql("DROP TABLE IF EXISTS bk_dims")
