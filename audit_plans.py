@@ -173,6 +173,13 @@ AUDITS = {
     # token budget: range-partitioned prefix sum, no single-partition
     # global window (the Exchange must be rangepartitioning)
     "token_budget_selection": (["rangepartitioning", "Window"], ["SinglePartition"]),
+    # DSIR: vocabulary-sized LM aggregates, token stream joins back
+    "dsir_importance_weights": (["HashAggregate"], ["CartesianProduct"]),
+    # per-source calibration: ONE source-keyed window, no joins
+    "quality_percentile_by_source": (["Window"], ["Join", "CartesianProduct"]),
+    # JPEG decode rides Arrow-batched python map stages, nothing wide
+    "multimodal_jpeg_pixel_stats": (["MapInPandas"], ["Exchange"]),
+    "near_dup_canonical_by_quality": (["Window"], ["CartesianProduct"]),
     # constraint suite: ONE scan-wide aggregate + a count-distinct;
     # rules never add scans or joins
     "data_quality_lineitem": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct", "Window"]),

@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "shingle_novelty_scores",
     "token_budget_selection",
     "near_dup_canonical_by_quality",
+    "dsir_importance_weights",
+    "quality_percentile_by_source",
     "span_dedup_stats",
     "events_rolling_7d",
     "rolling_zscore_flags",
@@ -296,6 +298,14 @@ def main() -> None:
     times: dict[str, float] = {}
     prepare: dict[str, float] = {}
     for name in names:
+        # per-query cache hygiene: drop the previous query's plan-
+        # pinned caches and re-pin the base tables (lazy; this query's
+        # warmup rebuilds exactly what it scans). Letting 100+ queries'
+        # operator-internal caches accumulate inflated late-suite
+        # queries ~1.5x via heap pressure/GC.
+        spark.catalog.clearCache()
+        for t in TABLES:
+            spark.catalog.cacheTable(t)
         fn = REGISTRY[name][0]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)  # prepare once; QueryExecution is cached

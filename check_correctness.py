@@ -11,6 +11,7 @@ parquet tables, then compares row count, column names, and
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -89,6 +90,7 @@ def main() -> int:
         )
 
     n_fail = 0
+    results: dict[str, dict] = {}
     for name, (fn, oracle) in REGISTRY.items():
         if only and name not in only:
             continue
@@ -96,15 +98,18 @@ def main() -> int:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
+            results[name] = {"status": "fail", "err": f"spark: {type(e).__name__}"}
             n_fail += 1
             continue
         if oracle is None:
             print(f"SKIP {name}: no oracle (rows-only: {len(got)} rows)")
+            results[name] = {"status": "rows_only", "rows": len(got)}
             continue
         try:
             exp = con.execute(oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
+            results[name] = {"status": "fail", "err": f"duckdb: {type(e).__name__}"}
             n_fail += 1
             continue
         problems = compare(name, got, exp)
@@ -113,9 +118,30 @@ def main() -> int:
             print(f"FAIL {name} ({len(got)} rows):")
             for p in problems:
                 print(f"    {p}")
+            results[name] = {"status": "fail", "rows": len(got), "problems": problems}
         else:
             print(f"OK   {name} ({len(got)} rows)")
+            results[name] = {"status": "ok", "rows": len(got)}
     print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    # full-coverage artifact (the driver's per-round gate samples ~50
+    # queries; this file is the committed evidence for the rest)
+    out = os.environ.get("CHECK_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_fail": n_fail,
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
     return 1 if n_fail else 0
 
 

@@ -695,3 +695,75 @@ def select_token_budget(
         .filter(F.col("cum_tok") <= F.lit(budget))
         .select(id_col, "quality", "n_tok", "cum_tok")
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+) -> DataFrame:
+    """DSIR-style importance weights: per-document average unigram
+    log-likelihood ratio between a TARGET slice of the corpus
+    (``target_col`` boolean) and the full corpus — the data-selection
+    signal for "resample the web to look like the target domain"
+    pipelines. Positive = target-like, negative = off-domain.
+
+    p_target uses add-one smoothing over the corpus vocabulary (so
+    tokens unseen in the target stay finite); p_corpus needs none
+    (every corpus token is in the corpus vocab by construction).
+
+    Scale shape mirrors unigram_nll_scores: BOTH models live on the
+    vocabulary (one grouped count + a left-join of the target counts
+    + two scalar broadcasts), so the expensive join side is
+    vocabulary-sized; per-token log-ratios are fixed to micro-nats
+    BEFORE the per-doc aggregate for cross-engine-exact sums.
+
+    Output: ``(id, n_tok, avg_logratio)`` (nats, 4 dp).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("__tgt"),
+        F.explode(X.words(text_col)).alias("__tok"),
+    )
+    vocab = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__cc"),
+        F.sum(F.col("__tgt").cast("long")).alias("__ct"),
+    )
+    scalars = vocab.agg(
+        F.sum("__cc").alias("__Tc"),
+        F.sum("__ct").alias("__Tt"),
+        F.count(F.lit(1)).alias("__V"),
+    )
+    scored_vocab = vocab.crossJoin(F.broadcast(scalars)).select(
+        "__tok",
+        F.round(
+            (
+                F.log(
+                    (F.col("__ct") + 1).cast("double")
+                    / (F.col("__Tt") + F.col("__V"))
+                )
+                - F.log(
+                    F.col("__cc").cast("double") / F.col("__Tc")
+                )
+            )
+            * _MICRO
+        )
+        .cast("long")
+        .alias("__lr_micro"),
+    )
+    return (
+        toks.join(scored_vocab, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("__lr_micro").alias("__sum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tok"),
+            F.round(
+                F.col("__sum").cast("double") / F.col("n_tok") / _MICRO, 4
+            ).alias("avg_logratio"),
+        )
+    )

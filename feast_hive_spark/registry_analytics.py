@@ -1059,22 +1059,18 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
         "p_brand", "p_type",
     )
-    # bounded edit distance: the length-gap prefilter discards pairs a
-    # trivial lower bound already rejects, and the threshold form of
+    # bounded edit distance, computed ONCE: the threshold form of
     # levenshtein runs the banded O(len * k) recurrence (returning -1
-    # past the bound) instead of the full O(len^2) matrix — computed
-    # ONCE (filter + projection reuse the column), ~2x on the bench
-    # block-join. Distances for surviving pairs are exact, so the
-    # oracle twin's unbounded formulation agrees.
+    # past the bound) instead of the full O(len^2) matrix the old
+    # filter+projection pair evaluated twice. Distances for surviving
+    # pairs are exact, so the oracle twin's unbounded formulation
+    # agrees. (A length-gap prefilter was measured SLOWER here — the
+    # extra predicate costs more than the few pairs it rejects.)
     return (
         a.join(b, ["p_brand", "p_type"])
         .filter(
             (F.col("key_a") < F.col("key_b"))
             & (F.col("name_a") != F.col("name_b"))
-            & (
-                F.abs(F.length("name_a") - F.length("name_b"))
-                <= _FUZZY_MAX_DIST
-            )
         )
         .withColumn(
             "dist",

@@ -558,3 +558,81 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields the corpus total, so the budget costs no extra pass."""
     docs = read_table(spark, sf_dir, "documents")
     return C.select_token_budget(docs, "doc_id", "text", budget_frac=0.5)
+
+
+_DSIR_TARGET = "src0"
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source = '{_DSIR_TARGET}' AS tgt,
+         unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS cc,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+  FROM toks GROUP BY tok
+), scal AS (
+  SELECT SUM(cc) AS Tc, SUM(ct) AS Tt, COUNT(*) AS V FROM vocab
+), scored AS (
+  SELECT tok,
+         CAST(round((ln(CAST(ct + 1 AS DOUBLE) / (Tt + V))
+                     - ln(CAST(cc AS DOUBLE) / Tc)) * 1000000) AS BIGINT)
+           AS lr_micro
+  FROM vocab, scal
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       ROUND(CAST(SUM(lr_micro) AS DOUBLE) / COUNT(*) / 1000000, 4)
+         AS avg_logratio
+FROM toks t JOIN scored s USING (tok)
+GROUP BY t.doc_id
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: per-doc average unigram
+    log-likelihood ratio of the '{target}' source slice vs the whole
+    corpus (add-one smoothing over the corpus vocabulary). Positive =
+    target-like. Both LMs are vocabulary-sized aggregates; per-token
+    ratios fixed to micro-nats before the per-doc sum."""
+    docs = read_table(spark, sf_dir, "documents")
+    flagged = docs.withColumn("__is_tgt", F.col("source") == _DSIR_TARGET)
+    return C.dsir_logweights(flagged, "doc_id", "text", "__is_tgt")
+
+
+@register(
+    "quality_percentile_by_source",
+    f"""
+WITH q AS (
+  SELECT doc_id, source, {X.duck_quality_score('text')} AS quality
+  FROM documents
+)
+SELECT doc_id, source, quality,
+       ROUND(percent_rank() OVER (
+         PARTITION BY source ORDER BY quality, doc_id), 6) AS q_pct
+FROM q
+""",
+)
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile (percent_rank with a doc_id
+    tiebreak): normalizes the quality signal WITHIN each domain so a
+    global budget/threshold doesn't just drain the one domain with a
+    generous scorer — the calibration step before cross-domain
+    selection. One source-keyed window; a whale domain is bounded by
+    the window sort (range-partition + rank merge if one domain
+    dominates the corpus)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    q = docs.select(
+        "doc_id", "source", X.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality"), F.col("doc_id"))
+    return q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(F.percent_rank().over(w), 6).alias("q_pct"),
+    )
