@@ -179,6 +179,7 @@ AUDITS = {
     "quality_percentile_by_source": (["Window"], ["Join", "CartesianProduct"]),
     # JPEG decode rides Arrow-batched python map stages, nothing wide
     "multimodal_jpeg_pixel_stats": (["MapInPandas"], ["Exchange"]),
+    "multimodal_audio_stats": (["MapInPandas"], ["Exchange"]),
     "near_dup_canonical_by_quality": (["Window"], ["CartesianProduct"]),
     # constraint suite: ONE scan-wide aggregate + a count-distinct;
     # rules never add scans or joins

@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "multimodal_type_rollup",
     "multimodal_pixel_stats",
     "multimodal_jpeg_pixel_stats",
+    "multimodal_audio_stats",
     "multimodal_ahash_near_dup",
 ]
 

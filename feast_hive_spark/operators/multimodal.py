@@ -13,8 +13,11 @@ image path is really decoded too:
   jpeg.py``: SOF0, 8-bit, grayscale/YCbCr, 4:4:4/4:2:2/4:2:0,
   restart markers); progressive/arithmetic JPEGs fall through the
   same gate as the formats below;
-- other formats (GIF/audio/video frames) use PIL/soundfile if
-  importable; otherwise ``allow_fake=True`` switches those payloads to
+- **integer-PCM WAV decode/encode is native** (``functions/wav.py``:
+  8/16/32-bit, any channel count; float-PCM/ADPCM gated) —
+  ``audio_amplitude_stats`` runs on real samples;
+- the remaining formats (GIF, compressed audio, video frames) use
+  PIL/soundfile if importable; otherwise ``allow_fake=True`` switches those payloads to
   a *deterministic fake* (features derived from md5 of the bytes) so
   the pipeline shape is exercised end-to-end, and ``allow_fake=False``
   raises ``NotImplementedError`` at execution — the clearly-marked
@@ -371,3 +374,48 @@ def ahash_near_dup_pairs(
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def audio_amplitude_stats(
+    df: DataFrame, binary_col: str, id_col: str
+) -> DataFrame:
+    """Exact per-clip amplitude statistics from a REAL WAV decode
+    (functions/wav.py): frames, channels, sample rate, integer
+    |amplitude| sum and max. The audio twin of image_pixel_stats —
+    all-integer outputs make the cross-engine oracle exact. Strict:
+    an undecodable payload raises (callers filter to audio rows
+    first). Arrow-batched map-only stage; payload bytes never
+    shuffle."""
+    from feast_hive_spark.functions import wav
+
+    schema = (
+        f"{id_col} long, n_frames long, n_channels long, "
+        "sample_rate long, sum_abs long, max_abs long"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                payload = b if isinstance(b, bytes) else bytes(b)
+                frames, rate = wav.decode(payload)
+                amp = np.abs(frames)
+                rows.append(
+                    (
+                        i,
+                        frames.shape[0],
+                        frames.shape[1],
+                        rate,
+                        int(amp.sum()),
+                        int(amp.max()) if amp.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "n_channels",
+                    "sample_rate", "sum_abs", "max_abs",
+                ],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(mapper, schema)

@@ -1959,3 +1959,58 @@ def near_dup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("doc_id") == -best["__nid"])
         ).alias("keep"),
     )
+
+
+@register(
+    "multimodal_audio_stats",
+    """
+SELECT d.doc_id,
+       CAST(64 + d.doc_id % 33 AS BIGINT) AS n_frames,
+       CAST(1 + d.doc_id % 2 AS BIGINT) AS n_channels,
+       CAST(8000 + (d.doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(SUM(abs((d.doc_id * 7919 + t.k * 131) % 65536 - 32768)) AS BIGINT)
+         AS sum_abs,
+       CAST(MAX(abs((d.doc_id * 7919 + t.k * 131) % 65536 - 32768)) AS BIGINT)
+         AS max_abs
+FROM documents d,
+     LATERAL (SELECT unnest(range(0,
+         (64 + d.doc_id % 33) * (1 + d.doc_id % 2))) AS k) t
+GROUP BY d.doc_id
+""",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode, oracle-gated (the audio twin of the pixel
+    stats): per doc, an integer-PCM WAV is encoded from the
+    deterministic sample formula ``s(k) = (doc_id*7919 + 131k) %
+    65536 - 32768`` (functions/wav.py; 16-bit, mono/stereo and three
+    sample rates by doc_id), decoded back by audio_amplitude_stats
+    into exact integer amplitude stats. The DuckDB twin computes the
+    same stats straight from the formula — it never sees a WAV, so a
+    hash match proves RIFF parsing, PCM width handling and channel
+    de-interleaving end-to-end. Both codec halves are Arrow-batched
+    map-only stages; payloads never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.functions import wav
+    from feast_hive_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def mk(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                n, ch = 64 + d % 33, 1 + d % 2
+                rate = 8000 + (d % 3) * 4000
+                k = np.arange(n * ch, dtype=np.int64)
+                s = (d * 7919 + k * 131) % 65536 - 32768
+                payloads.append(
+                    wav.encode(s.reshape(n, ch), sample_rate=rate, width=2)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(mk, "doc_id long, payload binary")
+    return M.audio_amplitude_stats(media, "payload", "doc_id")
