@@ -180,6 +180,7 @@ AUDITS = {
     # JPEG decode rides Arrow-batched python map stages, nothing wide
     "multimodal_jpeg_pixel_stats": (["MapInPandas"], ["Exchange"]),
     "multimodal_audio_stats": (["MapInPandas"], ["Exchange"]),
+    "multimodal_gif_pixel_stats": (["MapInPandas"], ["Exchange"]),
     "near_dup_canonical_by_quality": (["Window"], ["CartesianProduct"]),
     # constraint suite: ONE scan-wide aggregate + a count-distinct;
     # rules never add scans or joins

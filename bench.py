@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "multimodal_pixel_stats",
     "multimodal_jpeg_pixel_stats",
     "multimodal_audio_stats",
+    "multimodal_gif_pixel_stats",
     "multimodal_ahash_near_dup",
 ]
 

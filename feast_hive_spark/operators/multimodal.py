@@ -13,10 +13,12 @@ image path is really decoded too:
   jpeg.py``: SOF0, 8-bit, grayscale/YCbCr, 4:4:4/4:2:2/4:2:0,
   restart markers); progressive/arithmetic JPEGs fall through the
   same gate as the formats below;
+- **GIF decode/encode is native** (``functions/gif.py``: LZW,
+  global/local palettes, interlace; first frame of animations);
 - **integer-PCM WAV decode/encode is native** (``functions/wav.py``:
   8/16/32-bit, any channel count; float-PCM/ADPCM gated) —
   ``audio_amplitude_stats`` runs on real samples;
-- the remaining formats (GIF, compressed audio, video frames) use
+- the remaining formats (compressed audio, video frames) use
   PIL/soundfile if importable; otherwise ``allow_fake=True`` switches those payloads to
   a *deterministic fake* (features derived from md5 of the bytes) so
   the pipeline shape is exercised end-to-end, and ``allow_fake=False``
@@ -39,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from feast_hive_spark.functions import jpeg, png
+from feast_hive_spark.functions import gif, jpeg, png
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # noqa: F401
@@ -86,6 +88,10 @@ def _decode_image(payload: bytes) -> np.ndarray | None:
         pass
     try:
         return jpeg.decode(payload)
+    except ValueError:
+        pass
+    try:
+        return gif.decode(payload)
     except ValueError:
         pass
     if _HAS_PIL:  # pragma: no cover - PIL absent in container

@@ -2014,3 +2014,66 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(mk, "doc_id long, payload binary")
     return M.audio_amplitude_stats(media, "payload", "doc_id")
+
+
+@register(
+    "multimodal_gif_pixel_stats",
+    """
+SELECT d.doc_id,
+       CAST(6 + d.doc_id % 5 AS BIGINT) AS width,
+       CAST(5 + d.doc_id % 4 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(SUM(((d.doc_id * 13 + t.k * 7) % 32 * 31) % 256
+              + ((d.doc_id * 13 + t.k * 7) % 32 * 57) % 256
+              + ((d.doc_id * 13 + t.k * 7) % 32 * 89) % 256) AS BIGINT)
+         AS sum_pixel,
+       CAST(MIN(LEAST(((d.doc_id * 13 + t.k * 7) % 32 * 31) % 256,
+                      ((d.doc_id * 13 + t.k * 7) % 32 * 57) % 256,
+                      ((d.doc_id * 13 + t.k * 7) % 32 * 89) % 256)) AS BIGINT)
+         AS min_pixel,
+       CAST(MAX(GREATEST(((d.doc_id * 13 + t.k * 7) % 32 * 31) % 256,
+                         ((d.doc_id * 13 + t.k * 7) % 32 * 57) % 256,
+                         ((d.doc_id * 13 + t.k * 7) % 32 * 89) % 256)) AS BIGINT)
+         AS max_pixel
+FROM documents d,
+     LATERAL (SELECT unnest(range(0,
+         (6 + d.doc_id % 5) * (5 + d.doc_id % 4))) AS k) t
+GROUP BY d.doc_id
+""",
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, oracle-gated (the LZW leg of the image codec
+    family): per doc, a 32-color palette GIF is encoded from the
+    deterministic index formula ``idx(k) = (13*doc_id + 7k) % 32``
+    with palette channel i -> (idx*31, idx*57, idx*89) % 256
+    (functions/gif.py), decoded back via image_pixel_stats. GIF is
+    LOSSLESS, so the stats must be BIT-EXACT; the DuckDB twin
+    computes them from the formula without ever seeing a GIF — a
+    hash match proves LZW decompression, sub-block reassembly and
+    palette mapping end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.functions import gif
+    from feast_hive_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    i = np.arange(32, dtype=np.int64)
+    pal = np.stack([(i * 31) % 256, (i * 57) % 256, (i * 89) % 256], 1).astype(
+        np.uint8
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 6 + d % 5, 5 + d % 4
+                k = np.arange(w * h, dtype=np.int64)
+                idx = ((d * 13 + k * 7) % 32).astype(np.uint8).reshape(h, w)
+                payloads.append(gif.encode(idx, palette=pal))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(mk, "doc_id long, payload binary")
+    return M.image_pixel_stats(media, "payload", "doc_id")
