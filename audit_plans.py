@@ -181,6 +181,7 @@ AUDITS = {
     "multimodal_jpeg_pixel_stats": (["MapInPandas"], ["Exchange"]),
     "multimodal_audio_stats": (["MapInPandas"], ["Exchange"]),
     "multimodal_gif_pixel_stats": (["MapInPandas"], ["Exchange"]),
+    "multimodal_video_frame_stats": (["MapInPandas"], ["Exchange"]),
     "near_dup_canonical_by_quality": (["Window"], ["CartesianProduct"]),
     # constraint suite: ONE scan-wide aggregate + a count-distinct;
     # rules never add scans or joins

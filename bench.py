@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "multimodal_jpeg_pixel_stats",
     "multimodal_audio_stats",
     "multimodal_gif_pixel_stats",
+    "multimodal_video_frame_stats",
     "multimodal_ahash_near_dup",
 ]
 
@@ -292,7 +293,7 @@ def main() -> None:
     # broadcast machinery, codegen harness) — measured as a ~2x
     # first-query inflation that moved with suite order. Two throwaway
     # executions of a representative join+agg pipeline stabilize it.
-    for burn in names[:1]:
+    for burn in names[:3]:
         bdf = REGISTRY[burn][0](spark, sf_dir)
         _noop(bdf)
         _noop(bdf)

@@ -85,11 +85,29 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
 def decode(data: bytes) -> np.ndarray:
     """GIF bytes -> (H, W, 3) uint8 RGB of the first image frame.
     Raises ``ValueError`` for non-GIF or malformed payloads."""
+    return _decode(data, all_frames=False)[0]
+
+
+def decode_frames(data: bytes) -> list[np.ndarray]:
+    """Animated GIF -> list of (H, W, 3) uint8 RGB frames.
+
+    Supports FULL-frame animations (every image descriptor covers the
+    whole canvas — the shape deterministic fixture generators and many
+    screen-capture tools produce). Partial frames would need
+    disposal/composition state; they raise ``ValueError`` so callers
+    fall through to the PIL gate rather than getting mis-composited
+    pixels. Transparency indices are ignored (frames are treated as
+    opaque)."""
+    return _decode(data, all_frames=True)
+
+
+def _decode(data: bytes, all_frames: bool) -> list[np.ndarray]:
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     w, h, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
+    frames: list[np.ndarray] = []
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
@@ -131,9 +149,18 @@ def decode(data: bytes) -> np.ndarray:
                 idx = _deinterlace(idx)
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("corrupt GIF: palette index out of range")
-            return pal[idx]
+            if not all_frames:
+                return [pal[idx]]
+            if (ix, iy, iw, ih) != (0, 0, w, h):
+                raise ValueError(
+                    "unsupported GIF: partial frames need disposal/"
+                    "composition state"
+                )
+            frames.append(pal[idx])
         else:
             raise ValueError(f"corrupt GIF: unknown block 0x{b:02x}")
+    if frames:
+        return frames
     raise ValueError("corrupt GIF: no image frame")
 
 
@@ -179,6 +206,39 @@ def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
     emit(eoi, width)
     if accbits:
         out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_frames(
+    frames: "list[np.ndarray]", palette: np.ndarray
+) -> bytes:
+    """List of (H, W) palette-index frames -> animated GIF89a bytes
+    (full-frame animation: one image descriptor per frame, shared
+    global palette)."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    n_pal = len(palette)
+    depth = max(1, (max(n_pal - 1, 1)).bit_length())
+    full = 1 << depth
+    pal_bytes = np.zeros((full, 3), dtype=np.uint8)
+    pal_bytes[:n_pal] = palette
+    min_code = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0))
+    out.extend(pal_bytes.tobytes())
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share the canvas size")
+        out.extend(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+        out.append(min_code)
+        lzw = _lzw_encode(min_code, fr.astype(np.uint8).tobytes())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.append(0)
+    out.extend(b"\x3b")
     return bytes(out)
 
 

@@ -425,3 +425,47 @@ def audio_amplitude_stats(
             )
 
     return df.select(id_col, binary_col).mapInPandas(mapper, schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    every_n: int = 2,
+) -> DataFrame:
+    """REAL frame sampling over animated-GIF payloads: decode the
+    frame sequence (functions/gif.py, full-frame animations), keep
+    every ``every_n``-th frame, and emit exact integer pixel stats per
+    kept frame — the de-stubbed counterpart of the metadata-driven
+    ``sample_frames`` plan. The sampling happens INSIDE the map stage
+    (skipped frames never leave the worker), Arrow-batched, map-only;
+    payload bytes stay off shuffles. Strict: undecodable payloads and
+    partial-frame animations raise (callers filter first, or use the
+    PIL gate)."""
+    from feast_hive_spark.functions import gif
+
+    schema = (
+        f"{id_col} long, frame_index long, n_frames long, "
+        "sum_pixel long, max_pixel long"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                payload = b if isinstance(b, bytes) else bytes(b)
+                frames = gif.decode_frames(payload)
+                for fi in range(0, len(frames), every_n):
+                    fr = frames[fi].astype(np.int64)
+                    rows.append(
+                        (i, fi, len(frames), int(fr.sum()), int(fr.max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_index", "n_frames",
+                    "sum_pixel", "max_pixel",
+                ],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(mapper, schema)

@@ -2077,3 +2077,73 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(mk, "doc_id long, payload binary")
     return M.image_pixel_stats(media, "payload", "doc_id")
+
+
+@register(
+    "multimodal_video_frame_stats",
+    """
+WITH kept AS (
+  SELECT d.doc_id, f.f AS frame_index,
+         CAST(2 + d.doc_id % 4 AS BIGINT) AS n_frames
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, 2 + d.doc_id % 4, 2)) AS f) f
+)
+SELECT k.doc_id, CAST(k.frame_index AS BIGINT) AS frame_index, k.n_frames,
+       CAST(SUM(((k.doc_id * 13 + k.frame_index * 17 + t.k * 7) % 32 * 31) % 256
+              + ((k.doc_id * 13 + k.frame_index * 17 + t.k * 7) % 32 * 57) % 256
+              + ((k.doc_id * 13 + k.frame_index * 17 + t.k * 7) % 32 * 89) % 256)
+            AS BIGINT) AS sum_pixel,
+       CAST(MAX(GREATEST(
+              ((k.doc_id * 13 + k.frame_index * 17 + t.k * 7) % 32 * 31) % 256,
+              ((k.doc_id * 13 + k.frame_index * 17 + t.k * 7) % 32 * 57) % 256,
+              ((k.doc_id * 13 + k.frame_index * 17 + t.k * 7) % 32 * 89) % 256))
+            AS BIGINT) AS max_pixel
+FROM kept k,
+     LATERAL (SELECT unnest(range(0,
+         (6 + k.doc_id % 3) * (4 + k.doc_id % 3))) AS k) t
+GROUP BY k.doc_id, k.frame_index, k.n_frames
+""",
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling over animated media, oracle-gated: per doc
+    an animated GIF (2-5 full frames, functions/gif.py) is encoded
+    from the deterministic per-frame index formula ``idx(k, f) =
+    (13*doc_id + 17f + 7k) % 32``; sample_video_frames decodes the
+    sequence and keeps every 2nd frame with exact integer pixel
+    stats. GIF is lossless so the stats must be BIT-EXACT; the DuckDB
+    twin enumerates (doc, kept frame, pixel) from the formula without
+    ever seeing a GIF — proving multi-frame LZW decode and in-worker
+    frame selection end-to-end. Skipped frames never leave the map
+    stage."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.functions import gif
+    from feast_hive_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    i = np.arange(32, dtype=np.int64)
+    pal = np.stack([(i * 31) % 256, (i * 57) % 256, (i * 89) % 256], 1).astype(
+        np.uint8
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 6 + d % 3, 4 + d % 3
+                nf = 2 + d % 4
+                k = np.arange(w * h, dtype=np.int64)
+                frames = [
+                    ((d * 13 + f * 17 + k * 7) % 32)
+                    .astype(np.uint8)
+                    .reshape(h, w)
+                    for f in range(nf)
+                ]
+                payloads.append(gif.encode_frames(frames, pal))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(mk, "doc_id long, payload binary")
+    return M.sample_video_frames(media, "payload", "doc_id", every_n=2)

@@ -97,3 +97,43 @@ def test_decode_chain_accepts_gif():
     idx = np.array([[0, 1, 0]], dtype=np.uint8)
     out = _decode_image(gif.encode(idx, palette=pal))
     np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_animated_frames_roundtrip_and_gates():
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 16, (9, 11), dtype=np.uint8) for _ in range(4)]
+    data = gif.encode_frames(frames, pal)
+    dec = gif.decode_frames(data)
+    assert len(dec) == 4
+    for d, f in zip(dec, frames):
+        np.testing.assert_array_equal(d, pal[f])
+    # decode() = first frame only
+    np.testing.assert_array_equal(gif.decode(data), pal[frames[0]])
+    # a partial frame must be refused by decode_frames (no disposal
+    # state), while single-frame decode still works
+    data2 = bytearray(data)
+    i = 13 + 3 * (2 << (data2[10] & 0x07))
+    assert data2[i] == 0x2C
+    struct.pack_into("<HH", data2, i + 1, 1, 0)  # shift frame 1 right
+    struct.pack_into("<H", data2, i + 5, 10)  # and shrink its width
+    with pytest.raises(ValueError, match="partial frames"):
+        gif.decode_frames(bytes(data2))
+
+
+def test_sample_video_frames_operator(spark):
+    import pandas as pd
+
+    from feast_hive_spark.operators.multimodal import sample_video_frames
+
+    pal = np.array([[1, 2, 3], [10, 20, 30]], dtype=np.uint8)
+    frames = [np.full((4, 5), i % 2, dtype=np.uint8) for i in range(5)]
+    payload = gif.encode_frames(frames, pal)
+    df = spark.createDataFrame(pd.DataFrame({"vid": [7], "payload": [payload]}))
+    got = {
+        r["frame_index"]: (r["n_frames"], r["sum_pixel"], r["max_pixel"])
+        for r in sample_video_frames(df, "payload", "vid", every_n=2).collect()
+    }
+    assert set(got) == {0, 2, 4}
+    assert got[0] == (5, 4 * 5 * 6, 3)  # all-index-0 frame: sum(1+2+3)*20
+    assert got[2] == (5, 4 * 5 * 6, 3)
