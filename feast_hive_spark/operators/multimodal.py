@@ -127,6 +127,28 @@ def _pixel_features(img: np.ndarray, dim: int) -> np.ndarray:
     return np.asarray(head[:dim], dtype=np.float32)
 
 
+def _audio_features(
+    frames: np.ndarray, rate: int, dim: int
+) -> np.ndarray:
+    """Real audio features: [n_frames, n_channels, rate, mean |amp|]
+    + a (dim-4)-bin |amplitude| histogram (fractions of samples)."""
+    amp = np.abs(frames).astype(np.float64).ravel()
+    head = [
+        frames.shape[0],
+        frames.shape[1],
+        rate,
+        amp.mean() if amp.size else 0.0,
+    ]
+    n_bins = max(dim - 4, 0)
+    if n_bins and amp.size:
+        top = max(float(amp.max()), 1.0)
+        hist, _ = np.histogram(amp, bins=n_bins, range=(0.0, top + 1.0))
+        head.extend(hist / amp.size)
+    else:
+        head.extend([0.0] * n_bins)
+    return np.asarray(head[:dim], dtype=np.float32)
+
+
 def extract_features(
     df: DataFrame,
     binary_col: str,
@@ -136,22 +158,32 @@ def extract_features(
 ) -> DataFrame:
     """Per-item feature extraction via ``mapInPandas`` (Arrow batches).
 
-    Decodable images (PNG natively; more with PIL) yield REAL pixel
-    features ([w, h, mean, std] + intensity histogram). Payloads no
-    codec handles either fall back to the deterministic fake
-    (``allow_fake=True``) or raise ``NotImplementedError`` at
-    execution. Output: (id, feature array<float>, n_bytes)."""
+    Decodable images (PNG/JPEG/GIF natively; more with PIL) yield REAL
+    pixel features ([w, h, mean, std] + intensity histogram); WAV
+    payloads yield REAL audio features ([frames, channels, rate,
+    mean |amp|] + amplitude histogram). Payloads no codec handles
+    either fall back to the deterministic fake (``allow_fake=True``)
+    or raise ``NotImplementedError`` at execution.
+    Output: (id, feature array<float>, n_bytes)."""
+    from feast_hive_spark.functions import wav
+
     schema = f"{id_col} long, feature array<float>, n_bytes long"
 
     def one(payload: bytes) -> np.ndarray:
         img = _decode_image(payload)
         if img is not None:
             return _pixel_features(img, dim)
+        try:
+            frames, rate = wav.decode(payload)
+            return _audio_features(frames, rate, dim)
+        except ValueError:
+            pass
         if not allow_fake:
             raise NotImplementedError(
-                "no codec for this payload (PNG is native; other formats "
-                "need PIL/soundfile, absent in this container); pass "
-                "allow_fake=True for the deterministic stub"
+                "no codec for this payload (PNG/JPEG/GIF/WAV are native; "
+                "other formats need PIL/soundfile, absent in this "
+                "container); pass allow_fake=True for the deterministic "
+                "stub"
             )
         return _fake_features(payload, dim)
 

@@ -245,3 +245,20 @@ def test_image_ahash_bands_and_pairs(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 6
     assert not any(4 in p for p in pairs)
+
+
+def test_extract_features_real_audio(spark):
+    from feast_hive_spark.functions import wav
+
+    s = np.array([[100, -200], [300, -400], [500, -600]], dtype=np.int64)
+    payload = wav.encode(s, sample_rate=22050, width=2)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [payload]})
+    )
+    feat = list(
+        M.extract_features(df, "payload", "media_id", dim=8)
+        .collect()[0]["feature"]
+    )
+    assert feat[:3] == [3.0, 2.0, 22050.0]
+    assert feat[3] == pytest.approx(np.abs(s).mean())
+    assert sum(feat[4:]) == pytest.approx(1.0)  # histogram fractions
