@@ -168,8 +168,10 @@ AUDITS = {
         ["HashAggregate", "TakeOrderedAndProject"],
         ["CartesianProduct"],
     ),
-    # novelty: slim (id, shingle-hash) shuffle + per-doc rollup
-    "shingle_novelty_scores": (["Window", "HashAggregate"], ["CartesianProduct", "SortMergeJoin"]),
+    # novelty: grouped-min owner table (partial agg collapses hot
+    # shingles map-side) joined back — never a shingle-keyed Window
+    # (unsplittable hot partition)
+    "shingle_novelty_scores": (["HashAggregate"], ["CartesianProduct", "Window"]),
     # token budget: range-partitioned prefix sum, no single-partition
     # global window (the Exchange must be rangepartitioning)
     "token_budget_selection": (["rangepartitioning", "Window"], ["SinglePartition"]),

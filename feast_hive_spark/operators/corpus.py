@@ -602,11 +602,17 @@ def shingle_novelty(
     corpus (high novelty = new content, near-zero = boilerplate).
 
     Plan shape: distinct shingles are hashed to 48-bit ints map-side
-    (the shuffle moves slim (id, hash) pairs, never shingle text), the
-    first-occurrence owner comes from ONE min-window keyed by shingle
-    hash, and the per-doc rollup is the only other shuffle. Documents
-    shorter than ``n`` tokens have no shingles and drop out (the twin
-    mirrors this via its inner unnest).
+    (the shuffle moves slim (id, hash) pairs, never shingle text); the
+    first-occurrence owner is a grouped MIN — partial aggregation
+    collapses a boilerplate shingle that appears in millions of docs
+    to one row per map partition BEFORE its exchange — joined back on
+    the shingle hash (AQE broadcasts the owner table while the
+    vocabulary fits, and its skew-join splitting handles a hot
+    shingle's fat probe partition beyond that; a min-WINDOW keyed by
+    shingle would instead pin every occurrence of a hot shingle into
+    one unsplittable partition). The per-doc rollup is the only other
+    shuffle. Documents shorter than ``n`` tokens have no shingles and
+    drop out (the twin mirrors this via its inner unnest).
 
     Output: ``(id, n_shingles, n_novel, novelty)`` with novelty
     rounded to 6 decimals.
@@ -618,10 +624,10 @@ def shingle_novelty(
         F.col(id_col),
         F.explode(X.shingle_hashes_from(F.col("__toks"), n)).alias("__sh"),
     )
-    w = Window.partitionBy("__sh")
-    flagged = pairs.select(
+    firsts = pairs.groupBy("__sh").agg(F.min(id_col).alias("__first"))
+    flagged = pairs.join(firsts, "__sh").select(
         F.col(id_col),
-        (F.col(id_col) == F.min(id_col).over(w)).cast("long").alias("__novel"),
+        (F.col(id_col) == F.col("__first")).cast("long").alias("__novel"),
     )
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
