@@ -184,7 +184,9 @@ AUDITS = {
     "multimodal_audio_stats": (["MapInPandas"], ["Exchange"]),
     "multimodal_gif_pixel_stats": (["MapInPandas"], ["Exchange"]),
     "multimodal_video_frame_stats": (["MapInPandas"], ["Exchange"]),
-    "near_dup_canonical_by_quality": (["Window"], ["CartesianProduct"]),
+    # canonical survivor: grouped argmax + join back, no cluster-
+    # keyed window (unsplittable on a giant near-dup cluster)
+    "near_dup_canonical_by_quality": (["HashAggregate"], ["CartesianProduct", "Window"]),
     # constraint suite: ONE scan-wide aggregate + a count-distinct;
     # rules never add scans or joins
     "data_quality_lineitem": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct", "Window"]),

@@ -1948,15 +1948,22 @@ def near_dup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame
         docs.select("doc_id", X.quality_score("text").alias("quality")),
         "doc_id",
     )
-    w = Window.partitionBy("component_id")
-    best = F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("__nid"))).over(w)
-    return scored.select(
+    # per-cluster argmax via grouped max (partial aggregation folds a
+    # giant boilerplate cluster map-side before the exchange) joined
+    # back — a component-keyed window would pin the whole cluster in
+    # one unsplittable partition (the novelty-operator lesson)
+    best = scored.groupBy("component_id").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("__nid"))
+        ).alias("__best")
+    )
+    return scored.join(best, "component_id").select(
         "doc_id",
         "component_id",
         "quality",
         (
-            (F.col("quality") == best["quality"])
-            & (F.col("doc_id") == -best["__nid"])
+            (F.col("quality") == F.col("__best.quality"))
+            & (F.col("doc_id") == -F.col("__best.__nid"))
         ).alias("keep"),
     )
 
