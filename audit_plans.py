@@ -186,7 +186,9 @@ AUDITS = {
     "multimodal_video_frame_stats": (["MapInPandas"], ["Exchange"]),
     # canonical survivor: grouped argmax + join back, no cluster-
     # keyed window (unsplittable on a giant near-dup cluster)
-    "near_dup_canonical_by_quality": (["HashAggregate"], ["CartesianProduct", "Window"]),
+    # (struct-keyed max lowers to a partial SortAggregate, so match
+    # the generic Aggregate token)
+    "near_dup_canonical_by_quality": (["Aggregate"], ["CartesianProduct", "Window"]),
     # constraint suite: ONE scan-wide aggregate + a count-distinct;
     # rules never add scans or joins
     "data_quality_lineitem": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct", "Window"]),
