@@ -1,0 +1,69 @@
+"""Plan-shape regression guards for the round-4 scale decisions.
+
+audit_plans.py checks these over the whole registry and writes
+PLANS.md; the handful here run in the normal pytest loop so a
+refactor that silently reintroduces a scale hazard (cluster-keyed
+windows, pre-aggregation joins, lambda-CSE traps that add exchanges)
+fails fast, not at the next manual audit."""
+
+import pytest
+
+from feast_hive_spark.registry import REGISTRY
+import feast_hive_spark.registry_analytics  # noqa: F401
+import feast_hive_spark.registry_corpus  # noqa: F401
+import feast_hive_spark.registry_ext  # noqa: F401
+import feast_hive_spark.registry_rel  # noqa: F401
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name][0](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name,must,must_not",
+    [
+        # q18 aggregates lineitem per orderkey BEFORE the orders join
+        # and takes top-20 without a global sort
+        ("q18_large_orders", ["TakeOrderedAndProject"], ["CartesianProduct"]),
+        # novelty: grouped-min owner table, never a shingle-keyed
+        # window (unsplittable on a boilerplate shingle)
+        ("shingle_novelty_scores", ["HashAggregate"], ["Window"]),
+        # canonical survivor: grouped argmax, never a cluster window
+        ("near_dup_canonical_by_quality", ["Aggregate"], ["Window"]),
+        # token budget: range-partitioned prefix sum, no global
+        # single-partition running window
+        ("token_budget_selection", ["rangepartitioning"], ["SinglePartition"]),
+        # chi2 marginals: whole-partition windows over the coalesced
+        # cell table — no per-marginal join branches
+        ("chi2_event_type_segment", ["Window"], ["SortMergeJoin"]),
+        # media decode queries are map-only: payloads never shuffle
+        ("multimodal_jpeg_pixel_stats", ["MapInPandas"], ["Exchange"]),
+        ("multimodal_audio_stats", ["MapInPandas"], ["Exchange"]),
+        ("multimodal_gif_pixel_stats", ["MapInPandas"], ["Exchange"]),
+        ("multimodal_video_frame_stats", ["MapInPandas"], ["Exchange"]),
+    ],
+)
+def test_plan_shape(spark, name, must, must_not):
+    plan = _plan(spark, name)
+    for token in must:
+        assert token in plan, f"{name}: expected {token}"
+    for token in must_not:
+        assert token not in plan, f"{name}: unexpected {token}"
+
+
+def test_tfidf_single_data_exchange(spark):
+    """The doc-keyed repartition must serve BOTH the tf aggregate and
+    the ranking window: exactly one hash exchange on the document id
+    in the whole plan (the vocabulary branch's tiny exchanges key on
+    the term)."""
+    plan = _plan(spark, "tfidf_top_terms")
+    doc_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "doc_id" in ln
+    ]
+    assert len(doc_exchanges) == 1, doc_exchanges
+    assert "WindowGroupLimit" in plan
