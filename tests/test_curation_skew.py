@@ -1,0 +1,103 @@
+"""Whale-key load tests for the novelty / canonical-survivor
+operators: a boilerplate shingle shared by EVERY document, and one
+near-dup cluster holding most of the corpus. Asserts both correctness
+on the hot key and the map-side collapse that makes the plans
+skew-immune (the grouped-min/argmax exchanges must move O(distinct
+keys x partitions) records, never one record per occurrence — the
+reason these operators are aggregates + joins, not keyed windows).
+
+Probe: conftest.shuffle_records, as in tests/test_pit_skew.py.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import shuffle_records
+from feast_hive_spark.operators import corpus as C
+
+N_DOCS = 20_000
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """Every doc shares the same leading 3-gram ('terms of service'
+    boilerplate) and carries one unique shingle."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(N_DOCS),
+            "text": [
+                f"terms of service apply here uniquely{i} token{i} end{i}"
+                for i in range(N_DOCS)
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(8).cache()
+
+
+def test_novelty_hot_shingle_collapses_map_side(spark, boilerplate_docs):
+    out = C.shingle_novelty(boilerplate_docs, "doc_id", "text", n=3)
+    out.write.format("noop").mode("overwrite").save()
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == N_DOCS
+    # doc 0 owns every shared shingle + its unique ones: fully novel
+    assert rows[0]["novelty"] == 1.0
+    # later docs own only their unique tail shingles, never the
+    # shared boilerplate prefix
+    assert rows[N_DOCS - 1]["n_novel"] < rows[N_DOCS - 1]["n_shingles"]
+    assert rows[N_DOCS - 1]["n_novel"] >= 1
+    # the grouped-min exchange must be bounded by
+    # distinct shingles x partitions, NOT by total occurrences:
+    # shared shingles occur N_DOCS times each but ship <= 8 partials
+    recs = shuffle_records(out)
+    total_pairs = N_DOCS * 6  # ~6 distinct shingles per doc
+    assert recs, "expected shuffle metrics"
+    # every occurrence of the 4 shared shingles would be ~80k extra
+    # records; the partial-agg exchange stays well under one record
+    # per (doc, shingle) occurrence
+    assert min(recs) < total_pairs * 0.9
+
+
+def test_canonical_survivor_giant_cluster(spark):
+    """One cluster holds 2k near-identical docs; the argmax exchange
+    must collapse map-side and the chosen survivor is the quality
+    argmax with the lowest-id tiebreak."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(2000),
+            # identical text -> jaccard 1.0 -> one cluster; equal
+            # quality everywhere so the tiebreak (lowest doc_id) wins
+            "text": [base for _ in range(2000)],
+        }
+    )
+    docs = spark.createDataFrame(pdf).repartition(8)
+    from feast_hive_spark.operators import dedup as D
+    from feast_hive_spark.functions import text as X
+
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = D.connected_components_star(pairs).select("doc_id", "component_id")
+    scored = comp.join(
+        docs.select("doc_id", X.quality_score("text").alias("quality")),
+        "doc_id",
+    )
+    best = scored.groupBy("component_id").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("__nid"))
+        ).alias("__best")
+    )
+    keep = scored.join(best, "component_id").select(
+        "doc_id",
+        (
+            (F.col("quality") == F.col("__best.quality"))
+            & (F.col("doc_id") == -F.col("__best.__nid"))
+        ).alias("keep"),
+    )
+    keep.write.format("noop").mode("overwrite").save()
+    kept = [r["doc_id"] for r in keep.filter("keep").collect()]
+    assert kept == [0]
+    assert keep.count() == 2000
+    # the argmax exchange carries <= partitions records for the one
+    # cluster, not one per member
+    recs = shuffle_records(best)
+    assert recs and min(recs) <= 8
