@@ -116,3 +116,33 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_facts")
         spark.sql("DROP TABLE IF EXISTS bk_dims")
+
+
+def test_compact_files_roundtrip_and_recovery(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "frag")
+    src = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    src.repartition(40).write.parquet(path)  # 40 tiny files
+    before = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+
+    stats = L.compact_files(spark, path, target_bytes=1 << 30)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 10_000
+    after = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+    # crash window: live dir gone, aside holds the data -> next call
+    # must restore it before compacting
+    os.rename(path, path + ".__compact_old")
+    stats2 = L.compact_files(spark, path, target_bytes=1 << 30)
+    assert stats2["rows"] == 10_000
+    assert {r["k"]: r["v"] for r in spark.read.parquet(path).collect()} == before
+
+    # sorted compaction tightens layout and preserves data
+    stats3 = L.compact_files(spark, path, target_bytes=1024, sort_cols=["k"])
+    assert stats3["files_after"] > 1
+    assert {r["k"]: r["v"] for r in spark.read.parquet(path).collect()} == before
