@@ -184,6 +184,8 @@ AUDITS = {
     "multimodal_audio_stats": (["MapInPandas"], ["Exchange"]),
     "multimodal_gif_pixel_stats": (["MapInPandas"], ["Exchange"]),
     "multimodal_video_frame_stats": (["MapInPandas"], ["Exchange"]),
+    # hard negatives: batched kernel + tiny merge window, no join
+    "hard_negative_pairs": (["MapInPandas", "WindowGroupLimit"], ["CartesianProduct", "SortMergeJoin"]),
     # canonical survivor: grouped argmax + join back, no cluster-
     # keyed window (unsplittable on a giant near-dup cluster)
     # (struct-keyed max lowers to a partial SortAggregate, so match

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_recall_report",
+    "hard_negative_pairs",
     "q7_nation_volume_shipping",
     "q9_product_type_profit",
     "q11_important_part_values",

@@ -457,3 +457,70 @@ def knn_label_accuracy(
             ).alias("n_correct"),
         )
     )
+
+
+def hard_negative_topk(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per vector, the
+    ``k`` most cosine-similar vectors carrying a DIFFERENT label —
+    the near-misses a retrieval/embedding model learns the most from.
+
+    Same kernel shape as :func:`brute_force_topk` (guarded broadcast
+    of the query matrix, per-Arrow-batch matmul + argpartition so
+    only k rows per query leave each batch) with the label mask
+    applied INSIDE the kernel — filtering after a plain top-k would
+    silently under-fill queries whose nearest neighbors share their
+    label. Output: (query_id, neighbor_id, cosine, rank).
+    """
+    spark = candidates.sparkSession
+    qpdf_ids, Qn = _query_matrix(candidates, id_col, vec_col)
+    lab_pdf = candidates.select(id_col, label_col).toPandas()
+    lab_by_id = dict(
+        zip(lab_pdf[id_col].to_numpy(), lab_pdf[label_col].to_numpy())
+    )
+    q_labels = np.array([lab_by_id[i] for i in qpdf_ids])
+    b_qids = spark.sparkContext.broadcast(qpdf_ids)
+    b_qm = spark.sparkContext.broadcast(Qn)
+    b_qlab = spark.sparkContext.broadcast(q_labels)
+
+    def mapper(batches):
+        qids, Q, qlab = b_qids.value, b_qm.value, b_qlab.value
+        for batch in batches:
+            ids = batch[id_col].to_numpy()
+            labs = batch[label_col].to_numpy()
+            if qids.size == 0 or ids.size == 0:
+                continue
+            Cn = V.np_normalize(V.np_matrix(batch[vec_col]))
+            S = np.round(Cn @ Q.T, 6)
+            out_q, out_n, out_c = [], [], []
+            for j, q in enumerate(qids):
+                mask = labs != qlab[j]
+                col = S[mask, j]
+                cand_ids = ids[mask]
+                if col.size == 0:
+                    continue
+                keep = min(k, len(col))
+                top = np.argpartition(-col, keep - 1)[:keep]
+                out_q.extend([q] * len(top))
+                out_n.extend(cand_ids[top])
+                out_c.extend(col[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    scored = candidates.select(id_col, vec_col, label_col).mapInPandas(
+        mapper, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -2154,3 +2154,34 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(mk, "doc_id long, payload binary")
     return M.sample_video_frames(media, "payload", "doc_id", every_n=2)
+
+
+@register(
+    "hard_negative_pairs",
+    f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({V.duck_cosine('c.embedding', 'q.embedding')}, 6) AS cosine
+  FROM e q JOIN e c ON c.label <> q.label
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training prep): per vector,
+    the 5 most cosine-similar vectors with a DIFFERENT label — the
+    near-miss negatives an embedding model learns the most from. The
+    label mask runs INSIDE the batched matmul kernel (filtering after
+    a plain top-k would under-fill queries whose neighbors share
+    their label); only k rows per (query, batch) reach the merge
+    window. The DuckDB twin ranks the exact all-pairs cosines, so a
+    hash match certifies kernel + mask + ranking."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.hard_negative_topk(emb, "vec_id", "embedding", "label", k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
