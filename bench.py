@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_recall_report",
     "hard_negative_pairs",
+    "lsh_dedup_quality_report",
     "q7_nation_volume_shipping",
     "q9_product_type_profit",
     "q11_important_part_values",

@@ -2185,3 +2185,84 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     out = S.hard_negative_topk(emb, "vec_id", "embedding", "label", k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "lsh_dedup_quality_report",
+    f"""
+WITH s1 AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), exact AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_DUCK_JACCARD} AS jaccard
+    FROM s1 a JOIN s1 b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), sig AS (
+  SELECT doc_id, sh, {X.duck_minhash_signature('sh')} AS sg FROM s1
+), banded AS (
+  {_duck_minhash_banded_sql()}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey
+  WHERE x.doc_id < y.doc_id
+), lsh AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b, {_DUCK_JACCARD} AS jaccard
+    FROM cand c JOIN s1 a ON a.doc_id = c.id_a JOIN s1 b ON b.doc_id = c.id_b
+  ) WHERE jaccard >= 0.5
+), u AS (
+  SELECT COALESCE(e.id_a, l.id_a) AS id_a,
+         (e.id_a IS NOT NULL)::INT AS in_exact,
+         (l.id_a IS NOT NULL)::INT AS in_lsh
+  FROM exact e FULL OUTER JOIN lsh l
+    ON e.id_a = l.id_a AND e.id_b = l.id_b
+)
+SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+       CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
+       CAST(SUM(in_exact * in_lsh) AS BIGINT) AS n_common,
+       ROUND(CASE WHEN SUM(in_exact) = 0 THEN 1.0
+             ELSE SUM(in_exact * in_lsh) * 1.0 / SUM(in_exact) END, 6)
+         AS recall,
+       ROUND(CASE WHEN SUM(in_lsh) = 0 THEN 1.0
+             ELSE SUM(in_exact * in_lsh) * 1.0 / SUM(in_lsh) END, 6)
+         AS precision
+FROM u
+""",
+)
+def lsh_dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measures the MinHash-LSH dedup approximation itself (the dedup
+    twin of ann_recall_report): exact 3-gram-Jaccard pairs >= 0.5 vs
+    the banded-LSH candidate pipeline's verified pairs, reporting
+    counts + recall/precision. Both engines compute BOTH pipelines,
+    so the hash gate certifies the measured recall number, not just
+    the pair lists. (Precision is 1.0 by construction — LSH
+    candidates are jaccard-verified — and the report proves it.)"""
+    docs = read_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    lsh = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, bands=4, threshold=0.5
+    )
+    e = exact.select("id_a", "id_b", F.lit(1).alias("in_exact"))
+    l_ = lsh.select("id_a", "id_b", F.lit(1).alias("in_lsh"))
+    u = e.join(l_, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_exact", F.lit(0)).alias("in_exact"),
+        F.coalesce("in_lsh", F.lit(0)).alias("in_lsh"),
+    )
+    common = F.sum(F.col("in_exact") * F.col("in_lsh"))
+    return u.agg(
+        F.sum("in_exact").cast("long").alias("n_exact"),
+        F.sum("in_lsh").cast("long").alias("n_lsh"),
+        common.cast("long").alias("n_common"),
+        F.round(
+            F.when(F.sum("in_exact") == 0, F.lit(1.0)).otherwise(
+                common / F.sum("in_exact")
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(F.sum("in_lsh") == 0, F.lit(1.0)).otherwise(
+                common / F.sum("in_lsh")
+            ),
+            6,
+        ).alias("precision"),
+    )
