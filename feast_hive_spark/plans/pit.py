@@ -277,6 +277,24 @@ def get_historical_features(
             do_broadcast = bool(broadcast_entities)
         result = ent
 
+        # A1 hoisted: build the deduped entity-key side ONCE per
+        # distinct join-key tuple. Catalyst's exchange reuse does not
+        # fire across the per-view branches (fresh expr IDs per
+        # resolve defeat the canonical match), so without this a
+        # multi-view retrieval re-runs the same dedup shuffle +
+        # broadcast build per view; a shared cached DataFrame makes
+        # the second and later views read the materialized keys.
+        tuples: dict[tuple, int] = {}
+        for fv in feature_views:
+            t = tuple(fv.key_map().values())
+            tuples[t] = tuples.get(t, 0) + 1
+        ekeys_by_tuple: dict[tuple, DataFrame] = {}
+        for t, uses in tuples.items():
+            ek = ent.select(*t, _ENTITY_TS).dropDuplicates()
+            if uses > 1:
+                ek = ek.cache()
+            ekeys_by_tuple[t] = ek
+
         for fv in feature_views:
             result = _join_feature_view(
                 result,
@@ -288,6 +306,7 @@ def get_historical_features(
                 do_broadcast,
                 tiebreak_columns,
                 use_max_by,
+                ekeys=ekeys_by_tuple[tuple(fv.key_map().values())],
             )
         # P4: drop internal columns (the reference's regex column
         # exclusion, hive.py:706) — everything else (incl. passthrough
@@ -307,6 +326,7 @@ def _join_feature_view(
     broadcast_entities: bool,
     tiebreak_columns: Sequence[str],
     use_max_by: bool = True,
+    ekeys: Optional[DataFrame] = None,
 ) -> DataFrame:
     key_map = fv.key_map()  # feature col -> entity col
     entity_cols = list(key_map.values())
@@ -339,8 +359,10 @@ def _join_feature_view(
             lower = bounds["mn"] - timedelta(seconds=fv.ttl_seconds)
             feat = feat.filter(F.col(_EVENT_TS) >= F.lit(lower))
 
-    # A1: dedup entity join side.
-    ekeys = ent.select(*entity_cols, _ENTITY_TS).dropDuplicates()
+    # A1: dedup entity join side (shared across views via the caller's
+    # per-key-tuple cache; rebuilt here only for direct callers).
+    if ekeys is None:
+        ekeys = ent.select(*entity_cols, _ENTITY_TS).dropDuplicates()
     if broadcast_entities:
         ekeys = F.broadcast(ekeys)
 
