@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "dedup_paragraph_chunks",
     "chunk_documents_overlap",
     "unigram_nll_scores",
+    "bigram_nll_scores",
     "shingle_novelty_scores",
     "token_budget_selection",
     "near_dup_canonical_by_quality",

@@ -773,3 +773,81 @@ def dsir_logweights(
             ).alias("avg_logratio"),
         )
     )
+
+
+def bigram_nll_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM scoring: per document, the average
+    negative log-likelihood of positions 2..n under
+    ``P(b|a) = lam * c(a,b)/c(a, *) + (1-lam) * c(b)/T`` — the
+    sharper sibling of :func:`unigram_nll_scores` (catches word-salad
+    text whose unigram profile looks normal but whose transitions are
+    improbable). Documents with fewer than two tokens have no scored
+    positions and drop out.
+
+    Scale shape: both models live on the BIGRAM VOCABULARY — one
+    grouped count over the bigram stream (partial agg collapses the
+    corpus map-side), unigram counts attached by the left-word join,
+    and a single scalar broadcast for T. Per-bigram NLL is fixed to
+    micro-nats vocab-side BEFORE the per-doc aggregate, so the sum is
+    exact under any row order and the DuckDB twin hash-matches.
+
+    Output: ``(id, n_scored, avg_nll)`` (nats, 4 dp)."""
+    w = df.select(F.col(id_col), X.words(text_col).alias("__w"))
+    bg_stream = w.select(
+        F.col(id_col), F.explode(X.bigrams_of(F.col("__w"))).alias("__bg")
+    )
+    bg_counts = bg_stream.groupBy("__bg").agg(
+        F.count(F.lit(1)).alias("__cab")
+    )
+    # left-word totals and unigram counts from the SAME bigram table:
+    # c(a, *) = sum of c(a,b) over b; c(b)/T from the unigram stream
+    left = bg_counts.groupBy(
+        F.split(F.col("__bg"), " ")[0].alias("__a")
+    ).agg(F.sum("__cab").alias("__ca"))
+    uni = (
+        w.select(F.explode("__w").alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    total = uni.agg(F.sum("__cb").alias("__T"))
+    scored_vocab = (
+        bg_counts.withColumn("__a", F.split(F.col("__bg"), " ")[0])
+        .withColumn("__b", F.split(F.col("__bg"), " ")[1])
+        .join(left, "__a")
+        .join(uni.withColumnRenamed("__tok", "__b"), "__b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__bg",
+            F.round(
+                -F.log(
+                    F.lit(lam)
+                    * (F.col("__cab").cast("double") / F.col("__ca"))
+                    + F.lit(1.0 - lam)
+                    * (F.col("__cb").cast("double") / F.col("__T"))
+                )
+                * _MICRO
+            )
+            .cast("long")
+            .alias("__nll_micro"),
+        )
+    )
+    return (
+        bg_stream.join(scored_vocab, "__bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("__nll_micro").alias("__sum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_scored"),
+            F.round(
+                F.col("__sum").cast("double") / F.col("n_scored") / _MICRO, 4
+            ).alias("avg_nll"),
+        )
+    )

@@ -636,3 +636,55 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.round(F.percent_rank().over(w), 6).alias("q_pct"),
     )
+
+
+_BGLM_LAM = 0.7
+# the interpolation complement as Python computes it (1.0 - 0.7 is
+# NOT the double nearest 0.3); the twin must parse the same bits
+_BGLM_LAM_C = repr(1.0 - _BGLM_LAM)
+
+
+@register(
+    "bigram_nll_scores",
+    f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tw FROM documents
+), bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(tw) >= 2 THEN
+    list_transform(range(1, len(tw)), i -> tw[i] || ' ' || tw[i+1])
+    ELSE [] END) AS bg
+  FROM w
+), bgc AS (
+  SELECT bg, COUNT(*) AS cab FROM bg GROUP BY bg
+), left_tot AS (
+  SELECT string_split(bg, ' ')[1] AS a, SUM(cab) AS ca
+  FROM bgc GROUP BY 1
+), uni AS (
+  SELECT tok, COUNT(*) AS cb
+  FROM (SELECT unnest(tw) AS tok FROM w) GROUP BY tok
+), tot AS (SELECT SUM(cb) AS T FROM uni),
+scored AS (
+  SELECT bgc.bg,
+         CAST(round(-ln({_BGLM_LAM} * (CAST(cab AS DOUBLE) / ca)
+                        + {_BGLM_LAM_C} * (CAST(cb AS DOUBLE) / T))
+                    * 1000000) AS BIGINT) AS nm
+  FROM bgc
+  JOIN left_tot ON string_split(bgc.bg, ' ')[1] = left_tot.a
+  JOIN uni ON string_split(bgc.bg, ' ')[2] = uni.tok
+  CROSS JOIN tot
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(CAST(SUM(nm) AS DOUBLE) / COUNT(*) / 1000000, 4) AS avg_nll
+FROM bg b JOIN scored s ON b.bg = s.bg
+GROUP BY b.doc_id
+""",
+)
+def bigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (lam=0.7 bigram, 0.3 unigram
+    backoff): the transition-aware quality signal that flags
+    word-salad text whose unigram profile looks normal. Both models
+    are vocabulary-sized aggregates; per-bigram NLL is fixed to
+    micro-nats vocab-side so the per-doc sums hash-match DuckDB."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.bigram_nll_scores(docs, "doc_id", "text", lam=_BGLM_LAM)
