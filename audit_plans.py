@@ -177,8 +177,10 @@ AUDITS = {
     "token_budget_selection": (["rangepartitioning", "Window"], ["SinglePartition"]),
     # DSIR: vocabulary-sized LM aggregates, token stream joins back
     "dsir_importance_weights": (["HashAggregate"], ["CartesianProduct"]),
-    # per-source calibration: ONE source-keyed window, no joins
-    "quality_percentile_by_source": (["Window"], ["Join", "CartesianProduct"]),
+    # per-source calibration: distributed two-phase percent_rank —
+    # range partitioning + broadcast offsets, never a source-keyed
+    # window sort (the (pid, group) window is partition-local)
+    "quality_percentile_by_source": (["rangepartitioning", "BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
     # JPEG decode rides Arrow-batched python map stages, nothing wide
     "multimodal_jpeg_pixel_stats": (["MapInPandas"], ["Exchange"]),
     "multimodal_audio_stats": (["MapInPandas"], ["Exchange"]),

@@ -851,3 +851,71 @@ def bigram_nll_scores(
             ).alias("avg_nll"),
         )
     )
+
+
+def grouped_percent_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "pct",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed percent_rank within groups over the (value, id)
+    total order — equal to ``percent_rank() OVER (PARTITION BY group
+    ORDER BY value, id)`` but WITHOUT a group-keyed window, so one
+    whale group (a domain owning most of the corpus) cannot pin its
+    whole membership into a single sort partition.
+
+    Two-phase: range-partition on (group, value, id) — the range
+    partitioner's sampling spreads a giant group across many
+    partitions — then per-(partition, group) counts (the only
+    collect, O(partitions x groups) rows) give both each partition's
+    group offset and the group totals; the global rank is the
+    partition-local row_number plus the broadcast offset. With the
+    id tiebreak the order is total, so percent_rank is exactly
+    ``(rank - 1) / (n_group - 1)`` (0 for singleton groups)."""
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ordered = (
+        df.repartitionByRange(
+            n_part, F.col(group_col), F.col(value_col), F.col(id_col)
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = (
+        ordered.groupBy("__pid", group_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    per_group: dict = {}
+    rows = []
+    for r in sorted(counts, key=lambda r: (str(r[group_col]), r["__pid"])):
+        g = r[group_col]
+        rows.append((r["__pid"], g, per_group.get(g, 0)))
+        per_group[g] = per_group.get(g, 0) + r["__c"]
+    offsets = spark.createDataFrame(
+        rows or [(0, None, 0)],
+        f"__pid int, {group_col} string, __off long",
+    )
+    totals = spark.createDataFrame(
+        [(g, n) for g, n in per_group.items()] or [(None, 0)],
+        f"{group_col} string, __ng long",
+    )
+    w = Window.partitionBy("__pid", group_col).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    ranked = (
+        ordered.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["__pid", group_col])
+        .join(F.broadcast(totals), group_col)
+    )
+    pct = F.when(F.col("__ng") > 1,
+                 (F.col("__rn") + F.col("__off") - 1)
+                 / (F.col("__ng") - 1)).otherwise(F.lit(0.0))
+    return ranked.select(
+        *df.columns, F.round(pct, 6).alias(out_col)
+    )

@@ -620,21 +620,16 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak): normalizes the quality signal WITHIN each domain so a
     global budget/threshold doesn't just drain the one domain with a
     generous scorer — the calibration step before cross-domain
-    selection. One source-keyed window; a whale domain is bounded by
-    the window sort (range-partition + rank merge if one domain
-    dominates the corpus)."""
+    selection. Distributed two-phase percent_rank (range partition +
+    broadcast offsets, operators/corpus.grouped_percent_rank) — no
+    source-keyed window, so a whale domain owning most of the corpus
+    spreads across partitions instead of pinning one sort."""
     docs = read_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
     q = docs.select(
         "doc_id", "source", X.quality_score("text").alias("quality")
     )
-    w = Window.partitionBy("source").orderBy(F.col("quality"), F.col("doc_id"))
-    return q.select(
-        "doc_id",
-        "source",
-        "quality",
-        F.round(F.percent_rank().over(w), 6).alias("q_pct"),
+    return C.grouped_percent_rank(
+        q, "source", "quality", "doc_id", out_col="q_pct"
     )
 
 

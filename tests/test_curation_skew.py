@@ -101,3 +101,39 @@ def test_canonical_survivor_giant_cluster(spark):
     # cluster, not one per member
     recs = shuffle_records(best)
     assert recs and min(recs) <= 8
+
+
+def test_grouped_percent_rank_whale_domain(spark):
+    """percent_rank without a group-keyed window: one domain owns 90%
+    of rows; results must equal the window formulation exactly and
+    the plan must range-partition (no single hot sort partition)."""
+    from pyspark.sql import Window
+
+    n = 30_000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "source": ["whale" if i % 10 else f"s{i % 7}" for i in range(n)],
+            "quality": [(i * 37 % 1000) / 1000.0 for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    got = C.grouped_percent_rank(
+        df, "source", "quality", "doc_id", out_col="pct"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    exp_w = Window.partitionBy("source").orderBy(
+        F.col("quality"), F.col("doc_id")
+    )
+    exp = df.select(
+        "doc_id", F.round(F.percent_rank().over(exp_w), 6).alias("pct")
+    )
+    diff = (
+        got.select("doc_id", "pct")
+        .join(exp.withColumnRenamed("pct", "pct2"), "doc_id")
+        .filter(F.abs(F.col("pct") - F.col("pct2")) > 1e-9)
+        .count()
+    )
+    assert diff == 0
+    assert got.count() == n
