@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "events_rolling_7d",
     "rolling_zscore_flags",
     "daily_value_autocorrelation",
+    "seasonal_daily_decomposition",
     "asof_forward_daily",
     "asof_nearest_daily",
     "scd2_user_event_history",

@@ -1522,3 +1522,84 @@ def approx_percentile_rank_bounded(
         rank_ok("__rk50", 0.5).alias("p50_rank_ok"),
         rank_ok("__rk90", 0.9).alias("p90_rank_ok"),
     )
+
+
+@register(
+    "seasonal_daily_decomposition",
+    """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), dow AS (
+  SELECT dayofweek(day) AS dw,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM d GROUP BY 1
+), r AS (
+  SELECT d.day, d.x, dow.dw,
+         CAST(round(d.x - CAST(dow.sx AS DOUBLE) / dow.n) AS BIGINT)
+           AS resid_milli
+  FROM d JOIN dow ON dayofweek(d.day) = dow.dw
+), st AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(resid_milli) AS HUGEINT) AS s,
+         CAST(SUM(resid_milli * resid_milli) AS HUGEINT) AS ss
+  FROM r
+)
+SELECT CAST(r.day AS TIMESTAMP) AS day,
+       CAST(r.dw AS BIGINT) AS day_of_week,
+       ROUND(r.x / 1000.0, 3) AS daily_value,
+       ROUND(r.resid_milli / 1000.0, 3) AS residual,
+       CAST(st.n * r.resid_milli - st.s AS DOUBLE)
+         * (st.n * r.resid_milli - st.s)
+         > 4.0 * (st.n * st.ss - st.s * st.s) AS is_anomaly
+FROM r, st
+""",
+)
+def seasonal_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonal decomposition of the daily value series:
+    day-of-week profile means removed, residuals flagged at 2 sigma —
+    the STL-lite anomaly screen a metrics pipeline runs before
+    alerting. All comparisons run in exact integer arithmetic: milli
+    units for the series, and the 2-sigma test is cross-multiplied to
+    ``(n*r - s)^2 > 4 (n*ss - s^2)`` so no engine ever divides (the
+    same trick as the rolling z-score flags). The day-of-week profile
+    is a 7-row broadcast; the residual scan is one pass."""
+    ev = read_table(spark, sf_dir, "events")
+    milli = round_nonneg_long(F.col("value") * 1000)
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(milli).alias("x")
+    )
+    dw = F.dayofweek("day")
+    dow = d.groupBy(dw.alias("dw")).agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    r = d.join(F.broadcast(dow), dw == F.col("dw")).select(
+        "day",
+        F.col("dw"),
+        "x",
+        F.round(F.col("x") - F.col("sx").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("resid_milli"),
+    )
+    st = r.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("resid_milli").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("resid_milli") * F.col("resid_milli"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    num = (F.col("n") * F.col("resid_milli") - F.col("s")).cast("double")
+    return r.crossJoin(F.broadcast(st)).select(
+        F.col("day"),
+        # DuckDB dayofweek is 0=Sunday..6, Spark is 1=Sunday..7
+        (F.col("dw") - 1).cast("long").alias("day_of_week"),
+        F.round(F.col("x") / 1000.0, 3).alias("daily_value"),
+        F.round(F.col("resid_milli") / 1000.0, 3).alias("residual"),
+        (
+            num * num
+            > F.lit(4.0)
+            * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        ).alias("is_anomaly"),
+    )
