@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "rolling_zscore_flags",
     "daily_value_autocorrelation",
     "seasonal_daily_decomposition",
+    "daily_user_spine_fill",
     "asof_forward_daily",
     "asof_nearest_daily",
     "scd2_user_event_history",

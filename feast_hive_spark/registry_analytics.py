@@ -1603,3 +1603,55 @@ def seasonal_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "daily_user_spine_fill",
+    """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+), keys AS (SELECT DISTINCT user_id FROM d)
+SELECT k.user_id, CAST(s.day AS TIMESTAMP) AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       (d.user_id IS NULL) AS is_gap
+FROM keys k CROSS JOIN spine s
+LEFT JOIN d ON d.user_id = k.user_id AND d.day = s.day
+""",
+)
+def daily_user_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill (the time-spine scaffold join): every (user,
+    day) cell over the observed date range, zero-filled where the
+    user had no events — the densification step sequence models and
+    dashboards need before windowing. The spine is generated from a
+    1-row bounds broadcast (sequence + explode, no driver work); the
+    scaffold crossJoin's size IS the output size (keys x days), and
+    the actuals attach by a left join AQE can broadcast (the daily
+    aggregate is far smaller than the scaffold). Restricted to 50
+    users here to keep the oracle-scale output bounded."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    d = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    keys = d.select("user_id").distinct()
+    scaffold = keys.crossJoin(spine)
+    return scaffold.join(
+        d.withColumnRenamed("n_events", "__n"), ["user_id", "day"], "left"
+    ).select(
+        "user_id",
+        "day",
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
+        F.col("__n").isNull().alias("is_gap"),
+    )
