@@ -186,6 +186,14 @@ AUDITS = {
     "multimodal_audio_stats": (["MapInPandas"], ["Exchange"]),
     "multimodal_gif_pixel_stats": (["MapInPandas"], ["Exchange"]),
     "multimodal_video_frame_stats": (["MapInPandas"], ["Exchange"]),
+    # entity resolution: grouped-argmax canonical pick, no cluster
+    # window; the blocked join must stay an equi join
+    "entity_resolution_parts": (["Aggregate"], ["CartesianProduct", "Window"]),
+    # seasonal: 7-row dow broadcast + 1-row stats broadcast, one scan
+    "seasonal_daily_decomposition": (["HashAggregate"], ["SortMergeJoin", "Window"]),
+    # spine fill: scaffold cross join is intended (output-sized), the
+    # actuals attach via broadcast hash join, never SMJ
+    "daily_user_spine_fill": (["BroadcastHashJoin"], ["SortMergeJoin"]),
     # hard negatives: batched kernel + tiny merge window, no join
     "hard_negative_pairs": (["MapInPandas", "WindowGroupLimit"], ["CartesianProduct", "SortMergeJoin"]),
     # canonical survivor: grouped argmax + join back, no cluster-

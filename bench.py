@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "percentile_order_value",
     "quantile_bins_order_value",
     "fuzzy_part_name_pairs",
+    "entity_resolution_parts",
     "events_sliding_rollup",
     "sliding_distinct_users",
     "heavy_hitter_users",

@@ -1655,3 +1655,90 @@ def daily_user_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
         F.col("__n").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "entity_resolution_parts",
+    f"""
+WITH pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+   AND a.p_partkey < b.p_partkey
+  WHERE a.p_name <> b.p_name
+    AND levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.src, e.dst FROM r JOIN sym e ON r.dst = e.src
+  ) SELECT * FROM r
+), comp AS (
+  SELECT src AS p_partkey, LEAST(src, MIN(dst)) AS entity_id
+  FROM reach GROUP BY src
+), named AS (
+  SELECT c.p_partkey, c.entity_id, p.p_name
+  FROM comp c JOIN part p ON c.p_partkey = p.p_partkey
+)
+SELECT p_partkey, entity_id, p_name,
+       (p_name, -p_partkey) = MAX((p_name, -p_partkey))
+         OVER (PARTITION BY entity_id) AS canonical
+FROM named
+""",
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end record linkage: blocked fuzzy match pairs
+    (fuzzy_part_name_pairs' blocking + bounded levenshtein) ->
+    connected components (large-star/small-star) -> one canonical
+    record per entity cluster (max name, lowest-key tiebreak — a
+    deterministic stand-in for 'most complete record'). The classic
+    dedupe-the-catalog pipeline; each stage reuses the audited
+    distributed kernels, and the grouped-argmax canonical pick is the
+    skew-immune form (no cluster-keyed window). The twin recomputes
+    the fixpoint via recursive CTE."""
+    from feast_hive_spark.operators.dedup import connected_components_star
+
+    part = read_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+        "p_brand", "p_type",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+        "p_brand", "p_type",
+    )
+    pairs = (
+        a.join(b, ["p_brand", "p_type"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .withColumn(
+            "dist",
+            F.levenshtein("name_a", "name_b", _FUZZY_MAX_DIST).cast("long"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _FUZZY_MAX_DIST))
+        .select(F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b"))
+    )
+    comp = connected_components_star(pairs).select(
+        F.col("doc_id").alias("p_partkey"),
+        F.col("component_id").alias("entity_id"),
+    )
+    named = comp.join(part.select("p_partkey", "p_name"), "p_partkey")
+    best = named.groupBy("entity_id").agg(
+        F.max(
+            F.struct(F.col("p_name"), (-F.col("p_partkey")).alias("__nk"))
+        ).alias("__best")
+    )
+    return named.join(best, "entity_id").select(
+        "p_partkey",
+        "entity_id",
+        "p_name",
+        (
+            (F.col("p_name") == F.col("__best.p_name"))
+            & (F.col("p_partkey") == -F.col("__best.__nk"))
+        ).alias("canonical"),
+    )
