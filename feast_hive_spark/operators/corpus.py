@@ -897,13 +897,16 @@ def grouped_percent_rank(
         g = r[group_col]
         rows.append((r["__pid"], g, per_group.get(g, 0)))
         per_group[g] = per_group.get(g, 0) + r["__c"]
+    # the broadcast side must carry the caller's actual group dtype
+    # (a hard-coded string would silently break integer group keys)
+    gtype = dict(df.dtypes)[group_col]
     offsets = spark.createDataFrame(
         rows or [(0, None, 0)],
-        f"__pid int, {group_col} string, __off long",
+        f"__pid int, {group_col} {gtype}, __off long",
     )
     totals = spark.createDataFrame(
         [(g, n) for g, n in per_group.items()] or [(None, 0)],
-        f"{group_col} string, __ng long",
+        f"{group_col} {gtype}, __ng long",
     )
     w = Window.partitionBy("__pid", group_col).orderBy(
         F.col(value_col), F.col(id_col)
