@@ -127,10 +127,12 @@ BENCH_QUERIES = [
     "group_split_no_leakage",
     "epoch_shuffle_head",
     "pack_sequences_by_lang",
+    "padding_efficiency_report",
     "outlier_zscore_counts",
     "stratified_sample_by_lang",
     "scrub_forbidden_terms",
     "quality_weighted_sample",
+    "balanced_label_sample",
     "negative_samples_users",
     "text_normalize_fp",
     "pii_scrub_stats",

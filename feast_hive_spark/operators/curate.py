@@ -220,3 +220,49 @@ def negative_samples(
         F.col("__rk").cast("long").alias("neg_rank"),
         F.col("__item").cast("long").alias("item"),
     )
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    salt: str = "bal",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Deterministic class balancing: downsample every label to
+    (approximately) the size of the SMALLEST label — the standard
+    rebalancing step before training on skewed labels.
+
+    Same machinery as stratified/temperature sampling: per-label keep
+    probability ``min_count / n_label`` rounded to basis points, a
+    #labels-row broadcast, and acceptance by the stateless md5 ``H48``
+    threshold — deterministic per id (stable across reruns and corpus
+    growth of OTHER labels), zero data shuffles beyond the tiny stats
+    aggregate. The minority label keeps probability 1.
+
+    Returns surviving rows with their original schema (plus the
+    basis-point threshold under ``keep_col`` if requested).
+    """
+    from feast_hive_spark.functions.text import h48
+
+    stats = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__bc_n"))
+    mn = stats.agg(F.min("__bc_n").alias("__bc_min"))
+    probs = stats.crossJoin(F.broadcast(mn)).select(
+        F.col(label_col),
+        F.least(
+            F.lit(10000),
+            F.round(
+                F.col("__bc_min").cast("double") / F.col("__bc_n") * 10000
+            ).cast("long"),
+        ).alias("__bc_keep_bp"),
+    )
+    bucket = F.pmod(
+        h48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(10000),
+    )
+    kept = df.join(F.broadcast(probs), label_col).filter(
+        bucket < F.col("__bc_keep_bp")
+    )
+    if keep_col is not None:
+        return kept.withColumnRenamed("__bc_keep_bp", keep_col)
+    return kept.drop("__bc_keep_bp")

@@ -104,3 +104,92 @@ def pack_sequences_grouped(
     return base.withColumn(
         "bin_id", F.floor((cum - F.col("__len")) / F.lit(capacity)).cast("long")
     ).drop("__len")
+
+
+def padding_efficiency_report(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    batch_size: int = 32,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Quantifies what length-sorted batching saves: pack rows into
+    consecutive ``batch_size`` groups twice — in id (arrival) order
+    and in (length, id) order — and compare padded token counts
+    (each batch pads to its own max length). The one-row report is
+    the evidence for inserting a sort/bucketing step before a
+    trainer; typical corpora save 30-60%.
+
+    The sorted ranking is the distributed prefix pattern (range
+    partition on the sort key + partition-local row_number +
+    broadcast offsets from an O(partitions) collect) — no global
+    single-partition window. Arrival batches derive from the id rank
+    the same way, so neither path assumes dense ids.
+
+    Output: (n_rows, real_tokens, padded_arrival, padded_sorted,
+    saving_pct)."""
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(len_col).cast("long").alias("__len")
+    )
+
+    def _ranked(src: DataFrame, order_cols) -> DataFrame:
+        ordered = (
+            src.repartitionByRange(n_part, *order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+            .cache()
+        )
+        counts = (
+            ordered.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).collect()
+        )
+        off = 0
+        offsets = {}
+        for r in sorted(counts, key=lambda r: r["__pid"]):
+            offsets[r["__pid"]] = off
+            off += r["__c"]
+        if offsets:
+            off_expr = F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            )[F.col("__pid")]
+        else:
+            off_expr = F.lit(0)
+        w = Window.partitionBy("__pid").orderBy(*order_cols)
+        return ordered.withColumn(
+            "__rank", F.row_number().over(w) + F.coalesce(off_expr, F.lit(0))
+        )
+
+    def _padded(ranked: DataFrame) -> DataFrame:
+        return (
+            ranked.withColumn(
+                "__batch", ((F.col("__rank") - 1) / batch_size).cast("long")
+            )
+            .groupBy("__batch")
+            .agg(
+                (F.max("__len") * F.count(F.lit(1))).alias("__padded")
+            )
+            .agg(F.sum("__padded").alias("padded"))
+        )
+    arrival = _padded(_ranked(base, [F.col("__id")]))
+    by_len = _padded(_ranked(base, [F.col("__len"), F.col("__id")]))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__len").alias("real_tokens"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(arrival.withColumnRenamed("padded", "padded_arrival")))
+        .crossJoin(F.broadcast(by_len.withColumnRenamed("padded", "padded_sorted")))
+        .select(
+            "n_rows",
+            "real_tokens",
+            "padded_arrival",
+            "padded_sorted",
+            F.round(
+                (F.col("padded_arrival") - F.col("padded_sorted"))
+                / F.col("padded_arrival"),
+                6,
+            ).alias("saving_pct"),
+        )
+    )

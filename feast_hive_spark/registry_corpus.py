@@ -683,3 +683,49 @@ def bigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-nats vocab-side so the per-doc sums hash-match DuckDB."""
     docs = read_table(spark, sf_dir, "documents")
     return C.bigram_nll_scores(docs, "doc_id", "text", lam=_BGLM_LAM)
+
+
+_PAD_BATCH = 32
+
+
+@register(
+    "padding_efficiency_report",
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST({X.duck_token_count_ws('text')} AS BIGINT) AS n_tok
+  FROM documents
+), a AS (
+  SELECT n_tok,
+         (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {_PAD_BATCH} AS b
+  FROM t
+), s AS (
+  SELECT n_tok,
+         (ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1) // {_PAD_BATCH} AS b
+  FROM t
+), pa AS (
+  SELECT SUM(mx * c) AS padded FROM (
+    SELECT MAX(n_tok) AS mx, COUNT(*) AS c FROM a GROUP BY b)
+), ps AS (
+  SELECT SUM(mx * c) AS padded FROM (
+    SELECT MAX(n_tok) AS mx, COUNT(*) AS c FROM s GROUP BY b)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+       CAST(pa.padded AS BIGINT) AS padded_arrival,
+       CAST(ps.padded AS BIGINT) AS padded_sorted,
+       ROUND((pa.padded - ps.padded) * 1.0 / pa.padded, 6) AS saving_pct
+FROM t, pa, ps
+GROUP BY pa.padded, ps.padded
+""",
+)
+def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What length-sorted batching saves vs arrival order (batch=32,
+    each batch padded to its own max token count) — the one-row
+    evidence for a pre-trainer sort/bucketing step. Both rankings use
+    the distributed range-partition + broadcast-offset prefix
+    pattern, never a global single-partition window."""
+    from feast_hive_spark.operators.pack import padding_efficiency_report as P
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", X.token_count_ws("text").alias("n_tok"))
+    return P(t, "doc_id", "n_tok", batch_size=_PAD_BATCH)

@@ -2266,3 +2266,40 @@ def lsh_dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("precision"),
     )
+
+
+@register(
+    "balanced_label_sample",
+    """
+WITH s AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+m AS (SELECT MIN(n) AS mn FROM s),
+p AS (
+  SELECT label,
+         LEAST(10000, CAST(ROUND(CAST(mn AS DOUBLE) / n * 10000) AS BIGINT))
+           AS keep_bp
+  FROM s, m
+)
+SELECT CAST(e.label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(p.keep_bp) AS keep_bp
+FROM embeddings e JOIN p ON e.label = p.label
+WHERE CAST(('0x' || substr(md5('bal:' || CAST(vec_id AS VARCHAR)), 1, 12))
+           AS BIGINT) % 10000 < p.keep_bp
+GROUP BY 1
+""",
+)
+def balanced_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class balancing (downsample every label toward
+    the minority count): per-label keep probability min/n in basis
+    points, md5-threshold acceptance — stable per id, zero data
+    shuffles beyond the #labels stats aggregate. Reported as
+    per-label kept counts + thresholds so the hash gate certifies
+    both the probabilities and the acceptance set."""
+    from feast_hive_spark.operators.curate import balance_classes
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    kept = balance_classes(emb, "label", "vec_id", keep_col="keep_bp")
+    return kept.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("keep_bp").alias("keep_bp"),
+    )
