@@ -169,3 +169,69 @@ def test_negative_samples_properties(spark):
     assert sorted(map(tuple, out.values.tolist())) == sorted(
         map(tuple, again.values.tolist())
     )
+
+
+def test_balance_classes_deterministic_and_bounded(spark):
+    import pandas as pd
+
+    from feast_hive_spark.operators.curate import balance_classes
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(3000),
+            # label 0: 2400 rows, label 1: 500, label 2: 100 (minority)
+            "label": [0] * 2400 + [1] * 500 + [2] * 100,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kept = balance_classes(df, "label", "id", keep_col="bp")
+    got = kept.groupBy("label").count().collect()
+    by_label = {r["label"]: r["count"] for r in got}
+    # minority label keeps everything (threshold 10000)
+    assert by_label[2] == 100
+    # majors land near the minority count (hash acceptance is
+    # binomial around n * bp/10000)
+    assert 60 <= by_label[0] <= 140
+    assert 60 <= by_label[1] <= 140
+    # deterministic: same input -> identical kept id set
+    a = {r["id"] for r in kept.select("id").collect()}
+    b = {
+        r["id"]
+        for r in balance_classes(df, "label", "id").select("id").collect()
+    }
+    assert a == b
+    # stability: growing an UNRELATED label never flips kept ids of
+    # label 1 out (its threshold depends only on min count and its n)
+    pdf2 = pd.concat(
+        [pdf, pd.DataFrame({"id": range(9000, 9600), "label": [0] * 600})]
+    )
+    kept2 = balance_classes(spark.createDataFrame(pdf2), "label", "id")
+    ones = {r["id"] for r in kept.filter("label = 1").select("id").collect()}
+    ones2 = {r["id"] for r in kept2.filter("label = 1").select("id").collect()}
+    assert ones == ones2
+
+
+def test_padding_efficiency_matches_bruteforce(spark):
+    import pandas as pd
+
+    from feast_hive_spark.operators.pack import padding_efficiency_report
+
+    lens = [((i * 37) % 50) + 1 for i in range(500)]
+    pdf = pd.DataFrame({"doc_id": range(500), "n_tok": lens})
+    got = padding_efficiency_report(
+        spark.createDataFrame(pdf).repartition(7), "doc_id", "n_tok",
+        batch_size=16,
+    ).collect()[0]
+
+    def brute(order):
+        tot = 0
+        for i in range(0, len(order), 16):
+            chunk = order[i : i + 16]
+            tot += max(chunk) * len(chunk)
+        return tot
+
+    assert got["n_rows"] == 500
+    assert got["real_tokens"] == sum(lens)
+    assert got["padded_arrival"] == brute(lens)
+    assert got["padded_sorted"] == brute(sorted(lens))
+    assert got["padded_sorted"] <= got["padded_arrival"]
