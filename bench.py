@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "shingle_novelty_scores",
     "token_budget_selection",
     "near_dup_canonical_by_quality",
+    "near_dup_cluster_histogram",
     "dsir_importance_weights",
     "quality_percentile_by_source",
     "span_dedup_stats",

@@ -2303,3 +2303,64 @@ def balanced_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.min("keep_bp").alias("keep_bp"),
     )
+
+
+@register(
+    "near_dup_cluster_histogram",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_DUCK_JACCARD} AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.src, e.dst FROM r JOIN sym e ON r.dst = e.src
+  ) SELECT * FROM r
+), comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+  FROM reach GROUP BY src
+), sizes AS (
+  SELECT component_id, COUNT(*) AS sz FROM comp GROUP BY 1
+), tot AS (SELECT SUM(sz) AS t FROM sizes)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       ROUND(sz * COUNT(*) * 1.0 / tot.t, 6) AS share_of_nodes
+FROM sizes, tot
+GROUP BY sz, tot.t
+""",
+)
+def near_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph — the
+    dedup-health report (a fat head of giant boilerplate clusters
+    means aggressive canonicalization will shrink the corpus; a long
+    tail of pairs means light trimming). Components via the
+    distributed star contraction; the histogram is two tiny
+    aggregates over cluster-sized rows. The twin recomputes the
+    fixpoint via recursive CTE."""
+    from feast_hive_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = D.connected_components_star(pairs).select("doc_id", "component_id")
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("sz"))
+    tot = sizes.agg(F.sum("sz").alias("t"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long"),
+            F.round(
+                F.col("sz") * F.col("n_clusters") / F.col("t"), 6
+            ).alias("share_of_nodes"),
+        )
+    )
