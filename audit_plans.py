@@ -194,6 +194,12 @@ AUDITS = {
     # spine fill: scaffold cross join is intended (output-sized), the
     # actuals attach via broadcast hash join, never SMJ
     "daily_user_spine_fill": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # class balance: stateless hash filter + #labels broadcast
+    "balanced_label_sample": (["BroadcastHashJoin"], ["SortMergeJoin", "Window"]),
+    # padding report: BOTH rankings range-partitioned, windows are
+    # partition-local; no global single-partition sort
+    "padding_efficiency_report": (["rangepartitioning"], ["SortMergeJoin"]),
+    "near_dup_cluster_histogram": (["HashAggregate"], ["CartesianProduct"]),
     # hard negatives: batched kernel + tiny merge window, no join
     "hard_negative_pairs": (["MapInPandas", "WindowGroupLimit"], ["CartesianProduct", "SortMergeJoin"]),
     # canonical survivor: grouped argmax + join back, no cluster-
