@@ -167,6 +167,11 @@ def compact_files(
     All filesystem operations go through the Hadoop FileSystem API,
     so the same code runs on HDFS/S3A/local. Returns
     ``{files_before, files_after, bytes, rows}``.
+
+    Scope: the path is treated as ONE flat table. For a
+    hive-partitioned directory, compact each leaf partition
+    directory individually — compacting the root would rewrite the
+    partition columns into the data files and flatten the layout.
     """
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(
@@ -218,3 +223,24 @@ def compact_files(
         "bytes": int(total),
         "rows": int(rows),
     }
+
+
+def table_file_report(spark, path: str) -> DataFrame:
+    """Per-file observability for a parquet directory: rows and a
+    fragmentation summary straight from the data plane
+    (``input_file_name`` grouping — no driver-side listing, so the
+    report scales with the cluster, not the namenode). The natural
+    companion to :func:`compact_files`: run the report, decide, then
+    compact. Output: one row per file ``(file, n_rows)`` with the
+    basename only (stable across fs schemes/prefixes).
+
+    tests/test_layout.py pins the counts against DuckDB's
+    ``parquet_file_metadata`` on the same directory — an independent
+    reader of the parquet footers."""
+    df = spark.read.parquet(path)
+    return (
+        df.groupBy(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -146,3 +146,27 @@ def test_compact_files_roundtrip_and_recovery(spark, tmp_path):
     stats3 = L.compact_files(spark, path, target_bytes=1024, sort_cols=["k"])
     assert stats3["files_after"] > 1
     assert {r["k"]: r["v"] for r in spark.read.parquet(path).collect()} == before
+
+
+def test_table_file_report_matches_parquet_footers(spark, tmp_path):
+    import duckdb
+
+    path = str(tmp_path / "filerep")
+    spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 13).alias("v")
+    ).repartition(6).write.parquet(path)
+    got = {
+        r["file"]: r["n_rows"]
+        for r in L.table_file_report(spark, path).collect()
+    }
+    exp = {
+        f.rsplit("/", 1)[-1]: n
+        for f, n in duckdb.connect()
+        .execute(
+            f"SELECT file_name, num_rows FROM parquet_file_metadata('{path}/*.parquet')"
+        )
+        .fetchall()
+    }
+    assert got == exp
+    assert sum(got.values()) == 5000
+    assert len(got) == 6
