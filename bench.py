@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "unigram_nll_scores",
     "bigram_nll_scores",
     "shingle_novelty_scores",
+    "boilerplate_shingles",
+    "oov_rate_scores",
     "token_budget_selection",
     "near_dup_canonical_by_quality",
     "near_dup_cluster_histogram",

@@ -729,3 +729,112 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", X.token_count_ws("text").alias("n_tok"))
     return P(t, "doc_id", "n_tok", batch_size=_PAD_BATCH)
+
+
+_BOILER_TOP = 25
+
+
+@register(
+    "boilerplate_shingles",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest({X.duck_shingles('text', 3)}) AS s FROM documents
+), df AS (
+  SELECT s, COUNT(*) AS doc_freq FROM sh GROUP BY s
+), tot AS (SELECT COUNT(*) AS n FROM documents)
+SELECT s AS shingle, CAST(doc_freq AS BIGINT) AS doc_freq,
+       ROUND(doc_freq * 1.0 / tot.n, 6) AS df_ratio
+FROM df, tot
+ORDER BY doc_freq DESC, s
+LIMIT {_BOILER_TOP}
+""",
+)
+def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the {top} highest-document-frequency 3-gram
+    shingles with their df ratio — the stop-phrase list that feeds
+    ngram_jaccard_pairs' max_doc_freq cap and explains what chunk
+    dedup will strip. Distinct shingles per doc explode map-side;
+    partial agg collapses hot shingles before the vocabulary-sized
+    exchange; top-N is a TakeOrdered."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    )
+    sh = toks.select(
+        "doc_id", F.explode(X.shingles_from(F.col("__toks"), 3)).alias("s")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("shingle"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.round(F.col("doc_freq") / F.col("n"), 6).alias("df_ratio"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("shingle"))
+        .limit(_BOILER_TOP)
+    )
+
+
+_OOV_VOCAB_TOP = 20
+
+
+@register(
+    "oov_rate_scores",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS r
+    FROM toks GROUP BY tok
+  ) WHERE r <= {_OOV_VOCAB_TOP}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+""",
+)
+def oov_rate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-{k} vocabulary — the cheap tokenizer-fit / gibberish signal
+    (high OOV = content a fixed vocabulary spends many tokens on).
+    The vocabulary is a TakeOrdered over the token counts (broadcast
+    back); the doc stream left-joins it and re-aggregates — one
+    vocabulary-sized exchange plus the per-doc rollup."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.words("text")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(_OOV_VOCAB_TOP)
+        .select("tok", F.lit(1).alias("__in"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("__in").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tok"), 6).alias("oov_rate"),
+        )
+    )
