@@ -615,3 +615,83 @@ def run_to_memory(result: DataFrame, name: str, output_mode: str = "append") -> 
     )
     q.processAllAvailable()
     q.stop()
+
+
+def stream_heavy_hitters(
+    events: DataFrame,
+    item_col: str = "event_type",
+    capacity: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Streaming heavy hitters via the space-saving sketch — the
+    continuous top-k the batch two-pass recount (operators/skew.py)
+    cannot give a live stream.
+
+    Items hash into ``n_buckets`` state groups; each group keeps a
+    space-saving summary of at most ``capacity`` counters (the
+    classic Metwally et al. bound: any item with true frequency
+    > N_bucket/capacity is guaranteed present, and every estimate
+    overshoots by at most its recorded ``err``). Per micro-batch the
+    operator pre-aggregates the Arrow batches (so state transitions
+    are per distinct item, not per event) and emits the bucket's
+    current counters with their error bounds; a downstream batch
+    query unions buckets and takes the global top-k — bucket counts
+    are disjoint (an item belongs to exactly one bucket), so no
+    cross-bucket merge math is needed.
+
+    State is O(n_buckets x capacity) TOTAL regardless of stream
+    length or item cardinality — the whole point of the sketch.
+    Output per bucket per batch: (bucket, item, est_count, err).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            items, counts, errs = state.get
+            summary = {
+                it: [c, e] for it, c, e in zip(items, counts, errs)
+            }
+        else:
+            summary = {}
+        for pdf in pdfs:
+            for it, inc in pdf["__item"].value_counts().items():
+                inc = int(inc)
+                if it in summary:
+                    summary[it][0] += inc
+                elif len(summary) < capacity:
+                    summary[it] = [inc, 0]
+                else:  # evict the minimum, inherit its count as error
+                    mn_it = min(summary, key=lambda k: summary[k][0])
+                    mn = summary.pop(mn_it)[0]
+                    summary[it] = [mn + inc, mn]
+        items = sorted(summary)
+        state.update(
+            (
+                items,
+                [summary[i][0] for i in items],
+                [summary[i][1] for i in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(items),
+                "item": items,
+                "est_count": [summary[i][0] for i in items],
+                "err": [summary[i][1] for i in items],
+            }
+        )
+
+    keyed = events.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets)).alias("__bucket"),
+        F.col(item_col).cast("string").alias("__item"),
+    )
+    return keyed.groupBy("__bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket long, item string, est_count long, err long",
+        stateStructType=(
+            "items array<string>, counts array<long>, errs array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

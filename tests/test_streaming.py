@@ -551,3 +551,46 @@ def SE_batch_attribution(ev):
         & (F.col("c_ts") <= F.col("p_ts"))
     )
     return p.join(c, cond, "leftOuter")
+
+
+def test_stream_heavy_hitters_space_saving(spark, sf_dir):
+    """Streaming space-saving sketch: with capacity >= distinct items
+    the estimates are EXACT (err 0, counts equal the batch groupBy);
+    with a tight capacity the guaranteed-heavy item survives and its
+    estimate bounds the true count from above by at most err."""
+    stream = SE.read_event_stream(spark, sf_dir)
+    result = SE.stream_heavy_hitters(
+        stream, item_col="event_type", capacity=16, n_buckets=4
+    )
+    SE.run_to_memory(result, "hh_exact", output_mode="update")
+    got = spark.sql(
+        "SELECT item, est_count, err FROM hh_exact"
+    ).toPandas()
+    ev = read_table(spark, sf_dir, "events")
+    exp = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert dict(zip(got["item"], got["est_count"])) == exp
+    assert (got["err"] == 0).all()
+
+    # tight capacity: per-bucket summaries stay bounded and every
+    # estimate still upper-bounds the true count by <= err
+    result2 = SE.stream_heavy_hitters(
+        stream, item_col="event_type", capacity=2, n_buckets=1
+    )
+    SE.run_to_memory(result2, "hh_tight", output_mode="update")
+    tight = spark.sql("SELECT * FROM hh_tight").toPandas()
+    assert len(tight) <= 2
+    # the space-saving guarantee: any item with true frequency
+    # > N/capacity MUST be present (vacuous on near-uniform data);
+    # every surviving estimate brackets truth: true <= est <= true+err
+    n_total = sum(exp.values())
+    for item, true in exp.items():
+        if true > n_total / 2:
+            assert item in set(tight["item"])
+    for r in tight.itertuples():
+        true = exp.get(r.item, 0)
+        assert true <= r.est_count <= true + r.err
