@@ -20,12 +20,12 @@ Measurement contract — steady-state plan execution:
   reported separately as ``prepare_sec`` in BENCH_SUMMARY.json; it is
   fixed overhead that amortizes across executions and is independent
   of data scale.
-- Base tables are registered and pinned in the block-manager cache
-  once for the whole suite (they are the shared inputs of every
-  query; a resident warehouse is the steady state being modeled).
-  Operator-internal caches are per-DataFrame and die with their
-  lineage; at bench scale their residue fits comfortably, and Spark's
-  LRU eviction bounds the worst case.
+- Before each query the block-manager cache is cleared and the base
+  tables re-pinned (lazy; the query's warmup rebuilds exactly what it
+  scans). The resident-warehouse steady state is still what the timed
+  run sees — the warmup materializes the caches — but without the
+  reset, 100+ queries of accumulated operator-internal caches
+  inflated late-suite queries ~1.5x through heap pressure/GC.
 
 Bench-session tuning (sf<=0.1), not engine defaults:
 - ``spark.sql.shuffle.partitions`` = SPARK_GRAFT_CPUS (32): matches
