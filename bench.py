@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "quality_percentile_by_source",
     "span_dedup_stats",
     "events_rolling_7d",
+    "user_interarrival_stats",
     "rolling_zscore_flags",
     "daily_value_autocorrelation",
     "seasonal_daily_decomposition",

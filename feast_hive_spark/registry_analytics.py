@@ -1742,3 +1742,48 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_partkey") == -F.col("__best.__nk"))
         ).alias("canonical"),
     )
+
+
+@register(
+    "user_interarrival_stats",
+    """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap_us, 0.5) / 1000000, 4) AS median_gap_s,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM g
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics (median and max gap in
+    seconds) — the session-design / churn-risk signal behind gap
+    thresholds. ONE user-keyed exchange serves both the LAG window
+    and the per-user aggregate (grouping on the window's partition
+    key adds no exchange); gaps are exact integer seconds, and
+    Spark's percentile() shares quantile_cont's interpolation
+    formula."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(
+            F.expr("percentile(gap_us, 0.5)") / 1_000_000, 4
+        ).alias("median_gap_s"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
