@@ -137,3 +137,35 @@ def test_grouped_percent_rank_whale_domain(spark):
     )
     assert diff == 0
     assert got.count() == n
+
+
+def test_grouped_percent_rank_property(spark):
+    """Hypothesis-style randomized equivalence (fixed seeds, varied
+    shapes): the distributed formulation equals the window
+    percent_rank on every draw, including singleton groups (pct 0)
+    and a group count exceeding the partition count."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    for seed, n, n_groups in [(1, 17, 1), (2, 400, 40), (3, 1000, 3)]:
+        rng = np.random.default_rng(seed)
+        pdf = pd.DataFrame(
+            {
+                "id": range(n),
+                "g": rng.integers(0, n_groups, n),
+                "v": rng.integers(0, 5, n).astype(float),  # heavy ties
+            }
+        )
+        df = spark.createDataFrame(pdf).repartition(5)
+        got = C.grouped_percent_rank(df, "g", "v", "id", out_col="p")
+        w = Window.partitionBy("g").orderBy(F.col("v"), F.col("id"))
+        exp = df.select(
+            "id", F.round(F.percent_rank().over(w), 6).alias("p2")
+        )
+        bad = (
+            got.join(exp, "id")
+            .filter(F.abs(F.col("p") - F.col("p2")) > 1e-9)
+            .count()
+        )
+        assert bad == 0, f"seed={seed}"
+        assert got.count() == n

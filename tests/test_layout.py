@@ -170,3 +170,26 @@ def test_table_file_report_matches_parquet_footers(spark, tmp_path):
     assert got == exp
     assert sum(got.values()) == 5000
     assert len(got) == 6
+
+
+def test_compact_sorted_files_have_disjoint_ranges(spark, tmp_path):
+    """Sorted compaction must produce files whose [min,max] key ranges
+    do not overlap — the zone-map-tightness property that makes range
+    predicates prune files."""
+    import duckdb
+
+    path = str(tmp_path / "zonemap")
+    spark.range(0, 20_000).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(10).write.parquet(path)
+    stats = L.compact_files(spark, path, target_bytes=40_000, sort_cols=["k"])
+    assert stats["files_after"] > 1
+    ranges = duckdb.connect().execute(
+        f"""SELECT filename, MIN(k), MAX(k)
+            FROM read_parquet('{path}/*.parquet', filename=true)
+            GROUP BY filename ORDER BY 2"""
+    ).fetchall()
+    for (f1, lo1, hi1), (f2, lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"{f1} [{lo1},{hi1}] overlaps {f2} [{lo2},{hi2}]"
+    assert spark.read.parquet(path).count() == 20_000
