@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "token_budget_selection",
     "near_dup_canonical_by_quality",
     "near_dup_cluster_histogram",
+    "near_dup_degree_histogram",
+    "dup_source_breakdown",
     "dsir_importance_weights",
     "quality_percentile_by_source",
     "span_dedup_stats",

@@ -2364,3 +2364,87 @@ def near_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_nodes"),
         )
     )
+
+
+@register(
+    "near_dup_degree_histogram",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_DUCK_JACCARD} AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT id_a AS doc_id FROM pairs
+    UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree
+""",
+)
+def near_dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph — the sibling
+    of the cluster histogram that predicts contraction behavior (a
+    fat-degree head means the star rounds converge in O(1); a long
+    chain-like tail means more rounds). One pair-sized union +
+    count aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        F.col("degree").cast("long"), F.col("n_docs").cast("long")
+    )
+
+
+@register(
+    "dup_source_breakdown",
+    """
+WITH g AS (
+  SELECT md5(text) AS fp,
+         COUNT(*) AS n,
+         COUNT(DISTINCT source) AS n_sources
+  FROM documents GROUP BY md5(text)
+)
+SELECT CASE WHEN n = 1 THEN 'unique'
+            WHEN n_sources = 1 THEN 'dup_within_source'
+            ELSE 'dup_cross_source' END AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(n - 1) AS BIGINT) AS n_removable
+FROM g GROUP BY 1
+""",
+)
+def dup_source_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where exact duplicates live: within one source (a crawler
+    re-fetching itself — fix the pipeline) vs across sources
+    (mirrors/syndication — dedup globally). Groups by content md5
+    with per-group distinct-source counts; 16-byte fingerprints are
+    all that shuffles, and n_removable is the doc count dedup would
+    reclaim per class."""
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    kind = (
+        F.when(F.col("n") == 1, F.lit("unique"))
+        .when(F.col("n_sources") == 1, F.lit("dup_within_source"))
+        .otherwise(F.lit("dup_cross_source"))
+    )
+    return g.groupBy(kind.alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_removable"),
+    )
