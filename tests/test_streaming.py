@@ -650,7 +650,6 @@ def test_stream_heavy_hitters_state_across_batches(spark, tmp_path):
         .start()
     )
     q.processAllAvailable()
-    assert q.lastProgress is None or True  # drained
     q.stop()
     # update mode re-emits changed buckets per batch; the max per item
     # is its final accumulated estimate
