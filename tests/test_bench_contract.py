@@ -1,0 +1,37 @@
+"""bench.py artifact-contract guards (the round-2 lesson: the driver
+json-parses only the tail of stdout, so the printed line must stay
+inside its budget no matter how many queries the suite grows to)."""
+
+import json
+
+import bench
+
+
+def test_registry_covers_bench_list():
+    from feast_hive_spark.registry import REGISTRY
+    import feast_hive_spark.registry_analytics  # noqa: F401
+    import feast_hive_spark.registry_corpus  # noqa: F401
+    import feast_hive_spark.registry_ext  # noqa: F401
+    import feast_hive_spark.registry_rel  # noqa: F401
+
+    missing = [q for q in bench.BENCH_QUERIES if q not in REGISTRY]
+    assert missing == []
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_emit_line_fits_tail_budget(capsys, tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    times = {f"query_{i:03d}": 0.123 for i in range(len(bench.BENCH_QUERIES))}
+    prepare = {k: 0.01 for k in times}
+    bench.emit(times, prepare, 0.1, {"k": "v"})
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= bench._LINE_BUDGET
+    payload = json.loads(line)
+    # the TOTAL always covers the full set even when the dict is
+    # trimmed for the tail capture
+    assert payload["n_queries"] == len(times)
+    assert abs(payload["value"] - round(0.123 * len(times), 3)) < 1e-9
+    # the full dict lands in the summary file
+    full = json.loads((tmp_path / "BENCH_SUMMARY.json").read_text())
+    assert len(full["queries"]) == len(times)
+    assert full["prepare_total"] == round(0.01 * len(times), 3)
