@@ -84,8 +84,13 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
 
 def decode(data: bytes) -> np.ndarray:
     """GIF bytes -> (H, W, 3) uint8 RGB of the first image frame.
-    Raises ``ValueError`` for non-GIF or malformed payloads."""
-    return _decode(data, all_frames=False)[0]
+    Raises ``ValueError`` for non-GIF or malformed payloads (parse
+    failures on truncated data are normalized to ValueError so the
+    caller's fallback chain holds)."""
+    try:
+        return _decode(data, all_frames=False)[0]
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt GIF: {type(e).__name__}: {e}") from e
 
 
 def decode_frames(data: bytes) -> list[np.ndarray]:
@@ -98,7 +103,10 @@ def decode_frames(data: bytes) -> list[np.ndarray]:
     fall through to the PIL gate rather than getting mis-composited
     pixels. Transparency indices are ignored (frames are treated as
     opaque)."""
-    return _decode(data, all_frames=True)
+    try:
+        return _decode(data, all_frames=True)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt GIF: {type(e).__name__}: {e}") from e
 
 
 def _decode(data: bytes, all_frames: bool) -> list[np.ndarray]:

@@ -102,6 +102,18 @@ class _BitReader:
 
     def restart(self) -> None:
         """Consume an RSTn marker and resync to the byte boundary."""
+        if self.marker is None:
+            # The interval's last codes may decode entirely from
+            # already-buffered bits, leaving pos AT (not past) the
+            # 0xFF Dn with no marker latched. The leftover buffered
+            # bits are encoder pad bits at a restart boundary, so
+            # discard them and fill once so the marker latches.
+            # Without this, the next _fill latched the RST and padded
+            # zero bits forever — silently corrupting every MCU after
+            # the boundary.
+            self.bitbuf = 0
+            self.nbits = 0
+            self._fill()
         self.bitbuf = 0
         self.nbits = 0
         # self.pos sits just before 0xFF RSTn (marker latched)
@@ -152,7 +164,18 @@ def _extend(v: int, t: int) -> int:
 
 def decode(data: bytes) -> np.ndarray:
     """JPEG bytes -> (H, W, C) uint8 array (C=1 grayscale, C=3 RGB).
-    Raises ``ValueError`` for non-JPEG or unsupported variants."""
+    Raises ``ValueError`` for non-JPEG, unsupported variants, AND
+    truncated/malformed payloads — parse failures (struct.error,
+    IndexError, KeyError from missing table ids) are normalized to
+    ValueError so callers' single-exception fallback chain
+    (operators/multimodal.py _decode_image) holds on corrupt data."""
+    try:
+        return _decode(data)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -214,12 +237,18 @@ def decode(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # _decode_scan assumes one interleaved scan covering
+                # every frame component; decoding a partial scan as if
+                # interleaved silently leaves the other planes zero.
+                raise ValueError("unsupported JPEG: non-interleaved scan")
             scan = []  # (comp_index, dc_table, ac_table)
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                ci = next(
-                    j for j, c in enumerate(frame[2]) if c[0] == cs
-                )
+                matches = [j for j, c in enumerate(frame[2]) if c[0] == cs]
+                if not matches:
+                    raise ValueError("corrupt JPEG: unknown SOS component id")
+                ci = matches[0]
                 scan.append((ci, tt >> 4, tt & 0xF))
             out = _decode_scan(
                 data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,

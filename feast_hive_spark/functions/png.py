@@ -32,7 +32,16 @@ _COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # n_channels -> color type
 
 def decode(data: bytes) -> np.ndarray:
     """PNG bytes -> (H, W, C) uint8 array. Palette images are expanded
-    to RGB. Raises ``ValueError`` for non-PNG or unsupported variants."""
+    to RGB. Raises ``ValueError`` for non-PNG, unsupported variants,
+    and truncated/malformed payloads (struct/zlib/index parse failures
+    are normalized to ValueError so callers' fallback chain holds)."""
+    try:
+        return _decode(data)
+    except (struct.error, zlib.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt PNG: {type(e).__name__}: {e}") from e
+
+
+def _decode(data: bytes) -> np.ndarray:
     if data[:8] != SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, plte, idat = 8, None, None, []

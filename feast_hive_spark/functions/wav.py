@@ -31,8 +31,16 @@ def decode(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> ((n_frames, n_channels) int array, sample_rate).
 
     8-bit samples are returned as their unsigned stored values;
-    16/32-bit as signed. Raises ``ValueError`` for non-WAV bytes or
-    non-integer-PCM encodings."""
+    16/32-bit as signed. Raises ``ValueError`` for non-WAV bytes,
+    non-integer-PCM encodings, and truncated/malformed payloads
+    (parse failures are normalized to ValueError)."""
+    try:
+        return _decode(data)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt WAV: {type(e).__name__}: {e}") from e
+
+
+def _decode(data: bytes) -> tuple[np.ndarray, int]:
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV (bad RIFF/WAVE header)")
     pos = 12

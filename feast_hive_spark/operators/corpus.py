@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from feast_hive_spark.functions import text as X
 from feast_hive_spark.functions.text import h48
+from feast_hive_spark.operators.prefix import quantile_bucket
 
 #: micro-unit scale for cross-engine-exact fixed-point sums
 _MICRO = 1_000_000
@@ -650,11 +651,14 @@ def select_token_budget(
     the corpus total.
 
     The global running sum is a distributed prefix-sum, NOT a global
-    single-partition window: range-partition on the sort key, one
-    per-partition totals job (the only collect, O(partitions) rows —
-    which also yields the corpus total, so no separate pass for the
-    budget), then a partition-local cumulative window plus broadcast
-    offsets. Same scale pattern as operators/pack.py.
+    single-partition window: deterministic quantile buckets on the
+    sort key (operators/prefix.py — bucket assignment is a pure
+    function of the row, so no load-bearing cache and nothing leaks
+    across calls), one per-bucket totals job (the only collect,
+    O(buckets) rows — which also yields the corpus total, so no
+    separate pass for the budget), then a bucket-local cumulative
+    window plus broadcast offsets. Same scale pattern as
+    operators/pack.py.
 
     Output: ``(id, quality, n_tok, cum_tok)`` for selected docs.
     """
@@ -667,37 +671,32 @@ def select_token_budget(
         X.quality_score(text_col).alias("quality"),
         X.token_count_ws(text_col).cast("long").alias("n_tok"),
     )
-    ordered = (
-        scored.repartitionByRange(
-            n_part, F.col("quality").desc(), F.col(id_col)
-        )
-        .withColumn("__pid", F.spark_partition_id())
-        .cache()
-    )
+    bkt_expr, _ = quantile_bucket(scored, "quality", n_part, descending=True)
+    bucketed = scored.withColumn("__bkt", bkt_expr)
     totals = {
-        r["__pid"]: r["__sum"]
-        for r in ordered.groupBy("__pid")
+        r["__bkt"]: r["__sum"]
+        for r in bucketed.groupBy("__bkt")
         .agg(F.sum("n_tok").alias("__sum"))
         .collect()
     }
     offset = 0
     offsets = {}
-    for pid in sorted(totals):
-        offsets[pid] = offset
-        offset += totals[pid]
+    for bkt in sorted(totals):
+        offsets[bkt] = offset
+        offset += totals[bkt]
     budget = int(offset * budget_frac)  # offset == corpus total here
     if offsets:
         offset_expr = F.create_map(
             *[F.lit(x) for kv in offsets.items() for x in kv]
-        )[F.col("__pid")]
+        )[F.col("__bkt")]
     else:
         offset_expr = F.lit(0)
-    w = Window.partitionBy("__pid").orderBy(
+    w = Window.partitionBy("__bkt").orderBy(
         F.col("quality").desc(), F.col(id_col)
     )
     cum = F.sum("n_tok").over(w) + F.coalesce(offset_expr, F.lit(0))
     return (
-        ordered.withColumn("cum_tok", cum.cast("long"))
+        bucketed.withColumn("cum_tok", cum.cast("long"))
         .filter(F.col("cum_tok") <= F.lit(budget))
         .select(id_col, "quality", "n_tok", "cum_tok")
     )
@@ -860,60 +859,80 @@ def grouped_percent_rank(
     id_col: str,
     out_col: str = "pct",
     num_partitions: int | None = None,
+    max_offset_groups: int = 10_000,
 ) -> DataFrame:
     """Distributed percent_rank within groups over the (value, id)
     total order — equal to ``percent_rank() OVER (PARTITION BY group
-    ORDER BY value, id)`` but WITHOUT a group-keyed window, so one
-    whale group (a domain owning most of the corpus) cannot pin its
-    whole membership into a single sort partition.
+    ORDER BY value, id)`` but WITHOUT a group-keyed window on the
+    whale-group path, so one whale group (a domain owning most of the
+    corpus) cannot pin its whole membership into a single sort
+    partition.
 
-    Two-phase: range-partition on (group, value, id) — the range
-    partitioner's sampling spreads a giant group across many
-    partitions — then per-(partition, group) counts (the only
-    collect, O(partitions x groups) rows) give both each partition's
-    group offset and the group totals; the global rank is the
-    partition-local row_number plus the broadcast offset. With the
-    id tiebreak the order is total, so percent_rank is exactly
-    ``(rank - 1) / (n_group - 1)`` (0 for singleton groups)."""
+    Group-cardinality guard (r4 verdict): the broadcast-offsets table
+    is O(buckets x groups) driver-side rows — right for FEW, HUGE
+    groups, driver-sized wrong for millions of tiny ones. One
+    ``approx_count_distinct`` probe picks the path: above
+    ``max_offset_groups`` the plain group-keyed window runs instead,
+    which is safe exactly there (with that many groups, no single
+    group can dominate a hash partition; with the id tiebreak rank ==
+    row_number, so ``percent_rank()`` matches the offset formula).
+
+    Whale path: deterministic quantile buckets on the VALUE column
+    (operators/prefix.py) — a giant group spreads across value
+    buckets; bucket assignment is a pure function of the row, so the
+    collected offsets stay valid on re-execution with no load-bearing
+    cache (the r4 storage leak is gone). Per-(bucket, group) counts
+    (the only collect) give both each bucket's group offset and the
+    group totals; the global rank is the bucket-local row_number plus
+    the broadcast offset, and percent_rank is exactly
+    ``(rank - 1) / (n_group - 1)`` (0 for singleton groups). Known
+    degenerate case: a whale group whose values are ALL EQUAL ties
+    into one bucket (all its percent_ranks are then id-ordered); such
+    a column is pathological for percentile scoring anyway."""
     spark = df.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ordered = (
-        df.repartitionByRange(
-            n_part, F.col(group_col), F.col(value_col), F.col(id_col)
+    n_groups = df.agg(
+        F.approx_count_distinct(group_col).alias("__g")
+    ).first()["__g"]
+    if n_groups > max_offset_groups:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(value_col), F.col(id_col)
         )
-        .withColumn("__pid", F.spark_partition_id())
-        .cache()
-    )
+        return df.select(
+            *df.columns, F.round(F.percent_rank().over(w), 6).alias(out_col)
+        )
+    bkt_expr, _ = quantile_bucket(df, value_col, n_part)
+    bucketed = df.withColumn("__bkt", bkt_expr)
     counts = (
-        ordered.groupBy("__pid", group_col)
+        bucketed.groupBy("__bkt", group_col)
         .agg(F.count(F.lit(1)).alias("__c"))
         .collect()
     )
     per_group: dict = {}
     rows = []
-    for r in sorted(counts, key=lambda r: (str(r[group_col]), r["__pid"])):
+    for r in sorted(counts, key=lambda r: (str(r[group_col]), r["__bkt"])):
         g = r[group_col]
-        rows.append((r["__pid"], g, per_group.get(g, 0)))
+        rows.append((r["__bkt"], g, per_group.get(g, 0)))
         per_group[g] = per_group.get(g, 0) + r["__c"]
     # the broadcast side must carry the caller's actual group dtype
     # (a hard-coded string would silently break integer group keys)
     gtype = dict(df.dtypes)[group_col]
     offsets = spark.createDataFrame(
         rows or [(0, None, 0)],
-        f"__pid int, {group_col} {gtype}, __off long",
+        f"__bkt int, {group_col} {gtype}, __off long",
     )
     totals = spark.createDataFrame(
         [(g, n) for g, n in per_group.items()] or [(None, 0)],
         f"{group_col} {gtype}, __ng long",
     )
-    w = Window.partitionBy("__pid", group_col).orderBy(
+    w = Window.partitionBy("__bkt", group_col).orderBy(
         F.col(value_col), F.col(id_col)
     )
     ranked = (
-        ordered.withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(offsets), ["__pid", group_col])
+        bucketed.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["__bkt", group_col])
         .join(F.broadcast(totals), group_col)
     )
     pct = F.when(F.col("__ng") > 1,

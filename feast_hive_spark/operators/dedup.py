@@ -650,12 +650,17 @@ def connected_components_star(
     contraction loop is reserved for graphs that are actually big.
     Set ``small_graph_threshold=0`` to force the distributed path."""
     if small_graph_threshold:
-        probe = (
+        # Count-first probe (same idiom as graph.py pagerank, r4
+        # verdict): the limited COUNT ships one long to the driver; the
+        # edge rows are collected only once the graph is known small —
+        # a huge graph never ships ~MBs of rows just to discard them.
+        n_edges = (
             pairs.select(F.col(id_a), F.col(id_b))
             .limit(small_graph_threshold + 1)
-            .collect()
+            .count()
         )
-        if len(probe) <= small_graph_threshold:
+        if n_edges <= small_graph_threshold:
+            probe = pairs.select(F.col(id_a), F.col(id_b)).collect()
             return _driver_union_find(pairs, probe, id_a, id_b)
     star, _ = _star_components(pairs, id_a, id_b, max_iters)
     nodes = (

@@ -10,16 +10,19 @@ deterministic and oracle-able, unlike best-fit heuristics).
 
 Scale shape: a global running sum needs a total order, and a single
 global window would serialize on one partition. Instead the classic
-distributed prefix-sum: range-repartition on the sort key (so
-partition boundaries respect the global order), compute per-partition
-totals (tiny, collected), broadcast the cumulative partition offsets
-back, and finish with partition-LOCAL window cumsums plus the offset —
-every heavy step stays parallel."""
+distributed prefix-sum, with DETERMINISTIC quantile buckets standing
+in for physical range partitions (operators/prefix.py): bucket on the
+sort key, compute per-bucket totals (tiny, collected once at build),
+broadcast the cumulative bucket offsets back, and finish with
+bucket-LOCAL window cumsums plus the offset — every heavy step stays
+parallel, no load-bearing cache, nothing leaks across calls."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from feast_hive_spark.operators.prefix import quantile_bucket
 
 
 def pack_sequences(
@@ -39,41 +42,38 @@ def pack_sequences(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     base = df.withColumn("__len", F.col(len_col).cast("long"))
-    # The per-partition totals pass below is eager, so without a cache
-    # the (possibly expensive) upstream plan would run twice — once for
-    # the totals and again for the returned DataFrame. Cache the
-    # range-partitioned input: the totals job populates it, the final
-    # window reads it back. Extra (non id/len) columns ride along so
-    # callers don't need a join to recover them.
-    ordered = (
-        base.repartitionByRange(n_part, F.col("__len").desc(), F.col(id_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .cache()
-    )
+    # Deterministic quantile buckets (operators/prefix.py): bucket
+    # assignment is a pure function of __len, so the totals collected
+    # here at build time stay valid for every re-execution of the
+    # returned plan — no load-bearing cache, no storage leak (ADVICE
+    # r4). The upstream plan runs twice (totals + final); callers with
+    # an expensive upstream cache it themselves.
+    bkt_expr, _ = quantile_bucket(base, "__len", n_part, descending=True)
+    bucketed = base.withColumn("__bkt", bkt_expr)
 
     totals = {
-        r["__pid"]: r["__sum"]
-        for r in ordered.groupBy("__pid").agg(F.sum("__len").alias("__sum")).collect()
+        r["__bkt"]: r["__sum"]
+        for r in bucketed.groupBy("__bkt").agg(F.sum("__len").alias("__sum")).collect()
     }
     offset = 0
     offsets = {}
-    for pid in sorted(totals):
-        offsets[pid] = offset
-        offset += totals[pid]
+    for bkt in sorted(totals):
+        offsets[bkt] = offset
+        offset += totals[bkt]
     if offsets:
         offset_expr = F.create_map(
             *[F.lit(x) for kv in offsets.items() for x in kv]
-        )[F.col("__pid")]
+        )[F.col("__bkt")]
     else:  # empty input: zero-arg create_map is untyped -> plain 0
         offset_expr = F.lit(0)
 
-    w = Window.partitionBy("__pid").orderBy(
+    w = Window.partitionBy("__bkt").orderBy(
         F.col("__len").desc(), F.col(id_col)
     )
     cum = F.sum("__len").over(w) + F.coalesce(offset_expr, F.lit(0))
     extra = [c for c in df.columns if c not in (id_col, len_col)]
     return (
-        ordered.withColumn(
+        bucketed.withColumn(
             "bin_id",
             F.floor((cum - F.col("__len")) / F.lit(capacity)).cast("long"),
         )
@@ -120,11 +120,12 @@ def padding_efficiency_report(
     the evidence for inserting a sort/bucketing step before a
     trainer; typical corpora save 30-60%.
 
-    The sorted ranking is the distributed prefix pattern (range
-    partition on the sort key + partition-local row_number +
-    broadcast offsets from an O(partitions) collect) — no global
-    single-partition window. Arrival batches derive from the id rank
-    the same way, so neither path assumes dense ids.
+    The sorted ranking is the distributed prefix pattern with
+    deterministic quantile buckets (operators/prefix.py: bucket-local
+    row_number + broadcast offsets from an O(buckets) collect) — no
+    global single-partition window and no load-bearing cache. Arrival
+    batches derive from the id rank the same way, so neither path
+    assumes dense ids.
 
     Output: (n_rows, real_tokens, padded_arrival, padded_sorted,
     saving_pct)."""
@@ -136,28 +137,25 @@ def padding_efficiency_report(
         F.col(id_col).alias("__id"), F.col(len_col).cast("long").alias("__len")
     )
 
-    def _ranked(src: DataFrame, order_cols) -> DataFrame:
-        ordered = (
-            src.repartitionByRange(n_part, *order_cols)
-            .withColumn("__pid", F.spark_partition_id())
-            .cache()
-        )
+    def _ranked(src: DataFrame, bucket_col: str, order_cols) -> DataFrame:
+        bkt_expr, _ = quantile_bucket(src, bucket_col, n_part)
+        bucketed = src.withColumn("__bkt", bkt_expr)
         counts = (
-            ordered.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).collect()
+            bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__c")).collect()
         )
         off = 0
         offsets = {}
-        for r in sorted(counts, key=lambda r: r["__pid"]):
-            offsets[r["__pid"]] = off
+        for r in sorted(counts, key=lambda r: r["__bkt"]):
+            offsets[r["__bkt"]] = off
             off += r["__c"]
         if offsets:
             off_expr = F.create_map(
                 *[F.lit(x) for kv in offsets.items() for x in kv]
-            )[F.col("__pid")]
+            )[F.col("__bkt")]
         else:
             off_expr = F.lit(0)
-        w = Window.partitionBy("__pid").orderBy(*order_cols)
-        return ordered.withColumn(
+        w = Window.partitionBy("__bkt").orderBy(*order_cols)
+        return bucketed.withColumn(
             "__rank", F.row_number().over(w) + F.coalesce(off_expr, F.lit(0))
         )
 
@@ -172,8 +170,8 @@ def padding_efficiency_report(
             )
             .agg(F.sum("__padded").alias("padded"))
         )
-    arrival = _padded(_ranked(base, [F.col("__id")]))
-    by_len = _padded(_ranked(base, [F.col("__len"), F.col("__id")]))
+    arrival = _padded(_ranked(base, "__id", [F.col("__id")]))
+    by_len = _padded(_ranked(base, "__len", [F.col("__len"), F.col("__id")]))
     totals = base.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("__len").alias("real_tokens"),

@@ -1,0 +1,76 @@
+"""Deterministic scaffolding for distributed prefix sums / ranks.
+
+The r1-r4 prefix-sum operators (pack_sequences, select_token_budget,
+grouped_percent_rank, padding_efficiency_report) range-partitioned on
+the sort key and keyed their broadcast offsets by
+``spark_partition_id()``. Range partitioning samples its boundaries
+with an RDD-id-derived seed, so a RE-execution of the same plan can
+draw different boundaries than the run that produced the collected
+offsets — which is why each operator pinned a ``.cache()`` between the
+offsets job and the final window. Those caches were load-bearing for
+correctness AND leaked storage across calls in a long-lived session
+(ADVICE r4).
+
+This module replaces physical-partition bucketing with DATA-DERIVED
+bucketing: collect ``n-1`` approximate quantile boundaries of the
+primary sort column once (a driver-side list of literals), and assign
+each row ``bucket = #boundaries strictly before it`` — a pure,
+deterministic function of the row. Any re-execution agrees with the
+offsets collected at build time, so no cache is required, nothing
+leaks, and the heavy shuffle (the per-bucket window) runs inside the
+measured plan instead of hiding behind a cached intermediate.
+
+Monotonicity contract: the bucket index is non-decreasing along the
+requested sort order (ties in the bucket column always share a
+bucket), which is exactly what per-bucket windows + cumulative
+per-bucket offsets need. NULL sort keys all land in bucket 0 — the
+engine's callers bucket on computed non-null columns (token counts,
+quality scores); callers with nullable keys must filter or fill first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantile_bucket(
+    df: DataFrame,
+    col_name: str,
+    n_buckets: int,
+    descending: bool = False,
+    relative_error: float | None = None,
+) -> tuple[Column, int]:
+    """Deterministic range-bucket expression over a numeric column.
+
+    Returns ``(bucket_expr, n_distinct_boundaries + 1)``. The
+    expression is a chain of ``n-1`` literal comparisons — pure
+    whole-stage-codegen arithmetic, evaluated identically on every
+    execution. One ``approxQuantile`` job runs at build time (the
+    boundaries are baked in as literals). Heavily-tied columns can
+    return duplicate quantiles; duplicates are collapsed, so the
+    realized bucket count may be smaller than requested — a
+    constant-valued column degenerates to one bucket (the same rows
+    would have tied into one range partition anyway).
+    """
+    if n_buckets <= 1:
+        return F.lit(0), 1
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
+    bounds = df.stat.approxQuantile(col_name, probs, err)
+    uniq = sorted(set(bounds))
+    if not uniq:  # empty input / all-null column
+        return F.lit(0), 1
+    if descending:
+        uniq = list(reversed(uniq))
+        terms = [
+            F.when(F.col(col_name) < F.lit(b), 1).otherwise(0) for b in uniq
+        ]
+    else:
+        terms = [
+            F.when(F.col(col_name) > F.lit(b), 1).otherwise(0) for b in uniq
+        ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = expr + t
+    return expr, len(uniq) + 1

@@ -253,6 +253,9 @@ def get_historical_features(
     sdf = entity_df_to_spark(spark, entity_df)
     entity_ts_col = infer_event_timestamp_col(sdf, entity_event_timestamp_col)
     _validate_entity_df(sdf, feature_views, entity_ts_col)
+    # caches build() pins, surfaced through RetrievalJob.close() so a
+    # long-lived session can return storage memory to baseline
+    pinned: list[DataFrame] = []
 
     def build() -> DataFrame:
         ent = sdf.withColumn(_ENTITY_TS, F.col(entity_ts_col))
@@ -260,6 +263,7 @@ def get_historical_features(
         # assembly) — cache it (replaces the reference's in-memory temp
         # table, hive.py:532/:253).
         ent = ent.cache()
+        pinned.append(ent)
 
         # J2 kept manual: one tiny job for global bounds -> literal
         # pushdown filters on every feature scan.  The broadcast-guard
@@ -293,6 +297,7 @@ def get_historical_features(
             ek = ent.select(*t, _ENTITY_TS).dropDuplicates()
             if uses > 1:
                 ek = ek.cache()
+                pinned.append(ek)
             ekeys_by_tuple[t] = ek
 
         for fv in feature_views:
@@ -313,7 +318,9 @@ def get_historical_features(
         # entity columns) survives.
         return result.drop(_ENTITY_TS)
 
-    return RetrievalJob(build, on_demand_transforms=on_demand_transforms)
+    return RetrievalJob(
+        build, on_demand_transforms=on_demand_transforms, pinned=pinned
+    )
 
 
 def _join_feature_view(

@@ -41,12 +41,68 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# r4 verdict #4 (driver-sample blind spots): the driver's correctness
+# gate samples roughly the FIRST 50 entries of queries(), and rounds
+# 1-4 always drew from the same registry head — 69 entries (all of
+# TPC-H q2/q8/q11/q15-q17/q20/q21, the whole multimodal family,
+# pack_sequences_2048, the set-op/window tails, ...) were never
+# driver-sampled. This rotation front-loads exactly those entries for
+# round 5 so the driver's sample covers them; every entry is still
+# verified every round by the full check_correctness.py run
+# (CORRECTNESS_FULL_r*.json). Names absent from REGISTRY are ignored,
+# names absent from this list follow in registration order.
+SAMPLE_ROTATION: list[str] = [
+    "q2_best_supplier_per_part", "q8_market_share",
+    "q11_important_part_values", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q20_part_family_suppliers", "q21_sole_returning_supplier",
+    "multimodal_pixel_stats", "multimodal_jpeg_pixel_stats",
+    "multimodal_gif_pixel_stats", "multimodal_audio_stats",
+    "multimodal_video_frame_stats", "multimodal_frame_sample",
+    "multimodal_type_rollup", "multimodal_ahash_near_dup",
+    "pack_sequences_2048", "padding_efficiency_report",
+    "token_budget_selection", "quality_percentile_by_source",
+    "stream_heavy_hitters_topk", "user_interarrival_stats",
+    "shingle_novelty_scores", "dsir_importance_weights",
+    "bigram_nll_scores", "boilerplate_shingles", "oov_rate_scores",
+    "dedup_embedding_cosine_lsh", "ann_recall_report",
+    "dedup_components", "pagerank_near_dup", "embedding_gramian",
+    "embedding_covariance", "profile_lineitem",
+    "decontaminate_vs_benchmark", "events_json_props",
+    "events_sliding_rollup", "events_sessionize_batch",
+    "text_token_percentiles", "user_event_type_profile",
+    "curation_pipeline", "split_train_val_test",
+    "stratified_sample_by_lang", "scrub_forbidden_terms",
+    "text_repetition_stats", "langid_confusion", "corpus_mix_weights",
+    "label_centroids", "knn_label_accuracy", "pii_scrub_stats",
+    "gopher_quality_flags", "vocab_zipf",
+    "near_dup_canonical_by_quality", "hard_negative_pairs",
+    "lsh_dedup_quality_report", "balanced_label_sample",
+    "near_dup_cluster_histogram", "near_dup_degree_histogram",
+    "dup_source_breakdown", "window_user_activity", "cube_order_stats",
+    "ntile_event_value_quartiles", "percentile_order_value",
+    "quantile_bins_order_value", "full_outer_nation_presence",
+    "interval_overlap_counts", "grouping_sets_orders",
+    "q7_nation_volume_shipping", "q9_product_type_profit",
+]
+
+
+def _rotated() -> list[str]:
+    head = [n for n in SAMPLE_ROTATION if n in REGISTRY]
+    seen = set(head)
+    return head + [n for n in REGISTRY if n not in seen]
+
+
 def queries():
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _rotated()}
 
 
 def oracles():
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in _rotated()
+        if REGISTRY[name][1] is not None
+    }
 
 
 # =====================================================================

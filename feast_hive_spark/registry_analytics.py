@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from feast_hive_spark.functions import round_nonneg_long
+from feast_hive_spark.functions import round_half_away_long
 from feast_hive_spark.operators import layout as L
 from feast_hive_spark.operators.skew import salted_join
 from feast_hive_spark.registry import register
@@ -47,7 +47,7 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").cast("long"))
         .rangeBetween(-_ROLL_SECONDS, 0)
     )
-    micro = round_nonneg_long(F.col("value") * 1000000)
+    micro = round_half_away_long(F.col("value") * 1000000)
     return ev.select(
         "event_id",
         "user_id",
@@ -181,7 +181,7 @@ def rolling_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").cast("long"))
         .rangeBetween(-_ROLL_SECONDS, 0)
     )
-    u = round_nonneg_long(F.col("value") * 1000)
+    u = round_half_away_long(F.col("value") * 1000)
     base = ev.select(
         "event_id",
         "user_id",
@@ -292,7 +292,7 @@ def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     joined = salted_join(ev, cust, on=["user_id"], salt=8)
-    micro = round_nonneg_long(F.col("value") * 1000000)
+    micro = round_half_away_long(F.col("value") * 1000000)
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(micro).cast("double") / 1000000, 4).alias("sum_value"),
@@ -1113,7 +1113,7 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula runs once per group on identical integers."""
     li = read_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
-    y = round_nonneg_long(F.col("l_extendedprice"))
+    y = round_half_away_long(F.col("l_extendedprice"))
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -1287,7 +1287,7 @@ def outlier_zscore_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     # centi-units: squared sums stay far from long overflow even at
     # billions of rows (2e4^2 * 1e9 = 4e17 < 9.2e18)
-    centi = round_nonneg_long(F.col("value") * 100)
+    centi = round_half_away_long(F.col("value") * 100)
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(centi).alias("s1"),
@@ -1567,7 +1567,7 @@ def seasonal_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     same trick as the rolling z-score flags). The day-of-week profile
     is a 7-row broadcast; the residual scan is one pass."""
     ev = read_table(spark, sf_dir, "events")
-    milli = round_nonneg_long(F.col("value") * 1000)
+    milli = round_half_away_long(F.col("value") * 1000)
     d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.sum(milli).alias("x")
     )
@@ -1787,3 +1787,34 @@ def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_gap_s"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+@register(
+    "stream_heavy_hitters_topk",
+    """
+SELECT event_type AS item,
+       CAST(COUNT(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err
+FROM events
+GROUP BY event_type
+ORDER BY est_count DESC, item
+LIMIT 5
+""",
+)
+def stream_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming heavy hitters: run the space-saving sketch
+    (streaming/events.stream_heavy_hitters, applyInPandasWithState)
+    over the events stream, then the batch ``topk_from_buckets``
+    finisher (r4 verdict #7) — union the per-bucket counters, dedupe
+    to each bucket's final emission, global top-k. With capacity >=
+    distinct items the sketch is EXACT (err 0), so the DuckDB twin is
+    the plain GROUP BY top-k: the hash gate certifies both the sketch
+    state machine and the finisher's disjoint-bucket union logic."""
+    from feast_hive_spark.streaming import events as SE
+
+    stream = SE.read_event_stream(spark, sf_dir)
+    counters = SE.stream_heavy_hitters(
+        stream, item_col="event_type", capacity=64, n_buckets=4
+    )
+    SE.run_to_memory(counters, "hh_topk_registry", output_mode="update")
+    return SE.topk_from_buckets(spark.table("hh_topk_registry"), k=5)

@@ -106,7 +106,9 @@ def test_canonical_survivor_giant_cluster(spark):
 def test_grouped_percent_rank_whale_domain(spark):
     """percent_rank without a group-keyed window: one domain owns 90%
     of rows; results must equal the window formulation exactly and
-    the plan must range-partition (no single hot sort partition)."""
+    the whale group must SPREAD across the deterministic value
+    buckets (no single hot sort partition: every (bucket, group)
+    window partition stays far below the whale's membership)."""
     from pyspark.sql import Window
 
     n = 30_000
@@ -121,8 +123,21 @@ def test_grouped_percent_rank_whale_domain(spark):
     got = C.grouped_percent_rank(
         df, "source", "quality", "doc_id", out_col="pct"
     )
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan
+    # the r5 design buckets on value quantiles (operators/prefix.py):
+    # the window partition key is (__bkt, source), so the 27k-row
+    # whale group must split into many bucket-local partitions
+    from feast_hive_spark.operators.prefix import quantile_bucket
+
+    bkt, n_bkt = quantile_bucket(df, "quality", 32)
+    assert n_bkt >= 8
+    biggest = (
+        df.filter(F.col("source") == "whale")
+        .groupBy(bkt.alias("b"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert biggest < n * 0.9 / 4  # whale never concentrates
     exp_w = Window.partitionBy("source").orderBy(
         F.col("quality"), F.col("doc_id")
     )
@@ -169,3 +184,39 @@ def test_grouped_percent_rank_property(spark):
         )
         assert bad == 0, f"seed={seed}"
         assert got.count() == n
+
+
+def test_grouped_percent_rank_many_groups_guard(spark):
+    """r4 verdict #3: above ``max_offset_groups`` the operator must
+    route to the plain group-keyed window (the offsets table would be
+    driver-sized) and still agree with the window formulation; tiny
+    groups can't skew a hash partition, so the direct window is safe
+    exactly there."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    n = 5_000
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "id": range(n),
+            "g": [f"g{i % 2000}" for i in range(n)],  # 2000 groups
+            "v": rng.integers(0, 100, n).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(6)
+    got = C.grouped_percent_rank(
+        df, "g", "v", "id", out_col="p", max_offset_groups=100
+    )
+    # guard path: plain window -> no broadcast-offsets join in plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    w = Window.partitionBy("g").orderBy(F.col("v"), F.col("id"))
+    exp = df.select("id", F.round(F.percent_rank().over(w), 6).alias("p2"))
+    bad = (
+        got.join(exp, "id")
+        .filter(F.abs(F.col("p") - F.col("p2")) > 1e-9)
+        .count()
+    )
+    assert bad == 0
+    assert got.count() == n

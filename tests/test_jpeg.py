@@ -123,3 +123,81 @@ def test_multimodal_decode_chain_accepts_jpeg():
     out = _decode_image(jpeg.encode(img, qluma=1))
     np.testing.assert_array_equal(out, img)
     assert _decode_image(b"\x00garbage") is None
+
+
+def test_restart_interval_sweep_random_images_exact():
+    """ADVICE r4 regression: when a restart interval's final codes
+    decode entirely from already-buffered bits, the RST marker is NOT
+    yet latched when restart() runs; the old code then never consumed
+    the marker and the next fill padded zero bits forever — silently
+    corrupting every MCU after the boundary (reproduced on 81/300
+    random images at intervals 1-7). Block-constant random images at
+    flat q=1 must decode BIT-EXACT for every interval."""
+    rng = np.random.default_rng(41)
+    for trial in range(30):
+        bh, bw = int(rng.integers(2, 6)), int(rng.integers(2, 6))
+        blocks = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:, :, None]
+        for interval in range(1, 8):
+            data = jpeg.encode(img, qluma=1, restart_interval=interval)
+            np.testing.assert_array_equal(
+                jpeg.decode(data), img,
+                err_msg=f"trial={trial} interval={interval}",
+            )
+
+
+def test_restart_interval_rgb_matches_plain_decode():
+    """Same ADVICE regression on the 3-component interleaved path:
+    arbitrary random RGB content; the RST-coded stream must decode to
+    exactly the same pixels as the stream without restarts."""
+    rng = np.random.default_rng(42)
+    for trial in range(10):
+        h = int(rng.integers(9, 40))
+        w = int(rng.integers(9, 40))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        plain = jpeg.decode(jpeg.encode(img, qluma=1, qchroma=1))
+        for interval in (1, 2, 3, 5):
+            rst = jpeg.encode(
+                img, qluma=1, qchroma=1, restart_interval=interval
+            )
+            np.testing.assert_array_equal(
+                plain, jpeg.decode(rst),
+                err_msg=f"trial={trial} interval={interval}",
+            )
+
+
+def test_non_interleaved_scan_raises():
+    """A baseline multi-component JPEG with a partial scan (SOS ns <
+    frame components) must hit the ValueError gate, not decode the
+    first plane and silently leave the others zero (ADVICE r4)."""
+    img = np.full((8, 8, 3), [10, 200, 90], dtype=np.uint8)
+    data = bytearray(jpeg.encode(img, qluma=1, qchroma=1))
+    i = data.find(b"\xff\xda")
+    # SOS for 3 comps: len=2+1+6+3=12. Rewrite to a 1-component scan
+    # (len=2+1+2+3=8) covering only component 1.
+    old_len = int.from_bytes(data[i + 2 : i + 4], "big")
+    sos_tail = data[i + 4 + 1 + 6 :i + 2 + old_len]  # Ss/Se/Ah-Al
+    new_seg = (8).to_bytes(2, "big") + bytes([1, 1, 0x00]) + bytes(sos_tail)
+    data[i + 2 : i + 2 + old_len] = new_seg
+    with pytest.raises(ValueError, match="non-interleaved"):
+        jpeg.decode(bytes(data))
+
+
+def test_truncation_sweep_raises_valueerror_only():
+    """Truncated/malformed payloads must surface as ValueError (never
+    IndexError/struct.error/StopIteration) so the multimodal fallback
+    chain holds on corrupt data (ADVICE r4)."""
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = jpeg.encode(img, qluma=2, qchroma=4)
+    for cut in range(2, len(data), max(1, len(data) // 60)):
+        try:
+            jpeg.decode(data[:cut])
+        except ValueError:
+            pass  # the only acceptable failure mode
+    # bad SOS component id must also be ValueError, not StopIteration
+    bad = bytearray(data)
+    i = bad.find(b"\xff\xda")
+    bad[i + 5] = 0x77  # first scan-component selector -> unknown id
+    with pytest.raises(ValueError):
+        jpeg.decode(bytes(bad))

@@ -262,3 +262,58 @@ def test_extract_features_real_audio(spark):
     assert feat[:3] == [3.0, 2.0, 22050.0]
     assert feat[3] == pytest.approx(np.abs(s).mean())
     assert sum(feat[4:]) == pytest.approx(1.0)  # histogram fractions
+
+
+def test_extract_features_survives_truncated_real_payloads(spark):
+    """ADVICE r4: truncated/malformed JPEG/GIF/WAV payloads used to
+    escape the ValueError fallback chain as IndexError/struct.error
+    and crash the whole Spark task. With codec-boundary
+    normalization, extract_features(allow_fake=True) must fall back
+    to the deterministic fake for every corrupt payload."""
+    import numpy as np
+
+    from feast_hive_spark.functions import gif, jpeg, wav
+
+    img = np.full((16, 16, 3), [10, 200, 90], dtype=np.uint8)
+    full_j = jpeg.encode(img, qluma=2, qchroma=4)
+    full_g = gif.encode(img)
+    full_w = wav.encode(np.zeros((64, 1), dtype=np.int16), 8000)
+    # (payload, must_fall_back_to_fake): tail cuts can still decode
+    # legitimately (JPEG minus EOI has a complete scan; WAV tolerates
+    # a truncated data chunk by design), so only the cuts that land
+    # inside headers/entropy data are guaranteed-undecodable
+    cases = [
+        (full_j[:6], True),
+        (full_j[: len(full_j) // 3], True),
+        (full_j[:-3], False),
+        (full_g[:6], True),
+        (full_g[: len(full_g) // 3], True),
+        (full_g[:-3], False),
+        (full_w[:6], True),
+        (full_w[: len(full_w) // 3], False),  # partial data chunk ok
+        (full_w[:-3], False),
+    ]
+    rows = []
+    fake_expected = []
+    mid = 0
+    for payload, must_fake in cases:
+        rows.append((mid, payload))
+        if must_fake:
+            fake_expected.append(mid)
+        mid += 1
+    # bad SOS component id (the reported StopIteration repro)
+    bad = bytearray(full_j)
+    i = bad.find(b"\xff\xda")
+    bad[i + 5] = 0x77
+    rows.append((mid, bytes(bad)))
+    fake_expected.append(mid)
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = M.extract_features(df, "payload", "media_id", dim=8).toPandas()
+    assert len(got) == len(rows)  # no task crash, every row answered
+    by_id = got.set_index("media_id")
+    payloads = dict(rows)
+    for mid_ in fake_expected:
+        exp = M._fake_features(payloads[mid_], 8)
+        assert list(by_id.loc[mid_, "feature"]) == pytest.approx(
+            list(exp)
+        ), f"mid={mid_} should have fallen back to the fake"

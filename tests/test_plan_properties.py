@@ -33,9 +33,10 @@ def _plan(spark, name: str) -> str:
         ("shingle_novelty_scores", ["HashAggregate"], ["Window"]),
         # canonical survivor: grouped argmax, never a cluster window
         ("near_dup_canonical_by_quality", ["Aggregate"], ["Window"]),
-        # token budget: range-partitioned prefix sum, no global
+        # token budget: bucket-local prefix sum over deterministic
+        # quantile buckets (operators/prefix.py, r5), no global
         # single-partition running window
-        ("token_budget_selection", ["rangepartitioning"], ["SinglePartition"]),
+        ("token_budget_selection", ["hashpartitioning(__bkt"], ["SinglePartition"]),
         # chi2 marginals: whole-partition windows over the coalesced
         # cell table — no per-marginal join branches
         ("chi2_event_type_segment", ["Window"], ["SortMergeJoin"]),

@@ -117,3 +117,51 @@ def test_pit_broadcast_and_smj_paths_agree(spark, broadcast_entities, threshold)
         .set_index("k")["v"]
     )
     assert got.to_dict() == {1: 1.0, 2: 2.0, 3: 4.0}
+
+
+def test_retrieval_close_returns_storage_to_baseline(spark, sf_dir):
+    """r4 verdict #8: the PIT builder pins the entity df (and shared
+    key sides) per retrieval; without RetrievalJob.close() N
+    retrievals accumulate N caches in a long-lived session. close()
+    (or the context manager) must return block-manager storage to the
+    pre-retrieval baseline, and the result plan must stay usable
+    (uncached lineage recomputes)."""
+    from pyspark.sql import functions as F
+
+    from feast_hive_spark.plans.pit import FeatureView, get_historical_features
+    from feast_hive_spark.sources.tables import read_table
+
+    def n_cached() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    ev = read_table(spark, sf_dir, "events")
+    entities = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("event_timestamp")
+    )
+    feats = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("fts"), "value"
+    )
+    fv = FeatureView(
+        name="clicks", source=feats, join_keys=["user_id"],
+        features=["value"], event_timestamp_column="fts",
+    )
+    baseline = n_cached()
+    jobs = []
+    for _ in range(3):
+        job = get_historical_features(spark, entities, [fv])
+        rows = job.to_spark_df().count()
+        assert rows > 0
+        jobs.append(job)
+    assert n_cached() > baseline  # the pins are real
+    kept = jobs[0].to_spark_df()
+    for job in jobs:
+        job.close()
+        job.close()  # idempotent
+    assert n_cached() == baseline
+    assert kept.count() == rows  # plan survives unpersist
+
+    # context-manager form
+    with get_historical_features(spark, entities, [fv]) as job:
+        assert job.to_spark_df().count() == rows
+        assert n_cached() > baseline
+    assert n_cached() == baseline

@@ -663,3 +663,24 @@ def test_stream_heavy_hitters_state_across_batches(spark, tmp_path):
     )
     assert got["a"] == 13  # 10 from batch 1 + 3 from batch 2
     assert got["c"] == 7
+
+
+def test_topk_from_buckets_finisher(spark):
+    """The batch finisher must (a) dedupe multi-batch update-mode
+    emissions to each bucket's FINAL state via max(), (b) union
+    disjoint buckets, (c) rank globally with an item tiebreak."""
+    rows = [
+        # bucket 0, two emissions for 'a' (counts only grow)
+        (0, "a", 5, 0), (0, "a", 9, 0),
+        (0, "b", 7, 2),
+        # bucket 1
+        (1, "c", 9, 1), (1, "d", 1, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "bucket long, item string, est_count long, err long"
+    )
+    got = [
+        tuple(r) for r in SE.topk_from_buckets(df, k=3).collect()
+    ]
+    # ties broken by item asc: a(9) before c(9)
+    assert got == [("a", 9, 0), ("c", 9, 1), ("b", 7, 2)]
