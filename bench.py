@@ -27,16 +27,16 @@ Measurement contract — steady-state plan execution:
   reset, 100+ queries of accumulated operator-internal caches
   inflated late-suite queries ~1.5x through heap pressure/GC.
 
-Bench-session tuning (sf<=0.1), not engine defaults:
-- ``spark.sql.shuffle.partitions`` = SPARK_GRAFT_CPUS (32): matches
-  cores; measured faster than a narrow width at this scale.
-- ``spark.sql.adaptive.coalescePartitions.parallelismFirst=false``:
-  AQE coalesces tiny post-shuffle stages by SIZE (64MB advisory
-  target -> 1-2 tasks) instead of re-splitting to default
-  parallelism; at 600k-row scale 32-task stages are pure task-launch
-  tax (measured ~100ms/stage), while on a cluster-sized input the
-  size target naturally yields wide stages. This is also the
-  documented Spark guidance for small datasets.
+Bench-session tuning (sf<=0.1), not engine defaults — every knob is
+documented with its measured A/B in ``bench_conf`` / ``main``:
+- shuffle width 8 (narrow beats 32 at 600k-row scale);
+- ``spark.sql.adaptive.enabled=false`` (r5): plans are audited
+  static, so AQE's per-exchange re-optimization rounds are pure
+  scheduling latency here; AQE stays ON as the engine default for
+  real scale;
+- base-table respread to 8 partitions (r5): the tiny testdata files
+  are single-row-group parquet, so without it CPU-bound map stages
+  run 1-3 wide on 32 cores.
 
 Artifact contract (r2 lesson): the driver captures only the LAST
 ~2000 characters of output and json-parses the final line. The full
@@ -197,6 +197,11 @@ BENCH_QUERIES = [
     "multimodal_gif_pixel_stats",
     "multimodal_video_frame_stats",
     "multimodal_ahash_near_dup",
+    "stream_heavy_hitters_topk",
+    "graph_triangle_stats",
+    "eval_split_leave_last",
+    "vocab_coverage_curve",
+    "perplexity_buckets_summary",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char
@@ -226,6 +231,19 @@ def bench_conf(sf: float | None) -> dict[str, str]:
         # ~10MB stages ~8-wide while still folding the tiny ones.
         # At cluster scale the 64MB default is correct.
         conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "1m"
+    if small:
+        # r5 A/B (REL-20 slice, median-of-5 per query, serialized):
+        # AQE's per-exchange re-optimization adds a scheduling round
+        # per query stage — pure latency at 600k-row scale where the
+        # plans are already audited static. AQE on: 3.59s; off: 3.17s
+        # (same width); off + the wider base-table respread below:
+        # 2.23s. At cluster scale AQE stays ON (engine default — this
+        # is a bench-session conf only, exactly like the width-8
+        # shuffle conf above; skew-join/coalesce matter at real scale).
+        conf["spark.sql.adaptive.enabled"] = "false"
+    aqe = os.environ.get("SPARK_GRAFT_BENCH_AQE")
+    if aqe:
+        conf["spark.sql.adaptive.enabled"] = aqe
     return conf
 
 
@@ -279,13 +297,18 @@ def main() -> None:
     conf = bench_conf(sf)
     if sf is not None and sf <= 0.1:
         # tiny testdata files are single-row-group parquet: file
-        # splitting cannot widen the scan, so the CPU-bound text
-        # pipeline runs 3-wide on 32 cores unless the documents table
-        # is re-spread once before caching (see sources/tables.py)
-        # 8, not 32: the text family is CPU-bound and wants width, but
-        # the multimodal mapInPandas queries pay per-partition Python/
-        # Arrow overhead — 8 is the measured balance point
-        os.environ.setdefault("SPARK_GRAFT_SCAN_PARTITIONS", "documents=8")
+        # splitting cannot widen the scan, so CPU-bound map stages run
+        # 1-3 wide on 32 cores unless the big tables are re-spread
+        # once before caching (see sources/tables.py). 8, not 32: the
+        # text/relational families are CPU-bound and want width, but
+        # mapInPandas pays per-partition Python/Arrow overhead and
+        # tiny reduce stages pay task-launch tax — 8 is the measured
+        # balance point (r5: lineitem/orders/events joined documents
+        # in the respread; REL-20 2.95s -> 2.23s with AQE off).
+        os.environ.setdefault(
+            "SPARK_GRAFT_SCAN_PARTITIONS",
+            "documents=8,lineitem=8,orders=8,events=8",
+        )
 
     spark = get_spark("bench")
     for k, v in conf.items():

@@ -941,3 +941,102 @@ def grouped_percent_rank(
     return ranked.select(
         *df.columns, F.round(pct, 6).alias(out_col)
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str,
+    ks: Sequence[int] = (10, 100, 1000, 10000),
+) -> DataFrame:
+    """Tokenizer-design diagnostic: what fraction of all corpus token
+    OCCURRENCES is covered by the top-k most frequent types, for each
+    k — the curve that decides vocabulary size (where it flattens,
+    extra vocab buys nothing) and quantifies the Zipf head.
+
+    Scale shape: one grouped count over the token stream (partial agg
+    collapses the corpus map-side to vocabulary size), then
+    ``TakeOrdered``-style ``orderBy(count desc, token).limit(max_k)``
+    — a distributed top-k, never a vocabulary-wide sort — and a
+    cumulative window over at most ``max_k`` rows (driver-bounded by
+    the caller's largest k, documented; 10k rows is nothing). The
+    corpus total rides a 1-row broadcast.
+
+    Output: ``(k, covered_tokens, total_tokens, coverage_ppm)`` per
+    requested k (ppm = 1e6-scaled integer fraction, exact
+    cross-engine).
+    """
+    ks = sorted(set(int(k) for k in ks))
+    max_k = ks[-1]
+    toks = df.select(F.explode(X.words(text_col)).alias("__tok"))
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("total_tokens"))
+    top = vocab.orderBy(F.col("__c").desc(), F.col("__tok")).limit(max_k)
+    w = (
+        Window.orderBy(F.col("__c").desc(), F.col("__tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = top.select(
+        F.row_number().over(
+            Window.orderBy(F.col("__c").desc(), F.col("__tok"))
+        ).alias("__rn"),
+        F.sum("__c").over(w).alias("__cum"),
+    )
+    # per-k covered count: the cumulative sum at rank min(k, |vocab|).
+    # ks is a handful of literals — broadcast them against the <=max_k
+    # ranked rows.
+    ks_df = df.sparkSession.createDataFrame([(k,) for k in ks], "k long")
+    per_k = (
+        ranked.crossJoin(F.broadcast(ks_df))
+        .filter(F.col("__rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.max("__cum").alias("covered_tokens"))
+    )
+    return (
+        per_k.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "covered_tokens",
+            "total_tokens",
+            F.expr(
+                "(1000000 * covered_tokens) div total_tokens"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram LM (:func:`unigram_nll_scores`), rank globally, and
+    label equal-population buckets — bucket 0 = most fluent "head",
+    last = "tail" (the slice CCNet drops or downweights).
+
+    The global rank IS the whale-group case of
+    :func:`grouped_percent_rank` (one group holding the whole corpus),
+    so it routes through the same deterministic value-bucket prefix
+    machinery (operators/prefix.py) — no single-partition global
+    window at any corpus size.
+
+    Output: ``(id, n_tok, avg_nll, pct, ppl_bucket)``.
+    """
+    scored = unigram_nll_scores(df, id_col, text_col).withColumn(
+        "__all", F.lit(0)
+    )
+    ranked = grouped_percent_rank(
+        scored, "__all", "avg_nll", id_col, out_col="pct"
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("pct") * n_buckets).cast("int"),
+    )
+    return ranked.select(
+        F.col(id_col),
+        "n_tok",
+        "avg_nll",
+        "pct",
+        bucket.cast("long").alias("ppl_bucket"),
+    )

@@ -266,3 +266,35 @@ def balance_classes(
     if keep_col is not None:
         return kept.withColumnRenamed("__bc_keep_bp", keep_col)
     return kept.drop("__bc_keep_bp")
+
+
+def leave_last_n_split(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    n_eval: int = 1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Temporal leave-last-n split: per group (user), the last
+    ``n_eval`` rows in ``order_cols`` order become the eval split, the
+    rest train — the standard leakage-free protocol for sequential
+    recommendation / next-event models, where a random split would let
+    the model peek at each user's future.
+
+    One group-keyed window; ``order_cols`` must include a unique
+    tiebreak so the cut is deterministic cross-engine. Per-group
+    membership is bounded by per-user history (the event-sequences
+    family's standing assumption — a "user" with a corpus-sized
+    history is a bot to filter upstream), so no whale-key hazard.
+
+    Returns the input columns plus ``split_col`` in {'train', 'eval'}.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return df.withColumn(
+        split_col,
+        F.when(F.row_number().over(w) <= n_eval, F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )

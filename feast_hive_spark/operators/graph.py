@@ -147,3 +147,89 @@ def pagerank(
     sym.unpersist()
     edges_deg.unpersist()
     return out
+
+
+def triangle_stats(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Global triangle census of an undirected pair graph — the
+    cluster-cohesion diagnostic for a near-dup graph (triangles =
+    transitively-confirmed duplicate triples; a high wedge-to-triangle
+    ratio flags LSH bucket collisions that did not verify).
+
+    Distributed shape (the standard degree-oriented compact-forward
+    algorithm): orient every edge from its lower-(degree, id) endpoint
+    to the higher one, so each wedge is generated at exactly one
+    vertex and a hub of degree d contributes only the wedges among its
+    HIGHER-ranked neighbors — the count is bounded by sum(d_out^2)
+    with d_out <= sqrt(2m) on any graph, instead of d^2 at hubs. Two
+    hash joins (wedge build + closure probe), all on edge keys, no
+    driver collect.
+
+    Output: one row ``(n_vertices, n_edges, n_wedges, n_triangles,
+    closure_ppm)``. Each triangle closes exactly ONE oriented wedge
+    (the one generated at its lowest-ranked vertex), so
+    ``closure_ppm = 1e6 * n_triangles / n_wedges`` is the oriented
+    wedge-closure fraction in [0, 1e6] (integer micro-units, exact
+    cross-engine; 0 when wedge-free).
+    """
+    # canonical undirected edges, self-loops dropped
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): src = lower-ranked endpoint
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    lower_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    arcs = ranked.select(
+        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    # wedges at the (low-rank) apex: unordered neighbor pairs
+    a1 = arcs.select(F.col("src"), F.col("dst").alias("n1"))
+    a2 = arcs.select(F.col("src"), F.col("dst").alias("n2"))
+    wedges = a1.join(a2, "src").filter(F.col("n1") < F.col("n2"))
+    # closure probe against canonical edges (n1 < n2 matches (u, v))
+    closing = wedges.join(
+        e.select(F.col("u").alias("n1"), F.col("v").alias("n2")),
+        ["n1", "n2"],
+        "inner",
+    )
+    counts = (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_vertices"))))
+        .crossJoin(F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
+        .crossJoin(
+            F.broadcast(closing.agg(F.count(F.lit(1)).alias("n_triangles")))
+        )
+    )
+    return counts.select(
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            # BIGINT floor division (`div`) — exact cross-engine,
+            # matching DuckDB's `//` on the oracle side
+            F.expr("(1000000 * n_triangles) div n_wedges"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("closure_ppm"),
+    )

@@ -1818,3 +1818,79 @@ def stream_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SE.run_to_memory(counters, "hh_topk_registry", output_mode="update")
     return SE.topk_from_buckets(spark.table("hh_topk_registry"), k=5)
+
+
+@register(
+    "graph_triangle_stats",
+    """
+WITH raw AS (
+  SELECT event_id % 211 AS a, (event_id * 31 + 7) % 211 AS b FROM events
+), e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+), deg AS (
+  SELECT x, COUNT(*) AS d FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e
+  ) GROUP BY x
+), arcs AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+), wedges AS (
+  SELECT a1.src, a1.dst AS n1, a2.dst AS n2
+  FROM arcs a1 JOIN arcs a2 ON a1.src = a2.src AND a1.dst < a2.dst
+), closing AS (
+  SELECT 1 AS one FROM wedges w JOIN e ON e.u = w.n1 AND e.v = w.n2
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM closing) AS n_triangles,
+       CASE WHEN (SELECT COUNT(*) FROM wedges) > 0
+            THEN (1000000 * (SELECT CAST(COUNT(*) AS BIGINT) FROM closing))
+                 // (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges)
+            ELSE CAST(0 AS BIGINT) END AS closure_ppm
+""",
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle census (operators/graph.triangle_stats)
+    over a deterministic modular graph derived from event ids — the
+    near-dup-graph cohesion diagnostic, oracle-gated on exact vertex/
+    edge/wedge/triangle counts AND the integer closure ratio. The
+    oracle replicates the same (degree, id) orientation, so the wedge
+    count (an orientation-dependent quantity) is certified too."""
+    from feast_hive_spark.operators.graph import triangle_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("event_id") % 211).alias("id_a"),
+        ((F.col("event_id") * 31 + 7) % 211).alias("id_b"),
+    )
+    return triangle_stats(pairs)
+
+
+@register(
+    "eval_split_leave_last",
+    """
+SELECT event_id,
+       CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+            ) <= 2 THEN 'eval' ELSE 'train' END AS split
+FROM events
+""",
+)
+def eval_split_leave_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free temporal split (operators/curate.
+    leave_last_n_split): each user's last 2 events become eval, the
+    rest train — the sequential-recommendation protocol a random
+    split would corrupt. Deterministic cut via the (ts, event_id)
+    tiebreak; oracle certifies every row's label."""
+    from feast_hive_spark.operators.curate import leave_last_n_split
+
+    ev = read_table(spark, sf_dir, "events")
+    return leave_last_n_split(
+        ev, ["user_id"], ["ts", "event_id"], n_eval=2
+    ).select("event_id", "split")

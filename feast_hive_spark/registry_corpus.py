@@ -838,3 +838,96 @@ def oov_rate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_oov") / F.col("n_tok"), 6).alias("oov_rate"),
         )
     )
+
+
+_VCC_KS = (10, 100, 1000, 10000)
+
+
+@register(
+    "vocab_coverage_curve",
+    f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), total AS (
+  SELECT SUM(c) AS total_tokens FROM vocab
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn,
+         SUM(c) OVER (ORDER BY c DESC, tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vocab
+), ks(k) AS (VALUES {", ".join(f"({k})" for k in _VCC_KS)})
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(MAX(cum) AS BIGINT) AS covered_tokens,
+       CAST(MAX(total_tokens) AS BIGINT) AS total_tokens,
+       (1000000 * CAST(MAX(cum) AS BIGINT)) // CAST(MAX(total_tokens) AS BIGINT) AS coverage_ppm
+FROM ranked, ks, total
+WHERE rn <= k
+GROUP BY k
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage curve (operators/corpus.py): the
+    tokenizer-design diagnostic — what fraction of token occurrences
+    the k most frequent types cover. Spark side is a distributed
+    TakeOrdered top-k + a <=max_k-row cumulative window; the DuckDB
+    twin ranks the whole vocabulary (fine at oracle scale)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.vocab_coverage_curve(docs, "text", ks=_VCC_KS)
+
+
+@register(
+    "perplexity_buckets_summary",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), total AS (
+  SELECT SUM(cnt) AS T FROM vocab
+), scored AS (
+  SELECT tok,
+         CAST(round((ln(CAST(T AS DOUBLE)) - ln(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT) AS nll_micro
+  FROM vocab, total
+), perdoc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000, 4) AS avg_nll
+  FROM toks t JOIN scored s ON t.tok = s.tok
+  GROUP BY t.doc_id
+), ranked AS (
+  SELECT doc_id, n_tok, avg_nll,
+         ROUND(PERCENT_RANK() OVER (ORDER BY avg_nll, doc_id), 6) AS pct
+  FROM perdoc
+), bucketed AS (
+  SELECT *,
+         CAST(least(2, CAST(floor(pct * 3) AS INTEGER)) AS BIGINT) AS ppl_bucket
+  FROM ranked
+)
+SELECT ppl_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       ROUND(MIN(avg_nll), 4) AS min_nll,
+       ROUND(MAX(avg_nll), 4) AS max_nll
+FROM bucketed
+GROUP BY ppl_bucket
+""",
+)
+def perplexity_buckets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity thirds over the corpus unigram LM
+    (operators/corpus.perplexity_buckets), summarized per bucket so
+    the oracle certifies BOTH the NLL scoring and the global
+    percent-rank bucket assignment (which routes through the
+    whale-group path of grouped_percent_rank — the r5 deterministic
+    value-bucket prefix machinery)."""
+    docs = read_table(spark, sf_dir, "documents")
+    b = C.perplexity_buckets(docs, "doc_id", "text", n_buckets=3)
+    return b.groupBy("ppl_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.round(F.min("avg_nll"), 4).alias("min_nll"),
+        F.round(F.max("avg_nll"), 4).alias("max_nll"),
+    )

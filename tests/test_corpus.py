@@ -406,3 +406,33 @@ def test_skipgram_pairs_matches_python(spark):
 
     assert seqs[2] == (2, hashlib.md5(b"x y").hexdigest())
     assert seqs[1][0] == 4
+
+
+def test_vocab_coverage_curve_exact(spark):
+    from feast_hive_spark.operators import corpus as C
+
+    # 10x 'a', 5x 'b', 1x 'c' -> total 16
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a a a"), (2, "b b b b b c")],
+        "doc_id long, text string",
+    )
+    got = {r["k"]: r for r in C.vocab_coverage_curve(docs, "text", ks=[1, 2, 10]).collect()}
+    assert got[1]["covered_tokens"] == 10
+    assert got[2]["covered_tokens"] == 15
+    assert got[10]["covered_tokens"] == 16  # k beyond vocab: full corpus
+    assert got[1]["coverage_ppm"] == 625_000
+    assert all(r["total_tokens"] == 16 for r in got.values())
+
+
+def test_perplexity_buckets_population(spark, sf_dir):
+    from feast_hive_spark.operators import corpus as C
+    from feast_hive_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(300)
+    out = C.perplexity_buckets(docs, "doc_id", "text", n_buckets=3).toPandas()
+    assert set(out["ppl_bucket"].unique()) == {0, 1, 2}
+    sizes = out.groupby("ppl_bucket").size()
+    # equal-population thirds within rounding slack
+    assert sizes.max() - sizes.min() <= max(3, len(out) * 0.02)
+    # bucket ordering follows NLL
+    assert out[out.ppl_bucket == 0]["avg_nll"].max() <= out[out.ppl_bucket == 2]["avg_nll"].min() + 1e-9

@@ -235,3 +235,22 @@ def test_padding_efficiency_matches_bruteforce(spark):
     assert got["padded_arrival"] == brute(lens)
     assert got["padded_sorted"] == brute(sorted(lens))
     assert got["padded_sorted"] <= got["padded_arrival"]
+
+
+def test_leave_last_n_split(spark):
+    from feast_hive_spark.operators.curate import leave_last_n_split
+    from datetime import datetime
+
+    rows = []
+    for u in (1, 2):
+        for i in range(5):
+            rows.append((u * 10 + i, u, datetime(2024, 1, 1 + i)))
+    # user 3 has only one event: it becomes eval (n_eval=2 > history)
+    rows.append((99, 3, datetime(2024, 2, 1)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = leave_last_n_split(df, ["user_id"], ["ts", "event_id"], n_eval=2)
+    got = {r["event_id"]: r["split"] for r in out.collect()}
+    assert got[14] == "eval" and got[13] == "eval" and got[12] == "train"
+    assert got[24] == "eval" and got[23] == "eval" and got[20] == "train"
+    assert got[99] == "eval"
+    assert len(got) == 11

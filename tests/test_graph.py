@@ -44,3 +44,35 @@ def test_pagerank_symmetric_pair_equal_ranks(spark):
     pairs = spark.createDataFrame([(10, 20)], "id_a long, id_b long")
     got = {r.node: r.rank_e12 for r in pagerank(pairs).collect()}
     assert got[10] == got[20]
+
+
+def test_triangle_stats_known_graphs(spark):
+    """Exact census on graphs with known answers: K4 (4 triangles,
+    every wedge closed), a 4-path (0 triangles, wedges open), and
+    duplicate/reversed/self-loop edges collapsing to canon."""
+    from feast_hive_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1)]
+    df = spark.createDataFrame(noisy, "id_a long, id_b long")
+    r = triangle_stats(df).first()
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    # K4, equal degrees -> orient by id: oriented wedges at vertex v
+    # = C(out_deg, 2) = C(3,2)+C(2,2)+0+0 = 3+1 = 4; every oriented
+    # wedge closes (each triangle closes exactly one)
+    assert r["n_wedges"] == 4
+    assert r["closure_ppm"] == 1_000_000  # fully closed graph
+
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    r2 = triangle_stats(path).first()
+    assert (r2["n_edges"], r2["n_triangles"]) == (3, 0)
+    assert r2["closure_ppm"] == 0
+
+    # triangle + pendant: exactly 1 triangle
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "id_a long, id_b long"
+    )
+    r3 = triangle_stats(tri).first()
+    assert r3["n_triangles"] == 1
