@@ -174,13 +174,13 @@ AUDITS = {
     "shingle_novelty_scores": (["HashAggregate"], ["CartesianProduct", "Window"]),
     # token budget: range-partitioned prefix sum, no single-partition
     # global window (the Exchange must be rangepartitioning)
-    "token_budget_selection": (["rangepartitioning", "Window"], ["SinglePartition"]),
+    "token_budget_selection": (["hashpartitioning(__bkt", "Window"], ["SinglePartition"]),
     # DSIR: vocabulary-sized LM aggregates, token stream joins back
     "dsir_importance_weights": (["HashAggregate"], ["CartesianProduct"]),
     # per-source calibration: distributed two-phase percent_rank —
     # range partitioning + broadcast offsets, never a source-keyed
     # window sort (the (pid, group) window is partition-local)
-    "quality_percentile_by_source": (["rangepartitioning", "BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    "quality_percentile_by_source": (["hashpartitioning(__bkt", "BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
     # JPEG decode rides Arrow-batched python map stages, nothing wide
     "multimodal_jpeg_pixel_stats": (["MapInPandas"], ["Exchange"]),
     "multimodal_audio_stats": (["MapInPandas"], ["Exchange"]),
@@ -198,7 +198,7 @@ AUDITS = {
     "balanced_label_sample": (["BroadcastHashJoin"], ["SortMergeJoin", "Window"]),
     # padding report: BOTH rankings range-partitioned, windows are
     # partition-local; no global single-partition sort
-    "padding_efficiency_report": (["rangepartitioning"], ["SortMergeJoin"]),
+    "padding_efficiency_report": (["hashpartitioning(__bkt"], ["SortMergeJoin"]),
     "near_dup_cluster_histogram": (["HashAggregate"], ["CartesianProduct"]),
     # hard negatives: batched kernel + tiny merge window, no join
     "hard_negative_pairs": (["MapInPandas", "WindowGroupLimit"], ["CartesianProduct", "SortMergeJoin"]),
@@ -233,6 +233,10 @@ AUDITS = {
     "chi2_event_type_segment": (["HashAggregate", "BroadcastHashJoin", "Window"], ["SortMergeJoin"]),
     # per-group packing: ONE window, no totals collect, no join
     "pack_sequences_by_lang": (["Window"], ["Join", "CartesianProduct"]),
+    "graph_triangle_stats": (["HashAggregate"], ["CartesianProduct"]),
+    "eval_split_leave_last": (["Window", "PushedFilters"], ["CartesianProduct", "SortMergeJoin"]),
+    "vocab_coverage_curve": (["TakeOrderedAndProject"], ["CartesianProduct", "SortMergeJoin"]),
+    "perplexity_buckets_summary": (["HashAggregate", "BroadcastHashJoin", "hashpartitioning(__bkt"], ["CartesianProduct", "SortMergeJoin"]),
     # epoch shuffle: stateless key + top-k; no exchange beyond the sort
     "epoch_shuffle_head": (["TakeOrderedAndProject"], ["Join", "Window", "HashAggregate"]),
     # PMI: vocabulary-sized aggregates; totals ride the 1-row
