@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "eval_split_leave_last",
     "vocab_coverage_curve",
     "perplexity_buckets_summary",
+    "corr_matrix_lineitem",
+    "stratified_kfold_events",
+    "dense_vocab_ids",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

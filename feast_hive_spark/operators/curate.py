@@ -298,3 +298,30 @@ def leave_last_n_split(
             F.lit("train")
         ),
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int = 5,
+    salt: str = "fold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment: every row gets a
+    stable fold in [0, k) from the md5 ``H48`` of its id — the
+    cross-validation protocol where each fold preserves the strata mix
+    in expectation WITHOUT any shuffle (assignment is a stateless
+    per-row hash, stable across reruns and corpus growth).
+
+    ``strata_col`` rides along in the output purely for downstream
+    per-(stratum, fold) accounting; the hash deliberately ignores it
+    so adding strata never reassigns existing rows.
+    """
+    fold = F.pmod(
+        h48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(k),
+    )
+    return df.select(
+        F.col(id_col), F.col(strata_col), fold.cast("long").alias(fold_col)
+    )

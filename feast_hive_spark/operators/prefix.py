@@ -74,3 +74,51 @@ def quantile_bucket(
     for t in terms[1:]:
         expr = expr + t
     return expr, len(uniq) + 1
+
+
+def global_row_number(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list,
+    n_buckets: int,
+    out_col: str = "__rank",
+    descending: bool = False,
+) -> DataFrame:
+    """1-based global row number over ``order_cols`` without a global
+    single-partition window: deterministic quantile buckets on
+    ``bucket_col`` (the primary sort column), per-bucket counts (the
+    only collect, O(buckets) rows), bucket-local ``row_number`` plus
+    broadcast offsets. ``order_cols`` must start with ``bucket_col``'s
+    direction and include a unique tiebreak so the order is total.
+
+    This is the shared kernel of pack.padding_efficiency_report and
+    dense-id assignment; the same pattern with SUM instead of COUNT is
+    pack.pack_sequences / corpus.select_token_budget.
+    """
+    bkt_expr, _ = quantile_bucket(
+        df, bucket_col, n_buckets, descending=descending
+    )
+    bucketed = df.withColumn("__bkt", bkt_expr)
+    counts = (
+        bucketed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    off = 0
+    offsets = {}
+    for r in sorted(counts, key=lambda r: r["__bkt"]):
+        offsets[r["__bkt"]] = off
+        off += r["__c"]
+    if offsets:
+        off_expr = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("__bkt")]
+    else:
+        off_expr = F.lit(0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__bkt").orderBy(*order_cols)
+    return bucketed.withColumn(
+        out_col,
+        (F.row_number().over(w) + F.coalesce(off_expr, F.lit(0))).cast("long"),
+    ).drop("__bkt")

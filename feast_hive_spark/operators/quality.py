@@ -200,3 +200,55 @@ def foreign_key_check(
         "n_orphans",
         (F.col("n_orphans") == 0).alias("ok"),
     )
+
+
+def correlation_matrix(df: DataFrame, int_cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation over PRE-INTEGERIZED columns in
+    ONE scan — the feature-redundancy screen before model training.
+
+    Callers fix-point their columns first (cents, basis points, whole
+    units): all moment sums (sum, sum of squares, cross products) are
+    then EXACT integers accumulated as decimal(38,0) — overflow-safe
+    at 100 TB row counts, bit-identical in any engine — and the double
+    correlation formula runs once per pair on identical integers, so
+    the result hash-matches the DuckDB twin. One scan-wide aggregate
+    regardless of pair count (partial aggregation folds map-side);
+    the pair explosion happens on the single result row.
+
+    Output: ``(col_x, col_y, n, corr)`` for every unordered pair
+    x < y (by list position), corr rounded to 6 dp.
+    """
+    cols = list(int_cols)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(dec(c)).alias(f"s{i}"))
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(dec(c) * F.col(cols[j]).cast("decimal(38,0)")).alias(
+                    f"p{i}_{j}"
+                )
+            )
+    one = df.agg(*aggs)
+    pair_structs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            nd = F.col("n").cast("double")
+            sx, sy = F.col(f"s{i}").cast("double"), F.col(f"s{j}").cast("double")
+            sxx = F.col(f"p{i}_{i}").cast("double")
+            syy = F.col(f"p{j}_{j}").cast("double")
+            sxy = F.col(f"p{i}_{j}").cast("double")
+            corr = (nd * sxy - sx * sy) / (
+                F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    F.col("n").cast("long").alias("n"),
+                    F.round(corr, 6).alias("corr"),
+                )
+            )
+    return one.select(
+        F.explode(F.array(*pair_structs)).alias("__p")
+    ).select("__p.col_x", "__p.col_y", "__p.n", "__p.corr")

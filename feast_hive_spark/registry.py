@@ -62,7 +62,11 @@ SAMPLE_ROTATION: list[str] = [
     "multimodal_type_rollup", "multimodal_ahash_near_dup",
     "pack_sequences_2048", "padding_efficiency_report",
     "token_budget_selection", "quality_percentile_by_source",
-    "stream_heavy_hitters_topk", "user_interarrival_stats",
+    "stream_heavy_hitters_topk", "graph_triangle_stats",
+    "eval_split_leave_last", "vocab_coverage_curve",
+    "perplexity_buckets_summary", "corr_matrix_lineitem",
+    "stratified_kfold_events", "dense_vocab_ids",
+    "user_interarrival_stats",
     "shingle_novelty_scores", "dsir_importance_weights",
     "bigram_nll_scores", "boilerplate_shingles", "oov_rate_scores",
     "dedup_embedding_cosine_lsh", "ann_recall_report",

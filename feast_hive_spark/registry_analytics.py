@@ -1894,3 +1894,83 @@ def eval_split_leave_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leave_last_n_split(
         ev, ["user_id"], ["ts", "event_id"], n_eval=2
     ).select("event_id", "split")
+
+
+@register(
+    "corr_matrix_lineitem",
+    """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS s0,
+         SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(l_discount * 1000) AS BIGINT)) AS s2,
+         SUM(CAST(ROUND(l_tax * 1000) AS BIGINT)) AS s3,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS p00,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS p01,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_discount * 1000) AS BIGINT)) AS p02,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_tax * 1000) AS BIGINT)) AS p03,
+         SUM(CAST(ROUND(l_extendedprice) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS p11,
+         SUM(CAST(ROUND(l_extendedprice) AS BIGINT) * CAST(ROUND(l_discount * 1000) AS BIGINT)) AS p12,
+         SUM(CAST(ROUND(l_extendedprice) AS BIGINT) * CAST(ROUND(l_tax * 1000) AS BIGINT)) AS p13,
+         SUM(CAST(ROUND(l_discount * 1000) AS BIGINT) * CAST(ROUND(l_discount * 1000) AS BIGINT)) AS p22,
+         SUM(CAST(ROUND(l_discount * 1000) AS BIGINT) * CAST(ROUND(l_tax * 1000) AS BIGINT)) AS p23,
+         SUM(CAST(ROUND(l_tax * 1000) AS BIGINT) * CAST(ROUND(l_tax * 1000) AS BIGINT)) AS p33
+  FROM lineitem
+), pairs AS (
+  SELECT 'qty' AS col_x, 'price_usd' AS col_y, n, s0 AS sx, s1 AS sy, p00 AS sxx, p11 AS syy, p01 AS sxy FROM s
+  UNION ALL SELECT 'qty', 'discount_milli', n, s0, s2, p00, p22, p02 FROM s
+  UNION ALL SELECT 'qty', 'tax_milli', n, s0, s3, p00, p33, p03 FROM s
+  UNION ALL SELECT 'price_usd', 'discount_milli', n, s1, s2, p11, p22, p12 FROM s
+  UNION ALL SELECT 'price_usd', 'tax_milli', n, s1, s3, p11, p33, p13 FROM s
+  UNION ALL SELECT 'discount_milli', 'tax_milli', n, s2, s3, p22, p33, p23 FROM s
+)
+SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+       ROUND(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+         6) AS corr
+FROM pairs
+""",
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over four fix-pointed lineitem measures
+    in ONE scan (operators/quality.correlation_matrix): moment sums
+    are exact decimal(38,0) integers, the double formula runs per pair
+    on identical values — the feature-redundancy screen, cross-engine
+    bit-stable unlike float-accumulator corr()."""
+    from feast_hive_spark.operators.quality import correlation_matrix
+
+    li = read_table(spark, sf_dir, "lineitem")
+    fixed = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        round_half_away_long(F.col("l_extendedprice")).alias("price_usd"),
+        round_half_away_long(F.col("l_discount") * 1000).alias(
+            "discount_milli"
+        ),
+        round_half_away_long(F.col("l_tax") * 1000).alias("tax_milli"),
+    )
+    return correlation_matrix(
+        fixed, ["qty", "price_usd", "discount_milli", "tax_milli"]
+    )
+
+
+@register(
+    "stratified_kfold_events",
+    """
+SELECT event_id, event_type,
+       CAST(('0x' || substr(md5('fold:' || CAST(event_id AS VARCHAR)), 1, 12))
+            AS BIGINT) % 5 AS fold
+FROM events
+""",
+)
+def stratified_kfold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment (operators/curate.
+    stratified_kfold): stateless per-row md5 hash — stable across
+    reruns and corpus growth, zero shuffles; the strata column rides
+    along for per-(stratum, fold) accounting. Oracle replicates the
+    hash arithmetic bit-for-bit."""
+    from feast_hive_spark.operators.curate import stratified_kfold
+
+    ev = read_table(spark, sf_dir, "events")
+    return stratified_kfold(ev, "event_id", "event_type", k=5)

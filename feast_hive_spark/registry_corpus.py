@@ -931,3 +931,47 @@ def perplexity_buckets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("avg_nll"), 4).alias("min_nll"),
         F.round(F.max("avg_nll"), 4).alias("max_nll"),
     )
+
+
+@register(
+    "dense_vocab_ids",
+    """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+)
+SELECT tok,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) - 1 AS BIGINT)
+         AS vocab_id
+FROM vocab
+""",
+)
+def dense_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable dense id assignment (tokenizer vocab ids: 0 = most
+    frequent) via operators/prefix.global_row_number — the
+    monotonically_increasing_id replacement that is actually dense,
+    deterministic, and re-executable: quantile buckets on the count
+    column + bucket-local row_number + broadcast offsets, never a
+    vocabulary-wide single-partition sort."""
+    from feast_hive_spark.operators.prefix import global_row_number
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(X.words("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = global_row_number(
+        vocab,
+        "cnt",
+        [F.col("cnt").desc(), F.col("tok")],
+        n_buckets=32,
+        out_col="__rn",
+        descending=True,
+    )
+    return ranked.select(
+        "tok", "cnt", (F.col("__rn") - 1).cast("long").alias("vocab_id")
+    )

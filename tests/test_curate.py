@@ -254,3 +254,20 @@ def test_leave_last_n_split(spark):
     assert got[24] == "eval" and got[23] == "eval" and got[20] == "train"
     assert got[99] == "eval"
     assert len(got) == 11
+
+
+def test_stratified_kfold_stability_and_balance(spark, sf_dir):
+    from feast_hive_spark.operators.curate import stratified_kfold
+    from feast_hive_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = stratified_kfold(ev, "event_id", "event_type", k=5).toPandas()
+    assert set(out["fold"].unique()) <= set(range(5))
+    # balanced in expectation: no fold owns more than 2x its share
+    sizes = out.groupby("fold").size()
+    assert sizes.max() < len(out) / 5 * 2
+    # stability: assignment is a pure function of the id
+    again = stratified_kfold(ev, "event_id", "event_type", k=5).toPandas()
+    assert out.sort_values("event_id").reset_index(drop=True).equals(
+        again.sort_values("event_id").reset_index(drop=True)
+    )

@@ -1,0 +1,61 @@
+"""Property tests for the deterministic quantile-bucket scaffolding
+(operators/prefix.py) that underlies every prefix-sum operator."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from feast_hive_spark.operators.prefix import quantile_bucket
+
+
+def _buckets(spark, values, n_buckets, descending=False):
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": values, "i": range(len(values))})
+    )
+    expr, n = quantile_bucket(df, "v", n_buckets, descending=descending)
+    out = df.select("v", expr.alias("b")).toPandas()
+    return out, n
+
+
+def test_quantile_bucket_monotone_and_stable(spark):
+    """Bucket index must be non-decreasing along the sort order, the
+    realized bucket count bounded by the request, and a second
+    evaluation must agree exactly (determinism is the whole point —
+    the offsets collected at build time must match any re-execution)."""
+    rng = np.random.default_rng(5)
+    for descending in (False, True):
+        vals = np.round(rng.normal(0, 100, 4000), 2)
+        out, n = _buckets(spark, vals, 16, descending)
+        assert 1 <= n <= 16
+        s = out.sort_values("v", ascending=not descending)
+        assert (np.diff(s["b"].to_numpy()) >= 0).all()
+        assert out["b"].nunique() <= n
+        out2, _ = _buckets(spark, vals, 16, descending)
+        assert out.sort_values(["v", "b"]).reset_index(drop=True).equals(
+            out2.sort_values(["v", "b"]).reset_index(drop=True)
+        )
+
+
+def test_quantile_bucket_ties_share_bucket(spark):
+    """Heavily-tied values must land in one bucket (monotonicity with
+    ties), and a constant column degenerates to a single bucket."""
+    # constant column: a single populated bucket (n is an upper bound
+    # — one boundary survives dedup, so n == 2 with bucket 1 empty)
+    out, n = _buckets(spark, [7.0] * 500, 8)
+    assert n <= 2 and (out["b"] == 0).all()
+    vals = [1.0] * 400 + [2.0] * 400 + [3.0] * 400
+    out, n = _buckets(spark, vals, 8)
+    per_val = out.groupby("v")["b"].nunique()
+    assert (per_val == 1).all()
+
+
+def test_quantile_bucket_spreads_uniform(spark):
+    """A continuous column must actually spread: with 4000 distinct
+    values and 16 requested buckets, at least half the buckets
+    materialize and no bucket holds the majority."""
+    vals = [i / 7.0 for i in range(4000)]
+    out, n = _buckets(spark, vals, 16)
+    assert n >= 8
+    counts = out.groupby("b").size()
+    assert len(counts) >= 8
+    assert counts.max() < len(vals) * 0.5

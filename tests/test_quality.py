@@ -88,3 +88,25 @@ def test_foreign_key_check_counts_orphans(spark):
         clean, parent, ["fk"], ["pk"], "ok-check"
     ).collect()
     assert (r2.n_orphans, r2.ok) == (0, True)
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from feast_hive_spark.operators.quality import correlation_matrix
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 100, 500)
+    b = a * 3 + rng.integers(0, 20, 500)  # strongly correlated
+    c = rng.integers(0, 1000, 500)  # independent
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"a": a, "b": b, "c": c}))
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert len(got) == 3
+    assert abs(got[("a", "b")] - np.corrcoef(a, b)[0, 1]) < 1e-6
+    assert abs(got[("a", "c")] - np.corrcoef(a, c)[0, 1]) < 1e-6
+    assert got[("a", "b")] > 0.9
