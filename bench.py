@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "corr_matrix_lineitem",
     "stratified_kfold_events",
     "dense_vocab_ids",
+    "band_join_part_prices",
+    "weighted_sample_quality_topk",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

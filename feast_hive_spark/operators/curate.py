@@ -325,3 +325,39 @@ def stratified_kfold(
     return df.select(
         F.col(id_col), F.col(strata_col), fold.cast("long").alias(fold_col)
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row draws a uniform u in (0, 1]
+    from the md5 hash of its id and scores ``ln(u) / w``; the k
+    largest scores are the sample — inclusion probability
+    proportional to weight, no replacement, and (because u is a pure
+    function of the id) reproducible across reruns and engines.
+
+    Distributed shape: the score is a stateless per-row expression
+    and the selection is ``orderBy(...).limit(k)`` — Spark's
+    TakeOrdered keeps k rows per partition then merges, never a
+    global sort. Rows with non-positive weight are excluded (they
+    have probability 0 in A-ES).
+
+    Output: the sampled rows with their ``__es_key`` score (useful
+    for audit; drop it downstream).
+    """
+    u = (
+        h48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(2**48))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -160,3 +160,42 @@ def key_skew_report(
             F.expr("(__top_rows * 10000) div total_rows").alias("top_share_bp"),
         )
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    eps: float,
+) -> DataFrame:
+    """Inner join on the band predicate ``|left_val - right_val| <=
+    eps`` WITHOUT a cartesian/BNL plan: bucket both sides at width
+    ``eps`` (``floor(v / eps)``), replicate the LEFT side into its
+    bucket and both neighbors (any pair within eps differs by at most
+    one bucket), hash-equi-join on the bucket id, and apply the exact
+    band filter post-join.
+
+    This is the standard inequality-to-equi rewrite: Spark plans a
+    raw theta join as BroadcastNestedLoopJoin (O(n*m) comparisons, one
+    side broadcast whole); the bucket join shuffles on a real key and
+    compares only same-neighborhood rows — O(matches + band density).
+    Replication is exactly 3x on the left side only. Skewed value
+    clusters (everything in one bucket) degrade toward the dense-band
+    worst case, which is inherent to the predicate, not the plan.
+
+    Column names must not collide (select/alias first).
+    """
+    lb = F.floor(F.col(left_val) / F.lit(eps)).cast("long")
+    rb = F.floor(F.col(right_val) / F.lit(eps)).cast("long")
+    lrep = left.withColumn(
+        "__bkt", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    rkey = right.withColumn("__bkt", rb)
+    return (
+        lrep.join(rkey, "__bkt")
+        .filter(
+            F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(eps)
+        )
+        .drop("__bkt")
+    )

@@ -66,6 +66,7 @@ SAMPLE_ROTATION: list[str] = [
     "eval_split_leave_last", "vocab_coverage_curve",
     "perplexity_buckets_summary", "corr_matrix_lineitem",
     "stratified_kfold_events", "dense_vocab_ids",
+    "band_join_part_prices", "weighted_sample_quality_topk",
     "user_interarrival_stats",
     "shingle_novelty_scores", "dsir_importance_weights",
     "bigram_nll_scores", "boilerplate_shingles", "oov_rate_scores",

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feast_hive_spark.functions import round_half_away_long
+from feast_hive_spark.functions import text as X
 from feast_hive_spark.operators import layout as L
 from feast_hive_spark.operators.skew import salted_join
 from feast_hive_spark.registry import register
@@ -1974,3 +1975,87 @@ def stratified_kfold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return stratified_kfold(ev, "event_id", "event_type", k=5)
+
+
+@register(
+    "band_join_part_prices",
+    """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(ROUND(a.p_retailprice * 100) AS BIGINT)
+         - CAST(ROUND(b.p_retailprice * 100) AS BIGINT) AS diff_cents
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(a.p_retailprice - b.p_retailprice) <= 0.02
+""",
+)
+def band_join_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band join |x - y| <= eps (operators/skew.band_join):
+    bucket both sides at eps width, replicate the left into its
+    neighbor buckets, hash-equi-join, exact post-filter — the
+    inequality-to-equi rewrite that replaces the
+    BroadcastNestedLoopJoin Spark would otherwise plan (O(n*m)
+    comparisons). Self-join on part retail price finds near-identical
+    price pairs; the oracle is the plain theta join."""
+    from feast_hive_spark.operators.skew import band_join
+
+    part = read_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_retailprice").alias("price_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_retailprice").alias("price_b"),
+    )
+    joined = band_join(a, b, "price_a", "price_b", 0.02)
+    return joined.filter(F.col("key_a") < F.col("key_b")).select(
+        "key_a",
+        "key_b",
+        (
+            round_half_away_long(F.col("price_a") * 100)
+            - round_half_away_long(F.col("price_b") * 100)
+        ).alias("diff_cents"),
+    )
+
+
+_WS_K = 50
+
+
+@register(
+    "weighted_sample_quality_topk",
+    f"""
+WITH scored AS (
+  SELECT doc_id,
+         {X.duck_quality_score('text')} AS quality
+  FROM documents
+), keyed AS (
+  SELECT doc_id, quality,
+         ln((CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+            / 281474976710656.0) / quality AS es_key
+  FROM scored WHERE quality > 0
+)
+SELECT doc_id, ROUND(quality, 6) AS quality, ROUND(es_key, 6) AS es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT {_WS_K}
+""",
+)
+def weighted_sample_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sampling without
+    replacement (operators/curate.weighted_sample_wor): inclusion
+    probability proportional to quality score, stateless hash-derived
+    uniforms, TakeOrdered selection (k rows per partition, never a
+    global sort). The oracle replicates the exact double formula, so
+    the hash gate certifies the sampled SET, not just its size."""
+    from feast_hive_spark.operators.curate import weighted_sample_wor
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", X.quality_score("text").alias("quality")
+    )
+    out = weighted_sample_wor(scored, "doc_id", "quality", k=_WS_K)
+    return out.select(
+        "doc_id",
+        F.round("quality", 6).alias("quality"),
+        F.round("__es_key", 6).alias("es_key"),
+    )

@@ -271,3 +271,33 @@ def test_stratified_kfold_stability_and_balance(spark, sf_dir):
     assert out.sort_values("event_id").reset_index(drop=True).equals(
         again.sort_values("event_id").reset_index(drop=True)
     )
+
+
+def test_weighted_sample_wor_bias_and_determinism(spark):
+    """Heavier weights must be sampled (much) more often, selection is
+    deterministic, and k is honored even with weight ties."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.curate import weighted_sample_wor
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(1000),
+            # 100 heavy rows (w=50) vs 900 light rows (w=1)
+            "w": [50.0 if i < 100 else 1.0 for i in range(1000)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = weighted_sample_wor(df, "id", "w", k=100).toPandas()
+    assert len(out) == 100
+    heavy = (out["id"] < 100).sum()
+    # heavy rows are 100/1000 of rows but ~85% of total weight; the
+    # A-ES sample must be dominated by them (deterministic, so this
+    # is a fixed property of the hash, not a flaky expectation)
+    assert heavy > 60
+    again = weighted_sample_wor(df, "id", "w", k=100).toPandas()
+    assert sorted(out["id"]) == sorted(again["id"])
+    # zero/negative weights never sampled
+    pdf.loc[500:, "w"] = 0.0
+    out2 = weighted_sample_wor(spark.createDataFrame(pdf), "id", "w", k=600).toPandas()
+    assert (out2["id"] < 500).all()

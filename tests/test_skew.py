@@ -107,3 +107,39 @@ def test_key_skew_report_shares(spark):
     assert rep.share_bp.tolist()[0] == 5000
     assert (rep.total_rows == 1000).all() and (rep.n_keys == 8).all()
     assert rep.top_share_bp.iloc[0] == (500 + 72 + 72) * 10000 // 1000
+
+
+def test_band_join_exact_vs_theta(spark):
+    """Bucketed band join must equal the naive theta join, including
+    negative values and pairs straddling bucket boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.operators.skew import band_join
+
+    rng = np.random.default_rng(8)
+    vals = np.round(rng.uniform(-10, 10, 400), 3)
+    a = spark.createDataFrame(
+        pd.DataFrame({"ka": range(400), "va": vals})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"kb": range(400), "vb": np.roll(vals, 13) + 0.004})
+    )
+    eps = 0.01
+    got = {
+        (r["ka"], r["kb"])
+        for r in band_join(a, b, "va", "vb", eps).collect()
+    }
+    exp = {
+        (i, j)
+        for i in range(400)
+        for j in range(400)
+        if abs(vals[i] - (np.roll(vals, 13)[j] + 0.004)) <= eps
+    }
+    assert got == exp and len(exp) > 0
+    # plan shape: a hash join on the bucket, not a nested-loop
+    plan = (
+        band_join(a, b, "va", "vb", eps)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan
