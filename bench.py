@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "dense_vocab_ids",
     "band_join_part_prices",
     "weighted_sample_quality_topk",
+    "covisitation_topk_items",
+    "ann_pq_adc_topk",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

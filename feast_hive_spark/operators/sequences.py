@@ -134,3 +134,64 @@ def next_item_samples(
         F.md5(F.concat_ws(" ", ctx)).alias("ctx_fp"),
         F.col(item_col).alias("label"),
     )
+
+
+def covisitation_topk(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    ts_col: str,
+    k: int = 5,
+    max_items_per_user: int = 50,
+) -> DataFrame:
+    """Item-to-item covisitation candidates — the classic recsys
+    candidate generator: for every item, the ``k`` items most often
+    seen by the same users, ranked by co-occurrence count.
+
+    Scale shape: per-user pair generation is QUADRATIC in the user's
+    distinct-item count, so a whale user (a bot touching the whole
+    catalog) is capped FIRST: per user, keep only the
+    ``max_items_per_user`` earliest-first-seen distinct items (first
+    occurrence = min(ts); deterministic tiebreak by item). Pair
+    production is then one user-keyed self-join over the capped rows
+    (<= cap^2 pairs per user), the count aggregate collapses map-side,
+    and the final per-item top-k is a WindowGroupLimit window whose
+    groups are bounded by catalog size, not corpus size.
+
+    Output: ``(item_a, item_b, n_co, rank)`` with rank <= k per
+    item_a (ordered by n_co desc, item_b).
+    """
+    first_seen = df.groupBy(user_col, item_col).agg(
+        F.min(ts_col).alias("__fs")
+    )
+    w_cap = Window.partitionBy(user_col).orderBy(
+        F.col("__fs"), F.col(item_col)
+    )
+    capped = (
+        first_seen.withColumn("__rn", F.row_number().over(w_cap))
+        .filter(F.col("__rn") <= max_items_per_user)
+        .select(user_col, item_col)
+    )
+    a = capped.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("item_a")
+    )
+    b = capped.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("item_b")
+    )
+    pairs = a.join(b, "__u").filter(F.col("item_a") != F.col("item_b"))
+    counts = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("n_co")
+    )
+    w_top = Window.partitionBy("item_a").orderBy(
+        F.col("n_co").desc(), F.col("item_b")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_co").cast("long").alias("n_co"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

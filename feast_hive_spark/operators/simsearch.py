@@ -524,3 +524,136 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_seed_codebooks(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_codes: int = 16,
+) -> "np.ndarray":
+    """Deterministic PQ codebook seeds: the ``n_codes`` vectors with
+    the smallest md5-of-id (the same seedless-uniform-sample device as
+    the IVF coarse quantizer), L2-normalized. Subspace codebooks are
+    views into these full vectors — which keeps the whole index
+    SQL-expressible for the oracle twin. A Lloyd refinement per
+    subspace could reuse ivf_build_centroids on sliced columns; the
+    seed codebook is the gated member of the family."""
+    seeds = (
+        candidates.select(id_col, vec_col)
+        .withColumn("__r", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__r")
+        .limit(n_codes)
+        .toPandas()
+    )
+    return V.np_normalize(V.np_matrix(seeds[vec_col]))
+
+
+def pq_adc_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC), inner-product flavor: every candidate vector is encoded as
+    ``m`` sub-space code ids (argmax dot against the sub-codebook,
+    ties to the lowest code); a query precomputes an (m x n_codes)
+    lookup table of sub-dots and scores a candidate as the SUM of m
+    table lookups — never touching the full vector.
+
+    Scale story: after encoding, the index is m SMALL INTS per vector
+    (m bytes at n_codes<=256) instead of dim floats — a 64-dim float
+    corpus compresses 64x, the scan becomes integer lookups, and the
+    encode pass is map-only. LUT entries are fixed to micro-unit
+    BIGINTs so the m-term sum is order-independent — bit-identical in
+    Spark and the DuckDB twin.
+
+    Output: ``(query_id, neighbor_id, approx_micro, rank)`` — top-k
+    per query by (approx score desc, neighbor id), self excluded.
+    """
+    C = codebooks
+    if C is None:
+        C = pq_seed_codebooks(candidates, id_col, vec_col, n_codes)
+    dim = C.shape[1]
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    sub = dim // m
+    q_ids, Qn = _query_matrix(queries, id_col, vec_col)
+    # LUT[(query, s, code)] = round(1e6 * dot(q_sub, code_sub))
+    if q_ids.size:
+        lut = np.stack(
+            [
+                np.rint(
+                    (Qn[:, s * sub : (s + 1) * sub]
+                     @ C[:, s * sub : (s + 1) * sub].T) * 1_000_000
+                ).astype(np.int64)
+                for s in range(m)
+            ],
+            axis=1,
+        )  # (nq, m, n_codes)
+    else:
+        lut = np.zeros((0, m, n_codes), dtype=np.int64)
+    spark = candidates.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, lut, C, m, sub))
+
+    def mapper(batches):
+        qids, LUT, cent, mm, ss = b.value
+        for batch in batches:
+            ids = batch[id_col].to_numpy()
+            if qids.size == 0 or ids.size == 0:
+                continue
+            Mn = V.np_normalize(V.np_matrix(batch[vec_col]))
+            # encode: per subspace, argmax dot (ties -> lowest code)
+            codes = np.stack(
+                [
+                    np.argmax(
+                        Mn[:, s * ss : (s + 1) * ss]
+                        @ cent[:, s * ss : (s + 1) * ss].T,
+                        axis=1,
+                    )
+                    for s in range(mm)
+                ],
+                axis=1,
+            )  # (n, m)
+            # ADC: approx[i, q] = sum_s LUT[q, s, codes[i, s]]
+            approx = np.zeros((len(ids), len(qids)), dtype=np.int64)
+            for s in range(mm):
+                approx += LUT[:, s, codes[:, s]].T  # (n, nq)
+            out_q, out_n, out_a = [], [], []
+            for j, q in enumerate(qids):
+                mask = ids != q
+                scores = approx[mask, j]
+                nids = ids[mask]
+                top = np.lexsort((nids, -scores))[:k]
+                out_q.extend([q] * len(top))
+                out_n.extend(nids[top].tolist())
+                out_a.extend(scores[top].tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_q,
+                        "neighbor_id": out_n,
+                        "approx_micro": out_a,
+                    }
+                )
+
+    partial = candidates.select(id_col, vec_col).mapInPandas(
+        mapper, "query_id long, neighbor_id long, approx_micro long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_micro").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "approx_micro",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

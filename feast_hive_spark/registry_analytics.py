@@ -2059,3 +2059,52 @@ def weighted_sample_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("quality", 6).alias("quality"),
         F.round("__es_key", 6).alias("es_key"),
     )
+
+
+_COVIS_K = 3
+_COVIS_CAP = 50
+
+
+@register(
+    "covisitation_topk_items",
+    f"""
+WITH fs AS (
+  SELECT user_id, event_id % 100 AS item, MIN(CAST(ts AS TIMESTAMP)) AS first_seen
+  FROM events GROUP BY user_id, event_id % 100
+), capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY first_seen, item) AS rn
+    FROM fs
+  ) WHERE rn <= {_COVIS_CAP}
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item <> b.item
+), counts AS (
+  SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_co
+  FROM pairs GROUP BY item_a, item_b
+)
+SELECT item_a, item_b, n_co,
+       CAST(ROW_NUMBER() OVER (PARTITION BY item_a
+                               ORDER BY n_co DESC, item_b) AS BIGINT) AS rank
+FROM counts
+QUALIFY rank <= {_COVIS_K}
+""",
+)
+def covisitation_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item covisitation candidate generation (operators/
+    sequences.covisitation_topk): whale users capped to their first
+    {cap} distinct items BEFORE quadratic pair production; per-item
+    top-k via WindowGroupLimit. Items derive from event_id % 100 (the
+    event-sequence fixtures' item space)."""
+    from feast_hive_spark.operators.sequences import covisitation_topk
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("event_id") % 100).alias("item"), "ts"
+    )
+    return covisitation_topk(
+        ev, "user_id", "item", "ts", k=_COVIS_K,
+        max_items_per_user=_COVIS_CAP,
+    )

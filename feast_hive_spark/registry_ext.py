@@ -2448,3 +2448,78 @@ def dup_source_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_docs"),
         F.sum(F.col("n") - 1).cast("long").alias("n_removable"),
     )
+
+
+_PQ_M = 32
+_PQ_CODES = 64
+_PQ_K = 5
+_PQ_SUB = 2  # 64-dim embeddings / m
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin of pq_adc_topk over the md5-ordered seed codebook:
+    normalization, per-subspace argmax encoding (ties to lowest code),
+    micro-unit LUT rounding, and the integer ADC sum are all
+    deterministic — the SUM of BIGINT micro lookups is order-free, so
+    the approximate scores hash-match exactly."""
+    def sl(v, s=f"sb.s"):
+        return f"{v}[({s} * {_PQ_SUB} + 1):(({s} + 1) * {_PQ_SUB})]"
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {V.duck_norm('embedding')}) AS v
+  FROM e
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         v AS cv
+  FROM nv
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {_PQ_CODES}
+),
+subs AS (SELECT unnest(range({_PQ_M})) AS s),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT n.vec_id, sb.s, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id, sb.s
+               ORDER BY {V.duck_dot(sl('n.v'), sl('c.cv'))} DESC, c.cid) AS r
+    FROM nv n CROSS JOIN subs sb CROSS JOIN cent c
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 8),
+lut AS (
+  SELECT q.query_id, sb.s, c.cid,
+         CAST(ROUND({V.duck_dot(sl('q.qv'), sl('c.cv'))} * 1000000) AS BIGINT) AS micro
+  FROM q CROSS JOIN subs sb CROSS JOIN cent c
+),
+approx AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(l.micro) AS BIGINT) AS approx_micro
+  FROM codes cd JOIN lut l ON l.s = cd.s AND l.cid = cd.cid
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_micro,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY approx_micro DESC, neighbor_id) AS BIGINT) AS rank
+FROM approx
+QUALIFY rank <= {_PQ_K}
+"""
+
+
+@register("ann_pq_adc_topk", _pq_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (operators/simsearch.pq_adc_topk): candidates compress to m=4
+    code bytes (64x smaller than the float vectors), queries score
+    via integer micro-unit LUT sums. The md5-seeded codebook keeps
+    the ENTIRE index — seeds, encoding, LUT, ADC ranking —
+    SQL-expressible, so the hash gate certifies the approximate
+    scores themselves, not just their shape."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.pq_adc_topk(
+        emb, queries, "vec_id", "embedding",
+        k=_PQ_K, m=_PQ_M, n_codes=_PQ_CODES,
+    )

@@ -177,3 +177,32 @@ def test_click_attribution_whale_completes(spark):
         ]
         exp += max(1, len(m))  # left outer: unmatched purchase keeps 1 row
     assert got == exp
+
+
+def test_covisitation_whale_user_capped(spark):
+    """A bot user touching 5000 items must be capped to
+    max_items_per_user BEFORE pair production — the pair count stays
+    cap^2, not 25M — and results must match the naive formulation on
+    the capped set."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from feast_hive_spark.operators.sequences import covisitation_topk
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, i, t0 + timedelta(seconds=i)) for i in range(5000)]
+    # normal users: overlapping small baskets
+    for u in range(2, 30):
+        for i in range(u % 5, u % 5 + 4):
+            rows.append((u, i, t0 + timedelta(seconds=i)))
+    df = spark.createDataFrame(rows, "user_id long, item long, ts timestamp")
+    out = covisitation_topk(
+        df, "user_id", "item", "ts", k=3, max_items_per_user=10
+    )
+    pdf = out.toPandas()
+    # the whale contributes only its 10 earliest items: items >= 10
+    # can never co-occur via the whale, so pairs among items >= 100
+    # (touched ONLY by the whale) must be absent entirely
+    assert not ((pdf["item_a"] >= 100) | (pdf["item_b"] >= 100)).any()
+    assert (pdf.groupby("item_a")["rank"].max() <= 3).all()
+    assert (pdf["item_a"] != pdf["item_b"]).all()

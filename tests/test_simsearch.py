@@ -226,3 +226,32 @@ def test_covariance_matches_numpy(spark):
     C = np.array([[got[(i, j)] / (n * n) / 1e6 for j in range(6)] for i in range(6)])
     exp = np.cov(X.T, bias=True)
     assert np.abs(C - exp).max() < 1e-2
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC is an approximation; sanity-gate it with recall@5
+    against the exact brute-force kernel (>= 0.25 with the seed
+    codebook at m=32/64 codes — synthetic uniform embeddings are
+    PQ's worst case, but it must be far above the ~0.01 random
+    baseline) and check the output
+    contract: k rows per query, rank total order, self excluded."""
+    from feast_hive_spark.operators import simsearch as S
+    from feast_hive_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    pq = S.pq_adc_topk(
+        emb, queries, "vec_id", "embedding", k=5, m=32, n_codes=64
+    ).toPandas()
+    exact = S.brute_force_topk(
+        emb, queries, "vec_id", "embedding", k=5
+    ).toPandas()
+    assert (pq.groupby("query_id").size() == 5).all()
+    assert (pq["query_id"] != pq["neighbor_id"]).all()
+    hits = 0
+    for q in pq["query_id"].unique():
+        got = set(pq[pq.query_id == q]["neighbor_id"])
+        true = set(exact[exact.query_id == q]["neighbor_id"])
+        hits += len(got & true)
+    recall = hits / len(exact)
+    assert recall >= 0.25, f"recall@5 {recall}"
