@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "weighted_sample_quality_topk",
     "covisitation_topk_items",
     "ann_pq_adc_topk",
+    "kcore_user_item",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

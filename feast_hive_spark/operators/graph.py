@@ -233,3 +233,76 @@ def triangle_stats(
         .otherwise(F.lit(0).cast("long"))
         .alias("closure_ppm"),
     )
+
+
+def kcore_nodes(
+    pairs: DataFrame,
+    k: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every vertex
+    keeps degree >= k — the density screen that separates a tight
+    duplicate clique from a loose chain of borderline matches in a
+    near-dup graph.
+
+    Iterative peel: drop vertices with current degree < k, recompute
+    degrees on surviving edges, repeat to fixpoint. Each round is one
+    degree aggregate + one semi-join filter on the (shrinking) edge
+    set; a localCheckpoint truncates lineage per round, and the
+    convergence probe (edge count) rides the same action. The peel is
+    MONOTONE and idempotent at the fixpoint, so running extra rounds
+    changes nothing — which is what lets the DuckDB twin unroll a
+    fixed ``max_rounds`` and still agree exactly. Raises if the graph
+    hasn't converged within ``max_rounds`` (pathological chains; the
+    caller raises the budget).
+
+    Output: ``(node, degree)`` rows of the k-core (post-fixpoint
+    degrees), empty if the core is empty.
+    """
+    from feast_hive_spark.operators.dedup import _free_local_checkpoint
+
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = e.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .union(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("x")
+        nxt = (
+            e.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        _free_local_checkpoint(e)
+        e = nxt
+        n = e.count()
+        if n == prev:
+            break
+        prev = n
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {max_rounds} rounds"
+        )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    out = deg.localCheckpoint(eager=True)
+    _free_local_checkpoint(e)
+    return out

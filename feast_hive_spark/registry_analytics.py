@@ -2108,3 +2108,62 @@ def covisitation_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "item", "ts", k=_COVIS_K,
         max_items_per_user=_COVIS_CAP,
     )
+
+
+_KCORE_K = 28
+_KCORE_ROUNDS = 10  # unroll budget; empirical fixpoint <= 7 on fixtures
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core peel (the PageRank chained-CTE device): each
+    round recomputes degrees on surviving edges and drops nodes under
+    k. The peel is monotone and idempotent at the fixpoint, so a
+    fixed unroll >= the true round count agrees exactly with Spark's
+    converge-and-stop loop."""
+    sql = """
+WITH raw AS (
+  SELECT user_id AS a, 1000000 + event_id % 300 AS b FROM events
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+)"""
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+k{i} AS MATERIALIZED (
+  SELECT x FROM (
+    SELECT x, COUNT(*) AS d FROM (
+      SELECT u AS x FROM {prev} UNION ALL SELECT v AS x FROM {prev}
+    ) GROUP BY x
+  ) WHERE d >= {_KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT x FROM k{i}) AND v IN (SELECT x FROM k{i})
+)"""
+        prev = f"e{i}"
+    sql += f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+) GROUP BY node
+"""
+    return sql
+
+
+@register("kcore_user_item", _kcore_oracle())
+def kcore_user_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.kcore_nodes) of the
+    bipartite user-item engagement graph — the density screen that
+    separates committed-cohort structure from long-tail noise (and,
+    on a near-dup pair graph, a tight duplicate clique from a loose
+    chain of borderline matches). Iterative peel with localCheckpoint
+    lineage truncation; the oracle unrolls the monotone peel to a
+    fixed depth past the fixpoint."""
+    from feast_hive_spark.operators.graph import kcore_nodes
+
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("user_id").alias("id_a"),
+        (F.lit(1_000_000) + F.col("event_id") % 300).alias("id_b"),
+    )
+    return kcore_nodes(pairs, k=_KCORE_K, max_rounds=12)

@@ -76,3 +76,19 @@ def test_triangle_stats_known_graphs(spark):
     )
     r3 = triangle_stats(tri).first()
     assert r3["n_triangles"] == 1
+
+
+def test_kcore_known_graph(spark):
+    """K5 with a pendant chain: the 3-core is exactly the K5 (chain
+    peels over multiple rounds — the cascade case); a k above the
+    max degree empties the core; duplicate/reversed edges collapse."""
+    from feast_hive_spark.operators.graph import kcore_nodes
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = k5 + chain + [(b, a) for a, b in k5]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    core = {r["node"]: r["degree"] for r in kcore_nodes(df, k=3).collect()}
+    assert set(core) == {0, 1, 2, 3, 4}
+    assert all(d == 4 for d in core.values())
+    assert kcore_nodes(df, k=6).count() == 0
