@@ -210,6 +210,8 @@ BENCH_QUERIES = [
     "covisitation_topk_items",
     "ann_pq_adc_topk",
     "kcore_user_item",
+    "psi_value_drift",
+    "feature_hash_events",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

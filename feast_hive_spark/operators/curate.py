@@ -361,3 +361,50 @@ def weighted_sample_wor(
         .orderBy(F.col("__es_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def feature_hash_encode(
+    df: DataFrame,
+    id_col: str,
+    cat_cols: list[str],
+    dim: int = 1024,
+    salt: str = "fh",
+) -> DataFrame:
+    """Hashing-trick categorical encoding (Weinberger et al.): each
+    ``column=value`` pair maps to ``h48 % dim`` with a sign bit drawn
+    from the next hash bit, so collisions cancel in expectation — the
+    fixed-width featurizer that needs NO vocabulary pass, no fitted
+    state, and no shuffle to encode (the only exchange is the per-id
+    sparse aggregation).
+
+    Output: sparse COO rows ``(id, feature_idx, weight)`` with
+    exact-zero cancellations dropped. Deterministic: the hash is a
+    pure function of (salt, column, value).
+    """
+    parts = []
+    for c in cat_cols:
+        h = h48(
+            F.concat(
+                F.lit(f"{salt}:{c}="), F.col(c).cast("string")
+            )
+        )
+        # stage the hash once; sign comes from the bit just above the
+        # index bits (integer div, not float division — exact)
+        staged = df.select(F.col(id_col), h.alias("__h"))
+        parts.append(
+            staged.select(
+                F.col(id_col),
+                F.pmod(F.col("__h"), F.lit(dim)).alias("feature_idx"),
+                (
+                    F.pmod(F.expr(f"__h div {dim}"), F.lit(2)) * 2 - 1
+                ).alias("__sign"),
+            )
+        )
+    all_rows = parts[0]
+    for p in parts[1:]:
+        all_rows = all_rows.unionByName(p)
+    return (
+        all_rows.groupBy(id_col, "feature_idx")
+        .agg(F.sum("__sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

@@ -53,3 +53,83 @@ def profile_columns(df: DataFrame, numeric_cols: Sequence[str]) -> DataFrame:
         "max_val",
         "mean_val",
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference slice and a
+    current slice of a numeric feature — the standard train/serve
+    drift monitor (rule of thumb: PSI < 0.1 stable, > 0.25 shifted).
+
+    Bin edges come from the REFERENCE distribution only (equal-width
+    over its [min, max], the value_histogram grid formula); current
+    values outside the reference range clamp into the edge bins, which
+    is exactly the drift signal PSI should see. Per-bin proportions
+    are Laplace-smoothed ((n + 0.5) / (N + 0.5 * bins)) so empty bins
+    stay finite, and each bin's contribution ``(p - q) * ln(p / q)``
+    is fixed to nano-units BEFORE any summation — the total PSI is an
+    order-independent integer sum, bit-identical cross-engine.
+
+    Scale shape: one 1-row bounds broadcast, one bin-keyed count per
+    side (partial agg collapses map-side), a bins-sized assembly join.
+    Output: ``(bin, n_ref, n_cur, contrib_e9)``; total PSI =
+    sum(contrib_e9) / 1e9.
+    """
+    spark = ref.sparkSession
+    mm = ref.agg(
+        F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+    )
+
+    def binned_counts(df: DataFrame, out: str) -> DataFrame:
+        b = F.when(
+            F.col("mx") > F.col("mn"),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (F.col(value_col) - F.col("mn"))
+                        / (F.col("mx") - F.col("mn")).cast("double")
+                        * n_bins
+                    ).cast("long"),
+                ),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        return (
+            df.crossJoin(F.broadcast(mm))
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    bins = spark.range(n_bins).select(F.col("id").alias("bin"))
+    r = binned_counts(ref, "n_ref")
+    c = binned_counts(cur, "n_cur")
+    joined = (
+        bins.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * n_bins)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * n_bins)
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round((p - q) * F.log(p / q) * 1e9)
+            .cast("long")
+            .alias("contrib_e9"),
+        )
+    )

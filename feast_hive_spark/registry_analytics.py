@@ -2167,3 +2167,116 @@ def kcore_user_item(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1_000_000) + F.col("event_id") % 300).alias("id_b"),
     )
     return kcore_nodes(pairs, k=_KCORE_K, max_rounds=12)
+
+
+_PSI_BINS = 10
+
+
+@register(
+    "psi_value_drift",
+    f"""
+WITH b AS (
+  SELECT (MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+          + MAX(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+  FROM events
+), ref AS (
+  SELECT value FROM events, b WHERE epoch_us(CAST(ts AS TIMESTAMP)) <= mid
+), cur AS (
+  SELECT value FROM events, b WHERE epoch_us(CAST(ts AS TIMESTAMP)) > mid
+), mm AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM ref
+), rc AS (
+  SELECT CASE WHEN mx > mn THEN
+           GREATEST(0, LEAST({_PSI_BINS - 1},
+             CAST(floor((value - mn) / CAST(mx - mn AS DOUBLE) * {_PSI_BINS}) AS BIGINT)))
+         ELSE 0 END AS bin, COUNT(*) AS n_ref
+  FROM ref, mm GROUP BY 1
+), cc AS (
+  SELECT CASE WHEN mx > mn THEN
+           GREATEST(0, LEAST({_PSI_BINS - 1},
+             CAST(floor((value - mn) / CAST(mx - mn AS DOUBLE) * {_PSI_BINS}) AS BIGINT)))
+         ELSE 0 END AS bin, COUNT(*) AS n_cur
+  FROM cur, mm GROUP BY 1
+), bins AS (SELECT unnest(range({_PSI_BINS})) AS bin
+), j AS (
+  SELECT b.bin,
+         COALESCE(n_ref, 0) AS n_ref,
+         COALESCE(n_cur, 0) AS n_cur
+  FROM bins b LEFT JOIN rc ON rc.bin = b.bin LEFT JOIN cc ON cc.bin = b.bin
+), t AS (
+  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM j
+)
+SELECT bin,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(ROUND(((n_ref + 0.5) / (t_ref + 0.5 * {_PSI_BINS})
+                   - (n_cur + 0.5) / (t_cur + 0.5 * {_PSI_BINS}))
+                  * ln(((n_ref + 0.5) / (t_ref + 0.5 * {_PSI_BINS}))
+                       / ((n_cur + 0.5) / (t_cur + 0.5 * {_PSI_BINS})))
+                  * 1e9) AS BIGINT) AS contrib_e9
+FROM j, t
+""",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution,
+    first half of the time range vs second (operators/profile.
+    psi_drift): reference-anchored equal-width bins, Laplace-smoothed
+    proportions, per-bin contributions fixed to nano-units BEFORE
+    summation (total PSI = sum(contrib_e9)/1e9 — an order-free integer
+    sum). The oracle gates every bin's contribution, not just the
+    total."""
+    from feast_hive_spark.operators.profile import psi_drift
+
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        ).cast("long").alias("mid")
+    )
+    sliced = ev.crossJoin(F.broadcast(mid))
+    ref = sliced.filter(F.unix_micros("ts") <= F.col("mid")).select("value")
+    cur = sliced.filter(F.unix_micros("ts") > F.col("mid")).select("value")
+    return psi_drift(ref, cur, "value", n_bins=_PSI_BINS)
+
+
+_FH_DIM = 64
+
+
+@register(
+    "feature_hash_events",
+    f"""
+WITH rows_ AS (
+  SELECT event_id,
+         CAST(('0x' || substr(md5('fh:event_type=' || event_type), 1, 12)) AS BIGINT) AS h
+  FROM events
+  UNION ALL
+  SELECT event_id,
+         CAST(('0x' || substr(md5('fh:user_seg=' || CAST(user_id % 7 AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+  FROM events
+)
+SELECT event_id,
+       h % {_FH_DIM} AS feature_idx,
+       CAST(SUM((h // {_FH_DIM}) % 2 * 2 - 1) AS BIGINT) AS weight
+FROM rows_
+GROUP BY event_id, h % {_FH_DIM}
+HAVING SUM((h // {_FH_DIM}) % 2 * 2 - 1) <> 0
+""",
+)
+def feature_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick categorical encoding (operators/curate.
+    feature_hash_encode): event_type and a derived user segment hash
+    into a 64-dim signed sparse space — no vocabulary pass, no
+    fitted state; dim chosen small enough that collisions occur and
+    the sign-cancellation arithmetic is actually exercised by the
+    gate."""
+    from feast_hive_spark.operators.curate import feature_hash_encode
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 7).cast("string").alias("user_seg"),
+    )
+    return feature_hash_encode(
+        ev, "event_id", ["event_type", "user_seg"], dim=_FH_DIM
+    )

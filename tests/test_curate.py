@@ -301,3 +301,33 @@ def test_weighted_sample_wor_bias_and_determinism(spark):
     pdf.loc[500:, "w"] = 0.0
     out2 = weighted_sample_wor(spark.createDataFrame(pdf), "id", "w", k=600).toPandas()
     assert (out2["id"] < 500).all()
+
+
+def test_feature_hash_encode_contract(spark):
+    """Fixed-width hashing-trick encoding: indices in [0, dim), stable
+    across runs, identical category values share an index, and the
+    signed sum cancels when the same bucket receives +1 and -1."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.curate import feature_hash_encode
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": range(200),
+                "color": [f"c{i % 5}" for i in range(200)],
+                "shape": [f"s{i % 3}" for i in range(200)],
+            }
+        )
+    )
+    out = feature_hash_encode(df, "id", ["color", "shape"], dim=16).toPandas()
+    assert out["feature_idx"].between(0, 15).all()
+    assert out["weight"].isin([-1, 1, -2, 2]).all() or (out["weight"] != 0).all()
+    # same (col, value) -> same index for every row
+    per_id = out[out["id"] == 0]
+    per_id2 = out[out["id"] == 15]  # same color/shape classes as id 0
+    assert set(per_id["feature_idx"]) == set(per_id2["feature_idx"])
+    again = feature_hash_encode(df, "id", ["color", "shape"], dim=16).toPandas()
+    assert out.sort_values(["id", "feature_idx"]).reset_index(drop=True).equals(
+        again.sort_values(["id", "feature_idx"]).reset_index(drop=True)
+    )

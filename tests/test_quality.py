@@ -110,3 +110,24 @@ def test_correlation_matrix_matches_numpy(spark):
     assert abs(got[("a", "b")] - np.corrcoef(a, b)[0, 1]) < 1e-6
     assert abs(got[("a", "c")] - np.corrcoef(a, c)[0, 1]) < 1e-6
     assert got[("a", "b")] > 0.9
+
+
+def test_psi_drift_detects_shift(spark):
+    """Identical slices give PSI ~ 0; a shifted current slice gives a
+    large PSI; contributions are finite even with empty bins."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.profile import psi_drift
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"v": [float(i % 100) for i in range(2000)]})
+    )
+    same = psi_drift(ref, ref, "v", n_bins=10).toPandas()
+    assert abs(same["contrib_e9"].sum()) == 0  # p == q exactly
+    shifted = spark.createDataFrame(
+        pd.DataFrame({"v": [float(i % 100) * 0.2 + 80 for i in range(2000)]})
+    )
+    drift = psi_drift(ref, shifted, "v", n_bins=10).toPandas()
+    psi = drift["contrib_e9"].sum() / 1e9
+    assert psi > 0.25  # classic "significant shift" threshold
+    assert len(drift) == 10  # empty bins present and finite
