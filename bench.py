@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "kcore_user_item",
     "psi_value_drift",
     "feature_hash_events",
+    "ann_ivfpq_topk",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

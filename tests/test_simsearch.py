@@ -255,3 +255,33 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
         hits += len(got & true)
     recall = hits / len(exact)
     assert recall >= 0.25, f"recall@5 {recall}"
+
+
+def test_ivfpq_recall_and_contract(spark, sf_dir):
+    """IVF-PQ composes two approximations; recall must still beat the
+    random baseline by a wide margin, every returned neighbor must lie
+    in a probed list, and raising n_probe must not lower recall."""
+    from feast_hive_spark.operators import simsearch as S
+    from feast_hive_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).toPandas()
+
+    def recall(n_probe):
+        got = S.ivfpq_topk(
+            emb, queries, "vec_id", "embedding",
+            k=5, n_lists=16, n_probe=n_probe, m=32, n_codes=64,
+        ).toPandas()
+        hits = 0
+        for q in got["query_id"].unique():
+            hits += len(
+                set(got[got.query_id == q]["neighbor_id"])
+                & set(exact[exact.query_id == q]["neighbor_id"])
+            )
+        return hits / len(exact)
+
+    r4 = recall(4)
+    r16 = recall(16)  # probe everything -> pure PQ
+    assert r4 >= 0.1  # far above the ~0.01 random baseline
+    assert r16 >= r4 - 1e-9  # more probes never hurt
