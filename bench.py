@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "psi_value_drift",
     "feature_hash_events",
     "ann_ivfpq_topk",
+    "per_lang_token_budget",
+    "table_diff_events",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -1040,3 +1040,104 @@ def perplexity_buckets(
         "pct",
         bucket.cast("long").alias("ppl_bucket"),
     )
+
+
+def grouped_budget_select(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    weight_col: str,
+    id_col: str,
+    frac_bp: int = 6000,
+    num_partitions: int | None = None,
+    max_offset_groups: int = 10_000,
+) -> DataFrame:
+    """Per-group greedy budget selection: within each group, walk rows
+    in (order_col desc, id) order and keep the prefix whose cumulative
+    ``weight_col`` stays within ``frac_bp`` basis points of the
+    group's total weight — "keep each language's best documents up to
+    X% of its token mass", the per-domain refinement of
+    :func:`select_token_budget`.
+
+    The budget is exact integer arithmetic (``(total * frac_bp) div
+    10000`` on a long weight column), so the cut is bit-identical
+    cross-engine. Whale groups ride the deterministic quantile-bucket
+    prefix machinery (bucket on ``order_col`` DESC globally, per-
+    (bucket, group) weight sums collected once — O(buckets x groups)
+    — broadcast back as offsets); above ``max_offset_groups`` the
+    plain per-group running window takes over, safe exactly where no
+    group can dominate a partition.
+
+    Output: selected rows ``(group, id, order value, weight,
+    cum_weight)``.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(order_col),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    totals_df = base.groupBy(group_col).agg(
+        F.sum("__w").alias("__total")
+    )
+    n_groups = base.agg(
+        F.approx_count_distinct(group_col).alias("__g")
+    ).first()["__g"]
+    if n_groups > max_offset_groups:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col(order_col).desc(), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = base.withColumn("cum_weight", F.sum("__w").over(w))
+    else:
+        bkt_expr, _ = quantile_bucket(
+            base, order_col, n_part, descending=True
+        )
+        bucketed = base.withColumn("__bkt", bkt_expr)
+        counts = (
+            bucketed.groupBy("__bkt", group_col)
+            .agg(F.sum("__w").alias("__s"))
+            .collect()
+        )
+        per_group: dict = {}
+        rows = []
+        for r in sorted(
+            counts, key=lambda r: (str(r[group_col]), r["__bkt"])
+        ):
+            g = r[group_col]
+            rows.append((r["__bkt"], g, per_group.get(g, 0)))
+            per_group[g] = per_group.get(g, 0) + r["__s"]
+        gtype = dict(df.dtypes)[group_col]
+        offsets = spark.createDataFrame(
+            rows or [(0, None, 0)],
+            f"__bkt int, {group_col} {gtype}, __off long",
+        )
+        w = (
+            Window.partitionBy("__bkt", group_col)
+            .orderBy(F.col(order_col).desc(), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = (
+            bucketed.withColumn("__local", F.sum("__w").over(w))
+            .join(F.broadcast(offsets), ["__bkt", group_col])
+            .withColumn(
+                "cum_weight", F.col("__local") + F.coalesce("__off", F.lit(0))
+            )
+        )
+    budget = F.expr(f"(__total * {frac_bp}) div 10000")
+    return (
+        cum.join(F.broadcast(totals_df), group_col)
+        .filter(F.col("cum_weight") <= budget)
+        .select(
+            group_col,
+            id_col,
+            order_col,
+            F.col("__w").alias(weight_col),
+            F.col("cum_weight").cast("long").alias("cum_weight"),
+        )
+    )

@@ -252,3 +252,53 @@ def correlation_matrix(df: DataFrame, int_cols: Sequence[str]) -> DataFrame:
     return one.select(
         F.explode(F.array(*pair_structs)).alias("__p")
     ).select("__p.col_x", "__p.col_y", "__p.n", "__p.corr")
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Key-level diff between two table versions — the CDC/backfill
+    validation primitive: which keys were added, removed, or changed
+    (any compared column differs, null-safe).
+
+    One full-outer join on the key columns; change classification is
+    pure codegen CASE logic, and unchanged keys are filtered OUT so
+    the result is sized to the delta, not the table. ``compare_cols``
+    defaults to all common non-key columns.
+
+    Output: ``(key..., change_type)`` with change_type in
+    {'added', 'removed', 'changed'}.
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keys
+        ]
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type") != "same")
+        .select(*keys, "change_type")
+    )

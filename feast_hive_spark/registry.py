@@ -69,7 +69,7 @@ SAMPLE_ROTATION: list[str] = [
     "band_join_part_prices", "weighted_sample_quality_topk",
     "covisitation_topk_items", "ann_pq_adc_topk",
     "kcore_user_item", "psi_value_drift", "feature_hash_events",
-    "ann_ivfpq_topk",
+    "ann_ivfpq_topk", "per_lang_token_budget", "table_diff_events",
     "user_interarrival_stats",
     "shingle_novelty_scores", "dsir_importance_weights",
     "bigram_nll_scores", "boilerplate_shingles", "oov_rate_scores",

@@ -2280,3 +2280,44 @@ def feature_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash_encode(
         ev, "event_id", ["event_type", "user_seg"], dim=_FH_DIM
     )
+
+
+@register(
+    "table_diff_events",
+    """
+WITH old_ AS (
+  SELECT event_id, value FROM events WHERE event_id % 10 <> 0
+), new_ AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN value + 1 ELSE value END AS value
+  FROM events WHERE event_id % 7 <> 0
+)
+SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'added'
+            WHEN n.event_id IS NULL THEN 'removed'
+            WHEN o.value IS DISTINCT FROM n.value THEN 'changed'
+            ELSE 'same' END AS change_type
+FROM old_ o FULL OUTER JOIN new_ n ON o.event_id = n.event_id
+WHERE CASE WHEN o.event_id IS NULL THEN 'added'
+           WHEN n.event_id IS NULL THEN 'removed'
+           WHEN o.value IS DISTINCT FROM n.value THEN 'changed'
+           ELSE 'same' END <> 'same'
+""",
+)
+def table_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level snapshot diff (operators/quality.table_diff): two
+    deterministic 'versions' of events (different modular row drops;
+    error-event values bumped in the new version) diffed by key —
+    added/removed/changed classification with null-safe compares, one
+    full-outer join, output sized to the delta."""
+    from feast_hive_spark.operators.quality import table_diff
+
+    ev = read_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 10 != 0).select("event_id", "value")
+    new = ev.filter(F.col("event_id") % 7 != 0).select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.col("value") + 1)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return table_diff(old, new, ["event_id"], ["value"])

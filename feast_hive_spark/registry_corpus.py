@@ -975,3 +975,51 @@ def dense_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "tok", "cnt", (F.col("__rn") - 1).cast("long").alias("vocab_id")
     )
+
+
+_GBS_BP = 6000  # keep 60% of each language's token mass
+
+
+@register(
+    "per_lang_token_budget",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {X.duck_quality_score('text')} AS quality,
+         CAST({X.duck_token_count_ws('text')} AS BIGINT) AS n_tok
+  FROM documents
+), cum AS (
+  SELECT lang, doc_id, quality, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang
+                          ORDER BY quality DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_weight,
+         SUM(n_tok) OVER (PARTITION BY lang) AS total
+  FROM scored
+)
+SELECT lang, doc_id, quality,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_weight AS BIGINT) AS cum_weight
+FROM cum
+WHERE cum_weight <= (total * {_GBS_BP}) // 10000
+""",
+)
+def per_lang_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group greedy budget selection (operators/corpus.
+    grouped_budget_select): each language keeps its highest-quality
+    documents up to 60% of ITS token mass — the per-domain corpus-mix
+    refinement of token-budget selection. Integer basis-point budget
+    arithmetic makes the cut bit-exact; a whale language spreads
+    across the deterministic quantile buckets instead of pinning one
+    sort partition (the oracle's group-keyed window is the
+    oracle-scale-only formulation)."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        X.quality_score("text").alias("quality"),
+        X.token_count_ws("text").cast("long").alias("n_tok"),
+    )
+    return C.grouped_budget_select(
+        scored, "lang", "quality", "n_tok", "doc_id", frac_bp=_GBS_BP
+    )

@@ -436,3 +436,37 @@ def test_perplexity_buckets_population(spark, sf_dir):
     assert sizes.max() - sizes.min() <= max(3, len(out) * 0.02)
     # bucket ordering follows NLL
     assert out[out.ppl_bucket == 0]["avg_nll"].max() <= out[out.ppl_bucket == 2]["avg_nll"].min() + 1e-9
+
+
+def test_grouped_budget_select_paths_agree(spark):
+    """Both the bucket-offset whale path and the plain-window guard
+    path must produce the identical per-group budget cut."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.operators import corpus as C
+
+    rng = np.random.default_rng(6)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "id": range(n),
+            "g": ["whale" if i % 5 else f"g{i % 3}" for i in range(n)],
+            "q": np.round(rng.uniform(0, 1, n), 4),
+            "w": rng.integers(1, 100, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    whale = C.grouped_budget_select(df, "g", "q", "w", "id", frac_bp=5000)
+    plain = C.grouped_budget_select(
+        df, "g", "q", "w", "id", frac_bp=5000, max_offset_groups=0
+    )
+    a = sorted(tuple(r) for r in whale.select("g", "id").collect())
+    b = sorted(tuple(r) for r in plain.select("g", "id").collect())
+    assert a == b and len(a) > 0
+    # the cut respects each group's budget exactly
+    got = whale.toPandas()
+    tot = pdf.groupby("g")["w"].sum()
+    kept = got.groupby("g")["w"].sum()
+    for g in kept.index:
+        assert kept[g] <= tot[g] * 0.5

@@ -131,3 +131,20 @@ def test_psi_drift_detects_shift(spark):
     psi = drift["contrib_e9"].sum() / 1e9
     assert psi > 0.25  # classic "significant shift" threshold
     assert len(drift) == 10  # empty bins present and finite
+
+
+def test_table_diff_classification(spark):
+    import pandas as pd
+
+    from feast_hive_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "v": [10.0, 20.0, None, 40.0]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 3, 4, 5], "v": [99.0, None, 40.0, 50.0]})
+    )
+    got = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
+    # k=1 removed, k=2 changed, k=3 same (NULL == NULL null-safe),
+    # k=4 same (filtered), k=5 added
+    assert got == {1: "removed", 2: "changed", 5: "added"}
