@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "per_lang_token_budget",
     "table_diff_events",
+    "multimodal_resize_stats",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -60,6 +60,7 @@ SAMPLE_ROTATION: list[str] = [
     "multimodal_gif_pixel_stats", "multimodal_audio_stats",
     "multimodal_video_frame_stats", "multimodal_frame_sample",
     "multimodal_type_rollup", "multimodal_ahash_near_dup",
+    "multimodal_resize_stats",
     "pack_sequences_2048", "padding_efficiency_report",
     "token_budget_selection", "quality_percentile_by_source",
     "stream_heavy_hitters_topk", "graph_triangle_stats",

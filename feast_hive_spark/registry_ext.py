@@ -2621,3 +2621,65 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K, n_lists=_IVFPQ_LISTS, n_probe=_IVFPQ_PROBE,
         m=_PQ_M, n_codes=_PQ_CODES,
     )
+
+
+_RSZ_W = 4
+_RSZ_H = 4
+
+
+@register(
+    "multimodal_resize_stats",
+    f"""
+SELECT d.doc_id,
+       CAST({_RSZ_W} AS BIGINT) AS width,
+       CAST({_RSZ_H} AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(SUM((d.doc_id * 31
+                 + 7 * (((gy.y * (6 + d.doc_id % 4)) // {_RSZ_H}) * (8 + d.doc_id % 5)
+                        + ((gx.x * (8 + d.doc_id % 5)) // {_RSZ_W}))) % 256) AS BIGINT) AS sum_pixel,
+       CAST(MIN((d.doc_id * 31
+                 + 7 * (((gy.y * (6 + d.doc_id % 4)) // {_RSZ_H}) * (8 + d.doc_id % 5)
+                        + ((gx.x * (8 + d.doc_id % 5)) // {_RSZ_W}))) % 256) AS BIGINT) AS min_pixel,
+       CAST(MAX((d.doc_id * 31
+                 + 7 * (((gy.y * (6 + d.doc_id % 4)) // {_RSZ_H}) * (8 + d.doc_id % 5)
+                        + ((gx.x * (8 + d.doc_id % 5)) // {_RSZ_W}))) % 256) AS BIGINT) AS max_pixel
+FROM documents d,
+     LATERAL (SELECT unnest(range(0, {_RSZ_W})) AS x) gx,
+     LATERAL (SELECT unnest(range(0, {_RSZ_H})) AS y) gy
+GROUP BY d.doc_id
+""",
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL thumbnail pipeline, oracle-gated end-to-end: formula PNG
+    -> decode -> nearest-neighbor resize to 4x4 -> re-encode PNG ->
+    decode again -> exact integer stats (operators/multimodal.
+    resize_images + image_pixel_stats chained). The DuckDB twin
+    evaluates the NN index map ``src = (y*H div 4)*W + (x*W div 4)``
+    straight on the pixel formula — it never sees a PNG — so a hash
+    match proves BOTH codec round trips and the resize sampling are
+    pixel-exact. De-stubs the last test-only multimodal path."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.functions import png
+    from feast_hive_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def mk(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                w, h = 8 + int(d) % 5, 6 + int(d) % 4
+                k = np.arange(w * h, dtype=np.int64)
+                img = ((int(d) * 31 + 7 * k) % 256).astype(np.uint8).reshape(h, w)
+                payloads.append(png.encode(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(mk, "doc_id long, payload binary")
+    thumbs = M.resize_images(
+        media, "payload", "doc_id", width=_RSZ_W, height=_RSZ_H,
+        allow_fake=False,
+    )
+    return M.image_pixel_stats(thumbs, "thumb", "doc_id")
