@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "per_lang_token_budget",
     "table_diff_events",
     "multimodal_resize_stats",
+    "cms_user_frequency",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

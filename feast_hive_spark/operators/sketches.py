@@ -51,3 +51,96 @@ def hll_rollup(
             "approx_distinct"
         ),
     )
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of an item stream: ``depth`` independent hash
+    rows of ``width`` counters — the fixed-size (depth x width longs)
+    frequency summary that merges by cell-wise ADDITION, making it
+    the streaming/partitioned counterpart of an exact groupBy whose
+    state would grow with item cardinality.
+
+    Build is one aggregate over (row, bucket) pairs (``depth`` rows
+    per event, partial agg collapses map-side); the result is always
+    depth*width rows regardless of stream size. Hashes are the
+    engine's md5 ``H48`` with per-row salts — deterministic and
+    SQL-twinnable.
+
+    Output: ``(row, bucket, n)``.
+    """
+    from feast_hive_spark.functions.text import h48
+
+    parts = []
+    for d in range(depth):
+        parts.append(
+            df.select(
+                F.lit(d).alias("row"),
+                F.pmod(
+                    h48(
+                        F.concat(
+                            F.lit(f"{salt}{d}:"),
+                            F.col(item_col).cast("string"),
+                        )
+                    ),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each
+    item, ``min`` over the depth rows of its bucket counter — the
+    classic one-sided estimator (``est >= true`` always;
+    overestimate bounded by collision mass e*N/width w.h.p.). The
+    sketch is depth*width rows, so it BROADCASTS; estimating any
+    number of items is a map-side join + a per-item min.
+
+    Output: ``(item, est_n)``.
+    """
+    from feast_hive_spark.functions.text import h48
+
+    parts = []
+    for d in range(depth):
+        parts.append(
+            items.select(
+                F.col(item_col).alias("item"),
+                F.lit(d).alias("row"),
+                F.pmod(
+                    h48(
+                        F.concat(
+                            F.lit(f"{salt}{d}:"),
+                            F.col(item_col).cast("string"),
+                        )
+                    ),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("est_n"))
+    )

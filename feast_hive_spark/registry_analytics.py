@@ -2321,3 +2321,67 @@ def table_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value"),
     )
     return table_diff(old, new, ["event_id"], ["value"])
+
+
+_CMS_W = 256
+_CMS_D = 4
+
+
+def _cms_hash(d: int, expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cms{d}:' || {expr}), 1, 12)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+@register(
+    "cms_user_frequency",
+    f"""
+WITH pairs AS (
+  {" UNION ALL ".join(
+      f"SELECT {d} AS row, {_cms_hash(d, 'CAST(user_id AS VARCHAR)')} AS bucket FROM events"
+      for d in range(_CMS_D)
+  )}
+), sketch AS (
+  SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY row, bucket
+), items AS (
+  SELECT DISTINCT user_id FROM events
+), probes AS (
+  {" UNION ALL ".join(
+      f"SELECT user_id AS item, {d} AS row, {_cms_hash(d, 'CAST(user_id AS VARCHAR)')} AS bucket FROM items"
+      for d in range(_CMS_D)
+  )}
+), est AS (
+  SELECT item, CAST(MIN(COALESCE(n, 0)) AS BIGINT) AS est_n
+  FROM probes LEFT JOIN sketch USING (row, bucket)
+  GROUP BY item
+), truth AS (
+  SELECT user_id AS item, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events GROUP BY user_id
+)
+SELECT e.item, t.true_n, e.est_n,
+       CAST(e.est_n - t.true_n AS BIGINT) AS overestimate
+FROM est e JOIN truth t USING (item)
+""",
+)
+def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketches.
+    cms_build / cms_estimate): a fixed depth x width counter grid
+    replaces cardinality-sized exact state; estimates are one-sided
+    (est >= true, slack = hash-collision mass). The twin recomputes
+    the identical sketch, so the hash gate certifies every estimate
+    AND its exact overestimate — stronger than a tolerance bound."""
+    from feast_hive_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", width=_CMS_W, depth=_CMS_D)
+    items = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, items, "user_id", width=_CMS_W, depth=_CMS_D)
+    truth = ev.groupBy(F.col("user_id").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    return est.join(truth, "item").select(
+        "item", "true_n", "est_n",
+        (F.col("est_n") - F.col("true_n")).cast("long").alias("overestimate"),
+    )

@@ -159,3 +159,42 @@ def test_stream_to_sketches_incremental_equals_batch(spark, tmp_path, events):
     run("ck2")
     assert estimates() == before
     assert not pathlib.Path(table + ".epoch9.old").exists()
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """CMS invariants: estimates never undercount; a sketch built on
+    the union equals the cell-wise SUM of per-partition sketches
+    (mergeability — the property that makes it a distributed/
+    streaming summary)."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.sketches import cms_build, cms_estimate
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"item": [f"u{i % 37}" for i in range(3000)]})
+    df = spark.createDataFrame(pdf)
+    sk = cms_build(df, "item", width=64, depth=4)
+    items = df.distinct()
+    est = cms_estimate(sk, items, "item", width=64, depth=4).toPandas()
+    truth = pdf.groupby("item").size()
+    for r in est.itertuples():
+        assert r.est_n >= truth[r.item]
+    # mergeability: sum of two hash-split sketches == full sketch
+    a = df.filter(F.crc32(F.col("item")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("item")) % 2 == 1)
+    merged = (
+        cms_build(a, "item", width=64, depth=4)
+        .unionByName(cms_build(b, "item", width=64, depth=4))
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    full = cms_build(df, "item", width=64, depth=4)
+    diff = (
+        merged.withColumnRenamed("n", "nm")
+        .join(full, ["row", "bucket"], "full_outer")
+        .filter(
+            F.coalesce("nm", F.lit(0)) != F.coalesce("n", F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
