@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "table_diff_events",
     "multimodal_resize_stats",
     "cms_user_frequency",
+    "holdout_nll_scores",
+    "conversion_lag_stats",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

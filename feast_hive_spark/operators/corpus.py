@@ -1141,3 +1141,84 @@ def grouped_budget_select(
             F.col("cum_weight").cast("long").alias("cum_weight"),
         )
     )
+
+
+def holdout_nll_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_bp: int = 9000,
+    salt: str = "split",
+) -> DataFrame:
+    """Held-out language-model scoring — the GENERALIZATION twin of
+    :func:`unigram_nll_scores`: the unigram LM is estimated on the
+    deterministic hash-split TRAIN slice only (add-one smoothing over
+    the train vocabulary plus one OOV bucket) and scores the VAL
+    slice. Same-corpus NLL rewards memorization; held-out NLL is the
+    honest perplexity an eval pipeline should report, and the OOV
+    count it emits is the vocabulary-coverage signal.
+
+    Scale shape unchanged from the in-corpus scorer: the model lives
+    on the train VOCABULARY (one grouped count + a 1-row scalar
+    broadcast); val tokens join against it (left join — OOV tokens
+    take the scalar OOV bucket NLL) and re-aggregate per document.
+    Per-token NLL is fixed to micro-nats before the sum.
+
+    Output: ``(id, n_tok, n_oov, avg_nll)`` for VAL documents.
+    """
+    bucket = F.pmod(
+        h48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(10000),
+    )
+    marked = df.withColumn("__b", bucket)
+    train = marked.filter(F.col("__b") < train_bp)
+    val = marked.filter(F.col("__b") >= train_bp)
+    vocab = (
+        train.select(F.explode(X.words(text_col)).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    scalars = vocab.agg(
+        F.sum("__c").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    # P(tok) = (c + 1) / (T + V + 1); OOV bucket gets c = 0
+    scored_vocab = vocab.crossJoin(F.broadcast(scalars)).select(
+        "__tok",
+        F.round(
+            -F.log(
+                (F.col("__c") + 1).cast("double")
+                / (F.col("__T") + F.col("__V") + 1)
+            )
+            * _MICRO
+        )
+        .cast("long")
+        .alias("__nll_micro"),
+    )
+    vtoks = val.select(
+        F.col(id_col), F.explode(X.words(text_col)).alias("__tok")
+    )
+    joined = (
+        vtoks.join(scored_vocab, "__tok", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.col("__nll_micro").isNull().cast("long").alias("__oov"),
+            F.coalesce(
+                F.col("__nll_micro"),
+                F.round(
+                    -F.log(
+                        F.lit(1.0)
+                        / (F.col("__T") + F.col("__V") + 1)
+                    )
+                    * _MICRO
+                ).cast("long"),
+            ).alias("__nll"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("__oov").cast("long").alias("n_oov"),
+        F.round(
+            F.sum("__nll").cast("double") / F.count(F.lit(1)) / _MICRO, 4
+        ).alias("avg_nll"),
+    )

@@ -2385,3 +2385,63 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item", "true_n", "est_n",
         (F.col("est_n") - F.col("true_n")).cast("long").alias("overestimate"),
     )
+
+
+@register(
+    "conversion_lag_stats",
+    """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_view_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id,
+         MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS first_purchase_us
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= v.first_view_us
+  GROUP BY e.user_id
+), lags AS (
+  SELECT v.user_id,
+         (p.first_purchase_us - v.first_view_us) // 1000000 AS lag_s
+  FROM v JOIN p ON p.user_id = v.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+       ROUND(quantile_cont(lag_s, 0.5), 4) AS p50_lag_s,
+       ROUND(quantile_cont(lag_s, 0.9), 4) AS p90_lag_s,
+       CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+FROM lags
+""",
+)
+def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: per user, the lag from first
+    view to the first purchase at-or-after it, summarized with exact
+    percentiles — the product-funnel latency metric. Two tiny
+    per-user aggregates sharing one user-keyed exchange pattern; lags
+    are exact integer seconds so quantile_cont/percentile
+    interpolation agrees bit-for-bit."""
+    ev = read_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_view_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.unix_micros("ts") >= F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_purchase_us"))
+    )
+    lags = v.join(p, "user_id").select(
+        F.expr("(first_purchase_us - first_view_us) div 1000000").alias(
+            "lag_s"
+        )
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lag_s").cast("long").alias("min_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 4).alias("p50_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.9)"), 4).alias("p90_lag_s"),
+        F.max("lag_s").cast("long").alias("max_lag_s"),
+    )

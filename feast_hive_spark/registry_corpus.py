@@ -1023,3 +1023,53 @@ def per_lang_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.grouped_budget_select(
         scored, "lang", "quality", "n_tok", "doc_id", frac_bp=_GBS_BP
     )
+
+
+@register(
+    "holdout_nll_scores",
+    """
+WITH marked AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 10000 AS b
+  FROM documents
+), train AS (
+  SELECT * FROM marked WHERE b < 9000
+), val AS (
+  SELECT * FROM marked WHERE b >= 9000
+), ttoks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM train
+), vocab AS (
+  SELECT tok, COUNT(*) AS c FROM ttoks GROUP BY tok
+), scalars AS (
+  SELECT SUM(c) AS T, COUNT(*) AS V FROM vocab
+), scored AS (
+  SELECT tok,
+         CAST(ROUND(-ln(CAST(c + 1 AS DOUBLE) / (T + V + 1)) * 1000000) AS BIGINT) AS nll_micro
+  FROM vocab, scalars
+), vtoks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM val
+), joined AS (
+  SELECT v.doc_id,
+         CASE WHEN s.nll_micro IS NULL THEN 1 ELSE 0 END AS oov,
+         COALESCE(
+           s.nll_micro,
+           CAST(ROUND(-ln(1.0 / (sc.T + sc.V + 1)) * 1000000) AS BIGINT)
+         ) AS nll
+  FROM vtoks v LEFT JOIN scored s ON s.tok = v.tok, scalars sc
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*) / 1000000, 4) AS avg_nll
+FROM joined
+GROUP BY doc_id
+""",
+)
+def holdout_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram perplexity (operators/corpus.
+    holdout_nll_scores): the LM is fitted on the deterministic 90%
+    hash-split train slice (add-one smoothing + an OOV bucket) and
+    scores the 10% val slice — the honest generalization number, with
+    the OOV count doubling as a vocabulary-coverage signal."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.holdout_nll_scores(docs, "doc_id", "text")

@@ -470,3 +470,21 @@ def test_grouped_budget_select_paths_agree(spark):
     kept = got.groupby("g")["w"].sum()
     for g in kept.index:
         assert kept[g] <= tot[g] * 0.5
+
+
+def test_holdout_nll_oov_and_memorization_gap(spark, sf_dir):
+    """Held-out scoring must (a) emit only val docs, (b) flag OOV
+    tokens, (c) produce avg_nll at least as high on held-out data as
+    the in-corpus scorer's mean (memorization gap >= 0 in
+    expectation — asserted on the corpus means)."""
+    from feast_hive_spark.operators import corpus as C
+    from feast_hive_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    held = C.holdout_nll_scores(docs, "doc_id", "text").toPandas()
+    n_docs = docs.count()
+    assert 0 < len(held) < n_docs  # val slice only (~10%)
+    assert (held["n_oov"] >= 0).all() and (held["n_oov"] <= held["n_tok"]).all()
+    incorp = C.unigram_nll_scores(docs, "doc_id", "text").toPandas()
+    joined = held.merge(incorp, on="doc_id", suffixes=("_h", "_i"))
+    assert joined["avg_nll_h"].mean() >= joined["avg_nll_i"].mean() - 0.05
