@@ -219,6 +219,8 @@ BENCH_QUERIES = [
     "cms_user_frequency",
     "holdout_nll_scores",
     "conversion_lag_stats",
+    "dedup_containment",
+    "value_ohlc_hourly",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -1051,3 +1051,68 @@ def prefix_jaccard_pairs(
         .distinct()
     )
     return _jaccard_pairs(with_sh, candidates, id_col, threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment
+    ``C(A in B) = |A ∩ B| / |A|`` — the quote/excerpt detector.
+    Jaccard misses a short document wholly embedded in a long one
+    (the union dwarfs the overlap); containment flags it at ~1.0 and
+    carries DIRECTION: the pair ``(contained, container)`` says which
+    side is the excerpt.
+
+    Same scale shape as :func:`ngram_jaccard_pairs` (inverted shingle
+    index, count-only overlap, optional hot-shingle cap) — the only
+    change is the denominator and emitting both orientations of each
+    overlapping pair before the threshold (a short-in-long pair
+    passes in one direction and fails the other).
+
+    Output: ``(id_small, id_big, containment)`` where ``id_small``'s
+    shingle set is >= ``threshold`` contained in ``id_big``'s.
+    """
+    with_sh = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), X.tokens_array(text_col).alias("__tk")
+    ).select(
+        F.col(id_col), X.shingle_hashes_from(F.col("__tk"), n).alias("__sh")
+    )
+    sizes = with_sh.select(F.col(id_col), F.size("__sh").alias("__n"))
+    exploded = with_sh.select(id_col, F.explode("__sh").alias("__h"))
+    if max_doc_freq is not None:
+        hot = (
+            exploded.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__h")
+        )
+        exploded = exploded.join(F.broadcast(hot), "__h", "left_anti")
+    left = exploded.select(F.col(id_col).alias("id_small"), "__h")
+    right = exploded.select(F.col(id_col).alias("id_big"), "__h")
+    inter = (
+        left.join(right, "__h")
+        .filter(F.col("id_small") != F.col("id_big"))
+        .groupBy("id_small", "id_big")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    ssml = sizes.select(
+        F.col(id_col).alias("id_small"), F.col("__n").alias("__ns")
+    )
+    return (
+        inter.join(ssml, "id_small")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("__inter").cast("double")
+                / F.greatest(F.col("__ns"), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_small", "id_big", "containment")
+    )

@@ -2445,3 +2445,47 @@ def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lag_s, 0.9)"), 4).alias("p90_lag_s"),
         F.max("lag_s").cast("long").alias("max_lag_s"),
     )
+
+
+@register(
+    "value_ohlc_hourly",
+    """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             FILTER (WHERE rn_open = 1), 4) AS open,
+       ROUND(MAX(value), 4) AS high,
+       ROUND(MIN(value), 4) AS low,
+       ROUND(MIN(value ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             FILTER (WHERE rn_close = 1), 4) AS close
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_close
+  FROM events
+)
+GROUP BY 1
+""",
+)
+def value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) per hour bucket — the canonical
+    time-series downsample. Open/close are ARGMIN/ARGMAX by
+    (ts, event_id) via min_by/max_by, so the whole rollup is ONE
+    hash aggregate with map-side partials — no window, no second
+    shuffle (the oracle's row_number formulation is the
+    window-engine equivalent)."""
+    ev = read_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(hour.alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min_by("value", ordk), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", ordk), 4).alias("close"),
+        )
+    )

@@ -2683,3 +2683,27 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         allow_fake=False,
     )
     return M.image_pixel_stats(thumbs, "thumb", "doc_id")
+
+
+@register(
+    "dedup_containment",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+)
+SELECT id_small, id_big, containment FROM (
+  SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / greatest(len(a.sh), 1), 6) AS containment
+  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+) WHERE containment >= 0.8
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (operators/dedup.
+    containment_pairs): |A∩B| / |A| with direction — the quote/
+    excerpt detector Jaccard misses (a short doc wholly embedded in a
+    long one unions away). Same inverted-index scale shape as the
+    Jaccard family; the oracle is the all-pairs formulation."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)

@@ -303,3 +303,27 @@ def test_prefix_index_is_smaller(spark, sf_dir):
         .count()
     )
     assert pref < 0.6 * full
+
+
+def test_containment_directionality(spark):
+    """A short doc fully embedded in a long one must pass as
+    (short contained-in long) and NOT the reverse; Jaccard at the
+    same threshold misses it entirely."""
+    import pandas as pd
+
+    from feast_hive_spark.operators import dedup as D
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [short, long]})
+    )
+    got = D.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).collect()
+    assert [(r["id_small"], r["id_big"]) for r in got] == [(1, 2)]
+    assert got[0]["containment"] == 1.0
+    jac = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).count()
+    assert jac == 0  # the union swallows the overlap
