@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "conversion_lag_stats",
     "dedup_containment",
     "value_ohlc_hourly",
+    "hybrid_search_rrf",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -73,7 +73,7 @@ SAMPLE_ROTATION: list[str] = [
     "ann_ivfpq_topk", "per_lang_token_budget", "table_diff_events",
     "cms_user_frequency", "multimodal_resize_stats",
     "holdout_nll_scores", "conversion_lag_stats",
-    "dedup_containment", "value_ohlc_hourly",
+    "dedup_containment", "value_ohlc_hourly", "hybrid_search_rrf",
     "user_interarrival_stats",
     "shingle_novelty_scores", "dsir_importance_weights",
     "bigram_nll_scores", "boilerplate_shingles", "oov_rate_scores",

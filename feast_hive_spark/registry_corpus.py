@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feast_hive_spark.functions import text as X
+from feast_hive_spark.functions import vector as V
 from feast_hive_spark.operators import corpus as C
 from feast_hive_spark.registry import register
 from feast_hive_spark.sources.tables import read_table
@@ -1073,3 +1074,122 @@ def holdout_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the OOV count doubling as a vocabulary-coverage signal."""
     docs = read_table(spark, sf_dir, "documents")
     return C.holdout_nll_scores(docs, "doc_id", "text")
+
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_LIST = 50  # per-ranker candidate list length
+_RRF_TOP = 10
+
+
+def _rrf_oracle() -> str:
+    """Hybrid-search twin: the BM25 oracle's scoring re-ranked to a
+    50-deep lexical list, the cosine oracle's formula ranked to a
+    50-deep semantic list for query vector 0, fused by reciprocal
+    rank: rrf = 1/(60+rank_lex) + 1/(60+rank_sem), absent list
+    membership contributing 0. The fixed two-term sum is evaluated in
+    the same order both engines, so the fused scores hash-match."""
+    tf_defs = ",\n         ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_defs = ",\n         ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    parts = " + ".join(
+        f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * ({k1} + 1))"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * ({1 - b} + {b} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(t) AS dl,
+         {tf_defs}
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl, {df_defs} FROM base
+),
+lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_lex
+  FROM (SELECT doc_id, ROUND({parts}, 4) AS bm25 FROM base, stats)
+  WHERE bm25 > 0
+  QUALIFY rank_lex <= {_RRF_LIST}
+),
+e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+sem AS (
+  SELECT neighbor_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank_sem
+  FROM (
+    SELECT c.vec_id AS neighbor_id,
+           ROUND({V.duck_cosine('c.embedding', 'q.qv')}, 6) AS cosine
+    FROM q JOIN e c ON c.vec_id <> 0
+  )
+  QUALIFY rank_sem <= {_RRF_LIST}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.rank_lex, s.rank_sem,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + l.rank_lex), 0)
+               + COALESCE(1.0 / ({_RRF_K} + s.rank_sem), 0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, rank_lex, rank_sem, rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= {_RRF_TOP}
+"""
+
+
+@register("hybrid_search_rrf", _rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the modern
+    search default: a 50-deep BM25 lexical list and a 50-deep
+    exact-cosine semantic list (query = embedding 0) fused as
+    ``1/(60+rank_lex) + 1/(60+rank_sem)``. Each list is produced by
+    its own scale-shaped kernel (shuffle-free BM25; batched matmul
+    top-k); the fusion windows run on <= 50-row lists BY CONSTRUCTION
+    (rank fusion only ever sees the candidate lists, never the
+    corpus)."""
+    from feast_hive_spark.operators import simsearch as S
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = C.bm25_score(
+        docs, "doc_id", "text", list(_BM25_TERMS),
+        k=_RRF_LIST, k1=_BM25_K1, b=_BM25_B,
+    )
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
+    )
+    sem = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=_RRF_LIST,
+    )
+    sem_r = sem.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank_sem"),
+    )
+    fused = (
+        lex_r.join(sem_r, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rank_sem")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= _RRF_TOP)
+        .select("doc_id", "rank_lex", "rank_sem", "rrf", "rank")
+    )
