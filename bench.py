@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "value_ohlc_hourly",
     "hybrid_search_rrf",
+    "decayed_item_popularity",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

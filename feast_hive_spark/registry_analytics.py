@@ -2489,3 +2489,57 @@ def value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max_by("value", ordk), 4).alias("close"),
         )
     )
+
+
+@register(
+    "decayed_item_popularity",
+    """
+WITH mx AS (
+  SELECT MAX(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS maxd
+  FROM events
+), w AS (
+  SELECT event_id % 100 AS item,
+         CAST(ROUND(1000 * POW(0.9,
+              date_diff('day', CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE), maxd)
+         )) AS BIGINT) AS w_milli
+  FROM events, mx
+)
+SELECT item,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w_milli) AS BIGINT) AS decayed_milli
+FROM w
+GROUP BY item
+""",
+)
+def decayed_item_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed item popularity (half-life scoring,
+    the recsys freshness prior): each event contributes
+    ``round(1000 * 0.9^age_days)`` milli-units relative to the newest
+    day. The decay factor is an exact integer FIXED BEFORE summation,
+    so the aggregate is order-free and cross-engine exact — float
+    decay accumulators would diverge by summation order. One scalar
+    bounds broadcast + one item-keyed aggregate (partials collapse
+    map-side)."""
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.max(F.to_date(F.date_trunc("day", F.col("ts")))).alias("maxd")
+    )
+    w = ev.crossJoin(F.broadcast(mx)).select(
+        (F.col("event_id") % 100).alias("item"),
+        F.round(
+            1000
+            * F.pow(
+                F.lit(0.9),
+                F.datediff(
+                    F.col("maxd"),
+                    F.to_date(F.date_trunc("day", F.col("ts"))),
+                ),
+            )
+        )
+        .cast("long")
+        .alias("w_milli"),
+    )
+    return w.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w_milli").cast("long").alias("decayed_milli"),
+    )
