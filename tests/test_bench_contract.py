@@ -35,3 +35,18 @@ def test_emit_line_fits_tail_budget(capsys, tmp_path, monkeypatch):
     full = json.loads((tmp_path / "BENCH_SUMMARY.json").read_text())
     assert len(full["queries"]) == len(times)
     assert full["prepare_total"] == round(0.01 * len(times), 3)
+
+
+def test_bench_conf_does_not_touch_engine_defaults():
+    """The sf<=0.1 bench-session tuning (AQE off, narrow shuffle,
+    respread) must stay bench-local: bench_conf at cluster scale
+    leaves AQE alone, and the engine's session factory keeps AQE ON
+    (the 100 TB default the SCALING.md story depends on)."""
+    import bench
+    from feast_hive_spark.session import DEFAULT_CONF
+
+    small = bench.bench_conf(0.1)
+    assert small.get("spark.sql.adaptive.enabled") == "false"
+    big = bench.bench_conf(100.0)
+    assert "spark.sql.adaptive.enabled" not in big
+    assert DEFAULT_CONF.get("spark.sql.adaptive.enabled", "true") == "true"

@@ -172,3 +172,48 @@ def test_span_dup_stats_matches_python_model(spark, pdf):
         for r in C.span_dup_stats(df, "doc_id", "text", span_tokens=3).collect()
     }
     assert got == py_span_stats(pdf, 3)
+
+
+def test_containment_matches_brute_force_random(spark):
+    """Property: the inverted-index containment equals the definition
+    |A∩B|/|A| computed brute-force on the shingle sets, for random
+    corpora with overlapping token pools (fixed seeds)."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.operators import dedup as D
+
+    rng = np.random.default_rng(12)
+    pool = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = int(rng.integers(5, 25))
+        docs.append(" ".join(rng.choice(pool, n)))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "text": docs})
+    )
+    got = {
+        (r["id_small"], r["id_big"]): r["containment"]
+        for r in D.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    exp = {}
+    ss = [shingles(t) for t in docs]
+    for i in range(40):
+        for j in range(40):
+            if i == j or not ss[i]:
+                continue
+            c = len(ss[i] & ss[j]) / len(ss[i])
+            if c >= 0.5:
+                exp[(i, j)] = round(c, 6)
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-6
