@@ -223,6 +223,8 @@ BENCH_QUERIES = [
     "value_ohlc_hourly",
     "hybrid_search_rrf",
     "decayed_item_popularity",
+    "calibration_curve_value",
+    "churn_labels",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

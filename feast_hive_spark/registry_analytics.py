@@ -2543,3 +2543,103 @@ def decayed_item_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("w_milli").cast("long").alias("decayed_milli"),
     )
+
+
+@register(
+    "calibration_curve_value",
+    """
+WITH mm AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), binned AS (
+  SELECT CASE WHEN mx > mn THEN
+           LEAST(9, CAST(floor((value - mn) / CAST(mx - mn AS DOUBLE) * 10) AS BIGINT))
+         ELSE 0 END AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events, mm
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       (1000000 * CAST(SUM(pos) AS BIGINT)) // COUNT(*) AS pos_rate_ppm
+FROM binned
+GROUP BY bin
+""",
+)
+def calibration_curve_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve: empirical positive rate (purchase share) per
+    fixed-width value decile — the reliability diagram behind every
+    score-threshold decision. Bin bounds from one broadcast scalar
+    aggregate, rates as exact integer ppm (order-free), one bin-keyed
+    aggregate with map-side partials."""
+    ev = read_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binc = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn")).cast("double")
+                * 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        ev.crossJoin(F.broadcast(mm))
+        .groupBy(binc.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.expr("(1000000 * n_pos) div n").alias("pos_rate_ppm"),
+        )
+    )
+
+
+@register(
+    "churn_labels",
+    """
+WITH mx AS (
+  SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS corpus_max_us FROM events
+), u AS (
+  SELECT user_id,
+         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       (corpus_max_us - last_us) // 86400000000 AS days_inactive,
+       CAST(CASE WHEN corpus_max_us - last_us > 7 * 86400000000 THEN 1 ELSE 0 END AS BIGINT) AS churned
+FROM u, mx
+""",
+)
+def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn label generation: per user, integer days since last
+    activity relative to the corpus horizon and a 7-day-inactivity
+    label — the supervised-target primitive for retention models.
+    Exact integer microsecond arithmetic end-to-end; one user-keyed
+    aggregate plus a 1-row horizon broadcast."""
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("corpus_max_us"))
+    u = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    day_us = 86_400_000_000
+    return u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr(f"(corpus_max_us - last_us) div {day_us}").alias(
+            "days_inactive"
+        ),
+        (
+            (F.col("corpus_max_us") - F.col("last_us")) > 7 * day_us
+        ).cast("long").alias("churned"),
+    )
