@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "decayed_item_popularity",
     "calibration_curve_value",
     "churn_labels",
+    "bpe_merge_table",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -1222,3 +1222,79 @@ def holdout_nll_scores(
             F.sum("__nll").cast("double") / F.count(F.lit(1)) / _MICRO, 4
         ).alias("avg_nll"),
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 5,
+) -> "list[tuple[int, str, str, int]]":
+    """Learn byte-pair-encoding merges from the corpus — the
+    tokenizer-training step of an LLM data pipeline. Returns the
+    ordered merge table ``[(round, left_sym, right_sym, pair_freq)]``.
+
+    BPE trains on the WORD-FREQUENCY TABLE, not the corpus: the
+    symbol-sequence state is vocabulary-sized, so each round is one
+    vocab-sized aggregate (pair counts weighted by word frequency,
+    partial agg collapses map-side) + a 1-row argmax collect + a
+    literal string replace — the iterative-driver shape of
+    ivf_build_centroids, with per-round state bounded by |vocab|.
+
+    Exact/deterministic device (shared with the DuckDB twin): a
+    word's symbol sequence is the string ``⟨c1⟩⟨c2⟩…⟨/w⟩``, and
+    applying merge (a, b) is the LITERAL replace of ``⟨a⟩⟨b⟩`` with
+    ``⟨ab⟩`` — non-overlapping left-to-right, which IS canonical
+    greedy BPE merge application (a run ``aaaa`` merges positions
+    1-2 and 3-4). Ties break on the pair string ascending. Words are
+    restricted to ``[a-z0-9]+`` so symbols can never contain the
+    bracket sentinels.
+    """
+    words = (
+        df.select(F.explode(X.words(text_col)).alias("__w"))
+        .filter(F.col("__w").rlike("^[a-z0-9]+$"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .select(
+            F.col("__f"),
+            F.concat(
+                F.regexp_replace(F.col("__w"), "(.)", "⟨$1⟩"),
+                F.lit("⟨/w⟩"),
+            ).alias("__seq"),
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    for r in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr("trim(BOTH '⟨⟩' FROM __seq)"), "⟩⟨"
+        )
+        pairs = (
+            cur.select(F.col("__f"), syms.alias("__s"))
+            .select(
+                "__f",
+                F.posexplode(
+                    F.expr("sequence(1, size(__s) - 1)")
+                ).alias("__i", "__pos"),
+                F.col("__s"),
+            )
+            .select(
+                F.element_at("__s", F.col("__pos")).alias("s1"),
+                F.element_at("__s", F.col("__pos") + 1).alias("s2"),
+                "__f",
+            )
+            .groupBy("s1", "s2")
+            .agg(F.sum("__f").alias("pf"))
+        )
+        best = pairs.orderBy(
+            F.col("pf").desc(), F.col("s1"), F.col("s2")
+        ).limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        merges.append((r, b["s1"], b["s2"], int(b["pf"])))
+        pat = f"⟨{b['s1']}⟩⟨{b['s2']}⟩"
+        rep = f"⟨{b['s1']}{b['s2']}⟩"
+        cur = cur.select(
+            "__f", F.replace("__seq", F.lit(pat), F.lit(rep)).alias("__seq")
+        )
+    return merges

