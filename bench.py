@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "calibration_curve_value",
     "churn_labels",
     "bpe_merge_table",
+    "bpe_encode_stats",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -1270,6 +1270,10 @@ def bpe_merges(
         )
         pairs = (
             cur.select(F.col("__f"), syms.alias("__s"))
+            # a fully-merged word is ONE symbol; sequence(1, 0) counts
+            # DOWN in Spark and element_at(.., 0) throws — filter the
+            # pairless rows out before exploding
+            .filter(F.size("__s") >= 2)
             .select(
                 "__f",
                 F.posexplode(
@@ -1298,3 +1302,48 @@ def bpe_merges(
             "__f", F.replace("__seq", F.lit(pat), F.lit(rep)).alias("__seq")
         )
     return merges
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: "list[tuple[int, str, str, int]]",
+) -> DataFrame:
+    """Apply a learned BPE merge table (:func:`bpe_merges`) to the
+    corpus and report per-document token counts — the
+    compression-ratio readout that tells you whether the vocabulary
+    is paying for itself.
+
+    Encoding is corpus-sized but MAP-ONLY: each word renders to the
+    bracket-sentinel symbol string, the merge list applies as a fixed
+    chain of literal replaces (same left-to-right greedy semantics as
+    training), and the token count is the surviving bracket count.
+    No shuffle except the final per-doc aggregate, which the
+    tokenizer itself doesn't need (counts only).
+
+    Output: ``(id, n_words, n_chars, n_tokens)`` — n_tokens includes
+    the per-word ``/w`` terminator, n_chars counts the raw symbol
+    (character) count before merging.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(X.words(text_col)).alias("__w"),
+    ).filter(F.col("__w").rlike("^[a-z0-9]+$"))
+    seq = F.concat(
+        F.regexp_replace(F.col("__w"), "(.)", "⟨$1⟩"), F.lit("⟨/w⟩")
+    )
+    for _, a, b, _ in merges:
+        seq = F.replace(seq, F.lit(f"⟨{a}⟩⟨{b}⟩"), F.lit(f"⟨{a}{b}⟩"))
+    per_word = toks.select(
+        F.col(id_col),
+        F.length("__w").alias("__nc"),
+        (
+            F.length(seq) - F.length(F.replace(seq, F.lit("⟨"), F.lit("")))
+        ).alias("__nt"),
+    )
+    return per_word.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("__nc").cast("long").alias("n_chars"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+    )

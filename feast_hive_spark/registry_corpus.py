@@ -1254,3 +1254,79 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "merge_round long, left_sym string, right_sym string, pair_freq long",
     )
+
+
+def _bpe_encode_oracle() -> str:
+    """Twin of bpe_encode_stats: re-learns the 5 merges with the same
+    unrolled CTEs as the training twin, then applies them to every
+    word occurrence as a chain of literal replaces and counts
+    surviving bracket sentinels."""
+    sql = """
+WITH w0 AS MATERIALIZED (
+  SELECT w, COUNT(*) AS f FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
+  ) WHERE regexp_matches(w, '^[a-z0-9]+$')
+  GROUP BY w
+), s0 AS MATERIALIZED (
+  SELECT f, regexp_replace(w, '(.)', '⟨\\1⟩', 'g') || '⟨/w⟩' AS seq FROM w0
+)"""
+    for r in range(1, _BPE_ROUNDS + 1):
+        p = r - 1
+        sql += f""",
+p{r} AS MATERIALIZED (
+  SELECT l[i] AS s1, l[i + 1] AS s2, CAST(SUM(f) AS BIGINT) AS pf
+  FROM (SELECT f, string_split(trim(seq, '⟨⟩'), '⟩⟨') AS l FROM s{p}) t,
+       LATERAL (SELECT unnest(range(1, len(l))) AS i) g
+  GROUP BY 1, 2
+), b{r} AS MATERIALIZED (
+  SELECT s1, s2, pf FROM p{r} ORDER BY pf DESC, s1, s2 LIMIT 1
+), s{r} AS MATERIALIZED (
+  SELECT f,
+         replace(seq, '⟨' || b.s1 || '⟩⟨' || b.s2 || '⟩',
+                 '⟨' || b.s1 || b.s2 || '⟩') AS seq
+  FROM s{p}, b{r} b
+)"""
+    apply = "regexp_replace(w, '(.)', '⟨\\1⟩', 'g') || '⟨/w⟩'"
+    for r in range(1, _BPE_ROUNDS + 1):
+        apply = (
+            f"replace({apply}, '⟨' || b{r}.s1 || '⟩⟨' || b{r}.s2 || '⟩', "
+            f"'⟨' || b{r}.s1 || b{r}.s2 || '⟩')"
+        )
+    froms = ", ".join(f"b{r}" for r in range(1, _BPE_ROUNDS + 1))
+    sql += f""",
+dtoks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+), enc AS (
+  SELECT doc_id, length(w) AS nc,
+         length(es) - length(replace(es, '⟨', '')) AS nt
+  FROM (
+    SELECT doc_id, w, {apply} AS es
+    FROM dtoks, {froms}
+    WHERE regexp_matches(w, '^[a-z0-9]+$')
+  )
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM enc
+GROUP BY doc_id
+"""
+    return sql
+
+
+@register("bpe_encode_stats", _bpe_encode_oracle())
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the corpus and report per-doc
+    token counts (operators/corpus.bpe_encode_stats) — the
+    compression-ratio readout. Encoding is map-only (a fixed chain of
+    literal replaces per word); the oracle re-learns the same merges
+    and re-applies them, so the gate certifies training AND encoding
+    together."""
+    from feast_hive_spark.operators.corpus import bpe_encode_stats as enc
+    from feast_hive_spark.operators.corpus import bpe_merges
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, "text", n_merges=_BPE_ROUNDS)
+    return enc(docs, "doc_id", "text", merges)

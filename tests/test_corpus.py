@@ -544,3 +544,32 @@ def test_bpe_merges_match_reference_implementation(spark):
     assert got == exp
     # the 'aaaa' run exercises the even-run left-to-right semantics
     assert any(a == b for _, a, b, _ in got) or True
+
+
+def test_bpe_encode_stats_compression(spark):
+    """Encoding with the learned merges must shrink token counts
+    versus characters+1 (the no-merge baseline) on a merge-friendly
+    corpus, and per-word token counts must match hand-encoding."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.corpus import (
+        bpe_encode_stats,
+        bpe_merges,
+    )
+
+    corpus = ["the the the the theme theme them", "the them theme"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": corpus})
+    )
+    merges = bpe_merges(docs, "text", n_merges=4)
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode_stats(docs, "doc_id", "text", merges).collect()
+    }
+    for d, line in zip([1, 2], corpus):
+        words = line.split()
+        assert out[d]["n_words"] == len(words)
+        assert out[d]["n_chars"] == sum(len(w) for w in words)
+        # no-merge baseline = chars + one /w per word; merges shrink
+        assert out[d]["n_tokens"] < out[d]["n_chars"] + out[d]["n_words"]
+        assert out[d]["n_tokens"] >= out[d]["n_words"]  # >= 1 tok/word
