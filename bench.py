@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "churn_labels",
     "bpe_merge_table",
     "bpe_encode_stats",
+    "pit_leakage_audit",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

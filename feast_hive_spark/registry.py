@@ -75,7 +75,7 @@ SAMPLE_ROTATION: list[str] = [
     "holdout_nll_scores", "conversion_lag_stats",
     "dedup_containment", "value_ohlc_hourly", "hybrid_search_rrf",
     "decayed_item_popularity", "calibration_curve_value", "churn_labels",
-    "bpe_merge_table", "bpe_encode_stats",
+    "bpe_merge_table", "bpe_encode_stats", "pit_leakage_audit",
     "user_interarrival_stats",
     "shingle_novelty_scores", "dsir_importance_weights",
     "bigram_nll_scores", "boilerplate_shingles", "oov_rate_scores",

@@ -2643,3 +2643,59 @@ def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("corpus_max_us") - F.col("last_us")) > 7 * day_us
         ).cast("long").alias("churned"),
     )
+
+
+@register(
+    "pit_leakage_audit",
+    """
+WITH ent AS (
+  SELECT event_id AS probe_id, user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS entity_us
+  FROM events WHERE event_type = 'purchase'
+), naive AS (
+  SELECT user_id, MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS latest_us
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), j AS (
+  SELECT e.probe_id,
+         CASE WHEN n.latest_us > e.entity_us THEN 1 ELSE 0 END AS leaky,
+         CASE WHEN n.latest_us IS NULL THEN 1 ELSE 0 END AS missing
+  FROM ent e LEFT JOIN naive n ON n.user_id = e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(SUM(leaky) AS BIGINT) AS n_leaky,
+       CAST(SUM(missing) AS BIGINT) AS n_missing,
+       (1000000 * CAST(SUM(leaky) AS BIGINT)) // COUNT(*) AS leak_ppm
+FROM j
+""",
+)
+def pit_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-leakage audit: how many training rows would a NAIVE
+    latest-per-key feature join contaminate with FUTURE data,
+    relative to each entity row's timestamp — the quantified argument
+    for the engine's flagship point-in-time join (here ~most purchase
+    probes would leak, because clicks keep arriving after them). One
+    per-key aggregate + one broadcastable join; exact integer
+    microsecond compares."""
+    ev = read_table(spark, sf_dir, "events")
+    ent = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        F.unix_micros("ts").alias("entity_us"),
+    )
+    naive = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.max(F.unix_micros("ts")).alias("latest_us"))
+    )
+    j = ent.join(naive, "user_id", "left").select(
+        (F.col("latest_us") > F.col("entity_us"))
+        .cast("long")
+        .alias("leaky"),
+        F.col("latest_us").isNull().cast("long").alias("missing"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum("leaky").cast("long").alias("n_leaky"),
+        F.sum("missing").cast("long").alias("n_missing"),
+        F.expr("(1000000 * sum(leaky)) div count(1)").alias("leak_ppm"),
+    )
