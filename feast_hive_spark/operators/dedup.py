@@ -1081,7 +1081,7 @@ def containment_pairs(
         F.col(id_col), X.tokens_array(text_col).alias("__tk")
     ).select(
         F.col(id_col), X.shingle_hashes_from(F.col("__tk"), n).alias("__sh")
-    )
+    ).cache()  # feeds sizes + both self-join branches (family idiom)
     sizes = with_sh.select(F.col(id_col), F.size("__sh").alias("__n"))
     exploded = with_sh.select(id_col, F.explode("__sh").alias("__h"))
     if max_doc_freq is not None:

@@ -55,6 +55,22 @@ def quantile_bucket(
     """
     if n_buckets <= 1:
         return F.lit(0), 1
+    # approxQuantile only supports numeric/boolean columns; a
+    # non-numeric sort key (string/uuid ids) degrades to ONE bucket —
+    # correct (the downstream window is then a single global
+    # partition) rather than a crash, with the distribution lost.
+    # Callers with string keys that need the distributed path should
+    # pre-map them to a numeric surrogate that preserves their order.
+    dtype = dict(df.dtypes).get(col_name, "")
+    numeric = any(
+        t in dtype
+        for t in (
+            "int", "long", "float", "double", "decimal", "short",
+            "byte", "boolean",
+        )
+    )
+    if not numeric:
+        return F.lit(0), 1
     probs = [i / n_buckets for i in range(1, n_buckets)]
     err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
     bounds = df.stat.approxQuantile(col_name, probs, err)

@@ -85,6 +85,13 @@ def psi_drift(
     )
 
     def binned_counts(df: DataFrame, out: str) -> DataFrame:
+        # NULL values are EXCLUDED, not binned: Spark's least()/
+        # greatest() skip nulls, so a null value would otherwise land
+        # silently in the TOP bin and masquerade as a mass shift. A
+        # null-RATE drift is a different monitor (profile_columns
+        # reports it); PSI here compares the distributions of present
+        # values.
+        df = df.filter(F.col(value_col).isNotNull())
         b = F.when(
             F.col("mx") > F.col("mn"),
             F.greatest(

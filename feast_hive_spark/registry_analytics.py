@@ -2180,9 +2180,11 @@ WITH b AS (
           + MAX(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
   FROM events
 ), ref AS (
-  SELECT value FROM events, b WHERE epoch_us(CAST(ts AS TIMESTAMP)) <= mid
+  SELECT value FROM events, b
+  WHERE epoch_us(CAST(ts AS TIMESTAMP)) <= mid AND value IS NOT NULL
 ), cur AS (
-  SELECT value FROM events, b WHERE epoch_us(CAST(ts AS TIMESTAMP)) > mid
+  SELECT value FROM events, b
+  WHERE epoch_us(CAST(ts AS TIMESTAMP)) > mid AND value IS NOT NULL
 ), mm AS (
   SELECT MIN(value) AS mn, MAX(value) AS mx FROM ref
 ), rc AS (
@@ -2556,6 +2558,7 @@ WITH mm AS (
          ELSE 0 END AS bin,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
   FROM events, mm
+  WHERE value IS NOT NULL
 )
 SELECT bin,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -2585,7 +2588,8 @@ def calibration_curve_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.lit(0).cast("long"))
     return (
-        ev.crossJoin(F.broadcast(mm))
+        ev.filter(F.col("value").isNotNull())  # nulls are not a bin
+        .crossJoin(F.broadcast(mm))
         .groupBy(binc.alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -2511,8 +2511,9 @@ QUALIFY rank <= {_PQ_K}
 @register("ann_pq_adc_topk", _pq_oracle())
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
-    (operators/simsearch.pq_adc_topk): candidates compress to m=4
-    code bytes (64x smaller than the float vectors), queries score
+    (operators/simsearch.pq_adc_topk): candidates compress to m=32
+    sub-space codes (~10x smaller than the 64 float32 dims at 6-bit
+    codes; coarser m trades recall for compression), queries score
     via integer micro-unit LUT sums. The md5-seeded codebook keeps
     the ENTIRE index — seeds, encoding, LUT, ADC ranking —
     SQL-expressible, so the hash gate certifies the approximate

@@ -59,3 +59,30 @@ def test_quantile_bucket_spreads_uniform(spark):
     counts = out.groupby("b").size()
     assert len(counts) >= 8
     assert counts.max() < len(vals) * 0.5
+
+
+def test_quantile_bucket_non_numeric_degrades_to_one_bucket(spark):
+    """Review fix: a string sort key can't be approxQuantile'd; the
+    helper must degrade to one bucket (correct single-partition
+    window downstream) instead of crashing."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [f"id{i:04d}" for i in range(100)]})
+    )
+    expr, n = quantile_bucket(df, "v", 8)
+    assert n == 1
+    out = df.select(expr.alias("b")).toPandas()
+    assert (out["b"] == 0).all()
+
+    # end-to-end: padding_efficiency_report with STRING ids must work
+    from feast_hive_spark.operators.pack import padding_efficiency_report
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [f"d{i}" for i in range(50)],
+             "n_tok": [(i * 7) % 30 + 1 for i in range(50)]}
+        )
+    )
+    r = padding_efficiency_report(docs, "doc_id", "n_tok", batch_size=8).first()
+    assert r["n_rows"] == 50 and r["padded_sorted"] <= r["padded_arrival"]

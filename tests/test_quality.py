@@ -148,3 +148,23 @@ def test_table_diff_classification(spark):
     # k=1 removed, k=2 changed, k=3 same (NULL == NULL null-safe),
     # k=4 same (filtered), k=5 added
     assert got == {1: "removed", 2: "changed", 5: "added"}
+
+
+def test_psi_drift_excludes_nulls(spark):
+    """Review fix: NULL values must be EXCLUDED from binning, not
+    silently counted into the top bin (least/greatest skip nulls)."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.profile import psi_drift
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"v": [float(i % 50) for i in range(1000)]})
+    )
+    vals = [float(i % 50) for i in range(900)] + [None] * 100
+    cur = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    out = psi_drift(ref, cur, "v", n_bins=10).toPandas()
+    # nulls are not a bin: cur totals count only present values
+    assert out["n_cur"].sum() == 900
+    # identical present-value distributions -> no spurious top-bin mass
+    top = out[out["bin"] == 9].iloc[0]
+    assert abs(top["n_cur"] / 900 - top["n_ref"] / 1000) < 0.01
