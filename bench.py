@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "bpe_merge_table",
     "bpe_encode_stats",
     "pit_leakage_audit",
+    "embedding_quality_audit",
+    "cross_source_dup_matrix",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -2708,3 +2708,107 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard family; the oracle is the all-pairs formulation."""
     docs = read_table(spark, sf_dir, "documents")
     return D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "embedding_quality_audit",
+    f"""
+WITH n AS (
+  SELECT vec_id,
+         {V.duck_norm('embedding')} AS nrm,
+         len(embedding) AS dim,
+         len(list_filter(embedding, x -> x = 0)) AS n_zero,
+         len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) AS n_nan
+  FROM embeddings
+), s AS (
+  SELECT quantile_cont(nrm, 0.5) AS med FROM n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(dim) AS BIGINT) AS min_dim,
+       CAST(MAX(dim) AS BIGINT) AS max_dim,
+       CAST(SUM(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
+       CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+       CAST(SUM(CASE WHEN nrm > 3 * med THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_outliers,
+       CAST(SUM(n_zero) AS BIGINT) AS total_zero_components,
+       ROUND(MIN(nrm), 4) AS min_norm,
+       ROUND(MAX(nrm), 4) AS max_norm
+FROM n, s
+""",
+)
+def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table validation: dimension consistency, NaN and
+    zero-vector detection, norm-outlier count (> 3x median norm —
+    the scaling-bug smell), zero-component totals. Pure built-in
+    array functions (aggregate/filter HOFs) — one scan-wide
+    aggregate + a 1-row median broadcast, no Python, certified
+    against DuckDB's list kernels."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    n = emb.select(
+        nrm.alias("nrm"),
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x == 0)).alias("n_zero"),
+        F.size(F.filter("embedding", lambda x: F.isnan(x.cast("double")))).alias("n_nan"),
+    )
+    med = n.agg(F.expr("percentile(nrm, 0.5)").alias("med"))
+    return n.crossJoin(F.broadcast(med)).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.sum((F.col("n_nan") > 0).cast("long")).alias("n_with_nan"),
+        F.sum((F.col("nrm") == 0).cast("long")).alias("n_zero_vectors"),
+        F.sum((F.col("nrm") > 3 * F.col("med")).cast("long")).alias(
+            "n_norm_outliers"
+        ),
+        F.sum("n_zero").cast("long").alias("total_zero_components"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )
+
+
+@register(
+    "cross_source_dup_matrix",
+    f"""
+WITH s AS (
+  SELECT doc_id, source, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+        >= 0.5
+)
+SELECT least(source_a, source_b) AS src_x,
+       greatest(source_a, source_b) AS src_y,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+GROUP BY 1, 2
+""",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO copies WHOM: the near-dup pair graph aggregated into a
+    source-by-source matrix (within-source pairs on the diagonal,
+    cross-source pairs = syndication/scraping between feeds) — the
+    provenance view of dedup health that decides which source to
+    de-prioritize. Rides the exact inverted-index Jaccard kernel;
+    only source labels and counts leave the pair stage."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("source_a", "source_b").alias("src_x"),
+            F.greatest("source_a", "source_b").alias("src_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
