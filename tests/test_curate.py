@@ -331,3 +331,15 @@ def test_feature_hash_encode_contract(spark):
     assert out.sort_values(["id", "feature_idx"]).reset_index(drop=True).equals(
         again.sort_values(["id", "feature_idx"]).reset_index(drop=True)
     )
+
+
+def test_weighted_sample_wor_k_exceeds_population(spark):
+    import pandas as pd
+
+    from feast_hive_spark.operators.curate import weighted_sample_wor
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(5), "w": [1.0] * 5})
+    )
+    out = weighted_sample_wor(df, "id", "w", k=50).toPandas()
+    assert sorted(out["id"]) == [0, 1, 2, 3, 4]  # everything sampled

@@ -92,3 +92,19 @@ def test_kcore_known_graph(spark):
     assert set(core) == {0, 1, 2, 3, 4}
     assert all(d == 4 for d in core.values())
     assert kcore_nodes(df, k=6).count() == 0
+
+
+def test_kcore_nonconvergence_raises(spark):
+    """A long chain peels one endpoint pair per round at k=2; with
+    max_rounds too small the operator must raise rather than return
+    an unconverged core."""
+    import pytest as _pytest
+
+    from feast_hive_spark.operators.graph import kcore_nodes
+
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore_nodes(df, k=2, max_rounds=2)
+    # ample budget: a pure chain has an empty 2-core
+    assert kcore_nodes(df, k=2, max_rounds=12).count() == 0
