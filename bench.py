@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "pit_leakage_audit",
     "embedding_quality_audit",
     "cross_source_dup_matrix",
+    "association_rules_items",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -2703,3 +2703,73 @@ def pit_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("missing").cast("long").alias("n_missing"),
         F.expr("(1000000 * sum(leaky)) div count(1)").alias("leak_ppm"),
     )
+
+
+_AR_MIN_CO = 5
+
+
+@register(
+    "association_rules_items",
+    f"""
+WITH baskets AS (
+  SELECT DISTINCT user_id, event_id % 100 AS item FROM events
+), n_users AS (
+  SELECT COUNT(DISTINCT user_id) AS nu FROM baskets
+), item_n AS (
+  SELECT item, COUNT(*) AS c FROM baskets GROUP BY item
+), co AS (
+  SELECT a.item AS antecedent, b.item AS consequent, COUNT(*) AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.item <> b.item
+  GROUP BY 1, 2
+)
+SELECT co.antecedent, co.consequent,
+       CAST(co.c_ab AS BIGINT) AS n_both,
+       (1000000 * co.c_ab) // ia.c AS confidence_ppm,
+       (1000000 * co.c_ab * nu.nu) // (ia.c * ic.c) AS lift_ppm
+FROM co
+JOIN item_n ia ON ia.item = co.antecedent
+JOIN item_n ic ON ic.item = co.consequent
+CROSS JOIN n_users nu
+WHERE co.c_ab >= {_AR_MIN_CO}
+""",
+)
+def association_rules_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user item baskets:
+    confidence = P(consequent | antecedent) and lift =
+    P(a,b)/(P(a)P(b)), both as exact integer ppm (the cross-
+    multiplied formulation — no engine ever divides floats). Basket
+    distinct + pair self-join on the user key (per-user baskets
+    bounded by the item space), count aggregates collapse map-side;
+    min-support prunes the rule list."""
+    ev = read_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", (F.col("event_id") % 100).alias("item")
+    ).distinct()
+    nu = baskets.agg(F.countDistinct("user_id").alias("nu"))
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select(F.col("user_id").alias("__u"), F.col("item").alias("antecedent"))
+    b = baskets.select(F.col("user_id").alias("__u"), F.col("item").alias("consequent"))
+    co = (
+        a.join(b, "__u")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _AR_MIN_CO)
+    )
+    ia = item_n.select(F.col("item").alias("antecedent"), F.col("c").alias("__ca"))
+    ic = item_n.select(F.col("item").alias("consequent"), F.col("c").alias("__cc"))
+    return (
+        co.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_ab").cast("long").alias("n_both"),
+            F.expr("(1000000 * c_ab) div __ca").alias("confidence_ppm"),
+            F.expr("(1000000 * c_ab * nu) div (__ca * __cc)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
