@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "embedding_quality_audit",
     "cross_source_dup_matrix",
     "association_rules_items",
+    "dedup_savings_report",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -77,7 +77,7 @@ SAMPLE_ROTATION: list[str] = [
     "decayed_item_popularity", "calibration_curve_value", "churn_labels",
     "bpe_merge_table", "bpe_encode_stats", "pit_leakage_audit",
     "embedding_quality_audit", "cross_source_dup_matrix",
-    "association_rules_items",
+    "association_rules_items", "dedup_savings_report",
     "user_interarrival_stats",
     "shingle_novelty_scores", "dsir_importance_weights",
     "bigram_nll_scores", "boilerplate_shingles", "oov_rate_scores",

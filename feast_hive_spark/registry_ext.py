@@ -2812,3 +2812,114 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "dedup_savings_report",
+    f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST({X.duck_token_count_ws('text')} AS BIGINT) AS n_tok
+  FROM documents
+), exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)
+), survivors AS (
+  SELECT b.doc_id, b.text, b.n_tok FROM base b
+  JOIN exact_keep k ON k.doc_id = b.doc_id
+), s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM survivors
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_DUCK_JACCARD} AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.src, e.dst FROM r JOIN sym e ON r.dst = e.src
+  ) SELECT * FROM r
+), comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+  FROM reach GROUP BY src
+), near_drop AS (
+  SELECT doc_id FROM comp WHERE doc_id <> component_id
+), t AS (
+  SELECT
+    (SELECT COUNT(*) FROM base) AS n_docs,
+    (SELECT SUM(n_tok) FROM base) AS n_tokens,
+    (SELECT COUNT(*) FROM base) - (SELECT COUNT(*) FROM survivors) AS n_exact_removed,
+    (SELECT COALESCE(SUM(b.n_tok), 0) FROM base b
+      WHERE b.doc_id NOT IN (SELECT doc_id FROM exact_keep)) AS tok_exact_removed,
+    (SELECT COUNT(*) FROM near_drop) AS n_near_removed,
+    (SELECT COALESCE(SUM(sv.n_tok), 0) FROM survivors sv
+      JOIN near_drop nd ON nd.doc_id = sv.doc_id) AS tok_near_removed
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_exact_removed AS BIGINT) AS n_exact_removed,
+       CAST(tok_exact_removed AS BIGINT) AS tok_exact_removed,
+       CAST(n_near_removed AS BIGINT) AS n_near_removed,
+       CAST(tok_near_removed AS BIGINT) AS tok_near_removed,
+       CAST((1000000 * (CAST(tok_exact_removed AS BIGINT)
+                        + CAST(tok_near_removed AS BIGINT)))
+            // CAST(n_tokens AS BIGINT) AS BIGINT) AS savings_ppm
+FROM t
+""",
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup savings: exact dedup first (md5 groupBy, min
+    doc survives), then near-dup clusters over the survivors (3-gram
+    Jaccard >= 0.5 -> star components, min-id canonical), and the
+    one-row answer every curation review asks for — how many docs and
+    TOKENS the full dedup pass reclaims, as exact integer ppm. Every
+    stage is the gated operator from its own family; this entry
+    certifies their composition."""
+    from feast_hive_spark.operators import dedup as DD
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", X.token_count_ws("text").cast("long").alias("n_tok")
+    )
+    keep = DD.exact_dedup(base, "doc_id", "text").select("doc_id")
+    survivors = base.join(keep, "doc_id")
+    pairs = DD.ngram_jaccard_pairs(
+        survivors, "doc_id", "text", n=3, threshold=0.5
+    )
+    comp = DD.connected_components_star(pairs).select(
+        "doc_id", "component_id"
+    )
+    near_drop = comp.filter(
+        F.col("doc_id") != F.col("component_id")
+    ).select("doc_id")
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    ex_removed = base.join(keep, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_exact_removed"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tok_exact_removed"),
+    )
+    nr_removed = survivors.join(near_drop, "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_near_removed"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tok_near_removed"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(ex_removed))
+        .crossJoin(F.broadcast(nr_removed))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_exact_removed").cast("long").alias("n_exact_removed"),
+            F.col("tok_exact_removed").cast("long").alias("tok_exact_removed"),
+            F.col("n_near_removed").cast("long").alias("n_near_removed"),
+            F.col("tok_near_removed").cast("long").alias("tok_near_removed"),
+            F.expr(
+                "(1000000 * (tok_exact_removed + tok_near_removed))"
+                " div n_tokens"
+            ).alias("savings_ppm"),
+        )
+    )
