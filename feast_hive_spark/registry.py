@@ -52,54 +52,35 @@ def register(name: str, oracle: str | None):
 # (CORRECTNESS_FULL_r*.json). Names absent from REGISTRY are ignored,
 # names absent from this list follow in registration order.
 SAMPLE_ROTATION: list[str] = [
-    "q2_best_supplier_per_part", "q8_market_share",
-    "q11_important_part_values", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q20_part_family_suppliers", "q21_sole_returning_supplier",
-    "multimodal_pixel_stats", "multimodal_jpeg_pixel_stats",
-    "multimodal_gif_pixel_stats", "multimodal_audio_stats",
-    "multimodal_video_frame_stats", "multimodal_frame_sample",
-    "multimodal_type_rollup", "multimodal_ahash_near_dup",
-    "multimodal_resize_stats",
-    "pack_sequences_2048", "padding_efficiency_report",
-    "token_budget_selection", "quality_percentile_by_source",
-    "stream_heavy_hitters_topk", "graph_triangle_stats",
-    "eval_split_leave_last", "vocab_coverage_curve",
-    "perplexity_buckets_summary", "corr_matrix_lineitem",
-    "stratified_kfold_events", "dense_vocab_ids",
-    "band_join_part_prices", "weighted_sample_quality_topk",
-    "covisitation_topk_items", "ann_pq_adc_topk",
-    "kcore_user_item", "psi_value_drift", "feature_hash_events",
-    "ann_ivfpq_topk", "per_lang_token_budget", "table_diff_events",
-    "cms_user_frequency", "multimodal_resize_stats",
-    "holdout_nll_scores", "conversion_lag_stats",
-    "dedup_containment", "value_ohlc_hourly", "hybrid_search_rrf",
-    "decayed_item_popularity", "calibration_curve_value", "churn_labels",
-    "bpe_merge_table", "bpe_encode_stats", "pit_leakage_audit",
-    "embedding_quality_audit", "cross_source_dup_matrix",
-    "association_rules_items", "dedup_savings_report",
-    "user_interarrival_stats",
-    "shingle_novelty_scores", "dsir_importance_weights",
-    "bigram_nll_scores", "boilerplate_shingles", "oov_rate_scores",
+    # r6: exactly the 53 entries never present in any of
+    # CORRECTNESS_r01..r05.json (the driver's ~50-query samples),
+    # computed from those artifacts — front-loaded so the r6 sample
+    # exhausts the never-sampled backlog (3 will spill to r7).
+    "pit_leakage_audit", "dedup_components", "pagerank_near_dup",
     "dedup_embedding_cosine_lsh", "ann_recall_report",
-    "dedup_components", "pagerank_near_dup", "embedding_gramian",
-    "embedding_covariance", "profile_lineitem",
-    "decontaminate_vs_benchmark", "events_json_props",
-    "events_sliding_rollup", "events_sessionize_batch",
-    "text_token_percentiles", "user_event_type_profile",
-    "curation_pipeline", "split_train_val_test",
-    "stratified_sample_by_lang", "scrub_forbidden_terms",
-    "text_repetition_stats", "langid_confusion", "corpus_mix_weights",
-    "label_centroids", "knn_label_accuracy", "pii_scrub_stats",
-    "gopher_quality_flags", "vocab_zipf",
-    "near_dup_canonical_by_quality", "hard_negative_pairs",
-    "lsh_dedup_quality_report", "balanced_label_sample",
-    "near_dup_cluster_histogram", "near_dup_degree_histogram",
-    "dup_source_breakdown", "window_user_activity", "cube_order_stats",
+    "hard_negative_pairs", "lsh_dedup_quality_report",
+    "near_dup_canonical_by_quality", "near_dup_cluster_histogram",
+    "near_dup_degree_histogram", "dup_source_breakdown",
+    "dedup_savings_report", "cross_source_dup_matrix",
+    "embedding_gramian", "embedding_covariance",
+    "embedding_quality_audit", "association_rules_items",
+    "q7_nation_volume_shipping", "q9_product_type_profit",
+    "window_user_activity", "cube_order_stats",
     "ntile_event_value_quartiles", "percentile_order_value",
     "quantile_bins_order_value", "full_outer_nation_presence",
     "interval_overlap_counts", "grouping_sets_orders",
-    "q7_nation_volume_shipping", "q9_product_type_profit",
+    "events_json_props", "events_sliding_rollup",
+    "events_sessionize_batch", "user_interarrival_stats",
+    "user_event_type_profile", "profile_lineitem",
+    "curation_pipeline", "split_train_val_test",
+    "stratified_sample_by_lang", "scrub_forbidden_terms",
+    "balanced_label_sample", "pii_scrub_stats",
+    "gopher_quality_flags", "decontaminate_vs_benchmark",
+    "shingle_novelty_scores", "dsir_importance_weights",
+    "bigram_nll_scores", "boilerplate_shingles", "oov_rate_scores",
+    "text_token_percentiles", "text_repetition_stats",
+    "langid_confusion", "corpus_mix_weights", "vocab_zipf",
+    "label_centroids", "knn_label_accuracy",
 ]
 
 
