@@ -546,6 +546,96 @@ def test_bpe_merges_match_reference_implementation(spark):
     assert any(a == b for _, a, b, _ in got) or True
 
 
+def test_bpe_merges_random_corpus_matches_reference(spark):
+    """120 merges on a randomized corpus — exercises the lazy-heap
+    argmax (stale-entry discard, decrement re-push) and the
+    incremental holder-set maintenance far past the 7-merge
+    hand-checked case."""
+    import collections
+    import random
+    import re
+
+    import pandas as pd
+
+    from feast_hive_spark.operators.corpus import bpe_merges
+
+    rng = random.Random(42)
+    vocab = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 9)))
+        for _ in range(300)
+    ]
+    corpus = [
+        " ".join(rng.choice(vocab) for _ in range(40)) for _ in range(30)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus})
+    )
+    got = bpe_merges(docs, "text", n_merges=120)
+
+    wf = collections.Counter(
+        w
+        for line in corpus
+        for w in line.lower().split()
+        if re.match("^[a-z0-9]+$", w)
+    )
+    seqs = {w: list(w) + ["/w"] for w in wf}
+    exp = []
+    for r in range(1, 121):
+        pc = collections.Counter()
+        for w, f in wf.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), f = best
+        exp.append((r, a, b, f))
+        for w in seqs:
+            s = seqs[w]
+            ns, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seqs[w] = ns
+    assert got == exp
+
+
+def test_bpe_merges_1024_rounds_wall_time(spark, sf_dir):
+    """r5 verdict #2: training must not grow by one Spark job per
+    merge. 1024 merges over the real documents table = ONE
+    distributed word-count + a local loop; bound the whole thing to
+    well under a minute (the r5 formulation was ~0.8 s/merge of
+    scheduler latency alone — 1024 rounds would be ~15 min)."""
+    import time
+
+    from feast_hive_spark.operators.corpus import bpe_merges
+    from feast_hive_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    merges = bpe_merges(docs, "text", n_merges=1024)
+    dt = time.perf_counter() - t0
+    assert dt < 45, f"1024-merge training took {dt:.1f}s"
+    # the sf0.001 corpus exhausts its pair supply at ~105 merges —
+    # the trainer must stop cleanly there, not loop or error
+    assert len(merges) >= 100
+    rounds = [m[0] for m in merges]
+    assert rounds == list(range(1, len(merges) + 1))
+    # pair frequencies are positive and the merge table is valid BPE:
+    # every component symbol is either a base char, /w, or the
+    # product of an EARLIER merge
+    known = set("abcdefghijklmnopqrstuvwxyz0123456789") | {"/w"}
+    for _, a, b, pf in merges:
+        assert pf > 0
+        assert a in known and b in known, (a, b)
+        known.add(a + b)
+
+
 def test_bpe_encode_stats_compression(spark):
     """Encoding with the learned merges must shrink token counts
     versus characters+1 (the no-merge baseline) on a merge-friendly
