@@ -93,12 +93,14 @@ def pagerank(
     O(log N)-round star loop in dedup.py shows the localCheckpoint
     variant).  Output: (node, rank_e12)."""
     if small_graph_threshold:
-        # Cheap LIMIT-probe via count() first (simsearch.py:43 idiom):
-        # never ship edge rows to the driver unless the graph really
-        # is under the threshold and the fast path will use them.
+        # Single bounded probe (same change as connected_components_
+        # star, r6): limit(threshold+1).collect() caps shipping at
+        # threshold+1 two-column rows regardless of graph size AND
+        # executes the upstream pair pipeline once, not twice as the
+        # count-then-collect sequence did.
         slim = pairs.select(F.col(id_a), F.col(id_b))
-        if slim.limit(small_graph_threshold + 1).count() <= small_graph_threshold:
-            probe = slim.collect()
+        probe = slim.limit(small_graph_threshold + 1).collect()
+        if len(probe) <= small_graph_threshold:
             id_type = dict(pairs.dtypes)[id_a]
             return _driver_pagerank(
                 pairs.sparkSession, probe, id_type, iters, damping_pct

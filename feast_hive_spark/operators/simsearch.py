@@ -37,18 +37,23 @@ MAX_QUERY_ROWS = 100_000
 
 
 def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
-    # bounded probe: LIMIT N+1 stops the scan as soon as the guard can
-    # decide, instead of a full count() action that re-executes the
-    # whole query-side plan even for tiny query sets
-    n = queries.limit(MAX_QUERY_ROWS + 1).count()
-    if n > MAX_QUERY_ROWS:
+    # bounded single-execution probe: LIMIT N+1 caps the transfer at
+    # one row past the guard, and fetching the (bounded) rows directly
+    # runs the query-side plan ONCE — the previous count-then-toPandas
+    # sequence executed it twice (r6, same change as the CC/pagerank
+    # small-graph probes)
+    qpdf = (
+        queries.select(id_col, vec_col)
+        .limit(MAX_QUERY_ROWS + 1)
+        .toPandas()
+    )
+    if len(qpdf) > MAX_QUERY_ROWS:
         raise ValueError(
             f"query set exceeds {MAX_QUERY_ROWS} rows; the ANN search "
             "collects+broadcasts the query matrix. For query sets this "
             "large, run dedup-style pair mining "
             "(dedup.embedding_cosine_pairs / lsh strategies) instead."
         )
-    qpdf = queries.select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy()
     Qn = V.np_normalize(V.np_matrix(qpdf[vec_col]))
     return q_ids, Qn
