@@ -301,9 +301,14 @@ def get_historical_features(
         ekeys_by_tuple: dict[tuple, DataFrame] = {}
         for t, uses in tuples.items():
             ek = ent.select(*t, _ENTITY_TS).dropDuplicates()
-            if uses > 1:
-                ek = ek.cache()
-                pinned.append(ek)
+            # cache even single-use key sets (r6): the deduped keys are
+            # read once per EXECUTION, and without the cache every
+            # re-execution of the retrieval replays the dedup exchange
+            # + broadcast build. Bounded by the deduped entity-key
+            # count (the broadcast guard's own bound) and released by
+            # RetrievalJob.close() like every plan-pinned cache.
+            ek = ek.cache()
+            pinned.append(ek)
             ekeys_by_tuple[t] = ek
 
         for fv in feature_views:

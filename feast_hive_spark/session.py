@@ -44,6 +44,14 @@ DEFAULT_CONF = {
     # (GC/JIT heuristics degrade with a huge heap + many tiny tasks).
     # Don't raise this without re-measuring.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # PySpark 4's per-DataFrame-op call-site capture does 2 extra py4j
+    # round-trips per API call purely to decorate error messages with
+    # Python line numbers. Profiled (r6): it is ~60% of the py4j
+    # chatter in plan construction (bm25 plan build 0.48s -> 0.19s).
+    # A query engine builds plans programmatically — its own
+    # exceptions carry context — so this is off engine-wide; flip to
+    # "true" when debugging a confusing plan-construction error.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
