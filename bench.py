@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "table_diff_events",
     "multimodal_resize_stats",
     "cms_user_frequency",
+    "cms_error_bound_audit",
     "holdout_nll_scores",
     "conversion_lag_stats",
     "dedup_containment",

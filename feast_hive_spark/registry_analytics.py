@@ -2390,6 +2390,87 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cms_error_bound_audit",
+    f"""
+WITH pairs AS (
+  {" UNION ALL ".join(
+      f"SELECT {d} AS row, {_cms_hash(d, 'CAST(l_suppkey AS VARCHAR)')} AS bucket FROM lineitem"
+      for d in range(_CMS_D)
+  )}
+), sketch AS (
+  SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY row, bucket
+), items AS (
+  SELECT DISTINCT l_suppkey FROM lineitem
+), probes AS (
+  {" UNION ALL ".join(
+      f"SELECT l_suppkey AS item, {d} AS row, {_cms_hash(d, 'CAST(l_suppkey AS VARCHAR)')} AS bucket FROM items"
+      for d in range(_CMS_D)
+  )}
+), est AS (
+  SELECT item, CAST(MIN(COALESCE(n, 0)) AS BIGINT) AS est_n
+  FROM probes LEFT JOIN sketch USING (row, bucket)
+  GROUP BY item
+), truth AS (
+  SELECT l_suppkey AS item, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM lineitem GROUP BY l_suppkey
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       MIN(tot.n_events) AS n_events,
+       CAST(MIN((2 * tot.n_events) // {_CMS_W}) AS BIGINT) AS bound,
+       CAST(MIN(e.est_n - t.true_n) AS BIGINT) AS min_overestimate,
+       CAST(MAX(e.est_n - t.true_n) AS BIGINT) AS max_overestimate,
+       CAST(SUM(CASE WHEN e.est_n - t.true_n > (2 * tot.n_events) // {_CMS_W}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_over_bound
+FROM est e JOIN truth t USING (item), tot
+""",
+)
+def cms_error_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS probabilistic-contract audit on a SKEWED key (r5 verdict
+    #7): for the l_suppkey stream (the engine's canonical skewed key,
+    see key_skew_report_suppkey), certify that the count-min estimate
+    brackets the exact count within the analytic Markov bound — per
+    item, ``P[est - true > k*N/width] <= k^-depth`` (k=2 here:
+    threshold 2N/w, failure prob <= 2^-4 per item). The output is the
+    corpus-level audit row (min/max overestimate, how many items
+    exceed the bound); the DuckDB twin recomputes the identical
+    sketch AND the identical integer bound arithmetic, so the hash
+    gate certifies the estimates, the bound, and the violation count
+    together. min_overestimate >= 0 doubles as the one-sidedness
+    proof (CMS never underestimates)."""
+    from feast_hive_spark.operators.sketches import cms_build, cms_estimate
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sketch = cms_build(li, "l_suppkey", width=_CMS_W, depth=_CMS_D)
+    items = li.select("l_suppkey").distinct()
+    est = cms_estimate(sketch, items, "l_suppkey", width=_CMS_W, depth=_CMS_D)
+    truth = li.groupBy(F.col("l_suppkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    tot = F.broadcast(
+        li.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    over = F.col("est_n") - F.col("true_n")
+    bound = F.expr(f"(2 * n_events) div {_CMS_W}")
+    return (
+        est.join(truth, "item")
+        .crossJoin(tot)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.min("n_events").alias("n_events"),
+            F.min(bound).cast("long").alias("bound"),
+            F.min(over).cast("long").alias("min_overestimate"),
+            F.max(over).cast("long").alias("max_overestimate"),
+            F.sum(
+                F.when(over > bound, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_over_bound"),
+        )
+    )
+
+
+@register(
     "conversion_lag_stats",
     """
 WITH v AS (

@@ -198,3 +198,17 @@ def test_cms_one_sided_and_mergeable(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_cms_error_bound_audit_contract(spark, sf_dir):
+    """The registry audit row must prove the CMS contract on the
+    skewed suppkey stream: one-sided estimates (min overestimate
+    >= 0) and a violation rate far under the k^-depth Markov bound
+    (k=2, depth=4 -> <= 1/16 expected; allow 2x slack)."""
+    from feast_hive_spark.registry import REGISTRY
+    import feast_hive_spark.registry_analytics  # noqa: F401
+
+    row = REGISTRY["cms_error_bound_audit"][0](spark, sf_dir).collect()[0]
+    assert row["min_overestimate"] >= 0
+    assert row["n_items"] > 0
+    assert row["n_over_bound"] <= max(1, row["n_items"] * 2 // 16)
