@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "multimodal_resize_stats",
     "cms_user_frequency",
     "cms_error_bound_audit",
+    "multimodal_decode_coverage",
     "holdout_nll_scores",
     "conversion_lag_stats",
     "dedup_containment",

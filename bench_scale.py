@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Scale-evidence harness (VERDICT r5 #2): measure how the
+scale-critical query families grow from sf0.1 (~600k lineitem rows) to
+a builder-generated ~10x dataset, and emit ``BENCH_SF1.json`` with the
+observed per-query scaling exponent.
+
+The 10x dataset is a union of 10 KEY-SHIFTED copies of the read-only
+driver testdata at sf0.1 (never touching ``/root/testdata``): every
+primary/foreign key is shifted by ``copy_index * (max_key + 1)`` so
+referential integrity holds within each copy, while row counts grow
+exactly 10x. Non-key content is left identical across copies on
+purpose — cross-copy duplicate clusters have CONSTANT size 10, so the
+dedup/near-dup/CC families face realistic duplication whose pair
+production stays linear in rows (a cluster of 10 contributes a bounded
+45 pairs regardless of corpus size). Dimension tables (region, nation)
+are genuinely fixed-cardinality and are not multiplied.
+
+Both scales run in ONE Spark session on ENGINE DEFAULTS (AQE on, no
+bench-session respread/AQE-off tuning): the exponent should describe
+the plans a cluster would run, not the sf0.1 micro-tuning. Timing is
+end-to-end per query (plan construction + eager build jobs + noop-sink
+execution, median of 3), matching the e2e accounting bench.py emits.
+
+exponent = log(t_10x / t_1x) / log(10): 1.0 = linear, <1 sublinear
+(fixed per-job floor amortizing), >1 superlinear. The verdict gate is
+"no query scales worse than ~linear in rows" — queries above
+``EXPONENT_FLAG`` are listed in ``flagged``.
+
+Usage:
+    python bench_scale.py [query ...]       # default: SCALE_QUERIES
+    SPARK_GRAFT_SF1_DIR=... python bench_scale.py   # data dir override
+
+The dataset is generated on first run (~1 min) and reused; it lives in
+``/root/repo/bench_sf1/`` and is gitignored (only the JSON artifact and
+this script are committed).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from feast_hive_spark.registry import REGISTRY
+import feast_hive_spark.registry_analytics  # noqa: F401
+import feast_hive_spark.registry_corpus  # noqa: F401
+import feast_hive_spark.registry_ext  # noqa: F401
+import feast_hive_spark.registry_rel  # noqa: F401
+from feast_hive_spark.session import get_spark
+from feast_hive_spark.sources.tables import TABLES, read_table
+
+SF01_DIR = "/root/testdata/sf0.1"
+SF1_DIR = os.environ.get(
+    "SPARK_GRAFT_SF1_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_sf1")
+)
+N_COPIES = 10
+EXPONENT_FLAG = 1.15  # ~linear with room for noise at 3-run medians
+
+# key columns to shift per table: {table: {col: stride_source_table}}
+# stride_source_table names the table whose max(key)+1 defines the
+# shift unit, so FKs move in lockstep with their parents.
+_KEYS: dict[str, dict[str, tuple[str, str]]] = {
+    "customer": {"c_custkey": ("customer", "c_custkey")},
+    "supplier": {"s_suppkey": ("supplier", "s_suppkey")},
+    "part": {"p_partkey": ("part", "p_partkey")},
+    "orders": {
+        "o_orderkey": ("orders", "o_orderkey"),
+        "o_custkey": ("customer", "c_custkey"),
+    },
+    "lineitem": {
+        "l_orderkey": ("orders", "o_orderkey"),
+        "l_partkey": ("part", "p_partkey"),
+        "l_suppkey": ("supplier", "s_suppkey"),
+    },
+    "events": {
+        "event_id": ("events", "event_id"),
+        "user_id": ("events", "user_id"),
+    },
+    "documents": {"doc_id": ("documents", "doc_id")},
+    "embeddings": {"vec_id": ("embeddings", "vec_id")},
+}
+_DIMS = ["region", "nation"]  # fixed-cardinality: copied once
+
+# Scale-critical slice (VERDICT r5 #2): PIT, the dedup/near-dup/graph
+# family, ANN, token-budget selection, sessionize, packing, and two
+# TPC-H anchors. Kept to ~20 so the 10x leg stays inside one sitting.
+SCALE_QUERIES = [
+    "pit_asof_join",
+    "pit_multi_feature_view",
+    "pull_latest",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_jaccard_prefix",
+    "dedup_embedding_cosine_lsh",
+    "dedup_components",
+    "pagerank_near_dup",
+    "kcore_user_item",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "per_lang_token_budget",
+    "events_sessionize_batch",
+    "pack_sequences_2048",
+    "covisitation_topk_items",
+    "tfidf_top_terms",
+    "text_lang_quality_rollup",
+]
+
+
+def _strides(spark) -> dict[tuple[str, str], int]:
+    """max(key)+1 per (table, col) that ever serves as a stride unit."""
+    out: dict[tuple[str, str], int] = {}
+    for table, cols in _KEYS.items():
+        for _col, src in cols.items():
+            if src not in out:
+                src_table, src_col = src
+                m = (
+                    read_table(spark, SF01_DIR, src_table)
+                    .agg(F.max(src_col).cast("long"))
+                    .first()[0]
+                )
+                out[src] = int(m) + 1
+    return out
+
+
+def generate(spark) -> None:
+    """Write the 10x key-shifted union to SF1_DIR (idempotent)."""
+    marker = os.path.join(SF1_DIR, "_GENERATED")
+    if os.path.exists(marker):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    strides = _strides(spark)
+    for t in _DIMS:
+        read_table(spark, SF01_DIR, t).write.mode("overwrite").parquet(
+            f"{SF1_DIR}/{t}.parquet"
+        )
+    for t, cols in _KEYS.items():
+        base = read_table(spark, SF01_DIR, t)
+        # one distributed plan: cross the table with copy indices and
+        # shift every key column by i * stride — no driver loop over
+        # copies, one shuffle-free (broadcast) fan-out scan.
+        copies = spark.range(N_COPIES).withColumnRenamed("id", "__copy")
+        df = base.crossJoin(F.broadcast(copies))
+        for col, src in cols.items():
+            df = df.withColumn(
+                col, (F.col(col) + F.col("__copy") * F.lit(strides[src])).cast("long")
+            )
+        # 16 output files for the big tables, 8 for the small: enough
+        # file-level split parallelism for a 32-core scan without
+        # tiny-file overhead
+        nparts = 16 if t in ("lineitem", "orders", "events") else 8
+        df.drop("__copy").repartition(nparts).write.mode("overwrite").parquet(
+            f"{SF1_DIR}/{t}.parquet"
+        )
+        print(f"  generated {t} x{N_COPIES}", file=sys.stderr)
+    with open(marker, "w") as f:
+        f.write(f"copies={N_COPIES} base={SF01_DIR}\n")
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time_e2e(spark, name: str, sf_dir: str, runs: int = 3) -> float:
+    """End-to-end seconds: build the plan + execute to a noop sink,
+    median of `runs` full rebuild+execute cycles (prepare included —
+    the e2e accounting regime; see bench.py/README)."""
+    fn = REGISTRY[name][0]
+    # one untimed warmup cycle: codegen + base-scan page cache
+    _noop(fn(spark, sf_dir))
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _noop(fn(spark, sf_dir))
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[len(samples) // 2]
+
+
+def main() -> None:
+    names = [a for a in sys.argv[1:] if a in REGISTRY] or [
+        n for n in SCALE_QUERIES if n in REGISTRY
+    ]
+    missing = [n for n in SCALE_QUERIES if n not in REGISTRY]
+    if missing:
+        print(f"WARNING: not in REGISTRY, skipped: {missing}", file=sys.stderr)
+
+    spark = get_spark("bench-scale")  # engine defaults: AQE stays on
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+
+    rows_1x = read_table(spark, SF01_DIR, "lineitem").count()
+    rows_10x = spark.read.parquet(f"{SF1_DIR}/lineitem.parquet").count()
+
+    results: dict[str, dict] = {}
+    for name in names:
+        spark.catalog.clearCache()
+        t1 = _time_e2e(spark, name, SF01_DIR)
+        spark.catalog.clearCache()
+        t10 = _time_e2e(spark, name, SF1_DIR)
+        exp = math.log(t10 / t1) / math.log(N_COPIES)
+        results[name] = {
+            "sec_sf01": round(t1, 3),
+            "sec_sf1": round(t10, 3),
+            "ratio": round(t10 / t1, 2),
+            "exponent": round(exp, 3),
+        }
+        print(
+            f"  {name}: {t1:.2f}s -> {t10:.2f}s  "
+            f"ratio {t10 / t1:.2f}x  exponent {exp:.3f}",
+            file=sys.stderr,
+        )
+    spark.stop()
+
+    flagged = sorted(
+        n for n, r in results.items() if r["exponent"] > EXPONENT_FLAG
+    )
+    payload = {
+        "metric": "sf0.1_to_sf1_scaling",
+        "n_copies": N_COPIES,
+        "lineitem_rows": {"sf01": rows_1x, "sf1": rows_10x},
+        "accounting": "e2e (plan build + eager jobs + noop-sink execute), median of 3",
+        "conf": "engine defaults (AQE on; no bench-session tuning)",
+        "exponent_flag_threshold": EXPONENT_FLAG,
+        "flagged": flagged,
+        "queries": results,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_SF1.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(json.dumps({k: payload[k] for k in ("metric", "flagged")}))
+
+
+if __name__ == "__main__":
+    main()

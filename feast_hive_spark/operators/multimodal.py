@@ -242,6 +242,47 @@ def image_pixel_stats(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, binary_col).mapInPandas(mapper, schema)
 
 
+def decode_status(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Per-payload decode outcome: which native codec actually decoded
+    the blob ('png' / 'jpeg' / 'gif' / 'wav'), or 'gated' when every
+    codec rejected it and the pipeline would take the stub/fake path.
+
+    This is the corpus-level fallback metric the pixel-stats oracles
+    need: a silent codec regression (a decoder starting to reject
+    payloads it used to handle) shifts rows from their codec bucket to
+    'gated' and hash-mismatches the aggregated oracle, instead of
+    silently degrading feature quality. Map-only Arrow-batched stage;
+    payload bytes never shuffle."""
+    from feast_hive_spark.functions import wav
+
+    schema = f"{id_col} long, codec string"
+
+    def one(payload: bytes) -> str:
+        for name, dec in (("png", png.decode), ("jpeg", jpeg.decode), ("gif", gif.decode)):
+            try:
+                dec(payload)
+                return name
+            except ValueError:
+                pass
+        try:
+            wav.decode(payload)
+            return "wav"
+        except ValueError:
+            return "gated"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [b if isinstance(b, bytes) else bytes(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codec": [one(b) for b in raw],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(mapper, schema)
+
+
 def resize_images(
     df: DataFrame,
     binary_col: str,

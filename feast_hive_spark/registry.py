@@ -81,6 +81,8 @@ SAMPLE_ROTATION: list[str] = [
     "text_token_percentiles", "text_repetition_stats",
     "langid_confusion", "corpus_mix_weights", "vocab_zipf",
     "label_centroids", "knn_label_accuracy",
+    # r6 additions (new queries, by definition never sampled):
+    "cms_error_bound_audit", "multimodal_decode_coverage",
 ]
 
 

@@ -2087,6 +2087,85 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_coverage",
+    """
+SELECT CASE doc_id % 6
+         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+         WHEN 3 THEN 'wav' ELSE 'gated' END AS codec,
+       COUNT(*) AS n_payloads,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents GROUP BY 1
+""",
+)
+def multimodal_decode_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level decoded-vs-gated coverage audit (VERDICT r5 #6).
+
+    Builds a mixed media corpus — by doc_id % 6: a real PNG, a real
+    baseline JPEG (flat q=1), a real GIF, a real 16-bit PCM WAV, an
+    opaque non-media blob, and a CORRUPT jpeg-magic blob — and runs
+    ``decode_status`` to classify each payload by which codec actually
+    decoded it. The DuckDB twin computes the expected buckets from the
+    doc_id arithmetic alone (it never sees a payload), with per-bucket
+    doc_id sums pinning the exact membership. A silent codec
+    regression in EITHER direction — a decoder starting to reject
+    valid baselines (rows leak from their codec bucket into 'gated')
+    or starting to accept corrupt blobs (rows leak out of 'gated') —
+    hash-mismatches this oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_hive_spark.functions import gif, jpeg, png, wav
+    from feast_hive_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    i = np.arange(32, dtype=np.int64)
+    pal = np.stack([(i * 31) % 256, (i * 57) % 256, (i * 89) % 256], 1).astype(
+        np.uint8
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                fam = d % 6
+                if fam == 0:
+                    k = np.arange(48, dtype=np.int64)
+                    img = ((d * 31 + 7 * k) % 256).astype(np.uint8).reshape(6, 8)
+                    payloads.append(png.encode(img))
+                elif fam == 1:
+                    img = np.full((8, 8, 1), (d * 37) % 256, dtype=np.uint8)
+                    payloads.append(jpeg.encode(img, qluma=1))
+                elif fam == 2:
+                    k = np.arange(30, dtype=np.int64)
+                    idx = ((d * 13 + 7 * k) % 32).astype(np.uint8).reshape(5, 6)
+                    payloads.append(gif.encode(idx, palette=pal))
+                elif fam == 3:
+                    k = np.arange(64, dtype=np.int64)
+                    s = (d * 7919 + k * 131) % 65536 - 32768
+                    payloads.append(
+                        wav.encode(s.reshape(64, 1), sample_rate=8000, width=2)
+                    )
+                elif fam == 4:
+                    payloads.append(f"opaque-blob-{d}".encode())
+                else:
+                    # jpeg magic + garbage: must be REJECTED (gated),
+                    # never half-decoded
+                    payloads.append(
+                        b"\xff\xd8\xff\xe0" + (d * 2654435761 % 2**32).to_bytes(4, "big") * 4
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(mk, "doc_id long, payload binary")
+    status = M.decode_status(media, "payload", "doc_id")
+    return status.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+@register(
     "multimodal_video_frame_stats",
     """
 WITH kept AS (

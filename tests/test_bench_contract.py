@@ -23,7 +23,8 @@ def test_emit_line_fits_tail_budget(capsys, tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
     times = {f"query_{i:03d}": 0.123 for i in range(len(bench.BENCH_QUERIES))}
     prepare = {k: 0.01 for k in times}
-    bench.emit(times, prepare, 0.1, {"k": "v"})
+    prepare_cold = {k: 0.02 for k in times}
+    bench.emit(times, prepare, prepare_cold, 0.1, {"k": "v"})
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert len(line) <= bench._LINE_BUDGET
     payload = json.loads(line)

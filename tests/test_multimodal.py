@@ -317,3 +317,24 @@ def test_extract_features_survives_truncated_real_payloads(spark):
         assert list(by_id.loc[mid_, "feature"]) == pytest.approx(
             list(exp)
         ), f"mid={mid_} should have fallen back to the fake"
+
+
+def test_decode_status_all_families(spark):
+    from feast_hive_spark.functions import gif, jpeg, wav
+
+    img = (np.arange(48, dtype=np.int64) % 256).astype(np.uint8).reshape(6, 8)
+    idx = (np.arange(30, dtype=np.int64) % 8).astype(np.uint8).reshape(5, 6)
+    pal = np.stack([np.arange(8) * 31 % 256] * 3, 1).astype(np.uint8)
+    samples = (np.arange(64, dtype=np.int64) * 131 % 65536 - 32768).reshape(64, 1)
+    rows = [
+        (0, png.encode(img)),
+        (1, jpeg.encode(np.full((8, 8, 1), 99, np.uint8), qluma=1)),
+        (2, gif.encode(idx, palette=pal)),
+        (3, wav.encode(samples, sample_rate=8000, width=2)),
+        (4, b"opaque non-media payload"),
+        (5, b"\xff\xd8\xff\xe0" + b"\x00garbage" * 3),  # corrupt jpeg
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = M.decode_status(df, "payload", "doc_id").toPandas()
+    by_id = got.set_index("doc_id")["codec"].to_dict()
+    assert by_id == {0: "png", 1: "jpeg", 2: "gif", 3: "wav", 4: "gated", 5: "gated"}
