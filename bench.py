@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     "cms_user_frequency",
     "cms_error_bound_audit",
     "multimodal_decode_coverage",
+    "minhash_estimate_audit",
+    "bloom_filter_join_audit",
+    "target_encode_oof",
     "holdout_nll_scores",
     "conversion_lag_stats",
     "dedup_containment",

@@ -198,8 +198,16 @@ def main() -> None:
     rows_1x = read_table(spark, SF01_DIR, "lineitem").count()
     rows_10x = spark.read.parquet(f"{SF1_DIR}/lineitem.parquet").count()
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    partial_path = os.path.join(here, "BENCH_SF1_partial.tmp")
     results: dict[str, dict] = {}
+    if os.path.exists(partial_path):  # resume an interrupted run
+        with open(partial_path) as f:
+            results = json.load(f)
+        print(f"  resuming: {len(results)} already measured", file=sys.stderr)
     for name in names:
+        if name in results:
+            continue
         spark.catalog.clearCache()
         t1 = _time_e2e(spark, name, SF01_DIR)
         spark.catalog.clearCache()
@@ -216,7 +224,21 @@ def main() -> None:
             f"ratio {t10 / t1:.2f}x  exponent {exp:.3f}",
             file=sys.stderr,
         )
+        with open(partial_path, "w") as f:
+            json.dump(results, f)
     spark.stop()
+
+    # merge with a prior artifact: names measured this run override,
+    # everything else is kept (lets a fix re-measure one query)
+    out_path = os.path.join(here, "BENCH_SF1.json")
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f).get("queries", {})
+            for k, v in prev.items():
+                results.setdefault(k, v)
+        except (json.JSONDecodeError, OSError):
+            pass
 
     flagged = sorted(
         n for n, r in results.items() if r["exponent"] > EXPONENT_FLAG
@@ -231,10 +253,11 @@ def main() -> None:
         "flagged": flagged,
         "queries": results,
     }
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_SF1.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
+    if os.path.exists(partial_path):
+        os.remove(partial_path)
     print(json.dumps({k: payload[k] for k in ("metric", "flagged")}))
 
 

@@ -86,6 +86,106 @@ def exact_dedup_stats(df: DataFrame, text_col: str) -> DataFrame:
 
 # --- shared pair verification -------------------------------------------
 
+# ~3 MB of (long, long) rows on the driver — same ceiling as the CC
+# small-graph probe
+_CANDIDATE_BROADCAST_ROWS = 200_000
+
+
+def _guarded_candidates(candidates: DataFrame, threshold: int = _CANDIDATE_BROADCAST_ROWS):
+    """Bounded LIMIT-probe guard for candidate-pair broadcasts.
+
+    LSH/banding candidate lists are small by DESIGN, but their size is
+    data-dependent: heavy corpus duplication packs buckets, and pairs
+    per bucket grow quadratically in bucket occupancy — the r6 scale
+    harness (10x corpus, 10-way duplication) grew simhash candidates
+    past the driver's broadcast budget and an unguarded
+    ``F.broadcast`` hint became an OOM instead of a plan choice.
+
+    Probe with ``limit(threshold+1).collect()`` (at most threshold+1
+    two-long rows ever ship). Small case — the overwhelmingly common
+    one — ships the pairs ONCE and re-broadcasts a driver-local copy,
+    so the candidate plan never re-executes and the verify joins stay
+    shuffle-free. Overflow case falls back to the distributed plan
+    with NO broadcast hint: Spark/AQE picks a memory-safe join."""
+    probe = candidates.limit(threshold + 1).collect()
+    if len(probe) <= threshold:
+        local = candidates.sparkSession.createDataFrame(
+            probe, candidates.schema
+        )
+        return F.broadcast(local)
+    return candidates
+
+
+def _exact_collapse(df: DataFrame, id_col: str, text_col: str):
+    """Collapse exact duplicates before near-dup pair generation.
+
+    Returns ``(mem, reps, rep_rows)``: the (id, text-md5) membership
+    table, one representative (min id) per distinct text, and the
+    representative rows of ``df``. Near-dup operators run on
+    ``rep_rows`` only and expand pairs back through ``mem`` — the r6
+    scale harness showed why this matters: with 10-way duplicated
+    corpora the shingle self-join grows with the SQUARE of duplicate-
+    cluster occupancy (dedup_jaccard_prefix went superlinear, exponent
+    1.35), while distinct-text work plus output-sized expansion stays
+    linear. This is the textbook pipeline order: exact dedup first,
+    near-dup on distinct texts."""
+    mem = df.select(
+        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
+    )
+    reps = mem.groupBy("__th").agg(F.min("__mid").alias("__rep"))
+    rep_rows = df.join(
+        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    return mem, reps, rep_rows
+
+
+def _expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    mem: DataFrame,
+    reps: DataFrame,
+    sim_col: str,
+    within_sim,
+    within_eligible_th: DataFrame | None,
+) -> DataFrame:
+    """Expand representative-level near-dup pairs to member-level.
+
+    Cross-group: every member of ``id_a``'s text group pairs with
+    every member of ``id_b``'s at the representatives' similarity
+    (identical texts have identical shingle sets, so the value is
+    exact, not approximated). Within-group: all C(n, 2) pairs of each
+    duplicate group at ``within_sim`` (restricted to groups in
+    ``within_eligible_th`` when given — e.g. Jaccard requires a
+    non-empty shingle set; two identical sub-n-gram texts never pair
+    in the uncollapsed pipeline either). Join volume is
+    output-sized — linear in emitted pairs, never corpus-quadratic."""
+    a = reps.select(F.col("__rep").alias("id_a"), F.col("__th").alias("__tha"))
+    b = reps.select(F.col("__rep").alias("id_b"), F.col("__th").alias("__thb"))
+    mema = mem.select(F.col("__mid").alias("__ma"), F.col("__th").alias("__tha"))
+    memb = mem.select(F.col("__mid").alias("__mb"), F.col("__th").alias("__thb"))
+    cross = (
+        rep_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .join(mema, "__tha")
+        .join(memb, "__thb")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            F.col(sim_col),
+        )
+    )
+    wa = mem.select(F.col("__mid").alias("__wa"), "__th")
+    wb = mem.select(F.col("__mid").alias("__wb"), "__th")
+    within = wa.join(wb, "__th").filter(F.col("__wa") < F.col("__wb"))
+    if within_eligible_th is not None:
+        within = within.join(within_eligible_th, "__th", "left_semi")
+    within = within.select(
+        F.col("__wa").alias("id_a"),
+        F.col("__wb").alias("id_b"),
+        F.lit(within_sim).alias(sim_col),
+    )
+    return cross.unionByName(within)
+
+
 def _jaccard_pairs(
     with_shingles: DataFrame, candidates: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
@@ -93,8 +193,10 @@ def _jaccard_pairs(
     exact Jaccard >= threshold.
 
     The candidate set is small BY CONSTRUCTION (that is the point of
-    LSH banding), so it is broadcast: both verification joins stream
-    the corpus-side shingle table with zero shuffles."""
+    LSH banding), so it is broadcast — behind the bounded
+    ``_guarded_candidates`` probe so pathological duplication degrades
+    to a shuffle join instead of a driver OOM: the verification joins
+    stream the corpus-side shingle table with zero shuffles."""
     a = with_shingles.select(
         F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
     )
@@ -104,7 +206,7 @@ def _jaccard_pairs(
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size(F.array_union("__sh_a", "__sh_b"))
     return (
-        F.broadcast(candidates)
+        _guarded_candidates(candidates)
         .join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
@@ -125,6 +227,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact near-dup pairs via inverted shingle index + count-only
     Jaccard.
@@ -147,7 +250,23 @@ def ngram_jaccard_pairs(
     lower bound for pairs whose overlap leaned on stop-phrases — which
     is precisely the similarity signal the cap is meant to discount.
     ``None`` (default) keeps the operator exact; AQE skew-join
-    splitting still spreads moderate hot keys."""
+    splitting still spreads moderate hot keys. ``collapse_exact``
+    (default) collapses exact-duplicate texts first and expands pairs
+    back at the end (``_exact_collapse``) — identical output, and
+    duplicate clusters stop inflating the shingle self-join
+    quadratically."""
+    if collapse_exact:
+        mem, reps, rep_rows = _exact_collapse(df, id_col, text_col)
+        rep_pairs = ngram_jaccard_pairs(
+            rep_rows, id_col, text_col, n, threshold, max_doc_freq,
+            collapse_exact=False,
+        )
+        eligible_th = rep_rows.filter(
+            F.size(X.tokens_array(text_col)) >= n
+        ).select(F.md5(F.col(text_col)).alias("__th"))
+        return _expand_collapsed_pairs(
+            rep_pairs, mem, reps, "jaccard", 1.0, eligible_th
+        )
     with_sh = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), X.tokens_array(text_col).alias("__tk")
     ).select(
@@ -319,9 +438,11 @@ def simhash_pairs(
     )
     a = fp.select(F.col(id_col).alias("id_a"), F.col("__fp").alias("__fa"))
     b = fp.select(F.col(id_col).alias("id_b"), F.col("__fp").alias("__fb"))
-    # candidate set small by construction -> broadcast verification
+    # candidate set small by construction -> guarded broadcast verify
+    # (heavy duplication packs the 4096-way bands quadratically; the
+    # probe degrades that to a shuffle join instead of a driver OOM)
     return (
-        F.broadcast(candidates)
+        _guarded_candidates(candidates)
         .join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
@@ -701,14 +822,16 @@ def cosine_verify_pairs(
     """Exact cosine for an (id_a, id_b) candidate list.
 
     The candidate list is small by construction (that is the point of
-    bucketing), so it is broadcast; both vector-attach joins stream the
-    corpus side with zero shuffles, then each Arrow batch computes the
-    row-wise normalized dot with one vectorized numpy pass."""
+    bucketing), so it is broadcast — behind the bounded
+    ``_guarded_candidates`` probe (heavy duplication can outgrow the
+    driver); both vector-attach joins stream the corpus side with zero
+    shuffles, then each Arrow batch computes the row-wise normalized
+    dot with one vectorized numpy pass."""
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    joined = F.broadcast(candidates.select("id_a", "id_b")).join(a, "id_a").join(
-        b, "id_b"
-    )
+    joined = _guarded_candidates(candidates.select("id_a", "id_b")).join(
+        a, "id_a"
+    ).join(b, "id_b")
 
     def mapper(batches):
         for batch in batches:
@@ -1006,6 +1129,7 @@ def prefix_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin):
     index only each document's rarest ``|d| - ceil(t*|d|) + 1``
@@ -1026,7 +1150,22 @@ def prefix_jaccard_pairs(
     per-doc rank window over the exploded index, the pruned
     self-join, then the broadcast verify. Versus the plain inverted
     index: strictly smaller self-join input and no hot-key partitions,
-    at the cost of the extra rank shuffle."""
+    at the cost of the extra rank shuffle. ``collapse_exact`` (default)
+    first collapses exact-duplicate texts and expands pairs back at
+    the end (see ``_exact_collapse``) — identical output, and the
+    self-join input shrinks from corpus rows to distinct texts, which
+    is what keeps heavily-duplicated corpora linear."""
+    if collapse_exact:
+        mem, reps, rep_rows = _exact_collapse(df, id_col, text_col)
+        rep_pairs = prefix_jaccard_pairs(
+            rep_rows, id_col, text_col, n, threshold, collapse_exact=False
+        )
+        eligible_th = rep_rows.filter(
+            F.size(X.tokens_array(text_col)) >= n
+        ).select(F.md5(F.col(text_col)).alias("__th"))
+        return _expand_collapsed_pairs(
+            rep_pairs, mem, reps, "jaccard", 1.0, eligible_th
+        )
     with_sh = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), X.tokens_array(text_col).alias("__tk")
     ).select(

@@ -83,6 +83,8 @@ SAMPLE_ROTATION: list[str] = [
     "label_centroids", "knn_label_accuracy",
     # r6 additions (new queries, by definition never sampled):
     "cms_error_bound_audit", "multimodal_decode_coverage",
+    "minhash_estimate_audit", "bloom_filter_join_audit",
+    "target_encode_oof",
 ]
 
 

@@ -2470,6 +2470,232 @@ def cms_error_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 1 << 17  # bits
+_BLOOM_K = 2  # hash functions
+
+
+def _bloom_pos(i: int, expr: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('bf{i}:' || {expr}), 1, 12)) AS BIGINT)"
+        f" % {_BLOOM_M})"
+    )
+
+
+@register(
+    "bloom_filter_join_audit",
+    f"""
+WITH members AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), pos AS (
+  {" UNION ALL ".join(
+      f"SELECT {_bloom_pos(i, 'CAST(k AS VARCHAR)')} AS pos FROM members"
+      for i in range(_BLOOM_K)
+  )}
+), words AS (
+  SELECT pos // 32 AS w,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS BIGINT)
+           AS mask
+  FROM pos GROUP BY 1
+), keys AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem
+), probed AS (
+  SELECT k,
+         {", ".join(
+             f"{_bloom_pos(i, 'CAST(k AS VARCHAR)')} AS p{i}"
+             for i in range(_BLOOM_K)
+         )}
+  FROM keys
+), checked AS (
+  SELECT p.k,
+         {" AND ".join(
+             f"COALESCE((w{i}.mask >> CAST(p.p{i} % 32 AS INTEGER)) % 2, 0) = 1"
+             for i in range(_BLOOM_K)
+         )} AS pass,
+         m.k IS NOT NULL AS member
+  FROM probed p
+  {" ".join(
+      f"LEFT JOIN words w{i} ON w{i}.w = p.p{i} // 32"
+      for i in range(_BLOOM_K)
+  )}
+  LEFT JOIN members m ON m.k = p.k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN member AND NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_neg,
+       CAST(SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM checked
+""",
+)
+def bloom_filter_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, contract-audited — THE shuffle-
+    elimination technique for selective joins at 100 TB: instead of
+    shuffling the full probe side against a dimension subset, build a
+    131072-bit blocked Bloom filter over the member keys (urgent
+    orders), broadcast its <=4096-row word table, and test each probe
+    key map-side; only Bloom-positive rows would enter the real join.
+    The audit joins the Bloom verdict against exact membership and
+    certifies, hash-exactly: zero false negatives (the Bloom
+    contract — a false negative silently DROPS join rows), and the
+    exact false-positive count (the extra shuffle volume the filter
+    admits; both engines build the identical filter from the same md5
+    positions so the count matches bit-for-bit, like the CMS audit).
+
+    Scale shape: filter build is one aggregate over member keys into a
+    fixed 4096-word table; the probe is two broadcast equi-joins on
+    word index + a broadcast membership check — the probe side never
+    shuffles on the join key."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+
+    def pos(i: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{i}:"), F.col("k").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(_BLOOM_M))
+
+    positions = members.select(
+        F.explode(F.array(*[pos(i) for i in range(_BLOOM_K)])).alias("pos")
+    )
+    words = positions.groupBy(
+        F.expr("pos div 32").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
+        ).alias("mask")
+    )
+    probed = li.select(F.col("l_orderkey").alias("k")).distinct().select(
+        "k", *[pos(i).alias(f"p{i}") for i in range(_BLOOM_K)]
+    )
+    out = probed
+    for i in range(_BLOOM_K):
+        wi = words.select(
+            F.col("w").alias(f"w{i}"), F.col("mask").alias(f"mask{i}")
+        )
+        out = out.join(
+            F.broadcast(wi), F.expr(f"p{i} div 32") == F.col(f"w{i}"), "left"
+        )
+    hit = [
+        F.coalesce(
+            F.expr(f"shiftright(mask{i}, cast(p{i} % 32 as int))") % 2,
+            F.lit(0),
+        )
+        == 1
+        for i in range(_BLOOM_K)
+    ]
+    passed = hit[0]
+    for h in hit[1:]:
+        passed = passed & h
+    flagged = out.join(
+        F.broadcast(members.withColumn("__is_m", F.lit(1))), "k", "left"
+    ).select(
+        # left-join miss -> NULL, and NULL & pass would silently drop
+        # the row from every CASE branch: force a real boolean
+        passed.alias("pass"), F.col("__is_m").isNotNull().alias("member")
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return flagged.agg(
+        F.count(one).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("member"), one).otherwise(zero))
+        .cast("long").alias("n_members"),
+        F.sum(F.when(F.col("pass"), one).otherwise(zero))
+        .cast("long").alias("n_pass"),
+        F.sum(F.when(F.col("member") & ~F.col("pass"), one).otherwise(zero))
+        .cast("long").alias("n_false_neg"),
+        F.sum(F.when(F.col("pass") & ~F.col("member"), one).otherwise(zero))
+        .cast("long").alias("n_false_pos"),
+    )
+
+
+@register(
+    "target_encode_oof",
+    """
+WITH folded AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5('te:' || CAST(event_id AS VARCHAR)), 1, 12))
+              AS BIGINT) % 5 AS fold,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+), per_fold AS (
+  SELECT event_type, fold,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v_micro) AS BIGINT) AS s
+  FROM folded GROUP BY event_type, fold
+), tot AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s) AS BIGINT) AS s_tot
+  FROM per_fold GROUP BY event_type
+)
+SELECT f.event_type, f.fold, f.n AS n_rows,
+       CAST((t.s_tot - f.s) // (t.n_tot - f.n) AS BIGINT) AS oof_mean_micro
+FROM per_fold f JOIN tot t USING (event_type)
+WHERE t.n_tot > f.n
+""",
+)
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding — the categorical-
+    feature workhorse: each (category, fold) cell gets the target mean
+    computed from every OTHER fold, so a row never sees its own
+    target. Folds are the stateless md5 assignment
+    (operators/curate.stratified_kfold convention); means are exact
+    integer micro-unit arithmetic ``(sum_cat - sum_fold) div
+    (cnt_cat - cnt_fold)`` so the hash gate is bit-exact across
+    engines regardless of float summation order.
+
+    Scale shape: one (category, fold) hash aggregate (partial map-side
+    combine), then a broadcast join against the category totals — the
+    encoded table is |categories| x k rows no matter the corpus size;
+    applying it back to rows is a broadcast lookup."""
+    from feast_hive_spark.functions import round_half_away_long
+    from feast_hive_spark.functions.text import h48
+
+    ev = read_table(spark, sf_dir, "events")
+    folded = ev.select(
+        "event_type",
+        F.pmod(
+            h48(F.concat(F.lit("te:"), F.col("event_id").cast("string"))),
+            F.lit(5),
+        ).alias("fold"),
+        round_half_away_long(F.col("value") * 1000000.0).alias("v_micro"),
+    )
+    per_fold = folded.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_micro").cast("long").alias("s"),
+    )
+    tot = per_fold.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("long").alias("s_tot"),
+    )
+    return (
+        per_fold.join(F.broadcast(tot), "event_type")
+        .filter(F.col("n_tot") > F.col("n"))
+        .select(
+            "event_type",
+            "fold",
+            F.col("n").alias("n_rows"),
+            F.expr("(s_tot - s) div (n_tot - n)")
+            .cast("long")
+            .alias("oof_mean_micro"),
+        )
+    )
+
+
 @register(
     "conversion_lag_stats",
     """

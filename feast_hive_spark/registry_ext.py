@@ -190,6 +190,112 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, bands=4, threshold=0.5)
 
 
+def _duck_minhash_matches() -> str:
+    """#signature positions where consecutive-pair signatures agree
+    (DuckDB lists are 1-indexed)."""
+    k = len(X.MINHASH_COEFS)
+    return " + ".join(
+        f"CASE WHEN sg_a[{i + 1}] = sg_b[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+
+
+@register(
+    "minhash_estimate_audit",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), sig AS (
+  SELECT doc_id, sh, {X.duck_minhash_signature('sh')} AS sg FROM s
+), pairs AS (
+  SELECT a.sh AS sh_a, a.sg AS sg_a, b.sh AS sh_b, b.sg AS sg_b
+  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+), scored AS (
+  SELECT CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS i,
+         CAST(greatest(len(list_distinct(list_concat(sh_a, sh_b))), 1) AS BIGINT) AS u,
+         CAST({_duck_minhash_matches()} AS BIGINT) AS m
+  FROM pairs
+), e AS (
+  SELECT (2000000 * i + u) // (2 * u) AS exact_micro,
+         m * {1000000 // len(X.MINHASH_COEFS)} AS est_micro
+  FROM scored
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(est_micro - exact_micro) AS BIGINT) AS min_err_micro,
+       CAST(MAX(est_micro - exact_micro) AS BIGINT) AS max_err_micro,
+       CAST(SUM(ABS(est_micro - exact_micro)) AS BIGINT) AS sum_abs_err_micro,
+       CAST(SUM(CASE WHEN ABS(est_micro - exact_micro) > 500000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_over_half
+FROM e
+""",
+)
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash probabilistic-contract audit (the Jaccard twin of
+    cms_error_bound_audit): over the UNBIASED consecutive-doc-id probe
+    pairs (never the LSH candidates — band collision conditions the
+    estimate upward), compare the 16-permutation MinHash estimate
+    ``matches/16`` against exact shingle Jaccard in integer micro
+    units. Hoeffding gives ``P[|est - J| > 0.5] <= 2 exp(-2*16*0.25)
+    ~ 7e-4`` per pair, so ``n_over_half`` is expected 0 and the
+    min/max/sum error moments are hash-certified exactly — the DuckDB
+    twin recomputes the identical signatures and integer rounding, so
+    any drift in the shingle hashing, permutation constants, or
+    estimate arithmetic mismatches.
+
+    Scale shape: the probe-pair join is an equi-join on doc_id+1 (one
+    key-shuffle, linear), the signature a map-side array fold — no
+    all-pairs anything."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", X.tokens_array("text").alias("__tk")
+    ).select(
+        "doc_id", X.shingle_hashes_from(F.col("__tk"), 3).alias("sh")
+    )
+    sig = sh.select("doc_id", "sh", X.minhash_signature(F.col("sh")).alias("sg"))
+    a = sig.select(
+        F.col("doc_id").alias("__k"),
+        F.col("sh").alias("sh_a"),
+        F.col("sg").alias("sg_a"),
+    )
+    b = sig.select(
+        (F.col("doc_id") - 1).alias("__k"),
+        F.col("sh").alias("sh_b"),
+        F.col("sg").alias("sg_b"),
+    )
+    k = len(X.MINHASH_COEFS)
+    matches = sum(
+        [
+            F.when(F.col("sg_a")[i] == F.col("sg_b")[i], 1).otherwise(0)
+            for i in range(1, k)
+        ],
+        F.when(F.col("sg_a")[0] == F.col("sg_b")[0], 1).otherwise(0),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.greatest(
+        F.size(F.array_union("sh_a", "sh_b")), F.lit(1)
+    ).cast("long")
+    scored = (
+        a.join(b, "__k")
+        .select(
+            inter.alias("i"), union.alias("u"), matches.cast("long").alias("m")
+        )
+        .select(
+            F.expr("(2000000 * i + u) div (2 * u)").alias("exact_micro"),
+            (F.col("m") * F.lit(1000000 // k)).alias("est_micro"),
+        )
+    )
+    err = F.col("est_micro") - F.col("exact_micro")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min(err).cast("long").alias("min_err_micro"),
+        F.max(err).cast("long").alias("max_err_micro"),
+        F.sum(F.abs(err)).cast("long").alias("sum_abs_err_micro"),
+        F.sum(
+            F.when(F.abs(err) > 500000, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_over_half"),
+    )
+
+
 @register(
     "dedup_simhash",
     f"""

@@ -327,3 +327,39 @@ def test_containment_directionality(spark):
         docs, "doc_id", "text", n=3, threshold=0.8
     ).count()
     assert jac == 0  # the union swallows the overlap
+
+
+def test_guarded_candidates_small_and_overflow_paths(spark):
+    """Both guard paths must return identical pair sets: the small case
+    re-broadcasts a driver-local copy, the overflow case hands back the
+    distributed plan unhinted (the r6 scale-harness OOM fix)."""
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    small = D._guarded_candidates(cand, threshold=10)
+    rows_small = sorted(tuple(r) for r in small.collect())
+    over = D._guarded_candidates(cand, threshold=2)
+    rows_over = sorted(tuple(r) for r in over.collect())
+    assert rows_small == rows_over == [(1, 2), (2, 3), (3, 4), (4, 5)]
+    # overflow path must NOT have collected/replaced the plan: it is
+    # the same DataFrame object, with no broadcast hint applied
+    assert over is cand
+
+
+def test_simhash_pairs_survive_heavy_duplication(spark):
+    """10-way duplicated corpus (the r6 scale-harness shape) must not
+    rely on an unguarded candidate broadcast; force the overflow path
+    with a tiny threshold and check pairs still verify exactly."""
+    base = [(i, f"alpha beta gamma delta epsilon doc{i % 3}") for i in range(3)]
+    rows = [(cid * 100 + i, t) for cid in range(10) for (i, t) in base]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import feast_hive_spark.operators.dedup as dd
+    orig = dd._guarded_candidates
+    dd._guarded_candidates = lambda cand, threshold=None: orig(cand, threshold=1)
+    try:
+        got = dd.simhash_pairs(df, "doc_id", "text", max_hamming=3)
+        n_guarded = got.count()
+    finally:
+        dd._guarded_candidates = orig
+    # every copy of the same text pairs with every other copy
+    assert n_guarded >= 10 * 9 // 2 * 3
