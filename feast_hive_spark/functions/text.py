@@ -27,6 +27,7 @@ TOKEN_RE = r"\s+"
 # escape char there, so it must be doubled); DuckDB literals keep the
 # single backslash.
 TOKEN_RE_SQL = r"\\s+"
+PUNCT_STRIP_RE_SQL = r"[a-z0-9\\s]"
 
 # language-ID marker words; preference order breaks score ties
 LANG_MARKERS: dict[str, list[str]] = {
@@ -103,28 +104,64 @@ def stopword_ratio(col: str) -> Column:
     )
 
 
+def _marker_count_sql(col: str, markers: list[str]) -> str:
+    lst = _quote_list(markers)
+    return f"size(filter(split(lower({col}), '{TOKEN_RE_SQL}'), w -> w in ({lst})))"
+
+
 def language_id(col: str) -> Column:
-    """n-gram-marker language heuristic with deterministic tie order."""
-    scores = {lang: _marker_count(col, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+    """n-gram-marker language heuristic with deterministic tie order.
+
+    Composed as ONE SQL string parsed by a single ``F.expr`` — the
+    Column-API ``F.when`` chain re-referenced each language's
+    marker-count subtree ~|langs| times (Columns are trees, not CSE'd
+    at build), making plan CONSTRUCTION the dominant cost of the
+    text-profile queries (~126 ms/build profiled at r6; the string
+    parse is one py4j call). The marker-count subtrees are bound ONCE
+    via a single-element transform lambda (each score is a struct
+    field of the bound variable, so the CASE references 5 tiny field
+    reads instead of ~25 subtree copies); ``s >= greatest(others)``
+    is rewritten as the equivalent ``s >= greatest(all)``
+    (s >= max(s, others) iff s >= max(others)), so every branch
+    shares one max. Decision order and tie preference are
+    expression-for-expression the old chain (and the DuckDB twin)."""
+    struct_fields = ", ".join(
+        f"'{lang}', {_marker_count_sql(col, LANG_MARKERS[lang])}"
+        for lang in LANG_ORDER
+    )
+    m = "greatest(" + ", ".join(f"s.{lang}" for lang in LANG_ORDER) + ")"
     # build CASE from last preference to first so earlier langs win ties
-    expr = F.lit(LANG_UNKNOWN)
+    expr = f"'{LANG_UNKNOWN}'"
     for lang in reversed(LANG_ORDER):
-        others = [scores[o] for o in LANG_ORDER if o != lang]
-        expr = F.when(
-            (scores[lang] > 0) & (scores[lang] >= F.greatest(*others)), F.lit(lang)
-        ).otherwise(expr)
-    return expr
+        expr = (
+            f"CASE WHEN s.{lang} > 0 AND s.{lang} >= {m} "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return F.expr(
+        f"transform(array(named_struct({struct_fields})), s -> {expr})[0]"
+    )
 
 
 def quality_score(col: str) -> Column:
     """Composite [0,1] quality heuristic: length, stopword density,
-    punctuation noise. Identical formula in the DuckDB fragment."""
-    n_tok = token_count_ws(col).cast("double")
-    return F.round(
-        F.least(F.lit(1.0), F.log(F.lit(1.0) + n_tok) / F.lit(6.0))
-        * (F.lit(1.0) - punct_ratio(col))
-        * (F.lit(0.5) + F.least(stopword_ratio(col) * 2.0, F.lit(0.5))),
-        6,
+    punctuation noise. Identical formula in the DuckDB fragment.
+
+    One-string ``F.expr`` like ``language_id`` (same rationale);
+    double literals carry the ``D`` suffix so Spark SQL parses them as
+    DOUBLE, not DECIMAL — int/int ``/`` is already double in Spark
+    SQL, matching the Column API's Divide."""
+    n_tok_i = f"size(split(lower({col}), '{TOKEN_RE_SQL}'))"
+    punct = (
+        f"(length(regexp_replace(lower({col}), '{PUNCT_STRIP_RE_SQL}', '')) "
+        f"/ greatest(length({col}), 1))"
+    )
+    stop = (
+        f"({_marker_count_sql(col, EN_STOPWORDS)} / greatest({n_tok_i}, 1))"
+    )
+    return F.expr(
+        f"round(least(1.0D, log(1.0D + cast({n_tok_i} as double)) / 6.0D) "
+        f"* (1.0D - {punct}) "
+        f"* (0.5D + least({stop} * 2.0D, 0.5D)), 6)"
     )
 
 

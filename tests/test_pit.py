@@ -342,3 +342,31 @@ def test_to_arrow_nullable_int_fidelity(spark):
     at = RetrievalJob(df).to_arrow()
     assert at.schema.field("v").type == pa.int64()
     assert at.column("v").null_count == 1
+
+
+def test_entity_bounds_memo_exact_and_distinct(spark):
+    """The bounds memo must reuse ONLY semantically-identical entity
+    frames: two different frames get their own bounds, identical
+    rebuilds hit the memo (no second job observable via cache list)."""
+    import pandas as pd
+
+    from feast_hive_spark.plans import pit as P
+
+    df1 = pd.DataFrame(
+        {"user_id": [1, 2], "event_timestamp": pd.to_datetime(["2024-01-01", "2024-02-01"])}
+    )
+    df2 = pd.DataFrame(
+        {"user_id": [1, 2], "event_timestamp": pd.to_datetime(["2023-01-01", "2023-06-01"])}
+    )
+    s1 = P.entity_df_to_spark(spark, df1)
+    s2 = P.entity_df_to_spark(spark, df2)
+    b1 = P._entity_bounds(spark, s1, "event_timestamp")
+    b2 = P._entity_bounds(spark, s2, "event_timestamp")
+    assert b1["mx"].year == 2024 and b2["mx"].year == 2023
+    assert b1["cnt"] == b2["cnt"] == 2
+    # identical rebuild -> memo hit: cache length unchanged
+    n = len(P._BOUNDS_CACHE)
+    s1b = P.entity_df_to_spark(spark, df1.copy())
+    b1b = P._entity_bounds(spark, s1b, "event_timestamp")
+    assert b1b == b1
+    assert len(P._BOUNDS_CACHE) == n
