@@ -231,37 +231,43 @@ def bm25_score(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    tokd = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
-    toks = F.col("__toks")
-    tf_cols = [
-        F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"__tf_{i}")
+    # One-string selectExpr/F.expr composition: the per-term lambda
+    # Columns cost ~480 py4j round-trips per build (~0.15 s profiled
+    # at r6, the dominant cost of a warm rebuild); the string form is
+    # a handful of parse calls with identical resolved expressions.
+    # Double literals carry the D suffix (bare `0.5` parses DECIMAL);
+    # repr() round-trips the exact Python double into the plan.
+    iq = "`" + id_col.replace("`", "``") + "`"
+    tq = "`" + text_col.replace("`", "``") + "`"
+    tokd = df.selectExpr(iq, f"split({tq}, ' ') AS __toks")
+    tf_sel = [
+        "size(filter(__toks, x -> x = '"
+        + t.replace("\\", "\\\\").replace("'", "\\'")
+        + f"')) AS __tf_{i}"
         for i, t in enumerate(query_terms)
     ]
-    base = tokd.select(F.col(id_col), F.size(toks).alias("__dl"), *tf_cols)
-    stats = base.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.avg("__dl").alias("__avgdl"),
+    base = tokd.selectExpr(iq, "size(__toks) AS __dl", *tf_sel)
+    stats = base.selectExpr(
+        "count(1) AS __n",
+        "avg(__dl) AS __avgdl",
         *[
-            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            f"sum(cast(__tf_{i} > 0 AS long)) AS __df_{i}"
             for i in range(len(query_terms))
         ],
     )
     scored = base.crossJoin(F.broadcast(stats))
-    score = None
+    parts = []
     for i in range(len(query_terms)):
-        tf = F.col(f"__tf_{i}").cast("double")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
-            / (F.col(f"__df_{i}") + F.lit(0.5))
+        tf = f"cast(__tf_{i} AS double)"
+        idf = f"ln(1.0D + (__n - __df_{i} + 0.5D) / (__df_{i} + 0.5D))"
+        parts.append(
+            f"{idf} * ({tf} * {k1 + 1!r}D) / ({tf} + {k1!r}D * "
+            f"({1 - b!r}D + {b!r}D * __dl / __avgdl))"
         )
-        part = idf * (tf * (k1 + 1)) / (
-            tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
-        )
-        score = part if score is None else score + part
+    score = " + ".join(parts)
     return (
-        scored.select(F.col(id_col), F.round(score, 4).alias("bm25"))
-        .filter(F.col("bm25") > 0)
+        scored.selectExpr(iq, f"round({score}, 4) AS bm25")
+        .filter("bm25 > 0")
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -68,6 +68,11 @@ _EVENT_TS = "__event_ts"
 _CREATED_TS = "__created_ts"
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for composed SQL fragments."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 class EntityTimestampInferenceException(Exception):
     def __init__(self) -> None:
         super().__init__(
@@ -224,6 +229,59 @@ def _validate_entity_df(
 _BOUNDS_CACHE: list = []
 _BOUNDS_CACHE_MAX = 8
 
+# Prepared-retrieval plan cache: (app_id, flags tuple, fv structural
+# fingerprints, [entity + per-fv-source analyzed plans], built
+# DataFrame, pinned caches) — newest last. See get_historical_features.
+_PLAN_CACHE: list = []
+_PLAN_CACHE_MAX = 8
+
+
+def _fv_fingerprint(fv: FeatureView) -> tuple:
+    return (
+        fv.name,
+        tuple(fv.key_map().items()),
+        tuple(fv.features),
+        fv.ttl_seconds,
+        fv.event_ts_col(),
+        fv.created_ts_col(),
+    )
+
+
+def _plan_cache_lookup(app_id: str, flags: tuple, fps: tuple, plans: list):
+    for aid, cflags, cfps, cplans, df, pinned in reversed(_PLAN_CACHE):
+        if (
+            aid == app_id
+            and cflags == flags
+            and cfps == fps
+            and all(c.sameResult(p) for c, p in zip(cplans, plans))
+        ):
+            return df, pinned
+    return None
+
+
+class _EvictOnClose:
+    """Rides a RetrievalJob's pinned list: ``close()`` calls
+    ``unpersist()`` on every pinned entry, and this one drops the
+    prepared-plan cache entry whose caches were just released (a later
+    identical retrieval then rebuilds and re-pins instead of returning
+    a plan whose caches are gone)."""
+
+    def __init__(self, df) -> None:
+        self._df = df
+
+    def unpersist(self) -> None:
+        _PLAN_CACHE[:] = [e for e in _PLAN_CACHE if e[4] is not self._df]
+
+
+def _plan_cache_store(
+    app_id: str, flags: tuple, fps: tuple, plans: list, df, pinned: list
+) -> None:
+    pinned.append(_EvictOnClose(df))
+    _PLAN_CACHE[:] = [e for e in _PLAN_CACHE if e[0] == app_id][
+        -(_PLAN_CACHE_MAX - 1):
+    ]
+    _PLAN_CACHE.append((app_id, flags, fps, plans, df, list(pinned)))
+
 
 def _entity_bounds(spark: SparkSession, sdf: DataFrame, entity_ts_col: str):
     """min/max(entity_ts) + row count in ONE driver job (J2 bounds →
@@ -269,6 +327,7 @@ def get_historical_features(
     use_max_by: bool = True,
     on_demand_transforms=None,
     broadcast_threshold_rows: int = 1_000_000,
+    plan_cache: bool = True,
 ) -> RetrievalJob:
     """Build the lazy multi-feature-view PIT retrieval job
     (reference entry point 1, hive.py:192-269).
@@ -296,6 +355,46 @@ def get_historical_features(
     pinned: list[DataFrame] = []
 
     def build() -> DataFrame:
+        # Prepared-retrieval cache (the plan-level analogue of a
+        # prepared statement): a warm serving loop re-issues the same
+        # retrieval shape against the same sources, and the JVM-side
+        # analysis of the multi-join plan (~0.15 s/build measured at
+        # r6) is pure repeated work. Key = structural fv spec + flags
+        # + EXACT canonicalized-plan equality (``sameResult``) of the
+        # entity df and every fv source — the same mechanism and the
+        # same immutable-sources-within-a-session assumption as
+        # ``spark.catalog.cacheTable``. ``RetrievalJob.close()``
+        # evicts the entry alongside unpersisting its pinned caches.
+        # Caveat (shared with every cached Dataset): the returned
+        # plan's PHYSICAL compilation is frozen, so session-conf
+        # changes between identical retrievals don't re-plan it —
+        # pass ``plan_cache=False`` when toggling optimizer confs.
+        app_id = spark.sparkContext.applicationId
+        flags = (
+            bool(full_feature_names),
+            broadcast_entities
+            if isinstance(broadcast_entities, str)
+            else bool(broadcast_entities),
+            tuple(tiebreak_columns),
+            bool(use_max_by),
+            int(broadcast_threshold_rows),
+        )
+        fps = tuple(_fv_fingerprint(fv) for fv in feature_views)
+        plans = [sdf._jdf.queryExecution().analyzed()]
+        for fv in feature_views:
+            plans.append(
+                fv.resolve_df(spark)._jdf.queryExecution().analyzed()
+            )
+        hit = (
+            _plan_cache_lookup(app_id, flags, fps, plans)
+            if plan_cache
+            else None
+        )
+        if hit is not None:
+            df, cached_pinned = hit
+            pinned.extend(cached_pinned)
+            return df
+
         ent = sdf.withColumn(_ENTITY_TS, F.col(entity_ts_col))
         # Entity df is read >= 3x (bounds, per-fv join sides, final
         # assembly) — cache it (replaces the reference's in-memory temp
@@ -361,7 +460,10 @@ def get_historical_features(
         # P4: drop internal columns (the reference's regex column
         # exclusion, hive.py:706) — everything else (incl. passthrough
         # entity columns) survives.
-        return result.drop(_ENTITY_TS)
+        result = result.drop(_ENTITY_TS)
+        if plan_cache:
+            _plan_cache_store(app_id, flags, fps, plans, result, pinned)
+        return result
 
     return RetrievalJob(
         build, on_demand_transforms=on_demand_transforms, pinned=pinned
@@ -389,27 +491,35 @@ def _join_feature_view(
     # Subquery projection (hive.py:584-591): event/created ts under
     # internal names, join keys renamed to entity-side names, features
     # under their output names. Pure projection — column pruning
-    # reaches the scan.
-    sel = [F.col(event_ts).alias(_EVENT_TS)]
+    # reaches the scan. ONE selectExpr call: plan CONSTRUCTION here is
+    # dominated by py4j round-trips (~0.4 ms each; a Column-API
+    # projection costs one per col/alias, ~190 per feature view
+    # profiled at r6), and a warm retrieval loop pays it per call.
+    sel = [f"{_bt(event_ts)} AS {_EVENT_TS}"]
     if created_ts:
-        sel.append(F.col(created_ts).alias(_CREATED_TS))
+        sel.append(f"{_bt(created_ts)} AS {_CREATED_TS}")
     for fcol, ecol in key_map.items():
-        sel.append(F.col(fcol).alias(ecol))
+        sel.append(f"{_bt(fcol)} AS {_bt(ecol)}")
     out_names = []
     for feat_name in fv.features:
         out = fv.output_name(feat_name, full_feature_names)
         out_names.append(out)
-        sel.append(F.col(feat_name).alias(out))
-    sel.extend(F.col(c) for c in tiebreak_columns if c in feat.columns)
-    feat = feat.select(*sel)
+        sel.append(f"{_bt(feat_name)} AS {_bt(out)}")
+    sel.extend(_bt(c) for c in tiebreak_columns if c in feat.columns)
+    feat = feat.selectExpr(*sel)
 
     # J2: literal coarse bounds — ttl==0 -> upper bound only
-    # (hive.py:594-605).
+    # (hive.py:594-605). Timestamps stay F.lit (NOT SQL-string
+    # literals): a TIMESTAMP'...' literal parses in the SESSION tz
+    # while the Row->datetime->lit roundtrip uses the OS tz on both
+    # legs, so only the latter is exact when session tz != OS tz —
+    # and a shifted COARSE bound would wrongly exclude matching rows.
     if bounds is not None and bounds["mx"] is not None:
-        feat = feat.filter(F.col(_EVENT_TS) <= F.lit(bounds["mx"]))
+        cond = F.col(_EVENT_TS) <= F.lit(bounds["mx"])
         if fv.ttl_seconds:
             lower = bounds["mn"] - timedelta(seconds=fv.ttl_seconds)
-            feat = feat.filter(F.col(_EVENT_TS) >= F.lit(lower))
+            cond = cond & (F.col(_EVENT_TS) >= F.lit(lower))
+        feat = feat.filter(cond)
 
     # A1: dedup entity join side (shared across views via the caller's
     # per-key-tuple cache; rebuilt here only for direct callers).
@@ -425,19 +535,18 @@ def _join_feature_view(
         joined = feat.join(ekeys, on=entity_cols, how="inner")
     else:
         joined = feat.crossJoin(ekeys)
-    cond = F.col(_EVENT_TS) <= F.col(_ENTITY_TS)
+    range_cond = f"{_EVENT_TS} <= {_ENTITY_TS}"
     if fv.ttl_seconds:
         # micros arithmetic, not `ts - INTERVAL n SECOND`: timestamp -
         # CalendarInterval routes through non-codegen datetime logic
         # and measurably dominates the whole join stage (~2x on the
         # flagship bench query); long compares are exact to the micro
         # and stay inside whole-stage codegen
-        cond = cond & (
-            F.unix_micros(F.col(_EVENT_TS))
-            >= F.unix_micros(F.col(_ENTITY_TS))
-            - F.lit(fv.ttl_seconds * 1_000_000)
+        range_cond += (
+            f" AND unix_micros({_EVENT_TS}) >= "
+            f"unix_micros({_ENTITY_TS}) - {fv.ttl_seconds * 1_000_000}"
         )
-    joined = joined.filter(cond)
+    joined = joined.filter(range_cond)
 
     # W1 replaces J4/J5/A3/A4. Two equivalent physical strategies:
     #
@@ -459,29 +568,29 @@ def _join_feature_view(
     # codegen tighter than timestamp ones (measured on the flagship
     # bench query); unix_micros is a monotone transform, so the argmax
     # and NULL placement are unchanged
-    ord_cols = [F.unix_micros(F.col(_EVENT_TS))]
+    ord_sql = [f"unix_micros({_EVENT_TS})"]
     if created_ts:
-        ord_cols.append(F.unix_micros(F.col(_CREATED_TS)))
-    ord_cols.extend(F.col(c) for c in tiebreak_columns if c in joined.columns)
+        ord_sql.append(f"unix_micros({_CREATED_TS})")
+    ord_sql.extend(_bt(c) for c in tiebreak_columns if c in joined.columns)
+    ord_key = "struct(" + ", ".join(ord_sql) + ")"
     if use_max_by:
-        payload = F.struct(*[F.col(n) for n in out_names]) if out_names else None
-        aggs = []
-        if payload is not None:
-            aggs.append(F.max_by(payload, F.struct(*ord_cols)).alias("__best"))
+        if out_names:
+            payload = "struct(" + ", ".join(_bt(n) for n in out_names) + ")"
+            agg = F.expr(f"max_by({payload}, {ord_key})").alias("__best")
         else:
-            aggs.append(F.count(F.lit(1)).alias("__n"))
-        latest = joined.groupBy(*entity_cols, _ENTITY_TS).agg(*aggs)
-        if payload is not None:
-            latest = latest.select(
-                *entity_cols,
+            agg = F.expr("count(1)").alias("__n")
+        latest = joined.groupBy(*entity_cols, _ENTITY_TS).agg(agg)
+        if out_names:
+            latest = latest.selectExpr(
+                *[_bt(c) for c in entity_cols],
                 _ENTITY_TS,
-                *[F.col("__best")[n].alias(n) for n in out_names],
+                *[f"__best.{_bt(n)} AS {_bt(n)}" for n in out_names],
             )
         else:
             latest = latest.select(*entity_cols, _ENTITY_TS)
     else:
         w = Window.partitionBy(*entity_cols, _ENTITY_TS).orderBy(
-            *[c.desc() for c in ord_cols]
+            *[F.expr(c).desc() for c in ord_sql]
         )
         latest = (
             joined.withColumn("__rn", F.row_number().over(w))

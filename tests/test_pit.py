@@ -370,3 +370,52 @@ def test_entity_bounds_memo_exact_and_distinct(spark):
     b1b = P._entity_bounds(spark, s1b, "event_timestamp")
     assert b1b == b1
     assert len(P._BOUNDS_CACHE) == n
+
+
+def test_plan_cache_hit_and_miss(spark):
+    """Prepared-retrieval cache: identical rebuilds return the SAME
+    plan object; changing the entity data, the fv spec, or closing the
+    job forces a rebuild."""
+    import pandas as pd
+
+    from feast_hive_spark.plans import pit as P
+    from feast_hive_spark.plans.pit import FeatureView, get_historical_features
+
+    feat = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 2],
+                "ts": pd.to_datetime(["2024-01-01", "2024-01-05", "2024-01-02"]),
+                "v": [10.0, 20.0, 30.0],
+            }
+        )
+    )
+    ent = pd.DataFrame(
+        {"user_id": [1, 2], "event_timestamp": pd.to_datetime(["2024-01-06", "2024-01-03"])}
+    )
+
+    def mkfv(ttl=0):
+        return FeatureView(
+            name="fv", source=feat, join_keys=["user_id"], features=["v"],
+            ttl_seconds=ttl, event_timestamp_column="ts",
+        )
+
+    j1 = get_historical_features(spark, ent, [mkfv()])
+    d1 = j1.to_spark_df()
+    j2 = get_historical_features(spark, ent.copy(), [mkfv()])
+    d2 = j2.to_spark_df()
+    assert d2 is d1  # memo hit on an identical rebuild
+    # different fv spec -> miss
+    j3 = get_historical_features(spark, ent, [mkfv(ttl=86400)])
+    assert j3.to_spark_df() is not d1
+    # different entity data -> miss
+    ent2 = ent.assign(event_timestamp=pd.to_datetime(["2024-01-04", "2024-01-03"]))
+    j4 = get_historical_features(spark, ent2, [mkfv()])
+    assert j4.to_spark_df() is not d1
+    # results still correct on the memoized plan
+    got = {r["user_id"]: r["v"] for r in d2.collect()}
+    assert got == {1: 20.0, 2: 30.0}
+    # close() evicts: next identical build is a fresh plan
+    j2.close()
+    j5 = get_historical_features(spark, ent, [mkfv()])
+    assert j5.to_spark_df() is not d1
