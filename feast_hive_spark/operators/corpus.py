@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from feast_hive_spark.functions import text as X
 from feast_hive_spark.functions.text import h48
 from feast_hive_spark.operators.prefix import quantile_bucket
+from feast_hive_spark.plans.memo import job_memo
 
 #: micro-unit scale for cross-engine-exact fixed-point sums
 _MICRO = 1_000_000
@@ -681,9 +682,14 @@ def select_token_budget(
     bucketed = scored.withColumn("__bkt", bkt_expr)
     totals = {
         r["__bkt"]: r["__sum"]
-        for r in bucketed.groupBy("__bkt")
-        .agg(F.sum("n_tok").alias("__sum"))
-        .collect()
+        for r in job_memo(
+            spark,
+            df,
+            ("select_token_budget.totals", id_col, text_col, n_part),
+            lambda: bucketed.groupBy("__bkt")
+            .agg(F.sum("n_tok").alias("__sum"))
+            .collect(),
+        )
     }
     offset = 0
     offsets = {}
@@ -899,9 +905,14 @@ def grouped_percent_rank(
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    n_groups = df.agg(
-        F.approx_count_distinct(group_col).alias("__g")
-    ).first()["__g"]
+    n_groups = job_memo(
+        spark,
+        df,
+        ("grouped_percent_rank.n_groups", group_col),
+        lambda: df.agg(
+            F.approx_count_distinct(group_col).alias("__g")
+        ).first()["__g"],
+    )
     if n_groups > max_offset_groups:
         w = Window.partitionBy(group_col).orderBy(
             F.col(value_col), F.col(id_col)
@@ -911,10 +922,13 @@ def grouped_percent_rank(
         )
     bkt_expr, _ = quantile_bucket(df, value_col, n_part)
     bucketed = df.withColumn("__bkt", bkt_expr)
-    counts = (
-        bucketed.groupBy("__bkt", group_col)
+    counts = job_memo(
+        spark,
+        df,
+        ("grouped_percent_rank.counts", group_col, value_col, n_part),
+        lambda: bucketed.groupBy("__bkt", group_col)
         .agg(F.count(F.lit(1)).alias("__c"))
-        .collect()
+        .collect(),
     )
     per_group: dict = {}
     rows = []
@@ -1090,9 +1104,14 @@ def grouped_budget_select(
     totals_df = base.groupBy(group_col).agg(
         F.sum("__w").alias("__total")
     )
-    n_groups = base.agg(
-        F.approx_count_distinct(group_col).alias("__g")
-    ).first()["__g"]
+    n_groups = job_memo(
+        spark,
+        df,
+        ("grouped_budget_select.n_groups", group_col),
+        lambda: base.agg(
+            F.approx_count_distinct(group_col).alias("__g")
+        ).first()["__g"],
+    )
     if n_groups > max_offset_groups:
         w = (
             Window.partitionBy(group_col)
@@ -1105,10 +1124,19 @@ def grouped_budget_select(
             base, order_col, n_part, descending=True
         )
         bucketed = base.withColumn("__bkt", bkt_expr)
-        counts = (
-            bucketed.groupBy("__bkt", group_col)
+        counts = job_memo(
+            spark,
+            df,
+            (
+                "grouped_budget_select.counts",
+                group_col,
+                order_col,
+                weight_col,
+                n_part,
+            ),
+            lambda: bucketed.groupBy("__bkt", group_col)
             .agg(F.sum("__w").alias("__s"))
-            .collect()
+            .collect(),
         )
         per_group: dict = {}
         rows = []
@@ -1263,12 +1291,15 @@ def bpe_merges(
     import heapq
     from collections import Counter, defaultdict
 
-    rows = (
-        df.select(F.explode(X.words(text_col)).alias("__w"))
+    rows = job_memo(
+        df.sparkSession,
+        df,
+        ("bpe_merges.word_freq", text_col),
+        lambda: df.select(F.explode(X.words(text_col)).alias("__w"))
         .filter(F.col("__w").rlike("^[a-z0-9]+$"))
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__f"))
-        .collect()
+        .collect(),
     )
     # driver-local state: one (symbols, freq) entry per DISTINCT word
     words: list[tuple[list[str], int]] = [

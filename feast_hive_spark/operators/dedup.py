@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from feast_hive_spark.functions import text as X
 from feast_hive_spark.functions import vector as V
+from feast_hive_spark.plans.memo import job_memo, plan_memo
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -107,7 +108,12 @@ def _guarded_candidates(candidates: DataFrame, threshold: int = _CANDIDATE_BROAD
     so the candidate plan never re-executes and the verify joins stay
     shuffle-free. Overflow case falls back to the distributed plan
     with NO broadcast hint: Spark/AQE picks a memory-safe join."""
-    probe = candidates.limit(threshold + 1).collect()
+    probe = job_memo(
+        candidates.sparkSession,
+        candidates,
+        ("_guarded_candidates", threshold),
+        lambda: candidates.limit(threshold + 1).collect(),
+    )
     if len(probe) <= threshold:
         local = candidates.sparkSession.createDataFrame(
             probe, candidates.schema
@@ -769,7 +775,34 @@ def connected_components_star(
     of driver memory, never unbounded), the edges are collected and
     union-find runs on the driver in microseconds; the distributed
     contraction loop is reserved for graphs that are actually big.
-    Set ``small_graph_threshold=0`` to force the distributed path."""
+    Set ``small_graph_threshold=0`` to force the distributed path.
+
+    The result is memoized per input plan (plans/memo.py): labels are
+    a pure function of the pair graph, and a warm rebuild would
+    otherwise replay the probe + every contraction round."""
+    return plan_memo(
+        pairs.sparkSession,
+        pairs,
+        (
+            "connected_components_star",
+            id_a,
+            id_b,
+            max_iters,
+            small_graph_threshold,
+        ),
+        lambda: _cc_star_build(
+            pairs, id_a, id_b, max_iters, small_graph_threshold
+        ),
+    )
+
+
+def _cc_star_build(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iters: int,
+    small_graph_threshold: int,
+) -> DataFrame:
     if small_graph_threshold:
         # Single bounded probe: LIMIT(threshold+1) caps what can ever
         # ship at threshold+1 two-column rows (~3 MB at the default) no

@@ -18,6 +18,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from feast_hive_spark.plans.memo import plan_memo
+
 SCALE = 1_000_000_000_000  # 1e-12 rank units
 
 
@@ -91,7 +93,29 @@ def pagerank(
     not the corpus that produced it.  The edge table is cached once; at 3 iterations
     plan growth is linear so no lineage truncation is needed (the
     O(log N)-round star loop in dedup.py shows the localCheckpoint
-    variant).  Output: (node, rank_e12)."""
+    variant).  Output: (node, rank_e12).
+
+    Memoized per input plan (plans/memo.py): ranks are a pure function
+    of the pair graph + params, so a warm rebuild would replay the
+    probe or every iteration for an identical result."""
+    return plan_memo(
+        pairs.sparkSession,
+        pairs,
+        ("pagerank", id_a, id_b, iters, damping_pct, small_graph_threshold),
+        lambda: _pagerank_build(
+            pairs, id_a, id_b, iters, damping_pct, small_graph_threshold
+        ),
+    )
+
+
+def _pagerank_build(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    iters: int,
+    damping_pct: int,
+    small_graph_threshold: int,
+) -> DataFrame:
     if small_graph_threshold:
         # Single bounded probe (same change as connected_components_
         # star, r6): limit(threshold+1).collect() caps shipping at
@@ -262,7 +286,26 @@ def kcore_nodes(
 
     Output: ``(node, degree)`` rows of the k-core (post-fixpoint
     degrees), empty if the core is empty.
+
+    Memoized per input plan (plans/memo.py): the core is a pure
+    function of the pair graph + ``k``, so a warm rebuild would
+    replay every peel round for an identical result.
     """
+    return plan_memo(
+        pairs.sparkSession,
+        pairs,
+        ("kcore_nodes", k, id_a, id_b, max_rounds),
+        lambda: _kcore_build(pairs, k, id_a, id_b, max_rounds),
+    )
+
+
+def _kcore_build(
+    pairs: DataFrame,
+    k: int,
+    id_a: str,
+    id_b: str,
+    max_rounds: int,
+) -> DataFrame:
     from feast_hive_spark.operators.dedup import _free_local_checkpoint
 
     e = (

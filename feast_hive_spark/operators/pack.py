@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from feast_hive_spark.operators.prefix import quantile_bucket
+from feast_hive_spark.plans.memo import job_memo
 
 
 def pack_sequences(
@@ -53,7 +54,14 @@ def pack_sequences(
 
     totals = {
         r["__bkt"]: r["__sum"]
-        for r in bucketed.groupBy("__bkt").agg(F.sum("__len").alias("__sum")).collect()
+        for r in job_memo(
+            spark,
+            df,
+            ("pack_sequences.totals", id_col, len_col, capacity, n_part),
+            lambda: bucketed.groupBy("__bkt")
+            .agg(F.sum("__len").alias("__sum"))
+            .collect(),
+        )
     }
     offset = 0
     offsets = {}
@@ -140,8 +148,13 @@ def padding_efficiency_report(
     def _ranked(src: DataFrame, bucket_col: str, order_cols) -> DataFrame:
         bkt_expr, _ = quantile_bucket(src, bucket_col, n_part)
         bucketed = src.withColumn("__bkt", bkt_expr)
-        counts = (
-            bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__c")).collect()
+        counts = job_memo(
+            spark,
+            src,
+            ("padding_efficiency._ranked", bucket_col, n_part),
+            lambda: bucketed.groupBy("__bkt")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect(),
         )
         off = 0
         offsets = {}

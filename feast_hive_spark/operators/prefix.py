@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from feast_hive_spark.plans.memo import job_memo
+
 
 def quantile_bucket(
     df: DataFrame,
@@ -73,7 +75,15 @@ def quantile_bucket(
         return F.lit(0), 1
     probs = [i / n_buckets for i in range(1, n_buckets)]
     err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
-    bounds = df.stat.approxQuantile(col_name, probs, err)
+    # plan-keyed memo: the boundary probe is a pure function of the
+    # input plan, and a warm loop rebuilding this operator re-runs it
+    # for byte-identical literals (see plans/memo.py)
+    bounds = job_memo(
+        df.sparkSession,
+        df,
+        ("quantile_bucket", col_name, n_buckets, descending, err),
+        lambda: df.stat.approxQuantile(col_name, probs, err),
+    )
     uniq = sorted(set(bounds))
     if not uniq:  # empty input / all-null column
         return F.lit(0), 1
@@ -115,10 +125,15 @@ def global_row_number(
         df, bucket_col, n_buckets, descending=descending
     )
     bucketed = df.withColumn("__bkt", bkt_expr)
-    counts = (
-        bucketed.groupBy("__bkt")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .collect()
+    counts = job_memo(
+        df.sparkSession,
+        df,
+        ("global_row_number.counts", bucket_col, n_buckets, descending),
+        lambda: (
+            bucketed.groupBy("__bkt")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        ),
     )
     off = 0
     offsets = {}
