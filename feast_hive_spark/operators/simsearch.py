@@ -779,3 +779,195 @@ def ivfpq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Distributed k-means + SemDeDup (semantic near-dup removal)
+# ---------------------------------------------------------------------
+
+#: micro-unit scale shared by both engines for k-means arithmetic
+_KM_MICRO = 1_000_000
+
+
+def _micro_vec(vec_col: str):
+    """array<long> of round(v * 1e6) — all k-means arithmetic is
+    integer micro-units so float summation order can never diverge
+    between engines or cluster sizes."""
+    return F.expr(
+        f"transform({vec_col}, v -> "
+        f"CAST(round(CAST(v AS DOUBLE) * {_KM_MICRO}, 0) AS BIGINT))"
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, the canonical
+    distributed formulation: centroids are the ONLY driver-side state
+    (k x dim longs per round); every corpus-sized step is a map-only
+    scan against broadcast centroid literals plus one tiny-key
+    aggregate whose shuffle carries k x dim rows regardless of corpus
+    size. That is the 100 TB shape — no all-pairs step, no
+    driver-sized collect, rounds = ``iters`` (fixed, not
+    convergence-polled).
+
+    Deterministic across engines and cluster sizes:
+    - seeding: cluster_0(id) = h48('km:' || id) % k (stateless hash,
+      no RNG, no order dependence);
+    - centroid components: floor(sum_micro / count) — exact integer
+      given exact integer micro inputs;
+    - assignment: argmin of integer squared L2 in micro units, ties
+      to the lowest cluster id (sort on (dist, cluster)).
+
+    Empty clusters (possible once k approaches the row count) simply
+    drop out of the centroid table and later rounds assign among the
+    survivors — mirrored by the SQL twin's GROUP BY.
+
+    Returns ``(id, cluster, dist)`` for the FINAL assignment, with
+    ``dist`` the selected integer squared L2 to the final round's
+    centroid. Memoized per input plan (plans/memo.py): the rounds run
+    eagerly at build time.
+    """
+    from feast_hive_spark.functions.text import h48
+    from feast_hive_spark.plans.memo import plan_memo
+
+    return plan_memo(
+        df.sparkSession,
+        df,
+        ("kmeans_assign", id_col, vec_col, k, iters),
+        lambda: _kmeans_build(df, id_col, vec_col, k, iters),
+    )
+
+
+def _kmeans_build(
+    df: DataFrame, id_col: str, vec_col: str, k: int, iters: int
+) -> DataFrame:
+    from feast_hive_spark.functions.text import h48
+
+    base = df.select(
+        F.col(id_col).alias("__id"), _micro_vec(vec_col).alias("__vm")
+    )
+    assigned = base.withColumn(
+        "__c",
+        (
+            h48(F.concat(F.lit("km:"), F.col("__id").cast("string"))) % k
+        ).cast("int"),
+    )
+    for _ in range(iters):
+        # centroid table: k x dim rows -> driver (tiny, bounded by k*dim)
+        rows = (
+            assigned.select("__c", F.posexplode("__vm").alias("pos", "v"))
+            .groupBy("__c", "pos")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("cm")
+            )
+            .collect()
+        )
+        cent: dict[int, dict[int, int]] = {}
+        for r in rows:
+            cent.setdefault(r["__c"], {})[r["pos"]] = r["cm"]
+        # argmin over the surviving clusters, ties to lowest cluster id
+        structs = []
+        for c in sorted(cent):
+            comps = cent[c]
+            arr = ", ".join(
+                f"{comps[p]}L" for p in range(len(comps))
+            )
+            structs.append(
+                "named_struct('d', aggregate(zip_with(__vm, "
+                f"array({arr}), (x, c) -> (x - c) * (x - c)), 0L, "
+                f"(a, v) -> a + v), 'c', {c})"
+            )
+        pick = f"sort_array(array({', '.join(structs)}))[0]"
+        assigned = base.selectExpr(
+            "__id", "__vm", f"{pick}.c AS __c", f"{pick}.d AS __d"
+        )
+    return assigned.select(
+        F.col("__id").alias(id_col),
+        F.col("__c").cast("long").alias("cluster"),
+        F.col("__d").alias("dist"),
+    )
+
+
+def kmeans_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-cluster size + inertia (sum of selected squared distances,
+    micro^2 units) of the final :func:`kmeans_assign` round — the
+    convergence readout a pipeline logs per training round."""
+    a = kmeans_assign(df, id_col, vec_col, k=k, iters=iters)
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dist").cast("long").alias("inertia"),
+    )
+
+
+def semdedup_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): restrict the quadratic
+    near-duplicate search to WITHIN k-means clusters — the standard
+    way to make embedding dedup tractable at corpus scale. Cluster
+    assignment is map-only (:func:`kmeans_assign`); the pair join is
+    keyed by cluster, so each task's quadratic blow-up is bounded by
+    its cluster size (at 100 TB you raise k until clusters fit;
+    cross-cluster pairs are sacrificed by design, which is the
+    documented recall trade of the method).
+
+    Per cluster: member count, number of near-dup pairs (cosine >=
+    threshold, 6dp-rounded like every cosine in this repo), and the
+    greedy removal count (distinct higher-id members that duplicate a
+    lower-id keeper). Clusters with no pairs still emit a row.
+    """
+    a = kmeans_assign(df, id_col, vec_col, k=k, iters=iters).select(
+        F.col(id_col).alias("__id"), "cluster"
+    )
+    emb = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).join(a, "__id")
+    lhs = emb.select(
+        F.col("cluster"),
+        F.col("__id").alias("id_a"),
+        F.col("__vec").alias("va"),
+    )
+    rhs = emb.select(
+        F.col("cluster"),
+        F.col("__id").alias("id_b"),
+        F.col("__vec").alias("vb"),
+    )
+    pairs = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", F.round(V.cosine(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    stats = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("id_b").cast("long").alias("n_removed"),
+    )
+    sizes = a.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return sizes.join(stats, "cluster", "left").select(
+        "cluster",
+        "n_vectors",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+    )

@@ -121,7 +121,8 @@ SAMPLE_ROTATION: list[str] = [
     # r6 additions (new queries, by definition never sampled):
     "cms_error_bound_audit", "multimodal_decode_coverage",
     "minhash_estimate_audit", "bloom_filter_join_audit",
-    "target_encode_oof",
+    "target_encode_oof", "kmeans_embedding_clusters",
+    "semdedup_embedding_report",
 ]
 
 

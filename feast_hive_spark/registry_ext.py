@@ -3108,3 +3108,125 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("savings_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# k-means + SemDeDup (r6)
+# ---------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def _km_cte(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Unrolled Lloyd's-iteration CTE prefix shared by the k-means
+    oracles: micro-unit integer arithmetic, hash seeding, floor-divided
+    centroids, (dist, cluster)-ordered argmin — the exact recipe of
+    operators/simsearch.py:kmeans_assign, so the hash gate certifies
+    every round."""
+    parts = [
+        """xm AS (
+  SELECT vec_id, i AS pos,
+         CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vm
+  FROM embeddings, range(0, 64) r(i) WHERE i < len(embedding)
+)""",
+        f"""a0 AS (
+  SELECT vec_id,
+         CAST(('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT) % {k} AS c,
+         CAST(0 AS BIGINT) AS d
+  FROM embeddings
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""c{t} AS (
+  SELECT a.c, x.pos,
+         CAST(FLOOR(CAST(SUM(x.vm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+  FROM xm x JOIN a{t-1} a USING (vec_id) GROUP BY a.c, x.pos
+)""",
+        )
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, c, d FROM (
+    SELECT x.vec_id, c.c,
+           SUM((x.vm - c.cm) * (x.vm - c.cm)) AS d,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY SUM((x.vm - c.cm) * (x.vm - c.cm)), c.c) AS rn
+    FROM xm x JOIN c{t} c ON x.pos = c.pos
+    GROUP BY x.vec_id, c.c
+  ) WHERE rn = 1
+)""",
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "kmeans_embedding_clusters",
+    f"""
+WITH {_km_cte()}
+SELECT CAST(c AS BIGINT) AS cluster, COUNT(*) AS n,
+       CAST(SUM(d) AS BIGINT) AS inertia
+FROM a{_KM_ITERS} GROUP BY c
+""",
+)
+def kmeans_embedding_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed Lloyd's k-means (k=4, 2 rounds) over the embedding
+    corpus: per-round state is k x dim centroid longs on the driver,
+    every corpus-sized step is a map-only scan against broadcast
+    centroid literals + a k*dim-key aggregate — the 100 TB shape. The
+    oracle unrolls both rounds in SQL, so the hash gate certifies
+    seeding, centroid arithmetic, and every argmin tie-break
+    (operators/simsearch.py:kmeans_assign)."""
+    from feast_hive_spark.operators.simsearch import kmeans_report
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_report(
+        emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS
+    )
+
+
+@register(
+    "semdedup_embedding_report",
+    f"""
+WITH {_km_cte()},
+pairs AS (
+  SELECT ax.c AS cluster, x.vec_id AS id_a, y.vec_id AS id_b
+  FROM embeddings x
+  JOIN a{_KM_ITERS} ax ON ax.vec_id = x.vec_id
+  JOIN a{_KM_ITERS} ay ON ay.c = ax.c
+  JOIN embeddings y ON y.vec_id = ay.vec_id AND x.vec_id < y.vec_id
+  WHERE ROUND({V.duck_cosine('x.embedding', 'y.embedding')}, 6) >= 0.45
+),
+stats AS (
+  SELECT cluster, COUNT(*) AS n_pairs, COUNT(DISTINCT id_b) AS n_removed
+  FROM pairs GROUP BY cluster
+),
+sizes AS (
+  SELECT c AS cluster, COUNT(*) AS n_vectors FROM a{_KM_ITERS} GROUP BY c
+)
+SELECT CAST(s.cluster AS BIGINT) AS cluster,
+       CAST(s.n_vectors AS BIGINT) AS n_vectors,
+       CAST(COALESCE(st.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(st.n_removed, 0) AS BIGINT) AS n_removed
+FROM sizes s LEFT JOIN stats st ON st.cluster = s.cluster
+""",
+)
+def semdedup_embedding_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup: k-means clusters bound the quadratic near-dup search
+    — pair generation is keyed by cluster, so per-task cost is
+    O(cluster_size^2), tunable via k at scale; cross-cluster pairs are
+    sacrificed by design (the method's documented recall trade).
+    Reports per-cluster member/pair/greedy-removal counts
+    (operators/simsearch.py:semdedup_report)."""
+    from feast_hive_spark.operators.simsearch import semdedup_report
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semdedup_report(
+        emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS,
+        threshold=0.45,
+    )

@@ -285,3 +285,89 @@ def test_ivfpq_recall_and_contract(spark, sf_dir):
     r16 = recall(16)  # probe everything -> pure PQ
     assert r4 >= 0.1  # far above the ~0.01 random baseline
     assert r16 >= r4 - 1e-9  # more probes never hurt
+
+
+def test_kmeans_assign_partitions_corpus(spark, sf_dir):
+    from feast_hive_spark.operators.simsearch import kmeans_assign
+    from feast_hive_spark.plans import memo
+    from feast_hive_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    a = kmeans_assign(emb, "vec_id", "embedding", k=4, iters=2)
+    rows = a.collect()
+    assert len(rows) == n
+    assert {r["vec_id"] for r in rows} == {
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    }
+    assert all(0 <= r["cluster"] < 4 for r in rows)
+    assert all(r["dist"] >= 0 for r in rows)
+    # deterministic: a fresh (memo-cleared) rebuild agrees exactly
+    memo.clear()
+    again = kmeans_assign(emb, "vec_id", "embedding", k=4, iters=2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_kmeans_final_assignment_is_argmin(spark, sf_dir):
+    # the iters=2 result must be exactly one Lloyd step past the
+    # iters=1 result: rebuild the round-2 centroids from the iters=1
+    # assignment with numpy (floor(sum/count) in micro units) and
+    # verify every point's final cluster is the argmin against them,
+    # ties to the lowest cluster id, with the reported dist
+    import numpy as np
+
+    from feast_hive_spark.operators.simsearch import kmeans_assign
+    from feast_hive_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a1 = kmeans_assign(emb, "vec_id", "embedding", k=4, iters=1)
+    a2 = kmeans_assign(emb, "vec_id", "embedding", k=4, iters=2)
+    vecs = {
+        r["vec_id"]: np.round(
+            np.array(r["embedding"], dtype=np.float64) * 1_000_000
+        ).astype(np.int64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    groups: dict = {}
+    for r in a1.collect():
+        groups.setdefault(r["cluster"], []).append(vecs[r["vec_id"]])
+    cents = {
+        c: np.floor(
+            np.sum(np.stack(g), axis=0).astype(np.float64) / len(g)
+        ).astype(np.int64)
+        for c, g in groups.items()
+    }
+    for r in a2.collect():
+        x = vecs[r["vec_id"]]
+        dists = {c: int(((x - cm) ** 2).sum()) for c, cm in cents.items()}
+        best = min(sorted(dists), key=lambda c: (dists[c], c))
+        assert r["cluster"] == best
+        assert r["dist"] == dists[best]
+
+
+def test_semdedup_pairs_within_cluster_only(spark, sf_dir):
+    from feast_hive_spark.operators.simsearch import (
+        kmeans_assign,
+        semdedup_report,
+    )
+    from feast_hive_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rep = semdedup_report(
+        emb, "vec_id", "embedding", k=4, iters=2, threshold=0.45
+    ).collect()
+    a = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(
+            emb, "vec_id", "embedding", k=4, iters=2
+        ).collect()
+    }
+    by_cluster = {r["cluster"]: r for r in rep}
+    # report covers every cluster exactly once, sizes match assignment
+    import collections
+
+    want = collections.Counter(a.values())
+    assert {c: r["n_vectors"] for c, r in by_cluster.items()} == dict(want)
+    for r in rep:
+        assert r["n_removed"] <= r["n_pairs"]
+        assert r["n_removed"] <= r["n_vectors"]
