@@ -1292,3 +1292,100 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_small", "id_big", "containment")
     )
+
+
+# ---------------------------------------------------------------------
+# Winnowing document fingerprints (MOSS; Schleimer et al., SIGMOD'03)
+# ---------------------------------------------------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowed fingerprint set per document: positional word
+    ``n``-gram hashes, then the minimum hash of every ``window`` of
+    consecutive positions (guaranteed-detection fingerprinting — any
+    shared run of ``window + n - 1`` tokens shares >=1 fingerprint),
+    distinct per doc. Selects ~2/(window+1) of all shingles, which is
+    the density the MOSS paper proves optimal for the guarantee.
+
+    Scale shape: tokens are staged as a real column (HOF-lambda CSE
+    caveat), the only shuffle is the per-doc window (keyed by id —
+    embarrassingly parallel), and downstream consumers join on the
+    winnowed set, ~2.5x smaller than the full shingle index. Short
+    docs (< window shingles) contribute their single partial window
+    (the pos-0 frame), so no document silently drops out.
+
+    Output: ``(id, fph)`` distinct rows.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("__id"), X.words(text_col).alias("__w")
+    )
+    seq = F.when(
+        F.size("__w") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__w") - n),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("__w", i + F.lit(1), n))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    sh = toks.select("__id", F.posexplode(seq).alias("pos", "h"))
+    frame = (
+        W.partitionBy("__id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    win = sh.select(
+        "__id",
+        "pos",
+        F.min("h").over(frame).alias("mh"),
+        F.count(F.lit(1)).over(frame).alias("c"),
+    )
+    return (
+        win.filter((F.col("c") == window) | (F.col("pos") == 0))
+        .select(F.col("__id").alias(id_col), F.col("mh").alias("fph"))
+        .distinct()
+    )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Cross-document overlap candidates from winnowed fingerprints:
+    inverted-index self-join on the fingerprint hash, pairs sharing
+    >= ``min_shared`` fingerprints. The index is ~2.5x smaller than
+    the raw shingle index for the same detection guarantee — the
+    reason MOSS-style systems winnow before indexing. At 100 TB,
+    boilerplate fingerprints shared by a large fraction of the corpus
+    would explode the pair join quadratically; production runs drop
+    fingerprints above a document-frequency cap first (the exact
+    semantics here keep every fingerprint so the SQL twin can certify
+    the plumbing — the cap is one extra groupBy filter).
+
+    Output: ``(id_a, id_b, n_shared)``.
+    """
+    fp = winnowing_fingerprints(df, id_col, text_col, n, window)
+    a = fp.select(F.col(id_col).alias("id_a"), "fph")
+    b = fp.select(F.col(id_col).alias("id_b"), "fph")
+    return (
+        a.join(b, "fph")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

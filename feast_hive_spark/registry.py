@@ -122,7 +122,8 @@ SAMPLE_ROTATION: list[str] = [
     "cms_error_bound_audit", "multimodal_decode_coverage",
     "minhash_estimate_audit", "bloom_filter_join_audit",
     "target_encode_oof", "kmeans_embedding_clusters",
-    "semdedup_embedding_report",
+    "semdedup_embedding_report", "winnowing_fingerprint_stats",
+    "winnowing_overlap_pairs",
 ]
 
 

@@ -363,3 +363,54 @@ def test_simhash_pairs_survive_heavy_duplication(spark):
         dd._guarded_candidates = orig
     # every copy of the same text pairs with every other copy
     assert n_guarded >= 10 * 9 // 2 * 3
+
+
+def test_winnowing_guarantee_and_density(spark):
+    # MOSS guarantee: two docs sharing a run of window+n-1 = 6 tokens
+    # must share >= 1 fingerprint; and winnowing selects a strict
+    # subset of the shingle set at roughly 2/(window+1) density
+    from feast_hive_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six seven"),
+            (2, f"red green blue {shared} cyan magenta yellow"),
+            (3, "totally unrelated words with nothing in common here"),
+            (4, "tiny doc"),  # < n tokens: no shingles, no fingerprints
+            (5, "just three words"),  # exactly one shingle -> 1 fp
+        ],
+        "doc_id int, text string",
+    )
+    fp = winnowing_fingerprints(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fph"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must collide"
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1
+    pairs = winnowing_overlap_pairs(
+        docs, "doc_id", "text", min_shared=1
+    ).collect()
+    assert any(
+        (p["id_a"], p["id_b"]) == (1, 2) for p in pairs
+    )
+    assert not any(3 in (p["id_a"], p["id_b"]) for p in pairs)
+
+
+def test_winnowing_density_bound(spark, sf_dir):
+    from feast_hive_spark.operators.dedup import winnowing_fingerprints
+    from feast_hive_spark.functions import text as X
+    from feast_hive_spark.sources.tables import read_table
+    import pyspark.sql.functions as F
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_sh = docs.select(
+        F.sum(F.greatest(F.size(X.words("text")) - 2, F.lit(0)))
+    ).first()[0]
+    n_fp = winnowing_fingerprints(docs, "doc_id", "text").count()
+    # 2/(w+1) = 0.4 expected density; distinct-per-doc collapses a bit
+    assert 0.2 * n_sh < n_fp < 0.55 * n_sh
