@@ -140,3 +140,73 @@ def psi_drift(
             .alias("contrib_e9"),
         )
     )
+
+
+def ols_fit_2feature(
+    df: DataFrame,
+    x1: "F.Column",
+    x2: "F.Column",
+    y: "F.Column",
+    names: "tuple[str, str]" = ("x1", "x2"),
+) -> DataFrame:
+    """One-pass OLS fit of ``y ~ b0 + b1*x1 + b2*x2`` via normal
+    equations + Cramer's rule — the closed-form distributed linear
+    fit: ONE scan aggregates the 9 sufficient statistics (map-side
+    partials, a 1-row exchange), and the 3x3 solve happens inside the
+    same lazy plan in decimal(38,0) arithmetic. No driver collect, no
+    iteration — at 100 TB this is a single pass however wide the
+    cluster, which is why normal equations beat gradient descent for
+    low-dimensional fits on big data.
+
+    Inputs must be INTEGER-valued columns (pre-scaled to fixed-point
+    units by the caller): all sums and determinants are then exact —
+    summation order cannot matter — and only the final
+    ``det_j / det`` division is floating point, rounded to 6dp.
+    Magnitude bound: det terms are products of three sums; with
+    per-row |x| <= 1e5-ish and row counts <= ~1e9 they stay under the
+    38-digit decimal / int128 ceiling (document per call site).
+
+    Output: ``(term, coef)`` rows — 'intercept', names[0], names[1];
+    coef NULL (both engines) for a singular system (det = 0).
+    """
+    d38 = "decimal(38,0)"
+    stats = df.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(x1.cast(d38)).alias("s1"),
+        F.sum(x2.cast(d38)).alias("s2"),
+        F.sum((x1 * x1).cast(d38)).alias("s11"),
+        F.sum((x1 * x2).cast(d38)).alias("s12"),
+        F.sum((x2 * x2).cast(d38)).alias("s22"),
+        F.sum(y.cast(d38)).alias("sy"),
+        F.sum((x1 * y).cast(d38)).alias("s1y"),
+        F.sum((x2 * y).cast(d38)).alias("s2y"),
+    )
+    # Cramer's rule on M = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+    # rhs = [sy, s1y, s2y]; exact integer determinants, so the
+    # algebraic form is free to differ from the SQL twin's
+    dets = stats.selectExpr(
+        "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) "
+        "  + s2 * (s1 * s12 - s11 * s2) AS det",
+        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) "
+        "  + s2 * (s1y * s12 - s11 * s2y) AS det0",
+        "n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) "
+        "  + s2 * (s1 * s2y - s1y * s2) AS det1",
+        "n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) "
+        "  + sy * (s1 * s12 - s11 * s2) AS det2",
+    )
+    coef = dets.selectExpr(
+        *(
+            f"CASE WHEN det <> 0 THEN "
+            f"round(CAST({dj} AS DOUBLE) / CAST(det AS DOUBLE), 6) "
+            f"END AS {alias}"
+            for dj, alias in (
+                ("det0", "c0"),
+                ("det1", "c1"),
+                ("det2", "c2"),
+            )
+        )
+    )
+    return coef.selectExpr(
+        f"stack(3, 'intercept', c0, '{names[0]}', c1, '{names[1]}', c2) "
+        "AS (term, coef)"
+    )

@@ -123,7 +123,7 @@ SAMPLE_ROTATION: list[str] = [
     "minhash_estimate_audit", "bloom_filter_join_audit",
     "target_encode_oof", "kmeans_embedding_clusters",
     "semdedup_embedding_report", "winnowing_fingerprint_stats",
-    "winnowing_overlap_pairs",
+    "winnowing_overlap_pairs", "ols_price_model",
 ]
 
 

@@ -3094,3 +3094,61 @@ def association_rules_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ols_price_model",
+    """
+WITH st AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(q) AS HUGEINT) AS s1, CAST(SUM(d) AS HUGEINT) AS s2,
+         CAST(SUM(q*q) AS HUGEINT) AS s11, CAST(SUM(q*d) AS HUGEINT) AS s12,
+         CAST(SUM(d*d) AS HUGEINT) AS s22,
+         CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(q*y) AS HUGEINT) AS s1y,
+         CAST(SUM(d*y) AS HUGEINT) AS s2y
+  FROM (
+    SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+           CAST(round(l_discount * 1000000) AS BIGINT) AS d,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+  )
+), dets AS (
+  SELECT n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+         sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+         n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+         n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+  FROM st
+)
+SELECT term, coef FROM (
+  SELECT 'intercept' AS term,
+         CASE WHEN det <> 0 THEN ROUND(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) END AS coef
+  FROM dets
+  UNION ALL
+  SELECT 'quantity',
+         CASE WHEN det <> 0 THEN ROUND(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) END
+  FROM dets
+  UNION ALL
+  SELECT 'discount_micro',
+         CASE WHEN det <> 0 THEN ROUND(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) END
+  FROM dets
+)
+""",
+)
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass OLS: l_extendedprice_cents ~ quantity +
+    discount_micro via normal equations + in-plan Cramer solve
+    (operators/profile.py:ols_fit_2feature). Single scan, 1-row
+    exchange, exact integer sufficient statistics — the closed-form
+    linear fit that needs no iteration at any scale. Magnitudes:
+    det terms < 2^125 up to ~1e8 rows at these fixed-point units
+    (decimal(38,0) / HUGEINT exact)."""
+    from feast_hive_spark.operators.profile import ols_fit_2feature
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return ols_fit_2feature(
+        li,
+        F.round(F.col("l_quantity")).cast("long"),
+        F.round(F.col("l_discount") * 1000000).cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        names=("quantity", "discount_micro"),
+    )

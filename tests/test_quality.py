@@ -168,3 +168,45 @@ def test_psi_drift_excludes_nulls(spark):
     # identical present-value distributions -> no spurious top-bin mass
     top = out[out["bin"] == 9].iloc[0]
     assert abs(top["n_cur"] / 900 - top["n_ref"] / 1000) < 0.01
+
+
+def test_ols_fit_matches_numpy_lstsq(spark):
+    # independent ground truth: numpy least-squares on the same
+    # fixed-point integer design matrix
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from feast_hive_spark.operators.profile import ols_fit_2feature
+
+    rng = [(i, (i * 37) % 11, (i * 53) % 7) for i in range(200)]
+    rows = [
+        (a, b, 5 + 3 * a - 2 * b + ((a * 7 + b * 13) % 5) - 2)
+        for _, a, b in rng
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    out = {
+        r["term"]: r["coef"]
+        for r in ols_fit_2feature(
+            df, F.col("x1"), F.col("x2"), F.col("y"), names=("a", "b")
+        ).collect()
+    }
+    X = np.array([[1, a, b] for a, b, _ in rows], dtype=np.float64)
+    Y = np.array([y for _, _, y in rows], dtype=np.float64)
+    beta = np.linalg.lstsq(X, Y, rcond=None)[0]
+    assert abs(out["intercept"] - beta[0]) < 1e-4
+    assert abs(out["a"] - beta[1]) < 1e-4
+    assert abs(out["b"] - beta[2]) < 1e-4
+
+
+def test_ols_fit_singular_returns_null(spark):
+    import pyspark.sql.functions as F
+
+    from feast_hive_spark.operators.profile import ols_fit_2feature
+
+    # x2 = 2*x1 exactly -> singular normal matrix -> NULL coefs
+    df = spark.createDataFrame(
+        [(i, 2 * i, i + 1) for i in range(50)], "x1 long, x2 long, y long"
+    )
+    out = ols_fit_2feature(df, F.col("x1"), F.col("x2"), F.col("y")).collect()
+    assert len(out) == 3
+    assert all(r["coef"] is None for r in out)
