@@ -153,3 +153,67 @@ def global_row_number(
         out_col,
         (F.row_number().over(w) + F.coalesce(off_expr, F.lit(0))).cast("long"),
     ).drop("__bkt")
+
+
+def global_running_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    n_buckets: int,
+    out_col: str = "__run_max",
+) -> DataFrame:
+    """Running maximum of ``value_col`` over the STRICTLY PRECEDING
+    rows in global ``order_col`` order, without a single-partition
+    window: quantile buckets on the order column, one per-bucket max
+    aggregate (the only collect, O(buckets) rows), bucket-local
+    running max over the (parallel) per-bucket windows, and a
+    broadcast prefix-combined offset per bucket. First row globally
+    gets NULL (no preceding rows) — the exact frame ``ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING``.
+
+    ``order_col`` must be unique (a total order); ``value_col`` must
+    be a type with a defined max (use fixed-point longs for
+    cross-engine exactness). Same scaffold as
+    :func:`global_row_number` — the shuffle is bucket-keyed, never
+    single-partition.
+    """
+    from pyspark.sql import Window
+
+    bkt_expr, _ = quantile_bucket(df, order_col, n_buckets)
+    bucketed = df.withColumn("__bkt", bkt_expr)
+    maxes = job_memo(
+        df.sparkSession,
+        df,
+        ("global_running_max.maxes", order_col, value_col, n_buckets),
+        lambda: (
+            bucketed.groupBy("__bkt")
+            .agg(F.max(value_col).alias("__m"))
+            .collect()
+        ),
+    )
+    run = None
+    offsets = {}
+    for r in sorted(maxes, key=lambda r: r["__bkt"]):
+        offsets[r["__bkt"]] = run  # max of all STRICTLY EARLIER buckets
+        run = r["__m"] if run is None else max(run, r["__m"])
+    entries = [
+        (b, m) for b, m in offsets.items() if m is not None
+    ]
+    if entries:
+        off_expr = F.create_map(
+            *[F.lit(x) for kv in entries for x in kv]
+        )[F.col("__bkt")]
+    else:
+        off_expr = F.lit(None).cast(bucketed.schema[value_col].dataType)
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.max(value_col).over(w)
+    return bucketed.withColumn(
+        out_col,
+        F.greatest(
+            F.coalesce(local, off_expr), F.coalesce(off_expr, local)
+        ),
+    ).drop("__bkt")

@@ -3152,3 +3152,74 @@ def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long"),
         names=("quantity", "discount_micro"),
     )
+
+
+@register(
+    "watermark_late_arrival_audit",
+    """
+WITH arr AS (
+  SELECT event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+), wm AS (
+  SELECT event_type, ts_us,
+         MAX(ts_us) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS wm_us
+  FROM arr
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN wm_us - 60000000 > ts_us THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60s,
+       CAST(SUM(CASE WHEN wm_us - 300000000 > ts_us THEN 1 ELSE 0 END) AS BIGINT) AS n_late_300s,
+       CAST(MAX(wm_us - ts_us) AS BIGINT) AS max_lateness_us
+FROM wm GROUP BY event_type
+""",
+)
+def watermark_late_arrival_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark planning audit: which events WOULD a streaming
+    watermark of 60s / 300s drop, given arrival order = event_id
+    (the ingestion sequence)? An event is late iff its event time is
+    below the watermark at arrival — running max event time over
+    STRICTLY preceding arrivals minus the delay; exactly Spark's
+    ``withWatermark`` drop rule. This is the batch backtest a
+    pipeline runs on history to size the delay before deploying the
+    streaming job (streaming/events.py's windowed/sessionize
+    operators consume the chosen delay).
+
+    The running max uses the bucketed global prefix scan
+    (operators/prefix.py:global_running_max): quantile buckets on the
+    arrival column, per-bucket maxima (O(buckets) collect), parallel
+    per-bucket windows + broadcast prefix offsets — never a
+    single-partition window, so arrival-order scans scale with the
+    cluster."""
+    from feast_hive_spark.operators.prefix import global_running_max
+
+    ev = read_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    wm = global_running_max(
+        arr, "event_id", "ts_us", n_buckets=n_part, out_col="wm_us"
+    )
+    return wm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("wm_us") - 60_000_000 > F.col("ts_us"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_late_60s"),
+        F.sum(
+            F.when(
+                F.col("wm_us") - 300_000_000 > F.col("ts_us"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_late_300s"),
+        F.max(F.col("wm_us") - F.col("ts_us")).cast("long").alias(
+            "max_lateness_us"
+        ),
+    )

@@ -86,3 +86,40 @@ def test_quantile_bucket_non_numeric_degrades_to_one_bucket(spark):
     )
     r = padding_efficiency_report(docs, "doc_id", "n_tok", batch_size=8).first()
     assert r["n_rows"] == 50 and r["padded_sorted"] <= r["padded_arrival"]
+
+
+def test_global_running_max_matches_single_window(spark):
+    # ground truth: the single-partition window it replaces
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from feast_hive_spark.operators.prefix import global_running_max
+
+    rows = [(i, (i * 2654435761) % 997) for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, "seq long, v long").repartition(8)
+    got = {
+        r["seq"]: r["rm"]
+        for r in global_running_max(
+            df, "seq", "v", n_buckets=16, out_col="rm"
+        ).collect()
+    }
+    w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["seq"]: r["rm"]
+        for r in df.withColumn("rm", F.max("v").over(w)).collect()
+    }
+    assert got == want
+    assert got[1] is None  # first arrival has no watermark yet
+
+
+def test_global_running_max_single_bucket_degenerate(spark):
+    from feast_hive_spark.operators.prefix import global_running_max
+
+    df = spark.createDataFrame([(1, 5), (2, 3), (3, 9)], "seq long, v long")
+    out = {
+        r["seq"]: r["rm"]
+        for r in global_running_max(
+            df, "seq", "v", n_buckets=1, out_col="rm"
+        ).collect()
+    }
+    assert out == {1: None, 2: 5, 3: 5}
