@@ -210,3 +210,96 @@ def ols_fit_2feature(
         f"stack(3, 'intercept', c0, '{names[0]}', c1, '{names[1]}', c2) "
         "AS (term, coef)"
     )
+
+
+#: fixed-point scale for logreg weights/features (1e6 = 1.0)
+_LR_MICRO = 1_000_000
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols,
+    label_col: "F.Column",
+    iters: int = 3,
+) -> "list[int]":
+    """Full-batch gradient-descent training of a logistic-regression
+    classifier, the distributed-ML-101 shape: per iteration ONE
+    aggregate job computes the exact gradient (map-side partials, a
+    1-row exchange carrying d sums), the d-dimensional weight update
+    happens on the driver, and the new weights re-enter the next
+    iteration as literals. Driver state is d integers; nothing
+    corpus-sized ever leaves the executors, so the per-iteration cost
+    is one scan at any corpus size (cache the feature projection for
+    multi-epoch runs).
+
+    Cross-engine-exact arithmetic (same discipline as kmeans/OLS):
+    features and weights are fixed-point micro longs; z = sum(w*x) is
+    exact integer (< 2^53, so the double conversion before the
+    sigmoid is exact); the sigmoid output is rounded to micro BEFORE
+    entering the gradient, whose per-row terms and sums are then
+    exact integers (decimal(38,0) — no float summation order anywhere);
+    the update w -= floor(G / (n * 1e6)) is mathematical floor
+    division (lr = 1 in micro units). The SQL twin replays every
+    round bit-for-bit.
+
+    ``feature_cols``: integer micro-unit Columns (include the bias as
+    a literal 1e6). ``label_col``: 0/1 integer Column. Returns the
+    final weight list (micro units) — pair with
+    :func:`logreg_score_expr` to score.
+    """
+    d38 = "decimal(38,0)"
+    feats = [c.cast("long").alias(f"__x{j}") for j, c in enumerate(feature_cols)]
+    base = df.select(
+        *feats, (label_col.cast("long") * _LR_MICRO).alias("__y")
+    )
+    k = len(feature_cols)
+    w = [0] * k
+    for _ in range(iters):
+        z_num = " + ".join(f"{w[j]}L * __x{j}" for j in range(k))
+        p = (
+            f"CAST(round({_LR_MICRO} / "
+            f"(1.0 + exp(-(CAST({z_num} AS DOUBLE) / 1e12)))) AS LONG)"
+        )
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(F.expr(f"CAST(({p} - __y) * __x{j} AS {d38})")).alias(
+                f"__g{j}"
+            )
+            for j in range(k)
+        ]
+        row = base.agg(*aggs).first()
+        n = row["__n"]
+        if not n:
+            return w
+        w = [
+            w[j] - int(row[f"__g{j}"]) // (n * _LR_MICRO)
+            for j in range(k)
+        ]
+    return w
+
+
+def logreg_weights_df(
+    df: DataFrame,
+    feature_cols,
+    names: "list[str]",
+    label_col: "F.Column",
+    iters: int = 3,
+) -> DataFrame:
+    """:func:`logreg_train` exposed as a (term, weight_micro) result
+    set — the certifiable artifact of the training run. Memoized per
+    input plan (plans/memo.py): the GD rounds run eagerly at build
+    time."""
+    from feast_hive_spark.plans.memo import plan_memo
+
+    def build() -> DataFrame:
+        w = logreg_train(df, feature_cols, label_col, iters=iters)
+        rows = [(nm, int(wj)) for nm, wj in zip(names, w)]
+        return df.sparkSession.createDataFrame(
+            rows, "term string, weight_micro long"
+        )
+
+    return plan_memo(
+        df.sparkSession,
+        df,
+        ("logreg_weights_df", tuple(names), iters),
+        build,
+    )

@@ -124,7 +124,7 @@ SAMPLE_ROTATION: list[str] = [
     "target_encode_oof", "kmeans_embedding_clusters",
     "semdedup_embedding_report", "winnowing_fingerprint_stats",
     "winnowing_overlap_pairs", "ols_price_model",
-    "watermark_late_arrival_audit",
+    "watermark_late_arrival_audit", "logreg_quality_weights",
 ]
 
 

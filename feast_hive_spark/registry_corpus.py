@@ -1330,3 +1330,93 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     merges = bpe_merges(docs, "text", n_merges=_BPE_ROUNDS)
     return enc(docs, "doc_id", "text", merges)
+
+
+# ---------------------------------------------------------------------
+# Logistic-regression quality classifier (r6)
+# ---------------------------------------------------------------------
+
+_LOGREG_ITERS = 3
+
+
+def _logreg_cte(iters: int = _LOGREG_ITERS) -> str:
+    """Unrolled full-batch GD rounds mirroring
+    operators/profile.py:logreg_train bit-for-bit: micro fixed-point
+    features/weights, exact-integer z, micro-rounded sigmoid, exact
+    HUGEINT gradient sums, floor-division update (lr = 1)."""
+    feats = f"""lrf AS (
+  SELECT CAST(1000000 AS BIGINT) AS x0,
+         least({X.duck_token_count_ws('text')}, 100) * 10000 AS x1,
+         CAST(round({X.duck_punct_ratio('text')} * 1000000) AS BIGINT) AS x2,
+         CAST(round({X.duck_stopword_ratio('text')} * 1000000) AS BIGINT) AS x3,
+         CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
+  FROM documents
+),
+lrw0 AS (SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
+                CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3)"""
+    parts = [feats]
+    for t in range(1, iters + 1):
+        z = "w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+        p = (
+            "CAST(round(1000000 / (1.0 + exp(-(CAST("
+            + z
+            + " AS DOUBLE) / 1e12)))) AS BIGINT)"
+        )
+        gsums = ", ".join(
+            f"SUM(CAST((p - y) * x{j} AS HUGEINT)) AS g{j}"
+            for j in range(4)
+        )
+        parts.append(
+            f"""lrg{t} AS (
+  SELECT COUNT(*) AS n, {gsums}
+  FROM (SELECT f.*, {p} AS p FROM lrf f, lrw{t-1} w)
+)"""
+        )
+        upd = ", ".join(
+            f"w.w{j} - CAST((g.g{j} - (((g.g{j} % (g.n * 1000000)) "
+            f"+ (g.n * 1000000)) % (g.n * 1000000))) / (g.n * 1000000) "
+            f"AS HUGEINT) AS w{j}"
+            for j in range(4)
+        )
+        parts.append(f"lrw{t} AS (SELECT {upd} FROM lrw{t-1} w, lrg{t} g)")
+    return ",\n".join(parts)
+
+
+@register(
+    "logreg_quality_weights",
+    f"""
+WITH {_logreg_cte()}
+SELECT term, CAST(w AS BIGINT) AS weight_micro FROM (
+  SELECT 'bias' AS term, w0 AS w FROM lrw{_LOGREG_ITERS}
+  UNION ALL SELECT 'tok_frac', w1 FROM lrw{_LOGREG_ITERS}
+  UNION ALL SELECT 'punct_ratio', w2 FROM lrw{_LOGREG_ITERS}
+  UNION ALL SELECT 'stopword_ratio', w3 FROM lrw{_LOGREG_ITERS}
+)
+""",
+)
+def logreg_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (full-batch GD, 3
+    rounds, lr=1 in micro units): is-English from
+    (token-count, punct-ratio, stopword-ratio) text features — the
+    fasttext-style quality/language classifier shape every corpus
+    pipeline trains. Per round: ONE gradient aggregate (map-side
+    partials, 1-row exchange of d sums), d-integer driver update,
+    weights re-enter as literals — one scan per round at any corpus
+    size. The SQL twin unrolls all 3 rounds, so the hash gate
+    certifies sigmoid rounding, exact-integer gradients, and the
+    floor-division update (operators/profile.py:logreg_train)."""
+    from feast_hive_spark.operators.profile import logreg_weights_df
+
+    docs = read_table(spark, sf_dir, "documents")
+    return logreg_weights_df(
+        docs,
+        [
+            F.lit(1000000),
+            F.least(X.token_count_ws("text"), F.lit(100)) * 10000,
+            F.round(X.punct_ratio("text") * 1000000),
+            F.round(X.stopword_ratio("text") * 1000000),
+        ],
+        ["bias", "tok_frac", "punct_ratio", "stopword_ratio"],
+        (F.col("lang") == "en").cast("long"),
+        iters=_LOGREG_ITERS,
+    )

@@ -210,3 +210,44 @@ def test_ols_fit_singular_returns_null(spark):
     out = ols_fit_2feature(df, F.col("x1"), F.col("x2"), F.col("y")).collect()
     assert len(out) == 3
     assert all(r["coef"] is None for r in out)
+
+
+def test_logreg_train_learns_separable_labels(spark):
+    # a cleanly separable 1-feature problem: GD must move the feature
+    # weight positive and score positives above negatives
+    import math
+
+    import pyspark.sql.functions as F
+
+    from feast_hive_spark.operators.profile import logreg_train
+
+    rows = [(i, 900000 if i % 2 else 100000, i % 2) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    w = logreg_train(
+        df, [F.lit(1000000), F.col("x")], F.col("y"), iters=5
+    )
+    assert len(w) == 2
+    assert w[1] > 0  # feature pushes toward the positive class
+    z_pos = (w[0] * 1000000 + w[1] * 900000) / 1e12
+    z_neg = (w[0] * 1000000 + w[1] * 100000) / 1e12
+    p_pos = 1 / (1 + math.exp(-z_pos))
+    p_neg = 1 / (1 + math.exp(-z_neg))
+    assert p_pos > 0.5 > p_neg
+
+
+def test_logreg_train_deterministic_across_rebuilds(spark):
+    import pyspark.sql.functions as F
+
+    from feast_hive_spark.operators.profile import logreg_train
+    from feast_hive_spark.plans import memo
+
+    rows = [
+        (i, (i * 37) % 1000000, (i * 53) % 1000000, 1 if i % 3 else 0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, y long")
+    feats = [F.lit(1000000), F.col("a"), F.col("b")]
+    w1 = logreg_train(df, feats, F.col("y"), iters=3)
+    memo.clear()
+    w2 = logreg_train(df, feats, F.col("y"), iters=3)
+    assert w1 == w2
