@@ -351,3 +351,57 @@ def _kcore_build(
     out = deg.localCheckpoint(eager=True)
     _free_local_checkpoint(e)
     return out
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected pair graph: every node starts as its own label; each
+    round it adopts the MOST FREQUENT label among its neighbors, ties
+    to the smallest label — the deterministic variant of
+    Raghavan et al.'s LPA (asynchronous/random-order LPA is not
+    reproducible across cluster sizes, so the synchronous form is the
+    one a pipeline can certify).
+
+    Unlike min-label propagation (which converges to connected
+    components — dedup.connected_components_star), mode-based updates
+    find DENSE communities inside a component, the structure that
+    matters for near-dup cluster quality and covisitation
+    neighborhoods.
+
+    Fully lazy: ``iters`` (default 3, the production "few hops"
+    shape) rounds of join + count + argmax-window chained into ONE
+    plan — no driver collect, no checkpoint; every shuffle is sized
+    to the GRAPH (edges or nodes), never the corpus that produced it.
+    Output: ``(node, community)``.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("__c"), F.asc("lbl")
+    )
+    for _ in range(iters):
+        labels = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

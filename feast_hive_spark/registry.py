@@ -125,6 +125,7 @@ SAMPLE_ROTATION: list[str] = [
     "semdedup_embedding_report", "winnowing_fingerprint_stats",
     "winnowing_overlap_pairs", "ols_price_model",
     "watermark_late_arrival_audit", "logreg_quality_weights",
+    "label_propagation_communities",
 ]
 
 

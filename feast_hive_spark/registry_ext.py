@@ -3320,3 +3320,61 @@ def winnowing_overlap_pairs_q(
     return winnowing_overlap_pairs(
         docs, "doc_id", "text", n=3, window=4, min_shared=2
     )
+
+
+def _lpa_sql(iters: int = 3) -> str:
+    """Chained-CTE twin of operators/graph.label_propagation on the
+    ngram-Jaccard pair graph — one CTE per synchronous round,
+    identical mode-argmax tie-breaks ((count DESC, label ASC))."""
+    sql = [
+        f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), prs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_DUCK_JACCARD} AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id_a AS src, id_b AS dst FROM prs
+    UNION ALL SELECT id_b, id_a FROM prs
+  ) WHERE src <> dst
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS lbl FROM sym
+)"""
+    ]
+    prev = "l0"
+    for k in range(1, iters + 1):
+        sql.append(
+            f""", l{k} AS (
+  SELECT node, lbl FROM (
+    SELECT e.dst AS node, p.lbl AS lbl,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, p.lbl ASC) AS rn
+    FROM sym e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst, p.lbl
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{k}"
+    sql.append(
+        f"\nSELECT node AS doc_id, lbl AS community FROM {prev}"
+    )
+    return "".join(sql)
+
+
+@register("label_propagation_communities", _lpa_sql())
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synchronous mode-based label propagation (3 rounds,
+    deterministic tie-breaks) over the near-dup pair graph — dense
+    communities INSIDE the connected components, fully lazy, shuffles
+    sized to the graph (operators/graph.py:label_propagation)."""
+    from feast_hive_spark.operators.graph import label_propagation
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    out = label_propagation(pairs, "id_a", "id_b", iters=3)
+    return out.select(F.col("node").alias("doc_id"), "community")

@@ -108,3 +108,31 @@ def test_kcore_nonconvergence_raises(spark):
         kcore_nodes(df, k=2, max_rounds=2)
     # ample budget: a pure chain has an empty 2-core
     assert kcore_nodes(df, k=2, max_rounds=12).count() == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    # two 4-cliques joined by one bridge edge: LPA must give each
+    # clique one community and must NOT merge them (unlike CC)
+    from feast_hive_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    clique2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = clique1 + clique2 + [(4, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=3).collect()
+    }
+    assert len({out[n] for n in (1, 2, 3)}) == 1
+    assert len({out[n] for n in (11, 12, 13)}) == 1
+    assert out[1] != out[11], "bridge must not merge the cliques"
+
+
+def test_label_propagation_deterministic(spark):
+    from feast_hive_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 7) % 23) for i in range(1, 60) if i != (i * 7) % 23]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = sorted(map(tuple, label_propagation(df, iters=3).collect()))
+    b = sorted(map(tuple, label_propagation(df, iters=3).collect()))
+    assert a == b
