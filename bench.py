@@ -252,6 +252,16 @@ BENCH_QUERIES = [
     "cross_source_dup_matrix",
     "association_rules_items",
     "dedup_savings_report",
+    "kmeans_embedding_clusters",
+    "semdedup_embedding_report",
+    "winnowing_fingerprint_stats",
+    "winnowing_overlap_pairs",
+    "ols_price_model",
+    "watermark_late_arrival_audit",
+    "logreg_quality_weights",
+    "label_propagation_communities",
+    "ks_test_click_view_value",
+    "kneser_ney_nll_scores",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -1409,3 +1409,92 @@ def bpe_encode_stats(
         F.sum("__nc").cast("long").alias("n_chars"),
         F.sum("__nt").cast("long").alias("n_tokens"),
     )
+
+
+def kneser_ney_nll_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring — the smoothing that
+    actually wins LM evaluations (Chen & Goodman 1999): absolute
+    discounting on the bigram MLE plus a CONTINUATION-count unigram
+    backoff (how many distinct contexts a word follows, not how often
+    it occurs — 'Francisco' is frequent but follows one context, so
+    KN correctly distrusts it in novel contexts):
+
+        P(b|a) = max(c(a,b) - D, 0)/c(a,·)
+                 + (D · N1+(a,·)/c(a,·)) · N1+(·,b)/N1+(·,·)
+
+    Every model statistic lives on the BIGRAM VOCABULARY table (one
+    grouped count over the bigram stream, partial-agg collapsed
+    map-side): c(a,·) and the distinct-successor count N1+(a,·) come
+    from one grouped aggregate over it, the distinct-predecessor
+    count N1+(·,b) from another, and N1+(·,·) is a 1-row broadcast.
+    Per-bigram NLL is fixed to micro-nats vocab-side BEFORE the
+    per-doc aggregate, so sums are exact under any row order.
+
+    Output: ``(id, n_scored, avg_nll)`` (nats, 4 dp); docs with < 2
+    tokens drop out.
+    """
+    from feast_hive_spark.functions import text as X
+
+    w = df.select(F.col(id_col), X.words(text_col).alias("__w"))
+    bg_stream = w.select(
+        F.col(id_col), F.explode(X.bigrams_of(F.col("__w"))).alias("__bg")
+    )
+    bg_counts = bg_stream.groupBy("__bg").agg(
+        F.count(F.lit(1)).alias("__cab")
+    )
+    typed = bg_counts.select(
+        "__bg",
+        "__cab",
+        F.split(F.col("__bg"), " ")[0].alias("__a"),
+        F.split(F.col("__bg"), " ")[1].alias("__b"),
+    )
+    left = typed.groupBy("__a").agg(
+        F.sum("__cab").alias("__ca"),
+        F.count(F.lit(1)).alias("__n1a"),  # N1+(a,·): distinct successors
+    )
+    cont = typed.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n1b")  # N1+(·,b): distinct predecessors
+    )
+    types_tot = typed.agg(F.count(F.lit(1)).alias("__n1tot"))
+    d = float(discount)
+    scored_vocab = (
+        typed.join(left, "__a")
+        .join(cont, "__b")
+        .crossJoin(F.broadcast(types_tot))
+        .select(
+            "__bg",
+            F.round(
+                -F.log(
+                    F.greatest(
+                        F.col("__cab").cast("double") - F.lit(d), F.lit(0.0)
+                    )
+                    / F.col("__ca")
+                    + (F.lit(d) * F.col("__n1a") / F.col("__ca"))
+                    * (
+                        F.col("__n1b").cast("double") / F.col("__n1tot")
+                    )
+                )
+                * _MICRO
+            )
+            .cast("long")
+            .alias("__nll_micro"),
+        )
+    )
+    return (
+        bg_stream.join(scored_vocab, "__bg")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.round(
+                F.sum("__nll_micro").cast("double")
+                / F.count(F.lit(1))
+                / _MICRO,
+                4,
+            ).alias("avg_nll"),
+        )
+    )

@@ -217,3 +217,76 @@ def global_running_max(
             F.coalesce(local, off_expr), F.coalesce(off_expr, local)
         ),
     ).drop("__bkt")
+
+
+def global_running_sums(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list,
+    value_cols: "list[str]",
+    n_buckets: int,
+    prefix: str = "__rs_",
+) -> DataFrame:
+    """Inclusive running sums of ``value_cols`` over a global total
+    order, without a single-partition window: quantile buckets on
+    ``bucket_col`` (the primary sort column), ONE per-bucket aggregate
+    collecting all value sums (O(buckets) rows), parallel bucket-local
+    cumulative windows + broadcast prefix offsets per column. Appends
+    ``{prefix}{col}`` long columns.
+
+    ``order_cols`` must start with ``bucket_col`` ascending and
+    include a unique tiebreak; ``value_cols`` must be integer columns
+    (exact prefix sums — no float order sensitivity). This is the
+    ECDF / cumulative-distribution kernel (KS tests, Lorenz curves,
+    cumulative-share reports); the same scaffold as
+    :func:`global_row_number` / :func:`global_running_max`.
+    """
+    from pyspark.sql import Window
+
+    bkt_expr, _ = quantile_bucket(df, bucket_col, n_buckets)
+    bucketed = df.withColumn("__bkt", bkt_expr)
+    sums = job_memo(
+        df.sparkSession,
+        df,
+        (
+            "global_running_sums.sums",
+            bucket_col,
+            tuple(value_cols),
+            n_buckets,
+        ),
+        lambda: (
+            bucketed.groupBy("__bkt")
+            .agg(*[F.sum(c).alias(c) for c in value_cols])
+            .collect()
+        ),
+    )
+    run = {c: 0 for c in value_cols}
+    offsets: dict = {}
+    for r in sorted(sums, key=lambda r: r["__bkt"]):
+        offsets[r["__bkt"]] = dict(run)
+        for c in value_cols:
+            run[c] += r[c] or 0
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = bucketed
+    for c in value_cols:
+        if offsets:
+            off_expr = F.create_map(
+                *[
+                    F.lit(x)
+                    for b, per in offsets.items()
+                    for x in (b, per[c])
+                ]
+            )[F.col("__bkt")]
+        else:
+            off_expr = F.lit(0)
+        out = out.withColumn(
+            f"{prefix}{c}",
+            (F.sum(c).over(w) + F.coalesce(off_expr, F.lit(0))).cast(
+                "long"
+            ),
+        )
+    return out.drop("__bkt")

@@ -125,7 +125,8 @@ SAMPLE_ROTATION: list[str] = [
     "semdedup_embedding_report", "winnowing_fingerprint_stats",
     "winnowing_overlap_pairs", "ols_price_model",
     "watermark_late_arrival_audit", "logreg_quality_weights",
-    "label_propagation_communities",
+    "label_propagation_communities", "ks_test_click_view_value",
+    "kneser_ney_nll_scores",
 ]
 
 

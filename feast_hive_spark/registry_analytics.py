@@ -3223,3 +3223,76 @@ def watermark_late_arrival_audit(
             "max_lateness_us"
         ),
     )
+
+
+@register(
+    "ks_test_click_view_value",
+    """
+WITH g AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+), rs AS (
+  SELECT v, SUM(c1) OVER (ORDER BY v) AS s1,
+         SUM(c2) OVER (ORDER BY v) AS s2
+  FROM g
+), n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM g),
+m AS (SELECT MAX(ABS(s1 * n2 - s2 * n1)) AS mx FROM rs, n)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+       CAST((2 * mx * 1000000 + n1 * n2) // (2 * n1 * n2) AS BIGINT) AS d_micro
+FROM m, n
+""",
+)
+def ks_test_click_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    click and view value distributions — the drift test a feature
+    pipeline runs between segments/time windows when binned PSI
+    (psi_value_drift) is too coarse. D = max |F1 - F2| over the
+    value-grouped counts table, whose running sums come from the
+    bucketed global prefix-sum kernel
+    (operators/prefix.py:global_running_sums) — quantile buckets,
+    one O(buckets) collect, parallel per-bucket cumulative windows;
+    never a single-partition ECDF sort. Integer micro arithmetic end
+    to end: D_micro = round(max|s1*n2 - s2*n1| * 1e6 / (n1*n2)),
+    half-up, exact in both engines."""
+    from feast_hive_spark.operators.prefix import global_running_sums
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy(
+        F.round(F.col("value") * 1000000).cast("long").alias("v")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("c1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("c2"),
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rs = global_running_sums(g, "v", ["v"], ["c1", "c2"], n_part)
+    n = F.broadcast(
+        g.agg(
+            F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+        )
+    )
+    m = (
+        rs.crossJoin(n)
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("__rs_c1") * F.col("n2")
+                    - F.col("__rs_c2") * F.col("n1")
+                )
+            ).alias("mx"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+    )
+    return m.selectExpr(
+        "CAST(n1 AS LONG) AS n_click",
+        "CAST(n2 AS LONG) AS n_view",
+        "(2 * mx * 1000000 + n1 * n2) div (2 * n1 * n2) AS d_micro",
+    )

@@ -1420,3 +1420,53 @@ def logreg_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long"),
         iters=_LOGREG_ITERS,
     )
+
+
+_KN_D = 0.75  # binary-exact discount shared by both engines
+
+
+@register(
+    "kneser_ney_nll_scores",
+    f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tw FROM documents
+), bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(tw) >= 2 THEN
+    list_transform(range(1, len(tw)), i -> tw[i] || ' ' || tw[i+1])
+    ELSE [] END) AS bg
+  FROM w
+), bgc AS (
+  SELECT bg, COUNT(*) AS cab FROM bg GROUP BY bg
+), typed AS (
+  SELECT bg, cab, string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b
+  FROM bgc
+), lft AS (
+  SELECT a, SUM(cab) AS ca, COUNT(*) AS n1a FROM typed GROUP BY a
+), cont AS (
+  SELECT b, COUNT(*) AS n1b FROM typed GROUP BY b
+), tt AS (SELECT COUNT(*) AS n1tot FROM typed),
+scored AS (
+  SELECT t.bg,
+         CAST(round(-ln(greatest(CAST(cab AS DOUBLE) - {_KN_D}, 0.0) / ca
+                        + ({_KN_D} * n1a / ca)
+                          * (CAST(n1b AS DOUBLE) / n1tot))
+                    * 1000000) AS BIGINT) AS nm
+  FROM typed t JOIN lft ON t.a = lft.a JOIN cont ON t.b = cont.b
+  CROSS JOIN tt
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(CAST(SUM(nm) AS DOUBLE) / COUNT(*) / 1000000, 4) AS avg_nll
+FROM bg b JOIN scored s ON b.bg = s.bg
+GROUP BY b.doc_id
+""",
+)
+def kneser_ney_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (D=0.75): absolute
+    discounting + continuation-count backoff — the
+    quality/perplexity signal with the correct treatment of frequent-
+    but-context-bound words. All statistics are vocabulary-sized
+    aggregates; per-bigram NLL fixed to micro-nats vocab-side
+    (operators/corpus.py:kneser_ney_nll_scores)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.kneser_ney_nll_scores(docs, "doc_id", "text", discount=_KN_D)

@@ -663,3 +663,80 @@ def test_bpe_encode_stats_compression(spark):
         # no-merge baseline = chars + one /w per word; merges shrink
         assert out[d]["n_tokens"] < out[d]["n_chars"] + out[d]["n_words"]
         assert out[d]["n_tokens"] >= out[d]["n_words"]  # >= 1 tok/word
+
+
+def test_kneser_ney_prefers_seen_transitions(spark):
+    # 'x y' repeats many times; 'y x' never occurs. The KN NLL of a
+    # doc full of seen transitions must be lower than one with a
+    # frequent-but-context-bound word in a novel context.
+    from feast_hive_spark.operators.corpus import kneser_ney_nll_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y x y x y x y"),
+            (2, "a b c d e x q y w z"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["avg_nll"]
+        for r in kneser_ney_nll_scores(docs, "doc_id", "text").collect()
+    }
+    assert out[1] < out[2]
+
+
+def test_kneser_ney_matches_hand_model(spark):
+    # independent Python reimplementation of the KN model on a small
+    # corpus — per-doc (n_scored, avg_nll) must match exactly
+    import math
+    from collections import Counter, defaultdict
+
+    from feast_hive_spark.operators.corpus import kneser_ney_nll_scores
+
+    texts = {
+        1: "a b a c a b a d b c d a",
+        2: "b c a a b x y x b c",
+        3: "single",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id int, text string"
+    )
+    D = 0.75
+    bigrams = defaultdict(list)
+    cab: Counter = Counter()
+    for did, t in texts.items():
+        toks = t.split()
+        bgs = list(zip(toks, toks[1:]))
+        bigrams[did] = bgs
+        cab.update(bgs)
+    ca: Counter = Counter()
+    n1a: Counter = Counter()
+    n1b: Counter = Counter()
+    for (a, b), c in cab.items():
+        ca[a] += c
+        n1a[a] += 1
+        n1b[b] += 1
+    n1tot = len(cab)
+    nll_micro = {
+        bg: round(
+            -math.log(
+                max(cab[bg] - D, 0.0) / ca[bg[0]]
+                + (D * n1a[bg[0]] / ca[bg[0]]) * (n1b[bg[1]] / n1tot)
+            )
+            * 1_000_000
+        )
+        for bg in cab
+    }
+    want = {}
+    for did, bgs in bigrams.items():
+        if bgs:
+            want[did] = (
+                len(bgs),
+                round(sum(nll_micro[bg] for bg in bgs) / len(bgs) / 1e6, 4),
+            )
+    got = {
+        r["doc_id"]: (r["n_scored"], r["avg_nll"])
+        for r in kneser_ney_nll_scores(docs, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert 3 not in got  # single-token doc has no scored positions

@@ -123,3 +123,35 @@ def test_global_running_max_single_bucket_degenerate(spark):
         ).collect()
     }
     assert out == {1: None, 2: 5, 3: 5}
+
+
+def test_global_running_sums_matches_single_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from feast_hive_spark.operators.prefix import global_running_sums
+
+    rows = [
+        (i, (i * 31) % 100, (i * 17) % 7, (i * 13) % 5)
+        for i in range(1, 1501)
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, v long, a long, b long"
+    ).repartition(8)
+    got = {
+        r["seq"]: (r["__rs_a"], r["__rs_b"])
+        for r in global_running_sums(
+            df, "v", ["v", "seq"], ["a", "b"], 16
+        ).collect()
+    }
+    w = (
+        Window.orderBy("v", "seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["seq"]: (r["sa"], r["sb"])
+        for r in df.withColumn("sa", F.sum("a").over(w))
+        .withColumn("sb", F.sum("b").over(w))
+        .collect()
+    }
+    assert got == want

@@ -251,3 +251,38 @@ def test_logreg_train_deterministic_across_rebuilds(spark):
     memo.clear()
     w2 = logreg_train(df, feats, F.col("y"), iters=3)
     assert w1 == w2
+
+
+def test_ks_statistic_matches_scipy_style_reference(spark):
+    # exact two-sample KS on small samples vs a direct computation
+    import pyspark.sql.functions as F
+
+    from feast_hive_spark.operators.prefix import global_running_sums
+
+    xs = [1, 2, 2, 3, 5, 8, 9]
+    ys = [2, 3, 3, 4, 4, 7]
+    rows = [(i, v, 1, 0) for i, v in enumerate(xs)] + [
+        (100 + i, v, 0, 1) for i, v in enumerate(ys)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, c1 long, c2 long")
+    g = df.groupBy("v").agg(
+        F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
+    )
+    rs = global_running_sums(g, "v", ["v"], ["c1", "c2"], 4)
+    n1, n2 = len(xs), len(ys)
+    m = rs.agg(
+        F.max(
+            F.abs(F.col("__rs_c1") * n2 - F.col("__rs_c2") * n1)
+        ).alias("mx")
+    ).first()["mx"]
+    got = m / (n1 * n2)
+    # direct: max over all sample points of |F1 - F2|
+    pts = sorted(set(xs + ys))
+    want = max(
+        abs(
+            sum(1 for x in xs if x <= p) / n1
+            - sum(1 for y in ys if y <= p) / n2
+        )
+        for p in pts
+    )
+    assert abs(got - want) < 1e-12
