@@ -118,10 +118,13 @@ AUDITS = {
         ["FlatMapGroupsInPandas"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # embedding dedup, LSH strategy: bucket-local verify kernel +
-    # broadcast of the tiny candidate pair list only
+    # embedding dedup, LSH strategy: since the r5/r6 guarded-candidate
+    # rework the verify path is candidate-list BROADCAST JOINS against
+    # the embedding table (collect-once when the pair list is small,
+    # unhinted distributed join past the guard) — no group kernel in
+    # the verify plan anymore; the cosine is a vectorized expression
     "dedup_embedding_cosine_lsh": (
-        ["FlatMapGroupsInPandas", "BroadcastHashJoin"],
+        ["BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
     # chunk dedup: survivor vote shuffles chunk hashes (Window), text
@@ -350,6 +353,51 @@ AUDITS = {
     "approx_percentile_rank_bounded": (
         ["approx_percentile", "BroadcastHashJoin"],
         ["SortMergeJoin", "CartesianProduct", "Window"],
+    ),
+    # r6. kmeans final assignment: map-only argmin vs centroid
+    # literals + one k-row agg — no join anywhere in the plan
+    "kmeans_embedding_clusters": (
+        ["HashAggregate"],
+        ["Join", "CartesianProduct", "Window"],
+    ),
+    # semdedup: the quadratic scoring is the cluster-keyed Arrow
+    # kernel (FlatMapGroupsInPandas); no cartesian pair join
+    "semdedup_embedding_report": (
+        ["FlatMapGroupsInPandas"],
+        ["CartesianProduct"],
+    ),
+    # winnowing: per-doc window-min selection + inverted-index join
+    "winnowing_overlap_pairs": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # OLS: ONE scan-wide aggregate, Cramer solve in-plan — no join,
+    # no window, no per-key exchange
+    "ols_price_model": (
+        ["HashAggregate"],
+        ["Join", "Window", "Exchange hashpartitioning"],
+    ),
+    # watermark audit: bucketed prefix-max (map-literal offsets, no
+    # join) + bucket-keyed windows
+    "watermark_late_arrival_audit": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
+    # KS: grouped counts + bucketed running sums; the only nested
+    # loop is the documented 1-row scalar broadcast
+    "ks_test_click_view_value": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # LPA: graph-sized joins + argmax windows, never cartesian
+    "label_propagation_communities": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # KN: vocabulary-sized aggregates; scoring join keyed by bigram
+    "kneser_ney_nll_scores": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
     ),
 }
 
