@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "label_propagation_communities",
     "ks_test_click_view_value",
     "kneser_ney_nll_scores",
+    "cms_join_size_audit",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -144,3 +144,30 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("est_n"))
     )
+
+
+def cms_inner_product(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Join-size estimation from two count-min sketches (the classic
+    second use of CMS beyond point queries): ``est = min over depth
+    rows d of sum_b A[d][b] * B[d][b]`` upper-bounds the true inner
+    product ``sum_k fA(k) * fB(k)`` — i.e. the exact row count of the
+    equi-join between the two streams — within e/width * |A| * |B|
+    per row with high probability, and NEVER underestimates (counters
+    only collide upward).
+
+    This is what a planner consults before committing to a join
+    strategy at 100 TB: two fixed-size sketches (depth x width longs
+    each, mergeable across partitions/days) answer "how big is this
+    join" without touching either fact table again. The estimate
+    itself is one sketch-sized join + a depth-row aggregate.
+
+    Output: 1 row ``(est)``.
+    """
+    a = cms_a.select("row", "bucket", F.col("n").alias("na"))
+    b = cms_b.select("row", "bucket", F.col("n").alias("nb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("__ip"))
+    )
+    return per_row.agg(F.min("__ip").cast("long").alias("est"))

@@ -3296,3 +3296,88 @@ def ks_test_click_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n2 AS LONG) AS n_view",
         "(2 * mx * 1000000 + n1 * n2) div (2 * n1 * n2) AS d_micro",
     )
+
+
+@register(
+    "cms_join_size_audit",
+    f"""
+WITH ca AS (
+  {" UNION ALL ".join(
+      f"SELECT {d} AS row, {_cms_hash(d, 'CAST(user_id AS VARCHAR)')} AS bucket FROM events WHERE event_type = 'click'"
+      for d in range(_CMS_D)
+  )}
+), cb AS (
+  {" UNION ALL ".join(
+      f"SELECT {d} AS row, {_cms_hash(d, 'CAST(user_id AS VARCHAR)')} AS bucket FROM events WHERE event_type = 'purchase'"
+      for d in range(_CMS_D)
+  )}
+), sa AS (SELECT row, bucket, COUNT(*) AS na FROM ca GROUP BY 1, 2),
+sb AS (SELECT row, bucket, COUNT(*) AS nb FROM cb GROUP BY 1, 2),
+est AS (
+  SELECT MIN(ip) AS est FROM (
+    SELECT sa.row, SUM(na * nb) AS ip
+    FROM sa JOIN sb ON sa.row = sb.row AND sa.bucket = sb.bucket
+    GROUP BY sa.row
+  )
+), ex AS (
+  SELECT SUM(a.c * b.c) AS exact_n,
+         SUM(a.c) * SUM(b.c) AS mass
+  FROM (SELECT user_id, COUNT(*) AS c FROM events
+        WHERE event_type = 'click' GROUP BY 1) a
+  JOIN (SELECT user_id, COUNT(*) AS c FROM events
+        WHERE event_type = 'purchase' GROUP BY 1) b
+  ON a.user_id = b.user_id
+)
+SELECT CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(est AS BIGINT) AS est_n,
+       est >= exact_n AND est <= exact_n + 3 * mass / {_CMS_W} AS within_bounds
+FROM est, ex
+""",
+)
+def cms_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two count-min sketches (the AGMS-
+    style planner probe): est = min over depth rows of the bucket-wise
+    inner product, which upper-bounds the exact click⋈purchase
+    row count on user_id and stays within e/width * |A|*|B| w.h.p. —
+    the "how big is this join" answer a planner gets from two
+    fixed-size mergeable sketches WITHOUT rescanning either fact
+    table. The twin recomputes the identical sketches, so the hash
+    gate certifies the estimate itself, its one-sidedness, AND the
+    error bound (operators/sketches.py:cms_inner_product)."""
+    from feast_hive_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    est = cms_inner_product(
+        cms_build(clicks, "user_id", width=_CMS_W, depth=_CMS_D),
+        cms_build(buys, "user_id", width=_CMS_W, depth=_CMS_D),
+    )
+    ga = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("ca"))
+    gb = buys.groupBy("user_id").agg(F.count(F.lit(1)).alias("cb"))
+    ex = (
+        ga.join(gb, "user_id")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_n"))
+        .crossJoin(
+            F.broadcast(
+                ga.agg(F.sum("ca").alias("ta")).crossJoin(
+                    gb.agg(F.sum("cb").alias("tb"))
+                )
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("est").cast("long").alias("est_n"),
+        (
+            (F.col("est") >= F.col("exact_n"))
+            & (
+                F.col("est")
+                <= F.col("exact_n")
+                + F.lit(3) * F.col("ta") * F.col("tb") / F.lit(_CMS_W)
+            )
+        ).alias("within_bounds"),
+    )

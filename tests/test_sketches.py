@@ -212,3 +212,35 @@ def test_cms_error_bound_audit_contract(spark, sf_dir):
     assert row["min_overestimate"] >= 0
     assert row["n_items"] > 0
     assert row["n_over_bound"] <= max(1, row["n_items"] * 2 // 16)
+
+
+def test_cms_inner_product_bounds_exact_join_size(spark):
+    # est >= exact always (counters collide upward); on a small
+    # domain with width >> cardinality est == exact
+    import pyspark.sql.functions as F
+
+    from feast_hive_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame(
+        [(i % 7,) for i in range(200)], "k long"
+    )
+    b = spark.createDataFrame(
+        [(i % 5,) for i in range(150)], "k long"
+    )
+    exact = (
+        a.groupBy("k").count().withColumnRenamed("count", "ca")
+        .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")))
+        .first()[0]
+    )
+    est = cms_inner_product(
+        cms_build(a, "k", width=256, depth=4),
+        cms_build(b, "k", width=256, depth=4),
+    ).first()["est"]
+    assert est >= exact
+    # min over 4 independent rows: all-4-collide probability is
+    # negligible, so the estimate stays within one collision term
+    assert est <= exact + 200 * 150 // 256
