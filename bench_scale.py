@@ -111,6 +111,18 @@ SCALE_QUERIES = [
     "covisitation_topk_items",
     "tfidf_top_terms",
     "text_lang_quality_rollup",
+    # r6 additions — each has a quadratic/iterative/global-order
+    # failure mode the harness must rule out at 10x
+    "kmeans_embedding_clusters",
+    "semdedup_embedding_report",
+    "winnowing_overlap_pairs",
+    "label_propagation_communities",
+    "watermark_late_arrival_audit",
+    "ks_test_click_view_value",
+    "kneser_ney_nll_scores",
+    "logreg_quality_weights",
+    "ols_price_model",
+    "cms_join_size_audit",
 ]
 
 
@@ -172,11 +184,25 @@ def _time_e2e(spark, name: str, sf_dir: str, runs: int = 3) -> float:
     """End-to-end seconds: build the plan + execute to a noop sink,
     median of `runs` full rebuild+execute cycles (prepare included —
     the e2e accounting regime; see bench.py/README)."""
+    from feast_hive_spark import registry as registry_mod
+    from feast_hive_spark.plans import memo, pit
+
+    def _drop_plan_caches() -> None:
+        # the r6 prepared-plan cache + job/plan memo would otherwise
+        # turn every rebuild into a cache hit and the timed cycles
+        # would measure only the residual plan — scale exponents need
+        # the FULL build+execute cost at both scales
+        registry_mod.clear_prepared()
+        memo.clear()
+        pit._PLAN_CACHE.clear()
+
     fn = REGISTRY[name][0]
     # one untimed warmup cycle: codegen + base-scan page cache
+    _drop_plan_caches()
     _noop(fn(spark, sf_dir))
     samples = []
     for _ in range(runs):
+        _drop_plan_caches()
         t0 = time.perf_counter()
         _noop(fn(spark, sf_dir))
         samples.append(time.perf_counter() - t0)

@@ -152,23 +152,24 @@ def ols_fit_2feature(
     """One-pass OLS fit of ``y ~ b0 + b1*x1 + b2*x2`` via normal
     equations + Cramer's rule — the closed-form distributed linear
     fit: ONE scan aggregates the 9 sufficient statistics (map-side
-    partials, a 1-row exchange), and the 3x3 solve happens inside the
-    same lazy plan in decimal(38,0) arithmetic. No driver collect, no
-    iteration — at 100 TB this is a single pass however wide the
-    cluster, which is why normal equations beat gradient descent for
-    low-dimensional fits on big data.
+    partials, a 1-row exchange), then the 3x3 solve runs on the
+    driver in arbitrary-precision Python integers. No iteration at
+    any scale, and — unlike an in-plan decimal(38,0) solve, which the
+    10x scale harness caught overflowing at ~6M rows (determinant
+    terms are PRODUCTS of three sums, ~n^3) — the bignum solve has no
+    magnitude ceiling; only the SUMS must fit decimal(38,0), which
+    holds to ~1e20 rows at these fixed-point units.
 
     Inputs must be INTEGER-valued columns (pre-scaled to fixed-point
-    units by the caller): all sums and determinants are then exact —
-    summation order cannot matter — and only the final
-    ``det_j / det`` division is floating point, rounded to 6dp.
-    Magnitude bound: det terms are products of three sums; with
-    per-row |x| <= 1e5-ish and row counts <= ~1e9 they stay under the
-    38-digit decimal / int128 ceiling (document per call site).
+    units by the caller): sums and determinants are then exact, and
+    only the final ``det_j / det`` double division is floating point,
+    rounded to 6dp — bit-identical to the HUGEINT SQL twin.
 
     Output: ``(term, coef)`` rows — 'intercept', names[0], names[1];
     coef NULL (both engines) for a singular system (det = 0).
     """
+    from feast_hive_spark.plans.memo import job_memo
+
     d38 = "decimal(38,0)"
     stats = df.agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
@@ -181,37 +182,49 @@ def ols_fit_2feature(
         F.sum((x1 * y).cast(d38)).alias("s1y"),
         F.sum((x2 * y).cast(d38)).alias("s2y"),
     )
-    # Cramer's rule on M = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
-    # rhs = [sy, s1y, s2y]; exact integer determinants, so the
-    # algebraic form is free to differ from the SQL twin's
-    dets = stats.selectExpr(
-        "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) "
-        "  + s2 * (s1 * s12 - s11 * s2) AS det",
-        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) "
-        "  + s2 * (s1y * s12 - s11 * s2y) AS det0",
-        "n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) "
-        "  + s2 * (s1 * s2y - s1y * s2) AS det1",
-        "n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) "
-        "  + sy * (s1 * s12 - s11 * s2) AS det2",
+    row = job_memo(
+        df.sparkSession,
+        df,
+        ("ols_fit_2feature", names),
+        lambda: stats.first(),
     )
-    coef = dets.selectExpr(
-        *(
-            f"CASE WHEN det <> 0 THEN "
-            f"round(CAST({dj} AS DOUBLE) / CAST(det AS DOUBLE), 6) "
-            f"END AS {alias}"
-            for dj, alias in (
-                ("det0", "c0"),
-                ("det1", "c1"),
-                ("det2", "c2"),
-            )
+    n, s1, s2, s11, s12, s22, sy, s1y, s2y = (
+        int(row[c] or 0)
+        for c in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+    )
+    # Cramer on M = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], rhs =
+    # [sy, s1y, s2y] — exact bignum, so the algebraic form is free to
+    # differ from the SQL twin's
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    if det:
+        det0 = (
+            sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)
         )
+        det1 = (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)
+        )
+        det2 = (
+            n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)
+        )
+        coefs = [
+            round(float(dj) / float(det), 6) for dj in (det0, det1, det2)
+        ]
+    else:
+        coefs = [None, None, None]
+    rows = list(zip(("intercept", names[0], names[1]), coefs))
+    return df.sparkSession.createDataFrame(
+        rows, "term string, coef double"
     )
-    return coef.selectExpr(
-        f"stack(3, 'intercept', c0, '{names[0]}', c1, '{names[1]}', c2) "
-        "AS (term, coef)"
-    )
-
-
 #: fixed-point scale for logreg weights/features (1e6 = 1.0)
 _LR_MICRO = 1_000_000
 

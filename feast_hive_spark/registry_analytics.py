@@ -3381,3 +3381,80 @@ def cms_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bounds"),
     )
+
+
+@register(
+    "gini_user_value_concentration",
+    """
+WITH u AS (
+  SELECT user_id, CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT v,
+         ROW_NUMBER() OVER (ORDER BY v, user_id) AS rk,
+         SUM(v) OVER (ORDER BY v, user_id) AS cum
+  FROM u
+), n AS (SELECT COUNT(*) AS n, SUM(v) AS tot FROM u),
+g AS (
+  -- Gini = (2 * sum_i rk_i * v_i) / (n * tot) - (n + 1) / n, exact in
+  -- integer numerators: gini_micro = round(1e6 * (2*S - (n+1)*tot) / (n*tot))
+  SELECT SUM(rk * v) AS s FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST((2 * (2 * CAST(s AS HUGEINT) - (CAST(n AS HUGEINT) + 1) * CAST(tot AS HUGEINT)) * 1000000
+             + CAST(n AS HUGEINT) * CAST(tot AS HUGEINT))
+            // (2 * CAST(n AS HUGEINT) * CAST(tot AS HUGEINT)) AS BIGINT) AS gini_micro,
+       CAST((SELECT MAX(cum) FROM r) AS BIGINT) AS total_value_micro
+FROM n, g
+""",
+)
+def gini_user_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of per-user event value — the concentration
+    readout ("what share of value comes from whale users") every
+    monetization/skew analysis starts with. Exact, via the rank
+    formulation G = 2·Σ rank_i·v_i / (n·Σv) − (n+1)/n: ranks and
+    cumulative sums come from the bucketed global prefix kernels
+    (operators/prefix.py) — quantile buckets, O(buckets) collect,
+    parallel per-bucket windows; never a single-partition sort.
+    Integer micro arithmetic end to end (values fixed to micro, the
+    final ratio half-up rounded at 1e-6), so both engines agree
+    bit-for-bit."""
+    from feast_hive_spark.operators.prefix import (
+        global_row_number,
+        global_running_sums,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("v")
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranked = global_row_number(
+        u, "v", [F.col("v"), F.col("user_id")], n_part, out_col="rk"
+    )
+    summed = global_running_sums(
+        ranked, "v", [F.col("v"), F.col("user_id")], ["v"], n_part
+    )
+    return summed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rk") * F.col("v")).alias("s"),
+        F.sum("v").alias("tot"),
+        F.max("__rs_v").alias("mx"),
+    ).selectExpr(
+        "CAST(s AS DECIMAL(38,0)) AS s",
+        "CAST(n AS DECIMAL(38,0)) AS n",
+        "CAST(tot AS DECIMAL(38,0)) AS tot",
+        "mx",
+    ).selectExpr(
+        "CAST(n AS LONG) AS n_users",
+        # exact integer floor division in decimal(38,0): numerator and
+        # denominator are exact; the quotient is floored via the
+        # remainder identity (x - x % y) / y, which Spark evaluates
+        # exactly on decimals (no rounding step)
+        "CAST((2 * (2 * s - (n + 1) * tot) * 1000000 + n * tot "
+        " - ((2 * (2 * s - (n + 1) * tot) * 1000000 + n * tot) % (2 * n * tot)))"
+        " / (2 * n * tot) AS LONG) AS gini_micro",
+        "CAST(mx AS LONG) AS total_value_micro",
+    )
