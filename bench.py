@@ -263,6 +263,8 @@ BENCH_QUERIES = [
     "ks_test_click_view_value",
     "kneser_ney_nll_scores",
     "cms_join_size_audit",
+    "gini_user_value_concentration",
+    "mad_outlier_counts",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -126,7 +126,8 @@ SAMPLE_ROTATION: list[str] = [
     "winnowing_overlap_pairs", "ols_price_model",
     "watermark_late_arrival_audit", "logreg_quality_weights",
     "label_propagation_communities", "ks_test_click_view_value",
-    "kneser_ney_nll_scores", "cms_join_size_audit",
+    "kneser_ney_nll_scores", "cms_join_size_audit", "gini_user_value_concentration",
+    "mad_outlier_counts",
 ]
 
 

@@ -3458,3 +3458,73 @@ def gini_user_value_concentration(
         " / (2 * n * tot) AS LONG) AS gini_micro",
         "CAST(mx AS LONG) AS total_value_micro",
     )
+
+
+@register(
+    "mad_outlier_counts",
+    """
+WITH med AS (
+  SELECT event_type, ROUND(median(value), 6) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, ROUND(ABS(e.value - m.med), 6) AS adev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, ROUND(median(adev), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ANY_VALUE(d.med) AS med,
+       ANY_VALUE(m.mad) AS mad,
+       CAST(SUM(CASE WHEN m.mad > 0
+                     AND d.adev > 3.5 * 1.4826 * m.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+""",
+)
+def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation (the
+    estimator z-scores can't do: a few extreme values corrupt the
+    mean/stddev but not the median): per event type, flag values
+    whose |x - median| exceeds 3.5 sigma-equivalents (1.4826 * MAD,
+    the normal-consistency constant). Two grouped exact-median passes
+    — Spark's percentile() and DuckDB's median share the linear-
+    interpolation formula (parity proven by percentile_order_value);
+    deviations are 6dp-fixed before the second median so tie sets are
+    identical. Both medians are #groups-sized aggregates; at scale
+    swap in approx_percentile partials (the tolerance-gated pattern
+    of approx_percentile_rank_bounded) without changing the flag
+    rule."""
+    ev = read_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("adev"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (
+                        F.col("adev")
+                        > F.lit(3.5) * F.lit(1.4826) * F.col("mad")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

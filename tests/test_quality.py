@@ -286,3 +286,37 @@ def test_ks_statistic_matches_scipy_style_reference(spark):
         for p in pts
     )
     assert abs(got - want) < 1e-12
+
+
+def test_gini_known_distributions(spark):
+    # perfectly equal values -> gini 0; one whale holding everything
+    # -> gini -> (n-1)/n
+    import pyspark.sql.functions as F
+
+    from feast_hive_spark.registry import REGISTRY  # noqa: F401  (conventions)
+
+    def gini_micro(rows):
+        from feast_hive_spark.operators.prefix import (
+            global_row_number,
+            global_running_sums,
+        )
+
+        u = spark.createDataFrame(rows, "user_id long, v long")
+        ranked = global_row_number(
+            u, "v", [F.col("v"), F.col("user_id")], 4, out_col="rk"
+        )
+        agg = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("rk") * F.col("v")).alias("s"),
+            F.sum("v").alias("tot"),
+        ).first()
+        n, s, tot = agg["n"], agg["s"], agg["tot"]
+        return (2 * (2 * s - (n + 1) * tot) * 1_000_000 + n * tot) // (
+            2 * n * tot
+        )
+
+    equal = [(i, 100) for i in range(10)]
+    assert gini_micro(equal) == 0
+    whale = [(i, 1) for i in range(9)] + [(99, 1_000_000)]
+    g = gini_micro(whale)
+    assert 850_000 < g < 900_000  # ~0.9 for n=10 with one whale
