@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "cms_join_size_audit",
     "gini_user_value_concentration",
     "mad_outlier_counts",
+    "covisitation_hitrate_at_k",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -195,3 +195,80 @@ def covisitation_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def covisitation_hitrate_at_k(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    ts_col: str,
+    seq_col: str,
+    k: int = 5,
+    max_items_per_user: int = 50,
+) -> DataFrame:
+    """Leave-last-out evaluation of the covisitation candidate
+    generator — the hit-rate@k readout every recsys pipeline reports
+    before shipping a retrieval model: per user, hold out the LAST
+    interaction (by ``(ts, seq)``), train :func:`covisitation_topk`
+    on everything else (leakage-safe BY CONSTRUCTION — the held-out
+    event never enters pair production), query with the
+    second-to-last item, and count a hit when the held-out item
+    appears in the query item's top-``k``.
+
+    Users with < 2 events are not evaluable; a self-transition
+    (query item == held-out item) counts as a miss since covisitation
+    excludes self-pairs — both are deterministic metric properties,
+    mirrored in the SQL twin.
+
+    Scale shape: two user-keyed windows (last/prev extraction), the
+    covisitation trainer's capped pair join, one broadcast-sized join
+    of the per-user (query, target) table against the catalog-sized
+    top-k model, and a 1-row aggregate.
+
+    Output: 1 row ``(n_eval, n_hits, hit_rate_micro)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).desc(), F.col(seq_col).desc()
+    )
+    ranked = df.select(user_col, item_col, ts_col, seq_col).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    holdout = (
+        ranked.filter(F.col("__rn") <= 2)
+        .groupBy(user_col)
+        .agg(
+            # __rn = 1 is the held-out LAST event (the target); __rn =
+            # 2 the second-to-last (the query)
+            F.max_by(F.col(item_col), F.col("__rn")).alias("__query"),
+            F.min_by(F.col(item_col), F.col("__rn")).alias("__target"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        .filter(F.col("__c") >= 2)
+    )
+    train = ranked.filter(F.col("__rn") >= 2).select(
+        user_col, item_col, ts_col
+    )
+    model = covisitation_topk(
+        train,
+        user_col,
+        item_col,
+        ts_col,
+        k=k,
+        max_items_per_user=max_items_per_user,
+    )
+    hits = holdout.join(
+        model,
+        (holdout["__query"] == model["item_a"])
+        & (holdout["__target"] == model["item_b"]),
+        "left",
+    ).select(
+        F.when(F.col("rank").isNotNull(), 1).otherwise(0).alias("__hit")
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum("__hit").cast("long").alias("n_hits"),
+    ).selectExpr(
+        "n_eval",
+        "n_hits",
+        "(2 * n_hits * 1000000 + n_eval) div (2 * n_eval) AS hit_rate_micro",
+    )

@@ -3528,3 +3528,77 @@ def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "covisitation_hitrate_at_k",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_id % 100 AS item, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+), rk AS (
+  SELECT user_id, item, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev
+), hold AS (
+  SELECT user_id,
+         MAX(CASE WHEN rn = 2 THEN item END) AS q,
+         MAX(CASE WHEN rn = 1 THEN item END) AS t
+  FROM rk WHERE rn <= 2 GROUP BY user_id HAVING COUNT(*) >= 2
+), fs AS (
+  SELECT user_id, item, MIN(ts) AS first_seen
+  FROM rk WHERE rn >= 2 GROUP BY user_id, item
+), capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY first_seen, item) AS crn
+    FROM fs
+  ) WHERE crn <= {_COVIS_CAP}
+), cnts AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_co
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item <> b.item
+  GROUP BY 1, 2
+), model AS (
+  SELECT item_a, item_b FROM (
+    SELECT item_a, item_b,
+           ROW_NUMBER() OVER (PARTITION BY item_a
+                              ORDER BY n_co DESC, item_b) AS rank
+    FROM cnts
+  ) WHERE rank <= {_COVIS_K}
+), h AS (
+  SELECT CASE WHEN m.item_b IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM hold LEFT JOIN model m ON m.item_a = hold.q AND m.item_b = hold.t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CAST((2 * SUM(hit) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+         AS hit_rate_micro
+FROM h
+""",
+)
+def covisitation_hitrate_at_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-last-out hit-rate@{k} of the covisitation candidate
+    generator — the offline retrieval-model evaluation: hold out each
+    user's last interaction, train covisitation on the rest (the
+    held-out event never enters pair production), and score whether
+    the held-out item appears in the second-to-last item's top-k
+    (operators/sequences.py:covisitation_hitrate_at_k)."""
+    from feast_hive_spark.operators.sequences import (
+        covisitation_hitrate_at_k as hr,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_id") % 100).alias("item"),
+        "ts",
+        "event_id",
+    )
+    return hr(
+        ev, "user_id", "item", "ts", "event_id",
+        k=_COVIS_K, max_items_per_user=_COVIS_CAP,
+    )

@@ -206,3 +206,39 @@ def test_covisitation_whale_user_capped(spark):
     assert not ((pdf["item_a"] >= 100) | (pdf["item_b"] >= 100)).any()
     assert (pdf.groupby("item_a")["rank"].max() <= 3).all()
     assert (pdf["item_a"] != pdf["item_b"]).all()
+
+
+def test_hitrate_leave_last_out_no_leakage(spark):
+    # hand-built history where the held-out transition is only
+    # recoverable if the last event leaks into training: the pair
+    # (q=1, t=9) occurs ONLY as each user's final transition, so a
+    # leakage-free model must score 0 hits for those users; users
+    # whose transition is covered by train history must hit
+    from datetime import datetime
+
+    from feast_hive_spark.operators.sequences import (
+        covisitation_hitrate_at_k,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = []
+    # users 1-3: history [5, 6, 5, 6] then final [6 -> 7]; the (6, 7)
+    # pair never co-occurs in train (7 appears only as the holdout),
+    # so these must MISS
+    for u in (1, 2, 3):
+        for i, it in enumerate((5, 6, 5, 6, 7)):
+            rows.append((u, it, t(i), u * 100 + i))
+    # users 4-6: history [1, 2, 1, 2] then final [1 -> 2]; (1, 2)
+    # co-occurs in train for every user, so these must HIT
+    for u in (4, 5, 6):
+        for i, it in enumerate((1, 2, 1, 2, 1, 2)):
+            rows.append((u, it, t(i), u * 100 + i))
+    df = spark.createDataFrame(
+        rows, "user_id long, item long, ts timestamp, event_id long"
+    )
+    out = covisitation_hitrate_at_k(
+        df, "user_id", "item", "ts", "event_id", k=5
+    ).first()
+    assert out["n_eval"] == 6
+    assert out["n_hits"] == 3  # only the users whose pair is in train
+    assert out["hit_rate_micro"] == 500000
