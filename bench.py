@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "gini_user_value_concentration",
     "mad_outlier_counts",
     "covisitation_hitrate_at_k",
+    "pq_trained_codebooks",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

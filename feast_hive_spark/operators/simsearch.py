@@ -995,3 +995,149 @@ def semdedup_report(
         F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
         F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
     )
+
+
+def pq_train_codebooks_df(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Trained PQ codebooks: per-subspace Lloyd's k-means, the real
+    algorithm behind every production PQ index (the seed codebooks in
+    :func:`pq_seed_codebooks` are the SQL-simplest member of the
+    family; this is the quality member). All m subspaces train
+    TOGETHER: one exploded (vector, subspace) table, one assignment
+    map per round against broadcast (subspace, code) centroid
+    literals, one (m x n_codes x sub)-key aggregate per round — so a
+    round costs one corpus scan regardless of m, and driver state is
+    m*n_codes*sub longs.
+
+    Same cross-engine discipline as :func:`kmeans_assign`: micro-unit
+    integers, hash seeding per (subspace, id), floor-divided
+    centroids, (dist, code) argmin ties to the lowest code. Output:
+    the round-``iters`` centroid table ``(s, code, pos, cm)`` (pos is
+    the within-subspace component index, cm the micro-unit centroid
+    component) — hash-certifiable against the unrolled SQL twin, and
+    convertible to the (m, n_codes, sub) float array
+    :func:`pq_adc_topk` consumes via :func:`pq_codebooks_from_table`.
+    Memoized per input plan (plans/memo.py).
+    """
+    from feast_hive_spark.functions.text import h48
+    from feast_hive_spark.plans.memo import plan_memo
+
+    return plan_memo(
+        df.sparkSession,
+        df,
+        ("pq_train_codebooks_df", id_col, vec_col, dim, m, n_codes, iters),
+        lambda: _pq_train_build(df, id_col, vec_col, dim, m, n_codes, iters),
+    )
+
+
+def _pq_train_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    n_codes: int,
+    iters: int,
+) -> DataFrame:
+    from feast_hive_spark.functions.text import h48
+    from feast_hive_spark.operators.simsearch import _micro_vec
+
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    sub = dim // m
+    base = df.select(
+        F.col(id_col).alias("__id"), _micro_vec(vec_col).alias("__vm")
+    )
+    exploded = base.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("__vm", s * sub + 1, sub).alias("sv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("__e"),
+    ).select("__id", F.col("__e.s").alias("s"), F.col("__e.sv").alias("sv"))
+    assigned = exploded.withColumn(
+        "__c",
+        (
+            h48(
+                F.concat(
+                    F.lit("pq"),
+                    F.col("s").cast("string"),
+                    F.lit(":"),
+                    F.col("__id").cast("string"),
+                )
+            )
+            % n_codes
+        ).cast("int"),
+    )
+    spark = df.sparkSession
+    cent_rows = None
+    for t in range(1, iters + 1):
+        cent_rows = (
+            assigned.select("s", "__c", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("s", "__c", "pos")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("cm")
+            )
+            .collect()
+        )
+        if t == iters:
+            break
+        cent: dict = {}
+        for r in cent_rows:
+            cent.setdefault(r["s"], {}).setdefault(r["__c"], {})[
+                r["pos"]
+            ] = r["cm"]
+        branches = []
+        for s in sorted(cent):
+            structs = []
+            for c in sorted(cent[s]):
+                comps = cent[s][c]
+                arr = ", ".join(f"{comps[p]}L" for p in range(len(comps)))
+                structs.append(
+                    "named_struct('d', aggregate(zip_with(sv, "
+                    f"array({arr}), (x, c) -> (x - c) * (x - c)), 0L, "
+                    f"(a, v) -> a + v), 'c', {c})"
+                )
+            branches.append(
+                f"WHEN s = {s} THEN "
+                f"sort_array(array({', '.join(structs)}))[0].c"
+            )
+        assigned = exploded.selectExpr(
+            "__id",
+            "s",
+            "sv",
+            f"CAST(CASE {' '.join(branches)} END AS INT) AS __c",
+        )
+    return spark.createDataFrame(
+        [
+            (int(r["s"]), int(r["__c"]), int(r["pos"]), int(r["cm"]))
+            for r in cent_rows
+        ],
+        "s long, code long, pos long, cm long",
+    )
+
+
+def pq_codebooks_from_table(
+    rows, m: int, n_codes: int, sub: int
+) -> "np.ndarray":
+    """(s, code, pos, cm) rows -> the (n_codes, m*sub) float codebook
+    matrix :func:`pq_adc_topk` consumes (missing/dead codes stay 0)."""
+    C = np.zeros((n_codes, m * sub), dtype=np.float64)
+    for r in rows:
+        C[int(r["code"]), int(r["s"]) * sub + int(r["pos"])] = (
+            r["cm"] / 1_000_000.0
+        )
+    return C

@@ -3378,3 +3378,70 @@ def label_propagation_communities(
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     out = label_propagation(pairs, "id_a", "id_b", iters=3)
     return out.select(F.col("node").alias("doc_id"), "community")
+
+
+def _pq_train_cte(m: int = 4, n_codes: int = 16, iters: int = 2) -> str:
+    """Unrolled per-subspace Lloyd rounds mirroring
+    operators/simsearch.py:pq_train_codebooks_df bit-for-bit (micro
+    ints, per-(subspace,id) hash seeding, floor centroids, (dist,code)
+    argmin)."""
+    sub = 64 // m
+    parts = [
+        f"""pxm AS (
+  SELECT vec_id, i // {sub} AS s, i % {sub} AS pos,
+         CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vm
+  FROM embeddings, range(0, 64) r(i) WHERE i < len(embedding)
+)""",
+        f"""pa0 AS (
+  SELECT DISTINCT vec_id, s,
+         CAST(('0x' || substr(md5('pq' || CAST(s AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT) % {n_codes} AS c
+  FROM pxm
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""pc{t} AS (
+  SELECT a.s, a.c, x.pos,
+         CAST(FLOOR(CAST(SUM(x.vm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+  FROM pxm x JOIN pa{t-1} a ON x.vec_id = a.vec_id AND x.s = a.s
+  GROUP BY a.s, a.c, x.pos
+)"""
+        )
+        if t < iters:
+            parts.append(
+                f"""pa{t} AS (
+  SELECT vec_id, s, c FROM (
+    SELECT x.vec_id, x.s, c.c,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                              ORDER BY SUM((x.vm - c.cm) * (x.vm - c.cm)), c.c) AS rn
+    FROM pxm x JOIN pc{t} c ON x.s = c.s AND x.pos = c.pos
+    GROUP BY x.vec_id, x.s, c.c
+  ) WHERE rn = 1
+)"""
+            )
+    return ",\n".join(parts)
+
+
+@register(
+    "pq_trained_codebooks",
+    f"""
+WITH {_pq_train_cte()}
+SELECT CAST(s AS BIGINT) AS s, CAST(c AS BIGINT) AS code,
+       CAST(pos AS BIGINT) AS pos, cm
+FROM pc2
+""",
+)
+def pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained PQ codebooks: per-subspace distributed Lloyd's k-means
+    (all m subspaces per round in ONE corpus scan + one
+    m*n_codes*sub-key aggregate; driver state is the codebook table).
+    The SQL twin unrolls both rounds, hash-certifying seeding,
+    centroid arithmetic, and per-subspace argmin — the quality member
+    of the PQ family whose seed variant gates pq_adc_topk
+    (operators/simsearch.py:pq_train_codebooks_df)."""
+    from feast_hive_spark.operators.simsearch import pq_train_codebooks_df
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_train_codebooks_df(
+        emb, "vec_id", "embedding", dim=64, m=4, n_codes=16, iters=2
+    )
