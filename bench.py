@@ -267,6 +267,8 @@ BENCH_QUERIES = [
     "mad_outlier_counts",
     "covisitation_hitrate_at_k",
     "pq_trained_codebooks",
+    "bootstrap_mean_value_ci",
+    "welch_ttest_click_view",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

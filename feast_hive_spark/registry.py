@@ -127,7 +127,8 @@ SAMPLE_ROTATION: list[str] = [
     "watermark_late_arrival_audit", "logreg_quality_weights",
     "label_propagation_communities", "ks_test_click_view_value",
     "kneser_ney_nll_scores", "cms_join_size_audit", "gini_user_value_concentration",
-    "mad_outlier_counts", "covisitation_hitrate_at_k", "pq_trained_codebooks",
+    "mad_outlier_counts", "covisitation_hitrate_at_k", "pq_trained_codebooks", "bootstrap_mean_value_ci",
+    "welch_ttest_click_view",
 ]
 
 

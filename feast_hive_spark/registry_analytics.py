@@ -3602,3 +3602,162 @@ def covisitation_hitrate_at_k(
         ev, "user_id", "item", "ts", "event_id",
         k=_COVIS_K, max_items_per_user=_COVIS_CAP,
     )
+
+
+#: Poisson(1) inverse-CDF thresholds at 2^20 scale (shared literal
+#: table for both engines): u < t[k] => weight k, else 8
+_POIS_T = [385750, 771499, 964374, 1028665, 1044738, 1047953, 1048489, 1048565]
+_BOOT_R = 16
+
+
+def _pois_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+@register(
+    "bootstrap_mean_value_ci",
+    f"""
+WITH w AS (
+  SELECT r.r AS replica,
+         {_pois_weight_sql(
+             "CAST(('0x' || substr(md5('boot' || CAST(r.r AS VARCHAR) || ':' "
+             "|| CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576"
+         )} AS wt,
+         CAST(round(value * 1000000) AS BIGINT) AS v
+  FROM events, range(0, {_BOOT_R}) r(r)
+)
+SELECT CAST(replica AS BIGINT) AS replica,
+       CAST(SUM(wt) AS BIGINT) AS n_eff,
+       CAST((2 * SUM(wt * v) + SUM(wt)) // (2 * SUM(wt)) AS BIGINT) AS mean_micro
+FROM w GROUP BY replica
+""",
+)
+def bootstrap_mean_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean event value — THE bootstrap that
+    works at scale (each row draws an independent Poisson(1) weight
+    per replica, so resampling is ONE stateless scan; classic
+    multinomial resampling needs global coordination). 16 replicas in
+    one pass: weights come from a hash-uniform draw through the
+    shared Poisson(1) inverse-CDF threshold table, so both engines
+    draw IDENTICAL pseudo-resamples and the hash gate certifies every
+    replica mean (integer micro, half-up). The CI is read off the
+    replica distribution (e.g. min/max of 16 ~ a coarse 94% interval);
+    more replicas = more columns of the same scan, never more passes."""
+    ev = read_table(spark, sf_dir, "events")
+    reps = F.explode(
+        F.array(*[F.lit(r) for r in range(_BOOT_R)])
+    ).alias("replica")
+    base = ev.select(
+        reps,
+        F.col("event_id"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v"),
+    )
+    u = (
+        X.h48(
+            F.concat(
+                F.lit("boot"),
+                F.col("replica").cast("string"),
+                F.lit(":"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        % 1048576
+    )
+    wt = F.lit(8)
+    for k, t in reversed(list(enumerate(_POIS_T))):
+        wt = F.when(u < t, F.lit(k)).otherwise(wt)
+    return (
+        base.withColumn("wt", wt)
+        .groupBy("replica")
+        .agg(
+            F.sum("wt").cast("long").alias("n_eff"),
+            F.expr(
+                "(2 * SUM(wt * v) + SUM(wt)) div (2 * SUM(wt))"
+            ).cast("long").alias("mean_micro"),
+        )
+        .select(
+            F.col("replica").cast("long").alias("replica"),
+            "n_eff",
+            "mean_micro",
+        )
+    )
+
+
+@register(
+    "welch_ttest_click_view",
+    """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)
+                  * CAST(round(value * 1000000) AS BIGINT)) AS HUGEINT) AS ss
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type
+), s AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'click' THEN CAST(n AS DOUBLE) END) AS n1,
+    MAX(CASE WHEN event_type = 'click' THEN CAST(s AS DOUBLE) END) AS s1,
+    MAX(CASE WHEN event_type = 'click' THEN CAST(ss AS DOUBLE) END) AS ss1,
+    MAX(CASE WHEN event_type = 'view' THEN CAST(n AS DOUBLE) END) AS n2,
+    MAX(CASE WHEN event_type = 'view' THEN CAST(s AS DOUBLE) END) AS s2,
+    MAX(CASE WHEN event_type = 'view' THEN CAST(ss AS DOUBLE) END) AS ss2
+  FROM g
+), v AS (
+  SELECT n1, n2,
+         (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 AS a,
+         (ss2 - s2 * s2 / n2) / (n2 - 1) / n2 AS b,
+         s1 / n1 - s2 / n2 AS md
+  FROM s
+)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+       ROUND(md / 1000000, 6) AS mean_diff,
+       ROUND(md / sqrt(a + b), 6) AS t_stat,
+       ROUND((a + b) * (a + b)
+             / (a * a / (n1 - 1) + b * b / (n2 - 1)), 4) AS welch_df
+FROM v
+""",
+)
+def welch_ttest_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test between click and view values — the
+    A/B-test statistic (unequal variances, Welch-Satterthwaite df).
+    One grouped aggregate of exact integer micro sums (count, sum,
+    sum-of-squares in decimal(38)/HUGEINT); the t statistic is then a
+    fixed small double formula over identical exact integers, so both
+    engines agree to the 6dp rounding."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    vm = F.round(F.col("value") * 1000000).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(vm.cast("decimal(38,0)")).alias("s"),
+        F.sum((vm * vm).cast("decimal(38,0)")).alias("ss"),
+    )
+    s = g.agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == et, F.col(c).cast("double"))
+            ).alias(f"{c}{i}")
+            for i, et in ((1, "click"), (2, "view"))
+            for c in ("n", "s", "ss")
+        ]
+    )
+    v = s.selectExpr(
+        "n1",
+        "n2",
+        "(ss1 - s1 * s1 / n1) / (n1 - 1) / n1 AS a",
+        "(ss2 - s2 * s2 / n2) / (n2 - 1) / n2 AS b",
+        "s1 / n1 - s2 / n2 AS md",
+    )
+    return v.selectExpr(
+        "CAST(n1 AS LONG) AS n_click",
+        "CAST(n2 AS LONG) AS n_view",
+        "round(md / 1000000, 6) AS mean_diff",
+        "round(md / sqrt(a + b), 6) AS t_stat",
+        "round((a + b) * (a + b) "
+        "/ (a * a / (n1 - 1) + b * b / (n2 - 1)), 4) AS welch_df",
+    )

@@ -320,3 +320,53 @@ def test_gini_known_distributions(spark):
     whale = [(i, 1) for i in range(9)] + [(99, 1_000_000)]
     g = gini_micro(whale)
     assert 850_000 < g < 900_000  # ~0.9 for n=10 with one whale
+
+
+def test_poisson_bootstrap_weights_distribution(spark):
+    # hash-uniform draws through the Poisson(1) inverse CDF: mean
+    # weight ~ 1, P(w=0) ~ 1/e, and replicas differ from each other
+    import math
+
+    from feast_hive_spark.registry import REGISTRY
+    import feast_hive_spark.registry_analytics  # noqa: F401
+
+    out = REGISTRY["bootstrap_mean_value_ci"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 16
+    n_events = 0  # n_eff fluctuates around the true count
+    means = {r["replica"]: r["mean_micro"] for r in out}
+    effs = [r["n_eff"] for r in out]
+    avg_eff = sum(effs) / len(effs)
+    # Poisson(1) weights: total effective n per replica within ~5% of n
+    assert max(effs) < avg_eff * 1.1 and min(effs) > avg_eff * 0.9
+    assert len(set(means.values())) > 1  # replicas actually resample
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from feast_hive_spark.registry import REGISTRY
+    import feast_hive_spark.registry_analytics  # noqa: F401
+    from feast_hive_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    row = REGISTRY["welch_ttest_click_view"][0](spark, sf).first()
+    ev = (
+        read_table(spark, sf, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("event_type", F.round(F.col("value") * 1000000).cast("long").alias("v"))
+        .collect()
+    )
+    import statistics
+
+    a = [r["v"] / 1e6 for r in ev if r["event_type"] == "click"]
+    b = [r["v"] / 1e6 for r in ev if r["event_type"] == "view"]
+    va, vb = statistics.variance(a) / len(a), statistics.variance(b) / len(b)
+    t = (statistics.mean(a) - statistics.mean(b)) / math.sqrt(va + vb)
+    df = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
+    assert abs(row["t_stat"] - round(t, 6)) < 1e-4
+    assert abs(row["welch_df"] - round(df, 4)) < 0.05
+    assert row["n_click"] == len(a) and row["n_view"] == len(b)
