@@ -269,6 +269,9 @@ BENCH_QUERIES = [
     "pq_trained_codebooks",
     "bootstrap_mean_value_ci",
     "welch_ttest_click_view",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "markov_conversion_reach",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

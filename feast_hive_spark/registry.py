@@ -128,7 +128,8 @@ SAMPLE_ROTATION: list[str] = [
     "label_propagation_communities", "ks_test_click_view_value",
     "kneser_ney_nll_scores", "cms_join_size_audit", "gini_user_value_concentration",
     "mad_outlier_counts", "covisitation_hitrate_at_k", "pq_trained_codebooks", "bootstrap_mean_value_ci",
-    "welch_ttest_click_view",
+    "welch_ttest_click_view", "k_anonymity_audit",
+    "l_diversity_audit", "markov_conversion_reach",
 ]
 
 

@@ -3761,3 +3761,99 @@ def welch_ttest_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((a + b) * (a + b) "
         "/ (a * a / (n1 - 1) + b * b / (n2 - 1)), 4) AS welch_df",
     )
+
+
+_MARKOV_K = 4
+
+
+def _markov_cte(k: int = _MARKOV_K) -> str:
+    """Unrolled absorbing-walk rounds: v_t(s) = P(reach 'purchase'
+    within t steps from s), micro-fixed per round so the per-state
+    sums are exact integers (same order-independence discipline as
+    the logreg sigmoid)."""
+    parts = [
+        """mnx AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst
+  FROM events
+),
+mtc AS (
+  SELECT src, dst, COUNT(*) AS c FROM mnx WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+mtot AS (SELECT src, SUM(c) AS tot FROM mtc GROUP BY src),
+mv0 AS (
+  SELECT src AS state,
+         CASE WHEN src = 'purchase' THEN 1000000 ELSE 0 END AS v
+  FROM mtot
+)""",
+    ]
+    for t in range(1, k + 1):
+        parts.append(
+            f"""mv{t} AS (
+  SELECT m.src AS state,
+         CASE WHEN m.src = 'purchase' THEN 1000000
+              ELSE CAST((2 * SUM(m.c * p.v) + t.tot) // (2 * t.tot) AS BIGINT)
+         END AS v
+  FROM mtc m JOIN mv{t-1} p ON p.state = m.dst
+  JOIN mtot t ON t.src = m.src
+  GROUP BY m.src, t.tot
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "markov_conversion_reach",
+    f"""
+WITH {_markov_cte()}
+SELECT state AS event_type, CAST(v AS BIGINT) AS p_reach_micro
+FROM mv{_MARKOV_K}
+""",
+)
+def markov_conversion_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain conversion reach: P(hit 'purchase' within
+    {K} transitions) from each starting event type, under the
+    empirical first-order transition matrix — the absorbing-walk
+    readout behind Markov attribution models. 'purchase' is
+    absorbing (v = 1); each unrolled round is one join + group over
+    the STATE-SPACE-sized matrix (a handful of rows at any corpus
+    size — the corpus is touched exactly once, for the transition
+    counts). Per-round values are micro-fixed so the per-state sums
+    are exact integers; the SQL twin replays every round
+    bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    mtc = nxt.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    mtot = mtc.groupBy("src").agg(F.sum("c").alias("tot"))
+    v = mtot.select(
+        F.col("src").alias("state"),
+        F.when(F.col("src") == "purchase", F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("v"),
+    )
+    for _ in range(_MARKOV_K):
+        v = (
+            mtc.join(v.withColumnRenamed("state", "dst"), "dst")
+            .join(mtot, "src")
+            .groupBy("src", "tot")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("__s"))
+            .selectExpr(
+                "src AS state",
+                "CASE WHEN src = 'purchase' THEN 1000000L "
+                "ELSE (2 * __s + tot) div (2 * tot) END AS v",
+            )
+        )
+    return v.select(
+        F.col("state").alias("event_type"),
+        F.col("v").cast("long").alias("p_reach_micro"),
+    )

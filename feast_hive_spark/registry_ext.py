@@ -3445,3 +3445,80 @@ def pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_train_codebooks_df(
         emb, "vec_id", "embedding", dim=64, m=4, n_codes=16, iters=2
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(class_size) AS BIGINT) AS k_min,
+       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+         AS n_rows_below_k5,
+       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below_k5
+FROM classes
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier projection: the privacy gate a dataset passes
+    before release — k_min is the dataset's k-anonymity level, and
+    rows in equivalence classes smaller than k=5 are the re-
+    identifiable remainder a pipeline must suppress or generalize.
+    One grouped count + one summary aggregate; the class table is
+    bounded by the quasi-identifier domain, never the row count."""
+    cust = read_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("k_min"),
+        F.sum(
+            F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
+        ).cast("long").alias("n_rows_below_k5"),
+        F.sum(
+            F.when(F.col("class_size") < 5, 1).otherwise(0)
+        ).cast("long").alias("n_classes_below_k5"),
+    )
+
+
+@register(
+    "l_diversity_audit",
+    """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT c_acctbal >= 0) AS l_signs
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(l_signs) AS BIGINT) AS l_min,
+       CAST(SUM(CASE WHEN l_signs < 2 THEN class_size ELSE 0 END) AS BIGINT)
+         AS n_rows_below_l2
+FROM cls
+""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity companion to the k-anonymity audit: even a large
+    equivalence class leaks its sensitive attribute if every member
+    shares one value. Per (nation, segment) class, the number of
+    DISTINCT sensitive values (account-balance sign as the binary
+    sensitive attribute); classes with l < 2 are homogeneous — their
+    members' sensitive value is disclosed by membership alone."""
+    cust = read_table(spark, sf_dir, "customer")
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(F.col("c_acctbal") >= 0).alias("l_signs"),
+    )
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("l_signs").cast("long").alias("l_min"),
+        F.sum(
+            F.when(F.col("l_signs") < 2, F.col("class_size")).otherwise(0)
+        ).cast("long").alias("n_rows_below_l2"),
+    )

