@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "l_diversity_audit",
     "markov_conversion_reach",
+    "woe_iv_value_bins",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -3857,3 +3857,60 @@ def markov_conversion_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("event_type"),
         F.col("v").cast("long").alias("p_reach_micro"),
     )
+
+
+@register(
+    "woe_iv_value_bins",
+    """
+WITH base AS (
+  SELECT CAST(least(greatest(floor(value / 20.0), 0), 4) AS BIGINT) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), b AS (
+  SELECT bin, SUM(pos) AS np, SUM(1 - pos) AS nn
+  FROM base GROUP BY bin
+), t AS (SELECT SUM(np) AS tp, SUM(nn) AS tn FROM b)
+SELECT bin,
+       CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(round(ln(((np * 2 + 1) * CAST(tn AS DOUBLE))
+                     / ((nn * 2 + 1) * CAST(tp AS DOUBLE))) * 1000000)
+            AS BIGINT) AS woe_micro
+FROM b, t
+""",
+)
+def woe_iv_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence encoding of binned event value against the
+    purchase label — the credit-scoring-style categorical encoder
+    (the supervised sibling of target_encode_oof): WoE(bin) =
+    ln(P(bin|pos) / P(bin|neg)), computed here with Haldane-style
+    +0.5 smoothing ((2n+1)/2 in exact integers) so empty cells stay
+    finite and both engines evaluate ln() over the IDENTICAL exact
+    rational. One binned aggregate + a 1-row totals broadcast; the
+    per-bin WoE table is what a feature pipeline joins back onto the
+    fact stream (map-side, broadcast) to encode the column."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / 20.0), F.lit(0)),
+            F.lit(4),
+        ).cast("long").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    b = base.groupBy("bin").agg(
+        F.sum("pos").alias("np"), F.sum(1 - F.col("pos")).alias("nn")
+    )
+    t = b.agg(F.sum("np").alias("tp"), F.sum("nn").alias("tn"))
+    return b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(
+            F.log(
+                ((F.col("np") * 2 + 1) * F.col("tn").cast("double"))
+                / ((F.col("nn") * 2 + 1) * F.col("tp").cast("double"))
+            )
+            * 1000000
+        ).cast("long").alias("woe_micro"),
+    )
