@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     "l_diversity_audit",
     "markov_conversion_reach",
     "woe_iv_value_bins",
+    "inclusion_dependency_discovery",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -130,7 +130,7 @@ SAMPLE_ROTATION: list[str] = [
     "mad_outlier_counts", "covisitation_hitrate_at_k", "pq_trained_codebooks", "bootstrap_mean_value_ci",
     "welch_ttest_click_view", "k_anonymity_audit",
     "l_diversity_audit", "markov_conversion_reach",
-    "woe_iv_value_bins",
+    "woe_iv_value_bins", "inclusion_dependency_discovery",
 ]
 
 

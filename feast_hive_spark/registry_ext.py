@@ -3522,3 +3522,85 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_signs") < 2, F.col("class_size")).otherwise(0)
         ).cast("long").alias("n_rows_below_l2"),
     )
+
+
+@register(
+    "inclusion_dependency_discovery",
+    """
+WITH cand AS (
+  SELECT 'orders.o_custkey->customer.c_custkey' AS edge,
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_child,
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS n_contained
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+         (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+         (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier))
+  UNION ALL
+  SELECT 'customer.c_custkey->orders.o_custkey',
+         (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+         (SELECT COUNT(DISTINCT c_custkey) FROM customer
+          WHERE c_custkey IN (SELECT o_custkey FROM orders))
+  UNION ALL
+  SELECT 'events.user_id->customer.c_custkey',
+         (SELECT COUNT(DISTINCT user_id) FROM events),
+         (SELECT COUNT(DISTINCT user_id) FROM events
+          WHERE user_id IN (SELECT c_custkey FROM customer))
+)
+SELECT edge, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_contained AS BIGINT) AS n_contained,
+       CAST((2 * n_contained * 1000000 + n_child) // (2 * n_child) AS BIGINT)
+         AS containment_micro,
+       n_contained = n_child AS is_inclusion
+FROM cand
+""",
+)
+def inclusion_dependency_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inclusion-dependency (join-key) discovery: for each candidate
+    (child.column -> parent.column) edge, the fraction of distinct
+    child keys contained in the parent — containment 1.0 certifies a
+    foreign key, partial containment flags dirty or overlapping key
+    spaces. The profiling pass a warehouse runs on an unfamiliar
+    schema before trusting joins. Each edge is a distinct-key
+    LEFT SEMI join (key columns only, dims broadcast); distinct sets
+    are key-sized, never row-sized — at 100 TB swap exact distincts
+    for Bloom-filter probes (bloom_filter_join_audit is the gated
+    member of that family)."""
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]
+    out = None
+    for ct, cc, pt, pc in edges:
+        child = read_table(spark, sf_dir, ct).select(
+            F.col(cc).alias("k")
+        ).distinct()
+        parent = read_table(spark, sf_dir, pt).select(
+            F.col(pc).alias("k")
+        ).distinct()
+        contained = child.join(parent, "k", "left_semi")
+        row = (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                contained.agg(F.count(F.lit(1)).alias("n_contained"))
+            )
+            .select(
+                F.lit(f"{ct}.{cc}->{pt}.{pc}").alias("edge"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_contained").cast("long").alias("n_contained"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.selectExpr(
+        "edge",
+        "n_child",
+        "n_contained",
+        "(2 * n_contained * 1000000 + n_child) div (2 * n_child) "
+        "AS containment_micro",
+        "n_contained = n_child AS is_inclusion",
+    )
