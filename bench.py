@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "markov_conversion_reach",
     "woe_iv_value_bins",
     "inclusion_dependency_discovery",
+    "benford_first_digit_audit",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -131,6 +131,7 @@ SAMPLE_ROTATION: list[str] = [
     "welch_ttest_click_view", "k_anonymity_audit",
     "l_diversity_audit", "markov_conversion_reach",
     "woe_iv_value_bins", "inclusion_dependency_discovery",
+    "benford_first_digit_audit",
 ]
 
 

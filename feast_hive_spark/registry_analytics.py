@@ -3914,3 +3914,63 @@ def woe_iv_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000000
         ).cast("long").alias("woe_micro"),
     )
+
+
+#: Benford P(first digit = d) at micro scale, d = 1..9 (shared
+#: literal table so both engines compare against identical integers)
+_BENFORD_MICRO = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+@register(
+    "benford_first_digit_audit",
+    f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), c AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+), t AS (SELECT SUM(n) AS tot FROM c),
+e AS (
+  SELECT * FROM (VALUES {", ".join(f"({i+1}, {p})" for i, p in enumerate(_BENFORD_MICRO))}) AS v(digit, exp_micro)
+)
+SELECT e.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST((2 * COALESCE(c.n, 0) * 1000000 + t.tot) // (2 * t.tot) AS BIGINT) AS obs_micro,
+       CAST(e.exp_micro AS BIGINT) AS exp_micro
+FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t
+""",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the fraud/data-generation screen auditors run on financial
+    columns: natural multiplicative data follows P(d) = log10(1+1/d),
+    and a synthetic or manipulated column deviates visibly. The first
+    digit comes from the CENTS integer's decimal string (exact — no
+    float log10 in the digit extraction); observed shares are
+    half-up micro integers against the shared Benford literal table.
+    One grouped count; digit domain is 9 rows at any scale."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    d = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        ).cast("long").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    e = spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(_BENFORD_MICRO)],
+        "digit long, exp_micro long",
+    )
+    return (
+        e.join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .selectExpr(
+            "digit",
+            "CAST(COALESCE(n, 0) AS LONG) AS n",
+            "(2 * COALESCE(n, 0) * 1000000 + tot) div (2 * tot) AS obs_micro",
+            "exp_micro",
+        )
+    )
