@@ -275,6 +275,8 @@ BENCH_QUERIES = [
     "woe_iv_value_bins",
     "inclusion_dependency_discovery",
     "benford_first_digit_audit",
+    "top_event_trigrams",
+    "cusum_daily_value_shift",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

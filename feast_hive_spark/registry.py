@@ -131,7 +131,8 @@ SAMPLE_ROTATION: list[str] = [
     "welch_ttest_click_view", "k_anonymity_audit",
     "l_diversity_audit", "markov_conversion_reach",
     "woe_iv_value_bins", "inclusion_dependency_discovery",
-    "benford_first_digit_audit",
+    "benford_first_digit_audit", "top_event_trigrams",
+    "cusum_daily_value_shift",
 ]
 
 

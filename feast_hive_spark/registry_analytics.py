@@ -3974,3 +3974,108 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exp_micro",
         )
     )
+
+
+@register(
+    "top_event_trigrams",
+    """
+WITH seq AS (
+  SELECT event_type AS a,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+  FROM events
+), tri AS (
+  SELECT a, b, c, COUNT(*) AS n
+  FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+  GROUP BY a, b, c
+)
+SELECT a, b, c, CAST(n AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, a, b, c) AS BIGINT) AS rank
+FROM tri QUALIFY rank <= 10
+""",
+)
+def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavioral paths (event-type trigrams within
+    each user's timeline) — the path-mining readout funnel analysis
+    starts from. One user-keyed window produces the trigram stream
+    (two LEADs, no self-joins), the count aggregate collapses
+    map-side onto the |event_types|^3 domain, and the final top-k
+    ranks a domain-sized table."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    tri = seq.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("n"))
+    w_top = W.orderBy(F.desc("n"), "a", "b", "c")
+    return (
+        tri.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "a", "b", "c",
+            F.col("n").cast("long").alias("n"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@register(
+    "cusum_daily_value_shift",
+    """
+WITH d AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         SUM(CAST(round(value * 1000000) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+), g AS (SELECT SUM(s) AS ts_, SUM(n) AS tn FROM d),
+dev AS (
+  -- per-day deviation of the day SUM from its expected share of the
+  -- global sum (exact integers scaled by the global count)
+  SELECT day, s * tn - n * ts_ AS dev
+  FROM d, g
+), c AS (
+  SELECT day, SUM(dev) OVER (ORDER BY day) AS cusum
+  FROM dev
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+       (SELECT day FROM c ORDER BY ABS(cusum) DESC, day LIMIT 1) AS change_day,
+       (SELECT CAST(MAX(ABS(cusum)) AS BIGINT) FROM c) AS max_cusum
+""",
+)
+def cusum_daily_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily value series: the
+    day where the cumulative deviation from the global mean peaks is
+    the most likely level-shift point — the standard first look at
+    'did this metric move, and when'. Deviations are exact integers
+    (day_sum * N - day_n * total_sum, cross-multiplied to avoid any
+    division), the running sum is a day-domain window (tiny at any
+    corpus size; events are touched once for the day aggregate), and
+    the argmax tie-breaks on the earliest day."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = d.agg(F.sum("s").alias("ts_"), F.sum("n").alias("tn"))
+    from pyspark.sql import Window as W
+
+    dev = d.crossJoin(F.broadcast(g)).select(
+        "day",
+        (F.col("s") * F.col("tn") - F.col("n") * F.col("ts_")).alias("dev"),
+    )
+    c = dev.withColumn(
+        "cusum", F.sum("dev").over(W.orderBy("day"))
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.min_by(F.col("day"), F.struct(-F.abs(F.col("cusum")), F.col("day"))).alias(
+            "change_day"
+        ),
+        F.max(F.abs(F.col("cusum"))).cast("long").alias("max_cusum"),
+    )
