@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "semdedup_embedding_report",
     "winnowing_fingerprint_stats",
     "winnowing_overlap_pairs",
+    "winnowing_overlap_pairs_capped",
     "ols_price_model",
     "watermark_late_arrival_audit",
     "logreg_quality_weights",

@@ -116,6 +116,7 @@ SCALE_QUERIES = [
     "kmeans_embedding_clusters",
     "semdedup_embedding_report",
     "winnowing_overlap_pairs",
+    "winnowing_overlap_pairs_capped",
     "label_propagation_communities",
     "watermark_late_arrival_audit",
     "ks_test_click_view_value",

@@ -1365,21 +1365,38 @@ def winnowing_overlap_pairs(
     n: int = 3,
     window: int = 4,
     min_shared: int = 2,
+    max_doc_freq: int | None = 64,
 ) -> DataFrame:
     """Cross-document overlap candidates from winnowed fingerprints:
     inverted-index self-join on the fingerprint hash, pairs sharing
     >= ``min_shared`` fingerprints. The index is ~2.5x smaller than
     the raw shingle index for the same detection guarantee — the
-    reason MOSS-style systems winnow before indexing. At 100 TB,
-    boilerplate fingerprints shared by a large fraction of the corpus
-    would explode the pair join quadratically; production runs drop
-    fingerprints above a document-frequency cap first (the exact
-    semantics here keep every fingerprint so the SQL twin can certify
-    the plumbing — the cap is one extra groupBy filter).
+    reason MOSS-style systems winnow before indexing.
+
+    ``max_doc_freq`` (DEFAULT ON, mirroring ``ngram_jaccard_pairs``):
+    a fingerprint appearing in d documents contributes d^2 rows to the
+    self-join, so one boilerplate header/footer fingerprint shared
+    corpus-wide turns the join quadratic at 100 TB. Fingerprints whose
+    document frequency exceeds the cap are dropped from the index via
+    a broadcast anti-join (the hot set is tiny by construction —
+    at most |index| / cap fingerprints can exceed it). Reported
+    ``n_shared`` becomes a lower bound for pairs whose overlap leaned
+    on boilerplate — exactly the signal the cap is meant to discount.
+    Pass ``None`` for the exact (uncapped) semantics; both paths have
+    DuckDB oracle twins (`winnowing_overlap_pairs` exact,
+    `winnowing_overlap_pairs_capped`).
 
     Output: ``(id_a, id_b, n_shared)``.
     """
     fp = winnowing_fingerprints(df, id_col, text_col, n, window)
+    if max_doc_freq is not None:
+        hot = (
+            fp.groupBy("fph")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("fph")
+        )
+        fp = fp.join(F.broadcast(hot), "fph", "left_anti")
     a = fp.select(F.col(id_col).alias("id_a"), "fph")
     b = fp.select(F.col(id_col).alias("id_b"), "fph")
     return (

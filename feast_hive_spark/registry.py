@@ -89,50 +89,32 @@ def register(name: str, oracle: str | None):
 # (CORRECTNESS_FULL_r*.json). Names absent from REGISTRY are ignored,
 # names absent from this list follow in registration order.
 SAMPLE_ROTATION: list[str] = [
-    # r6: exactly the 53 entries never present in any of
-    # CORRECTNESS_r01..r05.json (the driver's ~50-query samples),
-    # computed from those artifacts — front-loaded so the r6 sample
-    # exhausts the never-sampled backlog (3 will spill to r7).
-    "pit_leakage_audit", "dedup_components", "pagerank_near_dup",
-    "dedup_embedding_cosine_lsh", "ann_recall_report",
-    "hard_negative_pairs", "lsh_dedup_quality_report",
-    "near_dup_canonical_by_quality", "near_dup_cluster_histogram",
-    "near_dup_degree_histogram", "dup_source_breakdown",
-    "dedup_savings_report", "cross_source_dup_matrix",
-    "embedding_gramian", "embedding_covariance",
-    "embedding_quality_audit", "association_rules_items",
-    "q7_nation_volume_shipping", "q9_product_type_profit",
-    "window_user_activity", "cube_order_stats",
-    "ntile_event_value_quartiles", "percentile_order_value",
-    "quantile_bins_order_value", "full_outer_nation_presence",
-    "interval_overlap_counts", "grouping_sets_orders",
-    "events_json_props", "events_sliding_rollup",
-    "events_sessionize_batch", "user_interarrival_stats",
-    "user_event_type_profile", "profile_lineitem",
-    "curation_pipeline", "split_train_val_test",
-    "stratified_sample_by_lang", "scrub_forbidden_terms",
-    "balanced_label_sample", "pii_scrub_stats",
-    "gopher_quality_flags", "decontaminate_vs_benchmark",
-    "shingle_novelty_scores", "dsir_importance_weights",
-    "bigram_nll_scores", "boilerplate_shingles", "oov_rate_scores",
-    "text_token_percentiles", "text_repetition_stats",
-    "langid_confusion", "corpus_mix_weights", "vocab_zipf",
-    "label_centroids", "knn_label_accuracy",
-    # r6 additions (new queries, by definition never sampled):
-    "cms_error_bound_audit", "multimodal_decode_coverage",
-    "minhash_estimate_audit", "bloom_filter_join_audit",
-    "target_encode_oof", "kmeans_embedding_clusters",
-    "semdedup_embedding_report", "winnowing_fingerprint_stats",
-    "winnowing_overlap_pairs", "ols_price_model",
-    "watermark_late_arrival_audit", "logreg_quality_weights",
-    "label_propagation_communities", "ks_test_click_view_value",
-    "kneser_ney_nll_scores", "cms_join_size_audit", "gini_user_value_concentration",
-    "mad_outlier_counts", "covisitation_hitrate_at_k", "pq_trained_codebooks", "bootstrap_mean_value_ci",
-    "welch_ttest_click_view", "k_anonymity_audit",
-    "l_diversity_audit", "markov_conversion_reach",
-    "woe_iv_value_bins", "inclusion_dependency_discovery",
-    "benford_first_digit_audit", "top_event_trigrams",
-    "cusum_daily_value_shift",
+    # r7: exactly the 33 entries never present in any of
+    # CORRECTNESS_r01..r06.json (computed from those artifacts) —
+    # front-loaded so the r7 driver sample exhausts the backlog for
+    # good (r6 verdict "Next round" #3). New r7 queries follow
+    # immediately (never sampled by definition); everything else is
+    # covered by the per-round full check_correctness.py run.
+    "benford_first_digit_audit", "bloom_filter_join_audit",
+    "bootstrap_mean_value_ci", "cms_error_bound_audit",
+    "cms_join_size_audit", "covisitation_hitrate_at_k",
+    "cusum_daily_value_shift", "gini_user_value_concentration",
+    "inclusion_dependency_discovery", "k_anonymity_audit",
+    "kmeans_embedding_clusters", "kneser_ney_nll_scores",
+    "knn_label_accuracy", "ks_test_click_view_value",
+    "l_diversity_audit", "label_centroids",
+    "label_propagation_communities", "logreg_quality_weights",
+    "mad_outlier_counts", "markov_conversion_reach",
+    "minhash_estimate_audit", "multimodal_decode_coverage",
+    "ols_price_model", "pq_trained_codebooks",
+    "semdedup_embedding_report", "target_encode_oof",
+    "top_event_trigrams", "vocab_zipf",
+    "watermark_late_arrival_audit", "welch_ttest_click_view",
+    "winnowing_fingerprint_stats", "winnowing_overlap_pairs",
+    "woe_iv_value_bins",
+    # r7 additions (new queries, never sampled by definition) are
+    # appended here as they land:
+    "winnowing_overlap_pairs_capped",
 ]
 
 

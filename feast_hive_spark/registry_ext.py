@@ -3313,12 +3313,52 @@ def winnowing_overlap_pairs_q(
 ) -> DataFrame:
     """Cross-doc overlap candidates via the winnowed inverted index —
     same detection guarantee as the full shingle index at ~2.5x less
-    index (operators/dedup.py:winnowing_overlap_pairs)."""
+    index (operators/dedup.py:winnowing_overlap_pairs). Exact mode
+    (``max_doc_freq=None``) so the twin certifies the uncapped
+    semantics; the production default is the capped path below."""
     from feast_hive_spark.operators.dedup import winnowing_overlap_pairs
 
     docs = read_table(spark, sf_dir, "documents")
     return winnowing_overlap_pairs(
-        docs, "doc_id", "text", n=3, window=4, min_shared=2
+        docs, "doc_id", "text", n=3, window=4, min_shared=2,
+        max_doc_freq=None,
+    )
+
+
+@register(
+    "winnowing_overlap_pairs_capped",
+    f"""
+WITH {_WINNOW_CTE},
+wdf AS (
+  SELECT fph FROM wfp GROUP BY fph HAVING COUNT(*) <= 4
+),
+wkeep AS (
+  SELECT w.doc_id, w.fph FROM wfp w JOIN wdf USING (fph)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM wkeep a JOIN wkeep b ON a.fph = b.fph AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+""",
+)
+def winnowing_overlap_pairs_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production winnowing pair join: document-frequency cap on
+    fingerprints BEFORE the inverted self-join (r6 verdict #1 — the
+    last default-path pair explosion). A fingerprint in d docs costs
+    d^2 join rows; corpus-wide boilerplate (headers/footers) is
+    guaranteed in a real crawl, so the default path must drop hot
+    fingerprints. cap=4 here so the oracle actually exercises the
+    anti-join at sf0.01 (25 hot fingerprints) and sf0.001 (35)
+    (operators/dedup.py:winnowing_overlap_pairs)."""
+    from feast_hive_spark.operators.dedup import winnowing_overlap_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnowing_overlap_pairs(
+        docs, "doc_id", "text", n=3, window=4, min_shared=2,
+        max_doc_freq=4,
     )
 
 

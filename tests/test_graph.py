@@ -136,3 +136,37 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(df, iters=3).collect()))
     b = sorted(map(tuple, label_propagation(df, iters=3).collect()))
     assert a == b
+
+
+def test_label_propagation_checkpoint_matches_lazy(spark):
+    # checkpointing is a pure materialization barrier: same output
+    from feast_hive_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 7) % 23) for i in range(1, 60) if i != (i * 7) % 23]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    lazy = sorted(map(tuple, label_propagation(df, iters=4).collect()))
+    ckpt = sorted(
+        map(
+            tuple,
+            label_propagation(df, iters=4, checkpoint_every=2).collect(),
+        )
+    )
+    assert lazy == ckpt
+
+
+def test_label_propagation_deep_iters_bounded_plan(spark):
+    # r6 verdict #7: iters=25 must complete; without checkpointing the
+    # analyzed plan grows multiplicatively with rounds. Also check the
+    # final plan string stays small (a LocalTableScan/checkpoint scan,
+    # not 25 chained joins).
+    from feast_hive_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    clique2 = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
+    df = spark.createDataFrame(clique1 + clique2 + [(4, 10)], "id_a long, id_b long")
+    out = label_propagation(df, iters=25, checkpoint_every=5)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000, f"plan not truncated: {len(plan)} chars"
+    rows = {r["node"]: r["community"] for r in out.collect()}
+    assert len({rows[n] for n in (1, 2, 3, 4)}) == 1
+    assert rows[1] != rows[11]
