@@ -182,9 +182,12 @@ def ols_fit_2feature(
         F.sum((x1 * y).cast(d38)).alias("s1y"),
         F.sum((x2 * y).cast(d38)).alias("s2y"),
     )
+    # memo keyed by the STATS plan (not just df): it encodes the
+    # column expressions too, and it is the build-time plan the
+    # audit captures (memo.capture_buildtime_plans)
     row = job_memo(
         df.sparkSession,
-        df,
+        stats,
         ("ols_fit_2feature", names),
         lambda: stats.first(),
     )

@@ -12,11 +12,13 @@ results (each is a pure function of the input plan — the r5 verdict's
 This module generalizes the PIT bounds memo: results are keyed by the
 EXACT canonicalized analyzed plan of every input DataFrame
 (``sameResult`` — the identity check Spark's own CacheManager trusts
-for cache substitution, so LocalRelation data and file listings
-participate in the comparison) plus a structural token for scalar
-parameters. Like ``spark.catalog.cacheTable``, the memo assumes
-sources are immutable within a session; entries are app-scoped and
-LRU-bounded.
+for cache substitution, so LocalRelation data participates in the
+comparison) plus the concrete input-file listing (``inputFiles`` —
+``sameResult`` alone treats an overwritten path as unchanged, the
+same blind spot ``cacheTable`` covers with ``refreshByPath``) plus a
+structural token for scalar parameters. Entries are app-scoped and
+LRU-bounded; ``clear()`` remains the explicit big hammer after
+in-place mutations that keep file names (none of our writers do).
 
 Two entry points:
 
@@ -41,6 +43,23 @@ from pyspark.sql import DataFrame, SparkSession
 _MEMO: list = []  # (app_id, kind, token, [analyzed plans], value)
 _MEMO_MAX = 64
 
+# audit_plans.py hook (r6 verdict #4): operators whose heavy work runs
+# at DataFrame-construction time (a job_memo'd aggregate + driver
+# solve, e.g. ols_fit_2feature) return a LocalRelation, so the RESULT
+# plan the audit sees is empty — and whether the build-time aggregate
+# even runs depends on memo warmth, making the audit cache-order
+# dependent. When capture is on, every memo call records its input
+# DataFrames' executed plans keyed by token[0] — on HITS TOO (plan
+# text costs analysis only, no job), so the audited build-time plan
+# is identical warm or cold.
+_CAPTURE: "dict[str, list[str]] | None" = None
+
+
+def capture_buildtime_plans(dst: "dict[str, list[str]] | None") -> None:
+    """Route build-time input plans into ``dst`` (None disables)."""
+    global _CAPTURE
+    _CAPTURE = dst
+
 
 def _analyzed(df: DataFrame):
     return df._jdf.queryExecution().analyzed()
@@ -53,20 +72,36 @@ def _lookup_or_run(
     token: tuple,
     run: Callable[[], Any],
 ) -> Any:
+    if _CAPTURE is not None and token:
+        key = str(token[0])
+        for df in inputs:
+            _CAPTURE.setdefault(key, []).append(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
     app_id = spark.sparkContext.applicationId
     plans = [_analyzed(df) for df in inputs]
-    for aid, ckind, ctoken, cplans, value in reversed(_MEMO):
+    # ``sameResult`` compares file relations by ROOT PATH, not by
+    # listing — an overwritten parquet dir re-read under the same path
+    # is "the same plan" to it (Spark's CacheManager has the identical
+    # blind spot, which is why catalog overwrites call refreshByPath).
+    # The memo has no catalog hook, so the concrete file listing joins
+    # the key: any rewrite changes part-file names (new UUIDs), so a
+    # mutated source can never serve a stale memo value (adversarial
+    # property tests in tests/test_memo.py, r6 verdict #8).
+    files = [tuple(sorted(df.inputFiles())) for df in inputs]
+    for aid, ckind, ctoken, cplans, cfiles, value in reversed(_MEMO):
         if (
             aid == app_id
             and ckind == kind
             and ctoken == token
+            and cfiles == files
             and len(cplans) == len(plans)
             and all(c.sameResult(p) for c, p in zip(cplans, plans))
         ):
             return value
     value = run()
     _MEMO[:] = [e for e in _MEMO if e[0] == app_id][-(_MEMO_MAX - 1):]
-    _MEMO.append((app_id, kind, token, plans, value))
+    _MEMO.append((app_id, kind, token, plans, files, value))
     return value
 
 

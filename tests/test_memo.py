@@ -133,3 +133,56 @@ def test_registry_prepared_plan_cache(spark, sf_dir):
     finally:
         R.PLAN_CACHE = True
         R.clear_prepared()
+
+
+# --- r6 verdict #8: adversarial identity tests -----------------------
+# sameResult is doing load-bearing correctness work: a false-positive
+# hit serves a STALE value to a different query. Each case below is a
+# way two "similar" inputs must NOT collide.
+
+
+def test_job_memo_misses_on_same_schema_different_literal(spark):
+    # identical schema + identical shape, one literal differs
+    state, run = _runs_counter()
+    a = spark.range(100).filter(F.col("id") > 5)
+    b = spark.range(100).filter(F.col("id") > 6)
+    memo.job_memo(spark, a, ("t",), run)
+    memo.job_memo(spark, b, ("t",), run)
+    assert state["runs"] == 2
+
+
+def test_job_memo_misses_after_parquet_overwrite(spark, tmp_path):
+    # sameResult compares file relations by root path, so an
+    # overwritten dir re-read under the same path would HIT on plan
+    # identity alone — the inputFiles listing in the key must miss it
+    # and the fresh value must be served.
+    d = str(tmp_path / "t.parquet")
+    spark.range(10).write.mode("overwrite").parquet(d)
+    df1 = spark.read.parquet(d)
+    v1 = memo.job_memo(spark, df1, ("t",), lambda: df1.count())
+    assert v1 == 10
+    spark.range(25).write.mode("overwrite").parquet(d)
+    df2 = spark.read.parquet(d)
+    v2 = memo.job_memo(spark, df2, ("t",), lambda: df2.count())
+    assert v2 == 25, "stale memo value served after source overwrite"
+
+
+def test_job_memo_misses_on_mutated_local_relation(spark):
+    state, run = _runs_counter()
+    rows = [(1, "a"), (2, "b")]
+    a = spark.createDataFrame(rows, "k int, v string")
+    memo.job_memo(spark, a, ("t",), run)
+    b = spark.createDataFrame([(1, "a"), (2, "c")], "k int, v string")
+    memo.job_memo(spark, b, ("t",), run)
+    assert state["runs"] == 2
+
+
+def test_job_memo_still_hits_on_fresh_reread_same_files(spark, tmp_path):
+    # the file-listing key must not DESTROY warm hits: re-reading the
+    # same untouched dir builds a fresh relation over the same files
+    d = str(tmp_path / "t.parquet")
+    spark.range(10).write.mode("overwrite").parquet(d)
+    state, run = _runs_counter()
+    memo.job_memo(spark, spark.read.parquet(d), ("t",), run)
+    memo.job_memo(spark, spark.read.parquet(d), ("t",), run)
+    assert state["runs"] == 1
