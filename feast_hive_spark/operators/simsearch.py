@@ -805,6 +805,7 @@ def kmeans_assign(
     vec_col: str,
     k: int = 4,
     iters: int = 2,
+    assign: str = "auto",
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, the canonical
     distributed formulation: centroids are the ONLY driver-side state
@@ -831,23 +832,46 @@ def kmeans_assign(
     ``dist`` the selected integer squared L2 to the final round's
     centroid. Memoized per input plan (plans/memo.py): the rounds run
     eagerly at build time.
+
+    ``assign`` (r6 verdict #6) picks how centroids re-enter the plan:
+
+    - ``"literal"``: k x dim literal longs inlined as a
+      ``sort_array(array(named_struct(...)))`` argmin — zero joins,
+      whole-stage codegen, the fastest shape while the generated
+      expression stays under codegen limits (fine to k ~ 64).
+    - ``"join"``: a k-row centroid DataFrame broadcast into a nested
+      -loop join + min(struct(dist, cluster)) argmin aggregate —
+      survives IVF-scale codebooks (k in the tens of thousands) where
+      literal SQL would blow past codegen/constant-pool limits. The
+      per-point k-candidate rows collapse map-side (partial min), so
+      the exchange still carries ~n rows.
+    - ``"auto"`` (default): literal for k <= 64, join above.
+
+    Both paths share seeding, integer arithmetic, and the
+    (dist, cluster) tie-break, so they are bit-identical — asserted
+    by `tests/test_simsearch.py` and the unchanged k=4 SQL twin.
     """
-    from feast_hive_spark.functions.text import h48
     from feast_hive_spark.plans.memo import plan_memo
 
     return plan_memo(
         df.sparkSession,
         df,
-        ("kmeans_assign", id_col, vec_col, k, iters),
-        lambda: _kmeans_build(df, id_col, vec_col, k, iters),
+        ("kmeans_assign", id_col, vec_col, k, iters, assign),
+        lambda: _kmeans_build(df, id_col, vec_col, k, iters, assign),
     )
 
 
 def _kmeans_build(
-    df: DataFrame, id_col: str, vec_col: str, k: int, iters: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    assign: str = "auto",
 ) -> DataFrame:
     from feast_hive_spark.functions.text import h48
 
+    join_path = k > 64 if assign == "auto" else assign == "join"
     base = df.select(
         F.col(id_col).alias("__id"), _micro_vec(vec_col).alias("__vm")
     )
@@ -872,6 +896,9 @@ def _kmeans_build(
         cent: dict[int, dict[int, int]] = {}
         for r in rows:
             cent.setdefault(r["__c"], {})[r["pos"]] = r["cm"]
+        if join_path:
+            assigned = _assign_via_join(base, cent)
+            continue
         # argmin over the surviving clusters, ties to lowest cluster id
         structs = []
         for c in sorted(cent):
@@ -892,6 +919,47 @@ def _kmeans_build(
         F.col("__id").alias(id_col),
         F.col("__c").cast("long").alias("cluster"),
         F.col("__d").alias("dist"),
+    )
+
+
+def _assign_via_join(
+    base: DataFrame, cent: "dict[int, dict[int, int]]"
+) -> DataFrame:
+    """Broadcast-join argmin assignment: centroids as a k-row
+    DataFrame instead of k x dim literal SQL. min(struct(d, c))
+    reproduces the literal path's (dist, cluster-id) tie-break
+    exactly; F.first('__vm') is safe — the vector is constant within
+    its id group."""
+    spark = base.sparkSession
+    cent_rows = [
+        (c, [comps[p] for p in range(len(comps))])
+        for c, comps in sorted(cent.items())
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "__cc int, __cm array<bigint>"
+    )
+    dist = F.expr(
+        "aggregate(zip_with(__vm, __cm, (x, c) -> (x - c) * (x - c)), "
+        "0L, (a, v) -> a + v)"
+    )
+    return (
+        base.crossJoin(F.broadcast(cent_df))
+        .withColumn("__dd", dist)
+        .groupBy("__id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("__dd").alias("d"), F.col("__cc").alias("c")
+                )
+            ).alias("__s"),
+            F.first("__vm").alias("__vm"),
+        )
+        .select(
+            "__id",
+            "__vm",
+            F.col("__s.c").cast("int").alias("__c"),
+            F.col("__s.d").alias("__d"),
+        )
     )
 
 
@@ -1005,6 +1073,7 @@ def pq_train_codebooks_df(
     m: int = 4,
     n_codes: int = 16,
     iters: int = 2,
+    assign: str = "auto",
 ) -> DataFrame:
     """Trained PQ codebooks: per-subspace Lloyd's k-means, the real
     algorithm behind every production PQ index (the seed codebooks in
@@ -1025,15 +1094,27 @@ def pq_train_codebooks_df(
     convertible to the (m, n_codes, sub) float array
     :func:`pq_adc_topk` consumes via :func:`pq_codebooks_from_table`.
     Memoized per input plan (plans/memo.py).
+
+    ``assign`` mirrors :func:`kmeans_assign` (r6 verdict #6):
+    ``"literal"`` inlines m * n_codes * sub centroid longs per round
+    (fast, codegen-bounded), ``"join"`` broadcasts an (s, code)-row
+    centroid table and equi-joins on the subspace — the shape that
+    survives IVF-scale codebooks. ``"auto"``: literal for
+    n_codes <= 64. Bit-identical outputs (shared seeding/arithmetic/
+    tie-breaks).
     """
-    from feast_hive_spark.functions.text import h48
     from feast_hive_spark.plans.memo import plan_memo
 
     return plan_memo(
         df.sparkSession,
         df,
-        ("pq_train_codebooks_df", id_col, vec_col, dim, m, n_codes, iters),
-        lambda: _pq_train_build(df, id_col, vec_col, dim, m, n_codes, iters),
+        (
+            "pq_train_codebooks_df",
+            id_col, vec_col, dim, m, n_codes, iters, assign,
+        ),
+        lambda: _pq_train_build(
+            df, id_col, vec_col, dim, m, n_codes, iters, assign
+        ),
     )
 
 
@@ -1045,6 +1126,7 @@ def _pq_train_build(
     m: int,
     n_codes: int,
     iters: int,
+    assign: str = "auto",
 ) -> DataFrame:
     from feast_hive_spark.functions.text import h48
     from feast_hive_spark.operators.simsearch import _micro_vec
@@ -1100,6 +1182,44 @@ def _pq_train_build(
             cent.setdefault(r["s"], {}).setdefault(r["__c"], {})[
                 r["pos"]
             ] = r["cm"]
+        join_path = n_codes > 64 if assign == "auto" else assign == "join"
+        if join_path:
+            # (s, code)-row centroid table broadcast-equi-joined on
+            # the subspace; min(struct(d, c)) keeps the literal
+            # path's (dist, code) tie-break. Survives IVF-scale
+            # codebooks where the CASE/named_struct literal SQL
+            # would blow past codegen limits.
+            cdf = spark.createDataFrame(
+                [
+                    (s, c, [cent[s][c][p] for p in range(len(cent[s][c]))])
+                    for s in sorted(cent)
+                    for c in sorted(cent[s])
+                ],
+                "s int, __cc int, __cm array<bigint>",
+            )
+            dist = F.expr(
+                "aggregate(zip_with(sv, __cm, (x, c) -> (x - c) * (x - c)),"
+                " 0L, (a, v) -> a + v)"
+            )
+            assigned = (
+                exploded.join(F.broadcast(cdf), "s")
+                .withColumn("__dd", dist)
+                .groupBy("__id", "s")
+                .agg(
+                    F.min(
+                        F.struct(
+                            F.col("__dd").alias("d"),
+                            F.col("__cc").alias("c"),
+                        )
+                    ).alias("__s"),
+                    F.first("sv").alias("sv"),
+                )
+                .select(
+                    "__id", "s", "sv",
+                    F.col("__s.c").cast("int").alias("__c"),
+                )
+            )
+            continue
         branches = []
         for s in sorted(cent):
             structs = []
