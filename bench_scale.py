@@ -54,11 +54,32 @@ from feast_hive_spark.session import get_spark
 from feast_hive_spark.sources.tables import TABLES, read_table
 
 SF01_DIR = "/root/testdata/sf0.1"
+_HERE = os.path.dirname(os.path.abspath(__file__))
 SF1_DIR = os.environ.get(
-    "SPARK_GRAFT_SF1_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_sf1")
+    "SPARK_GRAFT_SF1_DIR", os.path.join(_HERE, "bench_sf1")
+)
+SF10_DIR = os.environ.get(
+    "SPARK_GRAFT_SF10_DIR", os.path.join(_HERE, "bench_sf10")
 )
 N_COPIES = 10
+N_COPIES_100 = 100
 EXPONENT_FLAG = 1.15  # ~linear with room for noise at 3-run medians
+
+# --tier100 (r6 verdict #2): the second decade. Exponents measured
+# between 600k and 6M rows say nothing about where shuffle/memory
+# pressure bends the curve, so the queries that measured >=0.65 at
+# 10x get one more decade: 6M -> 60M-row-lineitem-equivalent (500k
+# documents - the family is documents-bound), timed between SF1_DIR
+# and SF10_DIR, emitted as BENCH_SF10.json.
+SF10_QUERIES = [
+    "winnowing_overlap_pairs",
+    "winnowing_overlap_pairs_capped",
+    "dedup_components",
+    "pagerank_near_dup",
+    "dedup_simhash",
+    "kneser_ney_nll_scores",
+    "dedup_minhash_lsh",
+]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
 # stride_source_table names the table whose max(key)+1 defines the
@@ -143,38 +164,41 @@ def _strides(spark) -> dict[tuple[str, str], int]:
     return out
 
 
-def generate(spark) -> None:
-    """Write the 10x key-shifted union to SF1_DIR (idempotent)."""
-    marker = os.path.join(SF1_DIR, "_GENERATED")
+def generate(
+    spark, dst_dir: str = SF1_DIR, n_copies: int = N_COPIES
+) -> None:
+    """Write an ``n_copies`` key-shifted union to ``dst_dir``
+    (idempotent)."""
+    marker = os.path.join(dst_dir, "_GENERATED")
     if os.path.exists(marker):
         return
-    os.makedirs(SF1_DIR, exist_ok=True)
+    os.makedirs(dst_dir, exist_ok=True)
     strides = _strides(spark)
     for t in _DIMS:
         read_table(spark, SF01_DIR, t).write.mode("overwrite").parquet(
-            f"{SF1_DIR}/{t}.parquet"
+            f"{dst_dir}/{t}.parquet"
         )
     for t, cols in _KEYS.items():
         base = read_table(spark, SF01_DIR, t)
         # one distributed plan: cross the table with copy indices and
         # shift every key column by i * stride — no driver loop over
         # copies, one shuffle-free (broadcast) fan-out scan.
-        copies = spark.range(N_COPIES).withColumnRenamed("id", "__copy")
+        copies = spark.range(n_copies).withColumnRenamed("id", "__copy")
         df = base.crossJoin(F.broadcast(copies))
         for col, src in cols.items():
             df = df.withColumn(
                 col, (F.col(col) + F.col("__copy") * F.lit(strides[src])).cast("long")
             )
-        # 16 output files for the big tables, 8 for the small: enough
-        # file-level split parallelism for a 32-core scan without
-        # tiny-file overhead
+        # enough file-level split parallelism for a 32-core scan
+        # without tiny-file overhead, scaled with the copy count
         nparts = 16 if t in ("lineitem", "orders", "events") else 8
+        nparts = nparts * max(1, n_copies // N_COPIES)
         df.drop("__copy").repartition(nparts).write.mode("overwrite").parquet(
-            f"{SF1_DIR}/{t}.parquet"
+            f"{dst_dir}/{t}.parquet"
         )
-        print(f"  generated {t} x{N_COPIES}", file=sys.stderr)
+        print(f"  generated {t} x{n_copies}", file=sys.stderr)
     with open(marker, "w") as f:
-        f.write(f"copies={N_COPIES} base={SF01_DIR}\n")
+        f.write(f"copies={n_copies} base={SF01_DIR}\n")
 
 
 def _noop(df) -> None:
@@ -208,6 +232,73 @@ def _time_e2e(spark, name: str, sf_dir: str, runs: int = 3) -> float:
         _noop(fn(spark, sf_dir))
         samples.append(time.perf_counter() - t0)
     return sorted(samples)[len(samples) // 2]
+
+
+def main_tier100() -> None:
+    """The second decade (r6 verdict #2): time the >=0.65-exponent
+    family between the 10x and 100x datasets and emit BENCH_SF10.json.
+    Same accounting as the first decade (e2e, cold plan caches,
+    median of 3, engine defaults)."""
+    names = [a for a in sys.argv[1:] if a in REGISTRY] or [
+        n for n in SF10_QUERIES if n in REGISTRY
+    ]
+    spark = get_spark("bench-scale-100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark, SF1_DIR, N_COPIES)
+    generate(spark, SF10_DIR, N_COPIES_100)
+
+    rows_10x = spark.read.parquet(f"{SF1_DIR}/lineitem.parquet").count()
+    rows_100x = spark.read.parquet(f"{SF10_DIR}/lineitem.parquet").count()
+
+    partial_path = os.path.join(_HERE, "BENCH_SF10_partial.tmp")
+    results: dict[str, dict] = {}
+    if os.path.exists(partial_path):
+        with open(partial_path) as f:
+            results = json.load(f)
+        print(f"  resuming: {len(results)} already measured", file=sys.stderr)
+    for name in names:
+        if name in results:
+            continue
+        spark.catalog.clearCache()
+        t10 = _time_e2e(spark, name, SF1_DIR)
+        spark.catalog.clearCache()
+        t100 = _time_e2e(spark, name, SF10_DIR)
+        exp = math.log(t100 / t10) / math.log(10)
+        results[name] = {
+            "sec_sf1": round(t10, 3),
+            "sec_sf10": round(t100, 3),
+            "ratio": round(t100 / t10, 2),
+            "exponent": round(exp, 3),
+        }
+        print(
+            f"  {name}: {t10:.2f}s -> {t100:.2f}s  "
+            f"ratio {t100 / t10:.2f}x  exponent {exp:.3f}",
+            file=sys.stderr,
+        )
+        with open(partial_path, "w") as f:
+            json.dump(results, f)
+    spark.stop()
+
+    flagged = sorted(
+        n for n, r in results.items() if r["exponent"] > EXPONENT_FLAG
+    )
+    payload = {
+        "metric": "sf1_to_sf10_scaling",
+        "n_copies": N_COPIES_100,
+        "lineitem_rows": {"sf1": rows_10x, "sf10": rows_100x},
+        "accounting": "e2e (plan build + eager jobs + noop-sink execute), median of 3",
+        "conf": "engine defaults (AQE on; no bench-session tuning)",
+        "exponent_flag_threshold": EXPONENT_FLAG,
+        "flagged": flagged,
+        "queries": results,
+    }
+    out_path = os.path.join(_HERE, "BENCH_SF10.json")
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    if os.path.exists(partial_path):
+        os.remove(partial_path)
+    print(json.dumps({k: payload[k] for k in ("metric", "flagged")}))
 
 
 def main() -> None:
@@ -289,4 +380,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--tier100" in sys.argv:
+        sys.argv.remove("--tier100")
+        main_tier100()
+    else:
+        main()
