@@ -278,6 +278,15 @@ BENCH_QUERIES = [
     "benford_first_digit_audit",
     "top_event_trigrams",
     "cusum_daily_value_shift",
+    # r7 additions
+    "auc_quality_en",
+    "calibration_bins_quality",
+    "mutual_information_event_segment",
+    "hill_tail_index",
+    "kaplan_meier_user_retention",
+    "reservoir_sample_docs_by_lang",
+    "js_divergence_top_terms",
+    "local_clustering_coefficients",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

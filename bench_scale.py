@@ -72,13 +72,16 @@ EXPONENT_FLAG = 1.15  # ~linear with room for noise at 3-run medians
 # documents - the family is documents-bound), timed between SF1_DIR
 # and SF10_DIR, emitted as BENCH_SF10.json.
 SF10_QUERIES = [
-    "winnowing_overlap_pairs",
     "winnowing_overlap_pairs_capped",
     "dedup_components",
     "pagerank_near_dup",
     "dedup_simhash",
     "kneser_ney_nll_scores",
     "dedup_minhash_lsh",
+    # exact (uncapped) winnowing last: its pair join is the known
+    # explosion the cap exists for — if it dies at 100x, that is a
+    # recorded finding and must not poison the other measurements
+    "winnowing_overlap_pairs",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -259,10 +262,19 @@ def main_tier100() -> None:
     for name in names:
         if name in results:
             continue
-        spark.catalog.clearCache()
-        t10 = _time_e2e(spark, name, SF1_DIR)
-        spark.catalog.clearCache()
-        t100 = _time_e2e(spark, name, SF10_DIR)
+        # a query that dies at 100x (OOM/pair explosion) is a FINDING,
+        # not a harness abort — record it and keep measuring the rest
+        try:
+            spark.catalog.clearCache()
+            t10 = _time_e2e(spark, name, SF1_DIR)
+            spark.catalog.clearCache()
+            t100 = _time_e2e(spark, name, SF10_DIR)
+        except Exception as exc:  # noqa: BLE001
+            results[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+            print(f"  {name}: FAILED {type(exc).__name__}", file=sys.stderr)
+            with open(partial_path, "w") as f:
+                json.dump(results, f)
+            continue
         exp = math.log(t100 / t10) / math.log(10)
         results[name] = {
             "sec_sf1": round(t10, 3),
@@ -280,14 +292,22 @@ def main_tier100() -> None:
     spark.stop()
 
     flagged = sorted(
-        n for n, r in results.items() if r["exponent"] > EXPONENT_FLAG
+        n
+        for n, r in results.items()
+        if r.get("exponent", 99) > EXPONENT_FLAG
     )
     payload = {
         "metric": "sf1_to_sf10_scaling",
         "n_copies": N_COPIES_100,
         "lineitem_rows": {"sf1": rows_10x, "sf10": rows_100x},
         "accounting": "e2e (plan build + eager jobs + noop-sink execute), median of 3",
-        "conf": "engine defaults (AQE on; no bench-session tuning)",
+        "conf": (
+            "engine defaults (AQE on; no bench-session tuning); "
+            f"driver heap {os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} "
+            "(the single local JVM holds all 32 executor threads; the "
+            "8g test default is ~250MB/thread — far below any real "
+            "executor at the 60M-row tier)"
+        ),
         "exponent_flag_threshold": EXPONENT_FLAG,
         "flagged": flagged,
         "queries": results,

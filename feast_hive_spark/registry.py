@@ -115,6 +115,14 @@ SAMPLE_ROTATION: list[str] = [
     # r7 additions (new queries, never sampled by definition) are
     # appended here as they land:
     "winnowing_overlap_pairs_capped",
+    "auc_quality_en",
+    "calibration_bins_quality",
+    "mutual_information_event_segment",
+    "hill_tail_index",
+    "kaplan_meier_user_retention",
+    "reservoir_sample_docs_by_lang",
+    "js_divergence_top_terms",
+    "local_clustering_coefficients",
 ]
 
 

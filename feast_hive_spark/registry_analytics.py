@@ -4079,3 +4079,529 @@ def cusum_daily_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(F.abs(F.col("cusum"))).cast("long").alias("max_cusum"),
     )
+
+
+# =====================================================================
+# r7: model-evaluation + distribution-audit statistics
+# =====================================================================
+
+
+@register(
+    "auc_quality_en",
+    f"""
+WITH d AS (
+  SELECT CAST(round({X.duck_quality_score('text')} * 1000000) AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (SELECT s, COUNT(*) AS n, SUM(y) AS npos FROM d GROUP BY s),
+r AS (SELECT s, n, npos, SUM(n) OVER (ORDER BY s) AS cum FROM g),
+a AS (
+  SELECT SUM(CAST(npos AS HUGEINT) * (2 * (cum - n) + n + 1)) AS s2,
+         SUM(npos) AS p, SUM(n) AS nt
+  FROM r
+)
+SELECT CAST(nt AS BIGINT) AS n_docs,
+       CAST(p AS BIGINT) AS n_pos,
+       CAST((2 * (CAST(s2 AS HUGEINT) - CAST(p AS HUGEINT) * (p + 1)) * 1000000
+             + 2 * CAST(p AS HUGEINT) * (nt - p))
+            // (2 * 2 * CAST(p AS HUGEINT) * (nt - p)) AS BIGINT) AS auc_micro
+FROM a
+""",
+)
+def auc_quality_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality score as a predictor of
+    ``lang = 'en'`` — the Mann-Whitney U formulation with midrank tie
+    handling: AUC = (Σ avg-rank(pos) − P(P+1)/2) / (P·N). All
+    corpus-sized work is one per-score aggregate; ranks come from the
+    bucketed global prefix kernel (operators/prefix.py — quantile
+    buckets, O(buckets) collect, parallel per-bucket windows, never a
+    single-partition sort). Numerators stay exact integers end to end
+    (2·U is integral even with midranks), half-up rounded at 1e-6 via
+    the same floor-division identity as gini — bit-identical to the
+    HUGEINT twin."""
+    from feast_hive_spark.operators.prefix import global_running_sums
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.round(X.quality_score("text") * 1000000)
+        .cast("long")
+        .alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    g = d.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos")
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    r = global_running_sums(g, "s", [F.col("s")], ["n"], n_part)
+    a = r.agg(
+        F.sum(
+            F.col("npos").cast("decimal(38,0)")
+            * (2 * (F.col("__rs_n") - F.col("n")) + F.col("n") + 1)
+        ).alias("s2"),
+        F.sum("npos").cast("decimal(38,0)").alias("p"),
+        F.sum("n").cast("decimal(38,0)").alias("nt"),
+    )
+    return a.selectExpr(
+        "CAST(nt AS LONG) AS n_docs",
+        "CAST(p AS LONG) AS n_pos",
+        # half-up integer rounding of (2U*1e6)/(2*P*N) via the exact
+        # decimal floor-division identity (see gini)
+        "CAST((2 * (s2 - p * (p + 1)) * 1000000 + 2 * p * (nt - p) "
+        " - ((2 * (s2 - p * (p + 1)) * 1000000 + 2 * p * (nt - p)) "
+        "    % (2 * 2 * p * (nt - p)))) "
+        " / (2 * 2 * p * (nt - p)) AS LONG) AS auc_micro",
+    )
+
+
+@register(
+    "calibration_bins_quality",
+    f"""
+WITH d AS (
+  SELECT CAST(round({X.duck_quality_score('text')} * 1000000) AS BIGINT) AS sm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+b AS (
+  SELECT LEAST(sm // 100000, 9) AS bin, COUNT(*) AS n,
+         SUM(sm) AS ssum, SUM(y) AS npos
+  FROM d GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST((CAST(ssum AS HUGEINT) * 2 + n) // (2 * n) AS BIGINT)
+         AS mean_quality_micro,
+       CAST((CAST(npos AS HUGEINT) * 2000000 + n) // (2 * n) AS BIGINT)
+         AS pos_rate_micro
+FROM b
+""",
+)
+def calibration_bins_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram for the quality score against the
+    ``lang='en'`` label: 10 equal-width score bins, each reporting its
+    mean predicted score and realized positive rate — the calibration
+    readout that tells you whether a [0.6, 0.7) score means ~65%.
+    ONE grouped aggregate over exact micro integers; both ratios
+    half-up rounded at 1e-6 with integer arithmetic only."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.round(X.quality_score("text") * 1000000)
+        .cast("long")
+        .alias("sm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    b = d.groupBy(
+        F.least(F.floor(F.col("sm") / 100000), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sm").cast("decimal(38,0)").alias("ssum"),
+        F.sum("y").cast("decimal(38,0)").alias("npos"),
+    )
+    return b.selectExpr(
+        "CAST(bin AS LONG) AS bin",
+        "CAST(n AS LONG) AS n_docs",
+        "CAST((ssum * 2 + n - ((ssum * 2 + n) % (2 * n))) / (2 * n) "
+        " AS LONG) AS mean_quality_micro",
+        "CAST((npos * 2000000 + n - ((npos * 2000000 + n) % (2 * n))) "
+        " / (2 * n) AS LONG) AS pos_rate_micro",
+    )
+
+
+@register(
+    "mutual_information_event_segment",
+    """
+WITH obs AS (
+  SELECT e.event_type, c.c_mktsegment AS segment, COUNT(*) AS o
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY e.event_type, c.c_mktsegment
+),
+tot AS (SELECT SUM(o) AS n FROM obs),
+margins AS (
+  SELECT obs.event_type, obs.segment, obs.o, rt.row_tot, ct.col_tot, tot.n
+  FROM obs
+  JOIN (SELECT event_type, SUM(o) AS row_tot FROM obs GROUP BY event_type) rt
+    ON obs.event_type = rt.event_type
+  JOIN (SELECT segment, SUM(o) AS col_tot FROM obs GROUP BY segment) ct
+    ON obs.segment = ct.segment
+  CROSS JOIN tot
+)
+SELECT event_type, segment, CAST(o AS BIGINT) AS n_obs,
+       CAST(ROUND(CAST(o AS DOUBLE) / n
+              * ln((CAST(o AS DOUBLE) * n)
+                   / (CAST(row_tot AS DOUBLE) * col_tot))
+              * 1000000) AS BIGINT) AS mi_contrib_micro
+FROM margins
+""",
+)
+def mutual_information_event_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-cell mutual-information decomposition between event type
+    and customer market segment: (p_xy)·ln(p_xy/(p_x·p_y)) for each
+    of the 25 contingency cells — the dependence readout whose SUM is
+    I(X;Y), reported per cell so every double is rounded exactly once
+    (the chi2 twin's micro-unit discipline; no cross-cell double
+    sum). Scan-sized work is the single observed-count aggregate;
+    marginals re-reduce the 25-row table."""
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    obs = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("event_type", F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("segment").agg(F.sum("o").alias("col_tot"))
+    m = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "segment")
+        .crossJoin(F.broadcast(tot))
+    )
+    contrib = F.round(
+        F.col("o").cast("double")
+        / F.col("n")
+        * F.log(
+            (F.col("o").cast("double") * F.col("n"))
+            / (F.col("row_tot").cast("double") * F.col("col_tot"))
+        )
+        * 1000000
+    ).cast("long")
+    return m.select(
+        "event_type",
+        "segment",
+        F.col("o").cast("long").alias("n_obs"),
+        contrib.alias("mi_contrib_micro"),
+    )
+
+
+@register(
+    "hill_tail_index",
+    """
+WITH top AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 200
+),
+xk AS (SELECT MIN(cents) AS ck FROM top),
+lg AS (
+  SELECT CAST(ROUND(ln(CAST(cents AS DOUBLE) / ck) * 1000000000) AS BIGINT)
+           AS lnano
+  FROM top CROSS JOIN xk
+),
+s AS (SELECT SUM(lnano) AS snano, COUNT(*) AS k FROM lg)
+SELECT CAST(k AS BIGINT) AS k,
+       (SELECT CAST(ck AS BIGINT) FROM xk) AS xk_cents,
+       CAST((CAST(snano AS HUGEINT) * 2 + (k - 1))
+            // (2 * (k - 1)) AS BIGINT) AS hill_nano,
+       CAST((2000000000000000 + ((CAST(snano AS HUGEINT) * 2 + (k - 1)) // (2 * (k - 1))))
+            // (2 * ((CAST(snano AS HUGEINT) * 2 + (k - 1)) // (2 * (k - 1)))) AS BIGINT)
+         AS alpha_micro
+FROM s
+""",
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index over the k=200
+    largest orders: H = mean(ln(x_(i)/x_(k))), alpha = 1/H — the
+    heavy-tail exponent that decides whether whale-order skew has
+    finite variance (alpha > 2) or will dominate any sample. Top-k is
+    a TakeOrderedAndProject on a total order (price DESC, orderkey
+    ASC — identical multiset both engines); each log is fixed to
+    nano-units before the exact integer sum, so no float summation
+    order leaks in. alpha is half-up micro from the nano H."""
+    orders = read_table(spark, sf_dir, "orders")
+    top = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(200)
+        .select("cents")
+    )
+    xk = top.agg(F.min("cents").alias("ck"))
+    lg = top.crossJoin(F.broadcast(xk)).select(
+        F.round(
+            F.log(F.col("cents").cast("double") / F.col("ck"))
+            * 1000000000
+        )
+        .cast("long")
+        .alias("lnano"),
+        "ck",
+    )
+    s = lg.agg(
+        F.sum("lnano").cast("decimal(38,0)").alias("snano"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.min("ck").alias("ck"),
+    )
+    s2 = s.selectExpr(
+        "CAST(k AS LONG) AS k",
+        "CAST(ck AS LONG) AS xk_cents",
+        "CAST((snano * 2 + (k - 1) - ((snano * 2 + (k - 1)) "
+        "  % (2 * (k - 1)))) / (2 * (k - 1)) AS LONG) AS hill_nano",
+    )
+    return s2.selectExpr(
+        "k",
+        "xk_cents",
+        "hill_nano",
+        "CAST((2000000000000000 + CAST(hill_nano AS DECIMAL(38,0)) "
+        "  - ((2000000000000000 + CAST(hill_nano AS DECIMAL(38,0))) "
+        "     % (2 * CAST(hill_nano AS DECIMAL(38,0))))) "
+        " / (2 * CAST(hill_nano AS DECIMAL(38,0))) AS LONG) AS alpha_micro",
+    )
+
+
+@register(
+    "kaplan_meier_user_retention",
+    """
+WITH u AS (
+  SELECT user_id,
+         MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS mn,
+         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
+  FROM events GROUP BY user_id
+),
+gm AS (SELECT MAX(mx) AS g FROM u),
+t AS (
+  SELECT (mx - mn) // 86400000000 AS t_day,
+         CASE WHEN mx < g - 7 * 86400000000 THEN 1 ELSE 0 END AS ev
+  FROM u CROSS JOIN gm
+),
+g AS (
+  SELECT t_day, COUNT(*) AS c, SUM(ev) AS d FROM t GROUP BY t_day
+),
+r AS (
+  SELECT t_day, c, d,
+         SUM(c) OVER () - (SUM(c) OVER (ORDER BY t_day) - c) AS n_risk
+  FROM g
+),
+f AS (
+  SELECT t_day, c, d, n_risk,
+         CASE WHEN d = 0 THEN 0
+              WHEN d < n_risk THEN CAST(ROUND(
+                ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1000000000)
+                AS BIGINT)
+              ELSE -1000000000000000 END AS lnano
+  FROM r
+),
+s AS (
+  SELECT t_day, d, n_risk,
+         SUM(lnano) OVER (ORDER BY t_day) AS cum
+  FROM f
+)
+SELECT CAST(t_day AS BIGINT) AS t_day,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_deaths,
+       CAST(ROUND(exp(CAST(cum AS DOUBLE) / 1000000000) * 1000000)
+            AS BIGINT) AS survival_micro
+FROM s WHERE d > 0
+""",
+)
+def kaplan_meier_user_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days between a
+    user's first and last event), right-censoring users still active
+    in the final week: S(t) = prod over death-days <= t of
+    (1 - d/n_at_risk) — the churn readout ("what fraction of users
+    survive past day t") with censoring handled correctly, which a
+    naive lifetime histogram gets wrong. Corpus-sized work is ONE
+    per-user min/max aggregate; everything after runs on the distinct
+    lifetime-day table, which is bounded by the corpus calendar span
+    (its single-partition cumulative window is bounded by days, never
+    data). Each hazard log is fixed to nano-units BEFORE the
+    cumulative sum (exact integer prefix — no float order
+    sensitivity, and immune to DuckDB's segment-tree window
+    summation order); an all-deaths day gets a -1e15 nano sentinel
+    whose exp underflows to exactly 0 in both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    gm = u.agg(F.max("mx").alias("g"))
+    t = u.crossJoin(F.broadcast(gm)).select(
+        F.floor((F.col("mx") - F.col("mn")) / 86400000000).alias("t_day"),
+        F.when(
+            F.col("mx") < F.col("g") - 7 * 86400000000, 1
+        ).otherwise(0).alias("ev"),
+    )
+    g = t.groupBy("t_day").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("ev").alias("d")
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.select(
+        "t_day",
+        "c",
+        "d",
+        (
+            F.sum("c").over(w_all) - (F.sum("c").over(w_cum) - F.col("c"))
+        ).alias("n_risk"),
+    )
+    f = r.select(
+        "t_day",
+        "d",
+        "n_risk",
+        F.when(F.col("d") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                )
+                * 1000000000
+            ).cast("long"),
+        )
+        .otherwise(F.lit(-1000000000000000).cast("long"))
+        .alias("lnano"),
+    )
+    s = f.select(
+        "t_day",
+        "d",
+        "n_risk",
+        F.sum("lnano").over(w_cum).alias("cum"),
+    )
+    return s.filter(F.col("d") > 0).select(
+        F.col("t_day").cast("long").alias("t_day"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_deaths"),
+        F.round(
+            F.exp(F.col("cum").cast("double") / 1000000000) * 1000000
+        )
+        .cast("long")
+        .alias("survival_micro"),
+    )
+
+
+@register(
+    "reservoir_sample_docs_by_lang",
+    f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(ROUND(
+           ln((CAST({X.duck_h48("'rs:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+               + 0.5) / 281474976710656.0)
+           / GREATEST(n_chars, 1) * 1000000000) AS BIGINT) AS knano
+  FROM documents
+),
+rk AS (
+  SELECT lang, doc_id, n_chars, knano,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY knano DESC, doc_id ASC) AS rk
+  FROM keyed
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM rk WHERE rk <= 5
+""",
+)
+def reservoir_sample_docs_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic weighted reservoir sampling (Efraimidis-
+    Spirakis A-Res), 5 docs per language weighted by length: each row
+    gets key = ln(u)/w with u a stateless hash-uniform in (0,1) —
+    NO RNG state, so any re-execution, any partitioning, any engine
+    draws the identical sample; top-5 per group by key. This is the
+    one-pass distributed sample every curation pipeline needs where
+    "pick proportional to weight without materializing a global
+    sort" matters. Keys are nano-fixed before ranking so the order is
+    integer-exact cross-engine; the per-lang window takes the
+    WindowGroupLimit partial top-k path before the shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        X.h48(
+            F.concat(F.lit("rs:"), F.col("doc_id").cast("string"))
+        ).cast("double")
+        + 0.5
+    ) / 281474976710656.0
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)) * 1000000000
+        )
+        .cast("long")
+        .alias("knano"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("knano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "lang",
+            F.col("rk").cast("long").alias("rk"),
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "local_clustering_coefficients",
+    """
+WITH raw AS (
+  SELECT event_id % 211 AS a, (event_id * 31 + 7) % 211 AS b FROM events
+), e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+), deg AS (
+  SELECT x, COUNT(*) AS d FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e
+  ) GROUP BY x
+), arcs AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+), wedges AS (
+  SELECT a1.src, a1.dst AS n1, a2.dst AS n2
+  FROM arcs a1 JOIN arcs a2 ON a1.src = a2.src AND a1.dst < a2.dst
+), closing AS (
+  SELECT src, n1, n2 FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.n1 AND e.v = w.n2)
+), tri AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT src AS node FROM closing
+    UNION ALL SELECT n1 FROM closing
+    UNION ALL SELECT n2 FROM closing
+  ) GROUP BY node
+)
+SELECT deg.x AS node, CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tri.triangles, 0) AS BIGINT) AS triangles,
+       CAST((2 * 2 * COALESCE(tri.triangles, 0) * 1000000
+             + deg.d * (deg.d - 1))
+            // (2 * deg.d * (deg.d - 1)) AS BIGINT) AS coeff_micro
+FROM deg LEFT JOIN tri ON tri.node = deg.x
+WHERE deg.d >= 2
+""",
+)
+def local_clustering_coefficients(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node local clustering coefficient (operators/graph.
+    local_clustering) on the deterministic modular event graph the
+    triangle census uses — separates clique-like neighborhoods
+    (coeff ~1e6) from star hubs (coeff ~0) node by node. Degree-
+    oriented wedge generation bounds hub work at sqrt(2m); the
+    closure probe credits all three triangle corners via one explode
+    + count. Exact integer micro output, every node hash-gated."""
+    from feast_hive_spark.operators.graph import local_clustering
+
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("event_id") % 211).alias("id_a"),
+        ((F.col("event_id") * 31 + 7) % 211).alias("id_b"),
+    )
+    return local_clustering(pairs)

@@ -1470,3 +1470,78 @@ def kneser_ney_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py:kneser_ney_nll_scores)."""
     docs = read_table(spark, sf_dir, "documents")
     return C.kneser_ney_nll_scores(docs, "doc_id", "text", discount=_KN_D)
+
+
+@register(
+    "js_divergence_top_terms",
+    f"""
+WITH tok AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en, unnest({X.duck_words('text')}) AS term
+  FROM documents
+),
+cnt AS (
+  SELECT term, SUM(en) AS ce, SUM(1 - en) AS cn
+  FROM tok GROUP BY term
+),
+tot AS (SELECT SUM(ce) AS te, SUM(cn) AS tn FROM cnt),
+js AS (
+  SELECT term, ce, cn,
+         CAST(ROUND((
+           CASE WHEN ce > 0 THEN
+             0.5 * (CAST(ce AS DOUBLE) / te)
+             * ln((CAST(ce AS DOUBLE) / te)
+                  / ((CAST(ce AS DOUBLE) / te + CAST(cn AS DOUBLE) / tn) / 2))
+           ELSE 0 END
+           +
+           CASE WHEN cn > 0 THEN
+             0.5 * (CAST(cn AS DOUBLE) / tn)
+             * ln((CAST(cn AS DOUBLE) / tn)
+                  / ((CAST(ce AS DOUBLE) / te + CAST(cn AS DOUBLE) / tn) / 2))
+           ELSE 0 END) * 1000000000) AS BIGINT) AS js_nano
+  FROM cnt CROSS JOIN tot
+)
+SELECT term, CAST(ce AS BIGINT) AS n_en, CAST(cn AS BIGINT) AS n_other,
+       js_nano
+FROM js ORDER BY js_nano DESC, term ASC LIMIT 20
+""",
+)
+def js_divergence_top_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-term Jensen-Shannon divergence decomposition between the
+    English and non-English unigram distributions, top 20 — the
+    "which words make these corpora different" readout behind corpus
+    drift and domain-mix dashboards (summing js_nano over ALL terms
+    gives JS(P||Q) in nats). Counts are exact integers from one
+    vocabulary-sized aggregate; each term's contribution is a pure
+    function of four exact integers, nano-fixed at the row (no
+    cross-term double sum), ranked by (js_nano, term) so top-20
+    selection is integer-deterministic cross-engine. At 100 TB the
+    shuffle is vocabulary-sized; totals ride a 1-row broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("en"),
+        F.explode(X.words("text")).alias("term"),
+    )
+    cnt = tok.groupBy("term").agg(
+        F.sum("en").alias("ce"), F.sum(1 - F.col("en")).alias("cn")
+    )
+    tot = cnt.agg(F.sum("ce").alias("te"), F.sum("cn").alias("tn"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    p = F.col("ce").cast("double") / F.col("te")
+    q = F.col("cn").cast("double") / F.col("tn")
+    m = (p + q) / 2
+    contrib = F.when(F.col("ce") > 0, 0.5 * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("cn") > 0, 0.5 * q * F.log(q / m)).otherwise(
+        F.lit(0.0)
+    )
+    out = j.select(
+        "term",
+        F.col("ce").cast("long").alias("n_en"),
+        F.col("cn").cast("long").alias("n_other"),
+        F.round(contrib * 1000000000).cast("long").alias("js_nano"),
+    )
+    return out.orderBy(F.col("js_nano").desc(), F.col("term").asc()).limit(
+        20
+    )
