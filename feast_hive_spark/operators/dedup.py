@@ -325,6 +325,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     bands: int = 4,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash signatures + banded LSH.
 
@@ -332,7 +333,36 @@ def minhash_lsh_pairs(
     functions/text.py). Banding: 4 bands x 4 rows; a pair is a
     candidate iff some band agrees; exact-Jaccard verification gives
     back precision. At 100 TB the only shuffles are (band_key ->
-    bucket) and the verification joins — never all-pairs."""
+    bucket) and the verification joins — never all-pairs.
+
+    ``collapse_exact`` (default ON) collapses exact-duplicate texts
+    before signing and expands pairs back at the end
+    (``_exact_collapse`` / ``_expand_collapsed_pairs``). Identical
+    texts have identical shingle sets, hence identical MinHash
+    signatures: a d-way duplicate cluster agrees on EVERY band and
+    contributes d^2/2 candidate pairs per band before the distinct —
+    the r7 second-decade harness (100-way clusters) measured the
+    uncollapsed path superlinear (exponent 1.11). Collapsing makes
+    band work a function of DISTINCT texts and the expansion is
+    output-sized. Output identical by construction (identical text
+    => identical signature => same candidates, Jaccard 1.0 within
+    groups when the shingle set is non-empty)."""
+    if collapse_exact:
+        mem, reps, rep_rows = _exact_collapse(df, id_col, text_col)
+        rep_pairs = minhash_lsh_pairs(
+            rep_rows, id_col, text_col, n, bands, threshold,
+            collapse_exact=False,
+        )
+        # within-group pairs surface in the uncollapsed pipeline iff
+        # the shared shingle set is non-empty (empty sets verify to
+        # jaccard 0) and 1.0 clears the threshold.
+        eligible_th = rep_rows.filter(
+            (F.size(X.tokens_array(text_col)) >= n)
+            & F.lit(threshold <= 1.0)
+        ).select(F.md5(F.col(text_col)).alias("__th"))
+        return _expand_collapsed_pairs(
+            rep_pairs, mem, reps, "jaccard", 1.0, eligible_th
+        )
     rows_per_band = len(X.MINHASH_COEFS) // bands
     with_sh = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), X.tokens_array(text_col).alias("__tk")
@@ -413,7 +443,11 @@ def _simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with 48-bit SimHash fingerprints.
 
@@ -421,7 +455,34 @@ def simhash_pairs(
     bands (pigeonhole: <=3 flipped bits cannot touch all 4 bands, so
     recall is exact for hamming <= 3; 4096-way buckets keep random
     collisions ~16x rarer than byte bands). Verification:
-    bit_count(xor) — JVM-side intrinsics."""
+    bit_count(xor) — JVM-side intrinsics.
+
+    ``collapse_exact`` (default ON) collapses exact-duplicate texts
+    before fingerprinting and expands pairs back at the end. SimHash
+    of identical text is identical by definition, so a d-way duplicate
+    cluster packs one 4096-way bucket in EVERY band with d members —
+    d^2/2 candidate pairs per band before the distinct. The r7
+    second-decade harness (100-way clusters, 60M rows) OOM'd an 8g
+    driver on the uncollapsed path and exhausted disk via shuffle
+    spill at 24g; the downstream ``_guarded_candidates`` probe sits
+    after the explosion and cannot help. Collapsing bounds band work
+    by DISTINCT texts; the expansion is output-sized. Output is
+    identical: identical text => identical fingerprint => hamming 0
+    within groups, and cross-group hamming equals the reps'."""
+    if collapse_exact:
+        mem, reps, rep_rows = _exact_collapse(df, id_col, text_col)
+        rep_pairs = simhash_pairs(
+            rep_rows, id_col, text_col, max_hamming, collapse_exact=False
+        )
+        # docs with zero word tokens never receive a fingerprint in
+        # the uncollapsed pipeline (explode drops them), so their
+        # groups emit no within pairs either.
+        eligible_th = rep_rows.filter(
+            (F.size(X.words(text_col)) >= 1) & F.lit(max_hamming >= 0)
+        ).select(F.md5(F.col(text_col)).alias("__th"))
+        return _expand_collapsed_pairs(
+            rep_pairs, mem, reps, "hamming", 0, eligible_th
+        )
     fp = _simhash_fingerprints(df, id_col, text_col).cache()
     banded = fp.select(
         id_col,
@@ -1366,6 +1427,7 @@ def winnowing_overlap_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_doc_freq: int | None = 64,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Cross-document overlap candidates from winnowed fingerprints:
     inverted-index self-join on the fingerprint hash, pairs sharing
@@ -1386,8 +1448,86 @@ def winnowing_overlap_pairs(
     DuckDB oracle twins (`winnowing_overlap_pairs` exact,
     `winnowing_overlap_pairs_capped`).
 
+    ``collapse_exact`` (default ON): identical texts winnow to
+    identical fingerprint sets, so a d-way duplicate cluster puts d
+    copies of EVERY fingerprint into the index and the self-join grows
+    with d^2 — the r7 second-decade harness measured the capped path
+    at exponent 0.788 (the df cap alone cannot flatten it: all
+    fingerprints of a cluster collide pairwise below any cap that
+    preserves recall). Collapsing runs winnowing + the self-join on
+    DISTINCT texts and expands pairs back output-sized. Semantics are
+    unchanged, including the cap: full-corpus document frequency is
+    recovered exactly without per-member fingerprints, because
+    df(fph) = sum of duplicate-group sizes over the groups whose text
+    contains fph.
+
     Output: ``(id_a, id_b, n_shared)``.
     """
+    if collapse_exact:
+        mem, reps, rep_rows = _exact_collapse(df, id_col, text_col)
+        fp = winnowing_fingerprints(rep_rows, id_col, text_col, n, window)
+        if max_doc_freq is not None:
+            gsize = mem.groupBy("__th").agg(F.count(F.lit(1)).alias("__gs"))
+            rep_gs = reps.join(gsize, "__th").select(
+                F.col("__rep").alias(id_col), "__gs"
+            )
+            hot = (
+                fp.join(rep_gs, id_col)
+                .groupBy("fph")
+                .agg(F.sum("__gs").alias("__df"))
+                .filter(F.col("__df") > max_doc_freq)
+                .select("fph")
+            )
+            fp = fp.join(F.broadcast(hot), "fph", "left_anti")
+        a = fp.select(F.col(id_col).alias("id_a"), "fph")
+        b = fp.select(F.col(id_col).alias("id_b"), "fph")
+        rep_pairs = (
+            a.join(b, "fph")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+        # cross-group expansion: every member pair inherits the reps'
+        # exact shared count (identical text => identical fp set).
+        a_r = reps.select(F.col("__rep").alias("id_a"), F.col("__th").alias("__tha"))
+        b_r = reps.select(F.col("__rep").alias("id_b"), F.col("__th").alias("__thb"))
+        mema = mem.select(F.col("__mid").alias("__ma"), F.col("__th").alias("__tha"))
+        memb = mem.select(F.col("__mid").alias("__mb"), F.col("__th").alias("__thb"))
+        cross = (
+            rep_pairs.join(a_r, "id_a")
+            .join(b_r, "id_b")
+            .join(mema, "__tha")
+            .join(memb, "__thb")
+            .select(
+                F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"),
+                F.col("n_shared"),
+            )
+        )
+        # within-group pairs share the group's ENTIRE surviving
+        # fingerprint set — a per-group count, not a constant, so this
+        # expansion is custom rather than _expand_collapsed_pairs.
+        th_count = (
+            fp.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .join(reps.select(F.col("__rep").alias(id_col), "__th"), id_col)
+            .select("__th", "n_shared")
+        )
+        wa = mem.select(F.col("__mid").alias("__wa"), "__th")
+        wb = mem.select(F.col("__mid").alias("__wb"), "__th")
+        within = (
+            th_count.join(wa, "__th")
+            .join(wb, "__th")
+            .filter(F.col("__wa") < F.col("__wb"))
+            .select(
+                F.col("__wa").alias("id_a"),
+                F.col("__wb").alias("id_b"),
+                F.col("n_shared"),
+            )
+        )
+        return cross.unionByName(within)
     fp = winnowing_fingerprints(df, id_col, text_col, n, window)
     if max_doc_freq is not None:
         hot = (

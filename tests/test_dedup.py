@@ -414,3 +414,75 @@ def test_winnowing_density_bound(spark, sf_dir):
     n_fp = winnowing_fingerprints(docs, "doc_id", "text").count()
     # 2/(w+1) = 0.4 expected density; distinct-per-doc collapses a bit
     assert 0.2 * n_sh < n_fp < 0.55 * n_sh
+
+
+# --- exact-collapse equivalence (r8: the second-decade scale fix) ---------
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    """Adversarial corpus for collapse-vs-raw equivalence: 8-way exact
+    duplicate clusters (the quadratic multiplier the collapse removes),
+    near-dup variants, an empty doc, a sub-n doc, and singletons."""
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "completely different words having nothing shared anywhere here",
+        "",            # no tokens: no shingles, no simhash fingerprint
+        "two words",   # < n tokens: empty shingle set
+    ]
+    rows = []
+    for ci, t in enumerate(base):
+        for k in range(8 if ci < 2 else 2):
+            rows.append((ci * 100 + k, t))
+    rows.append((999, "a lone singleton document with its own text entirely"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_minhash_collapse_equivalence(dup_corpus):
+    raw = D.minhash_lsh_pairs(
+        dup_corpus, "doc_id", "text", collapse_exact=False
+    )
+    col = D.minhash_lsh_pairs(
+        dup_corpus, "doc_id", "text", collapse_exact=True
+    )
+    assert raw.schema == col.schema
+    assert _sorted_rows(raw) == _sorted_rows(col)
+    assert len(_sorted_rows(col)) >= 2 * (8 * 7 // 2)  # within-cluster pairs
+
+
+def test_simhash_collapse_equivalence(dup_corpus):
+    raw = D.simhash_pairs(dup_corpus, "doc_id", "text", collapse_exact=False)
+    col = D.simhash_pairs(dup_corpus, "doc_id", "text", collapse_exact=True)
+    assert raw.schema == col.schema
+    assert _sorted_rows(raw) == _sorted_rows(col)
+
+
+@pytest.mark.parametrize("max_doc_freq", [None, 3])
+def test_winnowing_collapse_equivalence(dup_corpus, max_doc_freq):
+    """Both the exact and the df-capped path: the capped hot set must be
+    computed on FULL-corpus document frequency (8-way clusters push df
+    past the cap even though only one distinct text carries the fp)."""
+    raw = D.winnowing_overlap_pairs(
+        dup_corpus, "doc_id", "text", min_shared=1,
+        max_doc_freq=max_doc_freq, collapse_exact=False,
+    )
+    col = D.winnowing_overlap_pairs(
+        dup_corpus, "doc_id", "text", min_shared=1,
+        max_doc_freq=max_doc_freq, collapse_exact=True,
+    )
+    assert raw.schema == col.schema
+    assert _sorted_rows(raw) == _sorted_rows(col)
+    if max_doc_freq == 3:
+        # the cap must actually bite on this corpus (df=8 > 3) so the
+        # equivalence is exercised, not vacuous
+        assert _sorted_rows(col) != _sorted_rows(
+            D.winnowing_overlap_pairs(
+                dup_corpus, "doc_id", "text", min_shared=1,
+                max_doc_freq=None, collapse_exact=True,
+            )
+        )
