@@ -237,14 +237,126 @@ def _time_e2e(spark, name: str, sf_dir: str, runs: int = 3) -> float:
     return sorted(samples)[len(samples) // 2]
 
 
+_RESULT_MARK = "TIER100_RESULT "
+_SPARK_TMP_GLOBS = ("blockmgr-*", "spark-*", "temporaryReader-*")
+
+
+def _spark_tmp_dirs() -> set[str]:
+    import glob as _glob
+    import tempfile as _tempfile
+
+    tmp = _tempfile.gettempdir()
+    out: set[str] = set()
+    for pat in _SPARK_TMP_GLOBS:
+        out.update(_glob.glob(os.path.join(tmp, pat)))
+    return out
+
+
+def _clean_spark_residue(before: set[str]) -> int:
+    """Remove Spark scratch dirs a crashed child JVM left in /tmp.
+
+    The r7 tier100 run left 22 GB of blockmgr shuffle spill behind a
+    driver OOM — enough to fail the NEXT query on disk space. Only
+    dirs that appeared after ``before`` was snapshotted are touched,
+    so a concurrent live session's scratch is never at risk (the
+    harness itself is serialized anyway). Returns bytes removed."""
+    import shutil
+
+    removed = 0
+    for d in _spark_tmp_dirs() - before:
+        try:
+            removed += sum(
+                os.path.getsize(os.path.join(root, fn))
+                for root, _dirs, fns in os.walk(d, onerror=lambda e: None)
+                for fn in fns
+                if os.path.exists(os.path.join(root, fn))
+            )
+            shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+    return removed
+
+
+def _tier100_child(name: str) -> None:
+    """Measure ONE query between the 10x and 100x tiers and print a
+    single machine-readable result line. Runs in its own process so a
+    driver-JVM OOM kills only this measurement — the r7 run showed one
+    simhash OOM poisoning every later query with spurious
+    stopped-SparkContext errors. The two tiers get SEPARATE try
+    blocks: a surviving 10x timing is kept even when 100x dies."""
+    spark = get_spark("bench-scale-100x-child")
+    spark.sparkContext.setLogLevel("ERROR")
+    rec: dict = {}
+    try:
+        spark.catalog.clearCache()
+        rec["sec_sf1"] = round(_time_e2e(spark, name, SF1_DIR), 3)
+    except Exception as exc:  # noqa: BLE001
+        rec["error_sf1"] = f"{type(exc).__name__}: {exc}"[:300]
+    if "error_sf1" not in rec:
+        try:
+            spark.catalog.clearCache()
+            rec["sec_sf10"] = round(_time_e2e(spark, name, SF10_DIR), 3)
+        except Exception as exc:  # noqa: BLE001
+            rec["error_sf10"] = f"{type(exc).__name__}: {exc}"[:300]
+    if "sec_sf1" in rec and "sec_sf10" in rec:
+        rec["ratio"] = round(rec["sec_sf10"] / rec["sec_sf1"], 2)
+        rec["exponent"] = round(
+            math.log(rec["sec_sf10"] / rec["sec_sf1"]) / math.log(10), 3
+        )
+    # print BEFORE spark.stop(): the result must survive even a hang
+    # or crash during JVM teardown
+    print(_RESULT_MARK + json.dumps(rec), flush=True)
+    spark.stop()
+
+
+def _run_tier100_subprocess(name: str, timeout_sec: int) -> dict:
+    """Fork one measurement child and parse its result line. Any hard
+    death (OOM-killed JVM, nonzero exit, timeout, no result line) is
+    recorded as an error dict — a finding, never a harness abort."""
+    import subprocess
+
+    before = _spark_tmp_dirs()
+    cmd = [sys.executable, os.path.abspath(__file__), "--tier100", "--one", name]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_sec
+        )
+    except subprocess.TimeoutExpired:
+        residue = _clean_spark_residue(before)
+        return {"error": f"timeout after {timeout_sec}s", "_residue_bytes": residue}
+    rec = None
+    for line in proc.stdout.splitlines():
+        if line.startswith(_RESULT_MARK):
+            rec = json.loads(line[len(_RESULT_MARK):])
+    residue = _clean_spark_residue(before)
+    if rec is None:
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        rec = {
+            "error": (
+                f"child exited {proc.returncode} with no result: "
+                + " | ".join(tail)
+            )[:300]
+        }
+    if residue > (1 << 30):
+        rec["_residue_bytes"] = residue
+    return rec
+
+
 def main_tier100() -> None:
     """The second decade (r6 verdict #2): time the >=0.65-exponent
     family between the 10x and 100x datasets and emit BENCH_SF10.json.
     Same accounting as the first decade (e2e, cold plan caches,
-    median of 3, engine defaults)."""
+    median of 3, engine defaults) — but each query runs in its OWN
+    subprocess (see _tier100_child) and its /tmp scratch is reclaimed
+    after any failure, so one OOM can neither poison later
+    measurements nor starve them of disk."""
+    if "--one" in sys.argv:
+        _tier100_child(sys.argv[sys.argv.index("--one") + 1])
+        return
     names = [a for a in sys.argv[1:] if a in REGISTRY] or [
         n for n in SF10_QUERIES if n in REGISTRY
     ]
+    timeout_sec = int(os.environ.get("SPARK_GRAFT_TIER100_TIMEOUT", "2700"))
     spark = get_spark("bench-scale-100x")
     spark.sparkContext.setLogLevel("ERROR")
     generate(spark, SF1_DIR, N_COPIES)
@@ -252,6 +364,10 @@ def main_tier100() -> None:
 
     rows_10x = spark.read.parquet(f"{SF1_DIR}/lineitem.parquet").count()
     rows_100x = spark.read.parquet(f"{SF10_DIR}/lineitem.parquet").count()
+    # the parent's session must be DOWN while children measure — two
+    # concurrent local JVMs inflate every timing ~30% (see memory
+    # protocol); children own the machine one at a time
+    spark.stop()
 
     partial_path = os.path.join(_HERE, "BENCH_SF10_partial.tmp")
     results: dict[str, dict] = {}
@@ -262,45 +378,36 @@ def main_tier100() -> None:
     for name in names:
         if name in results:
             continue
-        # a query that dies at 100x (OOM/pair explosion) is a FINDING,
-        # not a harness abort — record it and keep measuring the rest
-        try:
-            spark.catalog.clearCache()
-            t10 = _time_e2e(spark, name, SF1_DIR)
-            spark.catalog.clearCache()
-            t100 = _time_e2e(spark, name, SF10_DIR)
-        except Exception as exc:  # noqa: BLE001
-            results[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
-            print(f"  {name}: FAILED {type(exc).__name__}", file=sys.stderr)
-            with open(partial_path, "w") as f:
-                json.dump(results, f)
-            continue
-        exp = math.log(t100 / t10) / math.log(10)
-        results[name] = {
-            "sec_sf1": round(t10, 3),
-            "sec_sf10": round(t100, 3),
-            "ratio": round(t100 / t10, 2),
-            "exponent": round(exp, 3),
-        }
-        print(
-            f"  {name}: {t10:.2f}s -> {t100:.2f}s  "
-            f"ratio {t100 / t10:.2f}x  exponent {exp:.3f}",
-            file=sys.stderr,
-        )
+        rec = _run_tier100_subprocess(name, timeout_sec)
+        results[name] = rec
+        if "exponent" in rec:
+            print(
+                f"  {name}: {rec['sec_sf1']:.2f}s -> {rec['sec_sf10']:.2f}s  "
+                f"ratio {rec['ratio']:.2f}x  exponent {rec['exponent']:.3f}",
+                file=sys.stderr,
+            )
+        else:
+            err = rec.get("error") or rec.get("error_sf1") or rec.get("error_sf10")
+            print(f"  {name}: FAILED {err}", file=sys.stderr)
         with open(partial_path, "w") as f:
             json.dump(results, f)
-    spark.stop()
 
+    # failed (could not produce an exponent) is a DIFFERENT finding
+    # than flagged (ran, but superlinear) — r7 conflated them
+    failed = sorted(n for n, r in results.items() if "exponent" not in r)
     flagged = sorted(
         n
         for n, r in results.items()
-        if r.get("exponent", 99) > EXPONENT_FLAG
+        if r.get("exponent", -99) > EXPONENT_FLAG
     )
     payload = {
         "metric": "sf1_to_sf10_scaling",
         "n_copies": N_COPIES_100,
         "lineitem_rows": {"sf1": rows_10x, "sf10": rows_100x},
-        "accounting": "e2e (plan build + eager jobs + noop-sink execute), median of 3",
+        "accounting": (
+            "e2e (plan build + eager jobs + noop-sink execute), median "
+            "of 3; one subprocess per query (fatal-failure isolation)"
+        ),
         "conf": (
             "engine defaults (AQE on; no bench-session tuning); "
             f"driver heap {os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} "
@@ -310,6 +417,7 @@ def main_tier100() -> None:
         ),
         "exponent_flag_threshold": EXPONENT_FLAG,
         "flagged": flagged,
+        "failed": failed,
         "queries": results,
     }
     out_path = os.path.join(_HERE, "BENCH_SF10.json")
@@ -318,7 +426,7 @@ def main_tier100() -> None:
         f.write("\n")
     if os.path.exists(partial_path):
         os.remove(partial_path)
-    print(json.dumps({k: payload[k] for k in ("metric", "flagged")}))
+    print(json.dumps({k: payload[k] for k in ("metric", "flagged", "failed")}))
 
 
 def main() -> None:

@@ -392,6 +392,13 @@ def label_propagation(
     reliable ``checkpoint()`` if executor loss must be recoverable.
     Output: ``(node, community)``.
     """
+    if checkpoint_every is not None and checkpoint_every < 1:
+        # 0 would divide-by-zero in the round modulus; negatives would
+        # silently never checkpoint while still paying the eager sym
+        # localCheckpoint — both are caller bugs, reject loudly
+        raise ValueError(
+            f"checkpoint_every must be >= 1 or None, got {checkpoint_every}"
+        )
     from pyspark.sql import Window
 
     from feast_hive_spark.operators.dedup import _free_local_checkpoint

@@ -40,7 +40,7 @@ from typing import Any, Callable, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MEMO: list = []  # (app_id, kind, token, [analyzed plans], value)
+_MEMO: list = []  # (app_id, kind, token, [analyzed plans], [input files], value)
 _MEMO_MAX = 64
 
 # audit_plans.py hook (r6 verdict #4): operators whose heavy work runs

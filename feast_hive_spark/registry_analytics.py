@@ -4367,7 +4367,7 @@ WITH u AS (
 gm AS (SELECT MAX(mx) AS g FROM u),
 t AS (
   SELECT (mx - mn) // 86400000000 AS t_day,
-         CASE WHEN mx < g - 7 * 86400000000 THEN 1 ELSE 0 END AS ev
+         CASE WHEN mx < g - 86400000000 THEN 1 ELSE 0 END AS ev
   FROM u CROSS JOIN gm
 ),
 g AS (
@@ -4405,7 +4405,11 @@ def kaplan_meier_user_retention(
 ) -> DataFrame:
     """Kaplan-Meier survival curve of user lifetime (days between a
     user's first and last event), right-censoring users still active
-    in the final week: S(t) = prod over death-days <= t of
+    in the final day (the horizon must sit INSIDE the observed span:
+    the events corpus spans ~1-2 days end-to-end, so the classic
+    one-week churn horizon marks zero deaths at every test scale and
+    the whole estimator runs vacuously — r7 ADVICE):
+    S(t) = prod over death-days <= t of
     (1 - d/n_at_risk) — the churn readout ("what fraction of users
     survive past day t") with censoring handled correctly, which a
     naive lifetime histogram gets wrong. Corpus-sized work is ONE
@@ -4426,7 +4430,7 @@ def kaplan_meier_user_retention(
     t = u.crossJoin(F.broadcast(gm)).select(
         F.floor((F.col("mx") - F.col("mn")) / 86400000000).alias("t_day"),
         F.when(
-            F.col("mx") < F.col("g") - 7 * 86400000000, 1
+            F.col("mx") < F.col("g") - 86400000000, 1
         ).otherwise(0).alias("ev"),
     )
     g = t.groupBy("t_day").agg(

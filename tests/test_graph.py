@@ -1,6 +1,8 @@
 """operators/graph.py tests against a direct python model of the
 same integer fixed-point PageRank recurrence."""
 
+import pytest
+
 from feast_hive_spark.operators.graph import SCALE, pagerank
 
 
@@ -152,6 +154,17 @@ def test_label_propagation_checkpoint_matches_lazy(spark):
         )
     )
     assert lazy == ckpt
+
+
+def test_label_propagation_rejects_nonpositive_checkpoint(spark):
+    # r7 ADVICE: 0 used to ZeroDivisionError in the round modulus and
+    # negatives silently never checkpointed — both now rejected at entry
+    from feast_hive_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            label_propagation(df, iters=2, checkpoint_every=bad)
 
 
 def test_label_propagation_deep_iters_bounded_plan(spark):

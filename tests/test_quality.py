@@ -392,3 +392,20 @@ def test_markov_reach_monotone_and_bounded(spark):
     }
     assert out["purchase"] == 1_000_000
     assert all(0 <= v <= 1_000_000 for v in out.values())
+
+
+def test_kaplan_meier_not_vacuous(spark, sf_dir):
+    """r7 ADVICE: the one-week censor horizon exceeded the events
+    corpus' ~1-2 day span, so zero deaths existed at ANY test scale
+    and the whole estimator (hazard logs, n_risk window, cumulative
+    sum, exp) ran vacuously. The 1-day horizon must produce real
+    death rows, with survival strictly inside (0, 1)."""
+    import feast_hive_spark.registry_analytics  # noqa: F401
+    from feast_hive_spark.registry import REGISTRY
+
+    out = REGISTRY["kaplan_meier_user_retention"][0](spark, sf_dir).collect()
+    assert len(out) > 0, "censor horizon marks zero deaths: vacuous gate"
+    for r in out:
+        assert r["n_deaths"] >= 1
+        assert 0 < r["survival_micro"] < 1_000_000
+        assert r["n_at_risk"] >= r["n_deaths"]
