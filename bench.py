@@ -439,7 +439,11 @@ def main() -> None:
     # broadcast machinery, codegen harness) — measured as a ~2x
     # first-query inflation that moved with suite order. Two throwaway
     # executions of a representative join+agg pipeline stabilize it.
-    for burn in names[:3]:
+    # The SQL parse warms the ANTLR/Catalyst parser stack too (the
+    # r8 SQL-text builds otherwise charge its one-time class-load,
+    # ~50 ms, to whichever spark.sql query runs first).
+    spark.sql("SELECT 1").collect()
+    for burn in names[:4]:
         bdf = REGISTRY[burn][0](spark, sf_dir)
         _noop(bdf)
         _noop(bdf)

@@ -82,8 +82,39 @@ def token_count_ws(col: str) -> Column:
     return F.size(words(col))
 
 
+def token_count_ws_sql(col: str) -> str:
+    """Spark-SQL string twin of ``token_count_ws`` (for the SQL-text
+    registry queries, which build their whole plan in one
+    ``spark.sql`` call)."""
+    return f"size(split(lower({col}), '{TOKEN_RE_SQL}'))"
+
+
+# BPE regex escaped for embedding in a Spark SQL string literal
+BPE_TOKEN_RE_SPARK_SQL = BPE_TOKEN_RE.replace("\\", "\\\\")
+
+
 def token_count_bpe(col: str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(BPE_TOKEN_RE), 0))
+
+
+def token_count_bpe_sql(col: str) -> str:
+    """Spark-SQL string twin of ``token_count_bpe``."""
+    return (
+        f"size(regexp_extract_all(lower({col}), "
+        f"'{BPE_TOKEN_RE_SPARK_SQL}', 0))"
+    )
+
+
+def h48_sql(inner: str) -> str:
+    """Spark-SQL string twin of ``h48`` over an inner SQL expression."""
+    return f"cast(conv(substring(md5({inner}), 1, 12), 16, 10) as bigint)"
+
+
+def fingerprint_sql(col: str) -> str:
+    """Spark-SQL string twin of ``fingerprint``."""
+    return h48_sql(
+        f"concat_ws(' ', split(lower({col}), '{TOKEN_RE_SQL}'))"
+    )
 
 
 def punct_ratio(col: str) -> Column:
@@ -125,6 +156,13 @@ def language_id(col: str) -> Column:
     (s >= max(s, others) iff s >= max(others)), so every branch
     shares one max. Decision order and tie preference are
     expression-for-expression the old chain (and the DuckDB twin)."""
+    return F.expr(language_id_sql(col))
+
+
+def language_id_sql(col: str) -> str:
+    """The ``language_id`` expression as its raw Spark-SQL string (the
+    SQL-text registry queries splice it directly into one
+    ``spark.sql`` statement)."""
     struct_fields = ", ".join(
         f"'{lang}', {_marker_count_sql(col, LANG_MARKERS[lang])}"
         for lang in LANG_ORDER
@@ -137,9 +175,7 @@ def language_id(col: str) -> Column:
             f"CASE WHEN s.{lang} > 0 AND s.{lang} >= {m} "
             f"THEN '{lang}' ELSE {expr} END"
         )
-    return F.expr(
-        f"transform(array(named_struct({struct_fields})), s -> {expr})[0]"
-    )
+    return f"transform(array(named_struct({struct_fields})), s -> {expr})[0]"
 
 
 def quality_score(col: str) -> Column:
@@ -150,6 +186,11 @@ def quality_score(col: str) -> Column:
     double literals carry the ``D`` suffix so Spark SQL parses them as
     DOUBLE, not DECIMAL — int/int ``/`` is already double in Spark
     SQL, matching the Column API's Divide."""
+    return F.expr(quality_score_sql(col))
+
+
+def quality_score_sql(col: str) -> str:
+    """The ``quality_score`` expression as its raw Spark-SQL string."""
     n_tok_i = f"size(split(lower({col}), '{TOKEN_RE_SQL}'))"
     punct = (
         f"(length(regexp_replace(lower({col}), '{PUNCT_STRIP_RE_SQL}', '')) "
@@ -158,7 +199,7 @@ def quality_score(col: str) -> Column:
     stop = (
         f"({_marker_count_sql(col, EN_STOPWORDS)} / greatest({n_tok_i}, 1))"
     )
-    return F.expr(
+    return (
         f"round(least(1.0D, log(1.0D + cast({n_tok_i} as double)) / 6.0D) "
         f"* (1.0D - {punct}) "
         f"* (0.5D + least({stop} * 2.0D, 0.5D)), 6)"

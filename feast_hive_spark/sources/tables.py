@@ -107,4 +107,34 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _VIEWS_FOR if k != app_id]:
+        del _VIEWS_FOR[k]
+    _VIEWS_FOR[app_id] = os.path.abspath(sf_dir)
     return dfs
+
+
+# current warehouse dir whose views are registered, per live session —
+# lets SQL-text registry queries skip the ~50 ms (warm) / ~0.6 s
+# (cold-sniff) re-registration on every build. A tier switch (new
+# sf_dir, e.g. bench_scale alternating scales) re-registers.
+_VIEWS_FOR: dict[str, str] = {}
+
+
+def ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """Idempotent per-(session, warehouse-dir) view registration.
+
+    The SQL-text registry queries build their plans with ONE
+    ``spark.sql`` round trip against these views (one analysis pass —
+    measured ~4-8x cheaper than an equivalent eagerly-re-analyzed
+    DataFrame chain, see registry.py). This is the Spark analogue of
+    the warehouse catalog every baseline already has: the DuckDB
+    oracle runner likewise registers its views once, outside any
+    timed window. Caveat: a caller replacing one of the table-named
+    temp views with different content must call ``register_views``
+    itself — this fast path only tracks the warehouse dir."""
+    if _VIEWS_FOR.get(spark.sparkContext.applicationId) == os.path.abspath(
+        sf_dir
+    ):
+        return
+    register_views(spark, sf_dir)
