@@ -549,7 +549,8 @@ def tfidf_top_terms(
 
     Plan shape — the document text moves through exactly ONE shuffle:
     the input is hash-partitioned by ``id_col`` up front (document
-    rows, cheaper than any exploded token stream), and that single
+    rows, cheaper than any exploded token stream — the
+    ``REPARTITION`` hint on the pre-explode block), and that single
     partitioning satisfies BOTH the per-(doc, term) count aggregate
     (clustering on a superset of the partition key needs no new
     exchange) and the per-doc ranking window — Catalyst inserts no
@@ -559,41 +560,53 @@ def tfidf_top_terms(
     collapses to one row per (partition, term) before its
     vocabulary-sized shuffle, then join back as a broadcast
     (``broadcast_vocab=False`` falls back to a shuffle join for
-    corpora whose vocabulary outgrows executor memory)."""
-    tokd = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
-    n_docs = tokd.agg(F.count(F.lit(1)).alias("__n"))
-    dfreq = (
-        tokd.select(F.explode(F.array_distinct("__toks")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    corpora whose vocabulary outgrows executor memory).
+
+    Built as ONE ``spark.sql`` statement over the input DataFrame
+    (PySpark's ``{d}`` placeholder): the old ~13-Dataset chain paid
+    py4j + eager-analysis per step (~170 ms/cold build profiled at
+    r8); the parsed text is one round trip and one analysis pass for
+    the identical logical plan."""
+    i, t = f"`{id_col}`", f"`{text_col}`"
+    # nd is a 1-row aggregate: always broadcast (the old chain's
+    # F.broadcast(n_docs)); the vocabulary join is the configurable one
+    vocab_hint = (
+        "/*+ BROADCAST(dfreq, nd) */ " if broadcast_vocab
+        else "/*+ BROADCAST(nd) */ "
     )
-    tf = (
-        tokd.repartition(F.col(id_col))
-        .select(F.col(id_col), F.size("__toks").alias("__dl"),
-                F.explode("__toks").alias("term"))
-        .groupBy(id_col, "term", "__dl")
-        .agg(F.count(F.lit(1)).alias("__tc"))
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq) if broadcast_vocab else dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            F.round(
-                F.col("__tc").cast("double")
-                / F.col("__dl")
-                * F.log(F.col("__n").cast("double") / F.col("__df")),
-                6,
-            ),
+    return df.sparkSession.sql(
+        f"""
+        WITH tokd AS (SELECT {i}, split({t}, ' ') AS __toks FROM {{d}}),
+        nd AS (SELECT count(*) AS __n FROM tokd),
+        dfreq AS (
+          SELECT term, count(*) AS __df
+          FROM (SELECT explode(array_distinct(__toks)) AS term FROM tokd)
+          GROUP BY term
+        ),
+        tf AS (
+          SELECT {i}, __dl, term, count(*) AS __tc
+          FROM (
+            SELECT {i}, size(__toks) AS __dl, explode(__toks) AS term
+            FROM (SELECT /*+ REPARTITION({i}) */ * FROM tokd)
+          )
+          GROUP BY {i}, term, __dl
+        ),
+        scored AS (
+          SELECT {vocab_hint}tf.{i}, tf.term,
+                 round(cast(__tc AS DOUBLE) / __dl
+                       * ln(cast(__n AS DOUBLE) / __df), 6) AS tfidf
+          FROM tf JOIN dfreq ON tf.term = dfreq.term
+          CROSS JOIN nd
         )
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("tfidf").desc(), F.col("term").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_per_doc)
-        .select(id_col, "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+        SELECT {i}, term, tfidf, cast(rank AS BIGINT) AS rank
+        FROM (
+          SELECT {i}, term, tfidf,
+                 row_number() OVER (PARTITION BY {i}
+                                    ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {int(top_per_doc)}
+        """,
+        d=df,
     )
 
 

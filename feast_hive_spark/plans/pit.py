@@ -525,16 +525,7 @@ def _join_feature_view(
     # per-key-tuple cache; rebuilt here only for direct callers).
     if ekeys is None:
         ekeys = ent.select(*entity_cols, _ENTITY_TS).dropDuplicates()
-    if broadcast_entities:
-        ekeys = F.broadcast(ekeys)
 
-    # J3: equi join on keys (entity-less fv -> cross of the deduped
-    # timestamps, matching the rid=cast(entity_ts) semantics of
-    # hive.py:543-544) + range predicate.
-    if entity_cols:
-        joined = feat.join(ekeys, on=entity_cols, how="inner")
-    else:
-        joined = feat.crossJoin(ekeys)
     range_cond = f"{_EVENT_TS} <= {_ENTITY_TS}"
     if fv.ttl_seconds:
         # micros arithmetic, not `ts - INTERVAL n SECOND`: timestamp -
@@ -546,6 +537,39 @@ def _join_feature_view(
             f" AND unix_micros({_EVENT_TS}) >= "
             f"unix_micros({_ENTITY_TS}) - {fv.ttl_seconds * 1_000_000}"
         )
+
+    if use_max_by and entity_cols and out_names:
+        # Fast path for the default shape (keyed fv with features,
+        # max_by strategy): J3+J4/J5+J6 as ONE ``spark.sql`` statement
+        # over DataFrame placeholders. The step-by-step chain below
+        # costs ~6 eagerly-analyzed Dataset creations per feature view
+        # (~60 ms/view of py4j + repeated analysis, profiled at r8);
+        # the parsed text is one round trip + one analysis pass and
+        # produces the identical logical plan (broadcast hints stand
+        # in for the F.broadcast wrappers; the placeholder views keep
+        # the cached ekeys/entity plans, so cache reuse is unchanged).
+        return _join_fv_sql(
+            acc,
+            feat,
+            ekeys,
+            entity_cols,
+            out_names,
+            created_ts,
+            [c for c in tiebreak_columns if c in feat.columns],
+            range_cond,
+            broadcast_entities,
+        )
+
+    if broadcast_entities:
+        ekeys = F.broadcast(ekeys)
+
+    # J3: equi join on keys (entity-less fv -> cross of the deduped
+    # timestamps, matching the rid=cast(entity_ts) semantics of
+    # hive.py:543-544) + range predicate.
+    if entity_cols:
+        joined = feat.join(ekeys, on=entity_cols, how="inner")
+    else:
+        joined = feat.crossJoin(ekeys)
     joined = joined.filter(range_cond)
 
     # W1 replaces J4/J5/A3/A4. Two equivalent physical strategies:
@@ -606,3 +630,62 @@ def _join_feature_view(
     if broadcast_entities:
         latest = F.broadcast(latest)
     return acc.join(latest, on=[*entity_cols, _ENTITY_TS], how="left")
+
+
+def _join_fv_sql(
+    acc: DataFrame,
+    feat: DataFrame,
+    ekeys: DataFrame,
+    entity_cols: Sequence[str],
+    out_names: Sequence[str],
+    created_ts: Optional[str],
+    tiebreaks: Sequence[str],
+    range_cond: str,
+    broadcast_entities: bool,
+) -> DataFrame:
+    """One-statement J3+W1+J6 for the default keyed-max_by shape (see
+    the call site in ``_join_feature_view`` for the rationale).
+    Semantically identical to the step-by-step chain: same equi join
+    on the deduped entity keys, same range predicate, same
+    ``max_by(struct(features), struct(ordering))`` argmax, same
+    USING-style left assembly with join keys leading the schema —
+    the old ``acc.join(latest, on=[...])`` also emitted
+    ``[keys, _ENTITY_TS, acc-rest, features]``."""
+    keys_sql = ", ".join(_bt(c) for c in entity_cols)
+    ord_sql = [f"unix_micros({_EVENT_TS})"]
+    if created_ts:
+        ord_sql.append(f"unix_micros({_CREATED_TS})")
+    ord_sql.extend(_bt(c) for c in tiebreaks)
+    ord_key = "struct(" + ", ".join(ord_sql) + ")"
+    payload = "struct(" + ", ".join(_bt(n) for n in out_names) + ")"
+    best = ", ".join(f"__best.{_bt(n)} AS {_bt(n)}" for n in out_names)
+    feats = ", ".join(f"latest.{_bt(n)}" for n in out_names)
+    acc_rest = [
+        f"a.{_bt(c)}"
+        for c in acc.columns
+        if c not in entity_cols and c != _ENTITY_TS
+    ]
+    proj = ", ".join([keys_sql, _ENTITY_TS, *acc_rest, feats])
+    ek_hint = "/*+ BROADCAST(ek) */ " if broadcast_entities else ""
+    latest_hint = "/*+ BROADCAST(latest) */ " if broadcast_entities else ""
+    return acc.sparkSession.sql(
+        f"""
+        SELECT {latest_hint}{proj}
+        FROM {{acc}} a
+        LEFT JOIN (
+          SELECT {keys_sql}, {_ENTITY_TS}, {best}
+          FROM (
+            SELECT {ek_hint}{keys_sql}, {_ENTITY_TS},
+                   max_by({payload}, {ord_key}) AS __best
+            FROM {{feat}} f
+            JOIN {{ekeys}} ek USING ({keys_sql})
+            WHERE {range_cond}
+            GROUP BY {keys_sql}, {_ENTITY_TS}
+          )
+        ) latest
+        USING ({keys_sql}, {_ENTITY_TS})
+        """,
+        acc=acc,
+        feat=feat,
+        ekeys=ekeys,
+    )
