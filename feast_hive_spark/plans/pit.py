@@ -668,24 +668,32 @@ def _join_fv_sql(
     proj = ", ".join([keys_sql, _ENTITY_TS, *acc_rest, feats])
     ek_hint = "/*+ BROADCAST(ek) */ " if broadcast_entities else ""
     latest_hint = "/*+ BROADCAST(latest) */ " if broadcast_entities else ""
+    # Manual reused view names instead of spark.sql's {df} placeholders:
+    # the placeholder formatter creates AND drops a uniquely-named temp
+    # view per DataFrame argument (6 catalog round trips/build for a
+    # 2-view retrieval — half the SQL-path cost profiled at r8).
+    # Overwriting three stable names skips the drops; the returned
+    # plan resolved the views at analysis time, so later overwrites
+    # cannot reach it. Plan construction is serial per session (the
+    # engine-wide assumption all the plan caches already make).
+    acc.createOrReplaceTempView("__pit_sql_acc")
+    feat.createOrReplaceTempView("__pit_sql_feat")
+    ekeys.createOrReplaceTempView("__pit_sql_ek")
     return acc.sparkSession.sql(
         f"""
         SELECT {latest_hint}{proj}
-        FROM {{acc}} a
+        FROM __pit_sql_acc a
         LEFT JOIN (
           SELECT {keys_sql}, {_ENTITY_TS}, {best}
           FROM (
             SELECT {ek_hint}{keys_sql}, {_ENTITY_TS},
                    max_by({payload}, {ord_key}) AS __best
-            FROM {{feat}} f
-            JOIN {{ekeys}} ek USING ({keys_sql})
+            FROM __pit_sql_feat f
+            JOIN __pit_sql_ek ek USING ({keys_sql})
             WHERE {range_cond}
             GROUP BY {keys_sql}, {_ENTITY_TS}
           )
         ) latest
         USING ({keys_sql}, {_ENTITY_TS})
-        """,
-        acc=acc,
-        feat=feat,
-        ekeys=ekeys,
+        """
     )
