@@ -287,6 +287,13 @@ BENCH_QUERIES = [
     "reservoir_sample_docs_by_lang",
     "js_divergence_top_terms",
     "local_clustering_coefficients",
+    # r8 additions
+    "ann_filtered_topk",
+    "char_entropy_by_lang",
+    "theilsen_daily_value_trend",
+    "degree_assortativity_events",
+    "funnel_within_ttl",
+    "minhash_band_sweep",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -1546,3 +1546,94 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def minhash_band_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    configs: tuple = ((2, 8), (4, 4), (8, 2)),
+    threshold: float = 0.5,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """LSH banding parameter sweep: candidate volume and verified
+    precision for several (bands, rows_per_band) splits of ONE
+    MinHash signature pass — the tuning readout a pipeline runs
+    before committing to an LSH configuration at scale (more bands =
+    higher recall + quadratically more candidates; the S-curve
+    threshold is (1/b)^(1/r)).
+
+    The corpus is shingled and signed ONCE (cached); each config only
+    re-slices the 16-hash signature into band keys, self-joins its
+    band buckets, and verifies candidates with exact count-only
+    Jaccard. ``collapse_exact`` (default) runs the whole sweep on
+    distinct texts — duplicate clusters would otherwise pack every
+    band bucket quadratically (the r8 second-decade fix), and the
+    candidate/true counts are then reported at DISTINCT-TEXT
+    granularity, which is the number that actually drives index
+    sizing.
+
+    Output: one row per config —
+    ``(bands, rows_per_band, n_candidates, n_true, precision_micro)``
+    (precision = verified-at-threshold / candidates, micro-fixed)."""
+    if collapse_exact:
+        _mem, _reps, rep_rows = _exact_collapse(df, id_col, text_col)
+        df = rep_rows
+    with_sh = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), X.tokens_array(text_col).alias("__tk")
+    ).select(
+        F.col(id_col), X.shingle_hashes_from(F.col("__tk"), n).alias("__sh")
+    ).cache()
+    sigs = with_sh.select(
+        id_col, X.minhash_signature(F.col("__sh")).alias("__sig")
+    ).cache()
+    k = len(X.MINHASH_COEFS)
+    per_config = []
+    for bands, rows_per_band in configs:
+        assert bands * rows_per_band == k, (bands, rows_per_band)
+        band_keys = []
+        for bi in range(bands):
+            lo = bi * rows_per_band
+            band_keys.append(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("__sig")[i].cast("string")
+                            for i in range(lo, lo + rows_per_band)
+                        ],
+                    )
+                )
+            )
+        banded = sigs.select(
+            id_col, F.posexplode(F.array(*band_keys)).alias("__band", "__bkey")
+        )
+        left = banded.select(F.col(id_col).alias("id_a"), "__band", "__bkey")
+        right = banded.select(F.col(id_col).alias("id_b"), "__band", "__bkey")
+        candidates = (
+            left.join(right, ["__band", "__bkey"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        verified = _jaccard_pairs(with_sh, candidates, id_col, threshold)
+        stats = candidates.agg(
+            F.count(F.lit(1)).alias("n_candidates")
+        ).crossJoin(
+            F.broadcast(verified.agg(F.count(F.lit(1)).alias("n_true")))
+        ).select(
+            F.lit(bands).cast("long").alias("bands"),
+            F.lit(rows_per_band).cast("long").alias("rows_per_band"),
+            F.col("n_candidates").cast("long"),
+            F.col("n_true").cast("long"),
+            F.expr(
+                "CASE WHEN n_candidates > 0 THEN "
+                "(n_true * 1000000) div n_candidates ELSE 0 END"
+            ).alias("precision_micro"),
+        )
+        per_config.append(stats)
+    out = per_config[0]
+    for s in per_config[1:]:
+        out = out.unionByName(s)
+    return out

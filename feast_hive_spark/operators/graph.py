@@ -526,3 +526,62 @@ def local_clustering(
             "div (2 * degree * (degree - 1))"
         ).alias("coeff_micro"),
     )
+
+
+def degree_assortativity(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the directed edge list (each
+    undirected edge counted both ways). Positive = hubs attach to
+    hubs (social-graph shape), negative = hubs attach to leaves
+    (star/broadcast shape) — the one-number summary that tells a
+    pipeline whether a near-dup or covisitation graph is
+    hub-dominated before running anything iterative on it.
+
+    Exact integer moment sums (degrees are integers, and each
+    undirected edge contributes (dx, dy) and (dy, dx), so
+    sx = sy = sum(dx + dy), sxy = 2 * sum(dx * dy),
+    sxx = syy = sum(dx^2 + dy^2)): one dedup of the edge list, one
+    node-degree aggregate, one edge-sized join, one 1-row reduce —
+    scan-shaped at any graph size, and the double formula runs once
+    on identical integers in every engine.
+
+    Output: one row ``(n_edges, assortativity)``; assortativity is
+    NULL for degree-regular graphs (zero variance)."""
+    e = (
+        pairs.select(
+            F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dy"))
+    m = e.join(du, "u").join(dv, "v")
+    s = m.agg(
+        F.count(F.lit(1)).alias("e_cnt"),
+        F.sum(F.col("dx") + F.col("dy")).alias("sx"),
+        F.sum(2 * F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).alias(
+            "sxx"
+        ),
+    )
+    n = (F.col("e_cnt") * 2).cast("double")
+    sx = F.col("sx").cast("double")
+    num = n * F.col("sxy") - sx * sx
+    den = n * F.col("sxx") - sx * sx
+    return s.select(
+        F.col("e_cnt").cast("long").alias("n_edges"),
+        F.round(
+            F.when(F.col("sxx") * (F.col("e_cnt") * 2) != F.col("sx") * F.col("sx"),
+                   num / den),
+            6,
+        ).alias("assortativity"),
+    )

@@ -123,6 +123,13 @@ SAMPLE_ROTATION: list[str] = [
     "reservoir_sample_docs_by_lang",
     "js_divergence_top_terms",
     "local_clustering_coefficients",
+    # r8 additions
+    "ann_filtered_topk",
+    "char_entropy_by_lang",
+    "theilsen_daily_value_trend",
+    "degree_assortativity_events",
+    "funnel_within_ttl",
+    "minhash_band_sweep",
 ]
 
 

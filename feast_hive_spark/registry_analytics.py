@@ -4417,10 +4417,11 @@ def kaplan_meier_user_retention(
 ) -> DataFrame:
     """Kaplan-Meier survival curve of user lifetime (days between a
     user's first and last event), right-censoring users still active
-    in the final day (the horizon must sit INSIDE the observed span:
-    the events corpus spans ~1-2 days end-to-end, so the classic
-    one-week churn horizon marks zero deaths at every test scale and
-    the whole estimator runs vacuously — r7 ADVICE):
+    in the final day (the horizon must be tighter than the user
+    recency profile: the corpus spans ~30 days but every user's LAST
+    event lands within ~2 days of the corpus end, so the classic
+    one-week churn horizon marked zero deaths at every test scale and
+    the whole estimator ran vacuously — r7 ADVICE):
     S(t) = prod over death-days <= t of
     (1 - d/n_at_risk) — the churn readout ("what fraction of users
     survive past day t") with censoring handled correctly, which a
@@ -4621,3 +4622,171 @@ def local_clustering_coefficients(
         ((F.col("event_id") * 31 + 7) % 211).alias("id_b"),
     )
     return local_clustering(pairs)
+
+
+@register(
+    "degree_assortativity_events",
+    """
+WITH raw AS (
+  SELECT event_id % 211 AS a, (event_id * 31 + 7) % 211 AS b FROM events
+), e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b
+), deg AS (
+  SELECT x, COUNT(*) AS d FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e
+  ) GROUP BY x
+), m AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+), s AS (
+  SELECT COUNT(*) AS e_cnt,
+         SUM(dx + dy) AS sx,
+         SUM(2 * dx * dy) AS sxy,
+         SUM(dx * dx + dy * dy) AS sxx
+  FROM m
+)
+SELECT CAST(e_cnt AS BIGINT) AS n_edges,
+       ROUND(CASE WHEN sxx * (e_cnt * 2) <> sx * sx THEN
+         (CAST(e_cnt * 2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+         / (CAST(e_cnt * 2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       END, 6) AS assortativity
+FROM s
+""",
+)
+def degree_assortativity_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity (Newman's r) of the deterministic modular
+    event graph the triangle/clustering census uses — hub-to-hub vs
+    hub-to-leaf mixing in one number, from exact integer moment sums
+    over ONE edge-sized join (operators/graph.degree_assortativity;
+    the same graph family as local_clustering_coefficients so the
+    three structure diagnostics compose)."""
+    from feast_hive_spark.operators.graph import degree_assortativity
+
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("event_id") % 211).alias("id_a"),
+        ((F.col("event_id") * 31 + 7) % 211).alias("id_b"),
+    )
+    return degree_assortativity(pairs)
+
+
+@register(
+    "theilsen_daily_value_trend",
+    """
+WITH d AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+), slopes AS (
+  SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope
+  FROM d a JOIN d b ON b.day > a.day
+), r AS (
+  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+         COUNT(*) OVER () AS n
+  FROM slopes
+)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       ROUND(AVG(slope), 6) AS slope_cents_per_day
+FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+""",
+)
+def theilsen_daily_value_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-Sen robust trend of daily event value: the median of all
+    pairwise day-to-day slopes — immune to the outlier days that wreck
+    an OLS fit of the same series (the standard robust-regression
+    estimator, 29.3% breakdown point). Exact cross-engine: daily
+    totals are micro-fixed integer cents, every pairwise slope is the
+    SAME integer division in both engines (IEEE double division is
+    deterministic), and the median picks value-deterministic middle
+    ranks. Scale shape: the corpus is reduced to the DAY domain by one
+    scan-sized aggregate; the pairwise join and median run on
+    calendar-bounded rows (N days -> N^2/2 slopes), never on events."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        WITH d AS (
+          SELECT unix_micros(ts) div 86400000000 AS day,
+                 sum(cast(round(value * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY 1
+        ), slopes AS (
+          SELECT cast(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope
+          FROM d a JOIN d b ON b.day > a.day
+        ), r AS (
+          SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+                 count(*) OVER () AS n
+          FROM slopes
+        )
+        SELECT cast((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+               cast(max(n) AS BIGINT) AS n_pairs,
+               round(avg(slope), 6) AS slope_cents_per_day
+        FROM r WHERE rn = (n + 1) div 2 OR rn = (n + 2) div 2
+    """)
+
+
+@register(
+    "funnel_within_ttl",
+    """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t_view
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= v.t_view + 3600000000
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.t_click
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= c.t_click + 3600000000
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_view,
+       CAST(COUNT(c.user_id) AS BIGINT) AS n_click_1h,
+       CAST(COUNT(p.user_id) AS BIGINT) AS n_purchase_1h
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""",
+)
+def funnel_within_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel (view -> click within 1h -> purchase within
+    1h of that click): the strict product-analytics variant where each
+    stage must land inside a TTL window after the PREVIOUS stage's
+    first hit — the unbounded funnel (funnel_view_click_purchase)
+    overcounts conversions that took days. Each stage is one
+    conditional-min aggregate re-joined on user_id (stage tables
+    shrink monotonically, joins keyed by user — no windows over the
+    raw stream, no per-user sequence sort); timestamps compare as
+    micros longs to stay inside codegen."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        WITH v AS (
+          SELECT user_id, min(unix_micros(ts)) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, min(unix_micros(e.ts)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND unix_micros(e.ts) > v.t_view
+            AND unix_micros(e.ts) <= v.t_view + 3600000000
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, min(unix_micros(e.ts)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND unix_micros(e.ts) > c.t_click
+            AND unix_micros(e.ts) <= c.t_click + 3600000000
+          GROUP BY e.user_id
+        )
+        SELECT cast(count(*) AS BIGINT) AS n_view,
+               cast(count(c.user_id) AS BIGINT) AS n_click_1h,
+               cast(count(p.user_id) AS BIGINT) AS n_purchase_1h
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """)

@@ -14,7 +14,7 @@ from feast_hive_spark.functions import text as X
 from feast_hive_spark.functions import vector as V
 from feast_hive_spark.operators import corpus as C
 from feast_hive_spark.registry import register
-from feast_hive_spark.sources.tables import read_table
+from feast_hive_spark.sources.tables import ensure_views, read_table
 
 # shared constants — the Spark call AND the SQL twin derive from these
 _CHUNK_TOKENS = 8
@@ -1545,3 +1545,71 @@ def js_divergence_top_terms(
     return out.orderBy(F.col("js_nano").desc(), F.col("term").asc()).limit(
         20
     )
+
+
+# natural-log-of-2 as a shared double literal: repr() round-trips the
+# exact IEEE double, so both engines divide by identical bits (the
+# cross-engine float-literal rule — see the verify notes)
+import math as _math
+
+_LN2 = repr(_math.log(2.0))
+
+
+@register(
+    "char_entropy_by_lang",
+    f"""
+WITH ch AS (
+  SELECT lang, unnest(string_split(text, '')) AS c FROM documents
+), counts AS (
+  SELECT lang, c, COUNT(*) AS n FROM ch WHERE c <> '' GROUP BY lang, c
+), tot AS (
+  SELECT lang, SUM(n) AS nn, COUNT(*) AS n_distinct FROM counts GROUP BY lang
+), terms AS (
+  SELECT counts.lang,
+         CAST(ROUND(n * (ln(CAST(nn AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS tmicro
+  FROM counts JOIN tot ON counts.lang = tot.lang
+)
+SELECT t.lang,
+       CAST(t.nn AS BIGINT) AS n_chars,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct_chars,
+       ROUND(SUM(tmicro) / 1000000.0 / t.nn / {_LN2}, 6) AS entropy_bits
+FROM terms JOIN tot t ON terms.lang = t.lang
+GROUP BY t.lang, t.nn, t.n_distinct
+""",
+)
+def char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per language — the
+    classic cheap signal separating natural text from boilerplate/
+    base64/gibberish in corpus curation (and a per-language
+    compression-ratio proxy). H = sum n_i (ln N - ln n_i) / (N ln 2)
+    over per-language character counts: each term is micro-fixed to a
+    BIGINT before the sum (order-independent, partial-agg safe;
+    same pattern as the Hill estimator's nano-fixed logs), and ln 2
+    is a shared repr() double literal so both engines divide by
+    identical bits. Scale shape: the only corpus-sized work is the
+    character explode into a (lang, char) count whose partial
+    aggregation collapses map-side onto the tiny charset domain;
+    everything after runs on (#langs x #charset) rows."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH counts AS (
+          SELECT lang, c, count(*) AS n
+          FROM (SELECT lang, explode(split(text, '')) AS c FROM documents)
+          WHERE c <> '' GROUP BY lang, c
+        ), tot AS (
+          SELECT lang, sum(n) AS nn, count(*) AS n_distinct
+          FROM counts GROUP BY lang
+        ), terms AS (
+          SELECT counts.lang,
+                 cast(round(n * (ln(cast(nn AS DOUBLE)) - ln(cast(n AS DOUBLE)))
+                            * 1000000) AS BIGINT) AS tmicro
+          FROM counts JOIN tot ON counts.lang = tot.lang
+        )
+        SELECT t.lang,
+               cast(t.nn AS BIGINT) AS n_chars,
+               cast(t.n_distinct AS BIGINT) AS n_distinct_chars,
+               round(sum(tmicro) / 1000000.0 / t.nn / {_LN2}, 6) AS entropy_bits
+        FROM terms JOIN tot t ON terms.lang = t.lang
+        GROUP BY t.lang, t.nn, t.n_distinct
+    """)

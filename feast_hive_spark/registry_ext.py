@@ -3645,3 +3645,128 @@ def inclusion_dependency_discovery(
         "AS containment_micro",
         "n_contained = n_child AS is_inclusion",
     )
+
+
+@register(
+    "ann_filtered_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS label,
+         ROUND({V.duck_cosine('c.embedding', 'q.qv')}, 6) AS cosine
+  FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, label, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: exact cosine top-5 per query among only
+    the candidates satisfying a per-query attribute predicate (same
+    ``label``) — the shape every production vector store calls
+    pre-filtered ANN. The filter enters CANDIDATE GENERATION as an
+    equi-join key, not a post-ranking WHERE: candidates block by
+    label (one hash/broadcast join keyed on the attribute — post-
+    filtering a label-blind top-k would starve queries whose label is
+    rare, the classic filtered-ANN recall bug). At 100 TB the label
+    join prunes the distance work to matching blocks, AQE skew-join
+    splits hot labels, and the per-query top-5 runs as a
+    WindowGroupLimit partial before its shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("long").alias("label"),
+            F.round(V.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def _band_sweep_oracle(
+    configs=((2, 8), (4, 4), (8, 2)), threshold: float = 0.5
+) -> str:
+    """DuckDB twin of minhash_band_sweep: signatures computed once on
+    the exact-collapsed corpus (MIN doc_id per distinct text — the
+    operator's default collapse), then per-config banding, candidate
+    self-join, exact count-only Jaccard verification."""
+    k = len(X.MINHASH_COEFS)
+    ctes = [
+        "rep AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text)",
+        f"s AS (SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM rep)",
+        f"sig AS (SELECT doc_id, sh, {X.duck_minhash_signature('sh')} AS sg FROM s)",
+    ]
+    selects = []
+    for bands, rows_per_band in configs:
+        assert bands * rows_per_band == k
+        band_selects = []
+        for bi in range(bands):
+            lo = bi * rows_per_band
+            parts = ", ".join(
+                f"CAST(sg[{lo + j + 1}] AS VARCHAR)"
+                for j in range(rows_per_band)
+            )
+            band_selects.append(
+                f"SELECT doc_id, {bi} AS band, "
+                f"md5(concat_ws(',', {parts})) AS bkey FROM sig"
+            )
+        ctes.append(f"banded{bands} AS ({' UNION ALL '.join(band_selects)})")
+        ctes.append(
+            f"""cfg{bands} AS (
+  SELECT CAST({bands} AS BIGINT) AS bands,
+         CAST({rows_per_band} AS BIGINT) AS rows_per_band,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(COALESCE(SUM(CASE WHEN jaccard >= {threshold} THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_true
+  FROM (
+    SELECT {_DUCK_JACCARD} AS jaccard
+    FROM (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM banded{bands} x JOIN banded{bands} y
+            ON x.band = y.band AND x.bkey = y.bkey
+          WHERE x.doc_id < y.doc_id) c
+    JOIN s a ON a.doc_id = c.id_a
+    JOIN s b ON b.doc_id = c.id_b
+  )
+)"""
+        )
+        selects.append(
+            f"SELECT bands, rows_per_band, n_candidates, n_true, "
+            f"CASE WHEN n_candidates > 0 "
+            f"THEN (n_true * 1000000) // n_candidates "
+            f"ELSE 0 END AS precision_micro FROM cfg{bands}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("minhash_band_sweep", _band_sweep_oracle())
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep (operators/dedup.minhash_band_sweep):
+    candidate volume + verified precision for (2x8, 4x4, 8x2) splits
+    of ONE signature pass — the report that picks the S-curve
+    operating point before an index build. Signatures are computed
+    once on the exact-collapsed corpus and re-sliced per config."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_band_sweep(docs, "doc_id", "text", n=3)

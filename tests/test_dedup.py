@@ -486,3 +486,17 @@ def test_winnowing_collapse_equivalence(dup_corpus, max_doc_freq):
                 max_doc_freq=None, collapse_exact=True,
             )
         )
+
+
+def test_minhash_band_sweep_monotone(docs):
+    """More bands can only ADD collisions (a pair agreeing on an 8-row
+    band agrees on both nested 4-row bands), so candidate counts are
+    monotone in bands; precision is a <=1e6 micro ratio; true pairs
+    are config-invariant upper-bounded by candidates."""
+    out = {r["bands"]: r for r in D.minhash_band_sweep(
+        docs, "doc_id", "text").collect()}
+    assert set(out) == {2, 4, 8}
+    assert out[2]["n_candidates"] <= out[4]["n_candidates"] <= out[8]["n_candidates"]
+    for r in out.values():
+        assert 0 <= r["n_true"] <= r["n_candidates"]
+        assert 0 <= r["precision_micro"] <= 1_000_000

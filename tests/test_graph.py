@@ -183,3 +183,22 @@ def test_label_propagation_deep_iters_bounded_plan(spark):
     rows = {r["node"]: r["community"] for r in out.collect()}
     assert len({rows[n] for n in (1, 2, 3, 4)}) == 1
     assert rows[1] != rows[11]
+
+
+def test_degree_assortativity_star_and_regular(spark):
+    from feast_hive_spark.operators.graph import degree_assortativity
+
+    # star: hub-to-leaf only => r = -1 exactly
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 4)], "id_a long, id_b long"
+    )
+    row = degree_assortativity(star).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["assortativity"] == -1.0
+    # triangle (2-regular): zero degree variance => NULL, not NaN/crash
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    row = degree_assortativity(tri).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["assortativity"] is None

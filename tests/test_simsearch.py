@@ -507,3 +507,38 @@ def test_pq_train_join_path_matches_literal(spark, sf_dir):
         )
     )
     assert lit == jn
+
+
+def test_ann_filtered_topk_label_constraint(spark, sf_dir):
+    """Filtered ANN: every neighbor must carry the query's label, ranks
+    are 1..k dense per query, and the top-1 matches a numpy oracle
+    restricted to the same label block."""
+    import numpy as np
+    from feast_hive_spark.registry import REGISTRY
+    import feast_hive_spark.registry_ext  # noqa: F401
+    from feast_hive_spark.sources.tables import read_table
+
+    out = REGISTRY["ann_filtered_topk"][0](spark, sf_dir).toPandas()
+    emb = read_table(spark, sf_dir, "embeddings").toPandas()
+    lab = dict(zip(emb.vec_id, emb.label))
+    for _, r in out.iterrows():
+        assert lab[r.neighbor_id] == lab[r.query_id] == r.label
+    M = {r.vec_id: np.array(list(r.embedding), dtype=np.float64)
+         for r in emb.itertuples()}
+    for qid in [q for q in emb.vec_id if q < 8]:
+        block = [v for v in emb.vec_id if lab[v] == lab[qid] and v != qid]
+        if not block:
+            assert qid not in set(out.query_id)
+            continue
+        qv = M[qid] / np.linalg.norm(M[qid])
+        best = max(
+            block,
+            key=lambda v: (
+                round(float(np.dot(M[v] / np.linalg.norm(M[v]), qv)), 6),
+                -v,
+            ),
+        )
+        got = out[(out.query_id == qid) & (out["rank"] == 1)]
+        assert got.neighbor_id.iloc[0] == best
+        rks = sorted(out[out.query_id == qid]["rank"])
+        assert rks == list(range(1, len(rks) + 1))
