@@ -294,6 +294,10 @@ BENCH_QUERIES = [
     "degree_assortativity_events",
     "funnel_within_ttl",
     "minhash_band_sweep",
+    "daily_row_checksums",
+    "rfm_user_segments",
+    "revenue_lorenz_deciles",
+    "blocking_quality_report",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

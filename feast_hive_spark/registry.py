@@ -130,6 +130,10 @@ SAMPLE_ROTATION: list[str] = [
     "degree_assortativity_events",
     "funnel_within_ttl",
     "minhash_band_sweep",
+    "daily_row_checksums",
+    "rfm_user_segments",
+    "revenue_lorenz_deciles",
+    "blocking_quality_report",
 ]
 
 

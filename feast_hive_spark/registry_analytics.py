@@ -4790,3 +4790,121 @@ def funnel_within_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                cast(count(p.user_id) AS BIGINT) AS n_purchase_1h
         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
     """)
+
+
+@register(
+    "rfm_user_segments",
+    """
+WITH g AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS gmax FROM events),
+u AS (
+  SELECT user_id,
+         (gmax - MAX(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000
+           AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS monetary_cents
+  FROM events CROSS JOIN g
+  GROUP BY user_id, gmax
+), scored AS (
+  SELECT NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score,
+         monetary_cents
+  FROM u
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       COUNT(*) AS n_users,
+       CAST(SUM(monetary_cents) AS BIGINT) AS sum_monetary_cents
+FROM scored GROUP BY r_score, f_score, m_score
+""",
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — the classic
+    behavioral feature block: one scan reduces users to (days since
+    last event, event count, exact cents), three NTILE(5) windows
+    score them (score 1 = best: most recent / most frequent / highest
+    spend; user_id tiebreak makes every quintile boundary
+    deterministic cross-engine), then segments aggregate to
+    (r, f, m) cells. Scale shape: corpus work is the one user
+    aggregate; the windows run on the USER table (rows = users, not
+    events) — on a cluster NTILE's single-partition sort is the knee,
+    swapped for the bucketed global-rank kernel (quantile_bins) when
+    users outgrow one task."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        WITH g AS (SELECT max(unix_micros(ts)) AS gmax FROM events),
+        u AS (
+          SELECT user_id,
+                 (gmax - max(unix_micros(ts))) div 86400000000
+                   AS recency_days,
+                 count(*) AS frequency,
+                 sum(cast(round(value * 100) AS BIGINT)) AS monetary_cents
+          FROM events CROSS JOIN g
+          GROUP BY user_id, gmax
+        ), scored AS (
+          SELECT ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+                 ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+                 ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score,
+                 monetary_cents
+          FROM u
+        )
+        SELECT cast(r_score AS BIGINT) AS r_score,
+               cast(f_score AS BIGINT) AS f_score,
+               cast(m_score AS BIGINT) AS m_score,
+               count(*) AS n_users,
+               sum(monetary_cents) AS sum_monetary_cents
+        FROM scored GROUP BY r_score, f_score, m_score
+    """)
+
+
+@register(
+    "revenue_lorenz_deciles",
+    """
+WITH u AS (
+  SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT cents, NTILE(10) OVER (ORDER BY cents DESC, user_id) AS decile
+  FROM u
+), agg AS (
+  SELECT decile, COUNT(*) AS n_users, SUM(cents) AS cents
+  FROM d GROUP BY decile
+), tot AS (SELECT SUM(cents) AS total FROM agg)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(cents AS BIGINT) AS revenue_cents,
+       CAST(SUM(cents) OVER (ORDER BY decile) * 1000000 // total AS BIGINT)
+         AS cum_share_micro
+FROM agg CROSS JOIN tot
+""",
+)
+def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles of user revenue concentration (the
+    readable companion to the one-number Gini): users ranked by exact
+    total cents into deterministic NTILE deciles, each decile's
+    revenue and the cumulative share in exact integer micro units
+    (integer division against the broadcast 1-row total — no float
+    accumulation anywhere). Decile 1 = top spenders; cum_share_micro
+    at decile k reads 'the top 10k% of users hold x/1e6 of revenue'.
+    Corpus work is one user aggregate; everything after runs on 10
+    rows."""
+    ensure_views(spark, sf_dir)
+    return spark.sql("""
+        WITH u AS (
+          SELECT user_id, sum(cast(round(value * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY user_id
+        ), d AS (
+          SELECT cents, ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile
+          FROM u
+        ), agg AS (
+          SELECT decile, count(*) AS n_users, sum(cents) AS cents
+          FROM d GROUP BY decile
+        ), tot AS (SELECT sum(cents) AS total FROM agg)
+        SELECT cast(decile AS BIGINT) AS decile,
+               n_users,
+               cents AS revenue_cents,
+               (sum(cents) OVER (ORDER BY decile) * 1000000) div total
+                 AS cum_share_micro
+        FROM agg CROSS JOIN tot
+    """)

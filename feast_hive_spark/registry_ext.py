@@ -3770,3 +3770,155 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     once on the exact-collapsed corpus and re-sliced per config."""
     docs = read_table(spark, sf_dir, "documents")
     return D.minhash_band_sweep(docs, "doc_id", "text", n=3)
+
+
+@register(
+    "daily_row_checksums",
+    f"""
+WITH h AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         event_id,
+         {X.duck_h48("concat_ws('|', CAST(event_id AS VARCHAR), "
+                     "CAST(user_id AS VARCHAR), event_type, "
+                     "CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), "
+                     "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR))")}
+           & 4294967295 AS h32
+  FROM events
+)
+SELECT CAST(day AS BIGINT) AS day,
+       COUNT(*) AS n_rows,
+       CAST(SUM(h32) AS BIGINT) AS checksum32_sum,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM h GROUP BY day
+""",
+)
+def daily_row_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day content checksums of the event stream — the
+    data-integrity manifest a pipeline records per ingestion window so
+    a re-run / replication / backfill can prove the partition is
+    bit-identical without comparing rows (silent duplication, loss, or
+    value corruption all move the sum). The per-row 48-bit content
+    hash is masked to 32 bits BEFORE the sum so the BIGINT total
+    cannot overflow until ~2^31 rows PER DAY (a 100 TB-safe margin;
+    full 48-bit hashes would wrap Spark's non-ANSI long sum silently
+    while DuckDB's HUGEINT would not — a cross-engine trap). Addition
+    is commutative, so the checksum is partition- and
+    order-independent; one scan, one day-keyed aggregate."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH h AS (
+          SELECT unix_micros(ts) div 86400000000 AS day,
+                 event_id,
+                 {X.h48_sql("concat_ws('|', CAST(event_id AS STRING), "
+                            "CAST(user_id AS STRING), event_type, "
+                            "CAST(CAST(round(value * 100) AS BIGINT) AS STRING), "
+                            "CAST(unix_micros(ts) AS STRING))")}
+                   & 4294967295 AS h32
+          FROM events
+        )
+        SELECT day,
+               count(*) AS n_rows,
+               sum(h32) AS checksum32_sum,
+               min(event_id) AS min_event_id,
+               max(event_id) AS max_event_id
+        FROM h GROUP BY day
+    """)
+
+
+@register(
+    "blocking_quality_report",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE {_DUCK_JACCARD} >= 0.5
+), docs AS (SELECT doc_id, lang, source FROM documents),
+twb AS (
+  SELECT COUNT(*) AS n_true,
+         SUM(CASE WHEN da.lang = db.lang AND da.source = db.source
+                  THEN 1 ELSE 0 END) AS n_true_in_block
+  FROM truth t
+  JOIN docs da ON da.doc_id = t.id_a
+  JOIN docs db ON db.doc_id = t.id_b
+), blocks AS (
+  SELECT COUNT(*) AS nb FROM documents GROUP BY lang, source
+), sizes AS (
+  SELECT SUM(nb * (nb - 1) // 2) AS n_blocked,
+         SUM(nb) AS n_docs
+  FROM blocks
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(COALESCE(n_true_in_block, 0) AS BIGINT) AS n_true_in_block,
+       CAST(CASE WHEN n_true > 0
+                 THEN COALESCE(n_true_in_block, 0) * 1000000 // n_true
+                 ELSE 1000000 END AS BIGINT) AS completeness_micro,
+       CAST(n_blocked AS BIGINT) AS n_blocked_pairs,
+       CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_all_pairs,
+       CAST((n_docs * (n_docs - 1) // 2 - n_blocked) * 1000000
+            // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS reduction_micro
+FROM twb CROSS JOIN sizes
+""",
+)
+def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking quality for the (lang, source) key:
+    REDUCTION RATIO (pair-comparison volume a blocked matcher skips,
+    from block sizes alone — no pair enumeration) and PAIR
+    COMPLETENESS (fraction of true near-dup pairs, exact n-gram
+    Jaccard >= 0.5, whose endpoints land in the same block — the
+    recall a blocked matcher could at best achieve). The two numbers
+    every dedup/ER pipeline balances before committing to a blocking
+    scheme at 100 TB: ground truth comes from the collapse-safe
+    inverted-index Jaccard operator (never all-pairs), block volumes
+    from one GROUP BY, and both ratios are exact integer micro
+    divisions."""
+    docs = read_table(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    meta = docs.select("doc_id", "lang", "source")
+    da = meta.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("la"),
+        F.col("source").alias("sa"),
+    )
+    db = meta.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lb"),
+        F.col("source").alias("sb"),
+    )
+    twb = (
+        truth.join(da, "id_a")
+        .join(db, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(
+                F.when(
+                    (F.col("la") == F.col("lb")) & (F.col("sa") == F.col("sb")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_true_in_block"),
+        )
+    )
+    sizes = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .agg(
+            F.sum(F.expr("nb * (nb - 1) div 2")).alias("n_blocked"),
+            F.sum("nb").alias("n_docs"),
+        )
+    )
+    return (
+        twb.crossJoin(F.broadcast(sizes))
+        .selectExpr(
+            "CAST(n_true AS BIGINT) AS n_true",
+            "CAST(COALESCE(n_true_in_block, 0) AS BIGINT) AS n_true_in_block",
+            "CAST(CASE WHEN n_true > 0 "
+            "THEN COALESCE(n_true_in_block, 0) * 1000000 div n_true "
+            "ELSE 1000000 END AS BIGINT) AS completeness_micro",
+            "CAST(n_blocked AS BIGINT) AS n_blocked_pairs",
+            "CAST(n_docs * (n_docs - 1) div 2 AS BIGINT) AS n_all_pairs",
+            "CAST((n_docs * (n_docs - 1) div 2 - n_blocked) * 1000000 "
+            "div (n_docs * (n_docs - 1) div 2) AS BIGINT) AS reduction_micro",
+        )
+    )
