@@ -399,6 +399,46 @@ AUDITS = {
         ["HashAggregate"],
         ["CartesianProduct"],
     ),
+    # r8 additions
+    # filtered ANN: the label predicate must enter candidate
+    # generation as a (broadcast) hash join, never a cross product;
+    # per-query top-k takes the partial WindowGroupLimit path
+    "ann_filtered_topk": (
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        ["CartesianProduct"],
+    ),
+    # band sweep: verify joins ride the guarded candidate broadcast
+    "minhash_band_sweep": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # char entropy: corpus-sized work is ONE char-count aggregate;
+    # the charset-domain joins must not cartesian
+    "char_entropy_by_lang": (["HashAggregate"], ["CartesianProduct"]),
+    # Theil-Sen: the day-domain pairwise join is the intended
+    # calendar-bounded nested loop (~N_days^2 rows); the corpus scan
+    # must reduce through a hash aggregate first
+    "theilsen_daily_value_trend": (
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    "funnel_within_ttl": (["HashAggregate"], ["CartesianProduct"]),
+    "degree_assortativity_events": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    "daily_row_checksums": (["HashAggregate"], ["CartesianProduct"]),
+    # RFM / Lorenz: one user-table aggregate; the 1-row global max /
+    # total rides the only (intended) broadcast nested loop
+    "rfm_user_segments": (
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    "revenue_lorenz_deciles": (["HashAggregate"], ["CartesianProduct"]),
+    "blocking_quality_report": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
 }
 
 # Queries whose answer is computed at build time (driver solve over a

@@ -148,6 +148,16 @@ SCALE_QUERIES = [
     "logreg_quality_weights",
     "ols_price_model",
     "cms_join_size_audit",
+    # r8 additions — scale-relevant new components: filtered ANN
+    # (label-blocked matmul volume), char entropy (corpus-sized
+    # explode), band sweep + blocking report (collapse-backed dedup
+    # family), TTL funnel + checksums (event-scan shapes)
+    "ann_filtered_topk",
+    "char_entropy_by_lang",
+    "minhash_band_sweep",
+    "blocking_quality_report",
+    "funnel_within_ttl",
+    "daily_row_checksums",
 ]
 
 

@@ -738,3 +738,111 @@ def topk_from_buckets(
         .orderBy(F.col("est_count").desc(), F.col("item"))
         .limit(k)
     )
+
+
+def _banded_signatures(
+    docs: DataFrame, id_col: str, text_col: str, n: int, bands: int
+) -> DataFrame:
+    """(id, full signature, band, band key) rows — shared by both
+    sides of the stream-static near-dup join. Stateless per row."""
+    from feast_hive_spark.functions import text as X
+
+    rows_per_band = len(X.MINHASH_COEFS) // bands
+    with_sh = docs.select(
+        F.col(id_col), X.tokens_array(text_col).alias("__tk")
+    ).select(
+        F.col(id_col), X.shingle_hashes_from(F.col("__tk"), n).alias("__sh")
+    )
+    sigs = with_sh.select(
+        id_col, "__sh", X.minhash_signature(F.col("__sh")).alias("__sig")
+    )
+    band_keys = []
+    for bi in range(bands):
+        lo = bi * rows_per_band
+        band_keys.append(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("__sig")[i].cast("string")
+                        for i in range(lo, lo + rows_per_band)
+                    ],
+                )
+            )
+        )
+    return sigs.select(
+        id_col,
+        "__sh",
+        "__sig",
+        F.posexplode(F.array(*band_keys)).alias("__band", "__bkey"),
+    )
+
+
+def stream_near_dup_flags(
+    doc_stream: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming near-duplicate detection against a STATIC corpus
+    index — online decontamination / dedup-at-ingest: every arriving
+    document is MinHash-banded and joined against the banded index
+    (a stream-static equi join on the band key: per-microbatch, NO
+    streaming state), candidates are verified with exact Jaccard on
+    the carried shingle sets, and each (arrival, index) pair is
+    emitted exactly once WITHOUT a stateful distinct: both sides
+    carry their full signatures, so the duplicate emissions a
+    multi-band agreement would cause are cut by keeping only the
+    FIRST agreeing band (recomputed row-wise post-join from the two
+    signatures — pure expression, no state). The batch twin of the
+    verification semantics is operators/dedup.minhash_lsh_pairs; the
+    batch twin of the use case is registry:decontaminate_vs_benchmark.
+
+    At scale the static index is precomputed once (and broadcast when
+    it fits); per-microbatch cost is banding the arrivals + one equi
+    join — no all-pairs anywhere, no state to evict.
+
+    Output (append mode): ``(doc_id, match_id, jaccard)``.
+    """
+    from feast_hive_spark.functions import text as X
+
+    k = len(X.MINHASH_COEFS)
+    rows_per_band = k // bands
+    s = _banded_signatures(doc_stream, id_col, text_col, n, bands)
+    ix = _banded_signatures(index_docs, id_col, text_col, n, bands).select(
+        F.col(id_col).alias("__ix_id"),
+        F.col("__sh").alias("__ix_sh"),
+        F.col("__sig").alias("__ix_sig"),
+        "__band",
+        "__bkey",
+    )
+    joined = s.join(ix, ["__band", "__bkey"])
+    first_band = (
+        F.array_position(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(bands)),
+                lambda bi: F.slice("__sig", (bi - 1) * rows_per_band + 1, rows_per_band)
+                == F.slice("__ix_sig", (bi - 1) * rows_per_band + 1, rows_per_band),
+            ),
+            F.lit(True),
+        )
+        - 1
+    )
+    inter = F.size(F.array_intersect("__sh", "__ix_sh"))
+    union = F.size(F.array_union("__sh", "__ix_sh"))
+    return (
+        joined.filter(F.col("__band") == first_band)
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(id_col),
+            F.col("__ix_id").alias("match_id"),
+            "jaccard",
+        )
+    )

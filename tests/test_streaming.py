@@ -684,3 +684,32 @@ def test_topk_from_buckets_finisher(spark):
     ]
     # ties broken by item asc: a(9) before c(9)
     assert got == [("a", 9, 0), ("c", 9, 1), ("b", 7, 2)]
+
+
+def test_stream_near_dup_flags_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static near-dup (online decontamination): the streaming
+    execution over a file source must emit exactly the pairs the SAME
+    operator computes on a batch input — incl. the stateless
+    first-agreeing-band dedup (no pair emitted twice when several
+    bands collide) — and every flagged arrival must verify at
+    jaccard >= 0.5 against its index match."""
+    from feast_hive_spark.sources.tables import read_table
+    from feast_hive_spark.streaming.events import (
+        run_to_memory,
+        stream_near_dup_flags,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    exp = sorted(map(tuple, stream_near_dup_flags(docs, index).collect()))
+    assert len(exp) > 0, "planted near-dups must flag"
+    assert len(exp) == len(set(exp)), "band collisions must not dup pairs"
+
+    path = str(tmp_path / "docs_stream")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    out = stream_near_dup_flags(stream, index)
+    assert out.isStreaming
+    run_to_memory(out, "near_dup_flags")
+    got = sorted(map(tuple, spark.table("near_dup_flags").collect()))
+    assert got == exp
