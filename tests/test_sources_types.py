@@ -212,3 +212,24 @@ def test_file_source_csv_json(spark, tmp_path):
 
     with pytest.raises(DataSourceNotFoundException):
         FileSource(str(tmp_path / "nope"), "csv").validate(spark)
+
+
+def test_ensure_views_tracks_warehouse_dir(spark):
+    """ensure_views is a per-(session, dir) no-op on repeat but MUST
+    re-register when the warehouse dir changes (bench_scale alternates
+    scale tiers in one session) — a stale view would silently serve
+    the wrong tier's data to every SQL-text query."""
+    from feast_hive_spark.sources.tables import ensure_views
+
+    ensure_views(spark, "/root/testdata/sf0.001")
+    n_small = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    ensure_views(spark, "/root/testdata/sf0.01")
+    n_mid = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    assert n_mid > n_small
+    # repeat with the same dir: still the same registration (hit path)
+    ensure_views(spark, "/root/testdata/sf0.01")
+    assert spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"] == n_mid
+    # restore the suite's session-wide views (conftest registered them)
+    import tests.conftest as C
+
+    ensure_views(spark, C.SF_DIR)
