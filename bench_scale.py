@@ -82,6 +82,18 @@ SF10_QUERIES = [
     # explosion the cap exists for — if it dies at 100x, that is a
     # recorded finding and must not poison the other measurements
     "winnowing_overlap_pairs",
+    # r8: the flagship + anchors get the second decade too — executed
+    # evidence at 60M rows for PIT, the TPC-H scan/join shapes, the
+    # collapse-flattened Jaccard star, k-means, filtered ANN (500k
+    # vectors), and sessionization
+    "pit_asof_join",
+    "pit_multi_feature_view",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "dedup_jaccard_prefix",
+    "kmeans_embedding_clusters",
+    "ann_filtered_topk",
+    "events_sessionize_batch",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -402,6 +414,20 @@ def main_tier100() -> None:
         with open(partial_path, "w") as f:
             json.dump(results, f)
 
+    # merge with a prior artifact (same contract as the tier-10
+    # main()): names measured this run override, everything else is
+    # kept — lets a fix or an addition re-measure a subset without
+    # discarding the rest of the decade's evidence
+    out_path = os.path.join(_HERE, "BENCH_SF10.json")
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f).get("queries", {})
+            for k, v in prev.items():
+                results.setdefault(k, v)
+        except (json.JSONDecodeError, OSError):
+            pass
+
     # failed (could not produce an exponent) is a DIFFERENT finding
     # than flagged (ran, but superlinear) — r7 conflated them
     failed = sorted(n for n, r in results.items() if "exponent" not in r)
@@ -430,7 +456,6 @@ def main_tier100() -> None:
         "failed": failed,
         "queries": results,
     }
-    out_path = os.path.join(_HERE, "BENCH_SF10.json")
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
