@@ -217,3 +217,31 @@ def test_containment_matches_brute_force_random(spark):
     assert set(got) == set(exp)
     for k in got:
         assert abs(got[k] - exp[k]) < 1e-6
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(corpus())
+def test_collapse_equivalence_property(spark, pdf):
+    """Random tiny corpora (duplicates arise naturally from the small
+    vocabulary): the exact-duplicate pre-collapse paths of minhash,
+    simhash, and winnowing must be bit-identical to their uncollapsed
+    twins — the r8 scale fix is a pure execution-strategy change."""
+    df = spark.createDataFrame(pdf)
+    for fn, kw in (
+        (D.minhash_lsh_pairs, {}),
+        (D.simhash_pairs, {}),
+        (D.winnowing_overlap_pairs, {"min_shared": 1, "max_doc_freq": 2}),
+        (D.winnowing_overlap_pairs, {"min_shared": 1, "max_doc_freq": None}),
+    ):
+        raw = sorted(
+            tuple(r)
+            for r in fn(df, "doc_id", "text", collapse_exact=False, **kw).collect()
+        )
+        col = sorted(
+            tuple(r)
+            for r in fn(df, "doc_id", "text", collapse_exact=True, **kw).collect()
+        )
+        assert raw == col, (fn.__name__, kw)
