@@ -298,6 +298,8 @@ BENCH_QUERIES = [
     "rfm_user_segments",
     "revenue_lorenz_deciles",
     "blocking_quality_report",
+    "greedy_shingle_cover_picks",
+    "kcenter_diverse_sample",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

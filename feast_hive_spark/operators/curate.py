@@ -408,3 +408,70 @@ def feature_hash_encode(
         .agg(F.sum("__sign").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def greedy_shingle_cover(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Greedy maximum-coverage corpus selection: pick ``k`` documents,
+    each round choosing the doc covering the most shingles NOT yet
+    covered by earlier picks (ties to the smallest id). This is the
+    classic (1 - 1/e)-approximate submodular selection every
+    coverage-driven curation pipeline runs — "which k documents carry
+    the most distinct content" — and the greedy argmax is exactly the
+    facility-location special case.
+
+    Execution: k bounded rounds (k is a small constant — the point of
+    the operator); each round is ONE distributed aggregate over the
+    anti-joined shingle index (marginal gain per doc), one
+    TakeOrdered(1) for the argmax, and the covered set grows by at
+    most one doc's shingles — broadcast-sized by construction
+    (<= k * max shingles/doc), so the anti-join never shuffles the
+    corpus side. The driver holds only the k winners, never data.
+
+    Output: ``(pick_rank, doc_id, new_covered, cum_covered)`` — exact
+    integer marginal and cumulative distinct-shingle counts."""
+    from feast_hive_spark.functions import text as X
+
+    sh = (
+        df.select(F.col(id_col), X.tokens_array(text_col).alias("__tk"))
+        .select(
+            F.col(id_col),
+            F.explode(X.shingle_hashes_from(F.col("__tk"), n)).alias("__h"),
+        )
+        .distinct()
+        .cache()
+    )
+    covered = None  # DataFrame of covered __h
+    picks = []
+    cum = 0
+    for r in range(1, k + 1):
+        cand = sh if covered is None else sh.join(
+            F.broadcast(covered), "__h", "left_anti"
+        )
+        top = (
+            cand.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__gain"))
+            .orderBy(F.col("__gain").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = top[0][0], top[0][1]
+        cum += gain
+        picks.append((r, doc, gain, cum))
+        newly = sh.filter(F.col(id_col) == doc).select("__h")
+        covered = newly if covered is None else covered.union(newly)
+        # materialize the (tiny) covered set so each round's anti-join
+        # reads a local table instead of replaying prior rounds
+        covered = covered.distinct().localCheckpoint(eager=True)
+    sh.unpersist()
+    return df.sparkSession.createDataFrame(
+        picks,
+        f"pick_rank long, `{id_col}` long, new_covered long, cum_covered long",
+    )

@@ -1261,3 +1261,66 @@ def pq_codebooks_from_table(
             r["cm"] / 1_000_000.0
         )
     return C
+
+
+def kcenter_diverse_sample(
+    emb: DataFrame, id_col: str, vec_col: str, k: int = 4
+) -> DataFrame:
+    """Greedy k-center (Gonzalez) diversity sample over an embedding
+    column: seed with the smallest id, then each round pick the vector
+    FARTHEST (max cosine distance) from its nearest already-selected
+    center, ties to the smallest id — the 2-approximation every
+    diversity-sampling / coreset pipeline uses to pick "k maximally
+    spread exemplars" (the dual of SemDeDup's remove-the-closest).
+
+    Execution: k - 1 bounded rounds (k is a small constant). Each
+    round joins the corpus against the <= k-row broadcast center set,
+    takes the per-vector MIN cosine similarity to any center (one
+    grouped aggregate), and argmaxes the distance with a
+    TakeOrdered(1) — the corpus is never shuffled, and the driver
+    holds only ids. Cosine stays in JVM codegen
+    (functions/vector.cosine: zip_with + aggregate fold).
+
+    Output: ``(pick_rank, id, dist_micro)`` — dist_micro = the pick's
+    exact-integer micro cosine distance to the nearest earlier center
+    (0 for the seed by convention)."""
+    from feast_hive_spark.functions import vector as V
+
+    seed = emb.select(F.min(id_col).alias("__s")).first()["__s"]
+    picks = [(1, seed, 0)]
+    centers = emb.filter(F.col(id_col) == seed).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    )
+    for r in range(2, k + 1):
+        scored = (
+            emb.join(F.broadcast(centers), F.col(id_col) != F.col("__cid"))
+            .filter(~F.col(id_col).isin([p[1] for p in picks]))
+            .select(
+                F.col(id_col),
+                V.cosine(F.col(vec_col), F.col("__cv")).alias("__cos"),
+            )
+            .groupBy(id_col)
+            .agg(F.max("__cos").alias("__nearest"))
+        )
+        top = (
+            scored.select(
+                F.col(id_col),
+                F.round((1.0 - F.col("__nearest")) * 1000000)
+                .cast("long")
+                .alias("__dist"),
+            )
+            .orderBy(F.col("__dist").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        picks.append((r, top[0][0], top[0][1]))
+        centers = centers.union(
+            emb.filter(F.col(id_col) == top[0][0]).select(
+                F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+            )
+        ).localCheckpoint(eager=True)
+    return emb.sparkSession.createDataFrame(
+        picks, f"pick_rank long, `{id_col}` long, dist_micro long"
+    )

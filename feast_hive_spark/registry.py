@@ -134,6 +134,8 @@ SAMPLE_ROTATION: list[str] = [
     "rfm_user_segments",
     "revenue_lorenz_deciles",
     "blocking_quality_report",
+    "greedy_shingle_cover_picks",
+    "kcenter_diverse_sample",
 ]
 
 

@@ -3922,3 +3922,108 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (n_docs * (n_docs - 1) div 2) AS BIGINT) AS reduction_micro",
         )
     )
+
+
+def _greedy_cover_oracle(k: int = 4) -> str:
+    """Unrolled-round DuckDB twin of greedy_shingle_cover: each round
+    is argmax-marginal-gain over the anti-joined shingle index (the
+    greedy step is deterministic — ties to smallest doc_id — so k
+    chained CTE rounds reproduce the distributed loop exactly)."""
+    ctes = [
+        f"s AS (SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents)",
+        "u AS (SELECT DISTINCT doc_id, unnest(sh) AS h FROM s)",
+        "g1 AS (SELECT doc_id, COUNT(*) AS gain FROM u GROUP BY doc_id)",
+        "p1 AS (SELECT 1 AS pick_rank, doc_id, gain FROM g1 "
+        "ORDER BY gain DESC, doc_id LIMIT 1)",
+        "cov1 AS (SELECT DISTINCT h FROM u JOIN p1 USING (doc_id))",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"g{r} AS (SELECT doc_id, COUNT(*) AS gain "
+            f"FROM u ANTI JOIN cov{r - 1} USING (h) GROUP BY doc_id)"
+        )
+        ctes.append(
+            f"p{r} AS (SELECT {r} AS pick_rank, doc_id, gain FROM g{r} "
+            f"ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        ctes.append(
+            f"cov{r} AS (SELECT h FROM cov{r - 1} UNION "
+            f"SELECT h FROM u JOIN p{r} USING (doc_id))"
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM p{r}" for r in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f", picks AS ({picks})\n"
+        "SELECT CAST(pick_rank AS BIGINT) AS pick_rank, doc_id,\n"
+        "       CAST(gain AS BIGINT) AS new_covered,\n"
+        "       CAST(SUM(gain) OVER (ORDER BY pick_rank) AS BIGINT)\n"
+        "         AS cum_covered\n"
+        "FROM picks"
+    )
+
+
+@register("greedy_shingle_cover_picks", _greedy_cover_oracle())
+def greedy_shingle_cover_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage selection (operators/curate.
+    greedy_shingle_cover): the 4 documents that together cover the
+    most distinct shingles, chosen by the classic (1-1/e)-approximate
+    submodular greedy — the coverage-driven 'which k docs carry the
+    most distinct content' primitive of data selection."""
+    from feast_hive_spark.operators.curate import greedy_shingle_cover
+
+    docs = read_table(spark, sf_dir, "documents")
+    return greedy_shingle_cover(docs, "doc_id", "text", k=4)
+
+
+def _kcenter_oracle(k: int = 4) -> str:
+    """Unrolled-round DuckDB twin of kcenter_diverse_sample (Gonzalez):
+    seed = MIN(vec_id); each round argmaxes the micro-fixed cosine
+    distance to the nearest already-selected center, ties to the
+    smallest id."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        "p1 AS (SELECT 1 AS pick_rank, MIN(vec_id) AS vec_id, "
+        "CAST(0 AS BIGINT) AS dist_micro FROM e)",
+        "c1 AS (SELECT e.vec_id, e.embedding FROM e JOIN p1 USING (vec_id))",
+    ]
+    for r in range(2, k + 1):
+        prev_picks = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{i}" for i in range(1, r)
+        )
+        ctes.append(
+            f"""d{r} AS (
+  SELECT e.vec_id,
+         CAST(ROUND((1 - MAX({V.duck_cosine('e.embedding', 'c.embedding')}))
+                    * 1000000) AS BIGINT) AS dist_micro
+  FROM e CROSS JOIN c{r - 1} c
+  WHERE e.vec_id NOT IN ({prev_picks})
+  GROUP BY e.vec_id
+)"""
+        )
+        ctes.append(
+            f"p{r} AS (SELECT {r} AS pick_rank, vec_id, dist_micro FROM d{r} "
+            f"ORDER BY dist_micro DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT * FROM c{r - 1} UNION ALL "
+            f"SELECT e.vec_id, e.embedding FROM e JOIN p{r} USING (vec_id))"
+        )
+    picks = " UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(1, k + 1))
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT CAST(pick_rank AS BIGINT) "
+        "AS pick_rank, vec_id, dist_micro FROM (" + picks + ")"
+    )
+
+
+@register("kcenter_diverse_sample", _kcenter_oracle())
+def kcenter_diverse_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity sample (operators/simsearch.
+    kcenter_diverse_sample): 4 maximally-spread embedding exemplars
+    via the Gonzalez 2-approximation — the diversity dual of
+    SemDeDup's remove-the-closest, the coreset/exemplar primitive of
+    embedding-driven curation."""
+    from feast_hive_spark.operators.simsearch import kcenter_diverse_sample
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kcenter_diverse_sample(emb, "vec_id", "embedding", k=4)

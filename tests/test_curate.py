@@ -343,3 +343,21 @@ def test_weighted_sample_wor_k_exceeds_population(spark):
     )
     out = weighted_sample_wor(df, "id", "w", k=50).toPandas()
     assert sorted(out["id"]) == [0, 1, 2, 3, 4]  # everything sampled
+
+
+def test_greedy_shingle_cover_invariants(spark, sf_dir):
+    """Submodularity makes greedy marginal gains non-increasing;
+    cumulative coverage is strictly increasing while gains are
+    positive, and no document is picked twice."""
+    from feast_hive_spark.operators.curate import greedy_shingle_cover
+    from feast_hive_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = greedy_shingle_cover(docs, "doc_id", "text", k=4).collect()
+    assert [r["pick_rank"] for r in out] == list(range(1, len(out) + 1))
+    gains = [r["new_covered"] for r in out]
+    assert gains == sorted(gains, reverse=True)
+    assert all(g > 0 for g in gains)
+    cums = [r["cum_covered"] for r in out]
+    assert cums == [sum(gains[: i + 1]) for i in range(len(gains))]
+    assert len({r["doc_id"] for r in out}) == len(out)

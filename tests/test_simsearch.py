@@ -542,3 +542,20 @@ def test_ann_filtered_topk_label_constraint(spark, sf_dir):
         assert got.neighbor_id.iloc[0] == best
         rks = sorted(out[out.query_id == qid]["rank"])
         assert rks == list(range(1, len(rks) + 1))
+
+
+def test_kcenter_diverse_sample_invariants(spark, sf_dir):
+    """Gonzalez k-center: the covering radius (distance of each pick
+    to its nearest earlier center) is non-increasing round over
+    round, picks are distinct, and the seed is the smallest id."""
+    from feast_hive_spark.operators.simsearch import kcenter_diverse_sample
+    from feast_hive_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = kcenter_diverse_sample(emb, "vec_id", "embedding", k=4).collect()
+    assert len(out) == 4
+    assert out[0]["vec_id"] == emb.agg({"vec_id": "min"}).first()[0]
+    dists = [r["dist_micro"] for r in out[1:]]
+    assert dists == sorted(dists, reverse=True)
+    assert all(d > 0 for d in dists)
+    assert len({r["vec_id"] for r in out}) == 4
