@@ -170,6 +170,8 @@ SCALE_QUERIES = [
     "blocking_quality_report",
     "funnel_within_ttl",
     "daily_row_checksums",
+    "greedy_shingle_cover_picks",
+    "kcenter_diverse_sample",
 ]
 
 
