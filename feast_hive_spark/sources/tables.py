@@ -107,18 +107,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
-    app_id = spark.sparkContext.applicationId
-    for k in [k for k in _VIEWS_FOR if k != app_id]:
-        del _VIEWS_FOR[k]
-    _VIEWS_FOR[app_id] = os.path.abspath(sf_dir)
+    key = _session_key(spark)
+    while len(_VIEWS_FOR) >= 16:
+        _VIEWS_FOR.pop(next(iter(_VIEWS_FOR)))
+    _VIEWS_FOR[key] = os.path.abspath(sf_dir)
     return dfs
 
 
-# current warehouse dir whose views are registered, per live session —
+# current warehouse dir whose views are registered, per live SESSION —
 # lets SQL-text registry queries skip the ~50 ms (warm) / ~0.6 s
 # (cold-sniff) re-registration on every build. A tier switch (new
-# sf_dir, e.g. bench_scale alternating scales) re-registers.
+# sf_dir, e.g. bench_scale alternating scales) re-registers. Keyed by
+# the JVM session object (NOT the app id): temp views are
+# session-scoped, so a sibling ``spark.newSession()`` in the same app
+# must register its OWN views rather than inherit the marker.
 _VIEWS_FOR: dict[str, str] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    # py4j target id of the JVM SparkSession: stable per session
+    # object, distinct across newSession() siblings, no round trip
+    return spark._jsparkSession._target_id
 
 
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
@@ -133,8 +142,6 @@ def ensure_views(spark: SparkSession, sf_dir: str) -> None:
     timed window. Caveat: a caller replacing one of the table-named
     temp views with different content must call ``register_views``
     itself — this fast path only tracks the warehouse dir."""
-    if _VIEWS_FOR.get(spark.sparkContext.applicationId) == os.path.abspath(
-        sf_dir
-    ):
+    if _VIEWS_FOR.get(_session_key(spark)) == os.path.abspath(sf_dir):
         return
     register_views(spark, sf_dir)

@@ -233,3 +233,34 @@ def test_ensure_views_tracks_warehouse_dir(spark):
     import tests.conftest as C
 
     ensure_views(spark, C.SF_DIR)
+
+
+def test_ensure_views_session_scoped(spark):
+    """Temp views are SESSION-scoped: a sibling newSession() in the
+    same app must get its own registration (the app-id-keyed marker
+    would have skipped it and every SQL-text query would fail with
+    TABLE_OR_VIEW_NOT_FOUND), and a non-UTC sibling session must
+    still value-match UTC results (read_table re-pins the session tz
+    before any TIMESTAMP literal parses)."""
+    from feast_hive_spark.registry import REGISTRY
+    from feast_hive_spark.sources.tables import ensure_views
+
+    import tests.conftest as C
+
+    base = REGISTRY["q1_pricing_summary"][0](spark, C.SF_DIR).collect()
+    sib = spark.newSession()
+    sib.conf.set("spark.sql.session.timeZone", "America/New_York")
+    # force a REAL sibling-session build: the prepared-plan cache is
+    # app-keyed and would otherwise hand back the first session's plan
+    import feast_hive_spark.registry as registry_mod
+    from feast_hive_spark.sources import tables as T
+
+    registry_mod.clear_prepared()
+    T._DF_CACHE.clear()
+    got = REGISTRY["q1_pricing_summary"][0](sib, C.SF_DIR).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, base))
+    registry_mod.clear_prepared()
+    T._DF_CACHE.clear()
+    # and the original session's views are still intact
+    ensure_views(spark, C.SF_DIR)
+    assert spark.sql("SELECT count(*) FROM lineitem").first()[0] > 0
