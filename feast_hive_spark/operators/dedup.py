@@ -1591,7 +1591,11 @@ def minhash_band_sweep(
     k = len(X.MINHASH_COEFS)
     per_config = []
     for bands, rows_per_band in configs:
-        assert bands * rows_per_band == k, (bands, rows_per_band)
+        if bands * rows_per_band != k:
+            raise ValueError(
+                f"config ({bands}, {rows_per_band}) does not tile the "
+                f"{k}-hash signature"
+            )
         band_keys = []
         for bi in range(bands):
             lo = bi * rows_per_band

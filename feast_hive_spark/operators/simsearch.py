@@ -1287,6 +1287,10 @@ def kcenter_diverse_sample(
     from feast_hive_spark.functions import vector as V
 
     seed = emb.select(F.min(id_col).alias("__s")).first()["__s"]
+    if seed is None:  # empty corpus: no picks, not a (1, NULL) row
+        return emb.sparkSession.createDataFrame(
+            [], f"pick_rank long, `{id_col}` long, dist_micro long"
+        )
     picks = [(1, seed, 0)]
     centers = emb.filter(F.col(id_col) == seed).select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
