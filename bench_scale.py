@@ -94,6 +94,11 @@ SF10_QUERIES = [
     "kmeans_embedding_clusters",
     "ann_filtered_topk",
     "events_sessionize_batch",
+    "greedy_shingle_cover_picks",
+    "kcenter_diverse_sample",
+    "char_entropy_by_lang",
+    "minhash_band_sweep",
+    "funnel_within_ttl",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
