@@ -27,6 +27,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from feast_hive_spark.functions.text import h48
 
@@ -471,7 +472,15 @@ def greedy_shingle_cover(
         # reads a local table instead of replaying prior rounds
         covered = covered.distinct().localCheckpoint(eager=True)
     sh.unpersist()
+    # id column keeps the input's type (string/int/... ids all work)
     return df.sparkSession.createDataFrame(
         picks,
-        f"pick_rank long, `{id_col}` long, new_covered long, cum_covered long",
+        T.StructType(
+            [
+                T.StructField("pick_rank", T.LongType(), False),
+                T.StructField(id_col, df.schema[id_col].dataType, True),
+                T.StructField("new_covered", T.LongType(), True),
+                T.StructField("cum_covered", T.LongType(), True),
+            ]
+        ),
     )

@@ -162,8 +162,13 @@ def _expand_collapsed_pairs(
     duplicate group at ``within_sim`` (restricted to groups in
     ``within_eligible_th`` when given — e.g. Jaccard requires a
     non-empty shingle set; two identical sub-n-gram texts never pair
-    in the uncollapsed pipeline either). Join volume is
-    output-sized — linear in emitted pairs, never corpus-quadratic."""
+    in the uncollapsed pipeline either). When ``within_eligible_th``
+    carries a ``__wsim`` column, each group's pairs take THAT value
+    instead of the scalar ``within_sim`` — used by minhash at
+    ``threshold <= 0``, where identical empty-shingle texts pair at
+    jaccard 0.0 in the uncollapsed pipeline (sentinel signatures
+    collide). Join volume is output-sized — linear in emitted pairs,
+    never corpus-quadratic."""
     a = reps.select(F.col("__rep").alias("id_a"), F.col("__th").alias("__tha"))
     b = reps.select(F.col("__rep").alias("id_b"), F.col("__th").alias("__thb"))
     mema = mem.select(F.col("__mid").alias("__ma"), F.col("__th").alias("__tha"))
@@ -182,12 +187,17 @@ def _expand_collapsed_pairs(
     wa = mem.select(F.col("__mid").alias("__wa"), "__th")
     wb = mem.select(F.col("__mid").alias("__wb"), "__th")
     within = wa.join(wb, "__th").filter(F.col("__wa") < F.col("__wb"))
+    sim_expr = F.lit(within_sim)
     if within_eligible_th is not None:
-        within = within.join(within_eligible_th, "__th", "left_semi")
+        if "__wsim" in within_eligible_th.columns:
+            within = within.join(within_eligible_th, "__th")
+            sim_expr = F.col("__wsim")
+        else:
+            within = within.join(within_eligible_th, "__th", "left_semi")
     within = within.select(
         F.col("__wa").alias("id_a"),
         F.col("__wb").alias("id_b"),
-        F.lit(within_sim).alias(sim_col),
+        sim_expr.alias(sim_col),
     )
     return cross.unionByName(within)
 
@@ -346,20 +356,27 @@ def minhash_lsh_pairs(
     band work a function of DISTINCT texts and the expansion is
     output-sized. Output identical by construction (identical text
     => identical signature => same candidates, Jaccard 1.0 within
-    groups when the shingle set is non-empty)."""
+    groups when the shingle set is non-empty, 0.0 when it is empty —
+    the latter pairs surface only at ``threshold <= 0``, matching the
+    uncollapsed pipeline's sentinel-signature collisions)."""
     if collapse_exact:
         mem, reps, rep_rows = _exact_collapse(df, id_col, text_col)
         rep_pairs = minhash_lsh_pairs(
             rep_rows, id_col, text_col, n, bands, threshold,
             collapse_exact=False,
         )
-        # within-group pairs surface in the uncollapsed pipeline iff
-        # the shared shingle set is non-empty (empty sets verify to
-        # jaccard 0) and 1.0 clears the threshold.
-        eligible_th = rep_rows.filter(
-            (F.size(X.tokens_array(text_col)) >= n)
-            & F.lit(threshold <= 1.0)
-        ).select(F.md5(F.col(text_col)).alias("__th"))
+        # within-group pairs surface in the uncollapsed pipeline at
+        # jaccard 1.0 when the shared shingle set is non-empty, and at
+        # jaccard 0.0 when it is EMPTY (identical sub-n-token texts:
+        # the sentinel signatures collide, every band agrees, and the
+        # verify step scores the empty intersection 0.0) — so a group
+        # is eligible iff its within-sim clears the threshold.
+        eligible_th = rep_rows.select(
+            F.md5(F.col(text_col)).alias("__th"),
+            F.when(F.size(X.tokens_array(text_col)) >= n, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("__wsim"),
+        ).filter(F.col("__wsim") >= F.lit(threshold))
         return _expand_collapsed_pairs(
             rep_pairs, mem, reps, "jaccard", 1.0, eligible_th
         )
@@ -1640,4 +1657,11 @@ def minhash_band_sweep(
     out = per_config[0]
     for s in per_config[1:]:
         out = out.unionByName(s)
+    # Materialize the len(configs)-row readout eagerly, then free the
+    # shared shingle/signature caches — the sweep runs repeatedly
+    # under bench loops, and un-released .cache() blocks would
+    # accumulate per build (r8 advice finding).
+    out = out.localCheckpoint(eager=True)
+    with_sh.unpersist()
+    sigs.unpersist()
     return out

@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from feast_hive_spark.functions import vector as V
 
@@ -1286,11 +1287,17 @@ def kcenter_diverse_sample(
     (0 for the seed by convention)."""
     from feast_hive_spark.functions import vector as V
 
+    # id column keeps the input's type (string/int/... ids all work)
+    out_schema = T.StructType(
+        [
+            T.StructField("pick_rank", T.LongType(), False),
+            T.StructField(id_col, emb.schema[id_col].dataType, True),
+            T.StructField("dist_micro", T.LongType(), True),
+        ]
+    )
     seed = emb.select(F.min(id_col).alias("__s")).first()["__s"]
     if seed is None:  # empty corpus: no picks, not a (1, NULL) row
-        return emb.sparkSession.createDataFrame(
-            [], f"pick_rank long, `{id_col}` long, dist_micro long"
-        )
+        return emb.sparkSession.createDataFrame([], out_schema)
     picks = [(1, seed, 0)]
     centers = emb.filter(F.col(id_col) == seed).select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
@@ -1325,6 +1332,4 @@ def kcenter_diverse_sample(
                 F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
             )
         ).localCheckpoint(eager=True)
-    return emb.sparkSession.createDataFrame(
-        picks, f"pick_rank long, `{id_col}` long, dist_micro long"
-    )
+    return emb.sparkSession.createDataFrame(picks, out_schema)

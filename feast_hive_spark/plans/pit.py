@@ -49,6 +49,7 @@ Exactly one shuffle per fv, with map-side combine.
 from __future__ import annotations
 
 import math
+import threading
 from dataclasses import dataclass, field
 from datetime import timedelta
 from typing import Mapping, Optional, Sequence, Union
@@ -66,6 +67,11 @@ DEFAULT_ENTITY_DF_EVENT_TIMESTAMP_COL = "event_timestamp"
 _ENTITY_TS = "__entity_ts"
 _EVENT_TS = "__event_ts"
 _CREATED_TS = "__created_ts"
+
+# Guards the overwrite-three-views-then-sql window in _join_fv_sql:
+# concurrent plan builds on one SparkSession must not interleave the
+# __pit_sql_* temp-view bindings.
+_SQL_VIEW_LOCK = threading.Lock()
 
 
 def _bt(name: str) -> str:
@@ -674,26 +680,31 @@ def _join_fv_sql(
     # 2-view retrieval — half the SQL-path cost profiled at r8).
     # Overwriting three stable names skips the drops; the returned
     # plan resolved the views at analysis time, so later overwrites
-    # cannot reach it. Plan construction is serial per session (the
-    # engine-wide assumption all the plan caches already make).
-    acc.createOrReplaceTempView("__pit_sql_acc")
-    feat.createOrReplaceTempView("__pit_sql_feat")
-    ekeys.createOrReplaceTempView("__pit_sql_ek")
-    return acc.sparkSession.sql(
-        f"""
-        SELECT {latest_hint}{proj}
-        FROM __pit_sql_acc a
-        LEFT JOIN (
-          SELECT {keys_sql}, {_ENTITY_TS}, {best}
-          FROM (
-            SELECT {ek_hint}{keys_sql}, {_ENTITY_TS},
-                   max_by({payload}, {ord_key}) AS __best
-            FROM __pit_sql_feat f
-            JOIN __pit_sql_ek ek USING ({keys_sql})
-            WHERE {range_cond}
-            GROUP BY {keys_sql}, {_ENTITY_TS}
-          )
-        ) latest
-        USING ({keys_sql}, {_ENTITY_TS})
-        """
-    )
+    # cannot reach it. The overwrite+sql window is guarded by a module
+    # lock so two concurrent plan builds on one session cannot
+    # interleave view bindings (uncontended acquisition is ~100ns —
+    # free on the serial path the plan caches already assume). The
+    # ``__pit_sql_*`` names are engine-reserved: a user temp view with
+    # one of these names is overwritten by plan construction.
+    with _SQL_VIEW_LOCK:
+        acc.createOrReplaceTempView("__pit_sql_acc")
+        feat.createOrReplaceTempView("__pit_sql_feat")
+        ekeys.createOrReplaceTempView("__pit_sql_ek")
+        return acc.sparkSession.sql(
+            f"""
+            SELECT {latest_hint}{proj}
+            FROM __pit_sql_acc a
+            LEFT JOIN (
+              SELECT {keys_sql}, {_ENTITY_TS}, {best}
+              FROM (
+                SELECT {ek_hint}{keys_sql}, {_ENTITY_TS},
+                       max_by({payload}, {ord_key}) AS __best
+                FROM __pit_sql_feat f
+                JOIN __pit_sql_ek ek USING ({keys_sql})
+                WHERE {range_cond}
+                GROUP BY {keys_sql}, {_ENTITY_TS}
+              )
+            ) latest
+            USING ({keys_sql}, {_ENTITY_TS})
+            """
+        )

@@ -15,6 +15,7 @@ identical microsecond values.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -124,10 +125,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 _VIEWS_FOR: dict[str, str] = {}
 
 
+_PY_KEYS: "weakref.WeakValueDictionary[str, SparkSession]" = (
+    weakref.WeakValueDictionary()
+)
+
+
 def _session_key(spark: SparkSession) -> str:
     # py4j target id of the JVM SparkSession: stable per session
-    # object, distinct across newSession() siblings, no round trip
-    return spark._jsparkSession._target_id
+    # object, distinct across newSession() siblings, no round trip.
+    # Spark Connect sessions have no _jsparkSession — fall back to the
+    # Python proxy's identity, pinned through a WeakValueDictionary so
+    # a GC-recycled id() can never alias a dead session's marker (the
+    # dead entry vanishes with its referent).
+    jvm = getattr(spark, "_jsparkSession", None)
+    if jvm is not None:
+        return jvm._target_id
+    key = f"pyid-{id(spark)}"
+    if _PY_KEYS.get(key) is not spark:
+        _PY_KEYS[key] = spark
+        _VIEWS_FOR.pop(key, None)  # id reuse: drop any stale marker
+    return key
 
 
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:

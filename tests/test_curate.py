@@ -361,3 +361,23 @@ def test_greedy_shingle_cover_invariants(spark, sf_dir):
     cums = [r["cum_covered"] for r in out]
     assert cums == [sum(gains[: i + 1]) for i in range(len(gains))]
     assert len({r["doc_id"] for r in out}) == len(out)
+
+
+def test_greedy_shingle_cover_string_ids(spark):
+    """The output id column must keep the input id type (r8 advice:
+    the schema used to hardcode `long`)."""
+    from feast_hive_spark.operators.curate import greedy_shingle_cover
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "one two three four five six"),
+            ("b", "seven eight nine ten eleven twelve"),
+            ("c", "one two three four five six"),
+        ],
+        "doc_id string, text string",
+    )
+    out = greedy_shingle_cover(docs, "doc_id", "text", k=2)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    rows = out.orderBy("pick_rank").collect()
+    assert [r["doc_id"] for r in rows] == ["a", "b"]
+    assert rows[0]["new_covered"] == 4 and rows[1]["cum_covered"] == 8

@@ -500,3 +500,36 @@ def test_minhash_band_sweep_monotone(docs):
     for r in out.values():
         assert 0 <= r["n_true"] <= r["n_candidates"]
         assert 0 <= r["precision_micro"] <= 1_000_000
+
+
+def test_minhash_collapse_equivalence_threshold_zero(dup_corpus):
+    """threshold <= 0 edge (r8 advice): identical empty-shingle texts
+    pair at jaccard 0.0 in the RAW pipeline (sentinel signatures
+    collide, 0.0 >= 0.0) — the collapse path must emit them too."""
+    raw = D.minhash_lsh_pairs(
+        dup_corpus, "doc_id", "text", threshold=0.0, collapse_exact=False
+    )
+    col = D.minhash_lsh_pairs(
+        dup_corpus, "doc_id", "text", threshold=0.0, collapse_exact=True
+    )
+    assert raw.schema == col.schema
+    assert _sorted_rows(raw) == _sorted_rows(col)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in col.collect()}
+    # within-group pairs of the empty-text and sub-n clusters, at 0.0
+    assert got[(400, 401)] == 0.0
+    assert got[(500, 501)] == 0.0
+    # cross-group sentinel collision: empty text x sub-n text, at 0.0
+    assert got[(400, 500)] == 0.0
+
+
+def test_minhash_band_sweep_frees_caches(spark, dup_corpus):
+    """The sweep caches the shared shingle/signature frames; both must
+    be unpersisted before return (r8 advice: bench loops rebuild the
+    sweep repeatedly, leaked blocks accumulate). Only the eager
+    len(configs)-row readout checkpoint may remain."""
+    jsc_sc = spark.sparkContext._jsc.sc()
+    before = jsc_sc.getPersistentRDDs().size()
+    out = D.minhash_band_sweep(dup_corpus, "doc_id", "text")
+    assert out.count() == 3
+    after = jsc_sc.getPersistentRDDs().size()
+    assert after - before <= 1

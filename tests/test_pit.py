@@ -419,3 +419,51 @@ def test_plan_cache_hit_and_miss(spark):
     j2.close()
     j5 = get_historical_features(spark, ent, [mkfv()])
     assert j5.to_spark_df() is not d1
+
+
+def test_concurrent_plan_builds_bind_correct_views(spark):
+    """The SQL build path overwrites three session-global temp views
+    (__pit_sql_*); concurrent plan builds must not interleave the
+    bindings (r8 advice — guarded by plans.pit._SQL_VIEW_LOCK). Two
+    threads build DIFFERENT retrievals many times; each result must
+    reflect its OWN feature table."""
+    import threading
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    entity_pdf = pd.DataFrame(
+        {"k": [1, 2], "event_timestamp": [base, base]}
+    )
+
+    def make_fv(tag, value):
+        feature_pdf = pd.DataFrame(
+            {
+                "k": [1, 2],
+                "ts": [base - timedelta(hours=1)] * 2,
+                "v": [value, value + 1.0],
+            }
+        )
+        return FeatureView(
+            name=f"fv_{tag}",
+            source=spark.createDataFrame(feature_pdf),
+            join_keys=["k"],
+            features=["v"],
+            event_timestamp_column="ts",
+        )
+
+    fva, fvb = make_fv("a", 100.0), make_fv("b", 500.0)
+    errs = []
+
+    def run(fv, lo):
+        try:
+            for _ in range(6):
+                got = get_historical_features(
+                    spark, entity_pdf, [fv], full_feature_names=False
+                ).to_df()
+                assert sorted(got["v"].tolist()) == [lo, lo + 1.0]
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ta = threading.Thread(target=run, args=(fva, 100.0))
+    tb = threading.Thread(target=run, args=(fvb, 500.0))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errs, errs

@@ -559,3 +559,21 @@ def test_kcenter_diverse_sample_invariants(spark, sf_dir):
     assert dists == sorted(dists, reverse=True)
     assert all(d > 0 for d in dists)
     assert len({r["vec_id"] for r in out}) == 4
+
+
+def test_kcenter_diverse_sample_string_ids(spark):
+    """Output id column keeps the input id type (r8 advice: the
+    schema — including the empty-corpus branch — hardcoded `long`)."""
+    from feast_hive_spark.operators.simsearch import kcenter_diverse_sample
+
+    emb = spark.createDataFrame(
+        [("x", [1.0, 0.0]), ("y", [0.0, 1.0]), ("z", [0.9, 0.1])],
+        "vid string, v array<double>",
+    )
+    out = kcenter_diverse_sample(emb, "vid", "v", k=2)
+    assert out.schema["vid"].dataType.simpleString() == "string"
+    rows = out.orderBy("pick_rank").collect()
+    assert rows[0]["vid"] == "x" and rows[1]["vid"] == "y"
+    empty = kcenter_diverse_sample(emb.filter("1=0"), "vid", "v", k=2)
+    assert empty.schema["vid"].dataType.simpleString() == "string"
+    assert empty.count() == 0

