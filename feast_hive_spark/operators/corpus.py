@@ -32,6 +32,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import threading
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -41,6 +42,10 @@ from feast_hive_spark.functions import text as X
 from feast_hive_spark.functions.text import h48
 from feast_hive_spark.operators.prefix import quantile_bucket
 from feast_hive_spark.plans.memo import job_memo
+
+# Guards the overwrite-stable-view-then-sql window in tfidf_top_terms
+# (same protocol as plans/pit.py's _SQL_VIEW_LOCK).
+_SQL_VIEW_LOCK = threading.Lock()
 
 #: micro-unit scale for cross-engine-exact fixed-point sums
 _MICRO = 1_000_000
@@ -562,11 +567,19 @@ def tfidf_top_terms(
     (``broadcast_vocab=False`` falls back to a shuffle join for
     corpora whose vocabulary outgrows executor memory).
 
-    Built as ONE ``spark.sql`` statement over the input DataFrame
-    (PySpark's ``{d}`` placeholder): the old ~13-Dataset chain paid
-    py4j + eager-analysis per step (~170 ms/cold build profiled at
-    r8); the parsed text is one round trip and one analysis pass for
-    the identical logical plan."""
+    Built as ONE ``spark.sql`` statement over the input DataFrame:
+    the old ~13-Dataset chain paid py4j + eager-analysis per step
+    (~170 ms/cold build profiled at r8); the parsed text is one round
+    trip and one analysis pass for the identical logical plan. The
+    input is bound through a stable lock-guarded temp view and the
+    tokenization subquery is INLINED per reference instead of a
+    ``WITH`` clause — measured at r9: BOTH PySpark's ``{d}``
+    placeholder and any CTE defeat ``CacheManager`` substitution
+    (the analyzed plan no longer ``sameResult``-matches a cached
+    table), so the r8 CTE+placeholder build re-scanned parquet and
+    re-ran the warehouse respread exchanges under bench's resident
+    cache — a measured 1.6x steady-state regression. Inlining is
+    plan-neutral: deterministic CTEs are inlined by Catalyst anyway."""
     i, t = f"`{id_col}`", f"`{text_col}`"
     # nd is a 1-row aggregate: always broadcast (the old chain's
     # F.broadcast(n_docs)); the vocabulary join is the configurable one
@@ -574,40 +587,46 @@ def tfidf_top_terms(
         "/*+ BROADCAST(dfreq, nd) */ " if broadcast_vocab
         else "/*+ BROADCAST(nd) */ "
     )
-    return df.sparkSession.sql(
-        f"""
-        WITH tokd AS (SELECT {i}, split({t}, ' ') AS __toks FROM {{d}}),
-        nd AS (SELECT count(*) AS __n FROM tokd),
-        dfreq AS (
-          SELECT term, count(*) AS __df
-          FROM (SELECT explode(array_distinct(__toks)) AS term FROM tokd)
-          GROUP BY term
-        ),
-        tf AS (
-          SELECT {i}, __dl, term, count(*) AS __tc
-          FROM (
-            SELECT {i}, size(__toks) AS __dl, explode(__toks) AS term
-            FROM (SELECT /*+ REPARTITION({i}) */ * FROM tokd)
-          )
-          GROUP BY {i}, term, __dl
-        ),
-        scored AS (
-          SELECT {vocab_hint}tf.{i}, tf.term,
-                 round(cast(__tc AS DOUBLE) / __dl
-                       * ln(cast(__n AS DOUBLE) / __df), 6) AS tfidf
-          FROM tf JOIN dfreq ON tf.term = dfreq.term
-          CROSS JOIN nd
-        )
+    tokd = f"(SELECT {i}, split({t}, ' ') AS __toks FROM __tfidf_sql_d)"
+    sql = f"""
         SELECT {i}, term, tfidf, cast(rank AS BIGINT) AS rank
         FROM (
           SELECT {i}, term, tfidf,
                  row_number() OVER (PARTITION BY {i}
                                     ORDER BY tfidf DESC, term ASC) AS rank
-          FROM scored
+          FROM (
+            SELECT {vocab_hint}tf.{i}, tf.term,
+                   round(cast(__tc AS DOUBLE) / __dl
+                         * ln(cast(__n AS DOUBLE) / __df), 6) AS tfidf
+            FROM (
+              SELECT {i}, __dl, term, count(*) AS __tc
+              FROM (
+                SELECT {i}, size(__toks) AS __dl, explode(__toks) AS term
+                FROM (SELECT /*+ REPARTITION({i}) */ * FROM {tokd})
+              )
+              GROUP BY {i}, term, __dl
+            ) tf
+            JOIN (
+              SELECT term, count(*) AS __df
+              FROM (
+                SELECT explode(array_distinct(__toks)) AS term
+                FROM {tokd}
+              )
+              GROUP BY term
+            ) dfreq ON tf.term = dfreq.term
+            CROSS JOIN (
+              SELECT count(*) AS __n FROM __tfidf_sql_d
+            ) nd
+          )
         ) WHERE rank <= {int(top_per_doc)}
-        """,
-        d=df,
-    )
+        """
+    # same overwrite-stable-view-under-lock protocol as plans/pit.py
+    # _join_fv_sql: the returned plan resolves the view at analysis
+    # time, later overwrites cannot reach it; __tfidf_sql_d is an
+    # engine-reserved name.
+    with _SQL_VIEW_LOCK:
+        df.createOrReplaceTempView("__tfidf_sql_d")
+        return df.sparkSession.sql(sql)
 
 
 def shingle_novelty(

@@ -740,3 +740,26 @@ def test_kneser_ney_matches_hand_model(spark):
     }
     assert got == want
     assert 3 not in got  # single-token doc has no scored positions
+
+
+def test_tfidf_sql_build_preserves_cache_substitution(spark, sf_dir):
+    """r9 regression gate: the one-statement SQL build must still
+    sameResult-match a cached input table. Measured at r9: BOTH the
+    PySpark ``{d}`` placeholder AND any ``WITH`` clause defeat
+    CacheManager substitution, silently re-scanning parquet under
+    bench's resident cache (1.6x steady-state regression at r8)."""
+    from feast_hive_spark.operators.corpus import tfidf_top_terms
+    from feast_hive_spark.sources.tables import read_table
+
+    spark.catalog.clearCache()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__tfidf_cache_probe")
+    spark.catalog.cacheTable("__tfidf_cache_probe")
+    try:
+        out = tfidf_top_terms(docs, "doc_id", "text", top_per_doc=2)
+        plan = str(out._jdf.queryExecution().withCachedData())
+        # all three tokenization branches must read the cached relation
+        assert plan.count("InMemoryRelation") == 3, plan[:2000]
+    finally:
+        spark.catalog.uncacheTable("__tfidf_cache_probe")
+        spark.catalog.dropTempView("__tfidf_cache_probe")
