@@ -359,12 +359,104 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _duckdb_rel20_control(sf_dir: str, names: list[str]) -> dict:
+    """Same-window DuckDB control: the REL-20 ORACLE sweep, in-process
+    (32 threads, warm, median of 9 sweeps, ``.df()`` fetch — the same
+    fetch the correctness gate uses). Host wall-time drift here swings
+    +-25-45% minute-to-minute (r8 measurement), so only a ratio of
+    SAME-WINDOW readings is defensible — this runs right after the
+    Spark measurements, making BENCH_SUMMARY.json self-contained."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = [REGISTRY[n][1] for n in names if REGISTRY[n][1] is not None]
+    for q in oracles:  # warm: buffer pool + query plans
+        con.execute(q).df()
+    sweeps = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        for q in oracles:
+            con.execute(q).df()
+        sweeps.append(time.perf_counter() - t0)
+    sweeps.sort()
+    con.close()
+    return {
+        "sweep_median_sec": round(sweeps[len(sweeps) // 2], 3),
+        "sweeps_sec": [round(s, 3) for s in sweeps],
+        "n_queries": len(oracles),
+        "threads": 32,
+        "fetch": "df()",
+    }
+
+
+def _oldcode_rel20_control(sf_dir: str) -> dict:
+    """Same-window old-code control: re-bench the PREVIOUS ROUND's
+    unchanged code (last driver round-end commit, or
+    ``$SPARK_GRAFT_CONTROL_REF``) on the REL-20 subset in a detached
+    git worktree subprocess — run strictly AFTER this process's
+    SparkSession stopped (two concurrent Spark processes inflate every
+    timing ~30%, r5/r8 measurement). A drop or rise that appears in
+    BOTH this control and the new code is host drift, not a change."""
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ref = os.environ.get("SPARK_GRAFT_CONTROL_REF")
+    if not ref:
+        ref = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-1", "--format=%H"],
+            capture_output=True, text=True, cwd=here,
+        ).stdout.strip()
+    if not ref:
+        return {"skipped": "no round-end commit / SPARK_GRAFT_CONTROL_REF"}
+    wt = tempfile.mkdtemp(prefix="benchctl_")
+    os.rmdir(wt)  # git worktree add wants a fresh path
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, ref],
+        cwd=here, check=True, capture_output=True,
+    )
+    try:
+        env = dict(os.environ, SPARK_GRAFT_NO_CONTROLS="1",
+                   SPARK_GRAFT_SF_DIR=sf_dir)
+        rel20 = BENCH_QUERIES[:REL20_N]
+        proc = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py"), *rel20],
+            env=env, capture_output=True, text=True, cwd=wt, timeout=1200,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        payload = json.loads(line)
+        out = {
+            "ref": ref[:12],
+            "rel20_value": payload.get("rel20_value"),
+            "rel20_e2e": payload.get("rel20_e2e"),
+        }
+        try:  # cold-prepare total from the worktree's full summary
+            with open(os.path.join(wt, "BENCH_SUMMARY.json")) as f:
+                out["rel20_prepare_cold"] = round(sum(
+                    json.load(f).get("prepare_cold_sec", {}).values()), 3)
+        except Exception:
+            pass
+        return out
+    except Exception as e:  # noqa: BLE001 - control is best-effort
+        return {"ref": ref[:12], "error": f"{type(e).__name__}: {str(e)[:200]}"}
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=here, capture_output=True)
+
+
 def emit(
     times: dict[str, float],
     prepare: dict[str, float],
     prepare_cold: dict[str, float],
     sf,
     conf: dict[str, str],
+    environment_note: dict | None = None,
 ) -> None:
     total = round(sum(times.values()), 3)
     prep_total = round(sum(prepare.values()), 3)
@@ -397,6 +489,10 @@ def emit(
                     sum(prepare_cold.values()), 3
                 ),
                 "conf": conf,
+                # same-window controls, emitted by the harness itself
+                # (r8 verdict: a driver rerun must not drop them)
+                **({"environment_note": environment_note}
+                   if environment_note else {}),
             },
             f,
             indent=1,
@@ -512,7 +608,25 @@ def main() -> None:
         )
 
     spark.stop()  # flush JVM chatter before the graded line
-    emit(times, prepare, prepare_cold, sf, conf)
+
+    # Same-window controls (r8 verdict #4): run strictly AFTER the
+    # session stops (serialization rule), full-suite runs only — a
+    # subset invocation is an iteration tool, not a graded artifact.
+    note = None
+    if not extra and not os.environ.get("SPARK_GRAFT_NO_CONTROLS"):
+        note = {"measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        try:
+            note["duckdb_rel20"] = _duckdb_rel20_control(
+                sf_dir, [n for n in BENCH_QUERIES[:REL20_N] if n in times]
+            )
+        except Exception as e:  # noqa: BLE001 - control is best-effort
+            note["duckdb_rel20"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        try:
+            note["oldcode_rel20"] = _oldcode_rel20_control(sf_dir)
+        except Exception as e:  # noqa: BLE001
+            note["oldcode_rel20"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+    emit(times, prepare, prepare_cold, sf, conf, environment_note=note)
 
 
 if __name__ == "__main__":

@@ -51,3 +51,32 @@ def test_bench_conf_does_not_touch_engine_defaults():
     big = bench.bench_conf(100.0)
     assert "spark.sql.adaptive.enabled" not in big
     assert DEFAULT_CONF.get("spark.sql.adaptive.enabled", "true") == "true"
+
+
+def test_emit_writes_environment_note(capsys, tmp_path, monkeypatch):
+    """environment_note must land in BENCH_SUMMARY.json (r8 verdict:
+    the same-window controls must survive any rerun, emitted by the
+    harness itself) and must NOT bloat the printed line."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _: str(tmp_path))
+    note = {"duckdb_rel20": {"sweep_median_sec": 1.5}}
+    bench.emit({"q": 0.1}, {"q": 0.01}, {"q": 0.02}, 0.1, {"k": "v"},
+               environment_note=note)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "environment_note" not in line
+    summary = json.loads((tmp_path / "BENCH_SUMMARY.json").read_text())
+    assert summary["environment_note"] == note
+
+
+def test_duckdb_rel20_control_contract(sf_dir):
+    """The in-process DuckDB control runs every REL-20 oracle and
+    reports a median over 9 warm sweeps."""
+    import bench
+
+    r = bench._duckdb_rel20_control(sf_dir, bench.BENCH_QUERIES[:bench.REL20_N])
+    assert r["n_queries"] == 20 and r["threads"] == 32
+    assert len(r["sweeps_sec"]) == 9
+    assert r["sweep_median_sec"] == r["sweeps_sec"][4]
