@@ -583,7 +583,24 @@ def main() -> None:
         pit._PLAN_CACHE.clear()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        prepare_cold[name] = round(time.perf_counter() - t0, 3)
+        cold_runs = [time.perf_counter() - t0]
+        # median-of-3 (r9): single-shot cold builds swing 2x on GC /
+        # scheduler pauses, same as exec runs. Each re-measure clears
+        # every plan/memo cache first, so each run IS a fresh build.
+        # Expensive eager-build operators (collect/checkpoint-driven,
+        # >0.5 s) keep the single measurement — their cost is real
+        # work, not noise, and re-running would triple suite time.
+        if cold_runs[0] < 0.5:
+            for _ in range(2):
+                registry_mod.clear_prepared()
+                memo.clear()
+                pit._PLAN_CACHE.clear()
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                cold_runs.append(time.perf_counter() - t0)
+        prepare_cold[name] = round(
+            sorted(cold_runs)[len(cold_runs) // 2], 3
+        )
         _noop(df)  # warmup: codegen + plan-pinned caches
         # warm prepare: re-build against the now-materialized caches —
         # the per-retrieval cost one more retrieval would actually pay

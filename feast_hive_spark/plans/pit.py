@@ -450,19 +450,42 @@ def get_historical_features(
             pinned.append(ek)
             ekeys_by_tuple[t] = ek
 
-        for fv in feature_views:
-            result = _join_feature_view(
-                result,
-                ent,
-                fv,
-                spark,
-                bounds,
-                full_feature_names,
-                do_broadcast,
-                tiebreak_columns,
-                use_max_by,
-                ekeys=ekeys_by_tuple[tuple(fv.key_map().values())],
+        parts = [
+            _prepare_fv(
+                fv, spark, bounds, full_feature_names, tiebreak_columns
             )
+            for fv in feature_views
+        ]
+        if use_max_by and parts and all(p.fast for p in parts):
+            # All views take the default keyed-max_by shape: assemble
+            # the WHOLE retrieval as one spark.sql statement (one
+            # parse + one analysis pass; the per-view loop below pays
+            # both per view).
+            result = _join_fvs_sql(
+                spark,
+                ent,
+                parts,
+                [
+                    ekeys_by_tuple[tuple(fv.key_map().values())]
+                    for fv in feature_views
+                ],
+                do_broadcast,
+            )
+        else:
+            for fv, part in zip(feature_views, parts):
+                result = _join_feature_view(
+                    result,
+                    ent,
+                    fv,
+                    spark,
+                    bounds,
+                    full_feature_names,
+                    do_broadcast,
+                    tiebreak_columns,
+                    use_max_by,
+                    ekeys=ekeys_by_tuple[tuple(fv.key_map().values())],
+                    part=part,
+                )
         # P4: drop internal columns (the reference's regex column
         # exclusion, hive.py:706) — everything else (incl. passthrough
         # entity columns) survives.
@@ -476,18 +499,29 @@ def get_historical_features(
     )
 
 
-def _join_feature_view(
-    acc: DataFrame,
-    ent: DataFrame,
+@dataclass
+class _FvPart:
+    """Per-feature-view prepared inputs for the join step: the
+    projected+bounds-filtered feature frame plus the SQL fragments the
+    fast path assembles. ``fast`` marks default-shape eligibility
+    (keyed fv with features under the max_by strategy)."""
+
+    feat: DataFrame
+    entity_cols: list
+    out_names: list
+    created_ts: Optional[str]
+    tiebreaks: list
+    range_cond: str
+    fast: bool
+
+
+def _prepare_fv(
     fv: FeatureView,
     spark: SparkSession,
     bounds,
     full_feature_names: bool,
-    broadcast_entities: bool,
     tiebreak_columns: Sequence[str],
-    use_max_by: bool = True,
-    ekeys: Optional[DataFrame] = None,
-) -> DataFrame:
+) -> _FvPart:
     key_map = fv.key_map()  # feature col -> entity col
     entity_cols = list(key_map.values())
     event_ts = fv.event_ts_col()
@@ -527,11 +561,6 @@ def _join_feature_view(
             cond = cond & (F.col(_EVENT_TS) >= F.lit(lower))
         feat = feat.filter(cond)
 
-    # A1: dedup entity join side (shared across views via the caller's
-    # per-key-tuple cache; rebuilt here only for direct callers).
-    if ekeys is None:
-        ekeys = ent.select(*entity_cols, _ENTITY_TS).dropDuplicates()
-
     range_cond = f"{_EVENT_TS} <= {_ENTITY_TS}"
     if fv.ttl_seconds:
         # micros arithmetic, not `ts - INTERVAL n SECOND`: timestamp -
@@ -544,26 +573,57 @@ def _join_feature_view(
             f"unix_micros({_ENTITY_TS}) - {fv.ttl_seconds * 1_000_000}"
         )
 
-    if use_max_by and entity_cols and out_names:
+    return _FvPart(
+        feat=feat,
+        entity_cols=entity_cols,
+        out_names=out_names,
+        created_ts=created_ts,
+        tiebreaks=[c for c in tiebreak_columns if c in feat.columns],
+        range_cond=range_cond,
+        fast=bool(entity_cols and out_names),
+    )
+
+
+def _join_feature_view(
+    acc: DataFrame,
+    ent: DataFrame,
+    fv: FeatureView,
+    spark: SparkSession,
+    bounds,
+    full_feature_names: bool,
+    broadcast_entities: bool,
+    tiebreak_columns: Sequence[str],
+    use_max_by: bool = True,
+    ekeys: Optional[DataFrame] = None,
+    part: Optional[_FvPart] = None,
+) -> DataFrame:
+    if part is None:
+        part = _prepare_fv(
+            fv, spark, bounds, full_feature_names, tiebreak_columns
+        )
+    feat = part.feat
+    entity_cols = part.entity_cols
+    out_names = part.out_names
+    created_ts = part.created_ts
+    range_cond = part.range_cond
+
+    # A1: dedup entity join side (shared across views via the caller's
+    # per-key-tuple cache; rebuilt here only for direct callers).
+    if ekeys is None:
+        ekeys = ent.select(*entity_cols, _ENTITY_TS).dropDuplicates()
+
+    if use_max_by and part.fast:
         # Fast path for the default shape (keyed fv with features,
-        # max_by strategy): J3+J4/J5+J6 as ONE ``spark.sql`` statement
-        # over DataFrame placeholders. The step-by-step chain below
-        # costs ~6 eagerly-analyzed Dataset creations per feature view
-        # (~60 ms/view of py4j + repeated analysis, profiled at r8);
-        # the parsed text is one round trip + one analysis pass and
-        # produces the identical logical plan (broadcast hints stand
-        # in for the F.broadcast wrappers; the placeholder views keep
-        # the cached ekeys/entity plans, so cache reuse is unchanged).
-        return _join_fv_sql(
-            acc,
-            feat,
-            ekeys,
-            entity_cols,
-            out_names,
-            created_ts,
-            [c for c in tiebreak_columns if c in feat.columns],
-            range_cond,
-            broadcast_entities,
+        # max_by strategy): J3+J4/J5+J6 as ONE ``spark.sql`` statement.
+        # The step-by-step chain below costs ~6 eagerly-analyzed
+        # Dataset creations per feature view (~60 ms/view of py4j +
+        # repeated analysis, profiled at r8); the parsed text is one
+        # round trip + one analysis pass and produces the identical
+        # logical plan (broadcast hints stand in for the F.broadcast
+        # wrappers; the stable temp views keep the cached ekeys/entity
+        # plans, so cache reuse is unchanged).
+        return _join_fvs_sql(
+            spark, acc, [part], [ekeys], broadcast_entities
         )
 
     if broadcast_entities:
@@ -638,73 +698,104 @@ def _join_feature_view(
     return acc.join(latest, on=[*entity_cols, _ENTITY_TS], how="left")
 
 
-def _join_fv_sql(
+def _join_fvs_sql(
+    spark: SparkSession,
     acc: DataFrame,
-    feat: DataFrame,
-    ekeys: DataFrame,
-    entity_cols: Sequence[str],
-    out_names: Sequence[str],
-    created_ts: Optional[str],
-    tiebreaks: Sequence[str],
-    range_cond: str,
+    parts: Sequence[_FvPart],
+    ekeys_list: Sequence[DataFrame],
     broadcast_entities: bool,
 ) -> DataFrame:
-    """One-statement J3+W1+J6 for the default keyed-max_by shape (see
-    the call site in ``_join_feature_view`` for the rationale).
-    Semantically identical to the step-by-step chain: same equi join
-    on the deduped entity keys, same range predicate, same
-    ``max_by(struct(features), struct(ordering))`` argmax, same
-    USING-style left assembly with join keys leading the schema —
-    the old ``acc.join(latest, on=[...])`` also emitted
-    ``[keys, _ENTITY_TS, acc-rest, features]``."""
-    keys_sql = ", ".join(_bt(c) for c in entity_cols)
-    ord_sql = [f"unix_micros({_EVENT_TS})"]
-    if created_ts:
-        ord_sql.append(f"unix_micros({_CREATED_TS})")
-    ord_sql.extend(_bt(c) for c in tiebreaks)
-    ord_key = "struct(" + ", ".join(ord_sql) + ")"
-    payload = "struct(" + ", ".join(_bt(n) for n in out_names) + ")"
-    best = ", ".join(f"__best.{_bt(n)} AS {_bt(n)}" for n in out_names)
-    feats = ", ".join(f"latest.{_bt(n)}" for n in out_names)
-    acc_rest = [
-        f"a.{_bt(c)}"
-        for c in acc.columns
-        if c not in entity_cols and c != _ENTITY_TS
-    ]
-    proj = ", ".join([keys_sql, _ENTITY_TS, *acc_rest, feats])
-    ek_hint = "/*+ BROADCAST(ek) */ " if broadcast_entities else ""
+    """J3+W1+J6 for one or more default-shape (keyed max_by) feature
+    views, assembled as ONE ``spark.sql`` statement — the per-level
+    subquery nests where the step-by-step chain accumulated
+    DataFrames, so an n-view retrieval pays ONE parse + ONE analysis
+    pass instead of n (r9: pit_multi_feature_view cold build −1 sql
+    −2 temp views vs the r8 per-view statements). Semantically
+    identical to the chain: same equi join on the deduped entity
+    keys, same range predicate, same ``max_by(struct(features),
+    struct(ordering))`` argmax, same USING-style left assembly with
+    join keys leading the schema at every level — the old
+    ``acc.join(latest, on=[...])`` also emitted
+    ``[keys, _ENTITY_TS, acc-rest, features]``.
+
+    Manual reused view names instead of spark.sql's {df} placeholders,
+    for two measured reasons: the placeholder formatter creates AND
+    drops a uniquely-named temp view per DataFrame argument (6 catalog
+    round trips/build for a 2-view retrieval — half the SQL-path cost
+    profiled at r8), and a placeholder-resolved plan no longer
+    sameResult-matches cached tables, silently disabling
+    CacheManager substitution (measured at r9 on tfidf — stable
+    createOrReplaceTempView names keep cache reuse intact). The
+    overwrite+sql window is guarded by a module lock so two
+    concurrent plan builds on one session cannot interleave view
+    bindings; the ``__pit_sql_*`` names are engine-reserved (a user
+    temp view with one of these names is overwritten by plan
+    construction), and the returned plan resolved the views at
+    analysis time, so later overwrites cannot reach it."""
     latest_hint = "/*+ BROADCAST(latest) */ " if broadcast_entities else ""
-    # Manual reused view names instead of spark.sql's {df} placeholders:
-    # the placeholder formatter creates AND drops a uniquely-named temp
-    # view per DataFrame argument (6 catalog round trips/build for a
-    # 2-view retrieval — half the SQL-path cost profiled at r8).
-    # Overwriting three stable names skips the drops; the returned
-    # plan resolved the views at analysis time, so later overwrites
-    # cannot reach it. The overwrite+sql window is guarded by a module
-    # lock so two concurrent plan builds on one session cannot
-    # interleave view bindings (uncontended acquisition is ~100ns —
-    # free on the serial path the plan caches already assume). The
-    # ``__pit_sql_*`` names are engine-reserved: a user temp view with
-    # one of these names is overwritten by plan construction.
+    ek_hint = "/*+ BROADCAST(ek) */ " if broadcast_entities else ""
+    acc_cols = list(acc.columns)
+    acc_sql = "__pit_sql_acc"
+    # dedupe shared ekeys frames (multi-view retrievals share the
+    # per-key-tuple cached dedup) so each registers exactly once
+    ek_views: dict[int, str] = {}
     with _SQL_VIEW_LOCK:
         acc.createOrReplaceTempView("__pit_sql_acc")
-        feat.createOrReplaceTempView("__pit_sql_feat")
-        ekeys.createOrReplaceTempView("__pit_sql_ek")
-        return acc.sparkSession.sql(
-            f"""
+        for idx, (part, ekeys) in enumerate(zip(parts, ekeys_list)):
+            fview = f"__pit_sql_f{idx}"
+            part.feat.createOrReplaceTempView(fview)
+            ekv = ek_views.get(id(ekeys))
+            if ekv is None:
+                ekv = f"__pit_sql_ek{len(ek_views)}"
+                ekeys.createOrReplaceTempView(ekv)
+                ek_views[id(ekeys)] = ekv
+            keys_sql = ", ".join(_bt(c) for c in part.entity_cols)
+            ord_sql = [f"unix_micros({_EVENT_TS})"]
+            if part.created_ts:
+                ord_sql.append(f"unix_micros({_CREATED_TS})")
+            ord_sql.extend(_bt(c) for c in part.tiebreaks)
+            ord_key = "struct(" + ", ".join(ord_sql) + ")"
+            payload = (
+                "struct(" + ", ".join(_bt(n) for n in part.out_names) + ")"
+            )
+            best = ", ".join(
+                f"__best.{_bt(n)} AS {_bt(n)}" for n in part.out_names
+            )
+            feats = ", ".join(f"latest.{_bt(n)}" for n in part.out_names)
+            acc_rest = [
+                f"a.{_bt(c)}"
+                for c in acc_cols
+                if c not in part.entity_cols and c != _ENTITY_TS
+            ]
+            proj = ", ".join([keys_sql, _ENTITY_TS, *acc_rest, feats])
+            acc_sql = f"""
             SELECT {latest_hint}{proj}
-            FROM __pit_sql_acc a
+            FROM {acc_sql} a
             LEFT JOIN (
               SELECT {keys_sql}, {_ENTITY_TS}, {best}
               FROM (
                 SELECT {ek_hint}{keys_sql}, {_ENTITY_TS},
                        max_by({payload}, {ord_key}) AS __best
-                FROM __pit_sql_feat f
-                JOIN __pit_sql_ek ek USING ({keys_sql})
-                WHERE {range_cond}
+                FROM {fview} f
+                JOIN {ekv} ek USING ({keys_sql})
+                WHERE {part.range_cond}
                 GROUP BY {keys_sql}, {_ENTITY_TS}
               )
             ) latest
             USING ({keys_sql}, {_ENTITY_TS})
             """
-        )
+            if idx + 1 < len(parts):
+                acc_sql = f"({acc_sql})"
+            # track the accumulated schema without a py4j round trip:
+            # the USING join emits [keys, ts, acc-rest, features]
+            acc_cols = (
+                list(part.entity_cols)
+                + [_ENTITY_TS]
+                + [
+                    c
+                    for c in acc_cols
+                    if c not in part.entity_cols and c != _ENTITY_TS
+                ]
+                + list(part.out_names)
+            )
+        return spark.sql(acc_sql)
