@@ -177,6 +177,16 @@ SCALE_QUERIES = [
     "daily_row_checksums",
     "greedy_shingle_cover_picks",
     "kcenter_diverse_sample",
+    # r9 additions (r8 verdict #1): the blocked edit-distance family —
+    # the one cost law that bends with block growth. Both now collapse
+    # identical (name, brand, type) records before the quadratic
+    # within-block compare (registry_analytics._fuzzy_part_collapsed);
+    # entity resolution is output-linear, the pair query's OUTPUT is
+    # inherently quadratic under the harness's same-name duplication
+    # (every copy-pair is a true match) while its COMPARE volume stays
+    # distinct-tuple-sized.
+    "fuzzy_part_name_pairs",
+    "entity_resolution_parts",
 ]
 
 

@@ -1030,6 +1030,59 @@ def materialize_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_MAX_DIST = 4
 
 
+def _fuzzy_part_collapsed(spark: SparkSession, sf_dir: str):
+    """Shared exact-collapse front end for the fuzzy part-matching
+    family (r8 verdict #3): records identical on the full compared
+    tuple ``(p_name, p_brand, p_type)`` are collapsed to one
+    representative (min key) BEFORE the blocked edit-distance
+    self-join, exactly like the dedup family's ``_exact_collapse`` —
+    the r6/r7 scale harness showed why: key-shifted duplicate records
+    (the 10x/100x multiplication, or any real catalog re-ingesting
+    the same vendor feed) grow blocks linearly and the within-block
+    comparison count QUADRATICALLY, while distinct-tuple work stays
+    constant. Returns ``(mem, rep_pairs)``: the (key, group) member
+    table and the representative-level fuzzy pairs
+    ``(gk_a, gk_b, name_a, name_b, dist)``. Comparisons are
+    distinct-tuple-sized; everything downstream is output-sized."""
+    part = read_table(spark, sf_dir, "part")
+    gk = F.md5(F.concat_ws("\x1f", "p_name", "p_brand", "p_type"))
+    mem = part.select(F.col("p_partkey").alias("__mkey"), gk.alias("__gk"))
+    reps = (
+        part.select("p_partkey", "p_name", "p_brand", "p_type", gk.alias("__gk"))
+        .groupBy("__gk", "p_name", "p_brand", "p_type")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+    )
+    a = reps.select(
+        F.col("__gk").alias("gk_a"), F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"), "p_brand", "p_type",
+    )
+    b = reps.select(
+        F.col("__gk").alias("gk_b"), F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"), "p_brand", "p_type",
+    )
+    # bounded edit distance, computed ONCE: the threshold form of
+    # levenshtein runs the banded O(len * k) recurrence (returning -1
+    # past the bound) instead of the full O(len^2) matrix the old
+    # filter+projection pair evaluated twice. Distances for surviving
+    # pairs are exact, so the oracle twin's unbounded formulation
+    # agrees. (A length-gap prefilter was measured SLOWER here — the
+    # extra predicate costs more than the few pairs it rejects.)
+    rep_pairs = (
+        a.join(b, ["p_brand", "p_type"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .withColumn(
+            "dist",
+            F.levenshtein("name_a", "name_b", _FUZZY_MAX_DIST).cast("long"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _FUZZY_MAX_DIST))
+        .select("gk_a", "gk_b", "key_a", "key_b", "name_a", "name_b", "dist")
+    )
+    return mem, reps, rep_pairs
+
+
 @register(
     "fuzzy_part_name_pairs",
     f"""
@@ -1050,35 +1103,34 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison runs within small blocks instead of all-pairs — the
     classic record-linkage shape. levenshtein is a JVM intrinsic;
     the self-join is an equi join on the blocking key (a skewed block
-    would call for the salted_join utility)."""
-    part = read_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
-        "p_brand", "p_type",
-    )
-    b = part.select(
-        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
-        "p_brand", "p_type",
-    )
-    # bounded edit distance, computed ONCE: the threshold form of
-    # levenshtein runs the banded O(len * k) recurrence (returning -1
-    # past the bound) instead of the full O(len^2) matrix the old
-    # filter+projection pair evaluated twice. Distances for surviving
-    # pairs are exact, so the oracle twin's unbounded formulation
-    # agrees. (A length-gap prefilter was measured SLOWER here — the
-    # extra predicate costs more than the few pairs it rejects.)
+    would call for the salted_join utility).
+
+    Comparisons run on records collapsed by the full compared tuple
+    (``_fuzzy_part_collapsed``); member-level pairs are expanded back
+    through two output-sized group joins, ordered (least, greatest)
+    with names following their keys — row-for-row identical to the
+    uncollapsed join (identical tuples never pair: ``name_a <>
+    name_b``; cross-group expansion hits every member combination
+    exactly once because every cross-group member pair satisfies the
+    block + distance predicates its representatives did). NOTE: under
+    duplicate multiplication the OUTPUT itself grows quadratically
+    (every copy of A near-matches every copy of B — real pairs, not
+    waste); the collapse keeps the levenshtein/compare volume at
+    distinct-tuple size, which is the scale-safe shape."""
+    mem, _reps, rep_pairs = _fuzzy_part_collapsed(spark, sf_dir)
+    ma = mem.select(F.col("__gk").alias("gk_a"), F.col("__mkey").alias("__ka"))
+    mb = mem.select(F.col("__gk").alias("gk_b"), F.col("__mkey").alias("__kb"))
+    ordered = F.col("__ka") < F.col("__kb")
     return (
-        a.join(b, ["p_brand", "p_type"])
-        .filter(
-            (F.col("key_a") < F.col("key_b"))
-            & (F.col("name_a") != F.col("name_b"))
-        )
-        .withColumn(
+        rep_pairs.join(ma, "gk_a")
+        .join(mb, "gk_b")
+        .select(
+            F.least("__ka", "__kb").alias("key_a"),
+            F.greatest("__ka", "__kb").alias("key_b"),
+            F.when(ordered, F.col("name_a")).otherwise(F.col("name_b")).alias("name_a"),
+            F.when(ordered, F.col("name_b")).otherwise(F.col("name_a")).alias("name_b"),
             "dist",
-            F.levenshtein("name_a", "name_b", _FUZZY_MAX_DIST).cast("long"),
         )
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= _FUZZY_MAX_DIST))
-        .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
 
 
@@ -1714,33 +1766,33 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixpoint via recursive CTE."""
     from feast_hive_spark.operators.dedup import connected_components_star
 
-    part = read_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
-        "p_brand", "p_type",
-    )
-    b = part.select(
-        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
-        "p_brand", "p_type",
-    )
-    pairs = (
-        a.join(b, ["p_brand", "p_type"])
-        .filter(
-            (F.col("key_a") < F.col("key_b"))
-            & (F.col("name_a") != F.col("name_b"))
+    # Exact-collapse front end (r8 verdict #3): the fuzzy graph is
+    # built on distinct (name, brand, type) GROUPS — identical-tuple
+    # copies of a record connect to exactly the same neighbors, so the
+    # member-level component is the group-level component expanded
+    # through membership, and the min-member component id is the
+    # min-rep id (each rep IS its group's min member). Unlike the pair
+    # query, the whole pipeline here is OUTPUT-LINEAR: CC runs on the
+    # distinct-group graph, and every downstream step is one join or
+    # aggregate over per-part rows.
+    mem, reps, rep_pairs = _fuzzy_part_collapsed(spark, sf_dir)
+    comp_rep = connected_components_star(
+        rep_pairs.select(
+            F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b")
         )
-        .withColumn(
-            "dist",
-            F.levenshtein("name_a", "name_b", _FUZZY_MAX_DIST).cast("long"),
-        )
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= _FUZZY_MAX_DIST))
-        .select(F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b"))
-    )
-    comp = connected_components_star(pairs).select(
+    ).select(
         F.col("doc_id").alias("p_partkey"),
         F.col("component_id").alias("entity_id"),
     )
-    named = comp.join(part.select("p_partkey", "p_name"), "p_partkey")
+    # group -> component (+ the group's shared name), then expand to
+    # members: parts whose group has no fuzzy neighbor never enter the
+    # graph and drop out, exactly like the uncollapsed pipeline.
+    comp_g = comp_rep.join(
+        reps.select("__gk", "p_partkey", "p_name"), "p_partkey"
+    ).select("__gk", "entity_id", "p_name")
+    named = mem.join(comp_g, "__gk").select(
+        F.col("__mkey").alias("p_partkey"), "entity_id", "p_name"
+    )
     best = named.groupBy("entity_id").agg(
         F.max(
             F.struct(F.col("p_name"), (-F.col("p_partkey")).alias("__nk"))

@@ -89,8 +89,77 @@ class RetrievalJob:
         return self._to_arrow_internal()
 
 
+# Vendored protocol surface of the pinned public feast vintage (the
+# reference pins feast>=0.15, developed against the 0.17 era —
+# feast-dev/feast v0.17.0, sdk/python/feast/infra/offline_stores/
+# offline_store.py): the exact parameter names, order, and defaults of
+# the two abstract OfflineStore entry points and the RetrievalJob /
+# DataSource methods the facade implements. The real package cannot be
+# installed in this environment, so signature drift is caught
+# programmatically against THIS transcription instead
+# (test_feast_plugin.py::test_facade_matches_vendored_protocol).
+VENDORED_SIGNATURES: dict = {
+    "OfflineStore.pull_latest_from_table_or_query": [
+        "config",
+        "data_source",
+        "join_key_columns",
+        "feature_name_columns",
+        "event_timestamp_column",
+        "created_timestamp_column",
+        "start_date",
+        "end_date",
+    ],
+    "OfflineStore.get_historical_features": [
+        "config",
+        "feature_views",
+        "feature_refs",
+        "entity_df",
+        "registry",
+        "project",
+        ("full_feature_names", False),
+    ],
+    "RetrievalJob.to_df": ["self"],
+    "RetrievalJob.to_arrow": ["self"],
+    "DataSource.from_proto": ["data_source"],
+    "DataSource.to_proto": ["self"],
+    "DataSource.validate": ["self", "config"],
+    "DataSource.get_table_query_string": ["self"],
+}
+
+
+def _unimplemented(*_a, **_k):  # the stub base never executes these
+    raise NotImplementedError
+
+
 class OfflineStore:
-    pass
+    """feast.infra.offline_stores.offline_store.OfflineStore base with
+    the vendored 0.17-era abstract surface (signatures above) so a
+    facade subclass that drifts fails the protocol test, not a user."""
+
+    @staticmethod
+    def pull_latest_from_table_or_query(
+        config,
+        data_source,
+        join_key_columns,
+        feature_name_columns,
+        event_timestamp_column,
+        created_timestamp_column,
+        start_date,
+        end_date,
+    ):
+        raise NotImplementedError
+
+    @staticmethod
+    def get_historical_features(
+        config,
+        feature_views,
+        feature_refs,
+        entity_df,
+        registry,
+        project,
+        full_feature_names=False,
+    ):
+        raise NotImplementedError
 
 
 class _CustomSourceOptions:

@@ -146,3 +146,60 @@ def test_feast_facade_executes_with_stub(spark):
     finally:
         feast_stub.uninstall(saved)
         importlib.reload(FP)
+
+
+def test_facade_matches_vendored_protocol():
+    """Programmatic signature-compatibility gate (r8 verdict residual
+    #3 / next-round #6): the facade's OfflineStore / RetrievalJob /
+    DataSource methods must match the VENDORED feast-0.17 protocol
+    surface transcribed in feast_stub.py (parameter names, order, and
+    defaults) — drift is caught without the uninstallable package."""
+    import inspect
+
+    from tests import feast_stub
+
+    saved = feast_stub.install()
+    try:
+        fp = importlib.reload(FP)
+        impls = {
+            "OfflineStore": fp.SparkFeastOfflineStore,
+            "RetrievalJob": fp._JobAdapter,
+            "DataSource": fp.SparkHiveSource,
+        }
+        for key, expected in feast_stub.VENDORED_SIGNATURES.items():
+            cls_name, meth_name = key.split(".")
+            meth = inspect.unwrap(getattr(impls[cls_name], meth_name))
+            params = list(inspect.signature(meth).parameters.values())
+            got = [
+                p.name if p.default is inspect.Parameter.empty
+                else (p.name, p.default)
+                for p in params
+            ]
+            want = list(expected)
+            # compare self-free: staticmethods have no self slot
+            if got and got[0] == "self":
+                got = got[1:]
+            if want and want[0] == "self":
+                want = want[1:]
+            assert got == want, f"{key}: {got} != {want}"
+        # and the stub base itself must agree with its own vendoring
+        for key, expected in feast_stub.VENDORED_SIGNATURES.items():
+            cls_name, meth_name = key.split(".")
+            base = getattr(feast_stub, cls_name)
+            if not hasattr(base, meth_name):
+                continue  # duck-typed members the base doesn't pin
+            meth = inspect.unwrap(getattr(base, meth_name))
+            params = [
+                p.name if p.default is inspect.Parameter.empty
+                else (p.name, p.default)
+                for p in inspect.signature(meth).parameters.values()
+            ]
+            want = list(expected)
+            if params and params[0] == "self":
+                params = params[1:]
+            if want and want[0] == "self":
+                want = want[1:]
+            assert params == want, f"stub {key}: {params} != {want}"
+    finally:
+        feast_stub.uninstall(saved)
+        importlib.reload(FP)
