@@ -205,6 +205,9 @@ AUDITS = {
     "near_dup_cluster_histogram": (["HashAggregate"], ["CartesianProduct"]),
     # hard negatives: batched kernel + tiny merge window, no join
     "hard_negative_pairs": (["MapInPandas", "WindowGroupLimit"], ["CartesianProduct", "SortMergeJoin"]),
+    # collect-free hard negatives: bucket shuffle + per-bucket kernel
+    # + per-query top-k; never a corpus self-join or cartesian
+    "hard_negative_pairs_lsh": (["MapInPandas", "FlatMapGroupsInPandas", "WindowGroupLimit"], ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
     # canonical survivor: grouped argmax + join back, no cluster-
     # keyed window (unsplittable on a giant near-dup cluster)
     # (struct-keyed max lowers to a partial SortAggregate, so match

@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_recall_report",
     "hard_negative_pairs",
+    "hard_negative_pairs_lsh",
     "lsh_dedup_quality_report",
     "q7_nation_volume_shipping",
     "q9_product_type_profit",

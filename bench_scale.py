@@ -99,6 +99,16 @@ SF10_QUERIES = [
     "char_entropy_by_lang",
     "minhash_band_sweep",
     "funnel_within_ttl",
+    # r9 (r8 verdict #1/#5): blocked edit-distance family (collapsed)
+    # + the remaining heavy LLM paths. hard_negative_pairs is EXPECTED
+    # to trip the 100k query guard at 500k vectors (guard_trips).
+    "fuzzy_part_name_pairs",
+    "entity_resolution_parts",
+    "dedup_ngram_jaccard",
+    "lsh_dedup_quality_report",
+    "ann_recall_report",
+    "hard_negative_pairs",
+    "hard_negative_pairs_lsh",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -187,6 +197,15 @@ SCALE_QUERIES = [
     # distinct-tuple-sized.
     "fuzzy_part_name_pairs",
     "entity_resolution_parts",
+    # r9 additions (r8 verdict #5): the remaining heavy LLM-pipeline
+    # paths. hard_negative_pairs trips the 100k ANN query guard at the
+    # second decade BY DESIGN (recorded as guard_trips, not failed);
+    # hard_negative_pairs_lsh is its collect-free pair-mining path.
+    "dedup_ngram_jaccard",
+    "lsh_dedup_quality_report",
+    "ann_recall_report",
+    "hard_negative_pairs",
+    "hard_negative_pairs_lsh",
 ]
 
 
@@ -445,9 +464,26 @@ def main_tier100() -> None:
         except (json.JSONDecodeError, OSError):
             pass
 
-    # failed (could not produce an exponent) is a DIFFERENT finding
-    # than flagged (ran, but superlinear) — r7 conflated them
-    failed = sorted(n for n, r in results.items() if "exponent" not in r)
+    # three distinct findings (r7 conflated the first two):
+    # flagged — ran, but superlinear; failed — could not produce an
+    # exponent; guard_trips — an operator's documented scale guard
+    # fired (r9: hard_negative_pairs' AnnQueryGuardError past 100k
+    # query vectors is EXPECTED behavior, the operator's contract
+    # points corpus-sized runs at hard_negative_pairs_lsh)
+    def _is_guard(r: dict) -> bool:
+        return any(
+            "AnnQueryGuardError" in str(r.get(k, ""))
+            for k in ("error", "error_sf1", "error_sf10")
+        )
+
+    guard_trips = sorted(
+        n for n, r in results.items()
+        if "exponent" not in r and _is_guard(r)
+    )
+    failed = sorted(
+        n for n, r in results.items()
+        if "exponent" not in r and not _is_guard(r)
+    )
     flagged = sorted(
         n
         for n, r in results.items()
@@ -471,6 +507,7 @@ def main_tier100() -> None:
         "exponent_flag_threshold": EXPONENT_FLAG,
         "flagged": flagged,
         "failed": failed,
+        "guard_trips": guard_trips,
         "queries": results,
     }
     with open(out_path, "w") as f:
@@ -478,7 +515,9 @@ def main_tier100() -> None:
         f.write("\n")
     if os.path.exists(partial_path):
         os.remove(partial_path)
-    print(json.dumps({k: payload[k] for k in ("metric", "flagged", "failed")}))
+    print(json.dumps(
+        {k: payload[k] for k in ("metric", "flagged", "failed", "guard_trips")}
+    ))
 
 
 def main() -> None:

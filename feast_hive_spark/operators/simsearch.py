@@ -37,6 +37,14 @@ from feast_hive_spark.functions import vector as V
 MAX_QUERY_ROWS = 100_000
 
 
+class AnnQueryGuardError(ValueError):
+    """The ANN query set exceeded MAX_QUERY_ROWS. Deliberate, typed:
+    the scale harness records this as the DOCUMENTED guard behavior
+    (not a failure), and callers with corpus-sized query sets should
+    switch to the collect-free pair-mining paths
+    (lsh_hard_negative_topk / dedup.embedding_cosine_pairs)."""
+
+
 def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
     # bounded single-execution probe: LIMIT N+1 caps the transfer at
     # one row past the guard, and fetching the (bounded) rows directly
@@ -49,7 +57,7 @@ def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
         .toPandas()
     )
     if len(qpdf) > MAX_QUERY_ROWS:
-        raise ValueError(
+        raise AnnQueryGuardError(
             f"query set exceeds {MAX_QUERY_ROWS} rows; the ANN search "
             "collects+broadcasts the query matrix. For query sets this "
             "large, run dedup-style pair mining "
@@ -521,6 +529,138 @@ def hard_negative_topk(
 
     scored = candidates.select(id_col, vec_col, label_col).mapInPandas(
         mapper, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_hard_negative_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    dim: int | None = None,
+) -> DataFrame:
+    """Collect-free hard-negative mining: per vector, the ``k`` most
+    cosine-similar DIFFERENT-label vectors among multi-table sign-LSH
+    bucket candidates — the dedup-style scale path for corpus-sized
+    query sets, where :func:`hard_negative_topk`'s query-broadcast
+    guard (``MAX_QUERY_ROWS``) deliberately trips.
+
+    Shape (same tables as dedup.lsh_cosine_pairs, directional): one
+    shuffle keyed by (table, bucket) moves each vector ``n_tables``
+    times; inside every bucket a chunked matmul emits only each
+    query's per-bucket top-k different-label neighbors (ordered by
+    cosine desc, neighbor_id asc — the SAME ordering the global rank
+    uses, so per-bucket truncation is exact over the candidate set:
+    a global top-k row is a fortiori in its own bucket's top-k); a
+    distinct collapses multi-table hits and a per-query
+    WindowGroupLimit ranks the <= k*n_tables survivors. Nothing is
+    collected; output is k rows per query.
+
+    Deterministic md5-seeded hyperplanes make the approximation
+    itself engine-reproducible — the registry twin replays the exact
+    bucket scheme in SQL, so the report is hash-gated despite being
+    approximate (recall < 1 vs the exact miner by construction)."""
+    base = emb.select(id_col, vec_col, label_col)
+    powers = 1 << np.arange(n_planes)
+
+    def make_planes(d: int) -> np.ndarray:
+        return np.array(
+            [
+                row
+                for t in range(n_tables)
+                for row in V.hyperplanes(n_planes, d, seed=f"t{t}")
+            ],
+            dtype=np.float64,
+        )
+
+    fixed_planes = make_planes(dim) if dim is not None else None
+
+    def bucketer(batches):
+        P = fixed_planes
+        for batch in batches:
+            ids = batch[id_col].to_numpy()
+            if ids.size == 0:
+                continue
+            M = V.np_matrix(batch[vec_col])  # raw: sign(dot) scale-free
+            if P is None:
+                P = make_planes(M.shape[1])
+            signs = (M @ P.T) >= 0
+            buckets = np.stack(
+                [
+                    signs[:, t * n_planes : (t + 1) * n_planes] @ powers
+                    for t in range(n_tables)
+                ],
+                axis=1,
+            )  # (n, n_tables)
+            vecs = [list(v) for v in batch[vec_col]]
+            labs = batch[label_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(ids, n_tables),
+                    "__t": np.tile(np.arange(n_tables), ids.size),
+                    "__b": buckets.reshape(-1),
+                    "__v": [v for v in vecs for _ in range(n_tables)],
+                    "__lab": np.repeat(labs, n_tables),
+                }
+            )
+
+    banded = base.mapInPandas(
+        bucketer,
+        "__id long, __t int, __b long, __v array<double>, __lab long",
+    )
+
+    def bucket_kernel(pdf):
+        ids = pdf["__id"].to_numpy()
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64",
+                  "cosine": "float64"})
+        if len(ids) < 2:
+            return empty
+        labs = pdf["__lab"].to_numpy()
+        Mn = V.np_normalize(V.np_matrix(pdf["__v"]))
+        out_q, out_n, out_c = [], [], []
+        step = 1024
+        for s in range(0, len(ids), step):
+            S = np.round(Mn[s : s + step] @ Mn.T, 6)
+            for r in range(S.shape[0]):
+                qi = s + r
+                mask = labs != labs[qi]
+                if not mask.any():
+                    continue
+                sims = S[r][mask]
+                cand = ids[mask]
+                keep = min(k, sims.size)
+                # top-k by (cosine desc, neighbor_id asc): lexsort on
+                # (-cosine, id) gives exactly the global tie order
+                order = np.lexsort((cand, -sims))[:keep]
+                out_q.extend([ids[qi]] * len(order))
+                out_n.extend(cand[order])
+                out_c.extend(sims[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+        ).astype({"query_id": "int64", "neighbor_id": "int64",
+                  "cosine": "float64"})
+
+    scored = (
+        banded.groupBy("__t", "__b")
+        .applyInPandas(
+            bucket_kernel, "query_id long, neighbor_id long, cosine double"
+        )
+        .distinct()  # multi-table hits carry identical rounded cosines
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -136,6 +136,8 @@ SAMPLE_ROTATION: list[str] = [
     "blocking_quality_report",
     "greedy_shingle_cover_picks",
     "kcenter_diverse_sample",
+    # r9 additions
+    "hard_negative_pairs_lsh",
 ]
 
 

@@ -2367,9 +2367,69 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain top-k would under-fill queries whose neighbors share
     their label); only k rows per (query, batch) reach the merge
     window. The DuckDB twin ranks the exact all-pairs cosines, so a
-    hash match certifies kernel + mask + ranking."""
+    hash match certifies kernel + mask + ranking. EXACT all-pairs
+    mining is inherently quadratic and the query side is broadcast:
+    past MAX_QUERY_ROWS the operator raises AnnQueryGuardError by
+    design — corpus-sized runs use hard_negative_pairs_lsh."""
     emb = read_table(spark, sf_dir, "embeddings")
     out = S.hard_negative_topk(emb, "vec_id", "embedding", "label", k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _lsh_hard_negative_oracle(
+    n_planes: int = 4, n_tables: int = 12, dim: int = 64, k: int = 5
+) -> str:
+    """DuckDB twin of lsh_hard_negative_topk: identical md5-derived
+    hyperplane buckets, different-label candidates sharing >=1 table
+    bucket, exact cosine rerank. (The twin ranks ALL bucket
+    candidates; the Spark kernel's per-bucket top-k truncation uses
+    the same (cosine desc, id asc) order, so the compositions agree
+    row-for-row.)"""
+    per_table = [
+        f"SELECT vec_id, {t} AS t, "
+        f"{V.duck_sign_bucket('embedding', V.hyperplanes(n_planes, dim, seed=f't{t}'))} AS b "
+        "FROM e"
+        for t in range(n_tables)
+    ]
+    union = "\n  UNION ALL ".join(per_table)
+    return f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+sg AS ({union}),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+  FROM sg qs JOIN sg cs ON qs.t = cs.t AND qs.b = cs.b
+                       AND qs.vec_id <> cs.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({V.duck_cosine('n.embedding', 'q.embedding')}, 6) AS cosine
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+  WHERE n.label <> q.label
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+@register("hard_negative_pairs_lsh", _lsh_hard_negative_oracle())
+def hard_negative_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-free hard-negative mining (the corpus-scale path, r8
+    verdict #5): per vector, the top-5 most cosine-similar
+    DIFFERENT-label vectors among multi-table sign-LSH bucket
+    candidates — where the exact miner's query-broadcast guard trips
+    by design, this one shuffles (table, bucket)-keyed rows and emits
+    per-bucket top-k only. Deterministic hyperplanes make the
+    approximation engine-reproducible, so the full bucket scheme is
+    hash-gated against its SQL twin."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.lsh_hard_negative_topk(
+        emb, "vec_id", "embedding", "label", k=5, n_planes=4, n_tables=12
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -577,3 +577,35 @@ def test_kcenter_diverse_sample_string_ids(spark):
     empty = kcenter_diverse_sample(emb.filter("1=0"), "vid", "v", k=2)
     assert empty.schema["vid"].dataType.simpleString() == "string"
     assert empty.count() == 0
+
+
+def test_lsh_hard_negative_topk_invariants(spark, sf_dir):
+    """Collect-free hard-negative miner: every neighbor carries a
+    different label, ranks are dense 1..<=k per query, and each
+    query's rank-1 cosine never exceeds the exact miner's rank-1
+    (the LSH result is a subset of the exact candidate set)."""
+    from feast_hive_spark.operators.simsearch import (
+        hard_negative_topk,
+        lsh_hard_negative_topk,
+    )
+    from feast_hive_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = lsh_hard_negative_topk(emb, "vec_id", "embedding", "label", k=5)
+    pdf = out.toPandas()
+    labs = {r["vec_id"]: r["label"] for r in emb.collect()}
+    assert (pdf.groupby("query_id")["rank"].max() <= 5).all()
+    for _, r in pdf.iterrows():
+        assert labs[r["query_id"]] != labs[r["neighbor_id"]]
+    g = pdf.sort_values(["query_id", "rank"]).groupby("query_id")["rank"]
+    assert (g.apply(lambda s: list(s) == list(range(1, len(s) + 1)))).all()
+    exact1 = {
+        r["query_id"]: r["cosine"]
+        for r in hard_negative_topk(emb, "vec_id", "embedding", "label", k=1)
+        .collect()
+    }
+    lsh1 = pdf[pdf["rank"] == 1]
+    assert all(
+        r["cosine"] <= exact1[r["query_id"]] + 1e-9
+        for _, r in lsh1.iterrows()
+    )
