@@ -643,6 +643,17 @@ def main() -> None:
             note["oldcode_rel20"] = _oldcode_rel20_control(sf_dir)
         except Exception as e:  # noqa: BLE001
             note["oldcode_rel20"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        # the defensible numbers: SAME-WINDOW ratios (host drift hits
+        # both engines; cross-window comparisons do not hold — r8)
+        duck = note.get("duckdb_rel20", {}).get("sweep_median_sec")
+        if duck:
+            rel20 = [n for n in BENCH_QUERIES[:REL20_N] if n in times]
+            warm = sum(times[n] + prepare[n] for n in rel20)
+            oneshot = sum(times[n] + prepare_cold[n] for n in rel20)
+            note["same_window_ratios"] = {
+                "rel20_warm_e2e_vs_duckdb": round(warm / duck, 2),
+                "rel20_oneshot_vs_duckdb": round(oneshot / duck, 2),
+            }
 
     emit(times, prepare, prepare_cold, sf, conf, environment_note=note)
 
