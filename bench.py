@@ -437,10 +437,17 @@ def _oldcode_rel20_control(sf_dir: str) -> dict:
             "rel20_value": payload.get("rel20_value"),
             "rel20_e2e": payload.get("rel20_e2e"),
         }
-        try:  # cold-prepare total from the worktree's full summary
-            with open(os.path.join(wt, "BENCH_SUMMARY.json")) as f:
-                out["rel20_prepare_cold"] = round(sum(
-                    json.load(f).get("prepare_cold_sec", {}).values()), 3)
+        try:  # cold-prepare total from the worktree's summary file
+            # (r9+ code writes subsets to BENCH_SUBSET.json; older
+            # rounds wrote BENCH_SUMMARY.json for subsets too)
+            for fn in ("BENCH_SUBSET.json", "BENCH_SUMMARY.json"):
+                p = os.path.join(wt, fn)
+                if os.path.exists(p):
+                    with open(p) as f:
+                        out["rel20_prepare_cold"] = round(sum(
+                            json.load(f).get("prepare_cold_sec", {})
+                            .values()), 3)
+                    break
         except Exception:
             pass
         return out
@@ -458,10 +465,16 @@ def emit(
     sf,
     conf: dict[str, str],
     environment_note: dict | None = None,
+    subset: bool = False,
 ) -> None:
     total = round(sum(times.values()), 3)
     prep_total = round(sum(prepare.values()), 3)
     rel20 = [n for n in BENCH_QUERIES[:REL20_N] if n in times]
+    # subset invocations are iteration tools: they write their own
+    # file instead of clobbering the graded full-suite artifact (r9 —
+    # the old behavior forced a `git checkout BENCH_SUMMARY.json`
+    # after every subset run)
+    out_name = "BENCH_SUBSET.json" if subset else "BENCH_SUMMARY.json"
     payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -477,10 +490,10 @@ def emit(
         "queries": dict(times),
         "sf": sf,
         "n_queries": len(times),
-        "full": "BENCH_SUMMARY.json",
+        "full": out_name,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_SUMMARY.json"), "w") as f:
+    with open(os.path.join(here, out_name), "w") as f:
         json.dump(
             {
                 **payload,
@@ -655,7 +668,8 @@ def main() -> None:
                 "rel20_oneshot_vs_duckdb": round(oneshot / duck, 2),
             }
 
-    emit(times, prepare, prepare_cold, sf, conf, environment_note=note)
+    emit(times, prepare, prepare_cold, sf, conf,
+         environment_note=note, subset=bool(extra))
 
 
 if __name__ == "__main__":

@@ -335,6 +335,17 @@ def _clean_spark_residue(before: set[str]) -> int:
     return removed
 
 
+def _is_guard(rec: dict) -> bool:
+    """True when a tier measurement died on an operator's DOCUMENTED
+    scale guard (a typed, deliberate refusal — e.g. the ANN family's
+    AnnQueryGuardError past MAX_QUERY_ROWS) rather than a real
+    failure; reported under ``guard_trips``, not ``failed``."""
+    return any(
+        "AnnQueryGuardError" in str(rec.get(k, ""))
+        for k in ("error", "error_sf1", "error_sf10")
+    )
+
+
 def _tier100_child(name: str) -> None:
     """Measure ONE query between the 10x and 100x tiers and print a
     single machine-readable result line. Runs in its own process so a
@@ -470,12 +481,6 @@ def main_tier100() -> None:
     # fired (r9: hard_negative_pairs' AnnQueryGuardError past 100k
     # query vectors is EXPECTED behavior, the operator's contract
     # points corpus-sized runs at hard_negative_pairs_lsh)
-    def _is_guard(r: dict) -> bool:
-        return any(
-            "AnnQueryGuardError" in str(r.get(k, ""))
-            for k in ("error", "error_sf1", "error_sf10")
-        )
-
     guard_trips = sorted(
         n for n, r in results.items()
         if "exponent" not in r and _is_guard(r)

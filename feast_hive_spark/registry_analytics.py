@@ -1118,11 +1118,27 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     waste); the collapse keeps the levenshtein/compare volume at
     distinct-tuple size, which is the scale-safe shape."""
     mem, _reps, rep_pairs = _fuzzy_part_collapsed(spark, sf_dir)
-    ma = mem.select(F.col("__gk").alias("gk_a"), F.col("__mkey").alias("__ka"))
+    # RDD barrier on the rep-level pairs: without it, column pruning
+    # rewrites `dist` as levenshtein(name_a, name_b) ABOVE the
+    # expansion joins, re-running the edit distance once per EXPANDED
+    # row — the r9 100x tier caught it pinning one core for 25+ min
+    # recomputing 600M levenshteins the rep level had computed 23k of.
+    # Lazy localCheckpoint: materialized by the first execution (the
+    # ~rep-pair-count rows are tiny), opaque to the optimizer.
+    rep_pairs = rep_pairs.localCheckpoint(eager=False)
+    # Explicit expansion width: AQE sizes the join stage from the
+    # tiny rep-level shuffle bytes and would run the (output-sized,
+    # possibly x10000 larger) member expansion 1-2 wide; an explicit
+    # partition count on the member side is respected by AQE. No
+    # forced broadcast — rep pairs are unbounded in a real catalog.
+    P = spark.sparkContext.defaultParallelism
+    ma = mem.select(
+        F.col("__gk").alias("gk_a"), F.col("__mkey").alias("__ka")
+    ).repartition(P, "gk_a")
     mb = mem.select(F.col("__gk").alias("gk_b"), F.col("__mkey").alias("__kb"))
     ordered = F.col("__ka") < F.col("__kb")
     return (
-        rep_pairs.join(ma, "gk_a")
+        ma.join(rep_pairs, "gk_a")
         .join(mb, "gk_b")
         .select(
             F.least("__ka", "__kb").alias("key_a"),

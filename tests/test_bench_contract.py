@@ -80,3 +80,15 @@ def test_duckdb_rel20_control_contract(sf_dir):
     assert r["n_queries"] == 20 and r["threads"] == 32
     assert len(r["sweeps_sec"]) == 9
     assert r["sweep_median_sec"] == r["sweeps_sec"][4]
+
+
+def test_tier100_guard_trip_classification():
+    """A tier record that died on a typed scale guard is a documented
+    guard trip, not a failure (r8 verdict #5)."""
+    import bench_scale as bs
+
+    assert bs._is_guard({"error_sf10": "AnnQueryGuardError: query set "
+                                       "exceeds 100000 rows"})
+    assert bs._is_guard({"error": "AnnQueryGuardError: ..."})
+    assert not bs._is_guard({"error_sf1": "OutOfMemoryError: heap"})
+    assert not bs._is_guard({"exponent": 0.5})
