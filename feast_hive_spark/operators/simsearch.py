@@ -549,6 +549,7 @@ def lsh_hard_negative_topk(
     n_planes: int = 4,
     n_tables: int = 12,
     dim: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Collect-free hard-negative mining: per vector, the ``k`` most
     cosine-similar DIFFERENT-label vectors among multi-table sign-LSH
@@ -558,19 +559,131 @@ def lsh_hard_negative_topk(
 
     Shape (same tables as dedup.lsh_cosine_pairs, directional): one
     shuffle keyed by (table, bucket) moves each vector ``n_tables``
-    times; inside every bucket a chunked matmul emits only each
-    query's per-bucket top-k different-label neighbors (ordered by
-    cosine desc, neighbor_id asc — the SAME ordering the global rank
-    uses, so per-bucket truncation is exact over the candidate set:
-    a global top-k row is a fortiori in its own bucket's top-k); a
-    distinct collapses multi-table hits and a per-query
-    WindowGroupLimit ranks the <= k*n_tables survivors. Nothing is
+    times; inside every bucket a vectorized chunked matmul emits only
+    each query's per-bucket top candidates (composite int64 sort key
+    = (micro-rounded cosine desc, neighbor_id asc) — the SAME order
+    the global rank uses, so per-bucket truncation is exact over the
+    candidate set); a distinct collapses multi-table hits and a
+    per-query WindowGroupLimit ranks the survivors. Nothing is
     collected; output is k rows per query.
+
+    ``collapse_exact`` (default ON, the r9 second-decade fix): rows
+    identical on (vector bytes, label) are collapsed to one
+    representative before mining — identical vectors share every
+    bucket AND every cosine, so a d-way duplicated corpus otherwise
+    multiplies bucket populations by d and the per-bucket matmul by
+    d^2 (measured exponent 2.1 on the 100x harness). Rep-level
+    candidates keep the top-``k`` DENSE cosine levels per query
+    (ties included — under duplication the k-th member boundary can
+    interleave members of equal-cosine groups by id); expansion
+    explodes those groups' members, re-ranks by (cosine desc, id
+    asc), and fans the per-rep result out to every query-group
+    member (a query's own group is label-excluded, so all members
+    share one list). Output identical to the uncollapsed pipeline by
+    construction; all expansion joins are output-sized.
 
     Deterministic md5-seeded hyperplanes make the approximation
     itself engine-reproducible — the registry twin replays the exact
     bucket scheme in SQL, so the report is hash-gated despite being
-    approximate (recall < 1 vs the exact miner by construction)."""
+    approximate (recall < 1 vs the exact miner by construction).
+    With ``n_planes`` fixed, bucket population grows linearly with
+    DISTINCT vectors and per-bucket work quadratically — for a corpus
+    of N distinct vectors pick ``n_planes ~ log2(N / target_bucket)``
+    (changes candidates, hence the report: a tuning decision, not a
+    default)."""
+    if collapse_exact:
+        gk = F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.col(label_col).cast("string"),
+                F.col(vec_col).cast("string"),
+            )
+        )
+        mem = emb.select(F.col(id_col).alias("__mid"), gk.alias("__g"))
+        reps = mem.groupBy("__g").agg(F.min("__mid").alias("__rid"))
+        rep_rows = emb.join(
+            reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi"
+        )
+        rep_cand = _lsh_hn_candidates(
+            rep_rows, id_col, vec_col, label_col,
+            k, n_planes, n_tables, dim, dense_levels=True,
+        )
+        # neighbor-group expansion: rep neighbor -> its group's members
+        # (identical vectors = identical cosine, exact), re-rank, k per
+        # rep query; then fan out to every member of the query group.
+        rep_of = reps.select(
+            F.col("__rid").alias("neighbor_id"), F.col("__g").alias("__ng")
+        )
+        nmem = mem.select(
+            F.col("__g").alias("__ng"), F.col("__mid").alias("__nid")
+        )
+        expanded = (
+            rep_cand.join(rep_of, "neighbor_id")
+            .join(nmem, "__ng")
+            .select("query_id", F.col("__nid").alias("neighbor_id"), "cosine")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        per_rep = (
+            expanded.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        qrep = reps.select(
+            F.col("__rid").alias("query_id"), F.col("__g").alias("__qg")
+        )
+        qmem = mem.select(
+            F.col("__g").alias("__qg"), F.col("__mid").alias("__qid")
+        )
+        return (
+            per_rep.join(qrep, "query_id")
+            .join(qmem, "__qg")
+            .select(
+                F.col("__qid").alias("query_id"),
+                "neighbor_id",
+                "cosine",
+                "rank",
+            )
+        )
+    scored = _lsh_hn_candidates(
+        emb, id_col, vec_col, label_col, k, n_planes, n_tables, dim,
+        dense_levels=False,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _lsh_hn_candidates(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    n_planes: int,
+    n_tables: int,
+    dim: int | None,
+    dense_levels: bool,
+) -> DataFrame:
+    """Distinct per-query different-label candidates from the banded
+    sign-LSH index: ``(query_id, neighbor_id, cosine)``.
+
+    Per-bucket truncation modes, both exact over the candidate set:
+    - ``dense_levels=False``: top-k rows by (cosine desc, id asc) via
+      ONE vectorized argpartition on a composite int64 key
+      (micro-cosine * 2^32 + (2^32-1-id) — unique per row, so no
+      boundary-tie ambiguity; requires ids < 2^31, with a row-loop
+      fallback for wider ids). Feeds a plain row_number top-k.
+    - ``dense_levels=True`` (the collapse path): keep every row whose
+      cosine sits in the bucket's top-k DISTINCT cosine values — the
+      member expansion needs ALL groups tied at a kept level, because
+      equal-cosine groups interleave members by id at the final
+      boundary."""
     base = emb.select(id_col, vec_col, label_col)
     powers = 1 << np.arange(n_planes)
 
@@ -630,45 +743,67 @@ def lsh_hard_negative_topk(
             return empty
         labs = pdf["__lab"].to_numpy()
         Mn = V.np_normalize(V.np_matrix(pdf["__v"]))
+        n = len(ids)
         out_q, out_n, out_c = [], [], []
         step = 1024
-        for s in range(0, len(ids), step):
+        composite_ok = (
+            not dense_levels and ids.min() >= 0 and ids.max() < (1 << 31)
+        )
+        for s in range(0, n, step):
             S = np.round(Mn[s : s + step] @ Mn.T, 6)
-            for r in range(S.shape[0]):
-                qi = s + r
-                mask = labs != labs[qi]
-                if not mask.any():
-                    continue
-                sims = S[r][mask]
-                cand = ids[mask]
-                keep = min(k, sims.size)
-                # top-k by (cosine desc, neighbor_id asc): lexsort on
-                # (-cosine, id) gives exactly the global tie order
-                order = np.lexsort((cand, -sims))[:keep]
-                out_q.extend([ids[qi]] * len(order))
-                out_n.extend(cand[order])
-                out_c.extend(sims[order])
+            # same-label pairs (incl. self) are not candidates
+            same = labs[s : s + step, None] == labs[None, :]
+            if composite_ok:
+                # composite int64: micro-cosine then id-ascending —
+                # unique per column, so argpartition has no tie
+                # ambiguity at the k boundary
+                c6 = np.rint(S * 1_000_000).astype(np.int64)
+                key = c6 * (1 << 32) + ((1 << 32) - 1 - ids[None, :])
+                key = np.where(same, np.int64(-(1 << 62)), key)
+                keep = min(k, key.shape[1])
+                top = np.argpartition(-key, keep - 1, axis=1)[:, :keep]
+                rows = np.repeat(np.arange(key.shape[0]), keep)
+                cols = top.reshape(-1)
+                valid = key[rows, cols] > -(1 << 62)
+                qrows = rows[valid] + s
+                crows = cols[valid]
+                out_q.append(ids[qrows])
+                out_n.append(ids[crows])
+                out_c.append(S[rows[valid], crows])
+            else:
+                for r in range(S.shape[0]):
+                    mask = ~same[r]
+                    if not mask.any():
+                        continue
+                    sims = S[r][mask]
+                    cand = ids[mask]
+                    if dense_levels:
+                        levels = np.unique(sims)  # ascending
+                        cut = levels[max(0, levels.size - k)]
+                        sel = np.nonzero(sims >= cut)[0]
+                    else:
+                        keep = min(k, sims.size)
+                        sel = np.lexsort((cand, -sims))[:keep]
+                    out_q.append(np.full(sel.size, ids[s + r]))
+                    out_n.append(cand[sel])
+                    out_c.append(sims[sel])
         if not out_q:
             return empty
         return pd.DataFrame(
-            {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
         ).astype({"query_id": "int64", "neighbor_id": "int64",
                   "cosine": "float64"})
 
-    scored = (
+    return (
         banded.groupBy("__t", "__b")
         .applyInPandas(
             bucket_kernel, "query_id long, neighbor_id long, cosine double"
         )
         .distinct()  # multi-table hits carry identical rounded cosines
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

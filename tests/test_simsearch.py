@@ -609,3 +609,38 @@ def test_lsh_hard_negative_topk_invariants(spark, sf_dir):
         r["cosine"] <= exact1[r["query_id"]] + 1e-9
         for _, r in lsh1.iterrows()
     )
+
+
+def test_lsh_hard_negative_collapse_equivalence(spark):
+    """collapse_exact must be output-identical to the uncollapsed
+    pipeline on a corpus with heavy exact duplication (the r9
+    second-decade shape: identical vectors share every bucket and
+    every cosine)."""
+    from feast_hive_spark.operators.simsearch import lsh_hard_negative_topk
+
+    rows = []
+    base = [
+        ([1.0, 0.0, 0.0, 0.2], 0),
+        ([0.9, 0.1, 0.0, 0.2], 1),
+        ([0.0, 1.0, 0.0, 0.1], 0),
+        ([0.0, 0.9, 0.2, 0.0], 1),
+        ([0.5, 0.5, 0.5, 0.5], 2),
+    ]
+    i = 0
+    for vec, lab in base:
+        for _ in range(6):  # 6-way duplicate clusters
+            rows.append((i, vec, lab))
+            i += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    raw = lsh_hard_negative_topk(
+        emb, "vec_id", "embedding", "label", k=5, collapse_exact=False
+    )
+    col = lsh_hard_negative_topk(
+        emb, "vec_id", "embedding", "label", k=5, collapse_exact=True
+    )
+    assert raw.schema == col.schema
+    a = sorted(tuple(r) for r in raw.collect())
+    b = sorted(tuple(r) for r in col.collect())
+    assert a == b and len(a) == 30 * 5  # every vector gets k rows here
