@@ -571,15 +571,16 @@ def tfidf_top_terms(
     the old ~13-Dataset chain paid py4j + eager-analysis per step
     (~170 ms/cold build profiled at r8); the parsed text is one round
     trip and one analysis pass for the identical logical plan. The
-    input is bound through a stable lock-guarded temp view and the
-    tokenization subquery is INLINED per reference instead of a
-    ``WITH`` clause — measured at r9: BOTH PySpark's ``{d}``
-    placeholder and any CTE defeat ``CacheManager`` substitution
-    (the analyzed plan no longer ``sameResult``-matches a cached
-    table), so the r8 CTE+placeholder build re-scanned parquet and
-    re-ran the warehouse respread exchanges under bench's resident
-    cache — a measured 1.6x steady-state regression. Inlining is
-    plan-neutral: deterministic CTEs are inlined by Catalyst anyway."""
+    input is bound through a stable lock-guarded temp view, never
+    PySpark's ``{d}`` placeholder — measured at r9: a
+    placeholder-resolved plan no longer ``sameResult``-matches a
+    cached table, silently defeating ``CacheManager`` substitution,
+    so the r8 placeholder build re-scanned parquet and re-ran the
+    warehouse respread exchanges under bench's resident cache — a
+    measured 1.6x steady-state regression. (CTEs over named views
+    substitute fine; the tokenization subquery is inlined here and
+    that choice is plan-neutral — Catalyst inlines deterministic
+    CTEs anyway.)"""
     i, t = f"`{id_col}`", f"`{text_col}`"
     # nd is a 1-row aggregate: always broadcast (the old chain's
     # F.broadcast(n_docs)); the vocabulary join is the configurable one

@@ -744,10 +744,11 @@ def test_kneser_ney_matches_hand_model(spark):
 
 def test_tfidf_sql_build_preserves_cache_substitution(spark, sf_dir):
     """r9 regression gate: the one-statement SQL build must still
-    sameResult-match a cached input table. Measured at r9: BOTH the
-    PySpark ``{d}`` placeholder AND any ``WITH`` clause defeat
-    CacheManager substitution, silently re-scanning parquet under
-    bench's resident cache (1.6x steady-state regression at r8)."""
+    sameResult-match a cached input table. Measured at r9: PySpark's
+    ``{d}`` DataFrame placeholder defeats CacheManager substitution
+    (CTEs over named views are fine), silently re-scanning parquet
+    under bench's resident cache (1.6x steady-state regression at
+    r8, whose build bound the input via a placeholder)."""
     from feast_hive_spark.operators.corpus import tfidf_top_terms
     from feast_hive_spark.sources.tables import read_table
 
