@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "blocking_quality_report",
     "greedy_shingle_cover_picks",
     "kcenter_diverse_sample",
+    "lang_temperature_mixture",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -138,6 +138,7 @@ SAMPLE_ROTATION: list[str] = [
     "kcenter_diverse_sample",
     # r9 additions
     "hard_negative_pairs_lsh",
+    "lang_temperature_mixture",
 ]
 
 

@@ -7,7 +7,7 @@ Importing this module populates feast_hive_spark.registry.REGISTRY.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feast_hive_spark.functions import text as X
@@ -1613,3 +1613,65 @@ def char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM terms JOIN tot t ON terms.lang = t.lang
         GROUP BY t.lang, t.nn, t.n_distinct
     """)
+
+
+_MIX_ALPHA = 0.3  # XLM-R's exponential-smoothing temperature
+
+
+@register(
+    "lang_temperature_mixture",
+    f"""
+WITH per AS (
+  SELECT lang, CAST(SUM({X.duck_token_count_ws('text')}) AS BIGINT) AS n_tok
+  FROM documents GROUP BY lang
+), p AS (
+  SELECT lang, n_tok, n_tok * 1.0 / SUM(n_tok) OVER () AS pf FROM per
+), q AS (
+  SELECT lang, n_tok, pf,
+         pow(pf, {_MIX_ALPHA!r}) / SUM(pow(pf, {_MIX_ALPHA!r})) OVER () AS qf
+  FROM p
+)
+SELECT lang, n_tok,
+       ROUND(pf, 6) AS p_frac,
+       ROUND(qf, 6) AS q_frac,
+       ROUND(qf / pf, 4) AS upsample
+FROM q
+""",
+)
+def lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed language sampling weights (the
+    multilingual-training mixture: q_i proportional to p_i^alpha,
+    alpha=0.3 per XLM-R's exponential smoothing) — the per-language
+    upsample factors a training pipeline feeds its sampler so
+    low-resource languages are seen more than their token share.
+
+    Plan shape: ONE scan-wide aggregate (per-lang token mass — the
+    only fact-sized work), then two stacked whole-partition window
+    sums over the #languages-row table (Catalyst satisfies both with
+    a single tiny ENSURE_REQUIREMENTS exchange). Safe at any corpus
+    size: everything past the first aggregate is vocabulary-sized."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("lang", X.token_count_ws("text").alias("__t"))
+        .groupBy("lang")
+        .agg(F.sum("__t").cast("long").alias("n_tok"))
+    )
+    w = Window.partitionBy()
+    p = per.select(
+        "lang", "n_tok",
+        (F.col("n_tok") / F.sum("n_tok").over(w)).alias("__pf"),
+    )
+    q = p.select(
+        "lang", "n_tok", "__pf",
+        (
+            F.pow(F.col("__pf"), F.lit(_MIX_ALPHA))
+            / F.sum(F.pow(F.col("__pf"), F.lit(_MIX_ALPHA))).over(w)
+        ).alias("__qf"),
+    )
+    return q.select(
+        "lang",
+        "n_tok",
+        F.round("__pf", 6).alias("p_frac"),
+        F.round("__qf", 6).alias("q_frac"),
+        F.round(F.col("__qf") / F.col("__pf"), 4).alias("upsample"),
+    )
