@@ -639,6 +639,27 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # REL-20 same-window recheck (r9): the full suite spans 15-25 min
+    # of minute-scale host drift, while the DuckDB control sweeps in
+    # ~1 min right after it — a ratio of the two mixes windows. Re-time
+    # the REL-20 slice back-to-back immediately before the sweep so
+    # the committed ratio is genuinely same-window (prepared plans make
+    # this ~1-2 min).
+    recheck: dict[str, float] = {}
+    if not extra and not os.environ.get("SPARK_GRAFT_NO_CONTROLS"):
+        spark.catalog.clearCache()
+        for t in TABLES:
+            spark.catalog.cacheTable(t)
+        for name in [n for n in BENCH_QUERIES[:REL20_N] if n in times]:
+            df = REGISTRY[name][0](spark, sf_dir)
+            _noop(df)
+            runs = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                _noop(df)
+                runs.append(time.perf_counter() - t0)
+            recheck[name] = round(sorted(runs)[len(runs) // 2], 3)
+
     spark.stop()  # flush JVM chatter before the graded line
 
     # Same-window controls (r8 verdict #4): run strictly AFTER the
@@ -658,12 +679,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             note["oldcode_rel20"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
         # the defensible numbers: SAME-WINDOW ratios (host drift hits
-        # both engines; cross-window comparisons do not hold — r8)
+        # both engines; cross-window comparisons do not hold — r8).
+        # Exec comes from the recheck timed adjacent to the sweep; the
+        # per-query warm/cold prepares (from the suite window) are
+        # small enough that their drift is second-order.
         duck = note.get("duckdb_rel20", {}).get("sweep_median_sec")
         if duck:
             rel20 = [n for n in BENCH_QUERIES[:REL20_N] if n in times]
-            warm = sum(times[n] + prepare[n] for n in rel20)
-            oneshot = sum(times[n] + prepare_cold[n] for n in rel20)
+            ex = recheck if recheck else times
+            note["rel20_recheck_value"] = round(
+                sum(ex[n] for n in rel20 if n in ex), 3
+            )
+            warm = sum(ex[n] + prepare[n] for n in rel20 if n in ex)
+            oneshot = sum(ex[n] + prepare_cold[n] for n in rel20 if n in ex)
             note["same_window_ratios"] = {
                 "rel20_warm_e2e_vs_duckdb": round(warm / duck, 2),
                 "rel20_oneshot_vs_duckdb": round(oneshot / duck, 2),
