@@ -644,3 +644,43 @@ def test_lsh_hard_negative_collapse_equivalence(spark):
     a = sorted(tuple(r) for r in raw.collect())
     b = sorted(tuple(r) for r in col.collect())
     assert a == b and len(a) == 30 * 5  # every vector gets k rows here
+
+
+def test_lsh_hard_negative_collapse_tie_interleave(spark):
+    """Adversarial boundary ties: two DIFFERENT-label neighbor groups
+    with numerically EQUAL cosines to the query — the final top-k
+    interleaves their members by id, so the collapse path must keep
+    ALL groups at a kept cosine level (dense levels), not just k rows.
+    Query group q=[1,0]; groups A=[0.6,0.8] (label 1) and B (label 2)
+    share cosine 0.6; member ids alternate A,B,A,B below k."""
+    from feast_hive_spark.operators.simsearch import lsh_hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (100, [1.0, 0.0], 0),  # duplicate of the query vector
+        # group A: two copies, ids 1 and 3
+        (1, [0.6, 0.8], 1),
+        (3, [0.6, 0.8], 1),
+        # group B: same cosine to q (mirror), ids 2 and 4
+        (2, [0.6, -0.8], 2),
+        (4, [0.6, -0.8], 2),
+        # group C: strictly worse cosine, must rank after ties
+        (5, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    raw = lsh_hard_negative_topk(
+        emb, "vec_id", "embedding", "label", k=3, collapse_exact=False
+    )
+    col = lsh_hard_negative_topk(
+        emb, "vec_id", "embedding", "label", k=3, collapse_exact=True
+    )
+    a = sorted(tuple(r) for r in raw.collect())
+    b = sorted(tuple(r) for r in col.collect())
+    assert a == b
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in col.collect()}
+    # for query 0: rank1=id1 (cos .6), rank2=id2 (cos .6, next id),
+    # rank3=id3 — group A and B members INTERLEAVED by id at the tie
+    if (0, 1) in got:  # LSH recall permitting (deterministic planes)
+        assert [got.get((0, r)) for r in (1, 2, 3)] == [1, 2, 3]
