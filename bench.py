@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "greedy_shingle_cover_picks",
     "kcenter_diverse_sample",
     "lang_temperature_mixture",
+    "fuzzy_part_name_stats",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

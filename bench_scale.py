@@ -109,6 +109,7 @@ SF10_QUERIES = [
     "ann_recall_report",
     "hard_negative_pairs",
     "hard_negative_pairs_lsh",
+    "fuzzy_part_name_stats",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -206,6 +207,9 @@ SCALE_QUERIES = [
     "ann_recall_report",
     "hard_negative_pairs",
     "hard_negative_pairs_lsh",
+    # counts the pair query's quadratic output in collapsed time —
+    # the executed form of SCALING.md's normalization argument
+    "fuzzy_part_name_stats",
 ]
 
 

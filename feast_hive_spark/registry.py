@@ -139,6 +139,7 @@ SAMPLE_ROTATION: list[str] = [
     # r9 additions
     "hard_negative_pairs_lsh",
     "lang_temperature_mixture",
+    "fuzzy_part_name_stats",
 ]
 
 

@@ -1739,6 +1739,55 @@ def daily_user_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_part_name_stats",
+    f"""
+WITH pairs AS (
+  SELECT a.p_name AS na, b.p_name AS nb, a.p_brand AS pb, a.p_type AS pt,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM part a
+  JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+   AND a.p_partkey < b.p_partkey
+  WHERE a.p_name <> b.p_name
+    AND levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+)
+SELECT CAST(dist AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_member_pairs,
+       CAST(COUNT(DISTINCT (least(na, nb), greatest(na, nb), pb, pt))
+            AS BIGINT) AS n_rep_pairs
+FROM pairs GROUP BY dist
+""",
+)
+def fuzzy_part_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match volume report WITHOUT materializing the pairs: per
+    edit distance, the member-level pair count and the distinct-tuple
+    (rep-level) pair count. The member count is computed as
+    sum(|group_a| x |group_b|) over rep pairs — the quadratic OUTPUT
+    of fuzzy_part_name_pairs is *counted* in collapsed (distinct-
+    tuple) time, which is the executed demonstration of the
+    SCALING.md normalization argument: compare this query's
+    second-decade exponent with the pair query's output-driven one.
+    Everything here is rep-pair-sized: one group-size aggregate, two
+    small joins, one grouped sum."""
+    mem, _reps, rep_pairs = _fuzzy_part_collapsed(spark, sf_dir)
+    sizes = mem.groupBy("__gk").agg(F.count(F.lit(1)).alias("__n"))
+    sa = sizes.select(F.col("__gk").alias("gk_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__gk").alias("gk_b"), F.col("__n").alias("__nb"))
+    return (
+        rep_pairs.join(sa, "gk_a")
+        .join(sb, "gk_b")
+        .groupBy("dist")
+        .agg(
+            F.sum(F.col("__na") * F.col("__nb"))
+            .cast("long")
+            .alias("n_member_pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_rep_pairs"),
+        )
+        .select("dist", "n_member_pairs", "n_rep_pairs")
+    )
+
+
+@register(
     "entity_resolution_parts",
     f"""
 WITH pairs AS (
