@@ -227,6 +227,15 @@ AUDITS = {
     "dedup_jaccard_prefix": (["Window", "BroadcastHashJoin"], ["CartesianProduct"]),
     # fuzzy blocking: equi join on the block key, never all-pairs
     "fuzzy_part_name_pairs": (["PushedFilters"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # collapsed fuzzy volume report: rep-pair-sized joins + one
+    # grouped aggregate; unlike the pair query it never member-expands,
+    # so levenshtein staying in-plan above the size joins is harmless
+    # (rep-pair-sized, tier100 exponent 0.177) and no RDD barrier is
+    # needed
+    "fuzzy_part_name_stats": (["HashAggregate", "levenshtein"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # temperature mixture: one scan-wide aggregate, then tiny
+    # whole-partition windows — never a fact-sized window or join
+    "lang_temperature_mixture": (["HashAggregate", "Window"], ["CartesianProduct", "SortMergeJoin"]),
     # moment-sum corr: ONE scan aggregate, partial agg map-side
     "price_quantity_corr": (["HashAggregate"], ["Join", "Window"]),
     # funnel: two aggregates, zero joins/windows
