@@ -467,3 +467,39 @@ def test_concurrent_plan_builds_bind_correct_views(spark):
     tb = threading.Thread(target=run, args=(fvb, 500.0))
     ta.start(); tb.start(); ta.join(); tb.join()
     assert not errs, errs
+
+
+def test_multi_view_different_key_tuples_single_statement(spark):
+    """The r9 whole-retrieval SQL path registers one ekeys view per
+    DISTINCT key tuple — two views joining on different entity keys
+    must each bind their own dedup table and assemble correctly."""
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    entity_pdf = pd.DataFrame(
+        {
+            "user": [1, 1, 2],
+            "shop": [10, 20, 10],
+            "event_timestamp": [base, base, base + timedelta(hours=1)],
+        }
+    )
+    user_feats = pd.DataFrame(
+        {"user": [1, 2], "ts": [base - timedelta(hours=2)] * 2,
+         "u_score": [0.5, 0.7]}
+    )
+    shop_feats = pd.DataFrame(
+        {"shop": [10, 20], "ts": [base - timedelta(hours=3)] * 2,
+         "s_rank": [3.0, 9.0]}
+    )
+    fvs = [
+        FeatureView(name="u", source=spark.createDataFrame(user_feats),
+                    join_keys=["user"], features=["u_score"],
+                    event_timestamp_column="ts"),
+        FeatureView(name="s", source=spark.createDataFrame(shop_feats),
+                    join_keys=["shop"], features=["s_rank"],
+                    event_timestamp_column="ts"),
+    ]
+    got = get_historical_features(
+        spark, entity_pdf, fvs, full_feature_names=False
+    ).to_df()
+    got = got.sort_values(["user", "shop"]).reset_index(drop=True)
+    assert got["u_score"].tolist() == [0.5, 0.5, 0.7]
+    assert got["s_rank"].tolist() == [3.0, 9.0, 3.0]
