@@ -246,6 +246,13 @@ AUDITS = {
     # windows over the coalesced 25-cell table (SinglePartition
     # satisfies every clustering -> zero extra exchanges/joins)
     "chi2_event_type_segment": (["HashAggregate", "BroadcastHashJoin", "Window"], ["SortMergeJoin"]),
+    # r10 bounds-memo histogram: literal bounds make it ONE bin-keyed
+    # aggregate — no join, no window, no per-exec broadcast job
+    "value_histogram": (["HashAggregate"], ["Join", "Window", "CartesianProduct"]),
+    # r10 fused one-scan events report: grouping-sets Expand over ONE
+    # broadcast-joined fact scan; the three report branches must share
+    # the aggregate's shuffle (ReusedExchange), never re-scan the fact
+    "events_scalar_report": (["Expand", "ReusedExchange", "BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
     # per-group packing: ONE window, no totals collect, no join
     "pack_sequences_by_lang": (["Window"], ["Join", "CartesianProduct"]),
     "graph_triangle_stats": (["HashAggregate"], ["CartesianProduct"]),

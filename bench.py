@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "kcenter_diverse_sample",
     "lang_temperature_mixture",
     "fuzzy_part_name_stats",
+    "events_scalar_report",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

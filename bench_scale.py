@@ -110,6 +110,9 @@ SF10_QUERIES = [
     "hard_negative_pairs",
     "hard_negative_pairs_lsh",
     "fuzzy_part_name_stats",
+    # r10: fused one-scan events report — the tier rows are the
+    # crossover evidence vs three separate fact scans
+    "events_scalar_report",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -210,6 +213,9 @@ SCALE_QUERIES = [
     # counts the pair query's quadratic output in collapsed time —
     # the executed form of SCALING.md's normalization argument
     "fuzzy_part_name_stats",
+    # r10: fused one-scan events report (grouping sets + reused
+    # exchange) — compare its tier rows against the summed trio
+    "events_scalar_report",
 ]
 
 

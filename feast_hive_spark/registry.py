@@ -140,6 +140,8 @@ SAMPLE_ROTATION: list[str] = [
     "hard_negative_pairs_lsh",
     "lang_temperature_mixture",
     "fuzzy_part_name_stats",
+    # r10 additions
+    "events_scalar_report",
 ]
 
 

@@ -40,6 +40,14 @@ def _plan(spark, name: str) -> str:
         # chi2 marginals: whole-partition windows over the coalesced
         # cell table — no per-marginal join branches
         ("chi2_event_type_segment", ["Window"], ["SortMergeJoin"]),
+        # r10 bounds-memo histogram: literal bounds -> ONE bin-keyed
+        # aggregate, no per-exec broadcast-build job, no window
+        ("value_histogram", ["HashAggregate"],
+         ["BroadcastHashJoin", "Window", "CartesianProduct"]),
+        # r10 fused events report: the three branches must consume the
+        # SAME grouping-sets shuffle (one fact scan), never re-join
+        ("events_scalar_report", ["Expand", "ReusedExchange"],
+         ["SortMergeJoin", "CartesianProduct"]),
         # media decode queries are map-only: payloads never shuffle
         ("multimodal_jpeg_pixel_stats", ["MapInPandas"], ["Exchange"]),
         ("multimodal_audio_stats", ["MapInPandas"], ["Exchange"]),

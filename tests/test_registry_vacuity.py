@@ -1,0 +1,98 @@
+"""Standing vacuity checklist + fused-report equivalence.
+
+The r7/r8 lesson (Kaplan-Meier horizon, tokenizer fertility): a query
+whose oracle hash-matches can still be a VACUOUS gate if the fixture
+never exercises its discriminating branch. This file pins the
+data-dependent preconditions of the newest queries at sf0.001 so a
+testdata refresh that silently drains them fails pytest, not the next
+judge audit (r9 verdict #6).
+"""
+
+import pytest
+
+from feast_hive_spark.registry import REGISTRY
+import feast_hive_spark.registry_analytics  # noqa: F401
+import feast_hive_spark.registry_corpus  # noqa: F401
+import feast_hive_spark.registry_ext  # noqa: F401
+import feast_hive_spark.registry_rel  # noqa: F401
+
+
+def _run(spark, sf_dir, name):
+    return REGISTRY[name][0](spark, sf_dir).toPandas()
+
+
+def test_lang_temperature_mixture_not_vacuous(spark, sf_dir):
+    """Temperature smoothing only *does* anything with >=2 languages
+    of unequal mass — with one language q == p == 1 and every
+    upsample factor is 1.0 regardless of alpha."""
+    out = _run(spark, sf_dir, "lang_temperature_mixture")
+    assert len(out) >= 2, "single-language corpus: smoothing vacuous"
+    assert out["upsample"].nunique() >= 2, (
+        "all upsample factors equal: temperature has no effect"
+    )
+
+
+def test_fuzzy_part_name_stats_not_vacuous(spark, sf_dir):
+    """The volume report must see >=1 real near-match pair, and the
+    collapse must be exercised (some member count exceeding its rep
+    count proves duplicate-tuple groups exist somewhere OR at minimum
+    pairs exist at all — the fixture currently has 1:1 groups at
+    sf0.001, so the hard floor is pair existence per distance)."""
+    out = _run(spark, sf_dir, "fuzzy_part_name_stats")
+    assert len(out) >= 1, "no fuzzy pairs at sf0.001: gate vacuous"
+    assert (out["n_member_pairs"] >= out["n_rep_pairs"]).all()
+    assert out["n_member_pairs"].sum() >= 1
+
+
+def test_fused_report_sections_not_vacuous(spark, sf_dir):
+    out = _run(spark, sf_dir, "events_scalar_report")
+    hist = out[out["section"] == "hist"]
+    chi2 = out[out["section"] == "chi2"]
+    fun = out[out["section"] == "funnel"]
+    assert len(hist) >= 2, "value histogram collapsed to one bin"
+    assert len(chi2) == 1 and chi2.iloc[0]["v1"] >= 4, (
+        "chi2 contingency table under 2x2: independence test vacuous"
+    )
+    assert len(fun) == 1 and fun.iloc[0]["v1"] > 0, "no view events"
+    # funnel must DISCRIMINATE: some users drop out between stages
+    assert fun.iloc[0]["v1"] > fun.iloc[0]["v3"], (
+        "every viewer purchased in order: funnel ordering vacuous"
+    )
+
+
+@pytest.mark.parametrize(
+    "section,standalone,keyed",
+    [
+        ("hist", "value_histogram", True),
+        ("chi2", "chi2_event_type_segment", False),
+        ("funnel", "funnel_view_click_purchase", False),
+    ],
+)
+def test_fused_report_matches_standalone(
+    spark, sf_dir, section, standalone, keyed
+):
+    """Each fused section must equal its standalone query row-for-row
+    — the fusion changes the plan (one scan + grouping sets), never
+    the answer."""
+    fused = _run(spark, sf_dir, "events_scalar_report")
+    part = fused[fused["section"] == section]
+    ref = _run(spark, sf_dir, standalone)
+    if keyed:
+        got = sorted(
+            (int(r.k), float(r.v1), float(r.v2), float(r.v3))
+            for r in part.itertuples()
+        )
+        exp = sorted(
+            (int(r[0]), float(r[1]), float(r[2]), float(r[3]))
+            for r in ref.itertuples(index=False)
+        )
+    else:
+        got = sorted(
+            (float(r.v1), float(r.v2), float(r.v3))
+            for r in part.itertuples()
+        )
+        exp = sorted(
+            (float(r[0]), float(r[1]), float(r[2]))
+            for r in ref.itertuples(index=False)
+        )
+    assert got == exp
