@@ -22,8 +22,17 @@ from feast_hive_spark.sources.tables import register_views
 
 AUDITS = {
     # query -> (must_contain, must_not_contain)
+    # r10: the auto policy's second arm drops the forced entity-side
+    # broadcasts when the feature side is small by Catalyst's own
+    # estimate (sf0.1 events ~2 MB << 64 MB) — the per-exec broadcast
+    # build jobs were pure scheduler floor there. The argmax partial
+    # and pushed bounds are the scale-critical invariants either way;
+    # the forced-broadcast shape is separately pinned by
+    # tests/test_pit.py::test_small_feature_side_drops_forced_broadcast
+    # (threshold=0 -> BroadcastHashJoin) and exercised at the SF10
+    # tier where the feature side exceeds the threshold.
     "pit_asof_join": (
-        ["BroadcastHashJoin", "partial_max_by", "PushedFilters"],
+        ["partial_max_by", "PushedFilters"],
         ["CartesianProduct"],
     ),
     "pull_latest": (["WindowGroupLimit", "PushedFilters"], ["CartesianProduct"]),

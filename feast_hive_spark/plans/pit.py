@@ -322,6 +322,15 @@ def _entity_bounds(spark: SparkSession, sdf: DataFrame, entity_ts_col: str):
     return row
 
 
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for a plan (driver-side, no job):
+    file-relation bytes for scans, materialized storage size for
+    cached relations, pass-through for filters/projections without
+    CBO column stats — the same statistic autoBroadcastJoinThreshold
+    consults."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def get_historical_features(
     spark: SparkSession,
     entity_df: Union[DataFrame, pd.DataFrame, str],
@@ -334,6 +343,7 @@ def get_historical_features(
     on_demand_transforms=None,
     broadcast_threshold_rows: int = 1_000_000,
     plan_cache: bool = True,
+    shuffle_small_features_bytes: int = 64 << 20,
 ) -> RetrievalJob:
     """Build the lazy multi-feature-view PIT retrieval job
     (reference entry point 1, hive.py:192-269).
@@ -352,6 +362,26 @@ def get_historical_features(
     picks sort-merge with the range filter applied post-join.
     ``True``/``False`` force either physical path (both oracle-
     verified to agree).
+
+    ``shuffle_small_features_bytes`` (r10): the second arm of the
+    "auto" policy. Forcing the entity-side broadcasts is the 100 TB
+    shape (the feature table — the big side — streams through the
+    joins with ZERO shuffle), but every broadcast exchange is a
+    separate driver-collect job on EVERY execution of the plan, and
+    when the feature side is itself small that per-exec job floor
+    costs more than the shuffle the broadcast avoids (measured at
+    sf0.1: flagship exec 0.195 s / 3 jobs forced-broadcast vs
+    0.109 s / 2 jobs unhinted — the broadcast builds were pure
+    scheduler floor). So under "auto", when EVERY feature view's
+    bounds-filtered, column-pruned side is estimated below this
+    threshold (Catalyst's own sizeInBytes statistic — no job), the
+    explicit broadcast hints are dropped and Catalyst plans the joins
+    freely, exactly as it would any similarly-sized query (it may
+    still auto-broadcast sides under its own threshold). At cluster
+    scale a real feature table blows past 64 MB and the forced-
+    broadcast path is untouched. ``0`` disables the check (always
+    follow the row-count guard alone); explicit ``True``/``False``
+    bypass it entirely.
     """
     sdf = entity_df_to_spark(spark, entity_df)
     entity_ts_col = infer_event_timestamp_col(sdf, entity_event_timestamp_col)
@@ -384,6 +414,7 @@ def get_historical_features(
             tuple(tiebreak_columns),
             bool(use_max_by),
             int(broadcast_threshold_rows),
+            int(shuffle_small_features_bytes),
         )
         fps = tuple(_fv_fingerprint(fv) for fv in feature_views)
         plans = [sdf._jdf.queryExecution().analyzed()]
@@ -420,8 +451,28 @@ def get_historical_features(
         # them all).  The cache itself materializes during the first
         # execution, which reads it >= 3x and would build it anyway.
         bounds = _entity_bounds(spark, sdf, entity_ts_col)
+        parts = [
+            _prepare_fv(
+                fv, spark, bounds, full_feature_names, tiebreak_columns
+            )
+            for fv in feature_views
+        ]
         if broadcast_entities == "auto":
             do_broadcast = bounds["cnt"] <= broadcast_threshold_rows
+            # Second arm (r10, see docstring): when every feature side
+            # is small by Catalyst's own estimate, the per-execution
+            # broadcast-build jobs cost more than the shuffle they
+            # avoid — drop the hints and let Catalyst plan freely.
+            if do_broadcast and shuffle_small_features_bytes and parts:
+                try:
+                    if all(
+                        _estimated_bytes(p.feat)
+                        < shuffle_small_features_bytes
+                        for p in parts
+                    ):
+                        do_broadcast = False
+                except Exception:
+                    pass  # stats unavailable: keep the broadcast path
         else:
             do_broadcast = bool(broadcast_entities)
         result = ent
@@ -450,13 +501,19 @@ def get_historical_features(
             pinned.append(ek)
             ekeys_by_tuple[t] = ek
 
-        parts = [
-            _prepare_fv(
-                fv, spark, bounds, full_feature_names, tiebreak_columns
-            )
-            for fv in feature_views
-        ]
-        if use_max_by and parts and all(p.fast for p in parts):
+        # SQL-path eligibility (r10, ADVICE r9#3): the one-statement
+        # assembly references accumulated columns as qualified
+        # ``a.`col``` at every nesting level, so any duplicate in the
+        # would-be output (two views emitting the same feature name
+        # under full_feature_names=False, or a feature shadowing an
+        # entity column) fails analysis with AMBIGUOUS_REFERENCE at
+        # the NEXT level. The DataFrame chain carries duplicate
+        # columns through silently (positional resolution), matching
+        # the pre-r9 behavior — route collisions there.
+        all_out = [n for p in parts for n in p.out_names]
+        final_cols = list(ent.columns) + all_out
+        sql_safe = len(final_cols) == len(set(final_cols))
+        if use_max_by and parts and all(p.fast for p in parts) and sql_safe:
             # All views take the default keyed-max_by shape: assemble
             # the WHOLE retrieval as one spark.sql statement (one
             # parse + one analysis pass; the per-view loop below pays
@@ -485,6 +542,7 @@ def get_historical_features(
                     use_max_by,
                     ekeys=ekeys_by_tuple[tuple(fv.key_map().values())],
                     part=part,
+                    force_chain=not sql_safe,
                 )
         # P4: drop internal columns (the reference's regex column
         # exclusion, hive.py:706) — everything else (incl. passthrough
@@ -596,6 +654,7 @@ def _join_feature_view(
     use_max_by: bool = True,
     ekeys: Optional[DataFrame] = None,
     part: Optional[_FvPart] = None,
+    force_chain: bool = False,
 ) -> DataFrame:
     if part is None:
         part = _prepare_fv(
@@ -612,7 +671,7 @@ def _join_feature_view(
     if ekeys is None:
         ekeys = ent.select(*entity_cols, _ENTITY_TS).dropDuplicates()
 
-    if use_max_by and part.fast:
+    if use_max_by and part.fast and not force_chain:
         # Fast path for the default shape (keyed fv with features,
         # max_by strategy): J3+J4/J5+J6 as ONE ``spark.sql`` statement.
         # The step-by-step chain below costs ~6 eagerly-analyzed

@@ -503,3 +503,91 @@ def test_multi_view_different_key_tuples_single_statement(spark):
     got = got.sort_values(["user", "shop"]).reset_index(drop=True)
     assert got["u_score"].tolist() == [0.5, 0.5, 0.7]
     assert got["s_rank"].tolist() == [3.0, 9.0, 3.0]
+
+
+def test_small_feature_side_drops_forced_broadcast(spark):
+    """r10 auto-policy second arm: with every feature side under the
+    size threshold the forced broadcast hints are dropped (Catalyst
+    plans freely); with the threshold disabled (0) the explicit
+    broadcast shape is restored. Catalyst's own auto-broadcast is
+    silenced for the probe so the two regimes are distinguishable at
+    test scale."""
+    base = datetime(2024, 1, 10, 12, 0)
+    entity_pdf = pd.DataFrame(
+        {"k": [1, 2], "event_timestamp": [base, base]}
+    )
+    feature_pdf = pd.DataFrame(
+        {"k": [1, 2], "ts": [base - timedelta(hours=1)] * 2,
+         "v": [1.0, 2.0]}
+    )
+    fv = FeatureView(
+        name="fv", source=spark.createDataFrame(feature_pdf),
+        join_keys=["k"], features=["v"], event_timestamp_column="ts",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        free = get_historical_features(
+            spark, entity_pdf, [fv], plan_cache=False
+        ).to_spark_df()
+        forced = get_historical_features(
+            spark, entity_pdf, [fv], plan_cache=False,
+            shuffle_small_features_bytes=0,
+        ).to_spark_df()
+        free_plan = free._jdf.queryExecution().executedPlan().toString()
+        forced_plan = (
+            forced._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in free_plan
+        assert "BroadcastHashJoin" in forced_plan
+        # both physical shapes return identical results
+        a = free.toPandas().sort_values("k").reset_index(drop=True)
+        b = forced.toPandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                      b[sorted(b.columns)])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_duplicate_output_names_fall_back_to_chain(spark):
+    """ADVICE r9 #3: two views emitting the SAME output feature name
+    under full_feature_names=False used to fail the one-statement SQL
+    assembly with AMBIGUOUS_REFERENCE at the second nesting level.
+    Collisions now route to the DataFrame chain, which carries
+    duplicate columns positionally (the pre-r9 behavior)."""
+    base = datetime(2024, 1, 10, 12, 0)
+    entity_pdf = pd.DataFrame(
+        {"k": [1, 2], "event_timestamp": [base, base]}
+    )
+    f1 = pd.DataFrame(
+        {"k": [1, 2], "ts": [base - timedelta(hours=1)] * 2,
+         "score": [1.0, 2.0]}
+    )
+    f2 = pd.DataFrame(
+        {"k": [1, 2], "ts": [base - timedelta(hours=1)] * 2,
+         "score": [10.0, 20.0]}
+    )
+    fvs = [
+        FeatureView(name="a", source=spark.createDataFrame(f1),
+                    join_keys=["k"], features=["score"],
+                    event_timestamp_column="ts"),
+        FeatureView(name="b", source=spark.createDataFrame(f2),
+                    join_keys=["k"], features=["score"],
+                    event_timestamp_column="ts"),
+    ]
+    got = get_historical_features(
+        spark, entity_pdf, fvs, full_feature_names=False,
+        plan_cache=False,
+    ).to_df()
+    assert list(got.columns).count("score") == 2
+    by_k = got.sort_values("k").reset_index(drop=True)
+    # positional: first 'score' from view a, second from view b
+    scores = by_k.loc[:, by_k.columns == "score"]
+    assert scores.iloc[:, 0].tolist() == [1.0, 2.0]
+    assert scores.iloc[:, 1].tolist() == [10.0, 20.0]
+    # and full_feature_names=True keeps the one-statement path working
+    named = get_historical_features(
+        spark, entity_pdf, fvs, full_feature_names=True,
+        plan_cache=False,
+    ).to_df()
+    assert {"a__score", "b__score"} <= set(named.columns)
