@@ -217,6 +217,8 @@ AUDITS = {
     # collect-free hard negatives: bucket shuffle + per-bucket kernel
     # + per-query top-k; never a corpus self-join or cartesian
     "hard_negative_pairs_lsh": (["MapInPandas", "FlatMapGroupsInPandas", "WindowGroupLimit"], ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
+    # r10: same pipeline at engine-derived resolution
+    "hard_negative_pairs_lsh_auto": (["MapInPandas", "FlatMapGroupsInPandas", "WindowGroupLimit"], ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
     # canonical survivor: grouped argmax + join back, no cluster-
     # keyed window (unsplittable on a giant near-dup cluster)
     # (struct-keyed max lowers to a partial SortAggregate, so match

@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "lang_temperature_mixture",
     "fuzzy_part_name_stats",
     "events_scalar_report",
+    "hard_negative_pairs_lsh_auto",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

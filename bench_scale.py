@@ -113,6 +113,8 @@ SF10_QUERIES = [
     # r10: fused one-scan events report — the tier rows are the
     # crossover evidence vs three separate fact scans
     "events_scalar_report",
+    # r10: engine-derived LSH resolution (target_bucket_rows)
+    "hard_negative_pairs_lsh_auto",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -216,6 +218,9 @@ SCALE_QUERIES = [
     # r10: fused one-scan events report (grouping sets + reused
     # exchange) — compare its tier rows against the summed trio
     "events_scalar_report",
+    # r10: derived-resolution miner — bucket population pinned to the
+    # target as the distinct corpus grows
+    "hard_negative_pairs_lsh_auto",
 ]
 
 

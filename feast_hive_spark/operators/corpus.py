@@ -42,6 +42,7 @@ from feast_hive_spark.functions import text as X
 from feast_hive_spark.functions.text import h48
 from feast_hive_spark.operators.prefix import quantile_bucket
 from feast_hive_spark.plans.memo import job_memo
+from feast_hive_spark.sources.tables import bind_sql_view
 
 # Guards the overwrite-stable-view-then-sql window in tfidf_top_terms
 # (same protocol as plans/pit.py's _SQL_VIEW_LOCK).
@@ -588,8 +589,17 @@ def tfidf_top_terms(
         "/*+ BROADCAST(dfreq, nd) */ " if broadcast_vocab
         else "/*+ BROADCAST(nd) */ "
     )
-    tokd = f"(SELECT {i}, split({t}, ' ') AS __toks FROM __tfidf_sql_d)"
-    sql = f"""
+    # same overwrite-stable-view-under-lock protocol as plans/pit.py
+    # _join_fvs_sql: under classic py4j the returned plan resolves the
+    # view at analysis time, later overwrites cannot reach it, and the
+    # STABLE name __tfidf_sql_d keeps cache substitution; under Spark
+    # Connect (lazy spark.sql) bind_sql_view hands out a UNIQUE name
+    # per build instead, because a later rebind of a stable name would
+    # silently redirect an unexecuted plan (r9 ADVICE).
+    with _SQL_VIEW_LOCK:
+        view = bind_sql_view(df, "__tfidf_sql_d")
+        tokd = f"(SELECT {i}, split({t}, ' ') AS __toks FROM {view})"
+        sql = f"""
         SELECT {i}, term, tfidf, cast(rank AS BIGINT) AS rank
         FROM (
           SELECT {i}, term, tfidf,
@@ -616,17 +626,11 @@ def tfidf_top_terms(
               GROUP BY term
             ) dfreq ON tf.term = dfreq.term
             CROSS JOIN (
-              SELECT count(*) AS __n FROM __tfidf_sql_d
+              SELECT count(*) AS __n FROM {view}
             ) nd
           )
         ) WHERE rank <= {int(top_per_doc)}
         """
-    # same overwrite-stable-view-under-lock protocol as plans/pit.py
-    # _join_fv_sql: the returned plan resolves the view at analysis
-    # time, later overwrites cannot reach it; __tfidf_sql_d is an
-    # engine-reserved name.
-    with _SQL_VIEW_LOCK:
-        df.createOrReplaceTempView("__tfidf_sql_d")
         return df.sparkSession.sql(sql)
 
 

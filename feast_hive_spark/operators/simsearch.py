@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from feast_hive_spark.functions import vector as V
+from feast_hive_spark.plans.memo import job_memo
 
 
 #: guardrail for the query-side collect — the ANN operators broadcast
@@ -540,6 +541,18 @@ def hard_negative_topk(
     )
 
 
+def derive_lsh_planes(n_rows: int, target_bucket_rows: int) -> int:
+    """Deterministic ``n_planes`` for a target bucket population:
+    the minimal planes whose 2^p buckets hold ``n_rows`` at
+    ``<= 2 * target_bucket_rows`` expected rows each — i.e.
+    ``ceil(log2(ceil(n / target)))``, floored at 1. PURE INTEGER
+    arithmetic (ceil-div + bit_length), so an oracle twin can replay
+    the same ladder with integer range comparisons and no
+    float-rounding divergence."""
+    need = -(-max(0, n_rows) // max(1, target_bucket_rows))
+    return max(1, (max(1, need) - 1).bit_length())
+
+
 def lsh_hard_negative_topk(
     emb: DataFrame,
     id_col: str,
@@ -550,6 +563,7 @@ def lsh_hard_negative_topk(
     n_tables: int = 12,
     dim: int | None = None,
     collapse_exact: bool = True,
+    target_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Collect-free hard-negative mining: per vector, the ``k`` most
     cosine-similar DIFFERENT-label vectors among multi-table sign-LSH
@@ -587,10 +601,24 @@ def lsh_hard_negative_topk(
     bucket scheme in SQL, so the report is hash-gated despite being
     approximate (recall < 1 vs the exact miner by construction).
     With ``n_planes`` fixed, bucket population grows linearly with
-    DISTINCT vectors and per-bucket work quadratically — for a corpus
-    of N distinct vectors pick ``n_planes ~ log2(N / target_bucket)``
-    (changes candidates, hence the report: a tuning decision, not a
-    default)."""
+    DISTINCT vectors and per-bucket work quadratically — pass
+    ``target_bucket_rows`` (r10, r9 verdict #3) and the engine derives
+    ``n_planes`` itself via :func:`derive_lsh_planes` from ONE cheap
+    memoized count of the distinct corpus (the collapse reps when
+    ``collapse_exact``, else the raw rows), so the default is
+    scale-SAFE rather than scale-documented; the explicit ``n_planes``
+    remains the override when the target is unset. The derivation is
+    integer-ladder deterministic, so a SQL twin replays it with count
+    range comparisons (registry ``hard_negative_pairs_lsh_auto``).
+
+    Null labels (r10, r9 ADVICE #2): rows with NULL ``label_col`` are
+    dropped up front — NULL matches nothing under SQL ``<>``
+    semantics, while the previous NaN round-trip let null-label rows
+    pair with EACH OTHER in the numpy kernel. Id/label types are
+    taken from the input schema (string ids fine; the int64 composite
+    fast key engages only for non-negative integer ids < 2^31)."""
+    emb = emb.filter(F.col(label_col).isNotNull())
+    spark = emb.sparkSession
     if collapse_exact:
         gk = F.md5(
             F.concat_ws(
@@ -604,6 +632,14 @@ def lsh_hard_negative_topk(
         rep_rows = emb.join(
             reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi"
         )
+        if target_bucket_rows:
+            n_distinct = job_memo(
+                spark,
+                emb,
+                ("lsh_hn_rep_count", label_col, vec_col),
+                lambda: reps.count(),
+            )
+            n_planes = derive_lsh_planes(n_distinct, target_bucket_rows)
         rep_cand = _lsh_hn_candidates(
             rep_rows, id_col, vec_col, label_col,
             k, n_planes, n_tables, dim, dense_levels=True,
@@ -645,6 +681,12 @@ def lsh_hard_negative_topk(
                 "rank",
             )
         )
+    if target_bucket_rows:
+        n_rows = job_memo(
+            spark, emb, ("lsh_hn_row_count", label_col),
+            lambda: emb.count(),
+        )
+        n_planes = derive_lsh_planes(n_rows, target_bucket_rows)
     scored = _lsh_hn_candidates(
         emb, id_col, vec_col, label_col, k, n_planes, n_tables, dim,
         dense_levels=False,
@@ -685,6 +727,23 @@ def _lsh_hn_candidates(
       equal-cosine groups interleave members by id at the final
       boundary."""
     base = emb.select(id_col, vec_col, label_col)
+    # schemas derive from the input (r10, r9 ADVICE #2) — string or
+    # non-long ids/labels are legal; the int64 composite fast key
+    # below engages only when the ids are non-negative ints < 2^31
+    id_type = emb.schema[id_col].dataType
+    lab_type = emb.schema[label_col].dataType
+    band_schema = T.StructType([
+        T.StructField("__id", id_type),
+        T.StructField("__t", T.IntegerType()),
+        T.StructField("__b", T.LongType()),
+        T.StructField("__v", T.ArrayType(T.DoubleType())),
+        T.StructField("__lab", lab_type),
+    ])
+    cand_schema = T.StructType([
+        T.StructField("query_id", id_type),
+        T.StructField("neighbor_id", id_type),
+        T.StructField("cosine", T.DoubleType()),
+    ])
     powers = 1 << np.arange(n_planes)
 
     def make_planes(d: int) -> np.ndarray:
@@ -728,17 +787,17 @@ def _lsh_hn_candidates(
                 }
             )
 
-    banded = base.mapInPandas(
-        bucketer,
-        "__id long, __t int, __b long, __v array<double>, __lab long",
-    )
+    banded = base.mapInPandas(bucketer, band_schema)
 
     def bucket_kernel(pdf):
         ids = pdf["__id"].to_numpy()
         empty = pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "cosine": []}
-        ).astype({"query_id": "int64", "neighbor_id": "int64",
-                  "cosine": "float64"})
+            {
+                "query_id": pd.Series([], dtype=ids.dtype),
+                "neighbor_id": pd.Series([], dtype=ids.dtype),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
         if len(ids) < 2:
             return empty
         labs = pdf["__lab"].to_numpy()
@@ -747,7 +806,10 @@ def _lsh_hn_candidates(
         out_q, out_n, out_c = [], [], []
         step = 1024
         composite_ok = (
-            not dense_levels and ids.min() >= 0 and ids.max() < (1 << 31)
+            not dense_levels
+            and np.issubdtype(ids.dtype, np.integer)
+            and ids.min() >= 0
+            and ids.max() < (1 << 31)
         )
         for s in range(0, n, step):
             S = np.round(Mn[s : s + step] @ Mn.T, 6)
@@ -782,8 +844,14 @@ def _lsh_hn_candidates(
                         cut = levels[max(0, levels.size - k)]
                         sel = np.nonzero(sims >= cut)[0]
                     else:
+                        # two-pass stable sort instead of lexsort:
+                        # works for object (string) id arrays too
                         keep = min(k, sims.size)
-                        sel = np.lexsort((cand, -sims))[:keep]
+                        order = np.argsort(cand, kind="stable")
+                        order = order[
+                            np.argsort(-sims[order], kind="stable")
+                        ]
+                        sel = order[:keep]
                     out_q.append(np.full(sel.size, ids[s + r]))
                     out_n.append(cand[sel])
                     out_c.append(sims[sel])
@@ -793,16 +861,13 @@ def _lsh_hn_candidates(
             {
                 "query_id": np.concatenate(out_q),
                 "neighbor_id": np.concatenate(out_n),
-                "cosine": np.concatenate(out_c),
+                "cosine": np.concatenate(out_c).astype("float64"),
             }
-        ).astype({"query_id": "int64", "neighbor_id": "int64",
-                  "cosine": "float64"})
+        )
 
     return (
         banded.groupBy("__t", "__b")
-        .applyInPandas(
-            bucket_kernel, "query_id long, neighbor_id long, cosine double"
-        )
+        .applyInPandas(bucket_kernel, cand_schema)
         .distinct()  # multi-table hits carry identical rounded cosines
     )
 

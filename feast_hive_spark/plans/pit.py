@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from feast_hive_spark.retrieval import RetrievalJob
+from feast_hive_spark.sources.tables import bind_sql_view
 from feast_hive_spark.sources.source import DataSource
 
 DEFAULT_ENTITY_DF_EVENT_TIMESTAMP_COL = "event_timestamp"
@@ -794,19 +795,21 @@ def _join_fvs_sql(
     latest_hint = "/*+ BROADCAST(latest) */ " if broadcast_entities else ""
     ek_hint = "/*+ BROADCAST(ek) */ " if broadcast_entities else ""
     acc_cols = list(acc.columns)
-    acc_sql = "__pit_sql_acc"
     # dedupe shared ekeys frames (multi-view retrievals share the
     # per-key-tuple cached dedup) so each registers exactly once
     ek_views: dict[int, str] = {}
     with _SQL_VIEW_LOCK:
-        acc.createOrReplaceTempView("__pit_sql_acc")
+        # bind_sql_view: stable engine-reserved names under classic
+        # py4j (eager analysis; cache substitution intact), UNIQUE
+        # per-build names under Spark Connect, where lazy spark.sql
+        # would let a later rebind silently redirect this plan
+        # (r9 ADVICE).
+        acc_sql = bind_sql_view(acc, "__pit_sql_acc")
         for idx, (part, ekeys) in enumerate(zip(parts, ekeys_list)):
-            fview = f"__pit_sql_f{idx}"
-            part.feat.createOrReplaceTempView(fview)
+            fview = bind_sql_view(part.feat, f"__pit_sql_f{idx}")
             ekv = ek_views.get(id(ekeys))
             if ekv is None:
-                ekv = f"__pit_sql_ek{len(ek_views)}"
-                ekeys.createOrReplaceTempView(ekv)
+                ekv = bind_sql_view(ekeys, f"__pit_sql_ek{len(ek_views)}")
                 ek_views[id(ekeys)] = ekv
             keys_sql = ", ".join(_bt(c) for c in part.entity_cols)
             ord_sql = [f"unix_micros({_EVENT_TS})"]

@@ -142,6 +142,7 @@ SAMPLE_ROTATION: list[str] = [
     "fuzzy_part_name_stats",
     # r10 additions
     "events_scalar_report",
+    "hard_negative_pairs_lsh_auto",
 ]
 
 

@@ -2433,6 +2433,86 @@ def hard_negative_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _lsh_hn_auto_oracle(
+    target: int = 64, n_tables: int = 2, dim: int = 64, k: int = 5,
+    np_max: int = 7,
+) -> str:
+    """DuckDB twin of lsh_hard_negative_topk(target_bucket_rows=...):
+    replays the ENGINE'S plane derivation as a pure integer count
+    ladder — branch ``p`` is active iff the distinct-corpus count
+    lands in ``(2^(p-1)*target, 2^p*target]`` (exactly
+    ``derive_lsh_planes``'s ceil-div + bit_length arithmetic, no
+    floats) — then runs the full bucket/candidate/rerank pipeline at
+    that plane count. Branches beyond ``np_max`` (count > 2^np_max *
+    target) are not generated; the correctness gate runs at
+    sf0.001-0.1 where counts are 500-2000, well inside."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding, label FROM embeddings "
+        "WHERE label IS NOT NULL)",
+        "n AS (SELECT COUNT(*) AS cnt FROM "
+        "(SELECT DISTINCT label, embedding FROM e))",
+    ]
+    branches = []
+    for p in range(1, np_max + 1):
+        per_table = [
+            f"SELECT vec_id, {t} AS t, "
+            f"{V.duck_sign_bucket('embedding', V.hyperplanes(p, dim, seed=f't{t}'))} AS b "
+            "FROM e"
+            for t in range(n_tables)
+        ]
+        ctes.append(f"sg{p} AS ({'  UNION ALL '.join(per_table)})")
+        ctes.append(f"""r{p} AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM (
+    SELECT c.query_id, c.neighbor_id,
+           ROUND({V.duck_cosine('nb.embedding', 'q.embedding')}, 6) AS cosine
+    FROM (
+      SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+      FROM sg{p} qs JOIN sg{p} cs ON qs.t = cs.t AND qs.b = cs.b
+                                 AND qs.vec_id <> cs.vec_id
+    ) c
+    JOIN e q ON q.vec_id = c.query_id
+    JOIN e nb ON nb.vec_id = c.neighbor_id
+    WHERE nb.label <> q.label
+  )
+)""")
+        lo = (1 << (p - 1)) * target if p > 1 else 0
+        hi = (1 << p) * target
+        branches.append(
+            f"SELECT query_id, neighbor_id, cosine, rank FROM r{p} "
+            f"WHERE rank <= {k} AND (SELECT cnt FROM n) > {lo} "
+            f"AND (SELECT cnt FROM n) <= {hi}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+@register("hard_negative_pairs_lsh_auto", _lsh_hn_auto_oracle())
+def hard_negative_pairs_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining with ENGINE-DERIVED LSH resolution (r10,
+    r9 verdict #3): ``target_bucket_rows=64`` makes the miner size its
+    own plane count from one memoized distinct-corpus count
+    (``derive_lsh_planes``: integer ceil-div + bit_length), so bucket
+    population stays ~``target`` as the corpus grows instead of
+    degrading quadratically at a fixed resolution — 500 vectors at
+    sf0.01 derive 3 planes, 2000 at sf0.1 derive 5, both hash-gated
+    against a twin that replays the SAME integer ladder with SQL
+    count-range guards. ``n_tables=2`` keeps the multi-table recall
+    dimension exercised while the derivation (the thing under test
+    here) stays the variable."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.lsh_hard_negative_topk(
+        emb, "vec_id", "embedding", "label", k=5, n_tables=2,
+        target_bucket_rows=64,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register(
     "lsh_dedup_quality_report",
     f"""

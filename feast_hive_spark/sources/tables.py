@@ -147,6 +147,40 @@ def _session_key(spark: SparkSession) -> str:
     return key
 
 
+_CONNECT_VIEW_SEQ = 0
+_CONNECT_VIEW_LOCK = __import__("threading").Lock()
+
+
+def bind_sql_view(df: DataFrame, stable_name: str) -> str:
+    """Bind ``df`` to a temp view for a SQL-text plan build; return
+    the name the SQL should reference.
+
+    Classic py4j sessions analyze ``spark.sql`` EAGERLY, so a stable
+    engine-reserved name is safe — the returned plan resolved the
+    view at analysis time, later overwrites cannot reach it — and
+    stable names are what keeps CacheManager substitution intact (r9:
+    ``{df}`` placeholders silently defeat it). Spark Connect sessions
+    analyze LAZILY server-side: a later ``createOrReplaceTempView``
+    on the same name would silently redirect a not-yet-executed plan
+    to the new DataFrame — wrong results, no error (r9 ADVICE). So
+    under Connect (no ``_jsparkSession``) each build gets a UNIQUE
+    name instead: correctness is preserved; only the warm-path
+    cache-substitution stability of the stable name is lost, and one
+    temp view per build stays registered (droppable by the caller
+    after the plan has executed, never before).
+    """
+    spark = df.sparkSession
+    if getattr(spark, "_jsparkSession", None) is None:
+        global _CONNECT_VIEW_SEQ
+        with _CONNECT_VIEW_LOCK:
+            _CONNECT_VIEW_SEQ += 1
+            name = f"{stable_name}_c{_CONNECT_VIEW_SEQ}"
+    else:
+        name = stable_name
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
     """Idempotent per-(session, warehouse-dir) view registration.
 

@@ -684,3 +684,94 @@ def test_lsh_hard_negative_collapse_tie_interleave(spark):
     # rank3=id3 — group A and B members INTERLEAVED by id at the tie
     if (0, 1) in got:  # LSH recall permitting (deterministic planes)
         assert [got.get((0, r)) for r in (1, 2, 3)] == [1, 2, 3]
+
+
+def test_derive_lsh_planes_integer_ladder():
+    """r10 (r9 verdict #3): planes = ceil(log2(ceil(n/target))) via
+    pure integer arithmetic, floored at 1 — exact at every power-of-2
+    boundary (where a float log2 could ride a rounding error onto the
+    wrong rung)."""
+    from feast_hive_spark.operators.simsearch import derive_lsh_planes
+
+    t = 64
+    assert derive_lsh_planes(0, t) == 1
+    assert derive_lsh_planes(1, t) == 1
+    assert derive_lsh_planes(2 * t, t) == 1        # boundary: stays 1
+    assert derive_lsh_planes(2 * t + 1, t) == 2    # next rung
+    assert derive_lsh_planes(4 * t, t) == 2
+    assert derive_lsh_planes(4 * t + 1, t) == 3
+    assert derive_lsh_planes(500, 64) == 3         # sf0.01 embeddings
+    assert derive_lsh_planes(2000, 64) == 5        # sf0.1 embeddings
+    # bucket population bound: n / 2^planes <= 2 * target, always
+    for n in [1, 63, 64, 100, 500, 2000, 10_000, 1_000_000]:
+        p = derive_lsh_planes(n, t)
+        assert n / (1 << p) <= 2 * t
+
+
+def test_lsh_hard_negative_string_ids_and_null_labels(spark):
+    """r10 (r9 ADVICE #2): the mapInPandas schemas derive from the
+    input — string ids and string labels must work end to end — and
+    NULL-label rows are dropped up front (SQL ``<>`` semantics: NULL
+    matches nothing), where the old NaN round-trip let two null-label
+    rows pair with each other."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.simsearch import lsh_hard_negative_topk
+
+    rng = np.random.RandomState(7)
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "sid": [f"doc-{i:03d}" for i in range(n)],
+            "vec": [rng.randn(8).tolist() for _ in range(n)],
+            "lab": [
+                None if i % 10 == 0 else f"L{i % 3}" for i in range(n)
+            ],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    out = lsh_hard_negative_topk(
+        emb, "sid", "vec", "lab", k=3, n_planes=1, n_tables=4
+    ).toPandas()
+    assert len(out) > 0
+    assert out["query_id"].map(lambda s: isinstance(s, str)).all()
+    null_ids = set(pdf[pdf["lab"].isna()]["sid"])
+    assert not (set(out["query_id"]) & null_ids)
+    assert not (set(out["neighbor_id"]) & null_ids)
+    # ranks well-formed per query
+    g = out.groupby("query_id")["rank"].agg(["min", "max", "count"])
+    assert (g["min"] == 1).all() and (g["max"] <= 3).all()
+
+
+def test_lsh_hard_negative_target_bucket_rows_derives(spark):
+    """target_bucket_rows must produce the SAME result as the
+    explicitly-derived plane count (the parameter is sugar for the
+    deterministic derivation, nothing else)."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.simsearch import (
+        derive_lsh_planes,
+        lsh_hard_negative_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 130  # ceil(130/16)=9 -> 4 planes
+    pdf = pd.DataFrame(
+        {
+            "i": list(range(n)),
+            "vec": [rng.randn(8).tolist() for _ in range(n)],
+            "lab": [i % 4 for i in range(n)],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    assert derive_lsh_planes(n, 16) == 4
+    auto = lsh_hard_negative_topk(
+        emb, "i", "vec", "lab", k=3, n_tables=3, target_bucket_rows=16
+    ).toPandas()
+    manual = lsh_hard_negative_topk(
+        emb, "i", "vec", "lab", k=3, n_planes=4, n_tables=3
+    ).toPandas()
+    key = ["query_id", "neighbor_id", "rank"]
+    a = auto.sort_values(key).reset_index(drop=True)
+    m = manual.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, m)
