@@ -66,6 +66,7 @@ import re
 import sys
 import time
 
+from feast_hive_spark import ckpt
 from feast_hive_spark import registry as registry_mod
 from feast_hive_spark.plans import memo, pit
 from feast_hive_spark.registry import REGISTRY
@@ -470,6 +471,7 @@ def emit(
     conf: dict[str, str],
     environment_note: dict | None = None,
     subset: bool = False,
+    build_materialized: list[str] | None = None,
 ) -> None:
     total = round(sum(times.values()), 3)
     prep_total = round(sum(prepare.values()), 3)
@@ -507,6 +509,11 @@ def emit(
                     sum(prepare_cold.values()), 3
                 ),
                 "conf": conf,
+                # r10 (r9 advice #4): queries whose prepared plan is
+                # only a local readout scan — the operator's real work
+                # ran at BUILD time, so grade prepare_cold_sec as
+                # their per-retrieval runtime, not `queries[name]`.
+                "build_materialized": sorted(build_materialized or []),
                 # same-window controls, emitted by the harness itself
                 # (r8 verdict: a driver rerun must not drop them)
                 **({"environment_note": environment_note}
@@ -578,6 +585,7 @@ def main() -> None:
     times: dict[str, float] = {}
     prepare: dict[str, float] = {}
     prepare_cold: dict[str, float] = {}
+    build_mat: list[str] = []
     rel20 = set(BENCH_QUERIES[:REL20_N])
     for name in names:
         # per-query cache hygiene: drop the previous query's plan-
@@ -599,6 +607,11 @@ def main() -> None:
         registry_mod.clear_prepared()
         memo.clear()
         pit._PLAN_CACHE.clear()
+        # checkpoint blocks are invisible to clearCache and only fall
+        # to GC timing otherwise (r9 advice slow-leak finding); safe
+        # to free HERE because every cache that could hand a
+        # checkpointed frame back was just dropped above
+        ckpt.release(spark)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         cold_runs = [time.perf_counter() - t0]
@@ -636,6 +649,22 @@ def main() -> None:
             _noop(df)
             runs.append(time.perf_counter() - t0)
         times[name] = round(sorted(runs)[len(runs) // 2], 3)
+        # mechanical build-materialization flag (r9 advice #4): if the
+        # prepared plan only scans an already-materialized local
+        # readout (checkpoint/collect product) — no source scan, no
+        # exchange — the measured exec is a readout, and the real work
+        # sits in prepare_cold. Recorded so the artifact says so.
+        try:
+            ptxt = df._jdf.queryExecution().executedPlan().toString()
+            if (
+                ("Scan ExistingRDD" in ptxt or "LocalTableScan" in ptxt)
+                and "Scan parquet" not in ptxt
+                and "InMemoryTableScan" not in ptxt
+                and "Exchange" not in ptxt
+            ):
+                build_mat.append(name)
+        except Exception:
+            pass
         print(
             f"  {name}: {times[name]}s (+{prepare[name]}s prepare, "
             f"{prepare_cold[name]}s cold)",
@@ -701,7 +730,8 @@ def main() -> None:
             }
 
     emit(times, prepare, prepare_cold, sf, conf,
-         environment_note=note, subset=bool(extra))
+         environment_note=note, subset=bool(extra),
+         build_materialized=build_mat)
 
 
 if __name__ == "__main__":

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from feast_hive_spark import ckpt
 from feast_hive_spark.functions import text as X
 from feast_hive_spark.functions import vector as V
 from feast_hive_spark.plans.memo import job_memo, plan_memo
@@ -1660,8 +1661,14 @@ def minhash_band_sweep(
     # Materialize the len(configs)-row readout eagerly, then free the
     # shared shingle/signature caches — the sweep runs repeatedly
     # under bench loops, and un-released .cache() blocks would
-    # accumulate per build (r8 advice finding).
-    out = out.localCheckpoint(eager=True)
+    # accumulate per build (r8 advice finding). The checkpoint blocks
+    # themselves are ckpt-tracked (r9 advice: they are invisible to
+    # clearCache and otherwise wait on GC timing) — release with
+    # feast_hive_spark.ckpt.release AFTER dropping the plan caches.
+    # NOTE for bench accounting: this query is BUILD-MATERIALIZED —
+    # the returned plan scans a local readout, so its real work shows
+    # in prepare_cold, and bench.py flags it as such mechanically.
+    out = ckpt.track(out.localCheckpoint(eager=True))
     with_sh.unpersist()
     sigs.unpersist()
     return out

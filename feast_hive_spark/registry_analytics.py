@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from feast_hive_spark import ckpt
 from feast_hive_spark.functions import round_half_away_long
 from feast_hive_spark.functions import text as X
 from feast_hive_spark.operators import layout as L
@@ -1125,8 +1126,10 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row — the r9 100x tier caught it pinning one core for 25+ min
     # recomputing 600M levenshteins the rep level had computed 23k of.
     # Lazy localCheckpoint: materialized by the first execution (the
-    # ~rep-pair-count rows are tiny), opaque to the optimizer.
-    rep_pairs = rep_pairs.localCheckpoint(eager=False)
+    # ~rep-pair-count rows are tiny), opaque to the optimizer. The
+    # blocks are ckpt-tracked (r9 advice: checkpoint storage is
+    # invisible to clearCache and otherwise waits on GC timing).
+    rep_pairs = ckpt.track(rep_pairs.localCheckpoint(eager=False))
     # Explicit expansion width: AQE sizes the join stage from the
     # tiny rep-level shuffle bytes and would run the (output-sized,
     # possibly x10000 larger) member expansion 1-2 wide; an explicit
