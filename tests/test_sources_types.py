@@ -292,3 +292,33 @@ def test_session_key_fallback_without_jsparksession():
         TB._PY_KEYS[k1] = s3  # re-pin k1 to the impostor directly
         TB._VIEWS_FOR.pop(k1, None)  # (what _session_key does on mismatch)
     assert k1 not in TB._VIEWS_FOR
+
+
+def test_bind_sql_view_stable_vs_connect_names(spark, sf_dir):
+    """r10 (r9 ADVICE #1): classic py4j sessions get the STABLE
+    engine-reserved view name (eager analysis makes rebinds safe and
+    keeps cache substitution); a Connect-shaped session (no
+    _jsparkSession) must get a UNIQUE name per build, because lazy
+    spark.sql would let a later rebind silently redirect an
+    unexecuted plan."""
+    from feast_hive_spark.sources.tables import bind_sql_view, read_table
+
+    df = read_table(spark, sf_dir, "region")
+    assert bind_sql_view(df, "__t_bind_probe") == "__t_bind_probe"
+    assert bind_sql_view(df, "__t_bind_probe") == "__t_bind_probe"
+
+    recorded = []
+
+    class FakeConnectSession:
+        pass  # no _jsparkSession attribute
+
+    class FakeDF:
+        sparkSession = FakeConnectSession()
+
+        def createOrReplaceTempView(self, name):
+            recorded.append(name)
+
+    a = bind_sql_view(FakeDF(), "__t_bind_probe")
+    b = bind_sql_view(FakeDF(), "__t_bind_probe")
+    assert a != b and a.startswith("__t_bind_probe_c")
+    assert recorded == [a, b]
