@@ -281,12 +281,19 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time_e2e(spark, name: str, sf_dir: str, runs: int = 3) -> float:
+def _time_e2e(spark, name: str, sf_dir: str, runs: "int | None" = None) -> float:
     """End-to-end seconds: build the plan + execute to a noop sink,
     median of `runs` full rebuild+execute cycles (prepare included —
-    the e2e accounting regime; see bench.py/README)."""
+    the e2e accounting regime; see bench.py/README). Default 3 cycles;
+    ``SPARK_GRAFT_SCALE_RUNS`` raises it for re-measurement passes
+    (r9 verdict #5: single-window 3-run medians left the
+    pit_multi_feature_view exponent ambiguous)."""
+    from feast_hive_spark import ckpt
     from feast_hive_spark import registry as registry_mod
     from feast_hive_spark.plans import memo, pit
+
+    if runs is None:
+        runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 
     def _drop_plan_caches() -> None:
         # the r6 prepared-plan cache + job/plan memo would otherwise
@@ -296,6 +303,9 @@ def _time_e2e(spark, name: str, sf_dir: str, runs: int = 3) -> float:
         registry_mod.clear_prepared()
         memo.clear()
         pit._PLAN_CACHE.clear()
+        # checkpoint blocks accumulate per rebuild cycle otherwise
+        # (invisible to clearCache; safe after the cache drops above)
+        ckpt.release(spark)
 
     fn = REGISTRY[name][0]
     # one untimed warmup cycle: codegen + base-scan page cache
