@@ -230,11 +230,16 @@ def bm25_score(
     Term frequencies are computed per document with JVM-side
     ``filter()`` over the whitespace token array — no explode, no
     per-term shuffle. Corpus statistics (``N``, ``avgdl``, per-term
-    document frequencies) are ONE tiny aggregate, attached back as a
-    broadcast 1-row cross join (same shape as q11's scalar
-    threshold). Scores use the Robertson/Sparck-Jones idf
-    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` rounded to 4 decimals, with
-    a total order (score desc, id asc) before the LIMIT.
+    document frequencies) come from ONE memoized build-time probe
+    (``plans/memo.job_memo``, the P9 bounds pattern) embedded as
+    LITERALS — r10: the previous broadcast 1-row cross join re-ran
+    the stats aggregate (a FULL corpus tokenize pass) plus a
+    broadcast-build job on every execution, so each retrieval
+    tokenized the corpus twice; with literals it scans once. The idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` stays inside the JVM
+    expression (same codegen ops as before — bit-identical rounded
+    scores), with a total order (score desc, id asc) before the
+    LIMIT.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -254,26 +259,35 @@ def bm25_score(
         for i, t in enumerate(query_terms)
     ]
     base = tokd.selectExpr(iq, "size(__toks) AS __dl", *tf_sel)
-    stats = base.selectExpr(
-        "count(1) AS __n",
-        "avg(__dl) AS __avgdl",
-        *[
-            f"sum(cast(__tf_{i} > 0 AS long)) AS __df_{i}"
-            for i in range(len(query_terms))
-        ],
+    row = job_memo(
+        df.sparkSession,
+        df,
+        ("bm25_stats", id_col, text_col, tuple(query_terms)),
+        lambda: base.selectExpr(
+            "count(1) AS __n",
+            "avg(__dl) AS __avgdl",
+            *[
+                f"sum(cast(__tf_{i} > 0 AS long)) AS __df_{i}"
+                for i in range(len(query_terms))
+            ],
+        ).first(),
     )
-    scored = base.crossJoin(F.broadcast(stats))
+    n_docs = row["__n"]
+    # empty corpus: every score is vacuously 0 and filtered; any
+    # positive avgdl keeps the expression well-formed
+    avgdl = row["__avgdl"] if row["__avgdl"] else 1.0
     parts = []
     for i in range(len(query_terms)):
         tf = f"cast(__tf_{i} AS double)"
-        idf = f"ln(1.0D + (__n - __df_{i} + 0.5D) / (__df_{i} + 0.5D))"
+        dfi = int(row[f"__df_{i}"] or 0)
+        idf = f"ln(1.0D + ({n_docs} - {dfi} + 0.5D) / ({dfi} + 0.5D))"
         parts.append(
             f"{idf} * ({tf} * {k1 + 1!r}D) / ({tf} + {k1!r}D * "
-            f"({1 - b!r}D + {b!r}D * __dl / __avgdl))"
+            f"({1 - b!r}D + {b!r}D * __dl / {float(avgdl)!r}D))"
         )
     score = " + ".join(parts)
     return (
-        scored.selectExpr(iq, f"round({score}, 4) AS bm25")
+        base.selectExpr(iq, f"round({score}, 4) AS bm25")
         .filter("bm25 > 0")
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
