@@ -260,10 +260,12 @@ AUDITS = {
     # r10 bounds-memo histogram: literal bounds make it ONE bin-keyed
     # aggregate — no join, no window, no per-exec broadcast job
     "value_histogram": (["HashAggregate"], ["Join", "Window", "CartesianProduct"]),
-    # r10 fused one-scan events report: grouping-sets Expand over ONE
-    # broadcast-joined fact scan; the three report branches must share
-    # the aggregate's shuffle (ReusedExchange), never re-scan the fact
-    "events_scalar_report": (["Expand", "ReusedExchange", "BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # r10 fused one-scan events report: the three branches slice ONE
+    # lazily-checkpointed grouping-sets aggregate (Scan ExistingRDD in
+    # the result plan; the fact NEVER appears there) — the build-time
+    # pipeline (Expand over the broadcast-joined fact scan) is audited
+    # via the memo capture (BUILDTIME_AUDIT)
+    "events_scalar_report": (["Scan ExistingRDD", "Expand", "BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
     # per-group packing: ONE window, no totals collect, no join
     "pack_sequences_by_lang": (["Window"], ["Join", "CartesianProduct"]),
     "graph_triangle_stats": (["HashAggregate"], ["CartesianProduct"]),
@@ -481,7 +483,7 @@ AUDITS = {
 # audit checks run against the memo-captured build-time plans instead.
 # Kept explicit so other queries' must-not checks never see unrelated
 # probe plans (quantile boundaries etc.).
-BUILDTIME_AUDIT = {"ols_price_model"}
+BUILDTIME_AUDIT = {"ols_price_model", "events_scalar_report"}
 
 KEEP = re.compile(
     r"Scan parquet|PushedFilters|BroadcastHashJoin|SortMergeJoin|max_by|"

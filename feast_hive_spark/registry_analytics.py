@@ -11,14 +11,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import threading
+
 from feast_hive_spark import ckpt
 from feast_hive_spark.functions import round_half_away_long
 from feast_hive_spark.functions import text as X
 from feast_hive_spark.operators import layout as L
 from feast_hive_spark.operators.skew import salted_join
-from feast_hive_spark.plans.memo import job_memo
+from feast_hive_spark.plans.memo import job_memo, plan_memo
 from feast_hive_spark.registry import register
-from feast_hive_spark.sources.tables import ensure_views, read_table
+from feast_hive_spark.sources.tables import bind_sql_view, ensure_views, read_table
+
+# guards the overwrite-stable-view window of events_scalar_report's
+# cached-aggregate binding (same protocol as plans/pit._SQL_VIEW_LOCK)
+_ESR_VIEW_LOCK = threading.Lock()
 
 _ROLL_SECONDS = 7 * 86400
 _Z_BITS = 8
@@ -1405,21 +1411,34 @@ def events_scalar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id)).
 
     Shape: one fact scan -> broadcast customer left-join (segment) ->
-    Expand(x3) -> one shuffled aggregate; the three report branches
-    then consume the SAME exchange (``ReusedExchange`` x2 in the
-    executed plan — verified), so the fact is read ONCE no matter how
-    many sections the report carries. Histogram bounds are literal
+    Expand(x3) -> one shuffled grouping-sets aggregate, materialized
+    ONCE behind a lazy ``localCheckpoint`` barrier (``g``,
+    ckpt-tracked, plan_memo'd); the three report branches slice the
+    materialized aggregate (3x ``Scan ExistingRDD`` in the result
+    plan, zero fact rescans). The barrier is what makes "one fact
+    scan" TRUE: two subtler designs measurably fail —
+    (a) a plain UNION over the pipeline lets Catalyst push each
+    branch's ``gid`` filter below the final aggregate, SPECIALIZING
+    the three exchanges so ``ReuseExchange``/AQE stage reuse cannot
+    fire (the only reused exchanges were the customer broadcast), and
+    (b) ``.cache()`` + three same-statement view references hits a
+    measured Spark 4.1 cache-substitution quirk: for a cached
+    GROUPING SETS aggregate only the FIRST reference substitutes
+    (plain aggregates substitute all three; minimal repro in
+    tests/test_plan_properties.py). The materialized aggregate is
+    bounded by 32 + #types*#segments + n_users rows — user-level,
+    far smaller than the fact; blocks are tracked for explicit
+    release (``feast_hive_spark.ckpt``). Histogram bounds are literal
     (the memoized P9-style probe shared with ``value_histogram``), so
-    the bin expression is a pure per-row function.
+    the bin expression is a pure per-row function. The grouping-sets
+    build pipeline stays auditable via the memo's build-time capture
+    (audit_plans BUILDTIME_AUDIT).
 
-    Scale note, measured honestly: at sf0.1 with the fact CACHED this
-    is ~0.39 s vs ~0.33 s for the three separate queries — Expand
-    triples the rows entering the partial aggregate, and at 600k
-    cached rows compute, not IO, is the bottleneck. The design target
-    is the 100 TB regime, where the three separate reports pay three
-    full fact SCANS and this pays one scan + map-side expand that
-    partial aggregation collapses before the shuffle (32 + ~25 +
-    n_users rows). SCALING.md carries the floor/crossover breakdown.
+    Scale note: the three separate reports pay three full fact SCANS
+    per refresh; this pays one scan + map-side expand that partial
+    aggregation collapses before the shuffle. Measured crossover in
+    SCALING.md (sf1: 0.75 s vs 1.29 s summed; sf10: 1.93 vs 2.04 —
+    both BEFORE this cache pin, i.e. while still paying 3 scans).
 
     The left join keeps no-customer events (funnel and histogram
     cover ALL events, matching their standalone twins); the chi2
@@ -1445,29 +1464,43 @@ def events_scalar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         bin_sql = "cast(0 AS BIGINT)"
-    return spark.sql(f"""
-        WITH g AS (
-          SELECT /*+ BROADCAST(c) */
-                 {bin_sql} AS bin,
-                 e.event_type, c.c_mktsegment AS segment, e.user_id,
-                 grouping_id() AS gid,
-                 count(*) AS n, min(e.value) AS mn_v, max(e.value) AS mx_v,
-                 min(CASE WHEN e.event_type = 'view' THEN e.ts END)
-                   AS t_view,
-                 min(CASE WHEN e.event_type = 'click' THEN e.ts END)
-                   AS t_click,
-                 min(CASE WHEN e.event_type = 'purchase' THEN e.ts END)
-                   AS t_p
-          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-          GROUP BY GROUPING SETS (
-            ({bin_sql}),
-            (e.event_type, c.c_mktsegment),
-            (e.user_id))
-        )
+    g_plan = spark.sql(f"""
+        SELECT /*+ BROADCAST(c) */
+               {bin_sql} AS bin,
+               e.event_type, c.c_mktsegment AS segment, e.user_id,
+               grouping_id() AS gid,
+               count(*) AS n, min(e.value) AS mn_v, max(e.value) AS mx_v,
+               min(CASE WHEN e.event_type = 'view' THEN e.ts END)
+                 AS t_view,
+               min(CASE WHEN e.event_type = 'click' THEN e.ts END)
+                 AS t_click,
+               min(CASE WHEN e.event_type = 'purchase' THEN e.ts END)
+                 AS t_p
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY GROUPING SETS (
+          ({bin_sql}),
+          (e.event_type, c.c_mktsegment),
+          (e.user_id))
+    """)
+    # lazy barrier: materializes on the first execution, reused by
+    # all three branches and by warm rebuilds (plan_memo); blocks
+    # tracked for explicit release
+    g = plan_memo(
+        spark,
+        [g_plan],
+        ("events_scalar_report_g", _HIST_BINS),
+        lambda: ckpt.track(g_plan.localCheckpoint(eager=False)),
+    )
+    # stable-view-under-lock protocol (see plans/pit._join_fvs_sql):
+    # classic sessions resolve at analysis time; Connect sessions get
+    # a unique name from bind_sql_view
+    with _ESR_VIEW_LOCK:
+        gview = bind_sql_view(g, "__esr_g")
+        return spark.sql(f"""
         SELECT 'hist' AS section, cast(bin AS STRING) AS k,
                cast(n AS DOUBLE) AS v1, round(mn_v, 4) AS v2,
                round(mx_v, 4) AS v3
-        FROM g WHERE gid = 7
+        FROM {gview} WHERE gid = 7
         UNION ALL
         SELECT 'chi2', '', cast(count(*) AS DOUBLE), cast(sum(n) AS DOUBLE),
                round(cast(sum(cm) AS DOUBLE) / 1000000, 4)
@@ -1481,7 +1514,7 @@ def events_scalar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                * sum(n) OVER (PARTITION BY segment)
                                / sum(n) OVER ())
                             * 1000000) AS BIGINT) AS cm, n
-          FROM g WHERE gid = 9 AND segment IS NOT NULL
+          FROM {gview} WHERE gid = 9 AND segment IS NOT NULL
         )
         UNION ALL
         SELECT 'funnel', '',
@@ -1490,8 +1523,8 @@ def events_scalar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                              AS BIGINT)) AS DOUBLE),
                cast(sum(cast(t_view IS NOT NULL AND t_click > t_view
                              AND t_p > t_click AS BIGINT)) AS DOUBLE)
-        FROM g WHERE gid = 14
-    """)
+        FROM {gview} WHERE gid = 14
+        """)
 
 
 @register(

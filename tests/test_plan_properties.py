@@ -44,10 +44,14 @@ def _plan(spark, name: str) -> str:
         # aggregate, no per-exec broadcast-build job, no window
         ("value_histogram", ["HashAggregate"],
          ["BroadcastHashJoin", "Window", "CartesianProduct"]),
-        # r10 fused events report: the three branches must consume the
-        # SAME grouping-sets shuffle (one fact scan), never re-join
-        ("events_scalar_report", ["Expand", "ReusedExchange"],
-         ["SortMergeJoin", "CartesianProduct"]),
+        # r10 fused events report: the three branches slice ONE
+        # lazily-checkpointed grouping-sets aggregate — the fact table
+        # must never appear in the RESULT plan (3x ExistingRDD, zero
+        # parquet/in-memory rescans; see the operator docstring for
+        # the two designs this replaces and why they rescan)
+        ("events_scalar_report", ["Scan ExistingRDD"],
+         ["Scan parquet", "InMemoryTableScan", "SortMergeJoin",
+          "CartesianProduct"]),
         # media decode queries are map-only: payloads never shuffle
         ("multimodal_jpeg_pixel_stats", ["MapInPandas"], ["Exchange"]),
         ("multimodal_audio_stats", ["MapInPandas"], ["Exchange"]),
@@ -76,3 +80,41 @@ def test_tfidf_single_data_exchange(spark):
     ]
     assert len(doc_exchanges) == 1, doc_exchanges
     assert "WindowGroupLimit" in plan
+
+
+def test_grouping_sets_cache_substitutes_first_reference_only(spark):
+    """Documented Spark 4.1 quirk (r10, the reason events_scalar_report
+    uses a checkpoint barrier instead of .cache()): a cached GROUPING
+    SETS aggregate referenced three times in ONE union substitutes
+    only the FIRST reference (later branches silently re-derive from
+    source), while a PLAIN aggregate substitutes all three. If this
+    test ever fails with 3 substitutions, the quirk is fixed upstream
+    and the barrier can be reconsidered."""
+    spark.range(100).selectExpr(
+        "id % 5 AS a", "id % 3 AS b", "id AS v"
+    ).createOrReplaceTempView("__gsq_t")
+    plain = spark.sql(
+        "SELECT a, count(*) AS n FROM __gsq_t GROUP BY a"
+    ).cache()
+    plain.createOrReplaceTempView("__gsq_plain")
+    gsets = spark.sql(
+        "SELECT a, b, grouping_id() AS gid, count(*) AS n "
+        "FROM __gsq_t GROUP BY GROUPING SETS ((a), (b))"
+    ).cache()
+    gsets.createOrReplaceTempView("__gsq_gs")
+    try:
+        p_plain = spark.sql(
+            "SELECT a, n FROM __gsq_plain WHERE a > 1 "
+            "UNION ALL SELECT a, n FROM __gsq_plain WHERE a = 0 "
+            "UNION ALL SELECT a, n FROM __gsq_plain WHERE n > 2"
+        )._jdf.queryExecution().executedPlan().toString()
+        p_gs = spark.sql(
+            "SELECT a, n FROM __gsq_gs WHERE gid = 1 "
+            "UNION ALL SELECT b, n FROM __gsq_gs WHERE gid = 2 "
+            "UNION ALL SELECT a, n FROM __gsq_gs WHERE gid = 1 AND n > 2"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert p_plain.count("InMemoryTableScan") == 3
+        assert p_gs.count("InMemoryTableScan") == 1  # the quirk
+    finally:
+        plain.unpersist()
+        gsets.unpersist()
