@@ -306,6 +306,9 @@ BENCH_QUERIES = [
     "fuzzy_part_name_stats",
     "events_scalar_report",
     "hard_negative_pairs_lsh_auto",
+    "embedding_effective_rank",
+    "embedding_decontaminate",
+    "event_entropy_rate",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

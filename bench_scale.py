@@ -115,6 +115,12 @@ SF10_QUERIES = [
     "events_scalar_report",
     # r10: engine-derived LSH resolution (target_bucket_rows)
     "hard_negative_pairs_lsh_auto",
+    # r10 session 2: spectral audit (d² partials over 500k vectors),
+    # semantic decontamination (benchmark grows with the corpus —
+    # 10k broadcast queries at 100x), entropy rate (one window pass)
+    "embedding_effective_rank",
+    "embedding_decontaminate",
+    "event_entropy_rate",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -221,6 +227,11 @@ SCALE_QUERIES = [
     # r10: derived-resolution miner — bucket population pinned to the
     # target as the distinct corpus grows
     "hard_negative_pairs_lsh_auto",
+    # r10 session 2: the three new components (spectral audit,
+    # semantic decontamination, entropy rate)
+    "embedding_effective_rank",
+    "embedding_decontaminate",
+    "event_entropy_rate",
 ]
 
 

@@ -129,6 +129,84 @@ def brute_force_topk(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-level decontamination: per-label counts of corpus
+    vectors whose max cosine against ANY benchmark vector reaches
+    ``threshold`` — the semantic twin of the n-gram
+    ``dedup.decontaminate`` (paraphrased benchmark leakage that
+    token-overlap checks miss).
+
+    Shape is the 100 TB-correct asymmetric one: the benchmark set is
+    collected through the :func:`_query_matrix` guard (typed
+    ``AnnQueryGuardError`` past ``MAX_QUERY_ROWS``) and broadcast; the
+    corpus streams through one vectorized ``mapInPandas`` matmul that
+    reduces each Arrow batch to (id, label, max_cos) — no corpus-sized
+    shuffle at all; the only exchange carries the per-label partial
+    aggregates. Cosines round to 1e-6 BEFORE the row-max (and the
+    e6-fixed sum is a BIGINT fold), so the rollup is order-independent
+    and hash-gated against a cross-join SQL twin.
+
+    Output per label: ``n_corpus``, ``n_flagged``, ``max_sim`` (the
+    label's worst leak), ``sum_maxsim_e6`` (exact integer mass of
+    max-similarities — the drift statistic)."""
+    spark = corpus.sparkSession
+    _, Qn = _query_matrix(benchmark, id_col, vec_col)
+    b_qm = spark.sparkContext.broadcast(Qn)
+    id_type = corpus.schema[id_col].dataType
+    lab_type = corpus.schema[label_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("__id", id_type),
+            T.StructField("__lab", lab_type),
+            T.StructField("max_cos", T.DoubleType()),
+        ]
+    )
+
+    def mapper(batches):
+        Q = b_qm.value
+        for batch in batches:
+            ids = batch[id_col].to_numpy()
+            if ids.size == 0:
+                continue
+            if Q.shape[0] == 0:
+                mx = np.full(ids.size, -1.0)
+            else:
+                Cn = V.np_normalize(V.np_matrix(batch[vec_col]))
+                mx = np.round(Cn @ Q.T, 6).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": ids,
+                    "__lab": batch[label_col].to_numpy(),
+                    "max_cos": mx,
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        mapper, schema
+    )
+    return (
+        scored.groupBy(F.col("__lab").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus"),
+            F.sum(
+                (F.col("max_cos") >= threshold).cast("long")
+            ).alias("n_flagged"),
+            F.max("max_cos").alias("max_sim"),
+            F.sum(
+                F.round(F.col("max_cos") * 1000000).cast("long")
+            ).alias("sum_maxsim_e6"),
+        )
+        .orderBy(label_col)
+    )
+
+
 def ivf_build_centroids(
     candidates: DataFrame,
     id_col: str,

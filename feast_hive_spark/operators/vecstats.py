@@ -61,7 +61,62 @@ def gramian_e6(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     )
 
 
-def covariance_num_e6(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+def spectral_summary(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """One-row spectral diagnostics of the embedding covariance —
+    the feature-collapse / anisotropy audit a training-data pipeline
+    runs before trusting an embedding column (Roy & Vetterli's
+    effective rank via the participation ratio tr(C)²/tr(C²), which
+    needs no eigendecomposition: tr(C²) = ‖C‖²_F for symmetric C).
+
+    Columns: ``n_vectors``, ``dim``, ``total_var`` (trace of the true
+    covariance), ``participation_ratio`` (≈ #directions carrying the
+    variance — 1 = fully collapsed, ``dim`` = isotropic), and
+    ``top_var_share`` (largest single-coordinate share of the trace).
+
+    Determinism: everything derives from the exact integer covariance
+    numerators (``covariance_num_e6``). The trace and max-diagonal are
+    exact BIGINT folds over 64 entries; only the Frobenius fold sums
+    doubles (cov_num² can exceed int64 at large n), where the
+    4096-term sum's ~1e-12 relative spread is 6 orders below the
+    ROUND(...,6) granularity — the same headroom argument as the
+    cosine oracles.
+
+    Scale shape: the corpus appears only inside ``covariance_num_e6``
+    (per-batch d² partials, nothing row-sized shuffles); this adds a
+    d²-row aggregate on top."""
+    cov = covariance_num_e6(df, vec_col, dim, with_n=True)
+    diag = F.when(F.col("i") == F.col("j"), F.col("cov_num"))
+    agg = cov.agg(
+        F.sum(diag).alias("__trace"),
+        F.max(diag).alias("__max_diag"),
+        F.sum(F.col("cov_num").cast("double") * F.col("cov_num").cast("double")).alias(
+            "__frob_sq"
+        ),
+        # n rides the covariance rows (with_n) — no third corpus scan
+        F.max("n").alias("__n"),
+    )
+    t = F.col("__trace").cast("double")
+    return (
+        agg
+        .select(
+            F.col("__n").alias("n_vectors"),
+            F.lit(dim).cast("long").alias("dim"),
+            F.round(
+                t / (F.lit(1000000.0) * F.col("__n") * F.col("__n")), 6
+            ).alias("total_var"),
+            F.round(t * t / F.col("__frob_sq"), 6).alias(
+                "participation_ratio"
+            ),
+            F.round(
+                F.col("__max_diag").cast("double") / t, 6
+            ).alias("top_var_share"),
+        )
+    )
+
+
+def covariance_num_e6(
+    df: DataFrame, vec_col: str, dim: int, with_n: bool = False
+) -> DataFrame:
     """Exact integer covariance numerators: ``cov_num[i,j] =
     n * G6[i,j] - s3[i] * s3[j]`` where ``G6`` is the micro-unit
     Gramian and ``s3[i] = Σ round(v[i]*1e3)`` — i.e. n² times the
@@ -109,8 +164,14 @@ def covariance_num_e6(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
             )
         )
     )
+    cols = ["i", "j", guarded.alias("cov_num")]
+    if with_n:
+        # the marginal aggregate already counted the corpus — callers
+        # needing n (spectral_summary) take it from here instead of
+        # paying a third corpus scan
+        cols.append(F.col("n").cast("long").alias("n"))
     return (
         g.join(F.broadcast(a), "i")
         .join(F.broadcast(b), "j")
-        .select("i", "j", guarded.alias("cov_num"))
+        .select(*cols)
     )

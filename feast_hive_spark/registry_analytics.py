@@ -279,6 +279,86 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# natural-log-of-2 as a shared double literal (same cross-engine
+# float-literal rule as registry_corpus._LN2)
+import math as _math
+
+_LN2 = repr(_math.log(2.0))
+
+
+@register(
+    "event_entropy_rate",
+    f"""
+WITH nxt AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+), cells AS (
+  SELECT event_type AS s, next_type AS t, COUNT(*) AS n
+  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
+), marg AS (
+  SELECT s, SUM(n) AS ns FROM cells GROUP BY s
+), tot AS (
+  SELECT SUM(ns) AS nn, COUNT(*) AS n_states FROM marg
+), terms AS (
+  SELECT CAST(ROUND(cells.n * (ln(CAST(ns AS DOUBLE)) - ln(CAST(cells.n AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS tmicro
+  FROM cells JOIN marg ON cells.s = marg.s
+)
+SELECT CAST(nn AS BIGINT) AS n_transitions,
+       CAST(n_states AS BIGINT) AS n_states,
+       ROUND(SUM(tmicro) / 1e6 / nn / {_LN2}, 6) AS entropy_rate_bits,
+       ROUND(1e0 - SUM(tmicro) / 1e6 / nn
+                   / ln(CAST(n_states AS DOUBLE)), 6) AS predictability
+FROM terms CROSS JOIN tot
+GROUP BY nn, n_states
+""",
+)
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain —
+    H = Σ_s π(s)·H(next|s) over the empirical transition matrix — the
+    information-theoretic behavioral-predictability score (Song et
+    al., 'Limits of Predictability in Human Mobility') plus its
+    normalized complement 1 − H/log2(k). Each (s,t) cell contributes
+    n·(ln n_s − ln n_st), micro-fixed to BIGINT before the fold (the
+    char_entropy_by_lang pattern), so both engines sum identical
+    integers; ln 2 is a shared repr() double literal. Scale shape:
+    one user-keyed window shuffle (the transition extraction — the
+    only corpus-sized stage, identical to event_transition_matrix),
+    then everything runs on k² cells. Requires ≥2 observed source
+    states (ln k in the normalizer); the events fixture has 5."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH nxt AS (
+          SELECT event_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS next_type
+          FROM events
+        ), cells AS (
+          SELECT event_type AS s, next_type AS t, count(*) AS n
+          FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
+        ), marg AS (
+          SELECT s, sum(n) AS ns FROM cells GROUP BY s
+        ), tot AS (
+          SELECT sum(ns) AS nn, count(*) AS n_states FROM marg
+        ), terms AS (
+          SELECT cast(round(cells.n * (ln(cast(ns AS DOUBLE)) - ln(cast(cells.n AS DOUBLE)))
+                            * 1000000) AS BIGINT) AS tmicro
+          FROM cells JOIN marg ON cells.s = marg.s
+        )
+        SELECT cast(nn AS BIGINT) AS n_transitions,
+               cast(n_states AS BIGINT) AS n_states,
+               round(sum(tmicro) / 1e6 / nn / {_LN2}, 6) AS entropy_rate_bits,
+               round(1e0 - sum(tmicro) / 1e6 / nn
+                           / ln(cast(n_states AS DOUBLE)), 6) AS predictability
+        FROM terms CROSS JOIN tot
+        GROUP BY nn, n_states
+    """)
+
+
 @register(
     "salted_join_segments",
     """

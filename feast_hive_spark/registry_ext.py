@@ -824,6 +824,98 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_num_e6(emb, "embedding", 64)
 
 
+@register(
+    "embedding_effective_rank",
+    """
+WITH idx AS (SELECT unnest(range(1, 65)) AS p),
+prs AS (SELECT a.p AS pi, b.p AS pj FROM idx a, idx b),
+g AS (
+  SELECT prs.pi, prs.pj,
+         CAST(SUM(CAST(round(CAST(e.embedding[prs.pi] AS DOUBLE)
+                             * CAST(e.embedding[prs.pj] AS DOUBLE)
+                             * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6
+  FROM embeddings e, prs GROUP BY 1, 2
+),
+s AS (
+  SELECT idx.p,
+         CAST(SUM(CAST(round(CAST(e.embedding[idx.p] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s3,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings e, idx GROUP BY 1
+),
+cov AS (
+  SELECT g.pi AS i, g.pj AS j,
+         CAST(a.n * g.sum_e6 - a.s3 * b.s3 AS BIGINT) AS cov_num, a.n AS n
+  FROM g JOIN s a ON a.p = g.pi JOIN s b ON b.p = g.pj
+),
+agg AS (
+  SELECT MAX(n) AS n,
+         SUM(CASE WHEN i = j THEN cov_num END) AS trace_num,
+         MAX(CASE WHEN i = j THEN cov_num END) AS max_diag,
+         SUM(CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE)) AS frob_sq
+  FROM cov
+)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       CAST(64 AS BIGINT) AS dim,
+       ROUND(CAST(trace_num AS DOUBLE) / (1000000.0 * n * n), 6) AS total_var,
+       ROUND(CAST(trace_num AS DOUBLE) * CAST(trace_num AS DOUBLE) / frob_sq, 6)
+         AS participation_ratio,
+       ROUND(CAST(max_diag AS DOUBLE) / CAST(trace_num AS DOUBLE), 6)
+         AS top_var_share
+FROM agg
+""",
+)
+def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral effective-rank audit of the embedding column
+    (operators/vecstats.spectral_summary): participation ratio
+    tr(C)²/‖C‖²_F (Roy–Vetterli effective rank, no eigensolve
+    needed), total variance, and top single-coordinate share — the
+    collapse/anisotropy check a pipeline runs before trusting
+    embeddings for dedup/ANN. Derives from the SAME exact integer
+    covariance numerators as embedding_covariance; only the d²-term
+    Frobenius fold sums doubles, with ~6 orders of rounding
+    headroom."""
+    from feast_hive_spark.operators.vecstats import spectral_summary
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return spectral_summary(emb, "embedding", 64)
+
+
+@register(
+    "embedding_decontaminate",
+    f"""
+WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+scored AS (
+  SELECT c.vec_id, c.label,
+         MAX(ROUND({V.duck_cosine('c.embedding', 'b.embedding')}, 6)) AS max_cos
+  FROM c CROSS JOIN b
+  GROUP BY 1, 2
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_corpus,
+       CAST(SUM(CASE WHEN max_cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       MAX(max_cos) AS max_sim,
+       CAST(SUM(CAST(round(max_cos * 1000000) AS BIGINT)) AS BIGINT) AS sum_maxsim_e6
+FROM scored GROUP BY label ORDER BY label
+""",
+)
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (operators/simsearch.semantic_decontaminate): per-label counts of
+    corpus vectors semantically too close (max cosine ≥ 0.3) to a
+    held-out benchmark slice (vec_id % 50 — the deterministic stand-in
+    for an eval set) — catches the paraphrased leakage the n-gram
+    decontaminate (dedup.decontaminate) cannot. Benchmark broadcast
+    behind the typed ANN guard; corpus reduced batch-wise to one row
+    each inside mapInPandas, so nothing corpus-sized shuffles."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return S.semantic_decontaminate(
+        corpus, bench, "vec_id", "embedding", "label", threshold=0.3
+    )
+
+
 def _pagerank_sql(iters: int = 3) -> str:
     """Chained-CTE DuckDB twin of operators/graph.pagerank on the
     ngram-Jaccard pair graph — one CTE per iteration, identical

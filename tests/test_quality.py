@@ -409,3 +409,34 @@ def test_kaplan_meier_not_vacuous(spark, sf_dir):
         assert r["n_deaths"] >= 1
         assert 0 < r["survival_micro"] < 1_000_000
         assert r["n_at_risk"] >= r["n_deaths"]
+
+
+def test_event_entropy_rate_matches_numpy_model(spark, sf_dir):
+    """The entropy-rate query must equal the same statistic computed
+    in numpy from event_transition_matrix's counts (shared extraction
+    window), and its normalized complement must sit in [0, 1]."""
+    import math
+
+    import numpy as np
+
+    import feast_hive_spark.registry_analytics  # noqa: F401
+    from feast_hive_spark.registry import REGISTRY
+
+    cells = REGISTRY["event_transition_matrix"][0](spark, sf_dir).collect()
+    n = {(r["event_type"], r["next_type"]): r["n"] for r in cells}
+    ns = {}
+    for (s, _), c in n.items():
+        ns[s] = ns.get(s, 0) + c
+    total = sum(ns.values())
+    # micro-fixed per-cell terms, exactly as both engines fold them
+    tmicro = sum(
+        round(c * (math.log(ns[s]) - math.log(c)) * 1e6)
+        for (s, _), c in n.items()
+    )
+    exp_bits = tmicro / 1e6 / total / math.log(2.0)
+    row = REGISTRY["event_entropy_rate"][0](spark, sf_dir).first()
+    assert row["n_transitions"] == total
+    assert row["n_states"] == len(ns)
+    assert abs(row["entropy_rate_bits"] - exp_bits) < 1e-6
+    assert 0.0 <= row["predictability"] <= 1.0
+    assert 0.0 <= row["entropy_rate_bits"] <= np.log2(len(ns)) + 1e-9

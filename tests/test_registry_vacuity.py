@@ -96,3 +96,27 @@ def test_fused_report_matches_standalone(
             for r in ref.itertuples(index=False)
         )
     assert got == exp
+
+
+def test_embedding_decontaminate_not_vacuous(spark, sf_dir):
+    """The semantic decontamination gate only discriminates if some
+    corpus vector actually crosses the flag threshold at sf0.001
+    (currently 40 of 490) AND some does not — all-flagged or
+    none-flagged would make the threshold branch untested."""
+    out = _run(spark, sf_dir, "embedding_decontaminate")
+    assert out["n_flagged"].sum() >= 1, "no vector near benchmark: vacuous"
+    assert (out["n_corpus"] - out["n_flagged"]).sum() >= 1, (
+        "every vector flagged: threshold vacuous"
+    )
+    assert len(out) >= 2, "single-label corpus"
+
+
+def test_embedding_effective_rank_not_vacuous(spark, sf_dir):
+    """The spectral audit must see a non-degenerate covariance:
+    participation ratio strictly inside (1, dim) — exactly 1 or
+    exactly dim would mean the fixture can't distinguish collapse
+    from isotropy."""
+    row = _run(spark, sf_dir, "embedding_effective_rank").iloc[0]
+    assert 1.0 < row["participation_ratio"] < float(row["dim"])
+    assert 0.0 < row["top_var_share"] < 1.0
+    assert row["total_var"] > 0.0

@@ -775,3 +775,97 @@ def test_lsh_hard_negative_target_bucket_rows_derives(spark):
     a = auto.sort_values(key).reset_index(drop=True)
     m = manual.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, m)
+
+
+def test_spectral_summary_isotropic_vs_rank1(spark):
+    """Participation ratio must read ≈dim on isotropic data and ≈1 on
+    rank-1 (collapsed) data, with total_var matching numpy's
+    population-covariance trace to fixed-point tolerance."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.vecstats import spectral_summary
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(400, 8)
+    iso = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(400), "embedding": [r.tolist() for r in X]})
+    ).repartition(5)
+    row = spectral_summary(iso, "embedding", 8).first()
+    assert row["n_vectors"] == 400 and row["dim"] == 8
+    assert row["participation_ratio"] > 6.0
+    assert row["top_var_share"] < 0.25
+    exp_trace = np.cov(X.T, bias=True).trace()
+    assert abs(row["total_var"] - exp_trace) < 1e-2
+
+    v = rng.randn(8)
+    a = rng.randn(400)
+    R = np.outer(a, v)
+    r1 = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(400), "embedding": [r.tolist() for r in R]})
+    ).repartition(5)
+    row1 = spectral_summary(r1, "embedding", 8).first()
+    assert row1["participation_ratio"] < 1.2
+    C = np.cov(R.T, bias=True)
+    assert abs(row1["top_var_share"] - C.diagonal().max() / C.trace()) < 1e-3
+
+
+def test_semantic_decontaminate_analytic(spark):
+    """2-D unit vectors with hand-computable cosines: only the
+    corpus rows within the threshold cone of a benchmark vector get
+    flagged, per label."""
+    import pandas as pd
+
+    bench = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 0.0]], "label": [0]})
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3, 4],
+                "embedding": [[1.0, 0.0], [0.0, 1.0], [0.8, 0.6], [-1.0, 0.0]],
+                "label": [10, 10, 20, 20],
+            }
+        )
+    )
+    out = (
+        S.semantic_decontaminate(
+            corpus, bench, "vec_id", "embedding", "label", threshold=0.75
+        )
+        .toPandas()
+        .set_index("label")
+    )
+    # label 10: cosines {1.0, 0.0} -> 1 flagged; label 20: {0.8, -1.0} -> 1
+    assert out.loc[10, "n_corpus"] == 2 and out.loc[10, "n_flagged"] == 1
+    assert out.loc[20, "n_corpus"] == 2 and out.loc[20, "n_flagged"] == 1
+    assert out.loc[10, "max_sim"] == 1.0
+    assert abs(out.loc[20, "max_sim"] - 0.8) < 1e-9
+    assert out.loc[20, "sum_maxsim_e6"] == 800000 - 1000000
+
+
+def test_semantic_decontaminate_guard_and_label_types(spark):
+    """The benchmark side rides the typed ANN collect guard, and the
+    output label column keeps the input's type (string labels legal —
+    the r9 ADVICE schema-genericity rule)."""
+    import pandas as pd
+    import pytest as _pt
+
+    big = spark.range(S.MAX_QUERY_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [1], "embedding": [[1.0]], "label": ["en"]}
+        )
+    )
+    with _pt.raises(S.AnnQueryGuardError):
+        S.semantic_decontaminate(
+            small, big, "vec_id", "embedding", "label"
+        )
+    out = S.semantic_decontaminate(
+        small, small, "vec_id", "embedding", "label", threshold=0.5
+    )
+    assert out.schema["label"].dataType.simpleString() == "string"
+    row = out.first()
+    assert row["label"] == "en" and row["n_flagged"] == 1
