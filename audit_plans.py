@@ -139,11 +139,14 @@ AUDITS = {
     # chunk dedup: survivor vote shuffles chunk hashes (Window), text
     # crosses the wire once in the doc-keyed reassembly join
     "dedup_paragraph_chunks": (["Window"], ["CartesianProduct"]),
-    # BM25: per-doc tf from array filters; corpus stats are ONE 1-row
-    # broadcast nested loop (intended); no data-sized join or window
+    # BM25 (r10 memoized form): corpus stats folded to LITERALS at
+    # build time (plans/memo), so the executed plan is ONE scan +
+    # filter + top-k — no aggregate, no join, no window at all; the
+    # stats job lives in prepare_cold and is audited via the memo
+    # capture
     "bm25_search_topk": (
-        ["TakeOrderedAndProject", "HashAggregate"],
-        ["SortMergeJoin", "Window"],
+        ["TakeOrderedAndProject", "FileScan"],
+        ["SortMergeJoin", "Window", "HashAggregate", "Join"],
     ),
     # temperature sampling: stateless hash filter + broadcast of the
     # #groups-row probability table — no data shuffle before the
@@ -475,6 +478,26 @@ AUDITS = {
     "blocking_quality_report": (
         ["BroadcastHashJoin"],
         ["CartesianProduct"],
+    ),
+    # spectral audit: corpus only inside the covariance kernels
+    # (Arrow partials + posexplode marginals); the d-row marginal
+    # joins broadcast; the summary is a d²-row aggregate
+    "embedding_effective_rank": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # decontamination: benchmark broadcast into the Arrow kernel —
+    # the PLAN holds no join at all; only per-label partials shuffle
+    "embedding_decontaminate": (
+        ["HashAggregate"],
+        ["Join", "CartesianProduct", "Window"],
+    ),
+    # entropy rate: one user-keyed window; k²-cell aggregates; the
+    # 1-row total rides a broadcast nested loop (the intended scalar
+    # cross), never a materialized cartesian
+    "event_entropy_rate": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
     ),
 }
 

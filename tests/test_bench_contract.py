@@ -80,6 +80,12 @@ def test_duckdb_rel20_control_contract(sf_dir):
     assert r["n_queries"] == 20 and r["threads"] == 32
     assert len(r["sweeps_sec"]) == 9
     assert r["sweep_median_sec"] == r["sweeps_sec"][4]
+    # per-query medians back the strict per-query ratio table
+    pq = r["per_query_median_sec"]
+    assert len(pq) == 20 and all(v > 0 for v in pq.values())
+    # the per-query medians must be consistent with the sweep total
+    # (each median <= the slowest whole sweep)
+    assert all(v <= r["sweeps_sec"][-1] for v in pq.values())
 
 
 def test_tier100_guard_trip_classification():
