@@ -492,6 +492,12 @@ AUDITS = {
         ["HashAggregate"],
         ["Join", "CartesianProduct", "Window"],
     ),
+    # threshold sweep: ONE scan-wide aggregate (k conditional sums)
+    # then a #thresholds-row explode — no join, no second pass
+    "embedding_decontaminate_sweep": (
+        ["HashAggregate", "Generate"],
+        ["Join", "CartesianProduct", "Window"],
+    ),
     # entropy rate: one user-keyed window; k²-cell aggregates; the
     # 1-row total rides a broadcast nested loop (the intended scalar
     # cross), never a materialized cartesian

@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     "embedding_effective_rank",
     "embedding_decontaminate",
     "event_entropy_rate",
+    "embedding_decontaminate_sweep",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -121,6 +121,7 @@ SF10_QUERIES = [
     "embedding_effective_rank",
     "embedding_decontaminate",
     "event_entropy_rate",
+    "embedding_decontaminate_sweep",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -232,6 +233,7 @@ SCALE_QUERIES = [
     "embedding_effective_rank",
     "embedding_decontaminate",
     "event_entropy_rate",
+    "embedding_decontaminate_sweep",
 ]
 
 

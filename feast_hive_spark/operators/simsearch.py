@@ -21,6 +21,8 @@ shuffle is tiny regardless of corpus size.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -129,33 +131,20 @@ def brute_force_topk(
     )
 
 
-def semantic_decontaminate(
+def semantic_scores(
     corpus: DataFrame,
     benchmark: DataFrame,
     id_col: str,
     vec_col: str,
     label_col: str,
-    threshold: float = 0.45,
 ) -> DataFrame:
-    """Embedding-level decontamination: per-label counts of corpus
-    vectors whose max cosine against ANY benchmark vector reaches
-    ``threshold`` — the semantic twin of the n-gram
-    ``dedup.decontaminate`` (paraphrased benchmark leakage that
-    token-overlap checks miss).
-
-    Shape is the 100 TB-correct asymmetric one: the benchmark set is
-    collected through the :func:`_query_matrix` guard (typed
-    ``AnnQueryGuardError`` past ``MAX_QUERY_ROWS``) and broadcast; the
-    corpus streams through one vectorized ``mapInPandas`` matmul that
-    reduces each Arrow batch to (id, label, max_cos) — no corpus-sized
-    shuffle at all; the only exchange carries the per-label partial
-    aggregates. Cosines round to 1e-6 BEFORE the row-max (and the
-    e6-fixed sum is a BIGINT fold), so the rollup is order-independent
-    and hash-gated against a cross-join SQL twin.
-
-    Output per label: ``n_corpus``, ``n_flagged``, ``max_sim`` (the
-    label's worst leak), ``sum_maxsim_e6`` (exact integer mass of
-    max-similarities — the drift statistic)."""
+    """Per-corpus-row max cosine against the broadcast benchmark set —
+    the shared scored intermediate of :func:`semantic_decontaminate`
+    and :func:`decontaminate_threshold_sweep`: one vectorized
+    ``mapInPandas`` matmul, each Arrow batch reduced to
+    ``(__id, __lab, max_cos)`` with cosines 1e-6-rounded BEFORE the
+    row max. An empty benchmark scores every row ``-1.0`` (flags
+    nothing at any threshold ≥ -1)."""
     spark = corpus.sparkSession
     _, Qn = _query_matrix(benchmark, id_col, vec_col)
     b_qm = spark.sparkContext.broadcast(Qn)
@@ -188,9 +177,90 @@ def semantic_decontaminate(
                 }
             )
 
-    scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
+    return corpus.select(id_col, vec_col, label_col).mapInPandas(
         mapper, schema
     )
+
+
+def decontaminate_threshold_sweep(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    thresholds: Sequence[float] = (0.25, 0.3, 0.35, 0.4, 0.45),
+) -> DataFrame:
+    """Decontamination tuning curve from ONE scored pass (the
+    minhash_band_sweep pattern): for each candidate threshold, how
+    many corpus vectors would be flagged and what corpus share that
+    is — the sweep a pipeline runs to pick its flag threshold without
+    re-scoring the corpus per candidate.
+
+    Shape: the corpus crosses the kernel exactly once; the sweep is
+    len(thresholds) conditional sums inside ONE scan-wide aggregate
+    (partial agg collapses map-side), then a #thresholds-row explode
+    of the single result row. Output: ``(threshold, n_flagged,
+    flagged_ppm)`` — exact integers, ppm fixed-point."""
+    scored = semantic_scores(corpus, benchmark, id_col, vec_col, label_col)
+    sums = scored.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum((F.col("max_cos") >= F.lit(t)).cast("long")).alias(
+                f"__f{i}"
+            )
+            for i, t in enumerate(thresholds)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"__f{i}").alias("n_flagged"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return (
+        sums.select(F.col("__n"), F.explode(pairs).alias("__p"))
+        .select(
+            F.col("__p.threshold").alias("threshold"),
+            F.col("__p.n_flagged").alias("n_flagged"),
+            (
+                F.round(F.col("__p.n_flagged") * 1000000 / F.col("__n"))
+            ).cast("long").alias("flagged_ppm"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-level decontamination: per-label counts of corpus
+    vectors whose max cosine against ANY benchmark vector reaches
+    ``threshold`` — the semantic twin of the n-gram
+    ``dedup.decontaminate`` (paraphrased benchmark leakage that
+    token-overlap checks miss).
+
+    Shape is the 100 TB-correct asymmetric one: the benchmark set is
+    collected through the :func:`_query_matrix` guard (typed
+    ``AnnQueryGuardError`` past ``MAX_QUERY_ROWS``) and broadcast; the
+    corpus streams through one vectorized ``mapInPandas`` matmul that
+    reduces each Arrow batch to (id, label, max_cos) — no corpus-sized
+    shuffle at all; the only exchange carries the per-label partial
+    aggregates. Cosines round to 1e-6 BEFORE the row-max (and the
+    e6-fixed sum is a BIGINT fold), so the rollup is order-independent
+    and hash-gated against a cross-join SQL twin.
+
+    Output per label: ``n_corpus``, ``n_flagged``, ``max_sim`` (the
+    label's worst leak), ``sum_maxsim_e6`` (exact integer mass of
+    max-similarities — the drift statistic)."""
+    scored = semantic_scores(corpus, benchmark, id_col, vec_col, label_col)
     return (
         scored.groupBy(F.col("__lab").alias(label_col))
         .agg(

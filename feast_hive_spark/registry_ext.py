@@ -916,6 +916,46 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_decontaminate_sweep",
+    f"""
+WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+scored AS (
+  SELECT c.vec_id,
+         MAX(ROUND({V.duck_cosine('c.embedding', 'b.embedding')}, 6)) AS max_cos
+  FROM c CROSS JOIN b
+  GROUP BY 1
+), tot AS (SELECT COUNT(*) AS n FROM scored)
+SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+       CAST(SUM(CASE WHEN s.max_cos >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(round(SUM(CASE WHEN s.max_cos >= t.threshold THEN 1 ELSE 0 END)
+                  * 1000000 / tot.n) AS BIGINT) AS flagged_ppm
+FROM scored s
+CROSS JOIN (VALUES (0.25), (0.3), (0.35), (0.4), (0.45)) t(threshold)
+CROSS JOIN tot
+GROUP BY t.threshold, tot.n
+ORDER BY t.threshold
+""",
+)
+def embedding_decontaminate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination threshold tuning curve
+    (operators/simsearch.decontaminate_threshold_sweep): flagged
+    count + corpus ppm at five candidate thresholds from ONE scored
+    pass — the minhash_band_sweep pattern applied to semantic
+    decontamination (pick the flag threshold without re-scoring the
+    corpus per candidate). The sweep itself is five conditional sums
+    inside one scan-wide aggregate; the corpus crosses the Arrow
+    kernel exactly once."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return S.decontaminate_threshold_sweep(
+        corpus, bench, "vec_id", "embedding", "label"
+    )
+
+
 def _pagerank_sql(iters: int = 3) -> str:
     """Chained-CTE DuckDB twin of operators/graph.pagerank on the
     ngram-Jaccard pair graph — one CTE per iteration, identical

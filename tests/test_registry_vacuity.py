@@ -120,3 +120,16 @@ def test_embedding_effective_rank_not_vacuous(spark, sf_dir):
     assert 1.0 < row["participation_ratio"] < float(row["dim"])
     assert 0.0 < row["top_var_share"] < 1.0
     assert row["total_var"] > 0.0
+
+
+def test_embedding_decontaminate_sweep_not_vacuous(spark, sf_dir):
+    """The tuning curve only informs a threshold choice if it VARIES
+    across the swept range — a flat curve (all thresholds flag the
+    same set) would make the sweep pointless at this fixture."""
+    out = _run(spark, sf_dir, "embedding_decontaminate_sweep").sort_values(
+        "threshold"
+    )
+    assert len(out) == 5
+    assert (out["n_flagged"].diff().dropna() <= 0).all()
+    assert out["n_flagged"].nunique() >= 2, "flat sweep: gate vacuous"
+    assert out["n_flagged"].iloc[0] >= 1, "nothing flagged at the floor"

@@ -869,3 +869,43 @@ def test_semantic_decontaminate_guard_and_label_types(spark):
     assert out.schema["label"].dataType.simpleString() == "string"
     row = out.first()
     assert row["label"] == "en" and row["n_flagged"] == 1
+
+
+def test_decontaminate_threshold_sweep_monotone_and_consistent(spark):
+    """The sweep must be non-increasing in threshold, agree with the
+    single-threshold rollup at a shared threshold, and come from ONE
+    scored pass (ppm exact against the corpus count)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(60),
+            "embedding": [rng.randn(6).tolist() for _ in range(60)],
+            "label": [i % 3 for i in range(60)],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    sweep = (
+        S.decontaminate_threshold_sweep(
+            corpus, bench, "vec_id", "embedding", "label",
+            thresholds=(0.1, 0.3, 0.5),
+        )
+        .toPandas()
+        .sort_values("threshold")
+        .reset_index(drop=True)
+    )
+    assert list(sweep["threshold"]) == [0.1, 0.3, 0.5]
+    assert (sweep["n_flagged"].diff().dropna() <= 0).all()
+    single = S.semantic_decontaminate(
+        corpus, bench, "vec_id", "embedding", "label", threshold=0.3
+    ).toPandas()
+    assert (
+        sweep.loc[sweep["threshold"] == 0.3, "n_flagged"].iloc[0]
+        == single["n_flagged"].sum()
+    )
+    n_corpus = single["n_corpus"].sum()
+    for r in sweep.itertuples():
+        assert r.flagged_ppm == round(r.n_flagged * 1000000 / n_corpus)
