@@ -310,6 +310,7 @@ BENCH_QUERIES = [
     "embedding_decontaminate",
     "event_entropy_rate",
     "embedding_decontaminate_sweep",
+    "stream_pit_probe",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -2256,6 +2256,54 @@ def stream_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pit_entity_sql_oracle() -> str:
+    """The batch flagship's own oracle text (registry.pit_entity_sql)
+    — imported, not copied, so the streaming probe below is held to
+    EXACTLY the semantics the batch retrieval is graded on."""
+    from feast_hive_spark.registry import REGISTRY as _R
+
+    return _R["pit_entity_sql"][1]
+
+
+@register("stream_pit_probe", _pit_entity_sql_oracle())
+def stream_pit_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming point-in-time probe: the purchase stream
+    as-of-joined against the static click history
+    (streaming/events.stream_pit_probe — stream-static LEFT OUTER
+    join + per-probe max_by argmax), gated against the SAME DuckDB
+    oracle as the batch ``pit_entity_sql`` — one oracle certifying
+    that the online path and the batch flagship answer identically.
+
+    Replay runs COMPLETE mode (a terminating file source never moves
+    the watermark past its last probes); the continuous deployment
+    passes a watermark and gets append + state eviction. Memoized per
+    events plan (plans/memo.py): a real deployment runs the stream
+    once continuously."""
+    from feast_hive_spark.registry import _TTL_7D
+    from feast_hive_spark.streaming import events as SE
+
+    def run() -> DataFrame:
+        stream = SE.read_event_stream(spark, sf_dir)
+        probes = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("probe_id"),
+            "user_id",
+            F.col("ts").alias("event_timestamp"),
+        )
+        clicks = read_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == "click"
+        )
+        res = SE.stream_pit_probe(probes, clicks, ttl_seconds=_TTL_7D)
+        SE.run_to_memory(res, "__stream_pit_probe", output_mode="complete")
+        return spark.table("__stream_pit_probe")
+
+    return plan_memo(
+        spark,
+        read_table(spark, sf_dir, "events"),
+        ("stream_pit_probe",),
+        run,
+    )
+
+
 @register(
     "graph_triangle_stats",
     """

@@ -303,6 +303,66 @@ def stream_click_attribution(
     )
 
 
+def stream_pit_probe(
+    probes: DataFrame,
+    features: DataFrame,
+    ttl_seconds: int,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming point-in-time probe — the ONLINE twin of the batch
+    flagship (plans/pit.py): a stream of entity probes as-of-joined
+    against a STATIC feature history; per probe, the latest feature
+    row at or before the probe's event time within ``ttl_seconds``,
+    NULL on no match.
+
+    Shape: a stream-static LEFT OUTER join (STATELESS — Spark
+    re-resolves the static side per micro-batch, so a slowly
+    refreshed feature table is picked up without restart) followed by
+    one per-probe argmax aggregate, the streaming form of the batch
+    plan's keyed ``max_by``. The ordering key is NULL exactly on the
+    unmatched branch, so ``max_by``'s null-ignoring semantics yield
+    the LEFT-join NULL without a separate code path — the same
+    (feature_ts DESC, feature_id DESC) total order as the batch
+    retrieval, so both paths are held to ONE oracle
+    (registry ``pit_entity_sql``'s SQL, see ``stream_pit_probe`` in
+    the registry).
+
+    Modes: pass ``watermark`` for the continuous deployment — the
+    aggregate emits a probe once the watermark passes its event time
+    and evicts its state (bounded by probe disorder, not stream
+    length). The closed-replay smoke/gate path runs COMPLETE mode
+    (no watermark): a terminating file replay never advances the
+    watermark past its last probes, so append would hold them back
+    forever (same rule as windowed_counts' test)."""
+    p = probes
+    if watermark:
+        p = p.withWatermark("event_timestamp", watermark)
+    f = features.select(
+        F.col("user_id").alias("__f_user"),
+        F.col("ts").alias("__f_ts"),
+        F.col("event_id").alias("__f_id"),
+        F.col("value").alias("__f_value"),
+    )
+    cond = (
+        (p["user_id"] == f["__f_user"])
+        & (F.col("__f_ts") <= F.col("event_timestamp"))
+        & (
+            F.col("__f_ts")
+            >= F.col("event_timestamp")
+            - F.expr(f"INTERVAL {ttl_seconds} SECOND")
+        )
+    )
+    ordk = F.when(
+        F.col("__f_id").isNotNull(), F.struct("__f_ts", "__f_id")
+    )
+    return (
+        p.join(f, cond, "leftOuter")
+        .groupBy("probe_id", "user_id", "event_timestamp")
+        .agg(F.max_by(F.col("__f_value"), ordk).alias("click_value"))
+        .select("probe_id", "user_id", "event_timestamp", "click_value")
+    )
+
+
 def sessionize_stateful(
     events: DataFrame,
     gap_seconds: int = 1800,

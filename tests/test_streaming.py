@@ -713,3 +713,93 @@ def test_stream_near_dup_flags_matches_batch(spark, sf_dir, tmp_path):
     run_to_memory(out, "near_dup_flags")
     got = sorted(map(tuple, spark.table("near_dup_flags").collect()))
     assert got == exp
+
+
+def test_stream_pit_probe_matches_batch(spark, sf_dir):
+    """The streaming PIT probe must answer IDENTICALLY to the batch
+    flagship path on the closed dataset — both are registered against
+    the same DuckDB oracle; this pins them to each other in-process."""
+    from feast_hive_spark.registry import REGISTRY
+    import feast_hive_spark.registry_analytics  # noqa: F401
+
+    got = (
+        REGISTRY["stream_pit_probe"][0](spark, sf_dir)
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        REGISTRY["pit_entity_sql"][0](spark, sf_dir)
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    assert (got["probe_id"] == exp["probe_id"]).all()
+    gv, ev = got["click_value"], exp["click_value"]
+    assert (gv.isna() == ev.isna()).all()
+    assert (gv.dropna() - ev.dropna()).abs().max() < 1e-9
+
+
+def test_stream_pit_probe_watermark_append_evicts(spark, tmp_path):
+    """Continuous mode: with a watermark, a probe emits once the
+    watermark passes its event time — and the as-of value is the
+    latest feature at probe time, not anything that arrived later."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 2],
+                "ts": [base - timedelta(hours=2), base - timedelta(minutes=5), base],
+                "event_id": [100, 101, 102],
+                "value": [10.0, 20.0, 30.0],
+            }
+        )
+    )
+    src = tmp_path / "pit_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "pit_ckpt")
+    out_dir = str(tmp_path / "pit_out")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["probe_id", "user_id", "event_timestamp"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    def drain():
+        probes = (
+            spark.readStream.schema(
+                "probe_id long, user_id long, event_timestamp timestamp"
+            ).format("parquet").option("path", f"{src}/*").load()
+        )
+        res = SE.stream_pit_probe(
+            probes, feats, ttl_seconds=7 * 86400, watermark="30 minutes"
+        )
+        q = (
+            res.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # probe for user 1 at base (as-of match = event 101, value 20.0)
+    # and user 3 (no features -> NULL)
+    write_file("f1", [(1, 1, base), (2, 3, base)])
+    drain()
+    # a much later probe advances the watermark past `base`
+    write_file("f2", [(3, 2, base + timedelta(hours=4))])
+    drain()
+    # one more drain lets the final no-data batch flush emissions
+    write_file("f3", [(4, 2, base + timedelta(hours=9))])
+    drain()
+
+    got = spark.read.parquet(out_dir).toPandas().set_index("probe_id")
+    assert 1 in got.index and got.loc[1, "click_value"] == 20.0
+    assert 2 in got.index and pd.isna(got.loc[2, "click_value"])
