@@ -34,14 +34,28 @@ def _events_schema(ts_as_long: bool) -> T.StructType:
 
 
 def _ts_is_nanos(sf_dir: str) -> bool:
-    """Footer-only sniff: does events.parquet store ts as NANOS (which
-    Spark can only read as long)?"""
+    """Footer-only sniff: does events.parquet store ts as logical
+    TIMESTAMP(NANOS) (which Spark can only read as long)?
+
+    pyarrow reports BOTH logical-nanos and legacy physical-INT96
+    columns as ``timestamp[ns]`` — but Spark reads INT96 natively as
+    a timestamp (it is the legacy Spark/Hive encoding) and only the
+    INT64-backed NANOS annotation needs the read-as-long fallback.
+    The r10 tier replay hit exactly this: Spark-written tier datasets
+    carry INT96, the old arrow-type-only sniff said "nanos", and the
+    long-typed schema failed the scan. Check the PHYSICAL type too."""
     try:
         import pyarrow.dataset as ds
 
-        schema = ds.dataset(f"{sf_dir}/events.parquet", format="parquet").schema
-        field = schema.field("ts")
-        return str(field.type) == "timestamp[ns]"
+        dset = ds.dataset(f"{sf_dir}/events.parquet", format="parquet")
+        if str(dset.schema.field("ts").type) != "timestamp[ns]":
+            return False
+        md = next(iter(dset.get_fragments())).metadata
+        for i in range(md.num_columns):
+            col = md.schema.column(i)
+            if col.name == "ts":
+                return col.physical_type != "INT96"
+        return True
     except Exception:  # noqa: BLE001 - assume modern micros layout
         return False
 
@@ -54,13 +68,27 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos = _ts_is_nanos(sf_dir)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_events_schema(ts_as_long=nanos))
-        .format("parquet")
-        .option("path", f"{sf_dir}")
-        .option("pathGlobFilter", "events.parquet")
-        .load()
-    )
+    # Layout-aware source path (r10 finding, caught by the tier
+    # replay reading 0 rows): pathGlobFilter matches LEAF FILES, so
+    # on a Spark-written table DIRECTORY (events.parquet/
+    # part-*.parquet) the name filter matched nothing and the stream
+    # was silently EMPTY. A directory table gets the direct path; the
+    # driver's single-FILE layout keeps the warehouse-dir + filter
+    # form (a file path trips the source's basePath-must-be-a-
+    # directory check).
+    import os
+
+    tbl = f"{sf_dir}/events.parquet"
+    reader = spark.readStream.schema(
+        _events_schema(ts_as_long=nanos)
+    ).format("parquet")
+    if os.path.isdir(tbl):
+        reader = reader.option("path", tbl)
+    else:
+        reader = reader.option("path", f"{sf_dir}").option(
+            "pathGlobFilter", "events.parquet"
+        )
+    raw = reader.load()
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw
