@@ -505,6 +505,12 @@ AUDITS = {
         ["Window", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # DP release: one grouped count; the Laplace arithmetic is pure
+    # codegen on #event-types rows — no join, no window
+    "dp_noisy_event_counts": (
+        ["HashAggregate"],
+        ["Join", "CartesianProduct", "Window"],
+    ),
 }
 
 # Queries whose answer is computed at build time (driver solve over a

@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "event_entropy_rate",
     "embedding_decontaminate_sweep",
     "stream_pit_probe",
+    "dp_noisy_event_counts",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

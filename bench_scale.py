@@ -122,6 +122,7 @@ SF10_QUERIES = [
     "embedding_decontaminate",
     "event_entropy_rate",
     "embedding_decontaminate_sweep",
+    "dp_noisy_event_counts",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -234,6 +235,7 @@ SCALE_QUERIES = [
     "embedding_decontaminate",
     "event_entropy_rate",
     "embedding_decontaminate_sweep",
+    "dp_noisy_event_counts",
 ]
 
 

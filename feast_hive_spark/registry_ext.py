@@ -3837,6 +3837,59 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DP_NOISE_SQL = (
+    "CAST(ROUND(-(1e0 / 1e0) * sign(u01 - 0.5) "
+    "* ln(1e0 - 2e0 * abs(u01 - 0.5))) AS BIGINT)"
+)
+
+
+@register(
+    "dp_noisy_event_counts",
+    f"""
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+), u AS (
+  SELECT event_type, n,
+         (CAST({X.duck_h48("'dp:' || event_type")} AS DOUBLE) + 0.5)
+           / CAST(281474976710656 AS DOUBLE) AS u01
+  FROM c
+)
+SELECT event_type,
+       CAST(n + {_DP_NOISE_SQL} AS BIGINT) AS released_count,
+       1e0 AS epsilon
+FROM u ORDER BY event_type
+""",
+)
+def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release (Laplace mechanism,
+    ε=1, sensitivity 1): the third member of the privacy suite —
+    k-anonymity/l-diversity audit the dataset, this releases an
+    aggregate SAFELY. Noise is inverse-CDF Laplace driven by a
+    SEEDED md5 uniform (u = (h48('dp:'||key)+0.5)/2^48 ∈ (0,1)), so
+    the release is reproducible AND the DuckDB twin replays the exact
+    noise — the same determinism contract as the hash-split/
+    temperature samplers (a production deployment would swap in a
+    fresh random seed per release; the mechanism is identical). One
+    grouped count; the noise arithmetic runs on #event-types rows."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH c AS (
+          SELECT event_type, cast(count(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type
+        ), u AS (
+          SELECT event_type, n,
+                 (cast({X.h48_sql("concat('dp:', event_type)")} AS DOUBLE) + 0.5)
+                   / cast(281474976710656 AS DOUBLE) AS u01
+          FROM c
+        )
+        SELECT event_type,
+               cast(n + {_DP_NOISE_SQL} AS BIGINT) AS released_count,
+               1e0 AS epsilon
+        FROM u ORDER BY event_type
+    """)
+
+
 @register(
     "inclusion_dependency_discovery",
     """

@@ -338,10 +338,12 @@ def stream_pit_probe(
     watermark: str | None = None,
 ) -> DataFrame:
     """Streaming point-in-time probe — the ONLINE twin of the batch
-    flagship (plans/pit.py): a stream of entity probes as-of-joined
-    against a STATIC feature history; per probe, the latest feature
-    row at or before the probe's event time within ``ttl_seconds``,
-    NULL on no match.
+    flagship (plans/pit.py; reference semantics: feast-hive's PIT
+    template, hive.py:527-721 — latest-at-or-before within TTL,
+    NULL-preserving left assembly): a stream of entity probes
+    as-of-joined against a STATIC feature history; per probe, the
+    latest feature row at or before the probe's event time within
+    ``ttl_seconds``, NULL on no match.
 
     Shape: a stream-static LEFT OUTER join (STATELESS — Spark
     re-resolves the static side per micro-batch, so a slowly

@@ -440,3 +440,37 @@ def test_event_entropy_rate_matches_numpy_model(spark, sf_dir):
     assert abs(row["entropy_rate_bits"] - exp_bits) < 1e-6
     assert 0.0 <= row["predictability"] <= 1.0
     assert 0.0 <= row["entropy_rate_bits"] <= np.log2(len(ns)) + 1e-9
+
+
+def test_dp_noisy_event_counts_matches_laplace_model(spark, sf_dir):
+    """The DP release must equal true counts + the seeded inverse-CDF
+    Laplace noise computed in pure python, and at least one released
+    count must differ from its true count (the mechanism actually
+    perturbs at this fixture)."""
+    import hashlib
+    import math
+
+    import feast_hive_spark.registry_ext  # noqa: F401
+    from feast_hive_spark.registry import REGISTRY
+    from feast_hive_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    true = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    got = REGISTRY["dp_noisy_event_counts"][0](spark, sf_dir).collect()
+    assert len(got) == len(true)
+    n_perturbed = 0
+    for r in got:
+        h48 = int(hashlib.md5(f"dp:{r['event_type']}".encode()).hexdigest()[:12], 16)
+        u = (h48 + 0.5) / float(1 << 48)
+        v = u - 0.5
+        noise = -math.copysign(1.0, v) * math.log(1.0 - 2.0 * abs(v)) if v != 0 else 0.0
+        exp = true[r["event_type"]] + round(noise)
+        assert r["released_count"] == exp, (r["event_type"], r["released_count"], exp)
+        assert r["epsilon"] == 1.0
+        n_perturbed += int(r["released_count"] != true[r["event_type"]])
+    assert n_perturbed >= 1, "all noise rounded to zero: vacuous release"
