@@ -511,6 +511,13 @@ AUDITS = {
         ["HashAggregate"],
         ["Join", "CartesianProduct", "Window"],
     ),
+    # near-dup-aware split: the pair graph + star components are the
+    # dedup family's collapsed machinery; the leak certificate joins
+    # are id-sized hash joins — never a cartesian
+    "split_no_neardup_leakage": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
 }
 
 # Queries whose answer is computed at build time (driver solve over a

@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     "embedding_decontaminate_sweep",
     "stream_pit_probe",
     "dp_noisy_event_counts",
+    "split_no_neardup_leakage",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

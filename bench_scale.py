@@ -123,6 +123,7 @@ SF10_QUERIES = [
     "event_entropy_rate",
     "embedding_decontaminate_sweep",
     "dp_noisy_event_counts",
+    "split_no_neardup_leakage",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -236,6 +237,7 @@ SCALE_QUERIES = [
     "event_entropy_rate",
     "embedding_decontaminate_sweep",
     "dp_noisy_event_counts",
+    "split_no_neardup_leakage",
 ]
 
 

@@ -762,6 +762,129 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_no_neardup_leakage",
+    f"""
+WITH s AS (
+  SELECT doc_id, {X.duck_shingle_hashes('text')} AS sh FROM documents
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_DUCK_JACCARD} AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.src, e.dst FROM r JOIN sym e ON r.dst = e.src
+  ) SELECT * FROM r
+), comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+  FROM reach GROUP BY src
+), lab AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+), spl AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN CAST(('0x' || substr(md5('ndsplit:' || CAST(cluster_id AS VARCHAR)), 1, 12)) AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substr(md5('ndsplit:' || CAST(cluster_id AS VARCHAR)), 1, 12)) AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM lab
+), summary AS (
+  SELECT split, COUNT(*) AS n_docs,
+         COUNT(DISTINCT cluster_id) AS n_clusters
+  FROM spl GROUP BY split
+), leaks AS (
+  SELECT a.split AS sa, b.split AS sb
+  FROM pairs p
+  JOIN spl a ON a.doc_id = p.id_a
+  JOIN spl b ON b.doc_id = p.id_b
+  WHERE a.split <> b.split
+), leakcnt AS (
+  SELECT split, COUNT(*) AS c FROM (
+    SELECT sa AS split FROM leaks UNION ALL SELECT sb AS split FROM leaks
+  ) GROUP BY split
+)
+SELECT s.split,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(s.n_clusters AS BIGINT) AS n_clusters,
+       CAST(COALESCE(l.c, 0) AS BIGINT) AS n_leaky_pairs
+FROM summary s LEFT JOIN leakcnt l ON s.split = l.split
+ORDER BY s.split
+""",
+)
+def split_no_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split — the eval-integrity trap
+    a plain hash split walks into: two near-duplicate documents land
+    on opposite sides and the test set leaks into training. Split
+    assignment is by near-dup CLUSTER (connected components of the
+    ngram-Jaccard pair graph; singletons are their own cluster), so
+    no near-dup pair can straddle a boundary — and the report
+    CERTIFIES it, joining every pair to its endpoints' splits and
+    counting cross-split pairs (a column that must read 0 by
+    construction, computed rather than asserted). Scale shape: the
+    pair graph + star components are the dedup family's collapsed
+    machinery; the split itself is a stateless hash on the cluster
+    id, stable under corpus growth like curate.hash_split."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = D.connected_components_star(pairs).select(
+        "doc_id", "component_id"
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    b = (
+        F.expr(X.h48_sql("concat('ndsplit:', cast(cluster_id as string))"))
+        % 10000
+    )
+    labeled = labeled.withColumn(
+        "split",
+        F.when(b < 8000, "train").when(b < 9000, "val").otherwise("test"),
+    )
+    summary = labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+    sa = labeled.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("__sa")
+    )
+    sb = labeled.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("__sb")
+    )
+    leaks = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("__sa") != F.col("__sb"))
+    )
+    leakcnt = (
+        leaks.select(F.col("__sa").alias("split"))
+        .unionAll(leaks.select(F.col("__sb").alias("split")))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        summary.join(leakcnt, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias(
+                "n_leaky_pairs"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
     "embedding_gramian",
     """
 WITH idx AS (SELECT unnest(range(1, 65)) AS p),

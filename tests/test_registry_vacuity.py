@@ -133,3 +133,15 @@ def test_embedding_decontaminate_sweep_not_vacuous(spark, sf_dir):
     assert (out["n_flagged"].diff().dropna() <= 0).all()
     assert out["n_flagged"].nunique() >= 2, "flat sweep: gate vacuous"
     assert out["n_flagged"].iloc[0] >= 1, "nothing flagged at the floor"
+
+
+def test_split_no_neardup_leakage_not_vacuous(spark, sf_dir):
+    """The no-leakage certificate is only meaningful if (a) the
+    fixture HAS near-dup clusters spanning multiple docs (else any
+    split is trivially leak-free) and (b) the leak column reads 0."""
+    out = _run(spark, sf_dir, "split_no_neardup_leakage")
+    assert (out["n_leaky_pairs"] == 0).all()
+    assert out["n_docs"].sum() > out["n_clusters"].sum(), (
+        "every doc its own cluster: certificate vacuous"
+    )
+    assert set(out["split"]) == {"train", "val", "test"}
