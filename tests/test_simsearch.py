@@ -909,3 +909,54 @@ def test_decontaminate_threshold_sweep_monotone_and_consistent(spark):
     n_corpus = single["n_corpus"].sum()
     for r in sweep.itertuples():
         assert r.flagged_ppm == round(r.n_flagged * 1000000 / n_corpus)
+
+
+def test_semantic_decontaminate_randomized_python_model(spark):
+    """Randomized (seeded) cross-check: per-label rollup must equal a
+    pure-python model of the same round-before-max kernel across
+    several corpus/benchmark shapes, including a label present only
+    in the corpus and a benchmark of size 1."""
+    import pandas as pd
+
+    for seed, n_corpus, n_bench, dim in [(11, 40, 3, 5), (12, 25, 1, 7), (13, 60, 8, 4)]:
+        rng = np.random.RandomState(seed)
+        C = rng.randn(n_corpus, dim)
+        B = rng.randn(n_bench, dim)
+        labs = rng.randint(0, 3, size=n_corpus)
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(n_corpus),
+                    "embedding": [r.tolist() for r in C],
+                    "label": labs,
+                }
+            )
+        ).repartition(3)
+        bench = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(1000, 1000 + n_bench),
+                    "embedding": [r.tolist() for r in B],
+                    "label": [0] * n_bench,
+                }
+            )
+        )
+        got = (
+            S.semantic_decontaminate(
+                corpus, bench, "vec_id", "embedding", "label", threshold=0.4
+            )
+            .toPandas()
+            .set_index("label")
+            .sort_index()
+        )
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        mx = np.round(Cn @ Bn.T, 6).max(axis=1)
+        for lbl in sorted(set(labs)):
+            m = labs == lbl
+            assert got.loc[lbl, "n_corpus"] == int(m.sum())
+            assert got.loc[lbl, "n_flagged"] == int((mx[m] >= 0.4).sum())
+            assert abs(got.loc[lbl, "max_sim"] - mx[m].max()) < 1e-12
+            assert got.loc[lbl, "sum_maxsim_e6"] == int(
+                sum(round(v * 1e6) for v in mx[m])
+            )
