@@ -144,7 +144,8 @@ def semantic_scores(
     ``mapInPandas`` matmul, each Arrow batch reduced to
     ``(__id, __lab, max_cos)`` with cosines 1e-6-rounded BEFORE the
     row max. An empty benchmark scores every row ``-1.0`` (flags
-    nothing at any threshold ≥ -1)."""
+    nothing at any threshold > -1; at exactly -1 the ``>=`` flag
+    predicate matches every row)."""
     spark = corpus.sparkSession
     _, Qn = _query_matrix(benchmark, id_col, vec_col)
     b_qm = spark.sparkContext.broadcast(Qn)

@@ -1010,8 +1010,9 @@ WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
 c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 50 <> 0),
 scored AS (
   SELECT c.vec_id, c.label,
-         MAX(ROUND({V.duck_cosine('c.embedding', 'b.embedding')}, 6)) AS max_cos
-  FROM c CROSS JOIN b
+         COALESCE(MAX(ROUND({V.duck_cosine('c.embedding', 'b.embedding')}, 6)),
+                  -1e0) AS max_cos
+  FROM c LEFT JOIN b ON TRUE
   GROUP BY 1, 2
 )
 SELECT label,
@@ -1046,8 +1047,9 @@ WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
 c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 50 <> 0),
 scored AS (
   SELECT c.vec_id,
-         MAX(ROUND({V.duck_cosine('c.embedding', 'b.embedding')}, 6)) AS max_cos
-  FROM c CROSS JOIN b
+         COALESCE(MAX(ROUND({V.duck_cosine('c.embedding', 'b.embedding')}, 6)),
+                  -1e0) AS max_cos
+  FROM c LEFT JOIN b ON TRUE
   GROUP BY 1
 ), tot AS (SELECT COUNT(*) AS n FROM scored)
 SELECT CAST(t.threshold AS DOUBLE) AS threshold,
@@ -3980,7 +3982,7 @@ WITH c AS (
 )
 SELECT event_type,
        CAST(n + {_DP_NOISE_SQL} AS BIGINT) AS released_count,
-       1e0 AS epsilon
+       1e0 AS nominal_epsilon
 FROM u ORDER BY event_type
 """,
 )
@@ -3992,9 +3994,13 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SEEDED md5 uniform (u = (h48('dp:'||key)+0.5)/2^48 ∈ (0,1)), so
     the release is reproducible AND the DuckDB twin replays the exact
     noise — the same determinism contract as the hash-split/
-    temperature samplers (a production deployment would swap in a
-    fresh random seed per release; the mechanism is identical). One
-    grouped count; the noise arithmetic runs on #event-types rows."""
+    temperature samplers. The output column is ``nominal_epsilon``
+    deliberately: with a PUBLIC deterministic seed the release
+    provides no actual DP guarantee (an adversary can recompute and
+    subtract the noise) — ε=1 holds only when a deployment swaps in
+    a secret per-release seed; the mechanism is otherwise identical.
+    One grouped count; the noise arithmetic runs on #event-types
+    rows."""
     ensure_views(spark, sf_dir)
     return spark.sql(f"""
         WITH c AS (
@@ -4008,7 +4014,7 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                cast(n + {_DP_NOISE_SQL} AS BIGINT) AS released_count,
-               1e0 AS epsilon
+               1e0 AS nominal_epsilon
         FROM u ORDER BY event_type
     """)
 

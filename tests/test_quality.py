@@ -471,6 +471,6 @@ def test_dp_noisy_event_counts_matches_laplace_model(spark, sf_dir):
         noise = -math.copysign(1.0, v) * math.log(1.0 - 2.0 * abs(v)) if v != 0 else 0.0
         exp = true[r["event_type"]] + round(noise)
         assert r["released_count"] == exp, (r["event_type"], r["released_count"], exp)
-        assert r["epsilon"] == 1.0
+        assert r["nominal_epsilon"] == 1.0
         n_perturbed += int(r["released_count"] != true[r["event_type"]])
     assert n_perturbed >= 1, "all noise rounded to zero: vacuous release"
