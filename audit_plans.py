@@ -252,17 +252,23 @@ AUDITS = {
     "lang_temperature_mixture": (["HashAggregate", "Window"], ["CartesianProduct", "SortMergeJoin"]),
     # moment-sum corr: ONE scan aggregate, partial agg map-side
     "price_quantity_corr": (["HashAggregate"], ["Join", "Window"]),
-    # funnel: two aggregates, zero joins/windows
-    "funnel_view_click_purchase": (["HashAggregate"], ["Join", "Window", "CartesianProduct"]),
+    # r11 funnel: folded at build time (LocalTableScan result). The
+    # audit clears memos, so the captured build pipeline is the COLD
+    # path: the specialized conditional-min kernel — no join, no
+    # window, no grouping sets (the warm path folds from the shared
+    # fused checkpoint instead; pinned by test_registry_vacuity)
+    "funnel_view_click_purchase": (["LocalTableScan", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin", "Expand"]),
     # z-score: moments broadcast back; no sort-merge join
     "outlier_zscore_counts": (["HashAggregate", "BroadcastHashJoin"], ["SortMergeJoin", "Window"]),
-    # chi2: one scan-sized aggregate; marginals are whole-partition
-    # windows over the coalesced 25-cell table (SinglePartition
-    # satisfies every clustering -> zero extra exchanges/joins)
-    "chi2_event_type_segment": (["HashAggregate", "BroadcastHashJoin", "Window"], ["SortMergeJoin"]),
-    # r10 bounds-memo histogram: literal bounds make it ONE bin-keyed
-    # aggregate — no join, no window, no per-exec broadcast job
-    "value_histogram": (["HashAggregate"], ["Join", "Window", "CartesianProduct"]),
+    # r11 chi2: folded at build time (LocalTableScan result); the
+    # captured COLD build pipeline is the specialized kernel — one
+    # broadcast join + aggregate, marginals as whole-partition
+    # windows over the ~25-cell table
+    "chi2_event_type_segment": (["LocalTableScan", "Window", "BroadcastHashJoin"], ["SortMergeJoin", "Expand"]),
+    # r11 histogram: folded at build time (LocalTableScan result);
+    # the captured COLD build is the literal-bounds bin-keyed
+    # aggregate — no join, no window, no user-level grouping set
+    "value_histogram": (["LocalTableScan", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin", "Expand"]),
     # r10 fused one-scan events report: the three branches slice ONE
     # lazily-checkpointed grouping-sets aggregate (Scan ExistingRDD in
     # the result plan; the fact NEVER appears there) — the build-time
@@ -525,7 +531,16 @@ AUDITS = {
 # audit checks run against the memo-captured build-time plans instead.
 # Kept explicit so other queries' must-not checks never see unrelated
 # probe plans (quantile boundaries etc.).
-BUILDTIME_AUDIT = {"ols_price_model", "events_scalar_report"}
+BUILDTIME_AUDIT = {
+    "ols_price_model",
+    "events_scalar_report",
+    # r11: the trio slices the shared fused aggregate — their one
+    # fact scan (broadcast join + Expand + grouping-sets aggregate)
+    # is the memo-captured build pipeline
+    "value_histogram",
+    "chi2_event_type_segment",
+    "funnel_view_click_purchase",
+}
 
 KEEP = re.compile(
     r"Scan parquet|PushedFilters|BroadcastHashJoin|SortMergeJoin|max_by|"

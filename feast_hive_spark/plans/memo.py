@@ -105,6 +105,62 @@ def _lookup_or_run(
     return value
 
 
+_MISS = object()
+
+
+def _lookup_only(
+    spark: SparkSession,
+    kind: str,
+    inputs: Sequence[DataFrame],
+    token: tuple,
+):
+    """Non-building lookup: the cached value on a hit, ``_MISS``
+    otherwise. Never runs jobs and never records into the build-time
+    capture (a peek is a routing decision, not a build)."""
+    app_id = spark.sparkContext.applicationId
+    plans = [_analyzed(df) for df in inputs]
+    files = [tuple(sorted(df.inputFiles())) for df in inputs]
+    for aid, ckind, ctoken, cplans, cfiles, value in reversed(_MEMO):
+        if (
+            aid == app_id
+            and ckind == kind
+            and ctoken == token
+            and cfiles == files
+            and len(cplans) == len(plans)
+            and all(c.sameResult(p) for c, p in zip(cplans, plans))
+        ):
+            return value
+    return _MISS
+
+
+def job_memo_peek(
+    spark: SparkSession,
+    inputs: Union[DataFrame, Sequence[DataFrame]],
+    token: tuple,
+):
+    """Return the memoized job result if present, else None (no job
+    is run). Use when a cheaper fallback exists for the cold path —
+    e.g. the r11 events-trio routing: slice the shared fused
+    aggregate only when a warm session already built it."""
+    if isinstance(inputs, DataFrame):
+        inputs = [inputs]
+    v = _lookup_only(spark, "job", inputs, token)
+    return None if v is _MISS else v
+
+
+def plan_memo_peek(
+    spark: SparkSession,
+    inputs: Union[DataFrame, Sequence[DataFrame]],
+    token: tuple,
+) -> "DataFrame | None":
+    """Return the memoized built DataFrame if present, else None
+    (nothing is built)."""
+    if isinstance(inputs, DataFrame):
+        inputs = [inputs]
+    v = _lookup_only(spark, "plan", inputs, token)
+    return None if v is _MISS else v
+
+
 def job_memo(
     spark: SparkSession,
     inputs: Union[DataFrame, Sequence[DataFrame]],

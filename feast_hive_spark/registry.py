@@ -57,9 +57,14 @@ def clear_prepared() -> None:
 
 def register(name: str, oracle: str | None):
     def deco(fn):
-        def prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-            if not PLAN_CACHE:
-                return fn(spark, sf_dir)
+        def prepared(
+            spark: SparkSession, sf_dir: str, **kwargs
+        ) -> DataFrame:
+            # kwargs (e.g. the r11 trio's standalone=True) bypass the
+            # prepared-plan cache: variant builds must never serve or
+            # displace the default plan under the same key
+            if not PLAN_CACHE or kwargs:
+                return fn(spark, sf_dir, **kwargs)
             key = (spark.sparkContext.applicationId, name, sf_dir)
             hit = _PREPARED.get(key)
             if hit is None:

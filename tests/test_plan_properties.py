@@ -37,13 +37,19 @@ def _plan(spark, name: str) -> str:
         # quantile buckets (operators/prefix.py, r5), no global
         # single-partition running window
         ("token_budget_selection", ["hashpartitioning(__bkt"], ["SinglePartition"]),
-        # chi2 marginals: whole-partition windows over the coalesced
-        # cell table — no per-marginal join branches
-        ("chi2_event_type_segment", ["Window"], ["SortMergeJoin"]),
-        # r10 bounds-memo histogram: literal bounds -> ONE bin-keyed
-        # aggregate, no per-exec broadcast-build job, no window
-        ("value_histogram", ["HashAggregate"],
-         ["BroadcastHashJoin", "Window", "CartesianProduct"]),
+        # r11: the trio is folded at build time from the shared
+        # fused aggregate (_esr_fold): the RESULT plan is a driver-
+        # local LocalTableScan — no rescan, no exchange, no job at
+        # exec; the build pipeline is audited via the memo capture
+        ("chi2_event_type_segment", ["LocalTableScan"],
+         ["Scan parquet", "InMemoryTableScan", "Scan ExistingRDD",
+          "Exchange"]),
+        ("value_histogram", ["LocalTableScan"],
+         ["Scan parquet", "InMemoryTableScan", "Scan ExistingRDD",
+          "Exchange"]),
+        ("funnel_view_click_purchase", ["LocalTableScan"],
+         ["Scan parquet", "InMemoryTableScan", "Scan ExistingRDD",
+          "Exchange"]),
         # r10 fused events report: the three branches slice ONE
         # lazily-checkpointed grouping-sets aggregate — the fact table
         # must never appear in the RESULT plan (3x ExistingRDD, zero
@@ -61,6 +67,37 @@ def _plan(spark, name: str) -> str:
 )
 def test_plan_shape(spark, name, must, must_not):
     plan = _plan(spark, name)
+    for token in must:
+        assert token in plan, f"{name}: expected {token}"
+    for token in must_not:
+        assert token not in plan, f"{name}: unexpected {token}"
+
+
+@pytest.mark.parametrize(
+    "name,must,must_not",
+    [
+        # standalone histogram kernel: literal bounds -> ONE
+        # bin-keyed aggregate over the fact, no broadcast-build job,
+        # no window, no customer join, no user-level grouping set
+        ("value_histogram", ["HashAggregate"],
+         ["BroadcastHashJoin", "Window", "CartesianProduct", "Expand"]),
+        # standalone chi2 kernel: one broadcast join + aggregate,
+        # marginals as whole-partition windows over the cell table
+        ("chi2_event_type_segment",
+         ["HashAggregate", "BroadcastHashJoin", "Window"],
+         ["SortMergeJoin", "Expand"]),
+        # standalone funnel kernel: conditional-min aggregate + tiny
+        # reduce — no join, no window, no grouping sets
+        ("funnel_view_click_purchase", ["HashAggregate"],
+         ["Join", "Window", "CartesianProduct", "Expand"]),
+    ],
+)
+def test_standalone_trio_plan_shape(spark, name, must, must_not):
+    """The ``standalone=True`` specialized kernels keep their original
+    single-query plan shapes (the r11 default routes through the
+    shared fused aggregate instead — covered above)."""
+    df = REGISTRY[name][0](spark, SF_DIR, standalone=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     for token in must:
         assert token in plan, f"{name}: expected {token}"
     for token in must_not:

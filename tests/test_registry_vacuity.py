@@ -73,10 +73,13 @@ def test_fused_report_matches_standalone(
 ):
     """Each fused section must equal its standalone query row-for-row
     — the fusion changes the plan (one scan + grouping sets), never
-    the answer."""
+    the answer. r11: the registry trio entries slice the SAME shared
+    aggregate by default, so the reference here is the explicit
+    ``standalone=True`` specialized kernel — comparing it to the
+    fused slice is what keeps this test non-circular."""
     fused = _run(spark, sf_dir, "events_scalar_report")
     part = fused[fused["section"] == section]
-    ref = _run(spark, sf_dir, standalone)
+    ref = REGISTRY[standalone][0](spark, sf_dir, standalone=True).toPandas()
     if keyed:
         got = sorted(
             (int(r.k), float(r.v1), float(r.v2), float(r.v3))
@@ -96,6 +99,39 @@ def test_fused_report_matches_standalone(
             for r in ref.itertuples(index=False)
         )
     assert got == exp
+
+
+def test_trio_serves_from_report_when_built(spark, sf_dir):
+    """r11 routing (r10 verdict #1): cold, the trio folds from its
+    specialized kernel (the shared-aggregate peek misses); after
+    events_scalar_report runs, the peek hits and the trio folds from
+    the SHARED fused checkpoint — same values either way."""
+    import feast_hive_spark.registry_analytics as RA
+    from feast_hive_spark import registry as registry_mod
+    from feast_hive_spark.plans import memo
+
+    # a previously-prepared frame would serve without rebuilding and
+    # mask the routing under test — drop BOTH caches
+    memo.clear()
+    registry_mod.clear_prepared()
+    assert RA._esr_g_peek(spark, sf_dir) is None, (
+        "peek built state or memo not cleared"
+    )
+    cold = _run(spark, sf_dir, "value_histogram")  # specialized-fold
+    _run(spark, sf_dir, "events_scalar_report")
+    assert RA._esr_g_peek(spark, sf_dir) is not None, (
+        "report build did not populate the shared-aggregate memo"
+    )
+    memo_hit = _run(spark, sf_dir, "value_histogram")  # slice-fold
+    cold_s = cold.sort_values("bin").reset_index(drop=True)
+    warm_s = memo_hit.sort_values("bin").reset_index(drop=True)
+    assert cold_s.equals(warm_s), "slice-fold diverged from kernel fold"
+    funnel = _run(spark, sf_dir, "funnel_view_click_purchase")
+    ref = REGISTRY["funnel_view_click_purchase"][0](
+        spark, sf_dir, standalone=True
+    ).toPandas()
+    assert funnel.iloc[0].tolist() == ref.iloc[0].tolist()
+    memo.clear()
 
 
 def test_embedding_decontaminate_not_vacuous(spark, sf_dir):
