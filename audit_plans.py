@@ -498,6 +498,12 @@ AUDITS = {
         ["HashAggregate"],
         ["Join", "CartesianProduct", "Window"],
     ),
+    # fixed-benchmark tier probe: same kernel, benchmark capped to a
+    # constant id range — plan shape identical
+    "embedding_decontaminate_fixed_benchmark": (
+        ["HashAggregate"],
+        ["Join", "CartesianProduct", "Window"],
+    ),
     # threshold sweep: ONE scan-wide aggregate (k conditional sums)
     # then a #thresholds-row explode — no join, no second pass
     "embedding_decontaminate_sweep": (

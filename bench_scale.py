@@ -120,6 +120,7 @@ SF10_QUERIES = [
     # 10k broadcast queries at 100x), entropy rate (one window pass)
     "embedding_effective_rank",
     "embedding_decontaminate",
+    "embedding_decontaminate_fixed_benchmark",
     "event_entropy_rate",
     "embedding_decontaminate_sweep",
     "dp_noisy_event_counts",
@@ -234,6 +235,7 @@ SCALE_QUERIES = [
     # semantic decontamination, entropy rate)
     "embedding_effective_rank",
     "embedding_decontaminate",
+    "embedding_decontaminate_fixed_benchmark",
     "event_entropy_rate",
     "embedding_decontaminate_sweep",
     "dp_noisy_event_counts",

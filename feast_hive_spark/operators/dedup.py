@@ -327,6 +327,94 @@ def ngram_jaccard_pairs(
     )
 
 
+def pagerank_near_dup_collapsed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    iters: int = 3,
+    damping_pct: int = 85,
+    small_graph_threshold: int = 200_000,
+) -> DataFrame:
+    """PageRank over the near-dup pair graph with an exact-collapse
+    pre-pass (r10 verdict #2): bit-identical to running
+    ``graph.pagerank`` over the member-level
+    ``ngram_jaccard_pairs`` output, without ever materializing the
+    member-level edge set.
+
+    Why it's exact: members of one exact-duplicate text class have
+    IDENTICAL neighborhoods (same shingle set => same Jaccard to
+    everything) and identical initial rank, so by induction they hold
+    the same rank at every iteration. The member recurrence therefore
+    collapses to one value per class with integer edge weights:
+    edge D→C weight ``|D|`` (every member of D neighbors every member
+    of C), intra-class self-loop weight ``|C| - 1`` (restricted to
+    shingle-eligible classes — sub-n-token texts never pair in the
+    uncollapsed pipeline), member degree ``Σ incoming weights``, and
+    teleport denominator = MEMBER count of participating classes.
+    ``graph.pagerank_weighted`` runs that recurrence; ranks fan back
+    to members through the membership table (output-sized join).
+
+    Scale shape: the member edge set grows with the SQUARE of
+    duplicate-cluster occupancy (measured 109x per corpus decade
+    under copy duplication, SCALING.md r10) while the class graph
+    grows with DISTINCT texts — the same reason the pair generators
+    collapse first. The only member-sized steps left are the initial
+    md5 grouping and the final fan-out join."""
+    from feast_hive_spark.operators.graph import pagerank_weighted
+
+    mem, reps, rep_rows = _exact_collapse(df, id_col, text_col)
+    # one md5 pass over the corpus serves membership, sizes, reps and
+    # the final fan-out (uncached, each consumer re-scanned the text)
+    mem = mem.cache()
+    rep_pairs = ngram_jaccard_pairs(
+        rep_rows, id_col, text_col, n, threshold, collapse_exact=False
+    )
+    sizes = mem.groupBy("__th").agg(F.count(F.lit(1)).alias("__k"))
+    rk = reps.join(sizes, "__th").select(
+        F.col("__rep").alias("__node"), "__k", "__th"
+    )
+    ka = rk.select(F.col("__node").alias("id_a"), F.col("__k").alias("__ka"))
+    kb = rk.select(F.col("__node").alias("id_b"), F.col("__k").alias("__kb"))
+    cross = rep_pairs.select("id_a", "id_b").join(ka, "id_a").join(kb, "id_b")
+    e1 = cross.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+        F.col("__ka").alias("w"),
+    )
+    e2 = cross.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+        F.col("__kb").alias("w"),
+    )
+    # self-loops only exist for multi-member classes — filter to
+    # k >= 2 FIRST so the shingle-eligibility re-tokenization touches
+    # only duplicate-class representative rows, not the whole corpus
+    multi = rk.filter(F.col("__k") >= 2)
+    elig_multi = (
+        rep_rows.join(
+            multi.select(F.col("__node").alias(id_col)), id_col, "left_semi"
+        )
+        .filter(F.size(X.tokens_array(text_col)) >= n)
+        .select(F.col(id_col).alias("__node"))
+    )
+    self_e = multi.join(elig_multi, "__node").select(
+        F.col("__node").alias("src"), F.col("__node").alias("dst"),
+        (F.col("__k") - 1).alias("w"),
+    )
+    edges = e1.union(e2).union(self_e)
+    class_ranks = pagerank_weighted(
+        edges, "src", "dst", "w", iters, damping_pct,
+        small_graph_threshold, node_weights=rk.select("__node", "__k"),
+    )
+    return (
+        class_ranks.join(
+            rk.select(F.col("__node").alias("node"), "__th"), "node"
+        )
+        .join(mem, "__th")
+        .select(F.col("__mid").alias(id_col), "rank_e12")
+    )
+
+
 # --- MinHash + LSH ------------------------------------------------------
 
 def minhash_lsh_pairs(

@@ -175,6 +175,168 @@ def _pagerank_build(
     return out
 
 
+def _driver_pagerank_weighted(
+    spark,
+    edge_rows,
+    weight_rows,
+    id_type: str,
+    iters: int,
+    damping_pct: int,
+) -> DataFrame:
+    """Weighted twin of :func:`_driver_pagerank`: directed
+    (src, dst, w) edges, node multiplicities in ``weight_rows`` —
+    the same BIGINT recurrence with ``deg(v) = Σ incoming w`` and the
+    teleport denominator Σ multiplicities (see
+    :func:`pagerank_weighted` for why that replays the member-level
+    loop bit-for-bit)."""
+    inc: dict = {}
+    deg: dict = {}
+    for s, d, w in edge_rows:
+        inc.setdefault(s, []).append((d, int(w)))
+        deg[d] = deg.get(d, 0) + int(w)
+    mult = {node: int(k) for node, k in weight_rows}
+    nn = sum(mult.get(v, 1) for v in deg)
+    if nn == 0:
+        return spark.createDataFrame([], f"node {id_type}, rank_e12 long")
+    half_up = lambda x: int(math.floor(x + 0.5))  # noqa: E731
+    r = {v: half_up(float(SCALE) / nn) for v in deg}
+    base = half_up(float(100 - damping_pct) / 100.0 * SCALE / nn)
+    for _ in range(iters):
+        acc = {v: 0 for v in deg}
+        for u, outs in inc.items():
+            c = r[u] // deg[u]
+            for d, w in outs:
+                acc[d] += w * c
+        r = {v: base + (damping_pct * a) // 100 for v, a in acc.items()}
+    return spark.createDataFrame(
+        list(r.items()), f"node {id_type}, rank_e12 long"
+    )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    iters: int = 3,
+    damping_pct: int = 85,
+    small_graph_threshold: int = 200_000,
+    node_weights: "DataFrame | None" = None,
+) -> DataFrame:
+    """PageRank over DIRECTED integer-weighted edges — the collapsed
+    form of :func:`pagerank` for graphs whose nodes stand for classes
+    of identical members (exact-duplicate documents).
+
+    Semantics chosen so the collapsed run replays the member-level
+    recurrence bit-for-bit: every member of a class provably holds
+    the SAME rank at every iteration (identical init, identical
+    neighborhoods), so one class-level value per class suffices.
+
+    - ``deg(v) = Σ w over edges INTO v`` — in the member graph that
+      sum is exactly a member's (undirected) degree when the caller
+      encodes edge D→C with weight ``|D|`` (every member of D is
+      adjacent to every member of C) and the intra-class self-loop
+      C→C with weight ``|C| - 1``.
+    - contribution of edge u→v: ``w * (r(u) div deg(u))`` — w
+      identical member contributions.
+    - teleport denominator ``nn`` = Σ ``node_weights`` multiplicity
+      over nodes in the graph (the MEMBER count, not the class
+      count); nodes absent from ``node_weights`` count 1.
+
+    Same small-graph driver fast path / guarded probe as
+    :func:`pagerank`. Output: one row per CLASS node (node,
+    rank_e12) — each member of the class holds exactly this rank;
+    fan-out is the caller's (bounded, join-through-membership) step.
+    Memoized per input plan."""
+    inputs = [edges] if node_weights is None else [edges, node_weights]
+    return plan_memo(
+        edges.sparkSession,
+        inputs,
+        (
+            "pagerank_weighted", src, dst, w, iters, damping_pct,
+            small_graph_threshold,
+        ),
+        lambda: _pagerank_weighted_build(
+            edges, src, dst, w, iters, damping_pct,
+            small_graph_threshold, node_weights,
+        ),
+    )
+
+
+def _pagerank_weighted_build(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    w: str,
+    iters: int,
+    damping_pct: int,
+    small_graph_threshold: int,
+    node_weights: "DataFrame | None",
+) -> DataFrame:
+    spark = edges.sparkSession
+    slim = edges.select(F.col(src), F.col(dst), F.col(w))
+    if small_graph_threshold:
+        probe = slim.limit(small_graph_threshold + 1).collect()
+        if len(probe) <= small_graph_threshold:
+            id_type = dict(edges.dtypes)[src]
+            wr = [] if node_weights is None else [
+                (r[0], r[1]) for r in node_weights.collect()
+            ]
+            return _driver_pagerank_weighted(
+                spark, probe, wr, id_type, iters, damping_pct
+            )
+    e = slim.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"),
+        F.col(w).cast("long").alias("wt"),
+    ).cache()
+    deg = e.groupBy("d").agg(F.sum("wt").alias("dg")).select(
+        F.col("d").alias("s"), "dg"
+    )
+    if node_weights is None:
+        nn_df = deg.agg(F.count(F.lit(1)).alias("nn"))
+    else:
+        nwc = node_weights.columns
+        nw = node_weights.select(
+            F.col(nwc[0]).alias("s"), F.col(nwc[1]).cast("long").alias("__k")
+        )
+        nn_df = (
+            deg.join(nw, "s", "left")
+            .agg(F.sum(F.coalesce(F.col("__k"), F.lit(1))).alias("nn"))
+        )
+    n_row = F.broadcast(nn_df)
+    base_pct = 100 - damping_pct
+    ranks = deg.crossJoin(n_row).select(
+        F.col("s").alias("node"),
+        F.round(F.lit(float(SCALE)) / F.col("nn")).cast("long").alias("r"),
+    )
+    edges_deg = e.join(deg, "s").cache()
+    for _ in range(iters):
+        contrib = edges_deg.join(
+            ranks, edges_deg.s == ranks.node
+        ).select(
+            F.col("d"), (F.col("wt") * F.expr("r div dg")).alias("__c")
+        )
+        ranks = (
+            contrib.groupBy("d")
+            .agg(F.sum("__c").alias("__sum"))
+            .crossJoin(n_row)
+            .select(
+                F.col("d").alias("node"),
+                (
+                    F.round(
+                        F.lit(float(base_pct) / 100.0 * SCALE) / F.col("nn")
+                    ).cast("long")
+                    + F.expr(f"({damping_pct} * __sum) div 100")
+                ).alias("r"),
+            )
+        )
+    out = ranks.select(F.col("node"), F.col("r").alias("rank_e12"))
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    edges_deg.unpersist()
+    return out
+
+
 def triangle_stats(
     pairs: DataFrame,
     id_a: str = "id_a",

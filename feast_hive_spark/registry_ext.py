@@ -723,6 +723,32 @@ def text_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _near_dup_pair_graph(spark: SparkSession, docs) :
+    """Session-memoized MATERIALIZED near-dup pair graph (r10 verdict
+    #6): ``ngram_jaccard_pairs`` behind a lazy ``localCheckpoint``
+    barrier, plan_memo-keyed on the pair plan + input files. The same
+    edge set feeds ``dedup_components`` (star-contraction CC) and
+    ``split_no_neardup_leakage`` (CC for cluster-keyed splitting PLUS
+    the leak-certificate join) — without the barrier the lazy pair
+    pipeline re-executed once per consumer (the r10 sf1 tier paid the
+    shingle self-join twice inside one query). The pair list is
+    output-sized (the dedup-family invariant: bounded by emitted
+    near-dup pairs, never corpus-quadratic), so checkpointing it is
+    cheap; blocks are ckpt-tracked for explicit release."""
+    from feast_hive_spark import ckpt
+    from feast_hive_spark.plans.memo import plan_memo
+
+    pairs_plan = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )
+    return plan_memo(
+        spark,
+        [pairs_plan],
+        ("near_dup_pair_graph", "doc_id", 3, 0.5),
+        lambda: ckpt.track(pairs_plan.localCheckpoint(eager=False)),
+    )
+
+
 @register(
     "dedup_components",
     f"""
@@ -757,7 +783,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine at oracle scale and would be madness at 100 TB - that
     asymmetry is exactly why the distributed loop exists)."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = _near_dup_pair_graph(spark, docs)
     return D.connected_components_star(pairs)
 
 
@@ -829,7 +855,7 @@ def split_no_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery; the split itself is a stateless hash on the cluster
     id, stable under corpus growth like curate.hash_split."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = _near_dup_pair_graph(spark, docs)
     comp = D.connected_components_star(pairs).select(
         "doc_id", "component_id"
     )
@@ -1041,6 +1067,50 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_decontaminate_fixed_benchmark",
+    f"""
+WITH b AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 50 = 0 AND vec_id < 20000),
+c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+scored AS (
+  SELECT c.vec_id, c.label,
+         COALESCE(MAX(ROUND({V.duck_cosine('c.embedding', 'b.embedding')}, 6)),
+                  -1e0) AS max_cos
+  FROM c LEFT JOIN b ON TRUE
+  GROUP BY 1, 2
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_corpus,
+       CAST(SUM(CASE WHEN max_cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       MAX(max_cos) AS max_sim,
+       CAST(SUM(CAST(round(max_cos * 1000000) AS BIGINT)) AS BIGINT) AS sum_maxsim_e6
+FROM scored GROUP BY label ORDER BY label
+""",
+)
+def embedding_decontaminate_fixed_benchmark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``embedding_decontaminate`` with the benchmark slice CAPPED at
+    a constant id range (vec_id < 20000 — the sf1 tier's id space;
+    inert at sf<=1, binding at the sf10 tier where the corpus is 10x
+    larger). This is the r10 verdict #4 harness probe: in the
+    uncapped query the ``vec_id % 50`` benchmark scales WITH the
+    corpus, so the matmul volume grows quadratically per decade BY
+    CONSTRUCTION and the tier exponent says nothing about the kernel.
+    With the benchmark held constant, the second-decade exponent
+    directly measures the kernel's claimed corpus-row-linearity
+    (one broadcast benchmark, one batch-reduced mapInPandas pass)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 20000)
+    )
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return S.semantic_decontaminate(
+        corpus, bench, "vec_id", "embedding", "label", threshold=0.3
+    )
+
+
+@register(
     "embedding_decontaminate_sweep",
     f"""
 WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
@@ -1130,18 +1200,24 @@ WITH s AS (
 
 @register("pagerank_near_dup", _pagerank_sql())
 def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration PageRank over the near-dup pair graph
-    (operators/graph.pagerank): the 'most central duplicate' score a
-    curation pipeline uses to pick cluster representatives. Three
-    iterations of BIGINT fixed-point arithmetic — bit-identical to
-    the DuckDB twin's chained CTEs; shuffles sized to the graph, not
-    the corpus."""
-    from feast_hive_spark.operators.graph import pagerank
-
+    """Fixed-iteration PageRank over the near-dup pair graph: the
+    'most central duplicate' score a curation pipeline uses to pick
+    cluster representatives. r11 (r10 verdict #2): runs via
+    ``dedup.pagerank_near_dup_collapsed`` — exact-duplicate texts are
+    collapsed to one class node with integer edge weights BEFORE the
+    iteration, so the rank recurrence never touches the member-level
+    edge set that grows cluster-quadratically under copy duplication
+    (109x per corpus decade, SCALING.md r10). Bit-identical to
+    member-level PageRank (class members provably share one rank);
+    the DuckDB twin still replays the MEMBER-level chained CTEs, so
+    the oracle gate independently certifies the collapse's
+    equivalence. Three iterations of BIGINT fixed-point arithmetic;
+    shuffles sized to the class graph, not the corpus."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    pr = pagerank(pairs, "id_a", "id_b", iters=3)
-    return pr.select(F.col("node").alias("doc_id"), "rank_e12")
+    pr = D.pagerank_near_dup_collapsed(
+        docs, "doc_id", "text", n=3, threshold=0.5, iters=3
+    )
+    return pr.select(F.col("doc_id"), "rank_e12")
 
 
 @register(

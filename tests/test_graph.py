@@ -202,3 +202,86 @@ def test_degree_assortativity_star_and_regular(spark):
     row = degree_assortativity(tri).collect()[0]
     assert row["n_edges"] == 3
     assert row["assortativity"] is None
+
+
+def test_pagerank_collapsed_matches_member_level(spark):
+    """r11 exact-collapse pre-pass: pagerank_near_dup_collapsed must
+    be BIT-identical to graph.pagerank over the member-level
+    ngram_jaccard_pairs output, on a corpus engineered with every
+    collapse edge case: a 3-way exact-dup class, a 2-way class
+    near-dup to it, a singleton near-dup, a sub-n-token duplicate
+    class (no shingles -> never pairs, must NOT get a self-loop or
+    count toward the teleport denominator), and an isolated doc."""
+    from feast_hive_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        pagerank_near_dup_collapsed,
+    )
+    from feast_hive_spark.operators.graph import pagerank
+    from feast_hive_spark.plans import memo
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    docs = [
+        (1, base), (2, base), (3, base),          # 3-way exact class
+        (4, near), (5, near),                     # 2-way class, near-dup of base
+        (6, "alpha beta gamma delta epsilon zeta theta eta"),  # singleton
+        (7, "xy"), (8, "xy"),                     # sub-n-token dup class
+        (9, "totally different words here entirely unrelated"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    memo.clear()
+    member_pairs = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5
+    )
+    exp = {
+        r.node: r.rank_e12 for r in pagerank(member_pairs).collect()
+    }
+    memo.clear()
+    got = {
+        r.doc_id: r.rank_e12
+        for r in pagerank_near_dup_collapsed(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == exp
+    # the fixture must actually exercise the interesting branches
+    assert 1 in got and got[1] == got[2] == got[3], "dup class ranks differ"
+    assert 7 not in got and 9 not in got, "edgeless docs must be absent"
+    # distributed weighted path must agree with the driver fast path
+    memo.clear()
+    got_dist = {
+        r.doc_id: r.rank_e12
+        for r in pagerank_near_dup_collapsed(
+            df, "doc_id", "text", n=3, threshold=0.5,
+            small_graph_threshold=0,
+        ).collect()
+    }
+    assert got_dist == exp
+
+
+def test_pagerank_weighted_distributed_matches_driver(spark):
+    """The distributed weighted kernel and the driver fast path run
+    the same recurrence."""
+    from feast_hive_spark.operators.graph import pagerank_weighted
+    from feast_hive_spark.plans import memo
+
+    edges = [
+        (1, 2, 3), (2, 1, 2), (1, 1, 1), (2, 3, 2), (3, 2, 1),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    nw = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "node long, k long"
+    )
+    memo.clear()
+    drv = {
+        r.node: r.rank_e12
+        for r in pagerank_weighted(e, node_weights=nw).collect()
+    }
+    memo.clear()
+    dist = {
+        r.node: r.rank_e12
+        for r in pagerank_weighted(
+            e, node_weights=nw, small_graph_threshold=0
+        ).collect()
+    }
+    assert drv == dist and len(drv) == 3

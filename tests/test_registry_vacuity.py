@@ -147,6 +147,19 @@ def test_embedding_decontaminate_not_vacuous(spark, sf_dir):
     assert len(out) >= 2, "single-label corpus"
 
 
+def test_embedding_decontaminate_fixed_benchmark(spark, sf_dir):
+    """The capped-benchmark tier probe must be IDENTICAL to the
+    uncapped query wherever the cap is inert (every committed sf_dir
+    has vec_id < 20000) — the cap only binds at the sf10 tier, where
+    it is what makes the exponent measure kernel linearity."""
+    capped = _run(spark, sf_dir, "embedding_decontaminate_fixed_benchmark")
+    full = _run(spark, sf_dir, "embedding_decontaminate")
+    assert capped.sort_values("label").reset_index(drop=True).equals(
+        full.sort_values("label").reset_index(drop=True)
+    )
+    assert capped["n_flagged"].sum() >= 1
+
+
 def test_embedding_effective_rank_not_vacuous(spark, sf_dir):
     """The spectral audit must see a non-degenerate covariance:
     participation ratio strictly inside (1, dim) — exactly 1 or
