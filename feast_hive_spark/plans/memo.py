@@ -65,6 +65,15 @@ def _analyzed(df: DataFrame):
     return df._jdf.queryExecution().analyzed()
 
 
+def _no_plan_handles(spark: SparkSession) -> bool:
+    """Spark Connect sessions expose no py4j plan objects
+    (``_jdf``/``_jsparkSession``), so plan-keyed memoization cannot
+    key safely — every memo entry point degrades to running the
+    builder unmemoized (correct, just without the warm-path reuse;
+    same detection as sources/tables.bind_sql_view)."""
+    return getattr(spark, "_jsparkSession", None) is None
+
+
 def _lookup_or_run(
     spark: SparkSession,
     kind: str,
@@ -72,6 +81,8 @@ def _lookup_or_run(
     token: tuple,
     run: Callable[[], Any],
 ) -> Any:
+    if _no_plan_handles(spark):
+        return run()
     if _CAPTURE is not None and token:
         key = str(token[0])
         for df in inputs:
@@ -117,6 +128,8 @@ def _lookup_only(
     """Non-building lookup: the cached value on a hit, ``_MISS``
     otherwise. Never runs jobs and never records into the build-time
     capture (a peek is a routing decision, not a build)."""
+    if _no_plan_handles(spark):
+        return _MISS
     app_id = spark.sparkContext.applicationId
     plans = [_analyzed(df) for df in inputs]
     files = [tuple(sorted(df.inputFiles())) for df in inputs]

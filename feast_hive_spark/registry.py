@@ -62,8 +62,14 @@ def register(name: str, oracle: str | None):
         ) -> DataFrame:
             # kwargs (e.g. the r11 trio's standalone=True) bypass the
             # prepared-plan cache: variant builds must never serve or
-            # displace the default plan under the same key
-            if not PLAN_CACHE or kwargs:
+            # displace the default plan under the same key. Spark
+            # Connect sessions (no _jsparkSession -> no applicationId)
+            # also bypass: correct, just uncached (r11 Connect note).
+            if (
+                not PLAN_CACHE
+                or kwargs
+                or getattr(spark, "_jsparkSession", None) is None
+            ):
                 return fn(spark, sf_dir, **kwargs)
             key = (spark.sparkContext.applicationId, name, sf_dir)
             hit = _PREPARED.get(key)
