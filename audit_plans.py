@@ -274,7 +274,7 @@ AUDITS = {
     # the result plan; the fact NEVER appears there) — the build-time
     # pipeline (Expand over the broadcast-joined fact scan) is audited
     # via the memo capture (BUILDTIME_AUDIT)
-    "events_scalar_report": (["Scan ExistingRDD", "Expand", "BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    "events_scalar_report": (["LocalTableScan", "Scan ExistingRDD", "Expand", "BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
     # per-group packing: ONE window, no totals collect, no join
     "pack_sequences_by_lang": (["Window"], ["Join", "CartesianProduct"]),
     "graph_triangle_stats": (["HashAggregate"], ["CartesianProduct"]),

@@ -364,16 +364,21 @@ def pagerank_near_dup_collapsed(
     md5 grouping and the final fan-out join."""
     from feast_hive_spark.operators.graph import pagerank_weighted
 
-    mem, reps, rep_rows = _exact_collapse(df, id_col, text_col)
-    # one md5 pass over the corpus serves membership, sizes, reps and
-    # the final fan-out (uncached, each consumer re-scanned the text)
-    mem = mem.cache()
+    # one md5 pass over the corpus serves membership, class table and
+    # the final fan-out; rep choice (min id) and class size come from
+    # ONE aggregate (where _exact_collapse + a separate size count
+    # would cost two shuffles and a join)
+    mem = df.select(
+        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
+    ).cache()
+    rk = mem.groupBy("__th").agg(
+        F.min("__mid").alias("__node"), F.count(F.lit(1)).alias("__k")
+    ).cache()
+    rep_rows = df.join(
+        rk.select(F.col("__node").alias(id_col)), id_col, "left_semi"
+    )
     rep_pairs = ngram_jaccard_pairs(
         rep_rows, id_col, text_col, n, threshold, collapse_exact=False
-    )
-    sizes = mem.groupBy("__th").agg(F.count(F.lit(1)).alias("__k"))
-    rk = reps.join(sizes, "__th").select(
-        F.col("__rep").alias("__node"), "__k", "__th"
     )
     ka = rk.select(F.col("__node").alias("id_a"), F.col("__k").alias("__ka"))
     kb = rk.select(F.col("__node").alias("id_b"), F.col("__k").alias("__kb"))

@@ -1617,13 +1617,14 @@ def _esr_fold(
 
 
 def _local_numeric_frame(spark: SparkSession, rows, schema) -> DataFrame:
-    """Materialize collected numeric rows as a TRUE LocalRelation
+    """Materialize collected scalar rows as a TRUE LocalRelation
     (VALUES + foldable casts -> ConvertToLocalRelation ->
     LocalTableScan): collect() on the result runs entirely
     driver-side, zero job launches. ``createDataFrame`` would instead
     park the rows behind a 1-task ExistingRDD scan that still pays a
     scheduler round-trip per execution. Doubles go through
-    CAST('repr' AS DOUBLE) so the binary value round-trips exactly."""
+    CAST('repr' AS DOUBLE) so the binary value round-trips exactly;
+    strings are quote-escaped literals."""
     if not rows:
         return spark.createDataFrame([], schema)
     def fmt(v, t):
@@ -1631,6 +1632,9 @@ def _local_numeric_frame(spark: SparkSession, rows, schema) -> DataFrame:
             return f"CAST(NULL AS {t.upper()})"
         if t == "double":
             return f"CAST('{v!r}' AS DOUBLE)"
+        if t == "string":
+            esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{esc}'"
         return f"CAST({v} AS {t.upper()})"
     types = [f.dataType.simpleString() for f in schema.fields]
     vals = ",".join(
@@ -1769,12 +1773,17 @@ def events_scalar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id): hist=0b0111, chi2=0b1001, funnel=0b1110.
 
     r11: the aggregate build lives in ``_esr_g`` and is SHARED with
-    the standalone trio entries — ``value_histogram``,
+    the trio entries — ``value_histogram``,
     ``chi2_event_type_segment`` and ``funnel_view_click_purchase``
-    slice the same memoized aggregate, so a warm session pays the
-    fact scan once however the three reports are requested."""
+    fold from the same memoized aggregate, so a warm session pays the
+    fact scan once however the three reports are requested. The
+    report itself is also folded at build time (``_esr_fold`` — its
+    34-row-bounded union is k-sized): exec is a LocalTableScan.
+    Unlike the trio, a cold report build has no cheaper specialized
+    kernel — the fused aggregate IS its specialized plan — so the
+    fold always builds ``_esr_g`` on miss."""
     g = _esr_g(spark, sf_dir)
-    return _esr_slice(spark, g, """
+    sliced = _esr_slice(spark, g, """
         SELECT 'hist' AS section, cast(bin AS STRING) AS k,
                cast(n AS DOUBLE) AS v1, round(mn_v, 4) AS v2,
                round(mx_v, 4) AS v3
@@ -1803,6 +1812,8 @@ def events_scalar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                              AND t_p > t_click AS BIGINT)) AS DOUBLE)
         FROM {g} WHERE gid = 14
         """)
+    rows = job_memo(spark, [sliced], ("esr_report_fold",), sliced.collect)
+    return _local_numeric_frame(spark, rows, sliced.schema)
 
 
 @register(

@@ -50,14 +50,13 @@ def _plan(spark, name: str) -> str:
         ("funnel_view_click_purchase", ["LocalTableScan"],
          ["Scan parquet", "InMemoryTableScan", "Scan ExistingRDD",
           "Exchange"]),
-        # r10 fused events report: the three branches slice ONE
-        # lazily-checkpointed grouping-sets aggregate — the fact table
-        # must never appear in the RESULT plan (3x ExistingRDD, zero
-        # parquet/in-memory rescans; see the operator docstring for
-        # the two designs this replaces and why they rescan)
-        ("events_scalar_report", ["Scan ExistingRDD"],
-         ["Scan parquet", "InMemoryTableScan", "SortMergeJoin",
-          "CartesianProduct"]),
+        # fused events report (r11: folded like the trio) — the
+        # RESULT plan is a LocalTableScan; the one-scan grouping-sets
+        # build and the 3x ExistingRDD slice union are captured at
+        # build time (audit_plans BUILDTIME_AUDIT)
+        ("events_scalar_report", ["LocalTableScan"],
+         ["Scan parquet", "InMemoryTableScan", "Scan ExistingRDD",
+          "SortMergeJoin", "CartesianProduct"]),
         # media decode queries are map-only: payloads never shuffle
         ("multimodal_jpeg_pixel_stats", ["MapInPandas"], ["Exchange"]),
         ("multimodal_audio_stats", ["MapInPandas"], ["Exchange"]),
