@@ -154,6 +154,8 @@ SAMPLE_ROTATION: list[str] = [
     # r10 additions
     "events_scalar_report",
     "hard_negative_pairs_lsh_auto",
+    # r11 additions
+    "embedding_decontaminate_fixed_benchmark",
 ]
 
 
