@@ -327,6 +327,107 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components_collapsed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iters: int = 50,
+    small_graph_threshold: int = 200_000,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph with an
+    exact-collapse pre-pass — bit-identical to
+    ``connected_components_star(ngram_jaccard_pairs(df, ...))``
+    without ever materializing the member-level edge set (the r11
+    pagerank collapse applied to CC; the member pairs grow with the
+    SQUARE of duplicate-cluster occupancy, ~110x per copy decade).
+
+    Why it's exact: members of one exact-duplicate class are pairwise
+    connected (Jaccard 1, when the class is shingle-eligible) and
+    share every external neighborhood, so a class is contained in one
+    component, and — because the collapse representative is the MIN
+    member id — the component's min member id equals the min rep id.
+    CC therefore runs on the REP-level pair graph; eligible classes
+    of size >= 2 with no cross-class pair form their own component
+    (they have member-level edges but no rep-level pair, so they are
+    appended explicitly as self-components); members inherit their
+    class's label through the membership table.
+
+    Output contract matches connected_components_star: one row
+    (id_col, component_id, is_canonical) for every member that
+    appears in >= 1 member-level pair — which is exactly: members of
+    eligible classes of size >= 2, plus members of classes whose rep
+    has a cross-class pair. Sub-n-token texts never pair (empty
+    shingle sets), so their classes are excluded entirely — the same
+    nodes the uncollapsed pipeline excludes. Memoized per (df plan,
+    params)."""
+    spark = df.sparkSession
+    return plan_memo(
+        spark,
+        df,
+        (
+            "connected_components_collapsed", id_col, text_col, n,
+            repr(threshold), max_iters, small_graph_threshold,
+        ),
+        lambda: _cc_collapsed_build(
+            df, id_col, text_col, n, threshold, max_iters,
+            small_graph_threshold,
+        ),
+    )
+
+
+def _cc_collapsed_build(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_iters: int,
+    small_graph_threshold: int,
+) -> DataFrame:
+    mem = df.select(
+        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
+    ).cache()
+    rk = mem.groupBy("__th").agg(
+        F.min("__mid").alias("__node"), F.count(F.lit(1)).alias("__k")
+    ).cache()
+    rep_rows = df.join(
+        rk.select(F.col("__node").alias(id_col)), id_col, "left_semi"
+    )
+    rep_pairs = ngram_jaccard_pairs(
+        rep_rows, id_col, text_col, n, threshold, collapse_exact=False
+    )
+    rep_cc = connected_components_star(
+        rep_pairs, "id_a", "id_b", max_iters, small_graph_threshold
+    ).select(F.col("doc_id").alias("__node"), "component_id")
+    # eligible multi-member classes whose rep has NO cross-class pair:
+    # their members are pairwise connected member-level, so they are
+    # in the graph as their own component (rep id = min member id).
+    # Eligibility re-tokenizes only k>=2 rep rows (duplicate classes).
+    multi = rk.filter(F.col("__k") >= 2)
+    elig_multi = (
+        rep_rows.join(
+            multi.select(F.col("__node").alias(id_col)), id_col, "left_semi"
+        )
+        .filter(F.size(X.tokens_array(text_col)) >= n)
+        .select(F.col(id_col).alias("__node"))
+    )
+    own = elig_multi.join(rep_cc.select("__node"), "__node", "left_anti")
+    labels = rep_cc.unionByName(
+        own.select("__node", F.col("__node").alias("component_id"))
+    )
+    return (
+        labels.join(rk.select("__node", "__th"), "__node")
+        .join(mem, "__th")
+        .select(
+            F.col("__mid").alias(id_col),
+            "component_id",
+            (F.col("__mid") == F.col("component_id")).alias("is_canonical"),
+        )
+    )
+
+
 def pagerank_near_dup_collapsed(
     df: DataFrame,
     id_col: str,

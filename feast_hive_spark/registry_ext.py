@@ -777,14 +777,19 @@ FROM reach GROUP BY src
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair graph -> connected components -> canonical
-    survivor per component (alternating large-star/small-star
-    contraction, O(log diameter) rounds; the DuckDB twin computes the
-    same fixpoint via a recursive-CTE transitive closure, which is
-    fine at oracle scale and would be madness at 100 TB - that
-    asymmetry is exactly why the distributed loop exists)."""
+    survivor per component. r11: runs via
+    ``dedup.connected_components_collapsed`` — exact-duplicate texts
+    collapse to class nodes BEFORE the star contraction, so CC never
+    touches the member-level edge set (cluster-quadratic under copy
+    duplication); labels fan back through the membership table.
+    Bit-identical to member-level CC (a dup class lies inside one
+    component and min member id = min rep id); the DuckDB twin still
+    computes the MEMBER-level fixpoint via a recursive-CTE transitive
+    closure, independently certifying the collapse — fine at oracle
+    scale and madness at 100 TB, which is exactly why the distributed
+    collapsed loop exists."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = _near_dup_pair_graph(spark, docs)
-    return D.connected_components_star(pairs)
+    return D.connected_components_collapsed(docs, "doc_id", "text")
 
 
 @register(
@@ -851,17 +856,19 @@ def split_no_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     CERTIFIES it, joining every pair to its endpoints' splits and
     counting cross-split pairs (a column that must read 0 by
     construction, computed rather than asserted). Scale shape: the
-    pair graph comes from the session-shared MATERIALIZED
-    ``_near_dup_pair_graph`` checkpoint (r11 — the CC build and the
-    leak-certificate join read the SAME materialized edge list, where
-    the lazy pipeline used to execute the shingle self-join twice;
-    measured sf1 e2e 14.5 -> 8.0 s), and a warm warehouse that
-    already ran ``dedup_components`` reuses it outright. The split
+    cluster labels come from the collapsed CC
+    (``connected_components_collapsed`` — memo-shared with
+    ``dedup_components``, never member-quadratic), while the leak
+    certificate joins the session-shared MATERIALIZED member-level
+    pair list (``_near_dup_pair_graph`` checkpoint; the certificate's
+    semantics REQUIRE member pairs — that join is output-sized, and
+    the checkpoint keeps it one execution; r11, sf1 e2e
+    14.5 -> 8.4 s). The split
     itself is a stateless hash on the cluster id, stable under corpus
     growth like curate.hash_split."""
     docs = read_table(spark, sf_dir, "documents")
     pairs = _near_dup_pair_graph(spark, docs)
-    comp = D.connected_components_star(pairs).select(
+    comp = D.connected_components_collapsed(docs, "doc_id", "text").select(
         "doc_id", "component_id"
     )
     labeled = (

@@ -553,3 +553,67 @@ def test_ckpt_release_frees_checkpoint_blocks(spark, dup_corpus):
     freed = ckpt.release(spark)
     assert freed >= 1
     assert jsc_sc.getPersistentRDDs().size() <= before
+
+
+def test_cc_collapsed_matches_member_level(spark):
+    """r11 exact-collapse CC: connected_components_collapsed must be
+    BIT-identical to connected_components_star over the member-level
+    ngram_jaccard_pairs output, on a corpus with every collapse edge
+    case: a 3-way exact-dup class bridging to a 2-way class (one
+    component spanning classes), an eligible dup class with NO
+    cross-class pair (own component), a sub-n-token dup class (never
+    pairs -> absent), singletons with and without pairs."""
+    from feast_hive_spark.operators.dedup import (
+        connected_components_collapsed,
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+    from feast_hive_spark.plans import memo
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    isolated_dup = "completely different shared duplicate text body"
+    docs = [
+        (1, base), (2, base), (3, base),
+        (4, near), (5, near),
+        (6, "alpha beta gamma delta epsilon zeta theta eta"),
+        (7, isolated_dup), (8, isolated_dup),
+        (9, "xy"), (10, "xy"),
+        (11, "totally unrelated singleton document words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    memo.clear()
+    member_pairs = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5
+    )
+    exp = {
+        (r.doc_id, r.component_id, r.is_canonical)
+        for r in connected_components_star(member_pairs).collect()
+    }
+    memo.clear()
+    got = {
+        (r.doc_id, r.component_id, r.is_canonical)
+        for r in connected_components_collapsed(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == exp
+    nodes = {r[0] for r in got}
+    # fixture sanity: the interesting branches are actually exercised
+    assert {1, 2, 3}.issubset(nodes), "dup class missing"
+    assert {7, 8}.issubset(nodes), "own-component dup class missing"
+    comp78 = {c for d, c, _ in got if d in (7, 8)}
+    assert comp78 == {7}, "isolated dup class must self-label at min id"
+    assert 9 not in nodes and 10 not in nodes, "sub-n-gram class leaked in"
+    assert 11 not in nodes, "edgeless singleton leaked in"
+    # distributed star path must agree too
+    memo.clear()
+    got_dist = {
+        (r.doc_id, r.component_id, r.is_canonical)
+        for r in connected_components_collapsed(
+            df, "doc_id", "text", n=3, threshold=0.5,
+            small_graph_threshold=0,
+        ).collect()
+    }
+    assert got_dist == exp
+    memo.clear()
