@@ -327,6 +327,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def _collapse_bundle(df: DataFrame, id_col: str, text_col: str,
+                     n: int, threshold: float):
+    """Session-memoized exact-collapse bundle shared by every
+    collapsed near-dup consumer (r11): ``(mem, rk, rep_pairs, elig)``
+    where ``mem`` is the (member id, text-md5) membership table
+    (cached), ``rk`` the class table (rep = min member id, size k;
+    cached), ``rep_pairs`` the REP-level ngram-Jaccard pair list
+    behind a lazy localCheckpoint (ckpt-tracked — the shingle
+    self-join, the expensive stage, runs ONCE per session however
+    many consumers ask), and ``elig`` the (__node, __th) set of
+    shingle-eligible duplicate classes (k >= 2, >= n tokens — the
+    only classes whose members pair within-class). Collapsed CC,
+    collapsed PageRank and the member-level pair expansion all
+    derive from this one bundle."""
+    from feast_hive_spark import ckpt
+
+    spark = df.sparkSession
+
+    def build():
+        mem = df.select(
+            F.col(id_col).alias("__mid"),
+            F.md5(F.col(text_col)).alias("__th"),
+        ).cache()
+        rk = mem.groupBy("__th").agg(
+            F.min("__mid").alias("__node"), F.count(F.lit(1)).alias("__k")
+        ).cache()
+        rep_rows = df.join(
+            rk.select(F.col("__node").alias(id_col)), id_col, "left_semi"
+        )
+        rep_pairs = ckpt.track(
+            ngram_jaccard_pairs(
+                rep_rows, id_col, text_col, n, threshold,
+                collapse_exact=False,
+            ).localCheckpoint(eager=False)
+        )
+        elig = (
+            rep_rows.join(
+                rk.filter(F.col("__k") >= 2)
+                .select(F.col("__node").alias(id_col)),
+                id_col,
+                "left_semi",
+            )
+            .filter(F.size(X.tokens_array(text_col)) >= n)
+            .select(
+                F.col(id_col).alias("__node"),
+                F.md5(F.col(text_col)).alias("__th"),
+            )
+        )
+        return (mem, rk, rep_pairs, elig)
+
+    return plan_memo(
+        spark,
+        df,
+        ("near_dup_collapse_bundle", id_col, n, repr(threshold)),
+        build,
+    )
+
+
+def near_dup_member_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Member-level near-dup pairs derived from the shared collapse
+    bundle: identical output to ``ngram_jaccard_pairs`` (the
+    expansion is the same ``_expand_collapsed_pairs`` machinery), but
+    the rep-level pair list comes from the session-shared checkpoint,
+    so a consumer that also runs collapsed CC / PageRank never
+    re-executes the shingle self-join. Restricting the within-group
+    eligibility set to k >= 2 classes is exact: singleton groups
+    produce no within pairs either way."""
+    mem, rk, rep_pairs, elig = _collapse_bundle(
+        df, id_col, text_col, n, threshold
+    )
+    reps = rk.select("__th", F.col("__node").alias("__rep"))
+    return _expand_collapsed_pairs(
+        rep_pairs, mem, reps, "jaccard", 1.0, elig.select("__th")
+    )
+
+
 def connected_components_collapsed(
     df: DataFrame,
     id_col: str,
@@ -386,34 +468,18 @@ def _cc_collapsed_build(
     max_iters: int,
     small_graph_threshold: int,
 ) -> DataFrame:
-    mem = df.select(
-        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
-    ).cache()
-    rk = mem.groupBy("__th").agg(
-        F.min("__mid").alias("__node"), F.count(F.lit(1)).alias("__k")
-    ).cache()
-    rep_rows = df.join(
-        rk.select(F.col("__node").alias(id_col)), id_col, "left_semi"
-    )
-    rep_pairs = ngram_jaccard_pairs(
-        rep_rows, id_col, text_col, n, threshold, collapse_exact=False
+    mem, rk, rep_pairs, elig = _collapse_bundle(
+        df, id_col, text_col, n, threshold
     )
     rep_cc = connected_components_star(
         rep_pairs, "id_a", "id_b", max_iters, small_graph_threshold
     ).select(F.col("doc_id").alias("__node"), "component_id")
     # eligible multi-member classes whose rep has NO cross-class pair:
     # their members are pairwise connected member-level, so they are
-    # in the graph as their own component (rep id = min member id).
-    # Eligibility re-tokenizes only k>=2 rep rows (duplicate classes).
-    multi = rk.filter(F.col("__k") >= 2)
-    elig_multi = (
-        rep_rows.join(
-            multi.select(F.col("__node").alias(id_col)), id_col, "left_semi"
-        )
-        .filter(F.size(X.tokens_array(text_col)) >= n)
-        .select(F.col(id_col).alias("__node"))
+    # in the graph as their own component (rep id = min member id)
+    own = elig.select("__node").join(
+        rep_cc.select("__node"), "__node", "left_anti"
     )
-    own = elig_multi.join(rep_cc.select("__node"), "__node", "left_anti")
     labels = rep_cc.unionByName(
         own.select("__node", F.col("__node").alias("component_id"))
     )
@@ -465,21 +531,11 @@ def pagerank_near_dup_collapsed(
     md5 grouping and the final fan-out join."""
     from feast_hive_spark.operators.graph import pagerank_weighted
 
-    # one md5 pass over the corpus serves membership, class table and
-    # the final fan-out; rep choice (min id) and class size come from
-    # ONE aggregate (where _exact_collapse + a separate size count
-    # would cost two shuffles and a join)
-    mem = df.select(
-        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
-    ).cache()
-    rk = mem.groupBy("__th").agg(
-        F.min("__mid").alias("__node"), F.count(F.lit(1)).alias("__k")
-    ).cache()
-    rep_rows = df.join(
-        rk.select(F.col("__node").alias(id_col)), id_col, "left_semi"
-    )
-    rep_pairs = ngram_jaccard_pairs(
-        rep_rows, id_col, text_col, n, threshold, collapse_exact=False
+    # shared collapse bundle (r11): membership, class table, rep-level
+    # pair checkpoint and eligibility come from ONE session-memoized
+    # build — the shingle self-join never re-executes for this query
+    mem, rk, rep_pairs, elig = _collapse_bundle(
+        df, id_col, text_col, n, threshold
     )
     ka = rk.select(F.col("__node").alias("id_a"), F.col("__k").alias("__ka"))
     kb = rk.select(F.col("__node").alias("id_b"), F.col("__k").alias("__kb"))
@@ -492,18 +548,8 @@ def pagerank_near_dup_collapsed(
         F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
         F.col("__kb").alias("w"),
     )
-    # self-loops only exist for multi-member classes — filter to
-    # k >= 2 FIRST so the shingle-eligibility re-tokenization touches
-    # only duplicate-class representative rows, not the whole corpus
-    multi = rk.filter(F.col("__k") >= 2)
-    elig_multi = (
-        rep_rows.join(
-            multi.select(F.col("__node").alias(id_col)), id_col, "left_semi"
-        )
-        .filter(F.size(X.tokens_array(text_col)) >= n)
-        .select(F.col(id_col).alias("__node"))
-    )
-    self_e = multi.join(elig_multi, "__node").select(
+    # self-loops only exist for eligible multi-member classes
+    self_e = rk.join(elig.select("__node"), "__node").select(
         F.col("__node").alias("src"), F.col("__node").alias("dst"),
         (F.col("__k") - 1).alias("w"),
     )

@@ -738,7 +738,11 @@ def _near_dup_pair_graph(spark: SparkSession, docs) :
     from feast_hive_spark import ckpt
     from feast_hive_spark.plans.memo import plan_memo
 
-    pairs_plan = D.ngram_jaccard_pairs(
+    # expansion over the session-shared rep-level checkpoint
+    # (dedup._collapse_bundle): identical output to
+    # ngram_jaccard_pairs, but the shingle self-join is shared with
+    # collapsed CC / PageRank instead of re-executed per consumer
+    pairs_plan = D.near_dup_member_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
     )
     return plan_memo(
