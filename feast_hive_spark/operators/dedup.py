@@ -483,7 +483,7 @@ def _cc_collapsed_build(
     labels = rep_cc.unionByName(
         own.select("__node", F.col("__node").alias("component_id"))
     )
-    return (
+    out = (
         labels.join(rk.select("__node", "__th"), "__node")
         .join(mem, "__th")
         .select(
@@ -492,6 +492,13 @@ def _cc_collapsed_build(
             (F.col("__mid") == F.col("component_id")).alias("is_canonical"),
         )
     )
+    # materialize the member-level labels (same contract as
+    # connected_components_star's eager checkpoint): without this the
+    # fan-out joins — including the corpus md5 scan — re-execute on
+    # EVERY downstream execution of the result plan
+    from feast_hive_spark import ckpt
+
+    return ckpt.track(out.localCheckpoint(eager=False))
 
 
 def pagerank_near_dup_collapsed(
@@ -558,13 +565,18 @@ def pagerank_near_dup_collapsed(
         edges, "src", "dst", "w", iters, damping_pct,
         small_graph_threshold, node_weights=rk.select("__node", "__k"),
     )
-    return (
+    out = (
         class_ranks.join(
             rk.select(F.col("__node").alias("node"), "__th"), "node"
         )
         .join(mem, "__th")
         .select(F.col("__mid").alias(id_col), "rank_e12")
     )
+    # materialize the member-level fan-out (see
+    # _cc_collapsed_build): node-sized, lineage-truncating
+    from feast_hive_spark import ckpt
+
+    return ckpt.track(out.localCheckpoint(eager=False))
 
 
 # --- MinHash + LSH ------------------------------------------------------
