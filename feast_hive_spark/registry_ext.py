@@ -126,7 +126,7 @@ SELECT id_a, id_b, jaccard FROM (
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return D.near_dup_member_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
 @register(
@@ -2398,8 +2398,9 @@ def near_dup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     from feast_hive_spark.operators import dedup as D
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    comp = D.connected_components_star(pairs).select("doc_id", "component_id")
+    comp = D.connected_components_collapsed(docs, "doc_id", "text").select(
+        "doc_id", "component_id"
+    )
     scored = comp.join(
         docs.select("doc_id", X.quality_score("text").alias("quality")),
         "doc_id",
@@ -2913,7 +2914,7 @@ def lsh_dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair lists. (Precision is 1.0 by construction — LSH
     candidates are jaccard-verified — and the report proves it.)"""
     docs = read_table(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    exact = D.near_dup_member_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     lsh = D.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, bands=4, threshold=0.5
     )
@@ -3023,8 +3024,9 @@ def near_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feast_hive_spark.operators import dedup as D
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    comp = D.connected_components_star(pairs).select("doc_id", "component_id")
+    comp = D.connected_components_collapsed(docs, "doc_id", "text").select(
+        "doc_id", "component_id"
+    )
     sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("sz"))
     tot = sizes.agg(F.sum("sz").alias("t"))
     return (
@@ -3069,7 +3071,7 @@ def near_dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain-like tail means more rounds). One pair-sized union +
     count aggregate."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = D.near_dup_member_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     deg = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
@@ -3474,7 +3476,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     de-prioritize. Rides the exact inverted-index Jaccard kernel;
     only source labels and counts leave the pair stage."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = D.near_dup_member_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
     b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
@@ -3905,7 +3907,7 @@ def label_propagation_communities(
     from feast_hive_spark.operators.graph import label_propagation
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = D.near_dup_member_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     out = label_propagation(pairs, "id_a", "id_b", iters=3)
     return out.select(F.col("node").alias("doc_id"), "community")
 
@@ -4421,7 +4423,7 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one GROUP BY, and both ratios are exact integer micro
     divisions."""
     docs = read_table(spark, sf_dir, "documents")
-    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    truth = D.near_dup_member_pairs(docs, "doc_id", "text", threshold=0.5)
     meta = docs.select("doc_id", "lang", "source")
     da = meta.select(
         F.col("doc_id").alias("id_a"),
