@@ -1460,18 +1460,81 @@ def funnel_view_click_purchase(
 _HIST_BINS = 32
 
 
+def _footer_min_max(df: DataFrame, col: str):
+    """Exact min/max of a DOUBLE column from parquet FOOTER statistics
+    — an O(#files) driver-side metadata read instead of a full column
+    scan (what every warehouse's zone-map probe does; at 100 TB this
+    is the difference between touching footers and touching data).
+    Returns None whenever exactness cannot be guaranteed: any row
+    group without has_min_max, a NaN-polluted stat (legacy writers
+    recorded NaN into double stats), a non-double physical type, a
+    missing column, or a non-file source — callers fall back to the
+    aggregate job. Null handling matches F.min/F.max (stats ignore
+    nulls; all-null row groups report no min/max and only force the
+    fallback when the WHOLE table would otherwise look empty)."""
+    try:
+        import pyarrow.parquet as pq
+
+        from urllib.parse import unquote, urlparse
+
+        files = []
+        for f in df.inputFiles():
+            if f.startswith("file:"):
+                files.append(unquote(urlparse(f).path))
+            elif "://" in f or f.startswith("hdfs:") or f.startswith("s3"):
+                return None  # non-local source: let the job handle it
+            else:
+                files.append(f)
+        if not files:
+            return None
+        mn = mx = None
+        for path in files:
+            pf = pq.ParquetFile(path)
+            names = [
+                pf.metadata.schema.column(i).name
+                for i in range(pf.metadata.num_columns)
+            ]
+            if col not in names:
+                return None
+            ci = names.index(col)
+            if pf.metadata.schema.column(ci).physical_type != "DOUBLE":
+                return None
+            for rg in range(pf.metadata.num_row_groups):
+                cm = pf.metadata.row_group(rg).column(ci)
+                st = cm.statistics
+                if st is None:
+                    return None
+                if st.num_values == 0:
+                    continue  # all-null row group: F.min ignores it too
+                if not st.has_min_max:
+                    return None
+                lo, hi = float(st.min), float(st.max)
+                if lo != lo or hi != hi:  # NaN-polluted stats
+                    return None
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+        return (mn, mx)
+    except Exception:
+        return None
+
+
 def _esr_bounds(spark: SparkSession, ev: DataFrame):
     """Memoized min/max probe over ``events.value`` (the PIT P9
     bounds-memo pattern) — shared by the fused aggregate and the
-    standalone histogram so both bin against bit-identical literals."""
-    row = job_memo(
-        spark,
-        ev,
-        ("value_histogram_bounds", _HIST_BINS),
-        lambda: ev.agg(
+    standalone histogram so both bin against bit-identical literals.
+    The probe itself reads parquet FOOTER statistics when they are
+    exact (``_footer_min_max`` — zero Spark jobs) and falls back to
+    the one-pass aggregate otherwise; both produce the identical
+    values (pinned by test_footer_bounds_match_aggregate)."""
+    def probe():
+        fm = _footer_min_max(ev, "value")
+        if fm is not None:
+            return fm
+        return ev.agg(
             F.min("value").alias("mn"), F.max("value").alias("mx")
-        ).first(),
-    )
+        ).first()
+
+    row = job_memo(spark, ev, ("value_histogram_bounds", _HIST_BINS), probe)
     return row[0], row[1]
 
 

@@ -194,3 +194,26 @@ def test_split_no_neardup_leakage_not_vacuous(spark, sf_dir):
         "every doc its own cluster: certificate vacuous"
     )
     assert set(out["split"]) == {"train", "val", "test"}
+
+
+def test_footer_bounds_match_aggregate(spark, sf_dir):
+    """The parquet-footer min/max probe must equal the aggregate job
+    EXACTLY on every committed table it would serve (else the
+    histogram bins shift); it must refuse (None) rather than guess on
+    a column it cannot certify."""
+    from feast_hive_spark.registry_analytics import _footer_min_max
+    from feast_hive_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    fm = _footer_min_max(ev, "value")
+    row = ev.agg(F.min("value"), F.max("value")).first()
+    if fm is not None:
+        assert fm == (row[0], row[1]), (fm, tuple(row))
+    # a non-double column must refuse
+    assert _footer_min_max(ev, "event_type") is None
+    # a missing column must refuse
+    assert _footer_min_max(ev, "__nope") is None
+    # an in-memory frame (no files) must refuse
+    local = spark.createDataFrame([(1.0,)], "value double")
+    assert _footer_min_max(local, "value") is None
