@@ -1508,7 +1508,13 @@ def _footer_min_max(df: DataFrame, col: str):
                     continue  # all-null row group: F.min ignores it too
                 if not st.has_min_max:
                     return None
-                lo, hi = float(st.min), float(st.max)
+                # `+ 0.0` canonicalizes -0.0 -> 0.0: footer stats may
+                # record the negative-zero REPRESENTATION where the
+                # aggregate returns +0.0 (observed at sf0.1); the two
+                # compare equal and the bin arithmetic is invariant
+                # (x - (-0.0) == x - 0.0 bit-for-bit), but the probe
+                # should hand back the same value the job would
+                lo, hi = float(st.min) + 0.0, float(st.max) + 0.0
                 if lo != lo or hi != hi:  # NaN-polluted stats
                     return None
                 mn = lo if mn is None or lo < mn else mn

@@ -209,7 +209,12 @@ def test_footer_bounds_match_aggregate(spark, sf_dir):
     fm = _footer_min_max(ev, "value")
     row = ev.agg(F.min("value"), F.max("value")).first()
     if fm is not None:
+        import math
+
         assert fm == (row[0], row[1]), (fm, tuple(row))
+        # representation too: -0.0 vs 0.0 compare equal but the probe
+        # canonicalizes to the aggregate's form
+        assert math.copysign(1, fm[0]) == math.copysign(1, row[0])
     # a non-double column must refuse
     assert _footer_min_max(ev, "event_type") is None
     # a missing column must refuse
