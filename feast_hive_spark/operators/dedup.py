@@ -380,7 +380,7 @@ def _collapse_bundle(df: DataFrame, id_col: str, text_col: str,
     return plan_memo(
         spark,
         df,
-        ("near_dup_collapse_bundle", id_col, n, repr(threshold)),
+        ("near_dup_collapse_bundle", id_col, text_col, n, repr(threshold)),
         build,
     )
 

@@ -194,6 +194,14 @@ def _driver_pagerank_weighted(
     for s, d, w in edge_rows:
         inc.setdefault(s, []).append((d, int(w)))
         deg[d] = deg.get(d, 0) + int(w)
+    for u in inc:
+        if u not in deg:
+            raise ValueError(
+                "pagerank_weighted requires every source node to have "
+                f"incoming weight (deg(u) > 0); source {u!r} has no "
+                "in-edges. Symmetric graphs (every edge mirrored, as the "
+                "collapsed near-dup callers build) satisfy this."
+            )
     mult = {node: int(k) for node, k in weight_rows}
     nn = sum(mult.get(v, 1) for v in deg)
     if nn == 0:
@@ -243,6 +251,14 @@ def pagerank_weighted(
       over nodes in the graph (the MEMBER count, not the class
       count); nodes absent from ``node_weights`` count 1.
 
+    Precondition: every SOURCE node must also receive incoming weight
+    (``deg(u) > 0``) — the contribution term ``r(u) div deg(u)`` is
+    undefined otherwise. Symmetric graphs (every edge mirrored, which
+    is what the collapsed near-dup callers build) satisfy this by
+    construction; violations raise ``ValueError`` on BOTH the driver
+    and distributed paths (same typed error either side of
+    ``small_graph_threshold``).
+
     Same small-graph driver fast path / guarded probe as
     :func:`pagerank`. Output: one row per CLASS node (node,
     rank_e12) — each member of the class holds exactly this rank;
@@ -279,9 +295,27 @@ def _pagerank_weighted_build(
         probe = slim.limit(small_graph_threshold + 1).collect()
         if len(probe) <= small_graph_threshold:
             id_type = dict(edges.dtypes)[src]
-            wr = [] if node_weights is None else [
-                (r[0], r[1]) for r in node_weights.collect()
-            ]
+            if node_weights is None:
+                wr = []
+            else:
+                # Collect ONLY multiplicities of participating nodes
+                # (destinations — the only keys the driver recurrence
+                # reads): node_weights may be corpus-sized (one row per
+                # distinct text in pagerank_near_dup_collapsed) while
+                # the probed edge list is tiny, so a full collect here
+                # would ship a corpus-sized table to the driver. The
+                # semi-join keeps node_weights distributed and returns
+                # <= #distinct-dst <= #probed-edges rows.
+                nwc = node_weights.columns
+                participating = slim.select(
+                    F.col(dst).alias(nwc[0])
+                ).distinct()
+                wr = [
+                    (r[0], r[1])
+                    for r in node_weights.join(
+                        F.broadcast(participating), nwc[0], "left_semi"
+                    ).collect()
+                ]
             return _driver_pagerank_weighted(
                 spark, probe, wr, id_type, iters, damping_pct
             )
@@ -292,6 +326,20 @@ def _pagerank_weighted_build(
     deg = e.groupBy("d").agg(F.sum("wt").alias("dg")).select(
         F.col("d").alias("s"), "dg"
     )
+    # Precondition check mirroring the driver path: a source with no
+    # in-edges has deg(u) = 0 and its contribution r(u) div deg(u) is
+    # undefined — the inner join below would silently DROP such edges,
+    # diverging from the driver path's typed error. Fail loudly on both
+    # paths instead (one cheap probe job; the build is plan-memoized).
+    bad_src = e.join(deg, "s", "left_anti").select("s").first()
+    if bad_src is not None:
+        e.unpersist()
+        raise ValueError(
+            "pagerank_weighted requires every source node to have "
+            f"incoming weight (deg(u) > 0); source {bad_src[0]!r} has no "
+            "in-edges. Symmetric graphs (every edge mirrored, as the "
+            "collapsed near-dup callers build) satisfy this."
+        )
     if node_weights is None:
         nn_df = deg.agg(F.count(F.lit(1)).alias("nn"))
     else:

@@ -285,3 +285,61 @@ def test_pagerank_weighted_distributed_matches_driver(spark):
         ).collect()
     }
     assert drv == dist and len(drv) == 3
+
+
+def test_pagerank_weighted_source_without_in_edges_raises(spark):
+    """A source node with no incoming weight has deg(u)=0 and an
+    undefined contribution; both execution paths must raise the SAME
+    typed error (r12 — the driver path used to KeyError while the
+    distributed path silently dropped the edge)."""
+    import pytest
+
+    from feast_hive_spark.operators.graph import pagerank_weighted
+    from feast_hive_spark.plans import memo
+
+    # node 9 is a pure source: 9 -> 1 with no edge into 9
+    edges = [(1, 2, 1), (2, 1, 1), (9, 1, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    memo.clear()
+    with pytest.raises(ValueError, match="no\\s+in-edges"):
+        pagerank_weighted(e).collect()
+    memo.clear()
+    with pytest.raises(ValueError, match="no\\s+in-edges"):
+        pagerank_weighted(e, small_graph_threshold=0).collect()
+
+
+def test_pagerank_weighted_node_weights_superset_ignored(spark):
+    """node_weights rows for nodes absent from the graph must not
+    change the result on either path (r12 — the driver fast path now
+    semi-joins node_weights to participating destinations instead of
+    collecting the whole, possibly corpus-sized, table)."""
+    from feast_hive_spark.operators.graph import pagerank_weighted
+    from feast_hive_spark.plans import memo
+
+    edges = [(1, 2, 3), (2, 1, 2), (1, 1, 1), (2, 3, 2), (3, 2, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    nw_exact = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "node long, k long"
+    )
+    # superset: 500 extra nodes that never appear in the edge list
+    nw_super = nw_exact.union(
+        spark.range(1000, 1500).selectExpr("id as node", "5 as k")
+    )
+    memo.clear()
+    base = {
+        r.node: r.rank_e12
+        for r in pagerank_weighted(e, node_weights=nw_exact).collect()
+    }
+    memo.clear()
+    sup_drv = {
+        r.node: r.rank_e12
+        for r in pagerank_weighted(e, node_weights=nw_super).collect()
+    }
+    memo.clear()
+    sup_dist = {
+        r.node: r.rank_e12
+        for r in pagerank_weighted(
+            e, node_weights=nw_super, small_graph_threshold=0
+        ).collect()
+    }
+    assert base == sup_drv == sup_dist and len(base) == 3
