@@ -25,6 +25,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from feast_hive_spark.plans.bcast import sql_broadcast_hint as _sql_broadcast_hint
 from feast_hive_spark.plans.pit import FeatureView, get_historical_features
 from feast_hive_spark.plans.pull import pull_latest
 from feast_hive_spark.sources.tables import ensure_views, read_table
@@ -564,13 +565,15 @@ LIMIT 10
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> agg ->
-    top-k. customer is broadcast (small dim, explicit hint); the
-    orders⋈lineitem join is the only real shuffle; deterministic
-    total order for LIMIT. One-``spark.sql`` build (see
-    q1_pricing_summary)."""
+    top-k. customer is broadcast while the size gate holds
+    (plans/bcast.py — customer grows with scale, and an explicit hint
+    is never demoted by AQE); the orders⋈lineitem join is the only
+    real shuffle; deterministic total order for LIMIT. One-
+    ``spark.sql`` build (see q1_pricing_summary)."""
     ensure_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT /*+ BROADCAST(c) */
+    hint = _sql_broadcast_hint(spark, sf_dir, {"c": "customer"})
+    return spark.sql(f"""
+        SELECT {hint}
                l.l_orderkey,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
                o.o_orderdate
@@ -605,13 +608,20 @@ GROUP BY n.n_name
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join. All dims (region/nation/supplier/
-    customer) carry explicit broadcast hints — the fact-side
-    orders⋈lineitem shuffle is the only large exchange. One-
-    ``spark.sql`` build (see q1_pricing_summary); join order and
-    hints mirror the old DataFrame chain."""
+    customer) carry SIZE-GATED broadcast hints (plans/bcast.py):
+    supplier/customer grow with the data, and OSS Spark never demotes
+    an explicit hint, so past the gate the optimizer picks the
+    strategy (the scale harness measured a 0.870 time exponent from
+    the old forced customer broadcast). The fact-side orders⋈lineitem
+    shuffle is the only large exchange. One-``spark.sql`` build (see
+    q1_pricing_summary)."""
     ensure_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT /*+ BROADCAST(s, c, n, r) */
+    hint = _sql_broadcast_hint(
+        spark, sf_dir,
+        {"s": "supplier", "c": "customer", "n": "nation", "r": "region"},
+    )
+    return spark.sql(f"""
+        SELECT {hint}
                n.n_name,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
         FROM lineitem l

@@ -24,6 +24,7 @@ from feast_hive_spark.plans.memo import (
     plan_memo,
     plan_memo_peek,
 )
+from feast_hive_spark.plans.bcast import sql_broadcast_hint
 from feast_hive_spark.registry import register
 from feast_hive_spark.sources.tables import bind_sql_view, ensure_views, read_table
 
@@ -1370,9 +1371,10 @@ def chi2_event_type_segment(
             lambda: chi2_event_type_segment(spark, sf_dir, standalone=True),
         )
     ensure_views(spark, sf_dir)
-    return spark.sql("""
+    c_hint = sql_broadcast_hint(spark, sf_dir, {"c": "customer"})
+    return spark.sql(f"""
         WITH obs AS (
-          SELECT /*+ BROADCAST(c) */
+          SELECT {c_hint}
                  e.event_type, c.c_mktsegment AS segment, count(*) AS o
           FROM events e JOIN customer c ON e.user_id = c.c_custkey
           GROUP BY e.event_type, c.c_mktsegment
@@ -1572,8 +1574,9 @@ def _esr_g(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     ev = read_table(spark, sf_dir, "events")
     bin_sql = _esr_bin_sql(*_esr_bounds(spark, ev))
+    c_hint = sql_broadcast_hint(spark, sf_dir, {"c": "customer"})
     g_plan = spark.sql(f"""
-        SELECT /*+ BROADCAST(c) */
+        SELECT {c_hint}
                {bin_sql} AS bin,
                e.event_type, c.c_mktsegment AS segment, e.user_id,
                grouping_id() AS gid,
@@ -1624,8 +1627,9 @@ def _esr_g_peek(spark: SparkSession, sf_dir: str) -> "DataFrame | None":
     if b is None:
         return None
     bin_sql = _esr_bin_sql(b[0], b[1])
+    c_hint = sql_broadcast_hint(spark, sf_dir, {"c": "customer"})
     g_plan = spark.sql(f"""
-        SELECT /*+ BROADCAST(c) */
+        SELECT {c_hint}
                {bin_sql} AS bin,
                e.event_type, c.c_mktsegment AS segment, e.user_id,
                grouping_id() AS gid,

@@ -14,6 +14,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feast_hive_spark.plans.bcast import gated_broadcast, sql_broadcast_hint
 from feast_hive_spark.registry import register
 from feast_hive_spark.sources.tables import ensure_views, read_table
 
@@ -131,7 +132,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        gated_broadcast(cust), orders.o_custkey == cust.c_custkey
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
@@ -189,11 +190,15 @@ LIMIT 20
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer, top 20
-    with a deterministic total order; customer/nation broadcast.
+    with a deterministic total order; customer/nation broadcast while
+    the size gate holds (plans/bcast.py — customer grows with scale).
     One-``spark.sql`` build (see registry.q1_pricing_summary)."""
     ensure_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT /*+ BROADCAST(c, n) */
+    hint = sql_broadcast_hint(
+        spark, sf_dir, {"c": "customer", "n": "nation"}
+    )
+    return spark.sql(f"""
+        SELECT {hint}
                c.c_custkey, c.c_name, n.n_name,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
         FROM lineitem l
@@ -225,11 +230,12 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast
-    dim join. One-``spark.sql`` build (see
-    registry.q1_pricing_summary)."""
+    dim join (size-gated — part grows with scale). One-``spark.sql``
+    build (see registry.q1_pricing_summary)."""
     ensure_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT /*+ BROADCAST(p) */
+    hint = sql_broadcast_hint(spark, sf_dir, {"p": "part"})
+    return spark.sql(f"""
+        SELECT {hint}
                round(100.0D * sum(CASE WHEN p.p_type LIKE 'PROMO%'
                                        THEN l.l_extendedprice * (1 - l.l_discount)
                                        ELSE 0.0D END)
@@ -400,7 +406,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the join, keeping the cross-side OR as a post-join filter."""
     part = read_table(spark, sf_dir, "part")
     li = read_table(spark, sf_dir, "lineitem")
-    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    joined = li.join(gated_broadcast(part), part.p_partkey == li.l_partkey)
     arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, smax)
@@ -500,9 +506,9 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(gated_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -559,10 +565,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(gated_broadcast(p), li.l_partkey == p.p_partkey)
+        .join(gated_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
@@ -615,8 +621,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(10.0) * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(gated_broadcast(p), li.l_partkey == p.p_partkey)
+        .join(gated_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -671,7 +677,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     return (
-        F.broadcast(s)
+        gated_broadcast(s)
         .join(revenue, s.s_suppkey == revenue.supplier_no)
         .crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__mx"))
@@ -708,8 +714,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").like("%0001%")
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(blocked), li.l_suppkey == blocked.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(gated_broadcast(blocked), li.l_suppkey == blocked.s_suppkey, "left_anti")
+        .join(gated_broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
@@ -742,7 +748,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_thr"))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(gated_broadcast(p), li.l_partkey == p.p_partkey)
         .join(thr, li.l_partkey == thr.t_partkey)
         .filter(F.col("l_quantity") < F.col("qty_thr"))
         .agg(
@@ -812,7 +818,7 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        base.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        base.join(gated_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
@@ -1175,12 +1181,16 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").desc(), F.col("l_suppkey")
     )
     ranked = (
-        shipped.join(F.broadcast(regional), shipped.l_suppkey == regional.s_suppkey)
+        # regional is row-preserving over supplier (unique-key nation/
+        # region lookups), but Catalyst's join estimate multiplies the
+        # children — probe the supplier scan, the real bound.
+        shipped.join(gated_broadcast(regional, probe=su),
+                     shipped.l_suppkey == regional.s_suppkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
     return (
-        ranked.join(F.broadcast(p), ranked.l_partkey == p.p_partkey)
+        ranked.join(gated_broadcast(p), ranked.l_partkey == p.p_partkey)
         .select("p_partkey", "p_name", "s_name", "s_acctbal")
         .orderBy(F.col("s_acctbal").desc(), "p_partkey")
         .limit(20)
@@ -1215,7 +1225,7 @@ def q20_part_family_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part")
     s = read_table(spark, sf_dir, "supplier")
     per = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(gated_broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(
             F.sum(
@@ -1228,7 +1238,7 @@ def q20_part_family_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fam_qty") > 0.15 * F.col("tot_qty"))
     )
     return (
-        F.broadcast(s)
+        gated_broadcast(s)
         .join(per, s.s_suppkey == per.l_suppkey)
         .select(
             "s_suppkey",
@@ -1270,14 +1280,18 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations = read_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9")
     )
-    supp = read_table(spark, sf_dir, "supplier").join(
+    sup_base = read_table(spark, sf_dir, "supplier")
+    supp = sup_base.join(
         F.broadcast(nations),
         F.col("s_nationkey") == F.col("n_nationkey"),
     )
     li = read_table(spark, sf_dir, "lineitem")
     partvalue = (
         li.join(
-            F.broadcast(supp.select("s_suppkey")),
+            # supp is row-preserving over supplier (unique-key nation
+            # lookup) — probe the supplier scan, not the inflated join
+            # estimate.
+            gated_broadcast(supp.select("s_suppkey"), probe=sup_base),
             li.l_suppkey == F.col("s_suppkey"),
         )
         .groupBy("l_partkey")
