@@ -547,6 +547,7 @@ def emit(
     environment_note: dict | None = None,
     subset: bool = False,
     build_materialized: list[str] | None = None,
+    exec_spread: dict[str, list[float]] | None = None,
 ) -> None:
     total = round(sum(times.values()), 3)
     prep_total = round(sum(prepare.values()), 3)
@@ -583,6 +584,31 @@ def emit(
                 "prepare_cold_total": round(
                     sum(prepare_cold.values()), 3
                 ),
+                # r12 (r11 verdict #2 + advice): machine-readable
+                # measurement protocol, so cross-round diffs attribute
+                # definition changes to the harness, not the engine.
+                # prepare_cold=v2 since r11: base-table caches are
+                # materialized BEFORE the cold timer (uniform meaning
+                # across lazy/eager queries) — v2 colds are NOT
+                # comparable to r10-and-earlier v1 colds.
+                "accounting": {
+                    "prepare_cold": "v2",
+                    "exec": "median (5 runs; rel20 9); spread=[min,"
+                            "median,max] of the same runs",
+                    "unstable_rule": "max/min > 1.5 and max-min > 0.1s",
+                },
+                # raw per-query dispersion of the exec runs + the rows
+                # whose spread says this window was too noisy to read
+                # as a regression (r11: the driver window carried 2-4x
+                # inflation on the heavy family that two quieter
+                # windows refuted — the artifact now says so itself)
+                **({} if exec_spread is None else {
+                    "exec_spread_sec": exec_spread,
+                    "unstable": sorted(
+                        n for n, (lo, _, hi) in exec_spread.items()
+                        if lo > 0 and hi / lo > 1.5 and hi - lo > 0.1
+                    ),
+                }),
                 "conf": conf,
                 # r10 (r9 advice #4): queries whose prepared plan is
                 # only a local readout scan — the operator's real work
@@ -668,6 +694,7 @@ def main() -> None:
     times: dict[str, float] = {}
     prepare: dict[str, float] = {}
     prepare_cold: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     build_mat: list[str] = []
     rel20 = set(BENCH_QUERIES[:REL20_N])
     for name in names:
@@ -740,7 +767,14 @@ def main() -> None:
             t0 = time.perf_counter()
             _noop(df)
             runs.append(time.perf_counter() - t0)
-        times[name] = round(sorted(runs)[len(runs) // 2], 3)
+        runs.sort()
+        times[name] = round(runs[len(runs) // 2], 3)
+        # r12 (r11 verdict #2): the median alone cannot tell a reader
+        # whether THIS window was quiet — the r11 driver window carried
+        # 2-4x inflation on the heavy family that two other windows
+        # refuted. Emit the raw dispersion of the same runs the median
+        # came from, so a noisy window self-identifies in the artifact.
+        spread[name] = [round(runs[0], 3), times[name], round(runs[-1], 3)]
         # mechanical build-materialization flag (r9 advice #4): if the
         # prepared plan only scans an already-materialized local
         # readout (checkpoint/collect product) — no source scan, no
@@ -841,7 +875,7 @@ def main() -> None:
 
     emit(times, prepare, prepare_cold, sf, conf,
          environment_note=note, subset=bool(extra),
-         build_materialized=build_mat)
+         build_materialized=build_mat, exec_spread=spread)
 
 
 if __name__ == "__main__":

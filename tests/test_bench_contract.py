@@ -98,3 +98,27 @@ def test_tier100_guard_trip_classification():
     assert bs._is_guard({"error": "AnnQueryGuardError: ..."})
     assert not bs._is_guard({"error_sf1": "OutOfMemoryError: heap"})
     assert not bs._is_guard({"exponent": 0.5})
+
+
+def test_emit_spread_and_accounting(capsys, tmp_path, monkeypatch):
+    """r12 (r11 verdict #2): the summary must carry per-query exec
+    dispersion, an unstable list (spread > 1.5x AND > 0.1s absolute),
+    and the machine-readable accounting stamp (prepare_cold=v2)."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _: str(tmp_path))
+    spread = {
+        "steady": [0.10, 0.11, 0.12],
+        "noisy": [0.40, 0.80, 3.10],       # 7.8x, 2.7s — flags
+        "tiny_jitter": [0.004, 0.01, 0.02],  # 5x but 16ms — no flag
+    }
+    times = {k: v[1] for k, v in spread.items()}
+    bench.emit(times, {k: 0.01 for k in times}, {k: 0.02 for k in times},
+               0.1, {"k": "v"}, exec_spread=spread)
+    capsys.readouterr()
+    summary = json.loads((tmp_path / "BENCH_SUMMARY.json").read_text())
+    assert summary["exec_spread_sec"] == spread
+    assert summary["unstable"] == ["noisy"]
+    assert summary["accounting"]["prepare_cold"] == "v2"
