@@ -1708,6 +1708,10 @@ def _local_numeric_frame(spark: SparkSession, rows, schema) -> DataFrame:
         if t == "string":
             esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
             return f"'{esc}'"
+        if t == "timestamp":
+            # collected as a naive datetime in the session tz (UTC —
+            # read_table forces it); str() is a valid Spark literal
+            return f"TIMESTAMP '{v}'"
         return f"CAST({v} AS {t.upper()})"
     types = [f.dataType.simpleString() for f in schema.fields]
     vals = ",".join(
