@@ -101,6 +101,19 @@ def register(name: str, oracle: str | None):
 # (CORRECTNESS_FULL_r*.json). Names absent from REGISTRY are ignored,
 # names absent from this list follow in registration order.
 SAMPLE_ROTATION: list[str] = [
+    # r12 (r11 verdict #6): the driver's 50-query sample front-loaded
+    # analytics two rounds running and carried ZERO flagship/§2 rows —
+    # rotate the PIT/pull/TPC-H family back to the very front so the
+    # per-round external gate covers the flagship again.
+    "pit_asof_join", "pit_multi_feature_view", "pit_created_ts_dedup",
+    "pit_asof_join_ttl0", "pit_entity_sql", "pit_query_source",
+    "pit_composite_keys", "pit_leakage_audit",
+    "pull_latest", "pull_latest_entityless",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_revenue_delta",
+    "q10_returned_items", "q14_promo_revenue", "q18_large_orders",
+    "timestamp_bounds", "query_source_revenue_by_nation",
+    "topk_parts_per_brand", "events_daily_rollup",
     # r7: exactly the 33 entries never present in any of
     # CORRECTNESS_r01..r06.json (computed from those artifacts) —
     # front-loaded so the r7 driver sample exhausts the backlog for
