@@ -170,6 +170,12 @@ AUDITS = {
     # span dedup: ONE hash-keyed count-over-partition window marks
     # duplicates; text never shuffles; no corpus-sized sort-merge join
     "span_dedup_stats": (["Window", "HashAggregate"], ["CartesianProduct", "SortMergeJoin"]),
+    # r12 duplicate-span family: anchor counts are hash-keyed
+    # aggregates, the islands merge is a per-doc Window over that
+    # doc's own duplicated positions; no cartesian anywhere (the
+    # membership fan-out joins on the text hash)
+    "dedup_duplicate_spans": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    "dedup_duplicate_span_stats": (["Window", "HashAggregate"], ["CartesianProduct"]),
     # tfidf: doc-keyed repartition feeds BOTH the (doc,term) agg and
     # the ranking window (no further exchange); vocab joins broadcast
     "tfidf_top_terms": (

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "price_quantity_corr",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_duplicate_spans",
+    "dedup_duplicate_span_stats",
     "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",

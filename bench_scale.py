@@ -110,6 +110,10 @@ SF10_QUERIES = [
     "hard_negative_pairs",
     "hard_negative_pairs_lsh",
     "fuzzy_part_name_stats",
+    # r12: duplicate-span family (exact-collapse pre-pass — work
+    # scales with distinct-text token volume under copy duplication)
+    "dedup_duplicate_spans",
+    "dedup_duplicate_span_stats",
     # r10: fused one-scan events report — the tier rows are the
     # crossover evidence vs three separate fact scans
     "events_scalar_report",
@@ -165,6 +169,11 @@ SCALE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_jaccard_prefix",
+    # r12: exact substring-level duplicate spans (Lee et al. family) —
+    # anchors are distinct-text-token-sized; the member table is the
+    # output fan-out, the stats twin the bounded form
+    "dedup_duplicate_spans",
+    "dedup_duplicate_span_stats",
     "dedup_embedding_cosine_lsh",
     "dedup_components",
     "pagerank_near_dup",

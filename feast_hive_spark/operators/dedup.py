@@ -1924,3 +1924,170 @@ def minhash_band_sweep(
     with_sh.unpersist()
     sigs.unpersist()
     return out
+
+
+def _dup_anchor_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """Shared front half of the duplicate-span family (r12): returns
+    ``(dpos, rk, mem)`` where ``dpos`` is the (``__rid``, ``pos``) set
+    of anchor positions whose k-token n-gram occurs >= 2 times in the
+    MEMBER-level corpus, computed entirely on distinct texts.
+
+    The exact-collapse pre-pass reuses the session bundle's membership
+    and class tables (``_collapse_bundle`` with the registry-canonical
+    near-dup config — only the param-independent ``mem``/``rk`` halves
+    are consumed; the bundle's rep-pair checkpoint is lazy and stays
+    unexecuted unless another consumer asks). Global anchor
+    multiplicity weights each rep-text occurrence by its class size,
+    so a text duplicated d times contributes d occurrences per
+    position — exactly the member-level count, including within-doc
+    repeats (the Lee et al. 2022 notion: ANY second occurrence makes
+    the span a duplicate).
+
+    Scale shape: positional anchors are one row per token position of
+    DISTINCT text (linear, the same volume class as the shingle
+    index); the duplicated-hash filter is one hash-keyed aggregate +
+    semi join; nothing is collected.
+    """
+    mem, rk, _, _ = _collapse_bundle(df, id_col, text_col, 3, 0.5)
+    reps = df.join(
+        rk.select(F.col("__node").alias(id_col)), id_col, "left_semi"
+    )
+    toks = reps.select(
+        F.col(id_col).alias("__rid"),
+        X.tokens_array(text_col).alias("__tok"),
+    )
+    # positional k-gram H48 anchors: one per start position (NOT
+    # distinct — within-doc repeats are duplication evidence here)
+    anchors = toks.select(
+        "__rid",
+        F.posexplode(
+            F.when(
+                F.size("__tok") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__tok") - k),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    " ", F.slice("__tok", i + F.lit(1), k)
+                                )
+                            ),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "__h"),
+    )
+    wk = rk.select(F.col("__node").alias("__rid"), "__k")
+    aw = anchors.join(wk, "__rid")
+    dup_h = (
+        aw.groupBy("__h")
+        .agg(F.sum("__k").alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+        .select("__h")
+    )
+    dpos = anchors.join(dup_h, "__h", "left_semi").select("__rid", "pos")
+    return dpos, rk, mem
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring-level duplicate-span detection — the
+    distributed k-gram-anchor formulation of the suffix-array
+    duplicate-text family (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): every duplicated token span
+    of length >= k covers duplicated k-gram anchors at each of its
+    start positions, so maximal RUNS of duplicated anchor positions
+    recover the duplicated spans (runs may splice adjacent duplicate
+    sources — the standard, conservative-in-coverage approximation;
+    both engines of the oracle pair compute the identical quantity).
+
+    Pipeline: exact-collapse to distinct texts -> positional k-gram
+    anchors -> class-size-weighted global occurrence counts (>= 2 =
+    duplicated, within-doc repeats included) -> gaps-and-islands run
+    merge per rep text (window over the doc's own duplicated
+    positions) -> fan the rep spans back through the membership table.
+
+    Output: one row per maximal duplicated span occurrence
+    ``(doc_id, span_start, span_len)`` — token offsets, 0-based,
+    length in tokens (>= k). No reference counterpart (the reference
+    has no dedup at all); this rounds out the LLM-curation dedup
+    vocabulary next to the approximate winnowing/fingerprint route.
+    """
+    dpos, rk, mem = _dup_anchor_positions(df, id_col, text_col, k)
+    w = Window.partitionBy("__rid").orderBy("pos")
+    spans_rep = (
+        dpos.withColumn("__g", F.col("pos") - F.row_number().over(w))
+        .groupBy("__rid", "__g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+        )
+        .select("__rid", "span_start", "span_len")
+    )
+    reps = rk.select(F.col("__node").alias("__rid"), "__th")
+    return (
+        spans_rep.join(reps, "__rid")
+        .join(mem, "__th")
+        .select(
+            F.col("__mid").alias(id_col),
+            "span_start",
+            "span_len",
+        )
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Collapsed stats twin of :func:`duplicate_spans` — the
+    corpus-level duplication profile WITHOUT materializing the
+    member-level span fan-out (output-sized by construction: 1 row).
+    Aggregates at the class level with class-size multiplicities, so
+    the numbers equal aggregating the member-level span table.
+
+    Output: ``(n_docs_with_spans, n_spans, dup_tokens,
+    max_span_len)`` — documents carrying >= 1 duplicated span, total
+    span occurrences, total duplicated-token volume, longest span.
+    """
+    dpos, rk, _ = _dup_anchor_positions(df, id_col, text_col, k)
+    w = Window.partitionBy("__rid").orderBy("pos")
+    spans_rep = (
+        dpos.withColumn("__g", F.col("pos") - F.row_number().over(w))
+        .groupBy("__rid", "__g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).alias("span_len"),
+        )
+    )
+    per_rep = spans_rep.groupBy("__rid").agg(
+        F.count(F.lit(1)).alias("__nsp"),
+        F.sum("span_len").alias("__tok"),
+        F.max("span_len").alias("__mx"),
+    )
+    wk = rk.select(F.col("__node").alias("__rid"), "__k")
+    return per_rep.join(wk, "__rid").agg(
+        F.coalesce(F.sum("__k").cast("long"), F.lit(0)).alias(
+            "n_docs_with_spans"
+        ),
+        F.coalesce(
+            F.sum(F.col("__nsp") * F.col("__k")).cast("long"), F.lit(0)
+        ).alias("n_spans"),
+        F.coalesce(
+            F.sum(F.col("__tok") * F.col("__k")).cast("long"), F.lit(0)
+        ).alias("dup_tokens"),
+        F.coalesce(F.max("__mx").cast("long"), F.lit(0)).alias("max_span_len"),
+    )

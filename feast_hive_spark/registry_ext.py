@@ -151,6 +151,93 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+_DUCK_SPAN_K = 8
+# shared oracle CTE chain: exact-collapse to distinct texts ->
+# positional k-gram H48 anchors with class multiplicity -> duplicated
+# positions -> gaps-and-islands run merge (mirrors
+# operators/dedup.duplicate_spans step for step)
+_DUCK_SPANS_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, md5(text) AS th,
+         string_split_regex(lower(text), '\\s+') AS w
+  FROM documents
+),
+cls AS (
+  SELECT th, MIN(doc_id) AS rep, COUNT(*) AS ksize FROM tok GROUP BY th
+),
+rep AS (
+  SELECT c.rep AS rid, t.w, c.ksize
+  FROM tok t JOIN cls c ON t.doc_id = c.rep
+),
+anch AS (
+  SELECT rid, ksize, i - 1 AS pos,
+         CAST(('0x' || substr(md5({" || ' ' || ".join(f"w[i+{j}]" for j in range(_DUCK_SPAN_K))}), 1, 12)) AS BIGINT) AS h
+  FROM rep, UNNEST(range(1, greatest(len(w) - {_DUCK_SPAN_K - 2}, 1))) AS u(i)
+),
+duph AS (
+  SELECT h FROM (SELECT h, SUM(ksize) AS c FROM anch GROUP BY h)
+  WHERE c >= 2
+),
+dpos AS (
+  SELECT a.rid, a.pos FROM anch a WHERE a.h IN (SELECT h FROM duph)
+),
+isl AS (
+  SELECT rid, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY rid ORDER BY pos) AS g
+  FROM dpos
+),
+spans AS (
+  SELECT rid, MIN(pos) AS span_start,
+         MAX(pos) - MIN(pos) + {_DUCK_SPAN_K} AS span_len
+  FROM isl GROUP BY rid, g
+)
+"""
+
+
+@register(
+    "dedup_duplicate_spans",
+    _DUCK_SPANS_CTE + """
+SELECT t.doc_id, CAST(s.span_start AS BIGINT) AS span_start,
+       CAST(s.span_len AS BIGINT) AS span_len
+FROM spans s JOIN cls c ON s.rid = c.rep JOIN tok t ON t.th = c.th
+""",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplicate spans (the Lee et al. 2022
+    suffix-array family, k-gram-anchor formulation): maximal token
+    spans of length >= 8 occurring >= 2 times in the corpus
+    (within-doc repeats included), per document occurrence. See
+    operators/dedup.duplicate_spans for the distributed shape
+    (exact-collapse pre-pass, anchors linear in distinct-text token
+    volume, per-doc islands window, membership fan-out)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, "doc_id", "text", k=_DUCK_SPAN_K)
+
+
+@register(
+    "dedup_duplicate_span_stats",
+    _DUCK_SPANS_CTE + """
+, per AS (
+  SELECT rid, COUNT(*) AS nsp, SUM(span_len) AS tok, MAX(span_len) AS mx
+  FROM spans GROUP BY rid
+)
+SELECT COALESCE(CAST(SUM(c.ksize) AS BIGINT), 0) AS n_docs_with_spans,
+       COALESCE(CAST(SUM(p.nsp * c.ksize) AS BIGINT), 0) AS n_spans,
+       COALESCE(CAST(SUM(p.tok * c.ksize) AS BIGINT), 0) AS dup_tokens,
+       COALESCE(CAST(MAX(p.mx) AS BIGINT), 0) AS max_span_len
+FROM per p JOIN cls c ON p.rid = c.rep
+""",
+)
+def dedup_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsed 1-row stats twin of dedup_duplicate_spans — the
+    scale-safe report when the member-level span fan-out itself is
+    not wanted (the fuzzy_part_name_pairs lesson: expansion tables
+    are output-sized by declared semantics; the stats twin is the
+    bounded alternative)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.duplicate_span_stats(docs, "doc_id", "text", k=_DUCK_SPAN_K)
+
+
 def _duck_minhash_banded_sql() -> str:
     rows_per_band = len(X.MINHASH_COEFS) // 4
     band_selects = []

@@ -617,3 +617,69 @@ def test_cc_collapsed_matches_member_level(spark):
     }
     assert got_dist == exp
     memo.clear()
+
+
+def test_duplicate_spans_fixture(spark):
+    """Adversarial fixture for the k-gram-anchor duplicate-span
+    operator (r12): cross-doc shared span, exact-duplicate class
+    (whole doc = one span via class multiplicity), within-doc repeat
+    (two spans in one doc), and an isolated doc with no spans."""
+    from feast_hive_spark.operators.dedup import (
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+    from feast_hive_spark.plans import memo
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x a b c d e f g h zz"),
+        (3, "m n o p q r s t u"),
+        (4, "m n o p q r s t u"),
+        (5, "p q r s t u v w z9 p q r s t u v w"),
+        (6, "totally distinct words with no duplication at all here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    memo.clear()
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans(df, "doc_id", "text", k=8).collect()
+    }
+    assert got == {
+        (1, 0, 8),
+        (2, 2, 8),
+        (3, 0, 9),
+        (4, 0, 9),
+        (5, 0, 8),
+        (5, 9, 8),
+    }
+    st = duplicate_span_stats(df, "doc_id", "text", k=8).collect()[0]
+    assert (
+        st.n_docs_with_spans,
+        st.n_spans,
+        st.dup_tokens,
+        st.max_span_len,
+    ) == (5, 6, 50, 9)
+
+
+def test_duplicate_spans_empty_and_short(spark):
+    """Docs shorter than k tokens produce no anchors; a corpus with no
+    duplication produces zero spans and an all-zero stats row."""
+    from feast_hive_spark.operators.dedup import (
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+    from feast_hive_spark.plans import memo
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "also brief"), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    memo.clear()
+    assert duplicate_spans(df, "doc_id", "text", k=8).count() == 0
+    st = duplicate_span_stats(df, "doc_id", "text", k=8).collect()[0]
+    assert (
+        st.n_docs_with_spans,
+        st.n_spans,
+        st.dup_tokens,
+        st.max_span_len,
+    ) == (0, 0, 0, 0)

@@ -222,3 +222,16 @@ def test_footer_bounds_match_aggregate(spark, sf_dir):
     # an in-memory frame (no files) must refuse
     local = spark.createDataFrame([(1.0,)], "value double")
     assert _footer_min_max(local, "value") is None
+
+
+def test_duplicate_spans_not_vacuous(spark, sf_dir):
+    """r12: the fixture must actually contain >= 8-token duplicated
+    spans (exact-dup docs guarantee whole-doc spans), and the stats
+    twin must equal the aggregate of the member-level span table."""
+    spans = _run(spark, sf_dir, "dedup_duplicate_spans")
+    assert len(spans) > 0 and (spans["span_len"] >= 8).all()
+    st = _run(spark, sf_dir, "dedup_duplicate_span_stats").iloc[0]
+    assert st["n_spans"] == len(spans)
+    assert st["n_docs_with_spans"] == spans["doc_id"].nunique()
+    assert st["dup_tokens"] == spans["span_len"].sum()
+    assert st["max_span_len"] == spans["span_len"].max()
