@@ -1948,9 +1948,31 @@ def _dup_anchor_positions(
     Scale shape: positional anchors are one row per token position of
     DISTINCT text (linear, the same volume class as the shingle
     index); the duplicated-hash filter is one hash-keyed aggregate +
-    semi join; nothing is collected.
+    semi join; nothing is collected. ``dpos`` sits behind a session-
+    memoized lazy localCheckpoint (the _collapse_bundle protocol) so
+    the anchor self-aggregation — the expensive stage — runs ONCE per
+    session however many consumers ask (the span table and its stats
+    twin share it).
     """
+    spark = df.sparkSession
     mem, rk, _, _ = _collapse_bundle(df, id_col, text_col, 3, 0.5)
+
+    def build() -> DataFrame:
+        return ckpt.track(
+            _dup_anchor_positions_build(
+                df, id_col, text_col, k, rk
+            ).localCheckpoint(eager=False)
+        )
+
+    dpos = plan_memo(
+        spark, df, ("dup_anchor_positions", id_col, text_col, k), build
+    )
+    return dpos, rk, mem
+
+
+def _dup_anchor_positions_build(
+    df: DataFrame, id_col: str, text_col: str, k: int, rk: DataFrame
+) -> DataFrame:
     reps = df.join(
         rk.select(F.col("__node").alias(id_col)), id_col, "left_semi"
     )
@@ -1992,8 +2014,7 @@ def _dup_anchor_positions(
         .filter(F.col("__cnt") >= 2)
         .select("__h")
     )
-    dpos = anchors.join(dup_h, "__h", "left_semi").select("__rid", "pos")
-    return dpos, rk, mem
+    return anchors.join(dup_h, "__h", "left_semi").select("__rid", "pos")
 
 
 def duplicate_spans(
