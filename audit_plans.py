@@ -176,6 +176,10 @@ AUDITS = {
     # membership fan-out joins on the text hash)
     "dedup_duplicate_spans": (["Window", "HashAggregate"], ["CartesianProduct"]),
     "dedup_duplicate_span_stats": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    # strip: first-occurrence selection is a hash-keyed min-struct
+    # aggregate; cleaned text is rebuilt per DISTINCT text then fanned
+    # out through the membership hash join
+    "dedup_span_strip": (["HashAggregate"], ["CartesianProduct"]),
     # tfidf: doc-keyed repartition feeds BOTH the (doc,term) agg and
     # the ranking window (no further exchange); vocab joins broadcast
     "tfidf_top_terms": (

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_duplicate_spans",
     "dedup_duplicate_span_stats",
+    "dedup_span_strip",
     "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -114,6 +114,7 @@ SF10_QUERIES = [
     # scales with distinct-text token volume under copy duplication)
     "dedup_duplicate_spans",
     "dedup_duplicate_span_stats",
+    "dedup_span_strip",
     # r10: fused one-scan events report — the tier rows are the
     # crossover evidence vs three separate fact scans
     "events_scalar_report",
@@ -171,9 +172,11 @@ SCALE_QUERIES = [
     "dedup_jaccard_prefix",
     # r12: exact substring-level duplicate spans (Lee et al. family) —
     # anchors are distinct-text-token-sized; the member table is the
-    # output fan-out, the stats twin the bounded form
+    # output fan-out, the stats twin the bounded form, the strip the
+    # corpus rewrite (cleaned text built per distinct text)
     "dedup_duplicate_spans",
     "dedup_duplicate_span_stats",
+    "dedup_span_strip",
     "dedup_embedding_cosine_lsh",
     "dedup_components",
     "pagerank_near_dup",

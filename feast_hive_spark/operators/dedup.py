@@ -2014,7 +2014,11 @@ def _dup_anchor_positions_build(
         .filter(F.col("__cnt") >= 2)
         .select("__h")
     )
-    return anchors.join(dup_h, "__h", "left_semi").select("__rid", "pos")
+    # __h rides along for the strip consumer (first-occurrence
+    # selection needs the k-gram identity); span/stats ignore it
+    return anchors.join(dup_h, "__h", "left_semi").select(
+        "__rid", "pos", "__h"
+    )
 
 
 def duplicate_spans(
@@ -2111,4 +2115,133 @@ def duplicate_span_stats(
             F.sum(F.col("__tok") * F.col("__k")).cast("long"), F.lit(0)
         ).alias("dup_tokens"),
         F.coalesce(F.max("__mx").cast("long"), F.lit(0)).alias("max_span_len"),
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """The Lee et al. 2022 ACTION for :func:`duplicate_spans` —
+    rewrite the corpus with duplicated regions collapsed to their
+    first occurrence.
+
+    Semantics (deterministic, order-free): every duplicated k-gram
+    keeps exactly its FIRST member-level occurrence — minimal
+    (doc_id, position); a token position is removed iff it is covered
+    by >= 1 duplicated anchor and by ZERO first-occurrence anchors of
+    its own document. Because the exact-collapse representative is
+    the MIN member id, member-level first occurrence reduces to
+    rep-level first occurrence: for the rep document the removed set
+    is (redundant coverage) minus (canonical coverage) — subtracting
+    canonical coverage is what keeps the retained copy intact when a
+    kept and a dropped k-gram overlap — and for every other member of
+    an exact-duplicate class NO occurrence is first (the rep's is),
+    so its entire duplicated coverage drops (an exact-dup doc of
+    >= k tokens cleans to the empty string: full deduplication).
+
+    Output: one row per document ``(id, text_clean, n_tokens,
+    n_removed)`` — surviving tokens re-joined with single spaces.
+    Scale shape: anchors/coverage are linear in distinct-text token
+    volume (coverage explosion is k rows per duplicated anchor); the
+    per-doc removed-position sets are bounded by doc length; text is
+    rebuilt only for distinct texts and fanned out through the
+    membership table.
+    """
+    spark = df.sparkSession
+    # share the session anchor checkpoint with the span/stats
+    # consumers — the k-gram identity (__h) rides in it for the
+    # first-occurrence selection below
+    da, rk, mem = _dup_anchor_positions(df, id_col, text_col, k)
+
+    def build() -> DataFrame:
+        # canonical occurrence per duplicated k-gram: min (rid, pos)
+        canon = da.groupBy("__h").agg(
+            F.min(F.struct("__rid", "pos")).alias("__c")
+        ).select(
+            "__h",
+            F.col("__c.__rid").alias("__crid"),
+            F.col("__c.pos").alias("__cpos"),
+        )
+        dac = da.join(canon, "__h").withColumn(
+            "__is_first",
+            (F.col("__rid") == F.col("__crid"))
+            & (F.col("pos") == F.col("__cpos")),
+        )
+        cov = dac.select(
+            "__rid",
+            "__is_first",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("tp"),
+        )
+        first_cov = (
+            cov.filter("__is_first").select("__rid", "tp").distinct()
+        )
+        all_cov = cov.select("__rid", "tp").distinct()
+        # rep document: drop coverage not protected by a first
+        # occurrence; non-rep members: drop ALL duplicated coverage
+        rep_rm = all_cov.join(first_cov, ["__rid", "tp"], "left_anti")
+        rep_rm_set = rep_rm.groupBy("__rid").agg(
+            F.collect_set("tp").alias("__rm_rep")
+        )
+        all_rm_set = all_cov.groupBy("__rid").agg(
+            F.collect_set("tp").alias("__rm_all")
+        )
+        return ckpt.track(
+            rep_rm_set.join(all_rm_set, "__rid", "full_outer")
+            .localCheckpoint(eager=False)
+        )
+
+    rm = plan_memo(
+        spark, df, ("strip_duplicate_spans", id_col, text_col, k), build
+    )
+    reps = df.join(
+        rk.select(F.col("__node").alias(id_col)), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("__rid"),
+        X.tokens_array(text_col).alias("__tok"),
+    )
+    empty_arr = F.array().cast("array<int>")
+    per_rep = reps.join(rm, "__rid", "left").select(
+        "__rid",
+        "__tok",
+        F.coalesce("__rm_rep", empty_arr).alias("__rm_rep"),
+        F.coalesce("__rm_all", empty_arr).alias("__rm_all"),
+    )
+
+    def cleaned(rm_col: str):
+        return F.concat_ws(
+            " ",
+            F.filter(
+                F.col("__tok"),
+                lambda x, i: ~F.array_contains(F.col(rm_col), i),
+            ),
+        )
+
+    both = per_rep.select(
+        "__rid",
+        F.size("__tok").cast("long").alias("n_tokens"),
+        cleaned("__rm_rep").alias("__clean_rep"),
+        F.size("__rm_rep").cast("long").alias("__nrm_rep"),
+        cleaned("__rm_all").alias("__clean_all"),
+        F.size("__rm_all").cast("long").alias("__nrm_all"),
+    )
+    rep_of = rk.select(F.col("__node").alias("__rid"), "__th")
+    return (
+        both.join(rep_of, "__rid")
+        .join(mem, "__th")
+        .select(
+            F.col("__mid").alias(id_col),
+            F.when(F.col("__mid") == F.col("__rid"), F.col("__clean_rep"))
+            .otherwise(F.col("__clean_all"))
+            .alias("text_clean"),
+            "n_tokens",
+            F.when(F.col("__mid") == F.col("__rid"), F.col("__nrm_rep"))
+            .otherwise(F.col("__nrm_all"))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )

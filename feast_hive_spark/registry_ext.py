@@ -152,11 +152,11 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_SPAN_K = 8
-# shared oracle CTE chain: exact-collapse to distinct texts ->
-# positional k-gram H48 anchors with class multiplicity -> duplicated
-# positions -> gaps-and-islands run merge (mirrors
-# operators/dedup.duplicate_spans step for step)
-_DUCK_SPANS_CTE = f"""
+# shared oracle prefix: exact-collapse to distinct texts ->
+# positional k-gram H48 anchors with class multiplicity ->
+# duplicated anchor occurrences (mirrors
+# operators/dedup._dup_anchor_positions step for step)
+_DUCK_SPANS_PREFIX = f"""
 WITH tok AS (
   SELECT doc_id, md5(text) AS th,
          string_split_regex(lower(text), '\\s+') AS w
@@ -178,13 +178,17 @@ duph AS (
   SELECT h FROM (SELECT h, SUM(ksize) AS c FROM anch GROUP BY h)
   WHERE c >= 2
 ),
-dpos AS (
-  SELECT a.rid, a.pos FROM anch a WHERE a.h IN (SELECT h FROM duph)
-),
+dpos_h AS (
+  SELECT a.rid, a.pos, a.h FROM anch a WHERE a.h IN (SELECT h FROM duph)
+)
+"""
+
+# span-table suffix: gaps-and-islands run merge
+_DUCK_SPANS_CTE = _DUCK_SPANS_PREFIX + f""",
 isl AS (
   SELECT rid, pos,
          pos - ROW_NUMBER() OVER (PARTITION BY rid ORDER BY pos) AS g
-  FROM dpos
+  FROM dpos_h
 ),
 spans AS (
   SELECT rid, MIN(pos) AS span_start,
@@ -236,6 +240,63 @@ def dedup_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded alternative)."""
     docs = read_table(spark, sf_dir, "documents")
     return D.duplicate_span_stats(docs, "doc_id", "text", k=_DUCK_SPAN_K)
+
+
+@register(
+    "dedup_span_strip",
+    _DUCK_SPANS_PREFIX + f""",
+daf AS (
+  SELECT d.rid, d.pos, d.h,
+         (c2.crid = d.rid AND c2.cpos = d.pos) AS is_first
+  FROM dpos_h d
+  JOIN (
+    SELECT d2.h, d2.rid AS crid, MIN(d2.pos) AS cpos
+    FROM dpos_h d2
+    JOIN (SELECT h, MIN(rid) AS crid FROM dpos_h GROUP BY h) c1
+      ON d2.h = c1.h AND d2.rid = c1.crid
+    GROUP BY d2.h, d2.rid
+  ) c2 ON d.h = c2.h
+),
+cov AS (
+  SELECT rid, is_first, UNNEST(range(pos, pos + {_DUCK_SPAN_K})) AS tp
+  FROM daf
+),
+firstcov AS (SELECT DISTINCT rid, tp FROM cov WHERE is_first),
+allcov AS (SELECT DISTINCT rid, tp FROM cov),
+reprm AS (
+  SELECT a.rid, a.tp FROM allcov a
+  ANTI JOIN firstcov f ON a.rid = f.rid AND a.tp = f.tp
+),
+rmrep AS (SELECT rid, list(tp) AS rm FROM reprm GROUP BY rid),
+rmall AS (SELECT rid, list(tp) AS rm FROM allcov GROUP BY rid)
+SELECT t.doc_id,
+       coalesce(array_to_string(
+         list_filter(r.w, (x, i) -> NOT list_contains(
+           CASE WHEN t.doc_id = c.rep
+                THEN coalesce(rr.rm, CAST([] AS BIGINT[]))
+                ELSE coalesce(ra.rm, CAST([] AS BIGINT[])) END, i - 1)),
+         ' '), '') AS text_clean,
+       CAST(len(r.w) AS BIGINT) AS n_tokens,
+       CAST(len(CASE WHEN t.doc_id = c.rep
+                     THEN coalesce(rr.rm, CAST([] AS BIGINT[]))
+                     ELSE coalesce(ra.rm, CAST([] AS BIGINT[])) END)
+            AS BIGINT) AS n_removed
+FROM tok t
+JOIN cls c ON t.th = c.th
+JOIN rep r ON r.rid = c.rep
+LEFT JOIN rmrep rr ON rr.rid = c.rep
+LEFT JOIN rmall ra ON ra.rid = c.rep
+""",
+)
+def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. transformation itself: rewrite every document
+    with duplicated k-gram regions collapsed to their first
+    (doc_id, pos) occurrence — exact-dup members clean to empty, the
+    canonical holder keeps its copy intact even where kept and
+    dropped k-grams overlap. Full cleaned text is oracle-compared
+    (see operators/dedup.strip_duplicate_spans)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.strip_duplicate_spans(docs, "doc_id", "text", k=_DUCK_SPAN_K)
 
 
 def _duck_minhash_banded_sql() -> str:

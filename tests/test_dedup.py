@@ -683,3 +683,42 @@ def test_duplicate_spans_empty_and_short(spark):
         st.dup_tokens,
         st.max_span_len,
     ) == (0, 0, 0, 0)
+
+
+def test_strip_duplicate_spans_fixture(spark):
+    """strip_duplicate_spans: every duplicated k-gram keeps its first
+    (doc_id, pos) occurrence; tokens covered only by non-first
+    duplicates drop. Covers: canonical holder untouched, cross-doc
+    strip, exact-dup member cleaning to empty while the rep survives,
+    within-doc repeat, and the overlap case (a doc holding BOTH a
+    redundant and a canonical anchor whose coverages overlap — the
+    canonical coverage must protect the kept copy)."""
+    from feast_hive_spark.operators.dedup import strip_duplicate_spans
+    from feast_hive_spark.plans import memo
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x a b c d e f g h zz"),
+        (3, "m n o p q r s t u"),
+        (4, "m n o p q r s t u"),
+        (5, "p q r s t u v w z9 p q r s t u v w"),
+        (6, "totally distinct words with no duplication at all here ok"),
+        (7, "a b c d e f g h tail7a tail7b"),
+        (8, "zz c d e f g h tail7a tail7b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    memo.clear()
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in strip_duplicate_spans(df, "doc_id", "text", k=8).collect()
+    }
+    assert got == {
+        1: ("a b c d e f g h i j", 10, 0),
+        2: ("x x zz", 11, 8),
+        3: ("m n o p q r s t u", 9, 0),
+        4: ("", 9, 9),
+        5: ("p q r s t u v w z9", 17, 8),
+        6: (rows[5][1], 10, 0),
+        7: ("c d e f g h tail7a tail7b", 10, 2),
+        8: ("zz", 9, 8),
+    }

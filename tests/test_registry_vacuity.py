@@ -235,3 +235,20 @@ def test_duplicate_spans_not_vacuous(spark, sf_dir):
     assert st["n_docs_with_spans"] == spans["doc_id"].nunique()
     assert st["dup_tokens"] == spans["span_len"].sum()
     assert st["max_span_len"] == spans["span_len"].max()
+
+
+def test_span_strip_not_vacuous(spark, sf_dir):
+    """r12: the strip must actually remove tokens somewhere (exact-dup
+    members clean to empty), keep totals consistent with the span
+    table, and never remove from a doc without duplicated spans."""
+    strip = _run(spark, sf_dir, "dedup_span_strip")
+    assert (strip["n_removed"] > 0).any()
+    spans = _run(spark, sf_dir, "dedup_duplicate_spans")
+    touched = set(spans["doc_id"])
+    untouched = strip[~strip["doc_id"].isin(touched)]
+    assert (untouched["n_removed"] == 0).all()
+    # cleaned token count = n_tokens - n_removed for every doc
+    n_clean = strip["text_clean"].map(
+        lambda s: len(s.split(" ")) if s else 0
+    )
+    assert (n_clean == strip["n_tokens"] - strip["n_removed"]).all()
