@@ -114,6 +114,10 @@ SAMPLE_ROTATION: list[str] = [
     "q10_returned_items", "q14_promo_revenue", "q18_large_orders",
     "timestamp_bounds", "query_source_revenue_by_nation",
     "topk_parts_per_brand", "events_daily_rollup",
+    # r12 additions (new queries, never driver-sampled by definition)
+    "dedup_duplicate_spans",
+    "dedup_duplicate_span_stats",
+    "dedup_span_strip",
     # r7: exactly the 33 entries never present in any of
     # CORRECTNESS_r01..r06.json (computed from those artifacts) —
     # front-loaded so the r7 driver sample exhausts the backlog for
