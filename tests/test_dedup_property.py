@@ -2,6 +2,8 @@
 vocabulary; operator output must equal pure-Python set-arithmetic
 oracles (exact hashes, exact Jaccard, component fixpoints)."""
 
+import re
+
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -179,7 +181,6 @@ def test_containment_matches_brute_force_random(spark):
     |A∩B|/|A| computed brute-force on the shingle sets, for random
     corpora with overlapping token pools (fixed seeds)."""
     import numpy as np
-    import pandas as pd
 
     from feast_hive_spark.operators import dedup as D
 
@@ -245,3 +246,102 @@ def test_collapse_equivalence_property(spark, pdf):
             for r in fn(df, "doc_id", "text", collapse_exact=True, **kw).collect()
         )
         assert raw == col, (fn.__name__, kw)
+
+
+def py_dup_spans(pdf, k):
+    """Member-level brute force of duplicate_spans: merge runs of
+    k-gram start positions whose gram occurs >= 2 times corpus-wide
+    (every doc x position counted, within-doc repeats included)."""
+    from collections import Counter
+
+    toks = {
+        r.doc_id: re.split(r"\s+", r.text.lower()) for r in pdf.itertuples()
+    }
+    cnt = Counter()
+    for w in toks.values():
+        for i in range(len(w) - k + 1):
+            cnt[" ".join(w[i : i + k])] += 1
+    spans = set()
+    for d, w in toks.items():
+        dup = [
+            i
+            for i in range(len(w) - k + 1)
+            if cnt[" ".join(w[i : i + k])] >= 2
+        ]
+        i = 0
+        while i < len(dup):
+            j = i
+            while j + 1 < len(dup) and dup[j + 1] == dup[j] + 1:
+                j += 1
+            spans.add((d, dup[i], dup[j] - dup[i] + k))
+            i = j + 1
+    return spans
+
+
+def py_strip(pdf, k):
+    """Member-level brute force of strip_duplicate_spans: a token
+    drops iff covered by >= 1 duplicated k-gram and by zero k-grams
+    whose FIRST corpus occurrence (min (doc_id, pos)) is here."""
+    from collections import Counter
+
+    toks = {
+        r.doc_id: re.split(r"\s+", r.text.lower()) for r in pdf.itertuples()
+    }
+    cnt = Counter()
+    first = {}
+    for d in sorted(toks):
+        w = toks[d]
+        for i in range(len(w) - k + 1):
+            g = " ".join(w[i : i + k])
+            cnt[g] += 1
+            first.setdefault(g, (d, i))
+    out = {}
+    for d, w in toks.items():
+        cov_all, cov_first = set(), set()
+        for i in range(len(w) - k + 1):
+            g = " ".join(w[i : i + k])
+            if cnt[g] >= 2:
+                cov_all.update(range(i, i + k))
+                if first[g] == (d, i):
+                    cov_first.update(range(i, i + k))
+        rm = cov_all - cov_first
+        clean = " ".join(t for i, t in enumerate(w) if i not in rm)
+        out[d] = (clean, len(w), len(rm))
+    return out
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(corpus())
+def test_duplicate_spans_property(spark, pdf):
+    from feast_hive_spark.plans import memo
+
+    memo.clear()
+    got = D.duplicate_spans(
+        spark.createDataFrame(pdf), "doc_id", "text", k=3
+    ).toPandas()
+    assert (
+        set(zip(got.doc_id, got.span_start, got.span_len))
+        == py_dup_spans(pdf, 3)
+    )
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(corpus())
+def test_strip_duplicate_spans_property(spark, pdf):
+    from feast_hive_spark.plans import memo
+
+    memo.clear()
+    got = D.strip_duplicate_spans(
+        spark.createDataFrame(pdf), "doc_id", "text", k=3
+    ).toPandas()
+    exp = py_strip(pdf, 3)
+    assert {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in got.itertuples()
+    } == exp
