@@ -458,6 +458,11 @@ AUDITS = {
         ["BroadcastHashJoin", "WindowGroupLimit"],
         ["CartesianProduct"],
     ),
+    # r12 multiprobe LSH: per-query candidate top-k merges through the
+    # partial WindowGroupLimit path like the other ANN variants; the
+    # probe expansion is broadcast-side numpy, never a join explosion
+    "ann_lsh_multiprobe_topk": (["WindowGroupLimit"], ["CartesianProduct"]),
+    "ann_multiprobe_recall_report": (["HashAggregate"], ["CartesianProduct"]),
     # band sweep (r9): the sweep materializes its len(configs)-row
     # readout eagerly so the shared shingle/signature caches can be
     # released (the r8 cache-leak fix) — the RETURNED plan is the

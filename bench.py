@@ -119,8 +119,10 @@ BENCH_QUERIES = [
     "pagerank_near_dup",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
     "ann_recall_report",
+    "ann_multiprobe_recall_report",
     "hard_negative_pairs",
     "hard_negative_pairs_lsh",
     "lsh_dedup_quality_report",

@@ -107,6 +107,8 @@ SF10_QUERIES = [
     "dedup_ngram_jaccard",
     "lsh_dedup_quality_report",
     "ann_recall_report",
+    # r12: half-tables 1-bit multiprobe — tables-vs-probes trade
+    "ann_lsh_multiprobe_topk",
     "hard_negative_pairs",
     "hard_negative_pairs_lsh",
     "fuzzy_part_name_stats",
@@ -232,6 +234,7 @@ SCALE_QUERIES = [
     "dedup_ngram_jaccard",
     "lsh_dedup_quality_report",
     "ann_recall_report",
+    "ann_lsh_multiprobe_topk",
     "hard_negative_pairs",
     "hard_negative_pairs_lsh",
     # counts the pair query's quadratic output in collapsed time —

@@ -688,6 +688,129 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _lsh_multiprobe_oracle(
+    n_planes: int = 4, n_tables: int = 6, dim: int = 64, k: int = 5
+) -> str:
+    """DuckDB twin of lsh_topk(probe_bits=1): the query side probes
+    its own bucket plus every 1-bit-flipped bucket per table (xor
+    against each plane bit); candidate side is the plain bucketing.
+    Same md5-derived hyperplanes, exact cosine rerank."""
+    per_table = [
+        f"SELECT vec_id, {t} AS t, "
+        f"{V.duck_sign_bucket('embedding', V.hyperplanes(n_planes, dim, seed=f't{t}'))} AS b "
+        "FROM e"
+        for t in range(n_tables)
+    ]
+    union = "\n  UNION ALL ".join(per_table)
+    probe_masks = ", ".join(str(m) for m in [0] + [1 << p for p in range(n_planes)])
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+sg AS ({union}),
+qp AS (
+  SELECT vec_id, t, xor(b, m) AS b
+  FROM sg, UNNEST([{probe_masks}]) AS u(m)
+  WHERE vec_id < 8
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 8),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+  FROM qp qs JOIN sg cs ON qs.t = cs.t AND qs.b = cs.b
+                       AND qs.vec_id <> cs.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({V.duck_cosine('n.embedding', 'q.qv')}, 6) AS cosine
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+@register("ann_lsh_multiprobe_topk", _lsh_multiprobe_oracle())
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe sign-LSH ANN (Lv et al. 2007): HALF the hash tables
+    of ann_lsh_topk (6 vs 12), each probed at its own bucket plus
+    every 1-bit neighbor — near-misses that landed one sign-flip away
+    are recovered by membership tests instead of more hashing, so the
+    bucketing matmul and table storage halve while recall stays in
+    the same band (measured in ann_multiprobe_recall_report)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_planes=4,
+        n_tables=6,
+        probe_bits=1,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _multiprobe_recall_oracle() -> str:
+    """Recall@5 of the half-table multiprobe index vs exact brute
+    force — composed from the two validated twins, the
+    ann_recall_report pattern."""
+    from feast_hive_spark.registry import REGISTRY
+
+    bf_sql = REGISTRY["ann_cosine_topk"][1]
+    mp_sql = REGISTRY["ann_lsh_multiprobe_topk"][1]
+    return f"""
+WITH bf AS (SELECT * FROM ({bf_sql}) t1),
+mp AS (SELECT * FROM ({mp_sql}) t2),
+m AS (
+  SELECT bf.query_id, COUNT(*) AS n_match
+  FROM bf JOIN mp USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(n_match, 0) AS BIGINT) AS n_match,
+       CAST(COALESCE(n_match, 0) * 2000 AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN m USING (query_id)
+"""
+
+
+@register("ann_multiprobe_recall_report", _multiprobe_recall_oracle())
+def ann_multiprobe_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 6-table 1-bit-multiprobe index against exact
+    brute force, per query — read next to ann_recall_report (the
+    12-table single-probe index) to see the tables-vs-probes trade
+    measured; deterministic hyperplanes make the gaps
+    engine-reproducible."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = S.brute_force_topk(emb, q, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    mp = S.lsh_topk(
+        emb, q, "vec_id", "embedding", k=5, n_planes=4, n_tables=6,
+        probe_bits=1,
+    ).select("query_id", "neighbor_id")
+    m = bf.join(mp, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_match")
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(m, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_match"), F.lit(0)).alias("n_match"),
+            (F.coalesce(F.col("n_match"), F.lit(0)) * 2000).alias(
+                "recall_bp"
+            ),
+        )
+    )
+
+
 def _ann_recall_oracle() -> str:
     """Composes the two already-validated ANN twins (exact brute
     force + the full sign-LSH bucket scheme) and computes recall@5

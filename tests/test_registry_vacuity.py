@@ -252,3 +252,14 @@ def test_span_strip_not_vacuous(spark, sf_dir):
         lambda s: len(s.split(" ")) if s else 0
     )
     assert (n_clean == strip["n_tokens"] - strip["n_removed"]).all()
+
+
+def test_multiprobe_recall_not_vacuous(spark, sf_dir):
+    """r12: the 6-table 1-bit multiprobe index must reach at least the
+    recall of the 12-table single-probe index on the fixture (the
+    measured trade that justifies it: same-band recall at half the
+    hashing), and both reports cover the same query set."""
+    single = _run(spark, sf_dir, "ann_recall_report")
+    multi = _run(spark, sf_dir, "ann_multiprobe_recall_report")
+    assert set(single["query_id"]) == set(multi["query_id"])
+    assert multi["n_match"].sum() >= single["n_match"].sum()

@@ -960,3 +960,35 @@ def test_semantic_decontaminate_randomized_python_model(spark):
             assert got.loc[lbl, "sum_maxsim_e6"] == int(
                 sum(round(v * 1e6) for v in mx[m])
             )
+
+
+def test_lsh_multiprobe_superset_recall(spark):
+    """At fixed (planes, tables), probe_bits=1 candidates are a strict
+    superset of probe_bits=0 candidates (probe 0 IS the exact bucket),
+    so every query's reranked top-k cosine sum must be >= the
+    single-probe one, and the result must equal single-probe whenever
+    single-probe already found the exact top-k."""
+    import numpy as np
+
+    from feast_hive_spark.operators.simsearch import lsh_topk
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 6")
+    single = lsh_topk(
+        df, q, "vec_id", "embedding", k=5, n_planes=4, n_tables=3
+    ).toPandas()
+    multi = lsh_topk(
+        df, q, "vec_id", "embedding", k=5, n_planes=4, n_tables=3,
+        probe_bits=1,
+    ).toPandas()
+    s = single.groupby("query_id")["cosine"].sum()
+    m = multi.groupby("query_id")["cosine"].sum()
+    assert set(s.index) <= set(m.index)
+    for qid in s.index:
+        assert m[qid] >= s[qid] - 1e-9
+    # and strictly more candidates somewhere on a 3-table index
+    assert m.sum() > s.sum()
