@@ -609,9 +609,12 @@ def emit(
                 # windows refuted — the artifact now says so itself)
                 **({} if exec_spread is None else {
                     "exec_spread_sec": exec_spread,
+                    # lo == 0 (a min that rounds to 0.000s) counts as
+                    # infinite spread, not an exemption — those are
+                    # exactly the most unstable rows
                     "unstable": sorted(
                         n for n, (lo, _, hi) in exec_spread.items()
-                        if lo > 0 and hi / lo > 1.5 and hi - lo > 0.1
+                        if hi - lo > 0.1 and (lo <= 0 or hi / lo > 1.5)
                     ),
                 }),
                 "conf": conf,

@@ -107,8 +107,10 @@ SF10_QUERIES = [
     "dedup_ngram_jaccard",
     "lsh_dedup_quality_report",
     "ann_recall_report",
-    # r12: half-tables 1-bit multiprobe — tables-vs-probes trade
+    # r12: half-tables 1-bit multiprobe — tables-vs-probes trade,
+    # with its recall report so the trade is measured AT scale
     "ann_lsh_multiprobe_topk",
+    "ann_multiprobe_recall_report",
     "hard_negative_pairs",
     "hard_negative_pairs_lsh",
     "fuzzy_part_name_stats",
@@ -235,6 +237,7 @@ SCALE_QUERIES = [
     "lsh_dedup_quality_report",
     "ann_recall_report",
     "ann_lsh_multiprobe_topk",
+    "ann_multiprobe_recall_report",
     "hard_negative_pairs",
     "hard_negative_pairs_lsh",
     # counts the pair query's quadratic output in collapsed time —

