@@ -56,8 +56,12 @@ def track(df):
 def release(spark) -> int:
     """Free every tracked frame of ``spark``'s application; returns
     the number released. See the module docstring for the mandatory
-    cache-clearing order."""
-    app = spark.sparkContext.applicationId
+    cache-clearing order. Connect sessions (no sparkContext) return 0
+    — the documented no-op, matching ``track``'s guard."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        return 0
     with _LOCK:
         mine = [df for aid, df in _TRACKED if aid == app]
         _TRACKED[:] = [e for e in _TRACKED if e[0] != app]

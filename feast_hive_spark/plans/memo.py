@@ -16,9 +16,14 @@ for cache substitution, so LocalRelation data participates in the
 comparison) plus the concrete input-file listing (``inputFiles`` —
 ``sameResult`` alone treats an overwritten path as unchanged, the
 same blind spot ``cacheTable`` covers with ``refreshByPath``) plus a
-structural token for scalar parameters. Entries are app-scoped and
-LRU-bounded; ``clear()`` remains the explicit big hammer after
-in-place mutations that keep file names (none of our writers do).
+structural token for scalar parameters. Entries are SESSION-scoped
+(r12 — was app-scoped: a ``plan_memo`` hit returns a DataFrame bound
+to the session that built it, so a ``newSession()`` sibling with its
+own confs must never be served another session's frame) and
+LRU-bounded; lookups and stores run under a module lock (concurrent
+builds in one process are supported elsewhere — pit's view lock);
+``clear()`` remains the explicit big hammer after in-place mutations
+that keep file names (none of our writers do).
 
 Two entry points:
 
@@ -36,12 +41,14 @@ builds don't re-plan it.
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Callable, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MEMO: list = []  # (app_id, kind, token, [analyzed plans], [input files], value)
+_MEMO: list = []  # (session_key, kind, token, [analyzed plans], [files], value)
 _MEMO_MAX = 64
+_LOCK = threading.Lock()
 
 # audit_plans.py hook (r6 verdict #4): operators whose heavy work runs
 # at DataFrame-construction time (a job_memo'd aggregate + driver
@@ -74,6 +81,48 @@ def _no_plan_handles(spark: SparkSession) -> bool:
     return getattr(spark, "_jsparkSession", None) is None
 
 
+_MISS = object()
+
+
+def _session_key(spark: SparkSession) -> str:
+    # same per-SESSION identity the view marker uses (py4j target id;
+    # Connect never reaches here — _no_plan_handles short-circuits)
+    from feast_hive_spark.sources.tables import _session_key as sk
+
+    return sk(spark)
+
+
+def _keys(inputs: Sequence[DataFrame]):
+    plans = [_analyzed(df) for df in inputs]
+    # ``sameResult`` compares file relations by ROOT PATH, not by
+    # listing — an overwritten parquet dir re-read under the same path
+    # is "the same plan" to it (Spark's CacheManager has the identical
+    # blind spot, which is why catalog overwrites call refreshByPath).
+    # The memo has no catalog hook, so the concrete file listing joins
+    # the key: any rewrite changes part-file names (new UUIDs), so a
+    # mutated source can never serve a stale memo value (adversarial
+    # property tests in tests/test_memo.py, r6 verdict #8).
+    files = [tuple(sorted(df.inputFiles())) for df in inputs]
+    return plans, files
+
+
+def _find(skey: str, kind: str, token: tuple, plans, files):
+    """Shared match predicate for builds AND peeks (one definition —
+    the two can never disagree on what counts as a hit). Caller holds
+    ``_LOCK``."""
+    for sid, ckind, ctoken, cplans, cfiles, value in reversed(_MEMO):
+        if (
+            sid == skey
+            and ckind == kind
+            and ctoken == token
+            and cfiles == files
+            and len(cplans) == len(plans)
+            and all(c.sameResult(p) for c, p in zip(cplans, plans))
+        ):
+            return value
+    return _MISS
+
+
 def _lookup_or_run(
     spark: SparkSession,
     kind: str,
@@ -89,34 +138,23 @@ def _lookup_or_run(
             _CAPTURE.setdefault(key, []).append(
                 df._jdf.queryExecution().executedPlan().toString()
             )
-    app_id = spark.sparkContext.applicationId
-    plans = [_analyzed(df) for df in inputs]
-    # ``sameResult`` compares file relations by ROOT PATH, not by
-    # listing — an overwritten parquet dir re-read under the same path
-    # is "the same plan" to it (Spark's CacheManager has the identical
-    # blind spot, which is why catalog overwrites call refreshByPath).
-    # The memo has no catalog hook, so the concrete file listing joins
-    # the key: any rewrite changes part-file names (new UUIDs), so a
-    # mutated source can never serve a stale memo value (adversarial
-    # property tests in tests/test_memo.py, r6 verdict #8).
-    files = [tuple(sorted(df.inputFiles())) for df in inputs]
-    for aid, ckind, ctoken, cplans, cfiles, value in reversed(_MEMO):
-        if (
-            aid == app_id
-            and ckind == kind
-            and ctoken == token
-            and cfiles == files
-            and len(cplans) == len(plans)
-            and all(c.sameResult(p) for c, p in zip(cplans, plans))
-        ):
-            return value
+    skey = _session_key(spark)
+    plans, files = _keys(inputs)
+    with _LOCK:
+        value = _find(skey, kind, token, plans, files)
+    if value is not _MISS:
+        return value
+    # build OUTSIDE the lock (builds run driver jobs); two concurrent
+    # first-builders may both run, but the store below re-checks so
+    # the memo converges on one entry
     value = run()
-    _MEMO[:] = [e for e in _MEMO if e[0] == app_id][-(_MEMO_MAX - 1):]
-    _MEMO.append((app_id, kind, token, plans, files, value))
+    with _LOCK:
+        racer = _find(skey, kind, token, plans, files)
+        if racer is not _MISS:
+            return racer
+        _MEMO[:] = _MEMO[-(_MEMO_MAX - 1):]
+        _MEMO.append((skey, kind, token, plans, files, value))
     return value
-
-
-_MISS = object()
 
 
 def _lookup_only(
@@ -130,20 +168,10 @@ def _lookup_only(
     capture (a peek is a routing decision, not a build)."""
     if _no_plan_handles(spark):
         return _MISS
-    app_id = spark.sparkContext.applicationId
-    plans = [_analyzed(df) for df in inputs]
-    files = [tuple(sorted(df.inputFiles())) for df in inputs]
-    for aid, ckind, ctoken, cplans, cfiles, value in reversed(_MEMO):
-        if (
-            aid == app_id
-            and ckind == kind
-            and ctoken == token
-            and cfiles == files
-            and len(cplans) == len(plans)
-            and all(c.sameResult(p) for c, p in zip(cplans, plans))
-        ):
-            return value
-    return _MISS
+    skey = _session_key(spark)
+    plans, files = _keys(inputs)
+    with _LOCK:
+        return _find(skey, kind, token, plans, files)
 
 
 def job_memo_peek(
@@ -203,4 +231,5 @@ def plan_memo(
 
 def clear() -> None:
     """Drop every memo entry (tests; or after mutating a source)."""
-    _MEMO.clear()
+    with _LOCK:
+        _MEMO.clear()

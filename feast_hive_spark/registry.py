@@ -72,7 +72,13 @@ def register(name: str, oracle: str | None):
                 or getattr(spark, "_jsparkSession", None) is None
             ):
                 return fn(spark, sf_dir, **kwargs)
-            key = (spark.sparkContext.applicationId, name, sf_dir)
+            # SESSION-keyed (r12 — was app id): a prepared DataFrame
+            # is bound to the session that built it, and a
+            # newSession() sibling (own confs, own temp views) must
+            # build its own plan, not be served another session's.
+            from feast_hive_spark.sources.tables import _session_key
+
+            key = (_session_key(spark), name, sf_dir)
             hit = _PREPARED.get(key)
             if hit is None:
                 hit = fn(spark, sf_dir)

@@ -15,6 +15,7 @@ identical microsecond values.
 from __future__ import annotations
 
 import os
+import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,32 +41,45 @@ TABLES = [
 _NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
-# Memoized per (application, sf_dir, table): every caller in one
-# session gets the SAME DataFrame lineage. This is what makes
+# Memoized per (SESSION, sf_dir, table): every caller in one session
+# gets the SAME DataFrame lineage. This is what makes
 # `spark.catalog.cacheTable(view)` substitution reach query plans —
 # Spark's CacheManager matches plan subtrees structurally, and two
 # independent `spark.read.parquet(path)` calls build distinct
 # FileIndex instances that never compare equal, so without memoization
 # a cached view is invisible to queries that re-read the path. The
-# testdata is immutable, so reuse is safe; entries from stopped
-# sessions are pruned on insert.
+# testdata is immutable, so reuse is safe. Keyed by SESSION (r12 —
+# was app id): a DataFrame is bound to the session that read it, so a
+# `newSession()` sibling must get its OWN frames or register_views
+# would install views into the WRONG session's catalog. LRU-capped
+# (16 sessions x 10 tables).
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_DF_CACHE_MAX = 160
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with normalized schema."""
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, os.path.abspath(sf_dir), name)
+    # Harden against caller-supplied sessions (the verify driver builds
+    # its own SparkSession without our factory): timestamps must be
+    # plain TIMESTAMP interpreted at UTC regardless of session
+    # defaults. Re-pinned on CACHE HITS too (r12) — a caller that
+    # flipped the session tz between builds would otherwise have later
+    # SQL-text TIMESTAMP literals parsed in its zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    key = (_session_key(spark), os.path.abspath(sf_dir), name)
     hit = _DF_CACHE.get(key)
     if hit is not None:
         return hit
-    # Harden against caller-supplied sessions (the verify driver builds
-    # its own SparkSession without our factory): timestamps must be
-    # plain TIMESTAMP interpreted at UTC regardless of session defaults.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nano_cols = _NANO_TS_COLS.get(name, [])
     if nano_cols:
+        # Deliberately NOT restored after the read: the physical
+        # parquet reader re-derives its hadoopConf from the session
+        # conf at ACTION time, so unsetting the flag here would make
+        # the (lazy) events frame itself throw PARQUET_TYPE_ILLEGAL
+        # at execution on nanos-vintage testdata. Cost of keeping it:
+        # a later caller-owned read of a TIMESTAMP(NANOS) parquet in
+        # this session surfaces bigint instead of erroring.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
@@ -93,8 +107,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             n = nparts
         if n:
             df = df.repartition(int(n))
-    for k in [k for k in _DF_CACHE if k[0] != app_id]:
-        del _DF_CACHE[k]
+    while len(_DF_CACHE) >= _DF_CACHE_MAX:
+        _DF_CACHE.pop(next(iter(_DF_CACHE)))
     _DF_CACHE[key] = df
     return df
 
@@ -144,11 +158,13 @@ def _session_key(spark: SparkSession) -> str:
     if _PY_KEYS.get(key) is not spark:
         _PY_KEYS[key] = spark
         _VIEWS_FOR.pop(key, None)  # id reuse: drop any stale marker
+        for k in [k for k in _DF_CACHE if k[0] == key]:
+            del _DF_CACHE[k]  # ...and any stale frames (r12)
     return key
 
 
 _CONNECT_VIEW_SEQ = 0
-_CONNECT_VIEW_LOCK = __import__("threading").Lock()
+_CONNECT_VIEW_LOCK = threading.Lock()
 
 
 def bind_sql_view(df: DataFrame, stable_name: str) -> str:

@@ -139,3 +139,6 @@ def test_ckpt_noops_on_connect_shape():
     df = _FakeConnectFrame(_FakeConnectSession())
     assert ckpt.track(df) is df  # untracked, returned unchanged
     ckpt.free_local_checkpoint(df)  # must not raise
+    # release is the documented no-op too (r12 — it used to reach
+    # sparkContext unguarded and raise)
+    assert ckpt.release(_FakeConnectSession()) == 0

@@ -250,17 +250,13 @@ def test_ensure_views_session_scoped(spark):
     base = REGISTRY["q1_pricing_summary"][0](spark, C.SF_DIR).collect()
     sib = spark.newSession()
     sib.conf.set("spark.sql.session.timeZone", "America/New_York")
-    # force a REAL sibling-session build: the prepared-plan cache is
-    # app-keyed and would otherwise hand back the first session's plan
-    import feast_hive_spark.registry as registry_mod
-    from feast_hive_spark.sources import tables as T
-
-    registry_mod.clear_prepared()
-    T._DF_CACHE.clear()
+    # NO cache clearing here (r12): the prepared-plan cache,
+    # read_table's frame cache and the plan memo are all
+    # SESSION-keyed now, so the sibling build must come out right
+    # with every cache warm — clearing them used to mask exactly the
+    # app-keyed wrong-session bugs this test exists to catch.
     got = REGISTRY["q1_pricing_summary"][0](sib, C.SF_DIR).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, base))
-    registry_mod.clear_prepared()
-    T._DF_CACHE.clear()
     # and the original session's views are still intact
     ensure_views(spark, C.SF_DIR)
     assert spark.sql("SELECT count(*) FROM lineitem").first()[0] > 0
