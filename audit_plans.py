@@ -180,6 +180,9 @@ AUDITS = {
     # aggregate; cleaned text is rebuilt per DISTINCT text then fanned
     # out through the membership hash join
     "dedup_span_strip": (["HashAggregate"], ["CartesianProduct"]),
+    # streaming span flags: the RETURNED plan is the memory-sink
+    # table scan (stream already ran at build); just pin no-cartesian
+    "stream_span_flags": ([], ["CartesianProduct"]),
     # tfidf: doc-keyed repartition feeds BOTH the (doc,term) agg and
     # the ranking window (no further exchange); vocab joins broadcast
     "tfidf_top_terms": (

@@ -316,6 +316,7 @@ BENCH_QUERIES = [
     "event_entropy_rate",
     "embedding_decontaminate_sweep",
     "stream_pit_probe",
+    "stream_span_flags",
     "dp_noisy_event_counts",
     "split_no_neardup_leakage",
     # r11 coverage completion (r10 verdict "What's missing" #2): the

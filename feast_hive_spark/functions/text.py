@@ -244,6 +244,29 @@ def shingle_hashes_from(tok: Column, n: int = 3) -> Column:
     )
 
 
+def positional_kgram_hashes(tok: Column, k: int) -> Column:
+    """H48 of the k-token n-gram STARTING at each position — NOT
+    distinct (within-doc repeats are duplication evidence): the
+    duplicate-span family's anchor array (operators/dedup and the
+    streaming flag path share this one definition). Element i is the
+    hash of tokens [i, i+k); empty when the doc has < k tokens."""
+    return F.when(
+        F.size(tok) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - k),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(tok, i + F.lit(1), k))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def shingles(col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles straight from a text column.
 

@@ -1985,25 +1985,7 @@ def _dup_anchor_positions_build(
     anchors = toks.select(
         "__rid",
         F.posexplode(
-            F.when(
-                F.size("__tok") >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__tok") - k),
-                    lambda i: F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    " ", F.slice("__tok", i + F.lit(1), k)
-                                )
-                            ),
-                            1,
-                            12,
-                        ),
-                        16,
-                        10,
-                    ).cast("long"),
-                ),
-            ).otherwise(F.array().cast("array<long>"))
+            X.positional_kgram_hashes(F.col("__tok"), k)
         ).alias("pos", "__h"),
     )
     wk = rk.select(F.col("__node").alias("__rid"), "__k")

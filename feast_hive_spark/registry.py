@@ -124,6 +124,9 @@ SAMPLE_ROTATION: list[str] = [
     "dedup_duplicate_spans",
     "dedup_duplicate_span_stats",
     "dedup_span_strip",
+    "stream_span_flags",
+    "ann_lsh_multiprobe_topk",
+    "ann_multiprobe_recall_report",
     # r7: exactly the 33 entries never present in any of
     # CORRECTNESS_r01..r06.json (computed from those artifacts) —
     # front-loaded so the r7 driver sample exhausts the backlog for

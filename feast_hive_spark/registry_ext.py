@@ -299,6 +299,62 @@ def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.strip_duplicate_spans(docs, "doc_id", "text", k=_DUCK_SPAN_K)
 
 
+@register(
+    "stream_span_flags",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+  FROM documents
+),
+a_anch AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5({" || ' ' || ".join(f"w[i+{j}]" for j in range(_DUCK_SPAN_K))}), 1, 12)) AS BIGINT) AS h
+  FROM tok, UNNEST(range(1, greatest(len(w) - {_DUCK_SPAN_K - 2}, 1))) AS u(i)
+  WHERE doc_id % 2 = 1
+),
+ix AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5({" || ' ' || ".join(f"w[i+{j}]" for j in range(_DUCK_SPAN_K))}), 1, 12)) AS BIGINT) AS h
+  FROM tok, UNNEST(range(1, greatest(len(w) - {_DUCK_SPAN_K - 2}, 1))) AS u(i)
+  WHERE doc_id % 2 = 0
+)
+SELECT doc_id, pos FROM a_anch WHERE h IN (SELECT h FROM ix)
+""",
+)
+def stream_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming duplicate-span flagging: odd-id documents
+    arrive as a file-source stream and are probed against the static
+    even-id corpus's k-gram anchor index
+    (streaming/events.stream_duplicate_anchor_flags — stream-static
+    left semi join, per micro-batch, zero streaming state), gated
+    against a pure-SQL DuckDB twin of the same semantics. A shared
+    span of length L >= k appears as its L-k+1 consecutive start
+    positions. Memoized per documents plan (a real deployment runs
+    the stream once, continuously)."""
+    from feast_hive_spark.plans.memo import plan_memo
+    from feast_hive_spark.streaming import events as SE
+
+    def run() -> DataFrame:
+        stream = SE.read_document_stream(spark, sf_dir).filter(
+            F.col("doc_id") % 2 == 1
+        )
+        index = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 2 == 0
+        )
+        res = SE.stream_duplicate_anchor_flags(
+            stream, index, "doc_id", "text", k=_DUCK_SPAN_K
+        )
+        SE.run_to_memory(res, "__stream_span_flags", output_mode="append")
+        return spark.table("__stream_span_flags")
+
+    return plan_memo(
+        spark,
+        read_table(spark, sf_dir, "documents"),
+        ("stream_span_flags",),
+        run,
+    )
+
+
 def _duck_minhash_banded_sql() -> str:
     rows_per_band = len(X.MINHASH_COEFS) // 4
     band_selects = []

@@ -936,3 +936,79 @@ def stream_near_dup_flags(
             "jaccard",
         )
     )
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (one file = one
+    micro-batch locally; a cluster deployment points the same plan at
+    a kafka/object-store ingest). Layout-aware like
+    ``read_event_stream``: a Spark-written table DIRECTORY gets the
+    direct path, the driver's single-file layout the warehouse-dir +
+    pathGlobFilter form."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    tbl = f"{sf_dir}/documents.parquet"
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(tbl):
+        reader = reader.option("path", tbl)
+    else:
+        reader = reader.option("path", f"{sf_dir}").option(
+            "pathGlobFilter", "documents.parquet"
+        )
+    return reader.load()
+
+
+def stream_duplicate_anchor_flags(
+    doc_stream: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Streaming duplicate-SPAN flagging against a STATIC corpus —
+    the online twin of operators/dedup.duplicate_spans (dedup-at-
+    ingest / contamination-at-ingest for the Lee et al. substring
+    family): every arriving document's positional k-gram anchors are
+    equi-joined (stream-static left semi, per micro-batch, NO
+    streaming state) against the DISTINCT anchor set of the index
+    corpus, and each corpus-colliding anchor START position is
+    emitted once, append mode.
+
+    A shared span of length L >= k surfaces as its L-k+1 consecutive
+    start positions; the gaps-and-islands run merge needs a per-doc
+    sort, which a stateless streaming stage cannot do — span ASSEMBLY
+    stays a (trivial, flag-table-sized) batch step downstream, while
+    the expensive part (the corpus-sized anchor index probe) runs
+    online. At scale the index is precomputed once; per-micro-batch
+    cost is anchoring the arrivals + one hash equi join — no
+    all-pairs, no state to evict, nothing corpus-sized moves.
+
+    Output (append): ``(doc_id, pos)``.
+    """
+    from feast_hive_spark.functions import text as X
+
+    arrivals = doc_stream.select(
+        F.col(id_col),
+        F.posexplode(
+            X.positional_kgram_hashes(X.tokens_array(text_col), k)
+        ).alias("pos", "__h"),
+    ).select(id_col, F.col("pos").cast("long"), "__h")
+    ix = (
+        index_docs.select(
+            F.explode(
+                X.positional_kgram_hashes(X.tokens_array(text_col), k)
+            ).alias("__h")
+        )
+        .distinct()
+    )
+    return arrivals.join(ix, "__h", "left_semi").select(id_col, "pos")

