@@ -244,25 +244,38 @@ def shingle_hashes_from(tok: Column, n: int = 3) -> Column:
     )
 
 
-def positional_kgram_hashes(tok: Column, k: int) -> Column:
-    """H48 of the k-token n-gram STARTING at each position — NOT
-    distinct (within-doc repeats are duplication evidence): the
-    duplicate-span family's anchor array (operators/dedup and the
-    streaming flag path share this one definition). Element i is the
-    hash of tokens [i, i+k); empty when the doc has < k tokens."""
+def positional_kgrams(tok: Column, k: int) -> Column:
+    """The k-token n-gram TEXT starting at each position
+    (space-joined) — NOT distinct (within-doc repeats are duplication
+    evidence): the duplicate-span family's EXACT anchor identity
+    (operators/dedup's verification stage and the streaming flag path
+    share this one definition; r13 — the r12 H48 anchors fabricated
+    duplicate spans at ~1e13 k-grams via birthday collisions, so the
+    final duplicated-anchor determination is now text-equality-based
+    and hash-free). Element i is tokens [i, i+k) joined with single
+    spaces; empty when the doc has < k tokens."""
     return F.when(
         F.size(tok) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(tok) - k),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(tok, i + F.lit(1), k))),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("long"),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + F.lit(1), k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def positional_kgram_hashes64(tok: Column, k: int) -> Column:
+    """xxhash64 of the k-gram starting at each position — the CHEAP
+    64-bit PRE-FILTER index of the duplicate-span family (8-byte
+    shuffle key instead of ~50-byte gram text; collisions only ADD
+    stage-1 candidates, which the text-equality verification stage
+    rejects, so the hash never touches correctness)."""
+    return F.when(
+        F.size(tok) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - k),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(tok, i + F.lit(1), k))
+            ),
         ),
     ).otherwise(F.array().cast("array<long>"))
 

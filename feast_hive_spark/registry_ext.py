@@ -153,9 +153,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_SPAN_K = 8
 # shared oracle prefix: exact-collapse to distinct texts ->
-# positional k-gram H48 anchors with class multiplicity ->
-# duplicated anchor occurrences (mirrors
-# operators/dedup._dup_anchor_positions step for step)
+# positional k-gram TEXT anchors with class multiplicity ->
+# duplicated anchor occurrences. The twin groups on the gram TEXT
+# directly (manifestly exact, zero hash assumption), which computes
+# the identical quantity as the engine's two-stage plan (xxhash64
+# pre-filter + text-equality verification,
+# operators/dedup._dup_anchor_positions_build): the pre-filter only
+# ever passes supersets, and the verification count restricted to
+# candidates equals the global text count because all positions of a
+# gram share its hash.
 _DUCK_SPANS_PREFIX = f"""
 WITH tok AS (
   SELECT doc_id, md5(text) AS th,
@@ -171,15 +177,15 @@ rep AS (
 ),
 anch AS (
   SELECT rid, ksize, i - 1 AS pos,
-         CAST(('0x' || substr(md5({" || ' ' || ".join(f"w[i+{j}]" for j in range(_DUCK_SPAN_K))}), 1, 12)) AS BIGINT) AS h
+         ({" || ' ' || ".join(f"w[i+{j}]" for j in range(_DUCK_SPAN_K))}) AS g
   FROM rep, UNNEST(range(1, greatest(len(w) - {_DUCK_SPAN_K - 2}, 1))) AS u(i)
 ),
-duph AS (
-  SELECT h FROM (SELECT h, SUM(ksize) AS c FROM anch GROUP BY h)
+dupg AS (
+  SELECT g FROM (SELECT g, SUM(ksize) AS c FROM anch GROUP BY g)
   WHERE c >= 2
 ),
 dpos_h AS (
-  SELECT a.rid, a.pos, a.h FROM anch a WHERE a.h IN (SELECT h FROM duph)
+  SELECT a.rid, a.pos, a.g FROM anch a WHERE a.g IN (SELECT g FROM dupg)
 )
 """
 
@@ -246,16 +252,16 @@ def dedup_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_span_strip",
     _DUCK_SPANS_PREFIX + f""",
 daf AS (
-  SELECT d.rid, d.pos, d.h,
+  SELECT d.rid, d.pos, d.g,
          (c2.crid = d.rid AND c2.cpos = d.pos) AS is_first
   FROM dpos_h d
   JOIN (
-    SELECT d2.h, d2.rid AS crid, MIN(d2.pos) AS cpos
+    SELECT d2.g, d2.rid AS crid, MIN(d2.pos) AS cpos
     FROM dpos_h d2
-    JOIN (SELECT h, MIN(rid) AS crid FROM dpos_h GROUP BY h) c1
-      ON d2.h = c1.h AND d2.rid = c1.crid
-    GROUP BY d2.h, d2.rid
-  ) c2 ON d.h = c2.h
+    JOIN (SELECT g, MIN(rid) AS crid FROM dpos_h GROUP BY g) c1
+      ON d2.g = c1.g AND d2.rid = c1.crid
+    GROUP BY d2.g, d2.rid
+  ) c2 ON d.g = c2.g
 ),
 cov AS (
   SELECT rid, is_first, UNNEST(range(pos, pos + {_DUCK_SPAN_K})) AS tp
@@ -308,17 +314,17 @@ WITH tok AS (
 ),
 a_anch AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         CAST(('0x' || substr(md5({" || ' ' || ".join(f"w[i+{j}]" for j in range(_DUCK_SPAN_K))}), 1, 12)) AS BIGINT) AS h
+         ({" || ' ' || ".join(f"w[i+{j}]" for j in range(_DUCK_SPAN_K))}) AS g
   FROM tok, UNNEST(range(1, greatest(len(w) - {_DUCK_SPAN_K - 2}, 1))) AS u(i)
   WHERE doc_id % 2 = 1
 ),
 ix AS (
   SELECT DISTINCT
-         CAST(('0x' || substr(md5({" || ' ' || ".join(f"w[i+{j}]" for j in range(_DUCK_SPAN_K))}), 1, 12)) AS BIGINT) AS h
+         ({" || ' ' || ".join(f"w[i+{j}]" for j in range(_DUCK_SPAN_K))}) AS g
   FROM tok, UNNEST(range(1, greatest(len(w) - {_DUCK_SPAN_K - 2}, 1))) AS u(i)
   WHERE doc_id % 2 = 0
 )
-SELECT doc_id, pos FROM a_anch WHERE h IN (SELECT h FROM ix)
+SELECT doc_id, pos FROM a_anch WHERE g IN (SELECT g FROM ix)
 """,
 )
 def stream_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -990,8 +990,20 @@ def stream_duplicate_anchor_flags(
     stays a (trivial, flag-table-sized) batch step downstream, while
     the expensive part (the corpus-sized anchor index probe) runs
     online. At scale the index is precomputed once; per-micro-batch
-    cost is anchoring the arrivals + one hash equi join — no
-    all-pairs, no state to evict, nothing corpus-sized moves.
+    cost is anchoring the arrivals + one equi join — no all-pairs,
+    no state to evict, nothing corpus-sized moves.
+
+    The join key is the gram TEXT itself (r13; was a 48-bit hash):
+    text equality makes every emitted flag EXACT — a hash collision
+    between an arrival gram and an index gram can never false-flag,
+    matching the batch family's two-stage verification
+    (operators/dedup._dup_anchor_positions_build). The arrival side
+    of the per-batch join is micro-batch-sized; the index side is the
+    corpus's distinct-gram set either way, and a composite
+    (hash, text) key would only ADD shuffle bytes — at true scale the
+    cheap pre-filter belongs in front as a bloom/semi stage on
+    xxhash64(gram), which subsets candidates without touching the
+    final text-equality semantics.
 
     Output (append): ``(doc_id, pos)``.
     """
@@ -1000,15 +1012,15 @@ def stream_duplicate_anchor_flags(
     arrivals = doc_stream.select(
         F.col(id_col),
         F.posexplode(
-            X.positional_kgram_hashes(X.tokens_array(text_col), k)
-        ).alias("pos", "__h"),
-    ).select(id_col, F.col("pos").cast("long"), "__h")
+            X.positional_kgrams(X.tokens_array(text_col), k)
+        ).alias("pos", "__g"),
+    ).select(id_col, F.col("pos").cast("long"), "__g")
     ix = (
         index_docs.select(
             F.explode(
-                X.positional_kgram_hashes(X.tokens_array(text_col), k)
-            ).alias("__h")
+                X.positional_kgrams(X.tokens_array(text_col), k)
+            ).alias("__g")
         )
         .distinct()
     )
-    return arrivals.join(ix, "__h", "left_semi").select(id_col, "pos")
+    return arrivals.join(ix, "__g", "left_semi").select(id_col, "pos")

@@ -722,3 +722,72 @@ def test_strip_duplicate_spans_fixture(spark):
         7: ("c d e f g h tail7a tail7b", 10, 2),
         8: ("zz", 9, 8),
     }
+
+
+def test_duplicate_spans_prefilter_collision_proof(spark):
+    """Collision proof for the r13 two-stage anchors (r12 verdict
+    What's-wrong #2): inject a DEGENERATE stage-1 pre-filter hash —
+    every k-gram collides with every other — and assert all three
+    span-family outputs are BYTE-IDENTICAL to the real xxhash64
+    pre-filter's. Under the old single-stage 48-bit design this worst
+    case flags every anchor position as duplicated (and strip deletes
+    the whole corpus); under the two-stage design the text-equality
+    verification stage alone determines duplication, so the hash can
+    NEVER fabricate a span at any corpus size."""
+    import feast_hive_spark.operators.dedup as D
+    from feast_hive_spark.plans import memo
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x a b c d e f g h zz"),
+        (3, "m n o p q r s t u"),
+        (4, "m n o p q r s t u"),
+        (5, "every token here is globally unique q1 q2 q3 q4 q5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run_all():
+        memo.clear()
+        spans = sorted(
+            tuple(r)
+            for r in D.duplicate_spans(df, "doc_id", "text", k=8).collect()
+        )
+        stats = tuple(
+            D.duplicate_span_stats(df, "doc_id", "text", k=8).collect()[0]
+        )
+        strip = sorted(
+            tuple(r)
+            for r in D.strip_duplicate_spans(
+                df, "doc_id", "text", k=8
+            ).collect()
+        )
+        return spans, stats, strip
+
+    real = run_all()
+
+    def degenerate(tok, k):
+        # all positions share hash 0 — total collision
+        return F.when(
+            F.size(tok) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - k),
+                lambda i: F.lit(0).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    orig = D._anchor_prefilter_hashes
+    D._anchor_prefilter_hashes = degenerate
+    try:
+        collided = run_all()
+    finally:
+        D._anchor_prefilter_hashes = orig
+        memo.clear()
+
+    assert collided == real
+    # sanity: the corpus does contain real duplication (non-vacuous)
+    assert real[0], "fixture must produce spans"
+    # and doc 5 (globally unique tail) must NOT be flagged even when
+    # every one of its anchors hash-collides with everything
+    assert all(doc != 5 for doc, _, _ in real[0])
+    assert all(doc != 5 for doc, _, _ in collided[0])
