@@ -65,6 +65,24 @@ N_COPIES = 10
 N_COPIES_100 = 100
 EXPONENT_FLAG = 1.15  # ~linear with room for noise at 3-run medians
 
+# Declared-semantics notes stamped verbatim into the named query's
+# tier row (r13, r12 verdict #5): these rows' exponents follow from
+# the operator's DECLARED cost model, so the artifact carries the
+# attribution instead of leaving the reader to find it in SCALING.md.
+TIER_NOTES = {
+    "hard_negative_pairs_lsh": (
+        "fixed resolution (4 planes/16 buckets) — candidate cosines "
+        "grow quadratically by design (measured x100.7/decade); demo "
+        "scale. The occupancy-targeted scale path is "
+        "hard_negative_pairs_lsh_auto (SCALING.md r13)."
+    ),
+    "fuzzy_part_name_pairs": (
+        "declared output-quadratic semantics (emits every qualifying "
+        "pair); the collapsed stats twin fuzzy_part_name_stats is the "
+        "scale path (SCALING.md r9)."
+    ),
+}
+
 # --tier100 (r6 verdict #2): the second decade. Exponents measured
 # between 600k and 6M rows say nothing about where shuffle/memory
 # pressure bends the curve, so the queries that measured >=0.65 at
@@ -434,6 +452,8 @@ def _tier100_child(name: str) -> None:
         rec["exponent"] = round(
             math.log(rec["sec_sf10"] / rec["sec_sf1"]) / math.log(10), 3
         )
+    if name in TIER_NOTES:
+        rec["note"] = TIER_NOTES[name]
     # print BEFORE spark.stop(): the result must survive even a hang
     # or crash during JVM teardown
     print(_RESULT_MARK + json.dumps(rec), flush=True)
@@ -623,6 +643,8 @@ def main() -> None:
             "ratio": round(t10 / t1, 2),
             "exponent": round(exp, 3),
         }
+        if name in TIER_NOTES:
+            results[name]["note"] = TIER_NOTES[name]
         print(
             f"  {name}: {t1:.2f}s -> {t10:.2f}s  "
             f"ratio {t10 / t1:.2f}x  exponent {exp:.3f}",

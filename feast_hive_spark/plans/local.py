@@ -32,7 +32,17 @@ def local_numeric_frame(spark: SparkSession, rows, schema) -> DataFrame:
             return f"'{esc}'"
         if t == "timestamp":
             return f"TIMESTAMP '{v}'"
-        return f"CAST({v} AS {t.upper()})"
+        if t == "date":
+            return f"DATE '{v}'"
+        if t in ("tinyint", "smallint", "int", "bigint", "boolean",
+                 "float") or t.startswith("decimal"):
+            return f"CAST({v} AS {t.upper()})"
+        # anything else would render an unquoted value into SQL
+        # (invalid or — worse — silently misparsed); fail loudly so a
+        # new caller adds a literal branch instead (r12 advice)
+        raise TypeError(
+            f"local_numeric_frame: no literal branch for type {t!r}"
+        )
 
     types = [f.dataType.simpleString() for f in schema.fields]
     vals = ",".join(

@@ -50,6 +50,16 @@ _MEMO: list = []  # (session_key, kind, token, [analyzed plans], [files], value)
 _MEMO_MAX = 64
 _LOCK = threading.Lock()
 
+# Per-(session, kind, token) build locks: two concurrent FIRST
+# builders of the same key now serialize instead of both running —
+# builders with global named side effects (run_to_memory's fixed
+# queryName: stream_span_flags, stream_pit_probe) would otherwise
+# race into "query with that name is already active" (r12 advice).
+# Token striping is sufficient — a token collision across different
+# input plans merely over-serializes, never cross-serves values (the
+# memo re-check under the lock still compares full keys).
+_BUILD_LOCKS: "dict[tuple, threading.Lock]" = {}
+
 # audit_plans.py hook (r6 verdict #4): operators whose heavy work runs
 # at DataFrame-construction time (a job_memo'd aggregate + driver
 # solve, e.g. ols_fit_2feature) return a LocalRelation, so the RESULT
@@ -142,19 +152,47 @@ def _lookup_or_run(
     plans, files = _keys(inputs)
     with _LOCK:
         value = _find(skey, kind, token, plans, files)
-    if value is not _MISS:
-        return value
-    # build OUTSIDE the lock (builds run driver jobs); two concurrent
-    # first-builders may both run, but the store below re-checks so
-    # the memo converges on one entry
-    value = run()
-    with _LOCK:
-        racer = _find(skey, kind, token, plans, files)
+        if value is not _MISS:
+            return value
+        bl = _BUILD_LOCKS.setdefault((skey, kind, token), threading.Lock())
+    # build OUTSIDE the module lock (builds run driver jobs) but UNDER
+    # the per-key build lock: concurrent first-builders of the SAME
+    # key serialize (the second finds the memoized value in the
+    # re-check), while unrelated builds stay parallel
+    with bl:
+        with _LOCK:
+            racer = _find(skey, kind, token, plans, files)
         if racer is not _MISS:
             return racer
-        _MEMO[:] = _MEMO[-(_MEMO_MAX - 1):]
-        _MEMO.append((skey, kind, token, plans, files, value))
+        value = run()
+        with _LOCK:
+            if len(_MEMO) >= _MEMO_MAX:
+                # prefer evicting entries whose session is decidably
+                # gone (Connect/pyid sessions drop out of _PY_KEYS when
+                # their proxy is GC'd) before touching live-session
+                # entries (r12 advice: a chatty sibling must not evict
+                # a live session's frames). py4j session keys have no
+                # cheap liveness probe; they age out LRU as before.
+                # Evicted values are NOT unpersisted deliberately:
+                # plan values are ckpt-tracked localCheckpoint frames
+                # whose blocks are unrecomputable — unpersisting one
+                # still referenced by a consumer plan would fail that
+                # plan outright; feast_hive_spark.ckpt owns release.
+                live = [e for e in _MEMO if not _stale_session(e[0])]
+                if len(live) < len(_MEMO):
+                    _MEMO[:] = live
+            _MEMO[:] = _MEMO[-(_MEMO_MAX - 1):]
+            _MEMO.append((skey, kind, token, plans, files, value))
     return value
+
+
+def _stale_session(skey: str) -> bool:
+    """True when ``skey`` belongs to a session that is decidably dead
+    (a pyid fallback key whose SparkSession proxy was GC'd — the
+    WeakValueDictionary entry vanishes with its referent)."""
+    from feast_hive_spark.sources.tables import _PY_KEYS
+
+    return skey.startswith("pyid-") and skey not in _PY_KEYS
 
 
 def _lookup_only(
@@ -233,3 +271,6 @@ def clear() -> None:
     """Drop every memo entry (tests; or after mutating a source)."""
     with _LOCK:
         _MEMO.clear()
+        # build locks are pure serialization state — holders keep
+        # their own references, so dropping the registry is safe
+        _BUILD_LOCKS.clear()

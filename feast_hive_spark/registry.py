@@ -107,6 +107,46 @@ def register(name: str, oracle: str | None):
 # (CORRECTNESS_FULL_r*.json). Names absent from REGISTRY are ignored,
 # names absent from this list follow in registration order.
 SAMPLE_ROTATION: list[str] = [
+    # r13 (r12 verdict #5): recomputed never-or-least-recently-sampled
+    # set from CORRECTNESS_r01..r12.json. Head = the 17 entries never
+    # present in ANY per-round driver sample, then the 33 whose most
+    # recent sample is r1/r2 — exactly 50; new r13 queries are
+    # appended after this block as they land (never-sampled by
+    # definition, they displace the tail of the 50).
+    # -- never driver-sampled (17) --
+    "revenue_lorenz_deciles", "blocking_quality_report",
+    "greedy_shingle_cover_picks", "kcenter_diverse_sample",
+    "hard_negative_pairs_lsh", "lang_temperature_mixture",
+    "fuzzy_part_name_stats", "events_scalar_report",
+    "hard_negative_pairs_lsh_auto",
+    "embedding_decontaminate_fixed_benchmark",
+    "event_entropy_rate", "stream_pit_probe",
+    "split_no_neardup_leakage", "embedding_effective_rank",
+    "embedding_decontaminate", "embedding_decontaminate_sweep",
+    "dp_noisy_event_counts",
+    # -- last sampled in r1 (16) --
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "multimodal_metadata", "text_analysis",
+    "text_lang_quality_rollup", "semi_join_active_customers",
+    "anti_join_inactive_customers", "rollup_order_priority",
+    "pivot_status_by_segment", "set_ops_key_overlap",
+    "q4_priority_with_returns", "q12_priority_by_linestatus",
+    "q13_customer_distribution", "q19_disjunctive_revenue",
+    "q22_dormant_rich_customers",
+    # -- last sampled in r2 (17) --
+    "bm25_search_topk", "temperature_sample_by_lang",
+    "embedding_quantization_error", "bigram_pmi_top",
+    "span_dedup_stats", "tfidf_top_terms", "epoch_shuffle_head",
+    "pack_sequences_by_lang", "quality_weighted_sample",
+    "text_normalize_fp", "dedup_exact", "dedup_exact_stats",
+    "dedup_ngram_jaccard", "dedup_jaccard_prefix",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    # -- last sampled in r3 (next in line past the 50) --
+    "unigram_nll_scores", "chunk_documents_overlap",
+    "dedup_paragraph_chunks",
+    # r12 rotation below (kept: everything here was driver-sampled in
+    # r12, so it sorts AFTER the stale set above; the driver takes the
+    # first ~50 names of queries()).
     # r12 (r11 verdict #6): the driver's 50-query sample front-loaded
     # analytics two rounds running and carried ZERO flagship/§2 rows —
     # rotate the PIT/pull/TPC-H family back to the very front so the

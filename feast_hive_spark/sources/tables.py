@@ -107,6 +107,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             n = nparts
         if n:
             df = df.repartition(int(n))
+    if len(_DF_CACHE) >= _DF_CACHE_MAX:
+        # prefer evicting frames of decidably-dead sessions (pyid
+        # fallback keys whose proxy left _PY_KEYS) before FIFO-evicting
+        # a live session's frame — evicting a live frame silently
+        # breaks the same-lineage invariant that makes cacheTable
+        # substitution reach later plans (r12 advice; perf only, never
+        # wrong results). py4j keys have no cheap liveness probe.
+        for k in [
+            k
+            for k in _DF_CACHE
+            if k[0].startswith("pyid-") and k[0] not in _PY_KEYS
+        ]:
+            del _DF_CACHE[k]
     while len(_DF_CACHE) >= _DF_CACHE_MAX:
         _DF_CACHE.pop(next(iter(_DF_CACHE)))
     _DF_CACHE[key] = df
