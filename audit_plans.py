@@ -548,6 +548,30 @@ AUDITS = {
         ["HashAggregate"],
         ["CartesianProduct"],
     ),
+    # r13: bitemporal PIT — one key-equi join with both time axes as
+    # range conditions + one skew-immune max_by argmax; both event
+    # scans carry pushed filters, never a cartesian
+    # (struct-valued max_by compiles to SortAggregate, and the
+    # partial_max_by before the exchange is the skew-immunity
+    # evidence)
+    "pit_bitemporal": (
+        ["PushedFilters", "partial_max_by"],
+        ["CartesianProduct", "Window"],
+    ),
+    # r13: HITS — four graph-sized join+sum half-steps run at BUILD
+    # time behind plan_memo (LocalRelation/checkpoint readout at
+    # exec); the ranking window must take the WindowGroupLimit top-15
+    # path
+    "hits_user_item": (
+        ["WindowGroupLimit"],
+        ["CartesianProduct"],
+    ),
+    # r13: t-closeness — QI-domain-sized class grid, 10-row global
+    # CDF broadcast, per-class <=10-row windows
+    "t_closeness_audit": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 # Explicitly-tuned entries above; everything else in the registry gets

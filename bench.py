@@ -355,6 +355,10 @@ BENCH_QUERIES = [
     "text_token_percentiles",
     "profile_lineitem",
     "dedup_exact_stats",
+    # r13 additions
+    "pit_bitemporal",
+    "hits_user_item",
+    "t_closeness_audit",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

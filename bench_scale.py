@@ -152,6 +152,12 @@ SF10_QUERIES = [
     "embedding_decontaminate_sweep",
     "dp_noisy_event_counts",
     "split_no_neardup_leakage",
+    # r13: bitemporal retrieval (events-sized two-axis range join),
+    # HITS (graph-sized iterative joins), t-closeness (QI-domain-
+    # bounded class table -- expected ~flat)
+    "pit_bitemporal",
+    "hits_user_item",
+    "t_closeness_audit",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -276,6 +282,12 @@ SCALE_QUERIES = [
     "embedding_decontaminate_sweep",
     "dp_noisy_event_counts",
     "split_no_neardup_leakage",
+    # r13: bitemporal retrieval (events-sized two-axis range join),
+    # HITS (graph-sized iterative joins), t-closeness (QI-domain-
+    # bounded class table -- expected ~flat)
+    "pit_bitemporal",
+    "hits_user_item",
+    "t_closeness_audit",
 ]
 
 

@@ -323,30 +323,12 @@ def _pagerank_weighted_build(
         F.col(src).alias("s"), F.col(dst).alias("d"),
         F.col(w).cast("long").alias("wt"),
     ).cache()
-    deg = e.groupBy("d").agg(F.sum("wt").alias("dg")).select(
-        F.col("d").alias("s"), "dg"
+    deg = (
+        e.groupBy("d")
+        .agg(F.sum("wt").alias("dg"))
+        .select(F.col("d").alias("s"), "dg")
+        .cache()
     )
-    # Precondition check mirroring the driver path: a source with no
-    # positive in-weight has deg(u) <= 0 and its contribution
-    # r(u) div deg(u) is undefined — the inner join below would
-    # silently DROP no-in-edge sources and `div 0` would NULL out
-    # zero-weight ones, both diverging from the driver path's typed
-    # error. Fail loudly on both paths instead (one cheap probe job;
-    # the build is plan-memoized).
-    bad_src = (
-        e.join(deg.filter(F.col("dg") > 0), "s", "left_anti")
-        .select("s")
-        .first()
-    )
-    if bad_src is not None:
-        e.unpersist()
-        raise ValueError(
-            "pagerank_weighted requires every source node to have "
-            f"positive incoming weight (deg(u) > 0); source "
-            f"{bad_src[0]!r} has none. Symmetric graphs (every edge "
-            "mirrored, as the collapsed near-dup callers build) "
-            "satisfy this."
-        )
     if node_weights is None:
         nn_df = deg.agg(F.count(F.lit(1)).alias("nn"))
     else:
@@ -364,7 +346,35 @@ def _pagerank_weighted_build(
         F.col("s").alias("node"),
         F.round(F.lit(float(SCALE)) / F.col("nn")).cast("long").alias("r"),
     )
-    edges_deg = e.join(deg, "s").cache()
+    # Precondition check mirroring the driver path (r12 advice: fold
+    # it into work the recurrence needs anyway instead of a dedicated
+    # edges-plus-aggregate probe job): a source with no positive
+    # in-weight has deg(u) <= 0 and its contribution r(u) div deg(u)
+    # is undefined — the inner join below would silently DROP
+    # no-in-edge sources and `div 0` would NULL out zero-weight ones,
+    # both diverging from the driver path's typed error. deg is
+    # unique per node, so the positive-deg inner join preserves edge
+    # row count iff every source has deg > 0; both counts read the
+    # caches the recurrence uses (edges_deg materializes here instead
+    # of in iteration 1). The explicit offender lookup runs only on
+    # the failure path.
+    edges_deg = e.join(deg.filter(F.col("dg") > 0), "s").cache()
+    if edges_deg.count() != e.count():
+        bad_src = (
+            e.join(deg.filter(F.col("dg") > 0), "s", "left_anti")
+            .select("s")
+            .first()
+        )
+        e.unpersist()
+        deg.unpersist()
+        edges_deg.unpersist()
+        raise ValueError(
+            "pagerank_weighted requires every source node to have "
+            f"positive incoming weight (deg(u) > 0); source "
+            f"{bad_src[0] if bad_src else '?'!r} has none. Symmetric "
+            "graphs (every edge mirrored, as the collapsed near-dup "
+            "callers build) satisfy this."
+        )
     for _ in range(iters):
         contrib = edges_deg.join(
             ranks, edges_deg.s == ranks.node
@@ -388,6 +398,7 @@ def _pagerank_weighted_build(
     out = ranks.select(F.col("node"), F.col("r").alias("rank_e12"))
     out = out.localCheckpoint(eager=True)
     e.unpersist()
+    deg.unpersist()
     edges_deg.unpersist()
     return out
 
@@ -802,3 +813,86 @@ def degree_assortativity(
             6,
         ).alias("assortativity"),
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "i",
+    iters: int = 2,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, JACM 1999) over a directed
+    edge list: authorities accumulate the hub mass of their pointers
+    (``a_{t}(i) = Σ_{u→i} h_{t-1}(u)``), hubs accumulate the
+    authority mass they point at (``h_t(u) = Σ_{u→i} a_t(i)``),
+    starting from ``h_0 ≡ 1``. The textbook per-step normalization is
+    a POSITIVE SCALAR, so dropping it leaves every iterate's RANKING
+    identical — scores here are the exact unnormalized integers,
+    bit-reproducible in any engine (the same trick as the pipeline's
+    integer PageRank, minus even the division). Overflow bound:
+    scores grow like (max degree)^(2*iters); at the default
+    ``iters=2`` that is < 2^63 for any graph under ~30k max degree
+    squared — raise ``iters`` only with a width check.
+
+    Cost: per half-step, one edge-to-score equi join + one grouped
+    sum — shuffles sized to the GRAPH (edge list + node tables),
+    never the corpus that produced it; the deduped edge list is
+    cached once and reused by all 2*iters half-steps. No collect, no
+    driver loop state beyond the loop counter.
+
+    Output: ``(side 'authority'|'hub', node, score)`` — one row per
+    node per side, ranking-ready. Memoized per input plan
+    (plans/memo.py): scores are a pure function of the edge list.
+
+    No counterpart in the reference (beyond-reference extension; the
+    reference's only graph-adjacent surface is the PIT join's entity
+    graph, feast_hive/hive.py:527-721)."""
+    return plan_memo(
+        edges.sparkSession,
+        edges,
+        ("hits", src, dst, iters),
+        lambda: _hits_build(edges, src, dst, iters),
+    )
+
+
+def _hits_build(
+    edges: DataFrame, src: str, dst: str, iters: int
+) -> DataFrame:
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("i"))
+        .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .cache()
+    )
+    # h_0 == 1 folds into the first authority step: a_1(i) = indeg(i)
+    a = e.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("score"))
+    h = None
+    for t in range(iters):
+        if t > 0:
+            a = (
+                e.join(h.withColumnRenamed("score", "__h"), "u")
+                .groupBy("i")
+                .agg(F.sum("__h").cast("long").alias("score"))
+            )
+        h = (
+            e.join(a.withColumnRenamed("score", "__a"), "i")
+            .groupBy("u")
+            .agg(F.sum("__a").cast("long").alias("score"))
+        )
+    out = (
+        a.select(
+            F.lit("authority").alias("side"),
+            F.col("i").cast("long").alias("node"),
+            "score",
+        )
+        .unionByName(
+            h.select(
+                F.lit("hub").alias("side"),
+                F.col("u").cast("long").alias("node"),
+                "score",
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    return out

@@ -344,3 +344,96 @@ def materialize_delta(
             "new_value",
         )
     )
+
+
+def bitemporal_asof_join(
+    probes: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    probe_id_col: str,
+    probe_ts_col: str,
+    knowledge_ts_col: str,
+    event_ts_col: str,
+    created_ts_col: str,
+    value_cols: Sequence[str],
+    ttl_seconds: int = 0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Bitemporal as-of join: for each probe row, the feature version
+    that was VALID as of ``probe_ts`` (``event_ts <= probe_ts``, the
+    flagship PIT axis) AND KNOWN as of ``knowledge_ts``
+    (``created_ts <= knowledge_ts``, the transaction-time axis).
+    This answers the backfill-reproducibility question the flagship
+    PIT join cannot: "what would the serving system have returned had
+    I run this retrieval at time K?" — late-arriving feature rows
+    (created after K) are invisible even when their event time
+    qualifies, so a training set built today for last month's labels
+    matches what the model actually saw. The reference has no
+    transaction-time axis at all (its created_timestamp is a dedup
+    tiebreak only, feast_hive/hive.py:645-654); this is the
+    beyond-reference completion of that column into a real bitemporal
+    model (Snodgrass, TSQL2; SQL:2011 system-versioned tables).
+
+    Selection among visible versions mirrors the flagship: argmax by
+    ``(event_ts, created_ts, tiebreak)`` via ONE skew-immune
+    ``max_by(struct)`` aggregate — no window over the join product.
+    Shape: equi join on ``keys`` with both time predicates attached
+    (they ride the join as pushed range conditions), then a grouped
+    argmax keyed by probe id; with ``ttl_seconds > 0`` the
+    ``event_ts >= probe_ts - ttl`` bound additionally prunes the
+    scan. Probes with no visible version keep NULLs (left
+    semantics). Output: probe columns + ``value_cols`` +
+    ``served_event_ts`` + ``served_created_ts``."""
+    keys = list(keys)
+    pr = probes.select(
+        F.col(probe_id_col).alias("__pid"),
+        *keys,
+        F.col(probe_ts_col).alias("__pts"),
+        F.col(knowledge_ts_col).alias("__kts"),
+    )
+    # source-side keys get unique internal names: probes and source
+    # typically derive from the same base scan (events vs events), and
+    # same-name df["col"] references across a self-join are the
+    # classic ambiguous-lineage trap
+    sc = source.select(
+        *[F.col(k).alias(f"__sk_{n}") for n, k in enumerate(keys)],
+        F.col(event_ts_col).alias("__ets"),
+        F.col(created_ts_col).alias("__cts"),
+        *[F.col(v) for v in value_cols],
+        *(
+            [F.col(tiebreak_col).alias("__tb")]
+            if tiebreak_col
+            else [F.lit(0).alias("__tb")]
+        ),
+    )
+    cond = (F.col("__ets") <= F.col("__pts")) & (
+        F.col("__cts") <= F.col("__kts")
+    )
+    if ttl_seconds > 0:
+        cond = cond & (
+            F.col("__ets")
+            >= F.col("__pts") - F.expr(f"INTERVAL {int(ttl_seconds)} SECOND")
+        )
+    on = cond
+    for n, k in enumerate(keys):
+        on = (F.col(k) == F.col(f"__sk_{n}")) & on
+    j = pr.join(sc, on=on, how="inner")
+    picked = F.max_by(
+        F.struct(
+            F.col("__ets").alias("ets"),
+            F.col("__cts").alias("cts"),
+            *[F.col(v).alias(v) for v in value_cols],
+        ),
+        F.struct(F.col("__ets"), F.col("__cts"), F.col("__tb")),
+    )
+    matched = j.groupBy("__pid").agg(picked.alias("__m"))
+    out = pr.join(matched, "__pid", "left").select(
+        F.col("__pid").alias(probe_id_col),
+        *keys,
+        F.col("__pts").alias(probe_ts_col),
+        F.col("__kts").alias(knowledge_ts_col),
+        *[F.col("__m").getField(v).alias(v) for v in value_cols],
+        F.col("__m").getField("ets").alias("served_event_ts"),
+        F.col("__m").getField("cts").alias("served_created_ts"),
+    )
+    return out

@@ -124,6 +124,8 @@ SAMPLE_ROTATION: list[str] = [
     "split_no_neardup_leakage", "embedding_effective_rank",
     "embedding_decontaminate", "embedding_decontaminate_sweep",
     "dp_noisy_event_counts",
+    # -- r13 additions (never sampled by definition) --
+    "pit_bitemporal", "hits_user_item", "t_closeness_audit",
     # -- last sampled in r1 (16) --
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "multimodal_metadata", "text_analysis",

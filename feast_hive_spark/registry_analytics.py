@@ -5402,6 +5402,67 @@ def degree_assortativity_events(
 
 
 @register(
+    "hits_user_item",
+    """
+WITH e AS (
+  SELECT DISTINCT user_id AS u, event_id % 100 AS i FROM events
+  WHERE user_id IS NOT NULL
+), a1 AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS score FROM e GROUP BY i
+), h1 AS (
+  SELECT u, CAST(SUM(a1.score) AS BIGINT) AS score
+  FROM e JOIN a1 USING (i) GROUP BY u
+), a2 AS (
+  SELECT i, CAST(SUM(h1.score) AS BIGINT) AS score
+  FROM e JOIN h1 USING (u) GROUP BY i
+), h2 AS (
+  SELECT u, CAST(SUM(a2.score) AS BIGINT) AS score
+  FROM e JOIN a2 USING (i) GROUP BY u
+), uni AS (
+  SELECT 'authority' AS side, CAST(i AS BIGINT) AS node, score FROM a2
+  UNION ALL
+  SELECT 'hub' AS side, CAST(u AS BIGINT) AS node, score FROM h2
+)
+SELECT side, node, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY side
+                               ORDER BY score DESC, node) AS BIGINT) AS rank
+FROM uni
+QUALIFY rank <= 15
+ORDER BY side, rank
+""",
+)
+def hits_user_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the user->item
+    interaction graph (items = the event-sequence fixtures' event_id
+    % 100 space, same as the covisitation family): authorities are
+    the items consumed by the most-active users, hubs the users whose
+    baskets cover the strongest items — the classic candidate-
+    generation prior a recommender pipeline feeds from. Two exact
+    integer iterations (unnormalized — per-step normalization is a
+    positive scalar, so rankings are identical and the integers are
+    engine-reproducible); the SQL twin unrolls all four half-steps,
+    hash-certifying every join+sum. Top-15 per side via a
+    side-partitioned window (WindowGroupLimit: partial top-k before
+    the 2-partition shuffle)."""
+    from feast_hive_spark.operators.graph import hits_scores
+
+    ev = read_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("user_id").isNotNull()).select(
+        F.col("user_id").alias("u"),
+        (F.col("event_id") % 100).alias("i"),
+    )
+    scores = hits_scores(edges, "u", "i", iters=2)
+    w = Window.partitionBy("side").orderBy(
+        F.col("score").desc(), F.col("node").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 15)
+        .orderBy("side", "rank")
+    )
+
+
+@register(
     "theilsen_daily_value_trend",
     """
 WITH d AS (

@@ -4447,6 +4447,126 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_closeness_audit",
+    """
+WITH b AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(LEAST(GREATEST(FLOOR((c_acctbal + 1000.0) / 1100.0), 0), 9)
+              AS INTEGER) AS bin
+  FROM customer
+), cb AS (
+  SELECT c_nationkey, c_mktsegment, bin, COUNT(*) AS cnt
+  FROM b GROUP BY c_nationkey, c_mktsegment, bin
+), g AS (
+  SELECT bin, SUM(cnt) AS gcnt FROM cb GROUP BY bin
+), g2 AS (
+  SELECT bin,
+         CAST(SUM(gcnt) OVER (ORDER BY bin) AS BIGINT) AS cum_g,
+         CAST(SUM(gcnt) OVER () AS BIGINT) AS total
+  FROM g
+), cls AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS class_size
+  FROM cb GROUP BY c_nationkey, c_mktsegment
+), grid AS (
+  SELECT c.c_nationkey, c.c_mktsegment, c.class_size, CAST(t.i AS INTEGER) AS bin
+  FROM cls c, UNNEST(range(0, 10)) AS t(i)
+), j AS (
+  SELECT gr.c_nationkey, gr.c_mktsegment, gr.class_size, gr.bin,
+         CAST(COALESCE(cb.cnt, 0) AS BIGINT) AS cnt
+  FROM grid gr LEFT JOIN cb USING (c_nationkey, c_mktsegment, bin)
+), j2 AS (
+  SELECT *, CAST(SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                ORDER BY bin) AS BIGINT) AS cum_c
+  FROM j
+), j3 AS (
+  SELECT j2.*, g2.cum_g, g2.total FROM j2 JOIN g2 USING (bin)
+)
+SELECT c_nationkey, c_mktsegment,
+       class_size,
+       CAST(ROUND(1e6 * CAST(SUM(ABS(cum_c * total - cum_g * class_size))
+                             AS DOUBLE)
+                  / (9e0 * class_size * MAX(total))) AS BIGINT) AS t_e6
+FROM j3
+GROUP BY c_nationkey, c_mktsegment, class_size
+ORDER BY c_nationkey, c_mktsegment
+""",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the fourth member of the privacy suite: k-anonymity bounds class
+    SIZE, l-diversity bounds sensitive-value VARIETY, t-closeness
+    bounds how far each equivalence class's sensitive-attribute
+    DISTRIBUTION drifts from the global one (a class of 50 rows that
+    is 95% negative-balance still leaks even at k=50, l=2). Sensitive
+    attribute: account balance in 10 fixed ordered bands; distance is
+    the ordered-bin Earth Mover's Distance, (1/(m-1)) *
+    Sum_i |CumP_i - CumQ_i|. All arithmetic stays INTEGER until one
+    final division — per (class, bin): |cum_cnt*total -
+    cum_gcnt*class_size|, summed, divided by (m-1)*class_size*total
+    and reported as t*1e6 — so both engines compute identical values
+    with no float-order sensitivity. Scale shape: one grouped count
+    on the QI x bin domain (bounded), a 10-row global CDF broadcast,
+    and windows over <=10-row class partitions — the class table is
+    QI-domain-sized, never row-count-sized."""
+    cust = read_table(spark, sf_dir, "customer")
+    keys = ["c_nationkey", "c_mktsegment"]
+    bin_col = (
+        F.least(
+            F.greatest(
+                F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(1100.0)),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(9).cast("long"),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    cb = cust.groupBy(*keys, bin_col).agg(F.count(F.lit(1)).alias("cnt"))
+    g = cb.groupBy("bin").agg(F.sum("cnt").alias("gcnt"))
+    g2 = g.select(
+        "bin",
+        F.sum("gcnt")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_g"),
+        F.sum("gcnt").over(Window.partitionBy()).cast("long").alias("total"),
+    )
+    cls = cb.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("class_size"))
+    grid = cls.select(
+        *keys, "class_size",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+    )
+    j = grid.join(cb, [*keys, "bin"], "left").na.fill({"cnt": 0})
+    j2 = j.withColumn(
+        "cum_c",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy(*keys)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long"),
+    )
+    j3 = j2.join(F.broadcast(g2), "bin")  # 10-row global CDF
+    term = F.abs(
+        F.col("cum_c") * F.col("total") - F.col("cum_g") * F.col("class_size")
+    )
+    return (
+        j3.groupBy(*keys, "class_size")
+        .agg(F.sum(term).alias("__s"), F.max("total").alias("__t"))
+        .select(
+            *keys,
+            "class_size",
+            F.round(
+                F.lit(1e6) * F.col("__s").cast("double")
+                / (F.lit(9e0) * F.col("class_size") * F.col("__t"))
+            ).cast("long").alias("t_e6"),
+        )
+        .orderBy(*keys)
+    )
+
+
+@register(
     "inclusion_dependency_discovery",
     """
 WITH cand AS (
@@ -4908,3 +5028,90 @@ def kcenter_diverse_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return kcenter_diverse_sample(emb, "vec_id", "embedding", k=4)
+
+
+@register(
+    "pit_bitemporal",
+    """
+WITH ent AS (
+  SELECT event_id AS probe_id, user_id,
+         CAST(ts AS TIMESTAMP) AS event_timestamp,
+         make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000)
+           AS knowledge_timestamp
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) AS ets,
+         make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
+                        + ((event_id * 40037) % 172800) * 1000000) AS cts,
+         value, event_id
+  FROM events WHERE event_type = 'click'
+), matched AS (
+  SELECT e.probe_id, c.value, c.ets, c.cts,
+         ROW_NUMBER() OVER (PARTITION BY e.probe_id
+                            ORDER BY c.ets DESC, c.cts DESC,
+                                     c.event_id DESC) AS rn
+  FROM ent e JOIN clicks c ON c.user_id = e.user_id
+   AND c.ets <= e.event_timestamp
+   AND c.ets >= e.event_timestamp - INTERVAL 604800 SECOND
+   AND c.cts <= e.knowledge_timestamp
+)
+SELECT e.probe_id, e.user_id, e.event_timestamp, e.knowledge_timestamp,
+       m.value AS click_value,
+       m.ets AS served_event_ts, m.cts AS served_created_ts
+FROM ent e LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+  USING (probe_id)
+""",
+)
+def pit_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal retrieval (plans/asof.bitemporal_asof_join): the
+    flagship PIT as-of join extended with a TRANSACTION-TIME axis —
+    each purchase probe sees only click versions that were both valid
+    (event time <= probe time, 7-day TTL) and KNOWN (ingest time <=
+    probe time + 30 min, the probe's knowledge cutoff). Ingest lag is
+    simulated deterministically as (event_id * 40037) % 48h seconds
+    (a multiplicative spread over day-scale batch-ETL lags — small
+    sequential ids alone would cap lag at seconds on small
+    fixtures), so a sizable share of versions valid at T are
+    invisible at K = T + 30 min and the result provably differs from
+    plain PIT (pinned by the vacuity test); served_event_ts /
+    served_created_ts expose WHICH version answered, the audit trail
+    a backfill-reproducibility check reads. Selection is the PIT
+    family's skew-immune max_by(struct) argmax, never a window over
+    the join product."""
+    from feast_hive_spark.plans.asof import bitemporal_asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    ent = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        F.timestamp_micros(us + F.lit(1800000000).cast("long")).alias(
+            "knowledge_timestamp"
+        ),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.timestamp_micros(
+            us + ((F.col("event_id") * 40037) % 172800)
+            * F.lit(1000000).cast("long")
+        ).alias("created"),
+        "value",
+        "event_id",
+    )
+    out = bitemporal_asof_join(
+        ent,
+        clicks,
+        ["user_id"],
+        probe_id_col="probe_id",
+        probe_ts_col="event_timestamp",
+        knowledge_ts_col="knowledge_timestamp",
+        event_ts_col="ts",
+        created_ts_col="created",
+        value_cols=["value"],
+        ttl_seconds=604800,
+        tiebreak_col="event_id",
+    )
+    return out.withColumnRenamed("value", "click_value")

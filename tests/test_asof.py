@@ -253,3 +253,54 @@ def test_apply_cdc_same_ts_change_beats_snapshot(spark):
     )
     [r] = apply_cdc(snapshot, changes, ["k"], "ts", "op", ["v"], "eid").collect()
     assert r.v == 3.0  # highest tiebreak among coincident changes
+
+
+def test_bitemporal_hides_late_arrivals(spark):
+    """A version valid at probe time but created AFTER the knowledge
+    cutoff must not serve; the best VISIBLE version serves instead;
+    ties on (event_ts, created_ts) break on the tiebreak column."""
+    from datetime import datetime
+
+    from feast_hive_spark.plans.asof import bitemporal_asof_join
+
+    T = datetime(2024, 1, 10, 12, 0, 0)
+    K = datetime(2024, 1, 10, 12, 30, 0)
+    probes = spark.createDataFrame(
+        [(1, 7, T, K), (2, 8, T, K)],
+        "probe_id long, k long, pts timestamp, kts timestamp",
+    )
+    src = spark.createDataFrame(
+        [
+            # key 7: newest version created too late -> older one wins
+            (7, datetime(2024, 1, 10, 11, 0), datetime(2024, 1, 10, 13, 0),
+             100.0, 1),
+            (7, datetime(2024, 1, 10, 10, 0), datetime(2024, 1, 10, 10, 5),
+             50.0, 2),
+            # key 7: same (event, created) as the winner, higher tb wins
+            (7, datetime(2024, 1, 10, 10, 0), datetime(2024, 1, 10, 10, 5),
+             55.0, 3),
+            # key 8: nothing known by K -> NULLs
+            (8, datetime(2024, 1, 10, 11, 0), datetime(2024, 1, 11, 0, 0),
+             9.0, 4),
+        ],
+        "k long, ets timestamp, cts timestamp, v double, tb long",
+    )
+    out = {
+        r.probe_id: r
+        for r in bitemporal_asof_join(
+            probes, src, ["k"], "probe_id", "pts", "kts", "ets", "cts",
+            ["v"], ttl_seconds=0, tiebreak_col="tb",
+        ).collect()
+    }
+    assert out[1].v == 55.0
+    assert out[1].served_created_ts == datetime(2024, 1, 10, 10, 5)
+    assert out[2].v is None and out[2].served_event_ts is None
+    # with a TTL excluding the 10:00 version, key 7 has nothing visible
+    out_ttl = {
+        r.probe_id: r
+        for r in bitemporal_asof_join(
+            probes, src, ["k"], "probe_id", "pts", "kts", "ets", "cts",
+            ["v"], ttl_seconds=3600, tiebreak_col="tb",
+        ).collect()
+    }
+    assert out_ttl[1].v is None

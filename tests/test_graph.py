@@ -354,3 +354,38 @@ def test_pagerank_weighted_node_weights_superset_ignored(spark):
         ).collect()
     }
     assert base == sup_drv == sup_dist and len(base) == 3
+
+
+def _py_hits(edges, iters=2):
+    """Direct python model of the unnormalized integer HITS."""
+    e = sorted(set(edges))
+    a, h = {}, {u: 1 for u, _ in e}
+    for t in range(iters):
+        a = {}
+        for u, i in e:
+            a[i] = a.get(i, 0) + h[u]
+        h = {}
+        for u, i in e:
+            h[u] = h.get(u, 0) + a[i]
+    return a, h
+
+
+def test_hits_matches_python_model(spark):
+    from feast_hive_spark.operators.graph import hits_scores
+
+    edges = [
+        (1, 10), (1, 11), (1, 12),   # strong hub
+        (2, 10), (2, 11),
+        (3, 10),                     # 10 = strongest authority
+        (4, 13),                     # isolated pair
+        (1, 10),                     # duplicate edge must dedup
+    ]
+    df = spark.createDataFrame(edges, "u long, i long")
+    exp_a, exp_h = _py_hits(edges)
+    out = hits_scores(df, "u", "i", iters=2).collect()
+    got_a = {r.node: r.score for r in out if r.side == "authority"}
+    got_h = {r.node: r.score for r in out if r.side == "hub"}
+    assert got_a == exp_a and got_h == exp_h
+    # structural sanity: 10 dominates authorities, 1 dominates hubs
+    assert max(got_a, key=got_a.get) == 10
+    assert max(got_h, key=got_h.get) == 1

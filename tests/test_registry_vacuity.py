@@ -263,3 +263,58 @@ def test_multiprobe_recall_not_vacuous(spark, sf_dir):
     multi = _run(spark, sf_dir, "ann_multiprobe_recall_report")
     assert set(single["query_id"]) == set(multi["query_id"])
     assert multi["n_match"].sum() >= single["n_match"].sum()
+
+
+def test_pit_bitemporal_not_vacuous(spark, sf_dir):
+    """r13: the knowledge-time axis must actually HIDE something —
+    some probe must serve a different (older or NULL) version than
+    plain PIT, or the bitemporal join degenerates into the flagship.
+    And no served version may violate either axis."""
+    bi = _run(spark, sf_dir, "pit_bitemporal")
+    pit = _run(spark, sf_dir, "pit_asof_join")
+    served = bi[bi["served_created_ts"].notna()]
+    assert (served["served_created_ts"] <= served["knowledge_timestamp"]).all()
+    assert (served["served_event_ts"] <= served["event_timestamp"]).all()
+    merged = bi.merge(
+        pit[["probe_id", "click_value"]],
+        on="probe_id",
+        suffixes=("_bi", "_pit"),
+    )
+    both = merged[merged["click_value_pit"].notna()]
+    differs = (
+        both["click_value_bi"].isna()
+        | (both["click_value_bi"] != both["click_value_pit"])
+    )
+    assert differs.any(), (
+        "knowledge cutoff hid nothing: bitemporal == plain PIT on the "
+        "whole fixture (ingest-lag simulation drained?)"
+    )
+
+
+def test_hits_user_item_not_vacuous(spark, sf_dir):
+    """r13: both sides present with full top-15, positive integer
+    scores, authorities inside the item space, and a non-constant
+    score vector on each side (a regular graph would make HITS
+    rank-degenerate)."""
+    out = _run(spark, sf_dir, "hits_user_item")
+    au = out[out["side"] == "authority"]
+    hu = out[out["side"] == "hub"]
+    assert len(au) == 15 and len(hu) == 15
+    assert (out["score"] > 0).all()
+    assert au["node"].between(0, 99).all()
+    assert au["score"].nunique() > 1 and hu["score"].nunique() > 1
+    assert list(au.sort_values("rank")["score"]) == sorted(
+        au["score"], reverse=True
+    )
+
+
+def test_t_closeness_not_vacuous(spark, sf_dir):
+    """r13: t in [0, 1e6], and the fixture must contain real
+    distributional drift — at least one class with t_e6 > 0 (all-zero
+    means every class mirrors the global distribution and the audit
+    gates nothing)."""
+    out = _run(spark, sf_dir, "t_closeness_audit")
+    assert len(out) >= 10
+    assert out["t_e6"].between(0, 1_000_000).all()
+    assert (out["t_e6"] > 0).any()
+    assert (out["class_size"] > 0).all()
