@@ -572,6 +572,17 @@ AUDITS = {
         ["HashAggregate", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # r13: JL distortion — one id-adjacency equi join, 16 literal-
+    # plane folds inside codegen, bin-bounded aggregate; no pair
+    # explosion anywhere
+    "jl_distortion_audit": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # r13: streaming PSI replay — exec reads the memoized checkpoint
+    # readout (the windowed state + scoring ran at build; bench flags
+    # it build_materialized)
+    "stream_psi_drift": ([], ["CartesianProduct"]),
 }
 
 # Explicitly-tuned entries above; everything else in the registry gets

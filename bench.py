@@ -359,6 +359,8 @@ BENCH_QUERIES = [
     "pit_bitemporal",
     "hits_user_item",
     "t_closeness_audit",
+    "jl_distortion_audit",
+    "stream_psi_drift",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char
@@ -558,6 +560,7 @@ def emit(
     subset: bool = False,
     build_materialized: list[str] | None = None,
     exec_spread: dict[str, list[float]] | None = None,
+    prepare_plan: dict[str, float] | None = None,
 ) -> None:
     total = round(sum(times.values()), 3)
     prep_total = round(sum(prepare.values()), 3)
@@ -628,6 +631,30 @@ def emit(
                 # ran at BUILD time, so grade prepare_cold_sec as
                 # their per-retrieval runtime, not `queries[name]`.
                 "build_materialized": sorted(build_materialized or []),
+                # r13 (r12 verdict #3): the one-shot REL-20 floor,
+                # decomposed — prepare_plan_sec is a rebuild with
+                # plans/memo warm but the prepared-plan cache cleared
+                # (pure plan construction, zero jobs), so per query
+                # eager_jobs ~= prepare_cold - prepare_plan. The
+                # totals make "the cold floor is first-run eager jobs,
+                # not plan build" a numbers-backed claim.
+                **({} if not prepare_plan else {
+                    "prepare_plan_sec": dict(prepare_plan),
+                    "rel20_cold_decomposition": {
+                        "exec_total": round(
+                            sum(times[n] for n in prepare_plan
+                                if n in times), 3),
+                        "plan_build_total": round(
+                            sum(prepare_plan.values()), 3),
+                        "eager_first_jobs_total": round(
+                            sum(max(0.0, prepare_cold[n] - prepare_plan[n])
+                                for n in prepare_plan
+                                if n in prepare_cold), 3),
+                        "prepare_cold_total": round(
+                            sum(prepare_cold[n] for n in prepare_plan
+                                if n in prepare_cold), 3),
+                    },
+                }),
                 # r11 (r10 verdict missing #2): mechanical coverage
                 # accounting — every registry query must hold a bench
                 # row here or a tier row in bench_scale.py; this list
@@ -707,6 +734,7 @@ def main() -> None:
     times: dict[str, float] = {}
     prepare: dict[str, float] = {}
     prepare_cold: dict[str, float] = {}
+    prepare_plan: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     build_mat: list[str] = []
     rel20 = set(BENCH_QUERIES[:REL20_N])
@@ -765,6 +793,19 @@ def main() -> None:
             sorted(cold_runs)[len(cold_runs) // 2], 3
         )
         _noop(df)  # warmup: codegen + plan-pinned caches
+        # r13 (r12 verdict #3): one-shot floor DECOMPOSITION for the
+        # REL-20 — rebuild with the prepared-plan caches cleared but
+        # plans/memo KEPT: every eager build job the cold path ran is
+        # served from memo, so this isolates pure plan construction
+        # (python + Catalyst + VALUES re-parse for folds). The
+        # artifact then splits prepare_cold into plan-build vs eager
+        # first-jobs: eager_jobs ~= prepare_cold - prepare_plan.
+        if name in rel20:
+            registry_mod.clear_prepared()
+            pit._PLAN_CACHE.clear()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            prepare_plan[name] = round(time.perf_counter() - t0, 3)
         # warm prepare: re-build against the now-materialized caches —
         # the per-retrieval cost one more retrieval would actually pay
         # (plan construction + every eager build job). This is the
@@ -888,7 +929,8 @@ def main() -> None:
 
     emit(times, prepare, prepare_cold, sf, conf,
          environment_note=note, subset=bool(extra),
-         build_materialized=build_mat, exec_spread=spread)
+         build_materialized=build_mat, exec_spread=spread,
+         prepare_plan=prepare_plan)
 
 
 if __name__ == "__main__":

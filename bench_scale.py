@@ -158,6 +158,9 @@ SF10_QUERIES = [
     "pit_bitemporal",
     "hits_user_item",
     "t_closeness_audit",
+    # r13: 16 literal-plane folds per row -- scan-shaped, must stay
+    # linear
+    "jl_distortion_audit",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -288,6 +291,9 @@ SCALE_QUERIES = [
     "pit_bitemporal",
     "hits_user_item",
     "t_closeness_audit",
+    # r13: 16 literal-plane folds per row -- scan-shaped, must stay
+    # linear
+    "jl_distortion_audit",
 ]
 
 

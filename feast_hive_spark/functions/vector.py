@@ -116,3 +116,32 @@ def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def sign_planes(k: int, dim: int, seed: str = "jl") -> list[list[float]]:
+    """Deterministic ±1 projection matrix rows (Achlioptas 2003's
+    database-friendly JL variant, sign-only case): entry (p, d) is
+    +1 iff the md5 of "{seed}-{p}-{d}" is even — reproducible across
+    sessions/engines with no RNG state, same derivation family as
+    :func:`hyperplanes`."""
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{seed}-{p}-{d}".encode()).hexdigest()[:12], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(k)
+    ]
+
+
+def dot_literal(vec: Column, coefs: list[float]) -> Column:
+    """JVM-side dot product of an array column against literal plane
+    coefficients — the Spark twin of :func:`duck_dot_literal` (same
+    sequential left-to-right summation)."""
+    arr = F.array(*[F.lit(float(c)) for c in coefs])
+    return dot(vec, arr)

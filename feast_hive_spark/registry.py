@@ -126,6 +126,7 @@ SAMPLE_ROTATION: list[str] = [
     "dp_noisy_event_counts",
     # -- r13 additions (never sampled by definition) --
     "pit_bitemporal", "hits_user_item", "t_closeness_audit",
+    "jl_distortion_audit", "stream_psi_drift",
     # -- last sampled in r1 (16) --
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "multimodal_metadata", "text_analysis",

@@ -5115,3 +5115,233 @@ def pit_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
     )
     return out.withColumnRenamed("value", "click_value")
+
+
+def _jl_oracle(k: int = 16, dim: int = 64, bin_width: int = 50000) -> str:
+    """DuckDB twin of jl_distortion_audit: identical md5-derived ±1
+    planes as SQL literals, identical sequential double arithmetic
+    (duck_dot/duck_dot_literal mirror functions/vector.dot), identical
+    e6 fixed-point rounding — the histogram hash certifies projection,
+    norm, ratio, and binning."""
+    planes = V.sign_planes(k, dim, seed="jl")
+    dots = ",\n         ".join(
+        f"{V.duck_dot_literal('z', pl)} AS d{p}"
+        for p, pl in enumerate(planes)
+    )
+    sumsq = " + ".join(f"d{p} * d{p}" for p in range(k))
+    return f"""
+WITH a AS (
+  SELECT vec_id AS pid, embedding AS ea FROM embeddings WHERE vec_id % 2 = 0
+), b AS (
+  SELECT vec_id - 1 AS pid, embedding AS eb FROM embeddings WHERE vec_id % 2 = 1
+), zt AS (
+  SELECT pid, list_transform(range(1, {dim} + 1),
+         i -> CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) AS z
+  FROM a JOIN b USING (pid)
+), d AS (
+  SELECT pid, {V.duck_dot('z', 'z')} AS dn,
+         {dots}
+  FROM zt
+), r AS (
+  SELECT pid,
+         CAST(ROUND(1e6 * ({sumsq}) / ({k}e0 * dn)) AS BIGINT) AS ratio_e6
+  FROM d WHERE dn > 0
+)
+SELECT CAST(FLOOR(ratio_e6 / {bin_width}e0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(ratio_e6) AS min_ratio_e6,
+       MAX(ratio_e6) AS max_ratio_e6
+FROM r GROUP BY 1 ORDER BY bin
+"""
+
+
+@register("jl_distortion_audit", _jl_oracle())
+def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection distortion audit (Achlioptas
+    2003 ±1 sign matrix, 64 -> 16 dims): before a pipeline swaps
+    full embeddings for a cheap random projection (dedup pre-filters,
+    coarse ANN routing, sketch storage), this measures what the
+    projection does to pairwise DISTANCES on the actual corpus — per
+    deterministic probe pair (vec_id 2j, 2j+1), the ratio
+    ||Rz||^2 / (k * ||z||^2) (1.0 = isometry), reported as a bounded
+    histogram of e6 fixed-point ratios in 0.05-wide bins with
+    per-bin min/max. JL says ratios concentrate near 1 with spread
+    ~1/sqrt(k); the audit certifies the ACTUAL spread so the
+    downstream threshold (e.g. a dedup radius) can be widened
+    accordingly. All arithmetic is the vector family's sequential
+    double fold (functions/vector.dot / dot_literal) so the DuckDB
+    twin is bit-comparable; pairing is id-adjacency (linear, no
+    quadratic pair production), output is bin-bounded. The 16
+    projections evaluate as 16 literal-array folds over ONE staged
+    difference column inside whole-stage codegen — no UDF, no
+    shuffle before the final 40-row aggregate."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    k, dim, bin_width = 16, 64, 50000
+    planes = V.sign_planes(k, dim, seed="jl")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("ea")
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("pid"), F.col("embedding").alias("eb")
+    )
+    zt = a.join(b, "pid").select(
+        "pid",
+        F.zip_with(
+            "ea", "eb", lambda x, y: x.cast("double") - y.cast("double")
+        ).alias("z"),
+    )
+    d = zt.select(
+        "pid",
+        V.dot(F.col("z"), F.col("z")).alias("dn"),
+        *[
+            V.dot_literal(F.col("z"), pl).alias(f"d{p}")
+            for p, pl in enumerate(planes)
+        ],
+    )
+    sumsq = F.col("d0") * F.col("d0")
+    for p in range(1, k):
+        sumsq = sumsq + F.col(f"d{p}") * F.col(f"d{p}")
+    r = d.filter(F.col("dn") > 0).select(
+        "pid",
+        F.round(F.lit(1e6) * sumsq / (F.lit(float(k)) * F.col("dn")))
+        .cast("long")
+        .alias("ratio_e6"),
+    )
+    return (
+        r.groupBy(
+            F.floor(F.col("ratio_e6") / F.lit(float(bin_width)))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("ratio_e6").alias("min_ratio_e6"),
+            F.max("ratio_e6").alias("max_ratio_e6"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "stream_psi_drift",
+    """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+), s AS (
+  SELECT date_trunc('day', ts) AS window_start,
+         CAST(LEAST(FLOOR(value / 25.0), 9) AS INTEGER) AS bin,
+         COUNT(*) AS n
+  FROM e GROUP BY 1, 2
+), base AS (
+  SELECT CAST(LEAST(FLOOR(value / 25.0), 9) AS INTEGER) AS bin,
+         COUNT(*) AS bn
+  FROM e WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1
+), btot AS (
+  SELECT SUM(bn) AS bt FROM base
+), wtot AS (
+  SELECT window_start, SUM(n) AS wt FROM s GROUP BY 1
+), grid AS (
+  SELECT w.window_start, w.wt, CAST(t.i AS INTEGER) AS bin
+  FROM wtot w, UNNEST(range(0, 10)) AS t(i)
+), j AS (
+  SELECT g.window_start, g.wt, g.bin,
+         COALESCE(s.n, 0) AS n, COALESCE(b.bn, 0) AS bn
+  FROM grid g
+  LEFT JOIN s USING (window_start, bin)
+  LEFT JOIN base b USING (bin)
+), terms AS (
+  SELECT window_start, wt,
+         CAST(ROUND(1e6
+           * ((CAST(n + 1 AS DOUBLE) / (wt + 10))
+              - (CAST(bn + 1 AS DOUBLE) / (bt + 10)))
+           * ln((CAST(n + 1 AS DOUBLE) / (wt + 10))
+                / (CAST(bn + 1 AS DOUBLE) / (bt + 10)))) AS BIGINT)
+           AS term_e6
+  FROM j, btot
+)
+SELECT window_start, CAST(MAX(wt) AS BIGINT) AS n_events,
+       CAST(SUM(term_e6) AS BIGINT) AS psi_e6
+FROM terms GROUP BY window_start ORDER BY window_start
+""",
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming PSI drift monitor: daily event-time
+    windows of the value distribution arrive from the stream
+    (streaming/events.stream_value_drift_bins — bounded
+    windows-x-bins state, complete-mode replay / watermarked append
+    in a continuous deployment) and are scored against the STATIC
+    first-week baseline with the Population Stability Index,
+    Sum_b (p_b - q_b) * ln(p_b / q_b) over 10 fixed value bins with
+    add-one smoothing (the batch family's psi_value_drift, lifted to
+    at-ingest monitoring). Each bin's term is rounded to e6 BEFORE
+    the per-window sum, so the cross-engine float contract is
+    per-term (the proven ln/e6 pattern), never
+    summation-order-dependent. Output: one row per day — the monitor
+    a serving pipeline alerts on. Memoized per events plan (a real
+    deployment runs the stream once, continuously)."""
+    from feast_hive_spark.plans.memo import plan_memo
+    from feast_hive_spark.streaming import events as SE
+
+    def run() -> DataFrame:
+        stream = SE.read_event_stream(spark, sf_dir)
+        bins = SE.stream_value_drift_bins(
+            stream, bin_width=25.0, n_bins=10, window="1 day"
+        )
+        SE.run_to_memory(
+            bins, "__stream_psi_bins", output_mode="complete"
+        )
+        # localCheckpoint: the raw MemoryPlan sink cannot appear on
+        # both sides of the wtot-grid self-join (DeduplicateRelations
+        # has no newInstance for it -> INTERNAL_ERROR conflicting
+        # attributes); the checkpointed LogicalRDD can
+        s = spark.table("__stream_psi_bins").localCheckpoint(eager=True)
+        ev = read_table(spark, sf_dir, "events")
+        base = (
+            ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+            .groupBy(
+                F.least(
+                    F.floor(F.col("value") / F.lit(25.0)),
+                    F.lit(9).cast("long"),
+                )
+                .cast("int")
+                .alias("bin")
+            )
+            .agg(F.count(F.lit(1)).alias("bn"))
+        )
+        btot = base.agg(F.sum("bn").alias("bt"))
+        wtot = s.groupBy("window_start").agg(F.sum("n").alias("wt"))
+        grid = wtot.select(
+            "window_start",
+            "wt",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+        )
+        j = (
+            grid.join(s, ["window_start", "bin"], "left")
+            .join(F.broadcast(base), "bin", "left")
+            .na.fill({"n": 0, "bn": 0})
+            .crossJoin(F.broadcast(btot))
+        )
+        p = (F.col("n") + 1).cast("double") / (F.col("wt") + 10)
+        q = (F.col("bn") + 1).cast("double") / (F.col("bt") + 10)
+        term = (
+            F.round(F.lit(1e6) * (p - q) * F.log(p / q))
+            .cast("long")
+            .alias("term_e6")
+        )
+        out = (
+            j.select("window_start", "wt", term)
+            .groupBy("window_start")
+            .agg(
+                F.max("wt").cast("long").alias("n_events"),
+                F.sum("term_e6").cast("long").alias("psi_e6"),
+            )
+            .orderBy("window_start")
+        )
+        return out.localCheckpoint(eager=True)
+
+    return plan_memo(
+        spark,
+        read_table(spark, sf_dir, "events"),
+        ("stream_psi_drift",),
+        run,
+    )

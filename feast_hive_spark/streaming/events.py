@@ -1024,3 +1024,40 @@ def stream_duplicate_anchor_flags(
         .distinct()
     )
     return arrivals.join(ix, "__g", "left_semi").select(id_col, "pos")
+
+
+def stream_value_drift_bins(
+    events: DataFrame,
+    bin_width: float = 25.0,
+    n_bins: int = 10,
+    window: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming half of a PSI drift monitor: per tumbling event-time
+    window, the count of events in each fixed value bin
+    (``min(floor(value / bin_width), n_bins - 1)``). State is bounded
+    by (open windows x n_bins) rows — nothing per-event is retained —
+    and with a ``watermark`` the continuous deployment runs append
+    mode with state eviction; the bounded replay harness passes
+    ``watermark=None`` + complete mode (a terminating file source
+    never moves the watermark past its last windows). PSI assembly
+    against the static baseline is a windows-x-bins-sized BATCH step
+    over this output (registry ``stream_psi_drift``) — the classic
+    serving-drift layout: cheap distributed counting at ingest,
+    tiny-table scoring at read."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    b = (
+        F.least(
+            F.floor(F.col("value") / F.lit(float(bin_width))),
+            F.lit(n_bins - 1).cast("long"),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return (
+        src.groupBy(F.window("ts", window), b)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "bin", "n"
+        )
+    )

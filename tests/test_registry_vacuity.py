@@ -318,3 +318,28 @@ def test_t_closeness_not_vacuous(spark, sf_dir):
     assert out["t_e6"].between(0, 1_000_000).all()
     assert (out["t_e6"] > 0).any()
     assert (out["class_size"] > 0).all()
+
+
+def test_jl_distortion_not_vacuous(spark, sf_dir):
+    """r13: enough probe pairs, ratios concentrated around isometry
+    (JL: spread ~ 1/sqrt(k)) — a flat or empty histogram would mean
+    the projection or pairing is broken."""
+    out = _run(spark, sf_dir, "jl_distortion_audit")
+    n = out["n_pairs"].sum()
+    assert n >= 100
+    # bin = floor(ratio_e6 / 50000); ratio 1.0 -> bin 20
+    core = out[(out["bin"] >= 10) & (out["bin"] <= 30)]["n_pairs"].sum()
+    assert core / n >= 0.5, "ratios not concentrated near 1.0"
+    assert (out["min_ratio_e6"] >= 0).all()
+    assert (out["min_ratio_e6"] <= out["max_ratio_e6"]).all()
+
+
+def test_stream_psi_drift_not_vacuous(spark, sf_dir):
+    """r13: full calendar coverage, PSI ~nonnegative (per-term e6
+    rounding can dip a few micro below zero), and at least one window
+    with measurable divergence from the first-week baseline."""
+    out = _run(spark, sf_dir, "stream_psi_drift")
+    assert len(out) >= 20
+    assert (out["psi_e6"] >= -10).all()
+    assert (out["psi_e6"] > 0).any()
+    assert (out["n_events"] > 0).all()

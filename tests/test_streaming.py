@@ -839,3 +839,28 @@ def test_stream_span_flags_matches_batch(spark, sf_dir, tmp_path):
     run_to_memory(out, "span_flags")
     got = sorted(map(tuple, spark.table("span_flags").collect()))
     assert got == exp
+
+
+def test_stream_value_drift_bins_clamps_and_windows(spark):
+    """The drift-bin kernel (same plan batch or streaming): bin
+    clamping at n_bins-1, epoch-aligned day windows, per-bin counts."""
+    from datetime import datetime
+
+    from feast_hive_spark.streaming.events import stream_value_drift_bins
+
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 5, 0), 0.0),     # bin 0
+            (datetime(2024, 1, 1, 6, 0), 24.99),   # bin 0
+            (datetime(2024, 1, 1, 7, 0), 25.0),    # bin 1
+            (datetime(2024, 1, 1, 8, 0), 9999.0),  # clamped to bin 9
+            (datetime(2024, 1, 2, 5, 0), 30.0),    # next window, bin 1
+        ],
+        "ts timestamp, value double",
+    )
+    got = {
+        (r.window_start, r.bin): r.n
+        for r in stream_value_drift_bins(df).collect()
+    }
+    d1, d2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    assert got == {(d1, 0): 2, (d1, 1): 1, (d1, 9): 1, (d2, 1): 1}
