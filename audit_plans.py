@@ -583,6 +583,25 @@ AUDITS = {
     # readout (the windowed state + scoring ran at build; bench flags
     # it build_materialized)
     "stream_psi_drift": ([], ["CartesianProduct"]),
+    # r13: UniMax — one scan-wide token aggregate then language-sized
+    # windows; no join at all
+    "unimax_lang_budgets": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r13: serving-skew — two skew-immune argmax passes (grouped
+    # max_by / partial_max_by) + a 1-row summary; pushed purchase/
+    # click filters at both scans
+    "serving_skew_audit": (
+        ["PushedFilters", "partial_max_by"],
+        ["CartesianProduct"],
+    ),
+    # r13: CUPED — user-sized aggregate, 1-row moments broadcast
+    # against the 2-row group table (the only intended nested loop)
+    "cuped_adjusted_lift": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 # Explicitly-tuned entries above; everything else in the registry gets

@@ -361,6 +361,9 @@ BENCH_QUERIES = [
     "t_closeness_audit",
     "jl_distortion_audit",
     "stream_psi_drift",
+    "unimax_lang_budgets",
+    "serving_skew_audit",
+    "cuped_adjusted_lift",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

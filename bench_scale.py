@@ -161,6 +161,9 @@ SF10_QUERIES = [
     # r13: 16 literal-plane folds per row -- scan-shaped, must stay
     # linear
     "jl_distortion_audit",
+    # r13: two argmax passes + user-sized moments -- both scan-shaped
+    "serving_skew_audit",
+    "cuped_adjusted_lift",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -294,6 +297,9 @@ SCALE_QUERIES = [
     # r13: 16 literal-plane folds per row -- scan-shaped, must stay
     # linear
     "jl_distortion_audit",
+    # r13: two argmax passes + user-sized moments -- both scan-shaped
+    "serving_skew_audit",
+    "cuped_adjusted_lift",
 ]
 
 

@@ -127,6 +127,7 @@ SAMPLE_ROTATION: list[str] = [
     # -- r13 additions (never sampled by definition) --
     "pit_bitemporal", "hits_user_item", "t_closeness_audit",
     "jl_distortion_audit", "stream_psi_drift",
+    "unimax_lang_budgets", "serving_skew_audit", "cuped_adjusted_lift",
     # -- last sampled in r1 (16) --
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "multimodal_metadata", "text_analysis",

@@ -5697,3 +5697,151 @@ def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS cum_share_micro
         FROM agg CROSS JOIN tot
     """)
+
+
+@register(
+    "cuped_adjusted_lift",
+    f"""
+WITH u AS (
+  SELECT user_id,
+         CAST({X.duck_h48("'cuped:' || CAST(user_id AS VARCHAR)")} % 2
+              AS BIGINT) AS grp,
+         CAST(COALESCE(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                     < TIMESTAMP '2024-01-15 00:00:00'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                     >= TIMESTAMP '2024-01-15 00:00:00'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM u
+), grpagg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(x) AS BIGINT) AS sxg, CAST(SUM(y) AS BIGINT) AS syg
+  FROM u GROUP BY grp
+), f AS (
+  SELECT g.grp, g.ng, g.sxg, g.syg, p.n, p.sx, p.sy, p.sxy, p.sxx, p.syy,
+         (CAST(p.n AS DOUBLE) * p.sxy - CAST(p.sx AS DOUBLE) * p.sy)
+           / (CAST(p.n AS DOUBLE) * p.sxx - CAST(p.sx AS DOUBLE) * p.sx)
+           AS theta
+  FROM grpagg g, pooled p
+)
+SELECT grp, ng AS n_users,
+       CAST(ROUND(1e2 * CAST(syg AS DOUBLE) / ng) AS BIGINT)
+         AS mean_y_cents_e2,
+       CAST(ROUND(1e2 * (CAST(syg AS DOUBLE) / ng
+             - theta * (CAST(sxg AS DOUBLE) / ng
+                        - CAST(sx AS DOUBLE) / n))) AS BIGINT)
+         AS adj_mean_y_cents_e2,
+       CAST(ROUND(1e6
+         * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+         AS BIGINT) AS rho2_ppm
+FROM f ORDER BY grp
+""",
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013): per deterministic 50/50 user split (md5 hash — the
+    engine's stateless assignment primitive), the post-period
+    purchase metric mean raw AND adjusted by the pre-period covariate
+    (theta = cov(x,y)/var(x) POOLED across both arms, the standard
+    unbiased choice), plus rho^2 (the achieved variance-reduction
+    fraction) as ppm. All per-user sums are exact integer CENTS; the
+    four global moments stay BIGINT (products bounded by
+    (1e5-cent user totals)^2 * users — overflow past ~1e18 only
+    beyond sf100, documented) and every double expression is
+    mirrored token-for-token in the oracle, so the one division
+    ordering is identical. Shape: one fact scan -> user-sized
+    aggregate -> 1-row moments broadcast against a 2-row group table
+    — experiment readout at any event volume."""
+    ev = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            (
+                X.h48(F.concat(F.lit("cuped:"), F.col("user_id").cast("string")))
+                % 2
+            )
+            .cast("long")
+            .alias("grp"),
+            "x",
+            "y",
+        )
+    )
+    pooled = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    grpagg = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("sxg"),
+        F.sum("y").cast("long").alias("syg"),
+    )
+    f = grpagg.crossJoin(F.broadcast(pooled))
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    theta = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    return f.select(
+        "grp",
+        F.col("ng").alias("n_users"),
+        F.round(F.lit(1e2) * F.col("syg").cast("double") / F.col("ng"))
+        .cast("long")
+        .alias("mean_y_cents_e2"),
+        F.round(
+            F.lit(1e2)
+            * (
+                F.col("syg").cast("double") / F.col("ng")
+                - theta
+                * (
+                    F.col("sxg").cast("double") / F.col("ng")
+                    - sxd / F.col("n")
+                )
+            )
+        )
+        .cast("long")
+        .alias("adj_mean_y_cents_e2"),
+        F.round(
+            F.lit(1e6)
+            * (num * num)
+            / (
+                (nd * F.col("sxx") - sxd * F.col("sx"))
+                * (nd * F.col("syy") - syd * F.col("sy"))
+            )
+        )
+        .cast("long")
+        .alias("rho2_ppm"),
+    ).orderBy("grp")

@@ -1675,3 +1675,138 @@ def lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__qf", 6).alias("q_frac"),
         F.round(F.col("__qf") / F.col("__pf"), 4).alias("upsample"),
     )
+
+
+_UNIMAX_CAP = 2  # max epochs any language may repeat
+# budget = floor(1.5 * total corpus tokens): between 1x (every lang
+# uniform) and cap*total (every lang capped), so the fixture
+# exercises BOTH branches of the water-filling (pinned by the
+# vacuity test)
+
+
+@register(
+    "unimax_lang_budgets",
+    f"""
+WITH per AS (
+  SELECT lang, CAST(SUM({{tc}}) AS BIGINT) AS n_tok
+  FROM documents GROUP BY lang
+), g AS (
+  SELECT lang, n_tok,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_tok, lang) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS l,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           ORDER BY n_tok, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_prev,
+         CAST((3 * SUM(n_tok) OVER ()) // 2 AS BIGINT) AS b
+  FROM per
+), c AS (
+  SELECT *,
+         CASE WHEN {_UNIMAX_CAP} * n_tok * (l - i + 1)
+                   <= b - {_UNIMAX_CAP} * cum_prev
+              THEN 1 ELSE 0 END AS cond
+  FROM g
+), cp AS (
+  SELECT *,
+         MIN(cond) OVER (ORDER BY n_tok, lang
+                         ROWS UNBOUNDED PRECEDING) AS capped
+  FROM c
+), k AS (
+  SELECT *,
+         CAST(SUM(capped) OVER () AS BIGINT) AS n_capped,
+         CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN n_tok END)
+                       OVER (), 0) AS BIGINT) AS capsum
+  FROM cp
+)
+SELECT lang, n_tok,
+       capped = 1 AS capped,
+       CAST(CASE WHEN capped = 1 THEN {_UNIMAX_CAP} * n_tok
+                 ELSE (b - {_UNIMAX_CAP} * capsum) // (l - n_capped)
+            END AS BIGINT) AS alloc_tokens,
+       CAST(ROUND(1e4 * (CASE WHEN capped = 1 THEN {_UNIMAX_CAP} * n_tok
+                 ELSE (b - {_UNIMAX_CAP} * capsum) // (l - n_capped) END)
+            / n_tok) AS BIGINT) AS epochs_e4
+FROM k ORDER BY n_tok, lang
+""".format(tc=X.duck_token_count_ws("text")),
+)
+def unimax_lang_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling budgets (Chung et al., ICLR 2023):
+    instead of temperature-smoothing language probabilities
+    (lang_temperature_mixture), allocate a total token budget by
+    water-filling with a hard per-language EPOCH CAP — ascending by
+    corpus size, a language is CAPPED at cap*n_tok when that fits
+    within its equal share of the remaining budget, otherwise the
+    remaining languages split the remainder uniformly. This bounds
+    low-resource repetition (the overfitting axis temperature
+    sampling leaves unbounded) while giving high-resource languages
+    everything left. The crossover test is computed MULTIPLICATION-
+    ONLY (cap*n*(remaining) <= remaining_budget), allocations are
+    integer floor-division — bit-exact in both engines, no float
+    anywhere except the reported epochs_e4. One scan-wide token
+    aggregate (the only fact-sized work), then #languages-row
+    windows; prefix-capping is enforced with a running MIN so the
+    water-filling invariant holds even on adversarial size ties.
+    Budget = floor(1.5 * corpus), cap = 2 epochs: both branches
+    exercised on the fixture (vacuity-pinned)."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("lang", X.token_count_ws("text").alias("__t"))
+        .groupBy("lang")
+        .agg(F.sum("__t").cast("long").alias("n_tok"))
+    )
+    cap = _UNIMAX_CAP
+    wo = Window.orderBy("n_tok", "lang")
+    wall = Window.partitionBy()
+    g = per.select(
+        "lang",
+        "n_tok",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("l"),
+        F.coalesce(
+            F.sum("n_tok").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cum_prev"),
+        ((F.lit(3) * F.sum("n_tok").over(wall)) / 2)
+        .cast("long")
+        .alias("b"),
+    )
+    cond = F.when(
+        F.lit(cap) * F.col("n_tok") * (F.col("l") - F.col("i") + 1)
+        <= F.col("b") - F.lit(cap) * F.col("cum_prev"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    cp = g.withColumn(
+        "capped",
+        F.min(cond).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    k = cp.select(
+        "*",
+        F.sum("capped").over(wall).cast("long").alias("n_capped"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("n_tok"))).over(wall),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("capsum"),
+    )
+    alloc = F.when(
+        F.col("capped") == 1, F.lit(cap) * F.col("n_tok")
+    ).otherwise(
+        F.floor(
+            (F.col("b") - F.lit(cap) * F.col("capsum"))
+            / (F.col("l") - F.col("n_capped"))
+        )
+    )
+    return k.select(
+        "lang",
+        "n_tok",
+        (F.col("capped") == 1).alias("capped"),
+        alloc.cast("long").alias("alloc_tokens"),
+        F.round(F.lit(1e4) * alloc / F.col("n_tok"))
+        .cast("long")
+        .alias("epochs_e4"),
+    ).orderBy("n_tok", "lang")

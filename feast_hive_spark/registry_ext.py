@@ -5345,3 +5345,147 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("stream_psi_drift",),
         run,
     )
+
+
+@register(
+    "serving_skew_audit",
+    """
+WITH probes AS (
+  SELECT event_id AS probe_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM events
+  WHERE event_type = 'purchase'
+    AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22 00:00:00'
+    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-23 00:00:00'
+), clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+  FROM events WHERE event_type = 'click'
+), serving AS (
+  SELECT user_id, value AS s_value, ts AS s_ts
+  FROM clicks WHERE ts <= TIMESTAMP '2024-01-22 00:00:00'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+), training AS (
+  SELECT p.probe_id, c.value AS t_value, c.ts AS t_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM probes p JOIN clicks c
+    ON c.user_id = p.user_id AND c.ts <= p.pts
+), t1 AS (
+  SELECT probe_id, t_value, t_ts FROM training WHERE rn = 1
+), j AS (
+  SELECT p.probe_id, p.user_id, p.pts,
+         s.s_value, s.s_ts, t.t_value, t.t_ts
+  FROM probes p
+  LEFT JOIN serving s USING (user_id)
+  LEFT JOIN t1 t USING (probe_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN t_value IS NOT NULL AND s_value IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_serving_null,
+       CAST(SUM(CASE WHEN s_value IS DISTINCT FROM t_value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST((2 * SUM(CASE WHEN s_value IS DISTINCT FROM t_value
+                          THEN 1 ELSE 0 END) * 1000000 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS mismatch_ppm,
+       CAST(COALESCE(MAX(CASE WHEN s_value IS DISTINCT FROM t_value
+                THEN (epoch_us(t_ts)
+                      - epoch_us(TIMESTAMP '2024-01-22 00:00:00'))
+                     // 1000000 END), 0) AS BIGINT) AS max_lag_sec
+FROM j
+""",
+)
+def serving_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-serving skew audit — the feature-store consistency
+    check the PIT flagship exists to guarantee, executed as a
+    measurement: the ONLINE store serves each user's latest click as
+    of the last midnight materialization (batch-refresh staleness),
+    while TRAINING uses the exact per-probe point-in-time value; for
+    one day of purchase probes the audit counts where they disagree
+    (a click landed between the materialization cutoff and the probe)
+    and how far behind serving was (max_lag_sec). A nonzero
+    mismatch_ppm is the measured cost of daily materialization — the
+    number that justifies stream_to_online's incremental path. Both
+    sides are skew-immune argmax selections (serving: one grouped
+    max_by over pre-cutoff clicks; training: the PIT shape); the
+    summary is one row of exact integers."""
+    M = "2024-01-22 00:00:00"
+    ev = read_table(spark, sf_dir, "events")
+    m_ts = F.lit(M).cast("timestamp")
+    probes = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= m_ts)
+        & (F.col("ts") < F.lit("2024-01-23 00:00:00").cast("timestamp"))
+    ).select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), "ts", "value", "event_id"
+    )
+    serving = (
+        clicks.filter(F.col("ts") <= m_ts)
+        .groupBy("c_user")
+        .agg(
+            F.max_by(
+                F.col("value"), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("s_value"),
+            F.max("ts").alias("s_ts"),
+        )
+    )
+    tj = probes.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id")) & (F.col("ts") <= F.col("pts")),
+        "inner",
+    )
+    training = tj.groupBy("probe_id").agg(
+        F.max_by(
+            F.struct(F.col("value").alias("v"), F.col("ts").alias("t")),
+            F.struct(F.col("ts"), F.col("event_id")),
+        ).alias("__m")
+    ).select(
+        "probe_id",
+        F.col("__m").getField("v").alias("t_value"),
+        F.col("__m").getField("t").alias("t_ts"),
+    )
+    j = (
+        probes.join(serving, probes.user_id == serving.c_user, "left")
+        .join(training, "probe_id", "left")
+    )
+    mismatch = ~F.col("s_value").eqNullSafe(F.col("t_value"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(
+            F.when(
+                F.col("t_value").isNotNull() & F.col("s_value").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_serving_null"),
+        F.sum(F.when(mismatch, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatch"),
+        F.floor(
+            (
+                2 * F.sum(F.when(mismatch, 1).otherwise(0)) * 1000000
+                + F.count(F.lit(1))
+            )
+            / (2 * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("mismatch_ppm"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    mismatch,
+                    F.floor(
+                        (F.unix_micros(F.col("t_ts")) - F.unix_micros(m_ts))
+                        / 1000000
+                    ),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_lag_sec"),
+    )

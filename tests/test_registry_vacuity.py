@@ -343,3 +343,43 @@ def test_stream_psi_drift_not_vacuous(spark, sf_dir):
     assert (out["psi_e6"] >= -10).all()
     assert (out["psi_e6"] > 0).any()
     assert (out["n_events"] > 0).all()
+
+
+def test_unimax_budgets_not_vacuous(spark, sf_dir):
+    """r13: both water-filling branches must be exercised (>=1 capped
+    low-resource language AND >=1 uncapped), no language may exceed
+    the epoch cap, and the total allocation must not exceed the
+    budget (1.5x corpus tokens)."""
+    out = _run(spark, sf_dir, "unimax_lang_budgets")
+    assert len(out) >= 2
+    assert out["capped"].any() and (~out["capped"]).any()
+    # cap = 2 epochs -> alloc <= 2 * n_tok everywhere
+    assert (out["alloc_tokens"] <= 2 * out["n_tok"]).all()
+    assert out["alloc_tokens"].sum() <= (3 * out["n_tok"].sum()) // 2
+    # capped languages sit exactly at the cap
+    capped = out[out["capped"]]
+    assert (capped["alloc_tokens"] == 2 * capped["n_tok"]).all()
+
+
+def test_serving_skew_not_vacuous(spark, sf_dir):
+    """r13: the staleness window must actually produce skew — some
+    probe must see a different value than the midnight snapshot
+    (otherwise the audit gates nothing) — and lag stays within the
+    one-day probe window."""
+    out = _run(spark, sf_dir, "serving_skew_audit").iloc[0]
+    assert out["n_probes"] > 0
+    assert out["n_mismatch"] > 0, "no skew on fixture: audit vacuous"
+    assert 0 < out["max_lag_sec"] <= 86400
+    assert 0 < out["mismatch_ppm"] <= 1_000_000
+    assert out["n_serving_null"] <= out["n_mismatch"]
+
+
+def test_cuped_not_vacuous(spark, sf_dir):
+    """r13: both arms populated, and the pre-period covariate must
+    actually correlate (rho2 > 0) — CUPED on uncorrelated periods
+    adjusts nothing and the query would certify a no-op."""
+    out = _run(spark, sf_dir, "cuped_adjusted_lift")
+    assert sorted(out["grp"]) == [0, 1]
+    assert (out["n_users"] > 0).all()
+    assert (out["rho2_ppm"] > 0).all()
+    assert (out["adj_mean_y_cents_e2"] != out["mean_y_cents_e2"]).any()
