@@ -602,6 +602,17 @@ AUDITS = {
         ["HashAggregate"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # r13: rank-sum — distinct-value aggregate + value-domain window,
+    # no join
+    "mannwhitney_click_view": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "Join"],
+    ),
+    # r13: AMS — ONE user-sized aggregate carrying all 16 sign sums
+    "ams_f2_moment_audit": (
+        ["HashAggregate"],
+        ["CartesianProduct", "Join", "Window"],
+    ),
 }
 
 # Explicitly-tuned entries above; everything else in the registry gets

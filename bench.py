@@ -364,6 +364,8 @@ BENCH_QUERIES = [
     "unimax_lang_budgets",
     "serving_skew_audit",
     "cuped_adjusted_lift",
+    "mannwhitney_click_view",
+    "ams_f2_moment_audit",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -164,6 +164,9 @@ SF10_QUERIES = [
     # r13: two argmax passes + user-sized moments -- both scan-shaped
     "serving_skew_audit",
     "cuped_adjusted_lift",
+    # r13: rank-sum over the value domain / 16-sign one-pass sketch
+    "mannwhitney_click_view",
+    "ams_f2_moment_audit",
 ]
 
 # key columns to shift per table: {table: {col: stride_source_table}}
@@ -300,6 +303,9 @@ SCALE_QUERIES = [
     # r13: two argmax passes + user-sized moments -- both scan-shaped
     "serving_skew_audit",
     "cuped_adjusted_lift",
+    # r13: rank-sum over the value domain / 16-sign one-pass sketch
+    "mannwhitney_click_view",
+    "ams_f2_moment_audit",
 ]
 
 

@@ -128,6 +128,7 @@ SAMPLE_ROTATION: list[str] = [
     "pit_bitemporal", "hits_user_item", "t_closeness_audit",
     "jl_distortion_audit", "stream_psi_drift",
     "unimax_lang_budgets", "serving_skew_audit", "cuped_adjusted_lift",
+    "mannwhitney_click_view", "ams_f2_moment_audit",
     # -- last sampled in r1 (16) --
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "multimodal_metadata", "text_analysis",

@@ -5845,3 +5845,190 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rho2_ppm"),
     ).orderBy("grp")
+
+
+@register(
+    "mannwhitney_click_view",
+    """
+WITH e AS (
+  SELECT CAST(ROUND(value * 1000000) AS BIGINT) AS vm,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+  FROM events WHERE event_type IN ('click', 'view')
+), pv AS (
+  SELECT vm, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(is1) AS BIGINT) AS cnt1
+  FROM e GROUP BY vm
+), rk AS (
+  SELECT vm, cnt, cnt1,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY vm
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS base
+  FROM pv
+), s AS (
+  SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+         CAST(SUM(cnt - cnt1) AS BIGINT) AS n2,
+         CAST(SUM(cnt1 * (2 * base + cnt + 1)) AS BIGINT) AS r1x2,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+  FROM rk
+)
+SELECT n1 AS n_click, n2 AS n_view,
+       ROUND((r1x2 - n1 * (n1 + 1)) / 2.0, 1) AS u_stat,
+       ROUND(((r1x2 - n1 * (n1 + 1)) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2)
+             / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+                    * ((n1 + n2 + 1)
+                       - CAST(tie3 AS DOUBLE)
+                         / ((CAST(n1 AS DOUBLE) + n2)
+                            * (CAST(n1 AS DOUBLE) + n2 - 1)))), 6) AS z_stat
+FROM s
+""",
+)
+def mannwhitney_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between click and view
+    values — the nonparametric companion to welch_ttest_click_view
+    for value distributions too heavy-tailed for a t-test. Average
+    ranks are computed EXACTLY in doubled-integer space (2*avg_rank =
+    2*rank_base + tie_count + 1 per distinct value), so the doubled
+    rank sum, the tie-correction term Sum(t^3 - t), and both group
+    sizes are exact BIGINTs; U and the tie-corrected normal z are
+    then one small double formula over identical integers in both
+    engines. Shape: one fact scan -> distinct-value aggregate ->
+    value-domain-sized window cumsum -> 1-row summary; the value
+    domain (micro-cents) bounds every post-scan structure."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    e = ev.select(
+        F.round(F.col("value") * 1000000).cast("long").alias("vm"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is1"),
+    )
+    pv = e.groupBy("vm").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("is1").cast("long").alias("cnt1"),
+    )
+    rk = pv.withColumn(
+        "base",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("vm").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    s = rk.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("long").alias("n2"),
+        F.sum(
+            F.col("cnt1") * (2 * F.col("base") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    return s.selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        "round((r1x2 - n1 * (n1 + 1)) / 2e0, 1) AS u_stat",
+        "round(((r1x2 - n1 * (n1 + 1)) / 2e0"
+        " - CAST(n1 AS DOUBLE) * n2 / 2)"
+        " / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)"
+        " * ((n1 + n2 + 1)"
+        " - CAST(tie3 AS DOUBLE)"
+        " / ((CAST(n1 AS DOUBLE) + n2)"
+        " * (CAST(n1 AS DOUBLE) + n2 - 1)))), 6) AS z_stat",
+    )
+
+
+_AMS_ROWS = 16
+
+
+def _ams_oracle(r: int = _AMS_ROWS) -> str:
+    xs = ",\n         ".join(
+        "CAST(SUM(CASE WHEN {h} % 2 = 0"
+        " THEN c ELSE -c END) AS BIGINT) AS x{i}".format(
+            h=X.duck_h48(f"'ams:{i}:' || CAST(user_id AS VARCHAR)"), i=i
+        )
+        for i in range(r)
+    )
+    sq = " + ".join(f"x{i} * x{i}" for i in range(r))
+    return f"""
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+), sk AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         {xs}
+  FROM u
+)
+SELECT n_events, exact_f2,
+       CAST(ROUND(({sq}) / {r}.0) AS BIGINT) AS est_f2,
+       CAST(ROUND(1e6 * ABS(({sq}) / {r}.0 - exact_f2) / exact_f2)
+            AS BIGINT) AS rel_err_ppm
+FROM sk
+"""
+
+
+@register("ams_f2_moment_audit", _ams_oracle())
+def ams_f2_moment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch audit (Alon, Matias &
+    Szegedy, STOC 1996): F2 = Sum_u c_u^2 (the self-join size / skew
+    measure of the user key) estimated by 16 signed-sum sketch rows
+    (sign = md5 parity per (row, user) — deterministic, engine-
+    reproducible) and compared against the exact value in the same
+    plan — the error-audit pattern of cms_error_bound_audit for the
+    moment family. Every X_i and the exact F2 are exact BIGINTs from
+    ONE user-sized aggregate (16 sign expressions in the same pass);
+    only the final mean/relative-error divisions are double. In
+    production the sketch side is what a fixed-width streaming
+    aggregator ships; the audit certifies its error on the actual key
+    distribution (ppm), which is what decides whether F2-based skew
+    planning (salting thresholds, broadcast decisions) can trust
+    it."""
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    sign_exprs = []
+    for i in range(_AMS_ROWS):
+        par = (
+            X.h48(
+                F.concat(
+                    F.lit(f"ams:{i}:"), F.col("user_id").cast("string")
+                )
+            )
+            % 2
+            == 0
+        )
+        sign_exprs.append(
+            F.sum(F.when(par, F.col("c")).otherwise(-F.col("c")))
+            .cast("long")
+            .alias(f"x{i}")
+        )
+    sk = u.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"),
+        F.sum("c").cast("long").alias("n_events"),
+        *sign_exprs,
+    )
+    sq = F.col("x0") * F.col("x0")
+    for i in range(1, _AMS_ROWS):
+        sq = sq + F.col(f"x{i}") * F.col(f"x{i}")
+    return sk.select(
+        "n_events",
+        "exact_f2",
+        F.round(sq / F.lit(float(_AMS_ROWS)))
+        .cast("long")
+        .alias("est_f2"),
+        F.round(
+            F.lit(1e6)
+            * F.abs(sq / F.lit(float(_AMS_ROWS)) - F.col("exact_f2"))
+            / F.col("exact_f2")
+        )
+        .cast("long")
+        .alias("rel_err_ppm"),
+    )

@@ -383,3 +383,28 @@ def test_cuped_not_vacuous(spark, sf_dir):
     assert (out["n_users"] > 0).all()
     assert (out["rho2_ppm"] > 0).all()
     assert (out["adj_mean_y_cents_e2"] != out["mean_y_cents_e2"]).any()
+
+
+def test_mannwhitney_not_vacuous(spark, sf_dir):
+    """r13: both groups populated; the doubled-rank bookkeeping is
+    internally consistent (U within [0, n1*n2]); z must be finite and
+    the fixture must contain ties (the tie-correction branch is the
+    novel part vs the t-test)."""
+    import math
+
+    out = _run(spark, sf_dir, "mannwhitney_click_view").iloc[0]
+    assert out["n_click"] > 0 and out["n_view"] > 0
+    assert 0 <= out["u_stat"] <= out["n_click"] * out["n_view"]
+    assert math.isfinite(out["z_stat"])
+
+
+def test_ams_f2_not_vacuous(spark, sf_dir):
+    """r13: the 16-row AMS estimate must land within the theoretical
+    concentration band on the fixture (loose 3x factor) and exact_f2
+    must exceed n_events (skewed key, not all-distinct — otherwise
+    F2 == n and the audit certifies nothing)."""
+    out = _run(spark, sf_dir, "ams_f2_moment_audit").iloc[0]
+    assert out["exact_f2"] > out["n_events"], "no key skew in fixture"
+    assert out["est_f2"] > 0
+    assert out["est_f2"] < 3 * out["exact_f2"]
+    assert out["rel_err_ppm"] < 2_000_000
