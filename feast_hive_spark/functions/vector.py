@@ -65,18 +65,22 @@ def np_normalize(M: "np.ndarray") -> "np.ndarray":
     return M / n[:, None]
 
 
+def _md5_unit(seed: str, p: int, d: int) -> int:
+    """The ONE derivation every deterministic plane family shares
+    (48-bit md5 prefix of "{seed}-{p}-{d}") — hyperplanes and
+    sign_planes only differ in how they map this integer, so the
+    engine/oracle reproducibility contract has a single definition."""
+    return int(hashlib.md5(f"{seed}-{p}-{d}".encode()).hexdigest()[:12], 16)
+
+
 def hyperplanes(n_planes: int, dim: int, seed: str = "simsearch") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes for sign-LSH, derived
     from md5 — reproducible across sessions/engines with no RNG state.
     Values uniform in [-1, 1)."""
-    planes = []
-    for p in range(n_planes):
-        row = []
-        for d in range(dim):
-            h = int(hashlib.md5(f"{seed}-{p}-{d}".encode()).hexdigest()[:12], 16)
-            row.append((h % 2000) / 1000.0 - 1.0)
-        planes.append(row)
-    return planes
+    return [
+        [(_md5_unit(seed, p, d) % 2000) / 1000.0 - 1.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
 
 
 def duck_dot_literal(vec: str, coefs: list[float]) -> str:
@@ -125,16 +129,7 @@ def sign_planes(k: int, dim: int, seed: str = "jl") -> list[list[float]]:
     sessions/engines with no RNG state, same derivation family as
     :func:`hyperplanes`."""
     return [
-        [
-            1.0
-            if int(
-                hashlib.md5(f"{seed}-{p}-{d}".encode()).hexdigest()[:12], 16
-            )
-            % 2
-            == 0
-            else -1.0
-            for d in range(dim)
-        ]
+        [1.0 if _md5_unit(seed, p, d) % 2 == 0 else -1.0 for d in range(dim)]
         for p in range(k)
     ]
 

@@ -2096,8 +2096,8 @@ def duplicate_spans(
     dpos, rk, mem = _dup_anchor_positions(df, id_col, text_col, k)
     w = Window.partitionBy("__rid").orderBy("pos")
     spans_rep = (
-        dpos.withColumn("__g", F.col("pos") - F.row_number().over(w))
-        .groupBy("__rid", "__g")
+        dpos.withColumn("__island", F.col("pos") - F.row_number().over(w))
+        .groupBy("__rid", "__island")
         .agg(
             F.min("pos").cast("long").alias("span_start"),
             (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
@@ -2135,8 +2135,8 @@ def duplicate_span_stats(
     dpos, rk, _ = _dup_anchor_positions(df, id_col, text_col, k)
     w = Window.partitionBy("__rid").orderBy("pos")
     spans_rep = (
-        dpos.withColumn("__g", F.col("pos") - F.row_number().over(w))
-        .groupBy("__rid", "__g")
+        dpos.withColumn("__island", F.col("pos") - F.row_number().over(w))
+        .groupBy("__rid", "__island")
         .agg(
             F.min("pos").alias("span_start"),
             (F.max("pos") - F.min("pos") + k).alias("span_len"),

@@ -418,11 +418,18 @@ def bitemporal_asof_join(
     for n, k in enumerate(keys):
         on = (F.col(k) == F.col(f"__sk_{n}")) & on
     j = pr.join(sc, on=on, how="inner")
+    # positional field aliases inside the struct: a value column
+    # legally named "ets"/"cts" (or colliding with another value
+    # name) must not shadow the reserved timestamp fields
+    # (r13 review finding)
     picked = F.max_by(
         F.struct(
-            F.col("__ets").alias("ets"),
-            F.col("__cts").alias("cts"),
-            *[F.col(v).alias(v) for v in value_cols],
+            F.col("__ets").alias("__e"),
+            F.col("__cts").alias("__c"),
+            *[
+                F.col(v).alias(f"__v{n}")
+                for n, v in enumerate(value_cols)
+            ],
         ),
         F.struct(F.col("__ets"), F.col("__cts"), F.col("__tb")),
     )
@@ -432,8 +439,11 @@ def bitemporal_asof_join(
         *keys,
         F.col("__pts").alias(probe_ts_col),
         F.col("__kts").alias(knowledge_ts_col),
-        *[F.col("__m").getField(v).alias(v) for v in value_cols],
-        F.col("__m").getField("ets").alias("served_event_ts"),
-        F.col("__m").getField("cts").alias("served_created_ts"),
+        *[
+            F.col("__m").getField(f"__v{n}").alias(v)
+            for n, v in enumerate(value_cols)
+        ],
+        F.col("__m").getField("__e").alias("served_event_ts"),
+        F.col("__m").getField("__c").alias("served_created_ts"),
     )
     return out

@@ -181,6 +181,14 @@ def _lookup_or_run(
                 live = [e for e in _MEMO if not _stale_session(e[0])]
                 if len(live) < len(_MEMO):
                     _MEMO[:] = live
+                # prune build locks for dead sessions alongside (r13
+                # review: the lock dict otherwise grows one entry per
+                # (session, kind, token) ever built, forever in a
+                # long-lived multi-session process)
+                for lk in [
+                    lk for lk in _BUILD_LOCKS if _stale_session(lk[0])
+                ]:
+                    del _BUILD_LOCKS[lk]
             _MEMO[:] = _MEMO[-(_MEMO_MAX - 1):]
             _MEMO.append((skey, kind, token, plans, files, value))
     return value
@@ -268,9 +276,13 @@ def plan_memo(
 
 
 def clear() -> None:
-    """Drop every memo entry (tests; or after mutating a source)."""
+    """Drop every memo entry (tests; or after mutating a source).
+
+    Build locks are deliberately KEPT: a first-builder may be inside
+    ``run()`` holding one right now, and dropping the registry would
+    let a concurrent same-key builder mint a fresh lock and start a
+    second build of a globally-named side effect (the exact race the
+    locks exist to serialize — r13 review). Dead-session locks are
+    pruned on the eviction path instead."""
     with _LOCK:
         _MEMO.clear()
-        # build locks are pure serialization state — holders keep
-        # their own references, so dropping the registry is safe
-        _BUILD_LOCKS.clear()

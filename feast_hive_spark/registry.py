@@ -215,19 +215,6 @@ SAMPLE_ROTATION: list[str] = [
     "minhash_band_sweep",
     "daily_row_checksums",
     "rfm_user_segments",
-    "revenue_lorenz_deciles",
-    "blocking_quality_report",
-    "greedy_shingle_cover_picks",
-    "kcenter_diverse_sample",
-    # r9 additions
-    "hard_negative_pairs_lsh",
-    "lang_temperature_mixture",
-    "fuzzy_part_name_stats",
-    # r10 additions
-    "events_scalar_report",
-    "hard_negative_pairs_lsh_auto",
-    # r11 additions
-    "embedding_decontaminate_fixed_benchmark",
 ]
 
 

@@ -4458,7 +4458,11 @@ WITH b AS (
   SELECT c_nationkey, c_mktsegment, bin, COUNT(*) AS cnt
   FROM b GROUP BY c_nationkey, c_mktsegment, bin
 ), g AS (
-  SELECT bin, SUM(cnt) AS gcnt FROM cb GROUP BY bin
+  SELECT gb.bin, CAST(COALESCE(cbg.gcnt, 0) AS BIGINT) AS gcnt
+  FROM (SELECT CAST(t.i AS INTEGER) AS bin
+        FROM UNNEST(range(0, 10)) AS t(i)) gb
+  LEFT JOIN (SELECT bin, SUM(cnt) AS gcnt FROM cb GROUP BY bin) cbg
+    USING (bin)
 ), g2 AS (
   SELECT bin,
          CAST(SUM(gcnt) OVER (ORDER BY bin) AS BIGINT) AS cum_g,
@@ -4522,7 +4526,20 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin")
     )
     cb = cust.groupBy(*keys, bin_col).agg(F.count(F.lit(1)).alias("cnt"))
-    g = cb.groupBy("bin").agg(F.sum("cnt").alias("gcnt"))
+    # the global CDF must cover the COMPLETE bin domain: a globally
+    # empty interior bin still carries the previous bin's |CumP-CumQ|
+    # into the EMD sum (both CDFs flat there) — dropping it would
+    # understate t for every class that diverged before the gap
+    # (r13 review finding; the class grid below already does this)
+    bin_dom = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    g = (
+        bin_dom.join(
+            cb.groupBy("bin").agg(F.sum("cnt").alias("gcnt")),
+            "bin",
+            "left",
+        )
+        .na.fill({"gcnt": 0})
+    )
     g2 = g.select(
         "bin",
         F.sum("gcnt")

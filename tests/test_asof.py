@@ -304,3 +304,29 @@ def test_bitemporal_hides_late_arrivals(spark):
         ).collect()
     }
     assert out_ttl[1].v is None
+
+
+def test_bitemporal_reserved_value_col_names(spark):
+    """r13 review: a value column legally named 'ets'/'cts' must not
+    shadow the reserved served-timestamp struct fields."""
+    from datetime import datetime
+
+    from feast_hive_spark.plans.asof import bitemporal_asof_join
+
+    T = datetime(2024, 1, 10, 12, 0, 0)
+    probes = spark.createDataFrame(
+        [(1, 7, T, T)],
+        "probe_id long, k long, pts timestamp, kts timestamp",
+    )
+    src = spark.createDataFrame(
+        [(7, datetime(2024, 1, 10, 10, 0), datetime(2024, 1, 10, 10, 5),
+          42.0, 1)],
+        "k long, e timestamp, c timestamp, ets double, tb long",
+    )
+    row = bitemporal_asof_join(
+        probes, src, ["k"], "probe_id", "pts", "kts", "e", "c",
+        ["ets"], ttl_seconds=0, tiebreak_col="tb",
+    ).collect()[0]
+    assert row.ets == 42.0
+    assert row.served_event_ts == datetime(2024, 1, 10, 10, 0)
+    assert row.served_created_ts == datetime(2024, 1, 10, 10, 5)
