@@ -586,6 +586,12 @@ def main_tier100() -> None:
                 results.setdefault(k, v)
         except (json.JSONDecodeError, OSError):
             pass
+    # declared-semantics notes apply to EVERY row, measured this run
+    # or merged from a prior one (r13: stamping only on re-measure
+    # left merged rows bare)
+    for k, note in TIER_NOTES.items():
+        if k in results:
+            results[k]["note"] = note
 
     # three distinct findings (r7 conflated the first two):
     # flagged — ran, but superlinear; failed — could not produce an
@@ -695,6 +701,10 @@ def main() -> None:
                 results.setdefault(k, v)
         except (json.JSONDecodeError, OSError):
             pass
+
+    for k, note in TIER_NOTES.items():
+        if k in results:
+            results[k]["note"] = note
 
     flagged = sorted(
         n for n, r in results.items() if r["exponent"] > EXPONENT_FLAG
