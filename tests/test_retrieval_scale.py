@@ -131,8 +131,11 @@ def test_retrieval_close_returns_storage_to_baseline(spark, sf_dir):
     from feast_hive_spark.plans.pit import FeatureView, get_historical_features
     from feast_hive_spark.sources.tables import read_table
 
-    def n_cached() -> int:
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def cached_ids() -> set:
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
 
     ev = read_table(spark, sf_dir, "events")
     entities = ev.filter(F.col("event_type") == "purchase").select(
@@ -145,23 +148,26 @@ def test_retrieval_close_returns_storage_to_baseline(spark, sf_dir):
         name="clicks", source=feats, join_keys=["user_id"],
         features=["value"], event_timestamp_column="fts",
     )
-    baseline = n_cached()
+    baseline = cached_ids()
     jobs = []
     for _ in range(3):
         job = get_historical_features(spark, entities, [fv])
         rows = job.to_spark_df().count()
         assert rows > 0
         jobs.append(job)
-    assert n_cached() > baseline  # the pins are real
+    assert cached_ids() - baseline  # the pins are real
     kept = jobs[0].to_spark_df()
     for job in jobs:
         job.close()
         job.close()  # idempotent
-    assert n_cached() == baseline
+    # every pin the retrievals added is gone; entries cached by OTHER
+    # components may be concurrently evicted/unpersisted (async), so
+    # the invariant is set-difference, not exact count equality
+    assert not (cached_ids() - baseline)
     assert kept.count() == rows  # plan survives unpersist
 
     # context-manager form
     with get_historical_features(spark, entities, [fv]) as job:
         assert job.to_spark_df().count() == rows
-        assert n_cached() > baseline
-    assert n_cached() == baseline
+        assert cached_ids() - baseline
+    assert not (cached_ids() - baseline)
