@@ -129,6 +129,8 @@ SAMPLE_ROTATION: list[str] = [
     "jl_distortion_audit", "stream_psi_drift",
     "unimax_lang_budgets", "serving_skew_audit", "cuped_adjusted_lift",
     "mannwhitney_click_view", "ams_f2_moment_audit",
+    "kruskal_wallis_value_by_type", "kmv_theta_sketch_ops",
+    "conformal_calibration_audit",
     # -- last sampled in r1 (16) --
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "multimodal_metadata", "text_analysis",

@@ -6032,3 +6032,418 @@ def ams_f2_moment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_err_ppm"),
     )
+
+
+@register(
+    "kruskal_wallis_value_by_type",
+    """
+WITH e AS (
+  SELECT CAST(ROUND(value * 1000000) AS BIGINT) AS vm, event_type AS et
+  FROM events
+), gt AS (
+  SELECT vm, et, CAST(COUNT(*) AS BIGINT) AS cnt_t
+  FROM e GROUP BY vm, et
+), pv AS (
+  SELECT vm, CAST(SUM(cnt_t) AS BIGINT) AS cnt FROM gt GROUP BY vm
+), rk AS (
+  SELECT vm, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY vm
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS base
+  FROM pv
+), grp AS (
+  SELECT gt.et, CAST(SUM(gt.cnt_t) AS BIGINT) AS ng,
+         CAST(SUM(gt.cnt_t * (2 * rk.base + rk.cnt + 1)) AS BIGINT) AS r2g
+  FROM gt JOIN rk ON gt.vm = rk.vm
+  GROUP BY gt.et
+), ties AS (
+  SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3 FROM pv
+), s AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(r2g AS DOUBLE) * r2g / (4.0 * ng)) AS sr
+  FROM grp
+)
+SELECT n AS n_obs, k AS n_groups,
+       ROUND(12.0 * sr / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1),
+             6) AS h_stat,
+       ROUND((12.0 * sr / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+             / (1.0 - CAST(tie3 AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_tie_corrected
+FROM s, ties
+""",
+)
+def kruskal_wallis_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis H test of ``value`` across ALL event types — the
+    k-group extension of mannwhitney_click_view (one-way ANOVA on
+    ranks). Average ranks are exact in doubled-integer space (the MWU
+    protocol: 2*avg_rank = 2*rank_base + tie_count + 1 per distinct
+    value), so every per-group doubled rank sum R2_g, group size, and
+    the tie term Sum(t^3 - t) are exact BIGINTs; H = 12/(N(N+1)) *
+    Sum((R2_g/2)^2 / n_g) - 3(N+1) and its tie correction are one
+    double formula over identical integers in both engines. Shape:
+    one fact scan -> (value, type) aggregate -> value-domain-sized
+    rollup + window cumsum -> k-row group aggregate -> 1-row summary;
+    the micro-cent value domain bounds every post-scan structure, and
+    the global-order window runs on the distinct-value rollup, never
+    the fact table."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.round(F.col("value") * 1000000).cast("long").alias("vm"),
+        F.col("event_type").alias("et"),
+    )
+    gt = e.groupBy("vm", "et").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_t")
+    )
+    pv = gt.groupBy("vm").agg(F.sum("cnt_t").cast("long").alias("cnt"))
+    rk = pv.withColumn(
+        "base",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("vm").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    grp = (
+        gt.join(rk, "vm")
+        .groupBy("et")
+        .agg(
+            F.sum("cnt_t").cast("long").alias("ng"),
+            F.sum(
+                F.col("cnt_t") * (2 * F.col("base") + F.col("cnt") + 1)
+            )
+            .cast("long")
+            .alias("r2g"),
+        )
+    )
+    ties = pv.agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("tie3")
+    )
+    s = grp.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("r2g").cast("double")
+            * F.col("r2g")
+            / (F.lit(4.0) * F.col("ng"))
+        ).alias("sr"),
+    )
+    nd = F.col("n").cast("double")
+    h = F.lit(12.0) * F.col("sr") / (nd * (F.col("n") + 1)) - F.lit(
+        3.0
+    ) * (F.col("n") + 1)
+    return s.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_obs"),
+        F.col("k").alias("n_groups"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(
+            h
+            / (
+                F.lit(1.0)
+                - F.col("tie3").cast("double") / (nd * nd * nd - nd)
+            ),
+            6,
+        ).alias("h_tie_corrected"),
+    )
+
+
+_KMV_K = 128
+_KMV_M = 1 << 48  # h48 hash space
+
+
+def _kmv_oracle(k: int = _KMV_K, m: int = _KMV_M) -> str:
+    h = X.duck_h48("'kmv:' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH ha AS (
+  SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'click'
+), hb AS (
+  SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'view'
+), ska AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+kta AS (SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS c FROM ska),
+ktb AS (SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS c FROM skb),
+na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ha),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hb),
+th AS (
+  SELECT LEAST(
+    CASE WHEN kta.c < {k} THEN {m} ELSE kta.kth END,
+    CASE WHEN ktb.c < {k} THEN {m} ELSE ktb.kth END) AS theta
+  FROM kta, ktb
+), ra AS (SELECT h FROM ska, th WHERE h < theta),
+rb AS (SELECT h FROM skb, th WHERE h < theta),
+ru AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT h FROM ra UNION SELECT h FROM rb)
+), ri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM ra JOIN rb USING (h)
+), xu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+), xi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ha JOIN hb USING (h)
+)
+SELECT na.n AS n_click,
+       CASE WHEN kta.c < {k} THEN na.n
+            ELSE CAST(ROUND(({k} - 1) * {m}.0 / kta.kth) AS BIGINT)
+       END AS est_click,
+       nb.n AS n_view,
+       CASE WHEN ktb.c < {k} THEN nb.n
+            ELSE CAST(ROUND(({k} - 1) * {m}.0 / ktb.kth) AS BIGINT)
+       END AS est_view,
+       xu.n AS n_union,
+       CAST(ROUND(ru.c * {m}.0 / theta) AS BIGINT) AS est_union,
+       xi.n AS n_inter,
+       CAST(ROUND(ri.c * {m}.0 / theta) AS BIGINT) AS est_inter,
+       CAST(ROUND(1e6 * ABS(ru.c * {m}.0 / theta - xu.n) / xu.n)
+            AS BIGINT) AS err_union_ppm
+FROM na, nb, kta, ktb, th, ru, ri, xu, xi
+"""
+
+
+@register("kmv_theta_sketch_ops", _kmv_oracle())
+def kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values / theta-sketch set operations audit
+    (Beyer et al. 2007; the Apache DataSketches theta model): the
+    click-user and view-user sets are sketched by their k=128
+    smallest 48-bit hashes; distinct-count, union, and intersection
+    estimates come from the sketches alone (union/intersection under
+    the COMMON theta = min of the two k-th minima), and each estimate
+    is audited against the exact value computed in the same plan —
+    the error-audit pattern of cms_error_bound_audit for the
+    distinct-count family. Everything is deterministic: the hash is
+    the engine's md5-prefix h48, so both engines build byte-identical
+    sketches. Shape: two distinct-user aggregates; each k-smallest is
+    a TakeOrdered (per-partition top-k, merged — no global sort
+    shuffle); every downstream structure is <= k rows or a 1-row
+    aggregate, and the final assembly is broadcast crossJoins of
+    1-row frames. At 100 TB the sketch side is exactly what a
+    streaming aggregator ships per partition (mergeable k-minima);
+    the exact side is the audit's ground truth and the only
+    corpus-sized aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def hset(et: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == et)
+            .select(
+                X.h48(
+                    F.concat(
+                        F.lit("kmv:"), F.col("user_id").cast("string")
+                    )
+                ).alias("h")
+            )
+            .distinct()
+        )
+
+    ha, hb = hset("click"), hset("view")
+    ska = ha.orderBy("h").limit(_KMV_K)
+    skb = hb.orderBy("h").limit(_KMV_K)
+    kta = ska.agg(
+        F.max("h").alias("kth_a"),
+        F.count(F.lit(1)).cast("long").alias("ca"),
+    )
+    ktb = skb.agg(
+        F.max("h").alias("kth_b"),
+        F.count(F.lit(1)).cast("long").alias("cb"),
+    )
+    na = ha.agg(F.count(F.lit(1)).cast("long").alias("n_click"))
+    nb = hb.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    xu = (
+        ha.union(hb)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+    )
+    xi = ha.join(hb, "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inter")
+    )
+    m = F.lit(_KMV_M).cast("long")
+    th = kta.crossJoin(ktb).select(
+        F.least(
+            F.when(F.col("ca") < _KMV_K, m).otherwise(F.col("kth_a")),
+            F.when(F.col("cb") < _KMV_K, m).otherwise(F.col("kth_b")),
+        ).alias("theta"),
+        "kth_a",
+        "ca",
+        "kth_b",
+        "cb",
+    )
+    ra = ska.crossJoin(F.broadcast(th.select("theta"))).filter(
+        F.col("h") < F.col("theta")
+    ).select("h")
+    rb = skb.crossJoin(F.broadcast(th.select("theta"))).filter(
+        F.col("h") < F.col("theta")
+    ).select("h")
+    ru = (
+        ra.union(rb)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    ri = ra.join(rb, "h").agg(
+        F.count(F.lit(1)).cast("long").alias("ci")
+    )
+    md = F.lit(float(_KMV_M))
+    out = (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(ru))
+        .crossJoin(F.broadcast(ri))
+        .crossJoin(F.broadcast(xu))
+        .crossJoin(F.broadcast(xi))
+    )
+    est_u = F.col("cu") * md / F.col("theta")
+    return out.select(
+        "n_click",
+        F.when(F.col("ca") < _KMV_K, F.col("n_click"))
+        .otherwise(
+            F.round(F.lit(_KMV_K - 1) * md / F.col("kth_a")).cast(
+                "long"
+            )
+        )
+        .alias("est_click"),
+        "n_view",
+        F.when(F.col("cb") < _KMV_K, F.col("n_view"))
+        .otherwise(
+            F.round(F.lit(_KMV_K - 1) * md / F.col("kth_b")).cast(
+                "long"
+            )
+        )
+        .alias("est_view"),
+        "n_union",
+        F.round(est_u).cast("long").alias("est_union"),
+        "n_inter",
+        F.round(F.col("ci") * md / F.col("theta"))
+        .cast("long")
+        .alias("est_inter"),
+        F.round(
+            F.lit(1e6) * F.abs(est_u - F.col("n_union")) / F.col("n_union")
+        )
+        .cast("long")
+        .alias("err_union_ppm"),
+    )
+
+
+@register(
+    "conformal_calibration_audit",
+    """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority AS pr,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+), g AS (
+  SELECT pr, CAST(SUM(pc) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM o WHERE o_orderkey % 2 = 1 GROUP BY pr
+), cal AS (
+  SELECT CAST(FLOOR(ABS(o.pc - CAST(g.s AS DOUBLE) / g.c)) AS BIGINT) AS sc
+  FROM o JOIN g ON o.pr = g.pr WHERE o.o_orderkey % 2 = 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncal FROM cal),
+d AS (
+  SELECT sc, CAST(COUNT(*) AS BIGINT) AS cnt FROM cal GROUP BY sc
+), cum AS (
+  SELECT sc, CAST(SUM(cnt) OVER (ORDER BY sc) AS BIGINT) AS cc FROM d
+), q AS (
+  SELECT MIN(sc) AS qhat FROM cum, n
+  WHERE cc >= (9 * (ncal + 1) + 9) // 10
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ntest,
+         CAST(SUM(CASE WHEN
+           CAST(FLOOR(ABS(o.pc - CAST(g.s AS DOUBLE) / g.c)) AS BIGINT)
+             <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS cov
+  FROM o JOIN g ON o.pr = g.pr, q WHERE o.o_orderkey % 2 = 0
+)
+SELECT ncal AS n_cal, ntest AS n_test, qhat AS qhat_cents,
+       CAST(ROUND(1e6 * cov / ntest) AS BIGINT) AS coverage_ppm,
+       CAST(900000 AS BIGINT) AS target_ppm
+FROM n, q, t
+""",
+)
+def conformal_calibration_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction calibration audit (Vovk et al.;
+    Angelopoulos & Bates 2021 survey): a per-priority mean-price
+    predictor is fit on the odd-orderkey calibration half, the
+    conformal quantile q_hat is the ceil((n+1)(1-alpha))-th smallest
+    absolute residual (alpha = 0.1, rank computed in exact integer
+    arithmetic), and the even-orderkey test half reports empirical
+    coverage of [prediction +/- q_hat] — the finite-sample >= 90%
+    guarantee a training pipeline checks before trusting model
+    uncertainty. Residuals are floored to exact cent BIGINTs; the
+    order statistic comes from a distinct-score rollup + cumulative
+    window (score-domain-sized, never a fact-table sort), so at
+    100 TB the only corpus-sized work is two scans and a 5-row
+    broadcast join of the group means."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    cal_rows = o.filter(F.col("o_orderkey") % 2 == 1)
+    g = cal_rows.groupBy("pr").agg(
+        F.sum("pc").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    score = F.floor(
+        F.abs(
+            F.col("pc") - F.col("s").cast("double") / F.col("c")
+        )
+    ).cast("long")
+    cal = cal_rows.join(F.broadcast(g), "pr").select(score.alias("sc"))
+    n = cal.agg(F.count(F.lit(1)).cast("long").alias("ncal"))
+    d = cal.groupBy("sc").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = d.withColumn(
+        "cc",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("sc").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long"),
+    )
+    q = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("cc")
+            >= F.expr("(9 * (ncal + 1) + 9) div 10")
+        )
+        .agg(F.min("sc").alias("qhat"))
+    )
+    t = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .join(F.broadcast(g), "pr")
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ntest"),
+            F.sum(
+                F.when(score <= F.col("qhat"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cov"),
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("ncal").alias("n_cal"),
+            F.col("ntest").alias("n_test"),
+            F.col("qhat").alias("qhat_cents"),
+            F.round(F.lit(1e6) * F.col("cov") / F.col("ntest"))
+            .cast("long")
+            .alias("coverage_ppm"),
+            F.lit(900000).cast("long").alias("target_ppm"),
+        )
+    )

@@ -408,3 +408,56 @@ def test_ams_f2_not_vacuous(spark, sf_dir):
     assert out["est_f2"] > 0
     assert out["est_f2"] < 3 * out["exact_f2"]
     assert out["rel_err_ppm"] < 2_000_000
+
+
+def test_kruskal_wallis_not_vacuous(spark, sf_dir):
+    """r13 batch 2: all five event types present (k >= 3 is what
+    distinguishes KW from MWU); ties exist so the correction branch
+    is exercised (h_tie_corrected must differ from h_stat); H must be
+    non-negative and finite."""
+    import math
+
+    out = _run(spark, sf_dir, "kruskal_wallis_value_by_type").iloc[0]
+    assert out["n_groups"] >= 3
+    assert out["n_obs"] > out["n_groups"]
+    assert out["h_stat"] >= 0 and math.isfinite(out["h_stat"])
+    assert out["h_tie_corrected"] != out["h_stat"], (
+        "no ties in fixture: tie-correction branch vacuous"
+    )
+    assert out["h_tie_corrected"] >= out["h_stat"]
+
+
+def test_kmv_sketch_not_vacuous(spark, sf_dir):
+    """r13 batch 2: both sets must exceed k=128 at sf>=0.01 so the
+    estimation branch (not the exact-passthrough) is exercised; at
+    sf0.001 the exact-passthrough branch must be exact. Estimates
+    must land within the KMV concentration band (loose 5/sqrt(k) ~
+    44% relative) and the intersection must be non-empty."""
+    out = _run(spark, sf_dir, "kmv_theta_sketch_ops").iloc[0]
+    assert out["n_inter"] > 0, "disjoint click/view users: inter vacuous"
+    for exact, est in [
+        ("n_click", "est_click"),
+        ("n_view", "est_view"),
+        ("n_union", "est_union"),
+    ]:
+        assert out[est] > 0
+        rel = abs(out[est] - out[exact]) / out[exact]
+        assert rel < 0.45, f"{est} off by {rel:.2%}"
+    if out["n_click"] < 128 and out["n_view"] < 128:
+        assert out["est_click"] == out["n_click"]
+        assert out["est_view"] == out["n_view"]
+        assert out["est_union"] == out["n_union"]
+        assert out["est_inter"] == out["n_inter"]
+
+
+def test_conformal_calibration_not_vacuous(spark, sf_dir):
+    """r13 batch 2: the split-conformal coverage guarantee must hold
+    on the fixture (finite-sample: coverage >= target within the
+    DKW-ish slack for the test-set size) and q_hat must be a real
+    spread (positive), i.e. the predictor is imperfect."""
+    out = _run(spark, sf_dir, "conformal_calibration_audit").iloc[0]
+    assert out["n_cal"] > 100 and out["n_test"] > 100
+    assert out["qhat_cents"] > 0, "perfect predictor: audit vacuous"
+    # 90% nominal; allow finite-sample slack of 3/sqrt(n_test)
+    slack = 3.0 / (out["n_test"] ** 0.5)
+    assert out["coverage_ppm"] >= (0.9 - slack) * 1e6
