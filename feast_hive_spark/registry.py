@@ -130,7 +130,8 @@ SAMPLE_ROTATION: list[str] = [
     "unimax_lang_budgets", "serving_skew_audit", "cuped_adjusted_lift",
     "mannwhitney_click_view", "ams_f2_moment_audit",
     "kruskal_wallis_value_by_type", "kmv_theta_sketch_ops",
-    "conformal_calibration_audit",
+    "conformal_calibration_audit", "hbos_outlier_scores",
+    "zonemap_pruning_audit", "scan_task_packing_report",
     # -- last sampled in r1 (16) --
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "multimodal_metadata", "text_analysis",

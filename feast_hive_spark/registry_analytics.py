@@ -6447,3 +6447,362 @@ def conformal_calibration_audit(
             F.lit(900000).cast("long").alias("target_ppm"),
         )
     )
+
+
+_HBOS_BINS = 10
+
+
+def _hbos_oracle(nb: int = _HBOS_BINS) -> str:
+    def bin_of(col: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {mx} > {mn} THEN LEAST(CAST(FLOOR(({col} - {mn})"
+            f" / ({mx} - {mn}) * {nb}) AS BIGINT), {nb - 1})"
+            " ELSE 0 END"
+        )
+
+    bq = bin_of("l_quantity", "mnq", "mxq")
+    bp = bin_of("l_extendedprice", "mnp", "mxp")
+    bd = bin_of("l_discount", "mnd", "mxd")
+    return f"""
+WITH b AS (
+  SELECT MIN(l_quantity) AS mnq, MAX(l_quantity) AS mxq,
+         MIN(l_extendedprice) AS mnp, MAX(l_extendedprice) AS mxp,
+         MIN(l_discount) AS mnd, MAX(l_discount) AS mxd
+  FROM lineitem
+), e AS (
+  SELECT l_orderkey, l_linenumber,
+         {bq} AS b_q, {bp} AS b_p, {bd} AS b_d
+  FROM lineitem, b
+), dq AS (SELECT b_q, CAST(COUNT(*) AS BIGINT) AS cq FROM e GROUP BY b_q),
+dp AS (SELECT b_p, CAST(COUNT(*) AS BIGINT) AS cp FROM e GROUP BY b_p),
+dd AS (SELECT b_d, CAST(COUNT(*) AS BIGINT) AS cd FROM e GROUP BY b_d),
+mq AS (SELECT MAX(cq) AS xq FROM dq),
+mp AS (SELECT MAX(cp) AS xp FROM dp),
+md AS (SELECT MAX(cd) AS xd FROM dd)
+SELECT e.l_orderkey, e.l_linenumber, e.b_q, e.b_p, e.b_d,
+       ROUND(log10(CAST(xq AS DOUBLE) / cq)
+           + log10(CAST(xp AS DOUBLE) / cp)
+           + log10(CAST(xd AS DOUBLE) / cd), 6) AS hbos_score
+FROM e JOIN dq USING (b_q) JOIN dp USING (b_p) JOIN dd USING (b_d),
+     mq, mp, md
+ORDER BY hbos_score DESC, e.l_orderkey, e.l_linenumber
+LIMIT 20
+"""
+
+
+@register("hbos_outlier_scores", _hbos_oracle())
+def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012) over
+    lineitem (quantity, extendedprice, discount) — the linear-time
+    unsupervised outlier filter a data pipeline runs where an
+    isolation forest would be overkill: per feature, a 10-bin
+    fixed-width histogram; a row's score is the sum over features of
+    log10(tallest_bin / its_bin) (0 for rows in the modal bin of
+    every feature, large for rows in sparse tails). Top-20 rows by
+    (score desc, keys). Shape: one 1-row bounds aggregate broadcast
+    back, one scan computing all three bin ids in whole-stage
+    codegen, three <=10-row histogram dims broadcast-joined, and a
+    TakeOrdered top-20 — no global sort, no window, two scans total
+    at any scale. Bin edges and log-sums are identical IEEE doubles
+    in both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_quantity").alias("mnq"),
+        F.max("l_quantity").alias("mxq"),
+        F.min("l_extendedprice").alias("mnp"),
+        F.max("l_extendedprice").alias("mxp"),
+        F.min("l_discount").alias("mnd"),
+        F.max("l_discount").alias("mxd"),
+    )
+
+    def bin_of(col: str, mn: str, mx: str):
+        span_pos = F.col(mx) > F.col(mn)
+        cell = F.least(
+            F.floor(
+                (F.col(col) - F.col(mn))
+                / (F.col(mx) - F.col(mn))
+                * _HBOS_BINS
+            ).cast("long"),
+            F.lit(_HBOS_BINS - 1).cast("long"),
+        )
+        return F.when(span_pos, cell).otherwise(F.lit(0).cast("long"))
+
+    e = li.crossJoin(F.broadcast(b)).select(
+        "l_orderkey",
+        "l_linenumber",
+        bin_of("l_quantity", "mnq", "mxq").alias("b_q"),
+        bin_of("l_extendedprice", "mnp", "mxp").alias("b_p"),
+        bin_of("l_discount", "mnd", "mxd").alias("b_d"),
+    )
+    dq = e.groupBy("b_q").agg(F.count(F.lit(1)).cast("long").alias("cq"))
+    dp = e.groupBy("b_p").agg(F.count(F.lit(1)).cast("long").alias("cp"))
+    dd = e.groupBy("b_d").agg(F.count(F.lit(1)).cast("long").alias("cd"))
+    mq = dq.agg(F.max("cq").alias("xq"))
+    mp = dp.agg(F.max("cp").alias("xp"))
+    md = dd.agg(F.max("cd").alias("xd"))
+    scored = (
+        e.join(F.broadcast(dq), "b_q")
+        .join(F.broadcast(dp), "b_p")
+        .join(F.broadcast(dd), "b_d")
+        .crossJoin(F.broadcast(mq))
+        .crossJoin(F.broadcast(mp))
+        .crossJoin(F.broadcast(md))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "b_q",
+            "b_p",
+            "b_d",
+            F.round(
+                F.log10(F.col("xq").cast("double") / F.col("cq"))
+                + F.log10(F.col("xp").cast("double") / F.col("cp"))
+                + F.log10(F.col("xd").cast("double") / F.col("cd")),
+                6,
+            ).alias("hbos_score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("hbos_score").desc(), "l_orderkey", "l_linenumber"
+    ).limit(20)
+
+
+_ZM_GROUPS = 64
+_ZM_PRED_OFF = 300  # predicate window start: min ship day + 300
+_ZM_PRED_LEN = 30   # 30-day predicate window
+
+
+def _zonemap_oracle(ng: int = _ZM_GROUPS) -> str:
+    day = "CAST(FLOOR(epoch(l_shipdate) / 86400) AS BIGINT)"
+
+    def layout(name: str, key: str) -> str:
+        return f"""
+SELECT '{name}' AS layout, g.*
+FROM (
+  WITH b AS (
+    SELECT MIN({key}) AS mn, MAX({key}) AS mx,
+           MIN({day}) AS d0
+    FROM lineitem
+  ), e AS (
+    SELECT LEAST(CAST(FLOOR(CAST(({key} - mn) * {ng} AS DOUBLE)
+             / (mx - mn + 1)) AS BIGINT), {ng - 1}) AS grp,
+           {day} AS d, d0
+    FROM lineitem, b
+  ), rg AS (
+    SELECT grp, MIN(d0) AS d0, CAST(COUNT(*) AS BIGINT) AS nr,
+           MIN(d) AS dmin, MAX(d) AS dmax
+    FROM e GROUP BY grp
+  )
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN dmax < d0 + {_ZM_PRED_OFF}
+                    OR dmin > d0 + {_ZM_PRED_OFF + _ZM_PRED_LEN - 1}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned_groups,
+         CAST(ROUND(1e6 * SUM(CASE WHEN dmax < d0 + {_ZM_PRED_OFF}
+                    OR dmin > d0 + {_ZM_PRED_OFF + _ZM_PRED_LEN - 1}
+                  THEN 0 ELSE nr END) / SUM(nr)) AS BIGINT)
+           AS scan_rows_ppm
+  FROM rg
+) g
+"""
+
+    sel = f"""
+SELECT CAST(ROUND(1e6 * SUM(CASE WHEN {day} BETWEEN d0 + {_ZM_PRED_OFF}
+          AND d0 + {_ZM_PRED_OFF + _ZM_PRED_LEN - 1} THEN 1 ELSE 0 END)
+        / COUNT(*)) AS BIGINT) AS selectivity_ppm
+FROM lineitem, (SELECT MIN({day}) AS d0 FROM lineitem) b
+"""
+    return f"""
+WITH sel AS ({sel})
+SELECT l.*, sel.selectivity_ppm
+FROM (
+  {layout('orderkey_order', 'l_orderkey')}
+  UNION ALL
+  {layout('shipdate_order', day)}
+) l, sel
+ORDER BY layout
+"""
+
+
+@register("zonemap_pruning_audit", _zonemap_oracle())
+def zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max footer statistics) pruning effectiveness
+    audit — the question behind every sort-on-write decision at
+    100 TB: for a 30-day shipdate predicate, what fraction of row
+    groups does each candidate layout let the reader SKIP? Models a
+    range-partitioned write (zorder_repartition's contract) as 64
+    equal-width buckets of the layout key, computes each bucket's
+    min/max of the predicate column (exactly what a parquet footer
+    stores), and reports pruned-group count and the surviving scan
+    fraction per layout, against the predicate's true row
+    selectivity. ingest-order (orderkey) layouts scatter shipdate
+    across every group (scan ~100%); shipdate-sorted layouts prune
+    to ~selectivity. All-integer bucket/day arithmetic; one scan per
+    layout + a group-domain (<=64 rows) rollup; no windows, no
+    shuffle beyond the 64-key aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    day = F.floor(F.col("l_shipdate").cast("long") / 86400).cast("long")
+    d_lo = F.col("d0") + _ZM_PRED_OFF
+    d_hi = F.col("d0") + _ZM_PRED_OFF + _ZM_PRED_LEN - 1
+
+    def layout(name: str, key) -> DataFrame:
+        b = li.agg(
+            F.min(key).alias("mn"),
+            F.max(key).alias("mx"),
+            F.min(day).alias("d0"),
+        )
+        e = li.crossJoin(F.broadcast(b)).select(
+            F.least(
+                F.floor(
+                    ((key - F.col("mn")) * _ZM_GROUPS).cast("double")
+                    / (F.col("mx") - F.col("mn") + 1)
+                ).cast("long"),
+                F.lit(_ZM_GROUPS - 1).cast("long"),
+            ).alias("grp"),
+            day.alias("d"),
+            "d0",
+        )
+        rg = e.groupBy("grp").agg(
+            F.min("d0").alias("d0"),
+            F.count(F.lit(1)).cast("long").alias("nr"),
+            F.min("d").alias("dmin"),
+            F.max("d").alias("dmax"),
+        )
+        pruned = (F.col("dmax") < d_lo) | (F.col("dmin") > d_hi)
+        return rg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(pruned, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pruned_groups"),
+            F.round(
+                F.lit(1e6)
+                * F.sum(F.when(pruned, 0).otherwise(F.col("nr")))
+                / F.sum("nr")
+            )
+            .cast("long")
+            .alias("scan_rows_ppm"),
+        ).select(F.lit(name).alias("layout"), "*")
+
+    d0f = li.agg(F.min(day).alias("d0"))
+    sel = (
+        li.crossJoin(F.broadcast(d0f))
+        .agg(
+            F.round(
+                F.lit(1e6)
+                * F.sum(
+                    F.when(day.between(d_lo, d_hi), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("selectivity_ppm")
+        )
+    )
+    out = layout("orderkey_order", F.col("l_orderkey")).unionByName(
+        layout("shipdate_order", day)
+    )
+    return out.crossJoin(F.broadcast(sel)).orderBy("layout")
+
+
+_PACK_MAX = 65536   # maxSplitBytes analog (64 KB at toy row-width)
+_PACK_OC = 1024     # openCostInBytes analog
+_PACK_ROW_W = 100   # bytes-per-row proxy for the synthetic inventory
+
+
+@register(
+    "scan_task_packing_report",
+    f"""
+WITH RECURSIVE files AS (
+  SELECT CAST(FLOOR(epoch(l_shipdate) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) * {_PACK_ROW_W} AS BIGINT) AS sz
+  FROM lineitem GROUP BY 1
+), f AS (
+  SELECT day, sz,
+         ROW_NUMBER() OVER (ORDER BY sz DESC, day) AS idx
+  FROM files
+), st(idx, task, cur) AS (
+  SELECT idx, CAST(0 AS BIGINT), sz + {_PACK_OC} FROM f WHERE idx = 1
+  UNION ALL
+  SELECT f.idx,
+         CASE WHEN st.cur + f.sz > {_PACK_MAX}
+              THEN st.task + 1 ELSE st.task END,
+         CASE WHEN st.cur + f.sz > {_PACK_MAX}
+              THEN f.sz + {_PACK_OC}
+              ELSE st.cur + f.sz + {_PACK_OC} END
+  FROM st JOIN f ON f.idx = st.idx + 1
+)
+SELECT task AS task_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(f.sz) AS BIGINT) AS task_bytes,
+       CAST(SUM(f.sz) + COUNT(*) * {_PACK_OC} AS BIGINT)
+         AS task_cost_bytes,
+       (1000000 * (CAST(SUM(f.sz) AS BIGINT)
+                   + COUNT(*) * {_PACK_OC})) // {_PACK_MAX}
+         AS fill_ppm
+FROM st JOIN f USING (idx)
+GROUP BY task
+ORDER BY task
+""",
+)
+def scan_task_packing_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scan-task packing plan — Spark's own
+    ``FilePartition.getFilePartitions`` bin-packing recurrence
+    (sql/execution/datasources/FilePartition.scala: files sorted by
+    size desc, next-fit close when currentSize + size >
+    maxSplitBytes, every file charged openCostInBytes), applied to a
+    synthetic file inventory (one 'file' per lineitem ship-day, size
+    = rows x {_PACK_ROW_W}B) with scaled-down constants. This is the
+    cost model that decides task count and stragglers for every scan
+    the engine plans; auditing it as data answers 'how many tasks
+    and how full' BEFORE committing a write layout. The packing
+    recurrence is a prefix-dependent reset — not window-expressible
+    — so the engine runs it where Spark itself does: sequentially
+    over the METADATA (a file inventory is namenode-scale, ~1e5 rows
+    per table even at 100 TB; one Arrow batch through a pandas
+    kernel, parallel across tables in production), while the
+    inventory aggregation itself is a distributed day-domain
+    rollup. The DuckDB twin replays the identical recurrence as a
+    recursive CTE, step for step."""
+    import pandas as pd
+
+    li = read_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.floor(F.col("l_shipdate").cast("long") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(
+        (F.count(F.lit(1)) * _PACK_ROW_W).cast("long").alias("sz")
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["sz", "day"], ascending=[False, True]
+        ).reset_index(drop=True)
+        task, cur, out = 0, 0, []
+        for z in pdf["sz"]:
+            z = int(z)
+            if out and cur + z > _PACK_MAX:
+                task += 1
+                cur = 0
+            cur += z + _PACK_OC
+            out.append(task)
+        pdf["task_id"] = out
+        g = pdf.groupby("task_id", as_index=False).agg(
+            n_files=("sz", "size"), task_bytes=("sz", "sum")
+        )
+        g["task_cost_bytes"] = (
+            g["task_bytes"] + g["n_files"] * _PACK_OC
+        )
+        g["fill_ppm"] = (
+            1000000 * g["task_cost_bytes"]
+        ) // _PACK_MAX
+        return g.astype("int64")
+
+    out = files.groupBy(F.lit(1).alias("__one")).applyInPandas(
+        lambda _, pdf: _pack(pdf.drop(columns=[])),
+        schema=(
+            "task_id long, n_files long, task_bytes long, "
+            "task_cost_bytes long, fill_ppm long"
+        ),
+    )
+    return out.orderBy("task_id")

@@ -461,3 +461,50 @@ def test_conformal_calibration_not_vacuous(spark, sf_dir):
     # 90% nominal; allow finite-sample slack of 3/sqrt(n_test)
     slack = 3.0 / (out["n_test"] ** 0.5)
     assert out["coverage_ppm"] >= (0.9 - slack) * 1e6
+
+
+def test_hbos_not_vacuous(spark, sf_dir):
+    """r13 batch 2: top-20 outliers must have strictly positive
+    scores (rows outside every modal bin exist) and scores must be
+    non-constant (the histogram discriminates); bin ids must span
+    more than one bucket on at least one feature."""
+    out = _run(spark, sf_dir, "hbos_outlier_scores")
+    assert len(out) == 20
+    assert (out["hbos_score"] > 0).all()
+    assert out["hbos_score"].nunique() > 1
+    assert max(out[c].nunique() for c in ("b_q", "b_p", "b_d")) > 1
+
+
+def test_zonemap_audit_not_vacuous(spark, sf_dir):
+    """r13 batch 2: the audit must show the contrast it exists for —
+    the shipdate-sorted layout prunes most groups while the ingest
+    (orderkey) layout prunes ~none, and the sorted layout's scan
+    fraction must approach the predicate's row selectivity."""
+    out = _run(spark, sf_dir, "zonemap_pruning_audit").set_index("layout")
+    ship, ok = out.loc["shipdate_order"], out.loc["orderkey_order"]
+    assert ship["n_pruned_groups"] > ok["n_pruned_groups"]
+    assert ship["scan_rows_ppm"] < ok["scan_rows_ppm"]
+    assert ship["n_pruned_groups"] >= ship["n_groups"] * 0.5
+    # sorted-layout scan fraction within 8x of true selectivity
+    # (group granularity rounds up)
+    assert ship["scan_rows_ppm"] <= 8 * max(ship["selectivity_ppm"], 1)
+
+
+def test_scan_task_packing_not_vacuous(spark, sf_dir):
+    """r13 batch 2: the packing must produce >1 task, some task with
+    >1 file (the packing branch is exercised), and no task may
+    overflow maxSplitBytes unless it is a single oversized file —
+    the invariant of Spark's FilePartition recurrence."""
+    out = _run(spark, sf_dir, "scan_task_packing_report")
+    assert len(out) > 1
+    assert (out["n_files"] > 1).any(), "never packed 2 files: vacuous"
+    # Spark's close-check is `currentSize + size > max` BEFORE the new
+    # file's openCost is charged, so a multi-file task's COST may
+    # exceed maxSplitBytes by at most one openCost (1024); anything
+    # beyond that must be a single oversized file.
+    over = out[out["task_cost_bytes"] > 65536 + 1024]
+    assert (over["n_files"] == 1).all(), (
+        "multi-file task overflowed maxSplitBytes+openCost: "
+        "recurrence broken"
+    )
+    assert (out["task_bytes"] > 0).all()
