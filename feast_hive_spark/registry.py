@@ -132,6 +132,7 @@ SAMPLE_ROTATION: list[str] = [
     "kruskal_wallis_value_by_type", "kmv_theta_sketch_ops",
     "conformal_calibration_audit", "hbos_outlier_scores",
     "zonemap_pruning_audit", "scan_task_packing_report",
+    "fellegi_sunter_em_weights", "ann_ndcg_eval",
     # -- last sampled in r1 (16) --
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "multimodal_metadata", "text_analysis",

@@ -6799,10 +6799,225 @@ def scan_task_packing_report(
         return g.astype("int64")
 
     out = files.groupBy(F.lit(1).alias("__one")).applyInPandas(
-        lambda _, pdf: _pack(pdf.drop(columns=[])),
+        lambda _, pdf: _pack(pdf),
         schema=(
             "task_id long, n_files long, task_bytes long, "
             "task_cost_bytes long, fill_ppm long"
         ),
     )
     return out.orderBy("task_id")
+
+
+_FS_E9 = 1000000000
+
+
+def _fs_oracle() -> str:
+    def p9(lam: str, ms: list[str], us: list[str]) -> str:
+        pm = lam
+        pu = f"(1.0 - {lam})"
+        for g, m, u in zip(("g1", "g2", "g3"), ms, us):
+            pm += f" * (CASE WHEN {g} = 1 THEN {m} ELSE 1.0 - {m} END)"
+            pu += f" * (CASE WHEN {g} = 1 THEN {u} ELSE 1.0 - {u} END)"
+        return (
+            f"CAST(ROUND({_FS_E9}.0 * ({pm}) / (({pm}) + ({pu})))"
+            " AS BIGINT)"
+        )
+
+    def step(src: str) -> str:
+        return f"""
+  SELECT CAST(SUM(n * p9) AS BIGINT) AS s,
+         CAST(SUM(n * ({_FS_E9} - p9)) AS BIGINT) AS t,
+         CAST(SUM(n * p9 * g1) AS BIGINT) AS sf1,
+         CAST(SUM(n * p9 * g2) AS BIGINT) AS sf2,
+         CAST(SUM(n * p9 * g3) AS BIGINT) AS sf3,
+         CAST(SUM(n * ({_FS_E9} - p9) * g1) AS BIGINT) AS tf1,
+         CAST(SUM(n * ({_FS_E9} - p9) * g2) AS BIGINT) AS tf2,
+         CAST(SUM(n * ({_FS_E9} - p9) * g3) AS BIGINT) AS tf3,
+         CAST(SUM(n) AS BIGINT) AS ntot
+  FROM {src}
+"""
+
+    ratios = """
+  SELECT CAST(s AS DOUBLE) / ({e9}.0 * ntot) AS lam,
+         CAST(sf1 AS DOUBLE) / s AS m1, CAST(sf2 AS DOUBLE) / s AS m2,
+         CAST(sf3 AS DOUBLE) / s AS m3,
+         CAST(tf1 AS DOUBLE) / t AS u1, CAST(tf2 AS DOUBLE) / t AS u2,
+         CAST(tf3 AS DOUBLE) / t AS u3
+  FROM {src}
+"""
+    return f"""
+WITH pr AS (
+  SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+              THEN 1 ELSE 0 END AS g1,
+         CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS g2,
+         CASE WHEN ABS(CAST(ROUND(a.p_retailprice * 100) AS BIGINT)
+                     - CAST(ROUND(b.p_retailprice * 100) AS BIGINT))
+                   <= 100 THEN 1 ELSE 0 END AS g3
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+   AND a.p_partkey < b.p_partkey
+), pat AS (
+  SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pr GROUP BY g1, g2, g3
+), e1 AS (
+  SELECT pat.*, {p9('0.1', ['0.9'] * 3, ['0.1'] * 3)} AS p9 FROM pat
+), s1 AS ({step('e1')}), r1 AS (
+  {ratios.format(e9=_FS_E9, src='s1')}
+), e2 AS (
+  SELECT pat.*,
+         {p9('lam', ['m1', 'm2', 'm3'], ['u1', 'u2', 'u3'])} AS p9
+  FROM pat, r1
+), s2 AS ({step('e2')}), r2 AS (
+  {ratios.format(e9=_FS_E9, src='s2')}
+), fld AS (
+  SELECT * FROM (VALUES ('name_lev3', 1), ('price_100c', 3),
+                        ('size_exact', 2)) AS v(field, fid)
+)
+SELECT field,
+       ROUND(CASE fid WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END, 6)
+         AS m_prob,
+       ROUND(CASE fid WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END, 6)
+         AS u_prob,
+       ROUND(log2((CASE fid WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END)
+                / (CASE fid WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END)),
+             6) AS w_agree,
+       ROUND(log2((1.0 - CASE fid WHEN 1 THEN m1 WHEN 2 THEN m2
+                          ELSE m3 END)
+                / (1.0 - CASE fid WHEN 1 THEN u1 WHEN 2 THEN u2
+                          ELSE u3 END)), 6) AS w_disagree
+FROM r2, fld
+ORDER BY field
+"""
+
+
+@register("fellegi_sunter_em_weights", _fs_oracle())
+def fellegi_sunter_em_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights fit by two deterministic
+    EM iterations (Fellegi & Sunter 1969; the Splink/dedupe.com
+    model): blocked part pairs (same brand+type) are compared on
+    three fields (name levenshtein<=3, exact size, price within
+    100 cents); the 8 agreement-pattern counts drive EM from the
+    canonical init (lambda=0.1, m=0.9, u=0.1), and the output is the
+    per-field m/u probabilities and log2 match weights a linkage
+    pipeline thresholds on. Determinism protocol: each E-step
+    posterior is quantized to exact 1e-9 integers BEFORE the M-step
+    sums, so every cross-pattern aggregate is an exact BIGINT sum
+    and both engines walk the identical EM trajectory. Shape: one
+    blocked self-join collapsed immediately to an 8-row pattern
+    table (the only corpus-sized work — same declared within-block
+    semantics as fuzzy_part_name_pairs); both EM iterations are
+    8-row arithmetic under broadcast crossJoins."""
+    p = read_table(spark, sf_dir, "part")
+    a, b = p.alias("a"), p.alias("b")
+    cents = lambda s: F.round(F.col(s) * 100).cast("long")  # noqa: E731
+    pr = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.when(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3, 1
+        )
+        .otherwise(0)
+        .alias("g1"),
+        F.when(F.col("a.p_size") == F.col("b.p_size"), 1)
+        .otherwise(0)
+        .alias("g2"),
+        F.when(
+            F.abs(cents("a.p_retailprice") - cents("b.p_retailprice"))
+            <= 100,
+            1,
+        )
+        .otherwise(0)
+        .alias("g3"),
+    )
+    pat = pr.groupBy("g1", "g2", "g3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+    def posterior(lam, ms, us):
+        pm, pu = lam, F.lit(1.0) - lam
+        for g, m, u in zip(("g1", "g2", "g3"), ms, us):
+            pm = pm * F.when(F.col(g) == 1, m).otherwise(F.lit(1.0) - m)
+            pu = pu * F.when(F.col(g) == 1, u).otherwise(F.lit(1.0) - u)
+        return F.round(F.lit(float(_FS_E9)) * pm / (pm + pu)).cast(
+            "long"
+        )
+
+    def mstep(e: DataFrame) -> DataFrame:
+        away = F.lit(_FS_E9) - F.col("p9")
+        s = e.agg(
+            F.sum(F.col("n") * F.col("p9")).cast("long").alias("s"),
+            F.sum(F.col("n") * away).cast("long").alias("t"),
+            *[
+                F.sum(F.col("n") * F.col("p9") * F.col(g))
+                .cast("long")
+                .alias(f"sf{i}")
+                for i, g in enumerate(("g1", "g2", "g3"), 1)
+            ],
+            *[
+                F.sum(F.col("n") * away * F.col(g))
+                .cast("long")
+                .alias(f"tf{i}")
+                for i, g in enumerate(("g1", "g2", "g3"), 1)
+            ],
+            F.sum("n").cast("long").alias("ntot"),
+        )
+        return s.select(
+            (
+                F.col("s").cast("double")
+                / (F.lit(float(_FS_E9)) * F.col("ntot"))
+            ).alias("lam"),
+            *[
+                (F.col(f"sf{i}").cast("double") / F.col("s")).alias(
+                    f"m{i}"
+                )
+                for i in (1, 2, 3)
+            ],
+            *[
+                (F.col(f"tf{i}").cast("double") / F.col("t")).alias(
+                    f"u{i}"
+                )
+                for i in (1, 2, 3)
+            ],
+        )
+
+    e1 = pat.withColumn(
+        "p9",
+        posterior(F.lit(0.1), [F.lit(0.9)] * 3, [F.lit(0.1)] * 3),
+    )
+    r1 = mstep(e1)
+    e2 = pat.crossJoin(F.broadcast(r1)).withColumn(
+        "p9",
+        posterior(
+            F.col("lam"),
+            [F.col(f"m{i}") for i in (1, 2, 3)],
+            [F.col(f"u{i}") for i in (1, 2, 3)],
+        ),
+    )
+    r2 = mstep(e2.select("g1", "g2", "g3", "n", "p9"))
+    rows = []
+    for fname, i in (
+        ("name_lev3", 1),
+        ("size_exact", 2),
+        ("price_100c", 3),
+    ):
+        m, u = F.col(f"m{i}"), F.col(f"u{i}")
+        rows.append(
+            r2.select(
+                F.lit(fname).alias("field"),
+                F.round(m, 6).alias("m_prob"),
+                F.round(u, 6).alias("u_prob"),
+                F.round(F.log2(m / u), 6).alias("w_agree"),
+                F.round(
+                    F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)), 6
+                ).alias("w_disagree"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("field")

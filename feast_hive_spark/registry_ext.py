@@ -5506,3 +5506,145 @@ def serving_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_lag_sec"),
     )
+
+
+_NDCG_K = 10
+
+
+def _ndcg_oracle(k: int = _NDCG_K) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+  FROM e WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, q.qlab, c.vec_id AS neighbor_id, c.label AS nlab,
+         ROUND({{cos}}, 6) AS cosine
+  FROM q JOIN e c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, qlab, nlab, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+), dcg AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN nlab = qlab THEN
+           CAST(ROUND(1000000000.0 / log2(rank + 1)) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS dcg_e9
+  FROM ranked WHERE rank <= {k} GROUP BY query_id
+), nrel AS (
+  SELECT q.query_id,
+         CAST(SUM(CASE WHEN c.label = q.qlab THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rel
+  FROM q JOIN e c ON c.vec_id <> q.query_id
+  GROUP BY q.query_id
+), ideal AS (
+  SELECT nrel.query_id,
+         CAST(SUM(CAST(ROUND(1000000000.0 / log2(i + 1)) AS BIGINT))
+              AS BIGINT) AS idcg_e9
+  FROM nrel JOIN range(1, {k} + 1) r(i)
+    ON r.i <= LEAST({k}, nrel.n_rel)
+  GROUP BY nrel.query_id
+)
+SELECT nrel.query_id, nrel.n_rel, dcg.dcg_e9, ideal.idcg_e9,
+       ROUND(CAST(dcg.dcg_e9 AS DOUBLE) / ideal.idcg_e9, 6)
+         AS ndcg_at_{k}
+FROM nrel JOIN dcg USING (query_id) JOIN ideal USING (query_id)
+ORDER BY query_id
+""".format(cos=V.duck_cosine("c.embedding", "q.qv"))
+
+
+@register("ann_ndcg_eval", _ndcg_oracle())
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of exact cosine retrieval against label relevance —
+    the standard graded search-quality metric (Jarvelin & Kekalainen
+    2002) closing the ANN evaluation family (recall@k in
+    ann_recall_report, label purity in knn_label_accuracy): a
+    neighbor is relevant iff it shares the query vector's label;
+    DCG discounts by 1/log2(rank+1); the ideal DCG uses
+    min(k, n_relevant) terms. Determinism protocol: each discount
+    term is quantized to exact 1e-9 integers before summation, so
+    both engines sum identical BIGINTs in any order. Shape: the
+    mapInPandas matmul top-k kernel (shuffle O(queries x k)), one
+    corpus-sized relevance count per query (a broadcast-joined
+    conditional aggregate), and a k-row series join for the ideal —
+    nothing rank-ordered ever leaves the per-query k rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.col("label").alias("qlab"),
+    )
+    topk = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k=_NDCG_K,
+    )
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlab"),
+    )
+    term = F.round(
+        F.lit(1000000000.0) / F.log2(F.col("rank") + 1)
+    ).cast("long")
+    dcg = (
+        topk.join(lab, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qlab")), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("nlab") == F.col("qlab"), term).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("dcg_e9")
+        )
+    )
+    nrel = (
+        emb.crossJoin(
+            F.broadcast(
+                q.select("query_id", "qlab")
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("qlab"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rel")
+        )
+    )
+    series = spark.range(1, _NDCG_K + 1).select(
+        F.col("id").alias("i")
+    )
+    ideal = (
+        nrel.join(
+            F.broadcast(series),
+            F.col("i") <= F.least(F.lit(_NDCG_K), F.col("n_rel")),
+        )
+        .groupBy("query_id", "n_rel")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1000000000.0) / F.log2(F.col("i") + 1)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("idcg_e9")
+        )
+    )
+    return (
+        ideal.join(dcg, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            "dcg_e9",
+            "idcg_e9",
+            F.round(
+                F.col("dcg_e9").cast("double") / F.col("idcg_e9"), 6
+            ).alias(f"ndcg_at_{_NDCG_K}"),
+        )
+        .orderBy("query_id")
+    )

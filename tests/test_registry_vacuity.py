@@ -508,3 +508,39 @@ def test_scan_task_packing_not_vacuous(spark, sf_dir):
         "recurrence broken"
     )
     assert (out["task_bytes"] > 0).all()
+
+
+def test_fellegi_sunter_not_vacuous(spark, sf_dir):
+    """r13 batch 3: EM must actually separate the classes — every
+    field's m > u (agreement more likely under match), w_agree
+    positive and w_disagree negative for at least the name field,
+    and all probabilities strictly inside (0, 1) (degenerate 0/1
+    means a field is constant within blocks and the EM collapsed)."""
+    out = _run(spark, sf_dir, "fellegi_sunter_em_weights").set_index(
+        "field"
+    )
+    assert len(out) == 3
+    assert (out["m_prob"] > out["u_prob"]).sum() >= 2, (
+        "EM failed to separate match/unmatch classes"
+    )
+    assert ((out["m_prob"] > 0) & (out["m_prob"] < 1)).all()
+    assert ((out["u_prob"] > 0) & (out["u_prob"] < 1)).all()
+    name = out.loc["name_lev3"]
+    assert name["w_agree"] > 0 and name["w_disagree"] < 0
+
+
+def test_ann_ndcg_not_vacuous(spark, sf_dir):
+    """r13 batch 3: every query must have relevant candidates, NDCG
+    in (0, 1], and the metric must discriminate (not all queries at
+    the same value — otherwise the label structure is degenerate)."""
+    out = _run(spark, sf_dir, "ann_ndcg_eval")
+    assert len(out) == 8
+    assert (out["n_rel"] > 0).all()
+    col = out.columns[out.columns.str.startswith("ndcg_at_")][0]
+    # 0 is a legitimate value (no same-label neighbor in the top-k),
+    # but the metric must DISCRIMINATE: some query scores, not all,
+    # and nothing exceeds the ideal
+    assert (out[col] >= 0).all() and (out[col] <= 1).all()
+    assert (out[col] > 0).any(), "no query retrieved a relevant neighbor"
+    assert out[col].nunique() > 1, "metric constant across queries"
+    assert (out["idcg_e9"] >= out["dcg_e9"]).all()
