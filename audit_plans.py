@@ -613,6 +613,79 @@ AUDITS = {
         ["HashAggregate"],
         ["CartesianProduct", "Join", "Window"],
     ),
+    # r13 batch 2: KW — value-domain rollup + domain window; joins are
+    # the tiny vm-level rollup join + 1-row broadcasts only
+    "kruskal_wallis_value_by_type": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r13 batch 2: KMV — TakeOrdered per-partition top-k, no global
+    # sort exchange for the sketch side, broadcast-only assembly
+    "kmv_theta_sketch_ops": (
+        ["TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r13 batch 2: conformal — 5-row broadcast predictor join; the
+    # order statistic is a score-domain window, never a fact sort
+    "conformal_calibration_audit": (
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r13 batch 2: HBOS — broadcast histogram dims + TakeOrdered
+    # top-20; no window, no shuffle join
+    "hbos_outlier_scores": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # r13 batch 2: zone maps — two scans + 64-key aggregates, no
+    # window, broadcast-only bounds
+    "zonemap_pruning_audit": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # r13 batch 2: packing — day-domain rollup into one metadata-sized
+    # pandas kernel; no joins at all
+    "scan_task_packing_report": (
+        ["HashAggregate"],
+        ["CartesianProduct", "Join"],
+    ),
+    # r13 batch 3: FS-EM — blocked self-join collapses to an 8-row
+    # pattern table; EM is broadcast arithmetic (the block join is an
+    # equi-join, never cartesian)
+    "fellegi_sunter_em_weights": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # r13 batch 3: NDCG — matmul kernel + broadcast relevance joins;
+    # the only window is the per-query k-row rank merge
+    "ann_ndcg_eval": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r13 batch 4: Spearman — user rollup, two value-domain windows,
+    # domain joins back (the y-side join is user-domain, hash is fine)
+    "spearman_activity_value": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct"],
+    ),
+    # r13 batch 4: RANSAC — three aggregate passes over the user
+    # rollup, broadcast 1-row/16-row trial tables, no shuffle join
+    "ransac_activity_value_model": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r13 batch 4: ATT — one user-level conditional aggregate then
+    # <=5-row strata arithmetic, broadcast-only assembly
+    "exact_matching_att_audit": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r13 batch 4: kNN confusion — shares the accuracy kernel; vote
+    # windows over per-query k rows only
+    "knn_label_confusion_matrix": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
 }
 
 # Explicitly-tuned entries above; everything else in the registry gets

@@ -366,6 +366,19 @@ BENCH_QUERIES = [
     "cuped_adjusted_lift",
     "mannwhitney_click_view",
     "ams_f2_moment_audit",
+    # r13 batch 2-3
+    "kruskal_wallis_value_by_type",
+    "kmv_theta_sketch_ops",
+    "conformal_calibration_audit",
+    "hbos_outlier_scores",
+    "zonemap_pruning_audit",
+    "scan_task_packing_report",
+    "fellegi_sunter_em_weights",
+    "ann_ndcg_eval",
+    "spearman_activity_value",
+    "ransac_activity_value_model",
+    "exact_matching_att_audit",
+    "knn_label_confusion_matrix",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

@@ -594,6 +594,54 @@ def knn_label_accuracy(
     candidates instead; the vote/accuracy tail of the plan is identical
     either way. Ranking ties break on (cosine desc, neighbor id), votes
     on (count desc, label asc) — deterministic across engines."""
+    pred, labels = _knn_pred(df, id_col, vec_col, label_col, k)
+    return (
+        pred.join(labels.withColumnRenamed("__id", "q"), "q")
+        .groupBy(F.col("__lbl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("pred") == F.col("__lbl"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )
+
+
+def knn_label_confusion(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """kNN label-confusion matrix — the confident-learning view
+    (Northcutt et al., JAIR 2021) of the same majority votes
+    :func:`knn_label_accuracy` aggregates: counts over (given label,
+    kNN-predicted label). Diagonal mass is label-consistent
+    structure; a concentrated off-diagonal cell is the classic
+    systematic-mislabeling signature the CL estimator thresholds on.
+    Same kernel, same deterministic tie-breaks; only the final
+    aggregation differs (label-domain-squared output)."""
+    pred, labels = _knn_pred(df, id_col, vec_col, label_col, k)
+    return (
+        pred.join(labels.withColumnRenamed("__id", "q"), "q")
+        .groupBy(
+            F.col("__lbl").alias("given_label"),
+            F.col("pred").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _knn_pred(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared majority-vote pipeline: returns (pred frame (q, pred),
+    labels frame (__id, __lbl)) for the kNN evaluation family."""
     from feast_hive_spark.operators.dedup import _block_cosine_pairs
 
     labels = df.select(
@@ -638,16 +686,7 @@ def knn_label_accuracy(
         .filter(F.col("__rn") == 1)
         .select("q", F.col("nb_label").alias("pred"))
     )
-    return (
-        pred.join(labels.withColumnRenamed("__id", "q"), "q")
-        .groupBy(F.col("__lbl").alias("label"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("pred") == F.col("__lbl"), 1).otherwise(0)
-            ).alias("n_correct"),
-        )
-    )
+    return pred, labels
 
 
 def hard_negative_topk(

@@ -133,6 +133,8 @@ SAMPLE_ROTATION: list[str] = [
     "conformal_calibration_audit", "hbos_outlier_scores",
     "zonemap_pruning_audit", "scan_task_packing_report",
     "fellegi_sunter_em_weights", "ann_ndcg_eval",
+    "spearman_activity_value", "ransac_activity_value_model",
+    "exact_matching_att_audit", "knn_label_confusion_matrix",
     # -- last sampled in r1 (16) --
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "multimodal_metadata", "text_analysis",

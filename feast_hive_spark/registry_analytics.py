@@ -7021,3 +7021,622 @@ def fellegi_sunter_em_weights(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("field")
+
+
+_RANSAC_TRIALS = 16
+_RANSAC_TOL = 40000  # inlier tolerance, cents (~1 residual sd)
+
+
+def _ransac_oracle(nt: int = _RANSAC_TRIALS, tol: int = _RANSAC_TOL) -> str:
+    def h(i: int, s: str) -> str:
+        return X.duck_h48(
+            f"'ransac:{i}:{s}:' || CAST(user_id AS VARCHAR)"
+        )
+
+    mins = ",\n         ".join(
+        f"(MIN(struct_pack(h := {h(i, s)}, x := x, y := y))).x"
+        f" AS x{s}{i},\n         "
+        f"(MIN(struct_pack(h := {h(i, s)}, x := x, y := y))).y"
+        f" AS y{s}{i}"
+        for i in range(nt)
+        for s in ("a", "b")
+    )
+    inl = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN xa{i} <> xb{i} AND ABS(CAST(y AS DOUBLE)"
+        f" - (ya{i} + (CAST(yb{i} AS DOUBLE) - ya{i})"
+        f" / (xb{i} - xa{i}) * (x - xa{i}))) <= {tol}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS inl{i}"
+        for i in range(nt)
+    )
+    t16 = "\n  UNION ALL ".join(
+        f"SELECT {i} AS trial, inl{i} AS inl, xa{i} AS x1, ya{i} AS y1,"
+        f" xb{i} AS x2, yb{i} AS y2 FROM sc2"
+        for i in range(nt)
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), sc1 AS (
+  SELECT {mins}
+  FROM base
+), sc2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         {inl},
+         {", ".join(
+            f"MIN(xa{i}) AS _ka{i}, MIN(ya{i}) AS _kya{i},"
+            f" MIN(xb{i}) AS _kxb{i}, MIN(yb{i}) AS _kyb{i}"
+            for i in range(nt))}
+  FROM base CROSS JOIN sc1
+), sc2x AS (
+  SELECT n, sx, sy, sxy, sxx,
+         {", ".join(
+            f"inl{i}, _ka{i} AS xa{i}, _kya{i} AS ya{i},"
+            f" _kxb{i} AS xb{i}, _kyb{i} AS yb{i}"
+            for i in range(nt))}
+  FROM sc2
+), t16 AS (
+  {t16.replace("FROM sc2", "FROM sc2x")}
+), best AS (
+  SELECT trial, inl, x1, y1, x2, y2,
+         (CAST(y2 AS DOUBLE) - y1) / (x2 - x1) AS slope
+  FROM t16 WHERE x1 <> x2
+  ORDER BY inl DESC, trial LIMIT 1
+), refit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rn,
+         CAST(SUM(x) AS BIGINT) AS rsx, CAST(SUM(y) AS BIGINT) AS rsy,
+         CAST(SUM(x * y) AS BIGINT) AS rsxy,
+         CAST(SUM(x * x) AS BIGINT) AS rsxx
+  FROM base CROSS JOIN best
+  WHERE ABS(CAST(y AS DOUBLE) - (y1 + slope * (x - x1))) <= {tol}
+)
+SELECT best.trial AS best_trial, best.inl AS n_inliers,
+       (1000000 * best.inl) // sc2x.n AS inlier_ppm,
+       ROUND((CAST(rn AS DOUBLE) * rsxy - CAST(rsx AS DOUBLE) * rsy)
+             / (CAST(rn AS DOUBLE) * rsxx
+                - CAST(rsx AS DOUBLE) * rsx), 4) AS slope_cents,
+       ROUND((rsy - (CAST(rn AS DOUBLE) * rsxy
+                     - CAST(rsx AS DOUBLE) * rsy)
+                    / (CAST(rn AS DOUBLE) * rsxx
+                       - CAST(rsx AS DOUBLE) * rsx) * rsx) / rn, 2)
+         AS intercept_cents,
+       ROUND((CAST(sc2x.n AS DOUBLE) * sc2x.sxy
+              - CAST(sc2x.sx AS DOUBLE) * sc2x.sy)
+             / (CAST(sc2x.n AS DOUBLE) * sc2x.sxx
+                - CAST(sc2x.sx AS DOUBLE) * sc2x.sx), 4)
+         AS ols_all_slope_cents
+FROM best, refit, sc2x
+"""
+
+
+@register("ransac_activity_value_model", _ransac_oracle())
+def ransac_activity_value_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RANSAC robust line fit (Fischler & Bolles 1981) of per-user
+    total event value on per-user event count — the robust version
+    of the activity->value trend a growth model assumes, immune to
+    the whale/outlier users that drag plain OLS: 16 deterministic
+    trials, each anchored by the two users minimizing a trial-salted
+    md5 (min of a (hash, x, y) struct — exact argmin with a total
+    tie-break, so both engines pick identical anchors); inliers
+    within a fixed cent tolerance of the 2-point line; the winning
+    consensus set is refit by exact-integer OLS, reported next to
+    the plain OLS slope the outliers pollute. Shape: one fact scan
+    into the user rollup, then a 32-argmin struct aggregate (one
+    pass, AMS-style multi-expression), a 16-way conditional inlier
+    count against the broadcast 1-row trial table, and the consensus
+    refit — all driver-free, user-domain-sized past the rollup;
+    every intermediate table past the aggregates is <= 16 rows."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def h(i: int, s: str):
+        return X.h48(
+            F.concat(
+                F.lit(f"ransac:{i}:{s}:"),
+                F.col("user_id").cast("string"),
+            )
+        )
+
+    mins = []
+    for i in range(_RANSAC_TRIALS):
+        for s in ("a", "b"):
+            mins.append(
+                F.min(
+                    F.struct(
+                        h(i, s).alias("h"),
+                        F.col("x").alias("x"),
+                        F.col("y").alias("y"),
+                    )
+                ).alias(f"m{s}{i}")
+            )
+    sc1 = base.agg(*mins).select(
+        *[
+            c
+            for i in range(_RANSAC_TRIALS)
+            for s in ("a", "b")
+            for c in (
+                F.col(f"m{s}{i}.x").alias(f"x{s}{i}"),
+                F.col(f"m{s}{i}.y").alias(f"y{s}{i}"),
+            )
+        ]
+    )
+    inl_exprs = []
+    for i in range(_RANSAC_TRIALS):
+        xa, ya = F.col(f"xa{i}"), F.col(f"ya{i}")
+        xb, yb = F.col(f"xb{i}"), F.col(f"yb{i}")
+        resid = F.abs(
+            F.col("y").cast("double")
+            - (
+                ya
+                + (yb.cast("double") - ya)
+                / (xb - xa)
+                * (F.col("x") - xa)
+            )
+        )
+        inl_exprs.append(
+            F.sum(
+                F.when((xa != xb) & (resid <= _RANSAC_TOL), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias(f"inl{i}")
+        )
+    keep = [
+        F.min(F.col(f"{c}{s}{i}")).alias(f"{c}{s}{i}")
+        for i in range(_RANSAC_TRIALS)
+        for s in ("a", "b")
+        for c in ("x", "y")
+    ]
+    sc2 = base.crossJoin(F.broadcast(sc1)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        *inl_exprs,
+        *keep,
+    )
+    t16 = sc2.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("trial"),
+                        F.col(f"inl{i}").alias("inl"),
+                        F.col(f"xa{i}").alias("x1"),
+                        F.col(f"ya{i}").alias("y1"),
+                        F.col(f"xb{i}").alias("x2"),
+                        F.col(f"yb{i}").alias("y2"),
+                    )
+                    for i in range(_RANSAC_TRIALS)
+                ]
+            )
+        ).alias("t"),
+    ).select("n", "sx", "sy", "sxy", "sxx", "t.*")
+    valid = t16.filter(F.col("x1") != F.col("x2")).withColumn(
+        "slope",
+        (F.col("y2").cast("double") - F.col("y1"))
+        / (F.col("x2") - F.col("x1")),
+    )
+    best = (
+        valid.orderBy(F.col("inl").desc(), "trial")
+        .limit(1)
+    )
+    refit = (
+        base.crossJoin(F.broadcast(best))
+        .filter(
+            F.abs(
+                F.col("y").cast("double")
+                - (
+                    F.col("y1")
+                    + F.col("slope") * (F.col("x") - F.col("x1"))
+                )
+            )
+            <= _RANSAC_TOL
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rn"),
+            F.sum("x").cast("long").alias("rsx"),
+            F.sum("y").cast("long").alias("rsy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("rsxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("rsxx"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r_slope = (d("rn") * d("rsxy") - d("rsx") * d("rsy")) / (
+        d("rn") * d("rsxx") - d("rsx") * d("rsx")
+    )
+    return (
+        best.crossJoin(F.broadcast(refit))
+        .select(
+            F.col("trial").alias("best_trial"),
+            F.col("inl").alias("n_inliers"),
+            F.expr("(1000000 * inl) div n").alias("inlier_ppm"),
+            F.round(r_slope, 4).alias("slope_cents"),
+            F.round(
+                (F.col("rsy") - r_slope * F.col("rsx")) / F.col("rn"),
+                2,
+            ).alias("intercept_cents"),
+            F.round(
+                (d("n") * d("sxy") - d("sx") * d("sy"))
+                / (d("n") * d("sxx") - d("sx") * d("sx")),
+                4,
+            ).alias("ols_all_slope_cents"),
+        )
+    )
+
+
+_ATT_DAY = 86400
+_ATT_WEEK = 604800
+
+
+@register(
+    "exact_matching_att_audit",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tse,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+), b AS (SELECT MIN(tse) AS t0 FROM ev),
+u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND tse < t0 + {_ATT_DAY} THEN 1 ELSE 0 END)
+           AS treated,
+         CAST(SUM(CASE WHEN tse < t0 + {_ATT_WEEK} THEN 1 ELSE 0 END)
+              AS BIGINT) AS early_n,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                        AND tse >= t0 + {_ATT_WEEK}
+                  THEN vc ELSE 0 END) AS BIGINT) AS y
+  FROM ev, b GROUP BY user_id
+), su AS (
+  SELECT treated, early_n, y, LEAST(4, early_n // 5) AS strat FROM u
+), bef AS (
+  SELECT CAST(SUM(treated) AS BIGINT) AS nt,
+         CAST(SUM(1 - treated) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN treated = 1 THEN early_n ELSE 0 END)
+              AS BIGINT) AS sxt,
+         CAST(SUM(CASE WHEN treated = 0 THEN early_n ELSE 0 END)
+              AS BIGINT) AS sxc,
+         CAST(SUM(CASE WHEN treated = 1 THEN early_n * early_n
+                  ELSE 0 END) AS BIGINT) AS sxxt,
+         CAST(SUM(CASE WHEN treated = 0 THEN early_n * early_n
+                  ELSE 0 END) AS BIGINT) AS sxxc
+  FROM su
+), strata AS (
+  SELECT strat,
+         CAST(SUM(treated) AS BIGINT) AS nts,
+         CAST(SUM(1 - treated) AS BIGINT) AS ncs,
+         CAST(SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+           AS syt,
+         CAST(SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+           AS syc,
+         CAST(SUM(CASE WHEN treated = 1 THEN early_n ELSE 0 END)
+              AS BIGINT) AS sxts,
+         CAST(SUM(CASE WHEN treated = 0 THEN early_n ELSE 0 END)
+              AS BIGINT) AS sxcs
+  FROM su GROUP BY strat
+), agg AS (
+  SELECT CAST(SUM(nts) AS BIGINT) AS ntm,
+         CAST(COUNT(*) AS BIGINT) AS nstrata,
+         CAST(SUM(nts * CAST(ROUND(1e6 * (CAST(syt AS DOUBLE) / nts
+              - CAST(syc AS DOUBLE) / ncs)) AS BIGINT)) AS BIGINT)
+           AS wdy,
+         CAST(SUM(nts * CAST(ROUND(1e6 * (CAST(sxts AS DOUBLE) / nts
+              - CAST(sxcs AS DOUBLE) / ncs)) AS BIGINT)) AS BIGINT)
+           AS wdx
+  FROM strata WHERE nts > 0 AND ncs > 0
+)
+SELECT nt AS n_treated, nc AS n_control,
+       nstrata AS n_strata_matched, ntm AS n_treated_matched,
+       ROUND(wdy / (1e6 * ntm), 4) AS att_cents,
+       ROUND((CAST(sxt AS DOUBLE) / nt - CAST(sxc AS DOUBLE) / nc)
+             / sqrt(((CAST(sxxt AS DOUBLE) / nt
+                      - (CAST(sxt AS DOUBLE) / nt)
+                        * (CAST(sxt AS DOUBLE) / nt))
+                     + (CAST(sxxc AS DOUBLE) / nc
+                        - (CAST(sxc AS DOUBLE) / nc)
+                          * (CAST(sxc AS DOUBLE) / nc))) / 2), 6)
+         AS smd_before,
+       ROUND((wdx / (1e6 * ntm))
+             / sqrt(((CAST(sxxt AS DOUBLE) / nt
+                      - (CAST(sxt AS DOUBLE) / nt)
+                        * (CAST(sxt AS DOUBLE) / nt))
+                     + (CAST(sxxc AS DOUBLE) / nc
+                        - (CAST(sxc AS DOUBLE) / nc)
+                          * (CAST(sxc AS DOUBLE) / nc))) / 2), 6)
+         AS smd_after
+FROM bef, agg
+""",
+)
+def exact_matching_att_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-matching average-treatment-effect-on-treated audit — the
+    observational companion to cuped_adjusted_lift (Stuart 2010's
+    matching framework): treatment = any purchase in the corpus's
+    first day, outcome = post-first-week click value, matched
+    exactly on a first-week activity stratum; ATT is the
+    treated-weighted mean of within-stratum outcome differences over
+    strata holding BOTH groups, and the audit reports the covariate
+    standardized mean difference before vs after matching (the
+    balance check that justifies the causal read). Determinism:
+    per-stratum mean differences are quantized to exact 1e-6
+    integers before the treated-count-weighted sum, all moments are
+    exact BIGINTs. Shape: ONE fact scan into a user-level
+    conditional aggregate, then strata-domain (<=5 rows) and 1-row
+    arithmetic — nothing beyond the user rollup shuffles."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("tse"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    b = ev.agg(F.min("tse").alias("t0"))
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("tse") < F.col("t0") + _ATT_DAY),
+                    1,
+                ).otherwise(0)
+            ).alias("treated"),
+            F.sum(
+                F.when(F.col("tse") < F.col("t0") + _ATT_WEEK, 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("early_n"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("tse") >= F.col("t0") + _ATT_WEEK),
+                    F.col("vc"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    su = u.select(
+        "treated",
+        "early_n",
+        "y",
+        F.least(F.lit(4), F.expr("early_n div 5")).alias("strat"),
+    )
+    t1 = F.col("treated") == 1
+    bef = su.agg(
+        F.sum("treated").cast("long").alias("nt"),
+        F.sum(1 - F.col("treated")).cast("long").alias("nc"),
+        F.sum(F.when(t1, F.col("early_n")).otherwise(0))
+        .cast("long")
+        .alias("sxt"),
+        F.sum(F.when(~t1, F.col("early_n")).otherwise(0))
+        .cast("long")
+        .alias("sxc"),
+        F.sum(
+            F.when(t1, F.col("early_n") * F.col("early_n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sxxt"),
+        F.sum(
+            F.when(~t1, F.col("early_n") * F.col("early_n")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("sxxc"),
+    )
+    strata = su.groupBy("strat").agg(
+        F.sum("treated").cast("long").alias("nts"),
+        F.sum(1 - F.col("treated")).cast("long").alias("ncs"),
+        F.sum(F.when(t1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("syt"),
+        F.sum(F.when(~t1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("syc"),
+        F.sum(F.when(t1, F.col("early_n")).otherwise(0))
+        .cast("long")
+        .alias("sxts"),
+        F.sum(F.when(~t1, F.col("early_n")).otherwise(0))
+        .cast("long")
+        .alias("sxcs"),
+    )
+    q6 = lambda e: F.round(F.lit(1e6) * e).cast("long")  # noqa: E731
+    agg = strata.filter(
+        (F.col("nts") > 0) & (F.col("ncs") > 0)
+    ).agg(
+        F.sum("nts").cast("long").alias("ntm"),
+        F.count(F.lit(1)).cast("long").alias("nstrata"),
+        F.sum(
+            F.col("nts")
+            * q6(
+                F.col("syt").cast("double") / F.col("nts")
+                - F.col("syc").cast("double") / F.col("ncs")
+            )
+        )
+        .cast("long")
+        .alias("wdy"),
+        F.sum(
+            F.col("nts")
+            * q6(
+                F.col("sxts").cast("double") / F.col("nts")
+                - F.col("sxcs").cast("double") / F.col("ncs")
+            )
+        )
+        .cast("long")
+        .alias("wdx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sd_pool = F.sqrt(
+        (
+            (d("sxxt") / d("nt") - (d("sxt") / d("nt")) * (d("sxt") / d("nt")))
+            + (
+                d("sxxc") / d("nc")
+                - (d("sxc") / d("nc")) * (d("sxc") / d("nc"))
+            )
+        )
+        / 2
+    )
+    return bef.crossJoin(F.broadcast(agg)).select(
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        F.col("nstrata").alias("n_strata_matched"),
+        F.col("ntm").alias("n_treated_matched"),
+        F.round(F.col("wdy") / (F.lit(1e6) * F.col("ntm")), 4).alias(
+            "att_cents"
+        ),
+        F.round(
+            (d("sxt") / d("nt") - d("sxc") / d("nc")) / sd_pool, 6
+        ).alias("smd_before"),
+        F.round(
+            (F.col("wdx") / (F.lit(1e6) * F.col("ntm"))) / sd_pool, 6
+        ).alias("smd_after"),
+    )
+
+
+@register(
+    "spearman_activity_value",
+    """
+WITH f AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), dx AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY x
+), rx AS (
+  SELECT x, 2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) + cnt + 1 AS r2
+  FROM dx
+), dy AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY y
+), ry AS (
+  SELECT y, 2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) + cnt + 1 AS r2
+  FROM dy
+), j AS (
+  SELECT rx.r2 AS a, ry.r2 AS b
+  FROM f JOIN rx ON f.x = rx.x JOIN ry ON f.y = ry.y
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b AS HUGEINT)) AS sb,
+         SUM(CAST(a AS HUGEINT) * a) AS saa,
+         SUM(CAST(b AS HUGEINT) * b) AS sbb,
+         SUM(CAST(a AS HUGEINT) * b) AS sab
+  FROM j
+), nd AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dx) AS n_distinct_x,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dy) AS n_distinct_y
+)
+SELECT n AS n_users, n_distinct_x, n_distinct_y,
+       ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+             6) AS rho_spearman
+FROM s, nd
+""",
+)
+def spearman_activity_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between per-user event count and
+    per-user total value — the tie-aware nonparametric companion to
+    the Pearson family, sharing the engine's exact-rank protocol:
+    doubled average ranks (2*rank_base + tie_count + 1) per DISTINCT
+    value are exact BIGINTs from value-domain rollups + domain
+    windows (never a row-level sort), and every moment sum runs in
+    overflow-safe wide integers (decimal(38) here, HUGEINT in the
+    twin — doubled ranks reach ~2n, so squared-rank sums pass 2^63
+    beyond ~1e5 users x high tiers). Pearson-on-ranks handles ties
+    exactly where the classic 6*Sum(d^2) shortcut silently doesn't.
+    Shape: one fact scan into the user rollup, two value-domain
+    windows, two user-domain joins, one 1-row moment aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    ).select("x", "y")
+
+    def ranks(col: str) -> DataFrame:
+        d = f.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        return d.select(
+            col,
+            (
+                2
+                * F.coalesce(
+                    F.sum("cnt").over(
+                        Window.orderBy(col).rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("long")
+                + F.col("cnt")
+                + 1
+            ).alias("r2"),
+        )
+
+    rx = ranks("x").withColumnRenamed("r2", "a")
+    ry = ranks("y").withColumnRenamed("r2", "b")
+    j = f.join(F.broadcast(rx), "x").join(ry, "y").select("a", "b")
+    dec = lambda c: F.col(c).cast("decimal(14,0)")  # noqa: E731
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("a")).alias("sa"),
+        F.sum(dec("b")).alias("sb"),
+        F.sum(dec("a") * dec("a")).alias("saa"),
+        F.sum(dec("b") * dec("b")).alias("sbb"),
+        F.sum(dec("a") * dec("b")).alias("sab"),
+    )
+    nd = rx.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_x")
+    ).crossJoin(
+        F.broadcast(
+            ry.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_y"))
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.crossJoin(F.broadcast(nd)).select(
+        F.col("n").alias("n_users"),
+        "n_distinct_x",
+        "n_distinct_y",
+        F.round(
+            (d("n") * d("sab") - d("sa") * d("sb"))
+            / F.sqrt(
+                (d("n") * d("saa") - d("sa") * d("sa"))
+                * (d("n") * d("sbb") - d("sb") * d("sb"))
+            ),
+            6,
+        ).alias("rho_spearman"),
+    )

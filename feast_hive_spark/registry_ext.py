@@ -5587,7 +5587,10 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000000000.0) / F.log2(F.col("rank") + 1)
     ).cast("long")
     dcg = (
-        topk.join(lab, "neighbor_id")
+        # the tiny side is the top-k result (queries x k rows by
+        # construction) — broadcast IT against the corpus-sized label
+        # dim, which at 100 TB cannot be the broadcast side
+        lab.join(F.broadcast(topk), "neighbor_id")
         .join(F.broadcast(q.select("query_id", "qlab")), "query_id")
         .groupBy("query_id")
         .agg(
@@ -5636,7 +5639,7 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        ideal.join(dcg, "query_id")
+        ideal.join(F.broadcast(dcg), "query_id")
         .select(
             "query_id",
             "n_rel",
@@ -5648,3 +5651,50 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "knn_label_confusion_matrix",
+    f"""
+WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label FROM embeddings),
+p AS (
+  SELECT a.vec_id AS q, b.vec_id AS nb, b.label AS nb_label,
+         ROUND({V.duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), topk AS (
+  SELECT q, nb_label FROM (
+    SELECT q, nb_label,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, nb) AS rn
+    FROM p
+  ) WHERE rn <= 5
+), votes AS (
+  SELECT q, nb_label, COUNT(*) AS c FROM topk GROUP BY q, nb_label
+), pred AS (
+  SELECT q, nb_label AS pred FROM (
+    SELECT q, nb_label,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, nb_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT e.label AS given_label, pr.pred AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pred pr JOIN e ON e.vec_id = pr.q
+GROUP BY e.label, pr.pred
+""",
+)
+def knn_label_confusion_matrix_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """kNN label-confusion matrix (Northcutt et al.'s confident-
+    learning joint-count estimate over k=5 majority votes): counts
+    over (given label, predicted label) — diagonal mass is
+    label-consistent embedding structure, a concentrated
+    off-diagonal cell is the systematic-mislabeling signature a
+    label-noise pipeline thresholds on. Shares knn_label_accuracy's
+    kernel and deterministic tie-breaks through the factored
+    _knn_pred pipeline; label-domain-squared output."""
+    from feast_hive_spark.operators.simsearch import knn_label_confusion
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = knn_label_confusion(emb, "vec_id", "embedding", "label", k=5)
+    return out.withColumn("n_pairs", F.col("n_pairs").cast("long"))

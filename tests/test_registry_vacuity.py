@@ -544,3 +544,55 @@ def test_ann_ndcg_not_vacuous(spark, sf_dir):
     assert (out[col] > 0).any(), "no query retrieved a relevant neighbor"
     assert out[col].nunique() > 1, "metric constant across queries"
     assert (out["idcg_e9"] >= out["dcg_e9"]).all()
+
+
+def test_spearman_not_vacuous(spark, sf_dir):
+    """r13 batch 4: rho in [-1, 1], ties present on the count margin
+    (n_distinct_x < n_users — the tie-aware protocol is the point),
+    and activity/value must genuinely correlate on the fixture."""
+    out = _run(spark, sf_dir, "spearman_activity_value").iloc[0]
+    assert -1 <= out["rho_spearman"] <= 1
+    assert out["n_distinct_x"] < out["n_users"], "no x ties"
+    assert out["rho_spearman"] > 0.3, "activity/value uncorrelated?"
+
+
+def test_ransac_not_vacuous(spark, sf_dir):
+    """r13 batch 4: the consensus set must be a real subset (outliers
+    exist) but a substantial one, and the refit slope must be
+    positive (price grows with quantity)."""
+    out = _run(spark, sf_dir, "ransac_activity_value_model").iloc[0]
+    assert 0 < out["n_inliers"]
+    assert 100_000 < out["inlier_ppm"] < 1_000_000, (
+        "all-in or near-empty consensus: tolerance vacuous"
+    )
+    assert out["slope_cents"] > 0
+    assert out["best_trial"] >= 0
+
+
+def test_exact_matching_att_not_vacuous(spark, sf_dir):
+    """r13 batch 4: both arms populated, >=2 matched strata, and
+    matching must IMPROVE covariate balance (|smd_after| <
+    |smd_before|) — otherwise the stratification is vacuous."""
+    out = _run(spark, sf_dir, "exact_matching_att_audit").iloc[0]
+    assert out["n_treated"] > 0 and out["n_control"] > 0
+    assert out["n_strata_matched"] >= 2
+    assert abs(out["smd_after"]) <= abs(out["smd_before"]) + 1e-9, (
+        "matching worsened balance"
+    )
+
+
+def test_knn_confusion_not_vacuous(spark, sf_dir):
+    """r13 batch 4: the matrix must carry off-diagonal mass (noise
+    exists to detect) AND its diagonal must reconcile exactly with
+    knn_label_accuracy's n_correct — the two views share one vote
+    pipeline."""
+    conf = _run(spark, sf_dir, "knn_label_confusion_matrix")
+    acc = _run(spark, sf_dir, "knn_label_accuracy")
+    diag = conf[conf["given_label"] == conf["pred_label"]]
+    off = conf[conf["given_label"] != conf["pred_label"]]
+    assert len(off) > 0 and off["n_pairs"].sum() > 0
+    merged = acc.merge(
+        diag, left_on="label", right_on="given_label", how="left"
+    ).fillna({"n_pairs": 0})
+    assert (merged["n_correct"] == merged["n_pairs"]).all()
+    assert conf["n_pairs"].sum() == acc["n"].sum()
