@@ -81,6 +81,11 @@ TIER_NOTES = {
         "pair); the collapsed stats twin fuzzy_part_name_stats is the "
         "scale path (SCALING.md r9)."
     ),
+    "knn_label_confusion_matrix": (
+        "exact all-pairs kNN evaluation (O(n^2) by definition, like "
+        "knn_label_accuracy); at 100 TB run on a hash-sampled slice "
+        "or LSH candidates — the vote/confusion tail is identical."
+    ),
 }
 
 # --tier100 (r6 verdict #2): the second decade. Exponents measured

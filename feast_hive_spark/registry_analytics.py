@@ -6825,14 +6825,14 @@ def _fs_oracle() -> str:
 
     def step(src: str) -> str:
         return f"""
-  SELECT CAST(SUM(n * p9) AS BIGINT) AS s,
-         CAST(SUM(n * ({_FS_E9} - p9)) AS BIGINT) AS t,
-         CAST(SUM(n * p9 * g1) AS BIGINT) AS sf1,
-         CAST(SUM(n * p9 * g2) AS BIGINT) AS sf2,
-         CAST(SUM(n * p9 * g3) AS BIGINT) AS sf3,
-         CAST(SUM(n * ({_FS_E9} - p9) * g1) AS BIGINT) AS tf1,
-         CAST(SUM(n * ({_FS_E9} - p9) * g2) AS BIGINT) AS tf2,
-         CAST(SUM(n * ({_FS_E9} - p9) * g3) AS BIGINT) AS tf3,
+  SELECT SUM(CAST(n AS HUGEINT) * p9) AS s,
+         SUM(CAST(n AS HUGEINT) * ({_FS_E9} - p9)) AS t,
+         SUM(CAST(n AS HUGEINT) * p9 * g1) AS sf1,
+         SUM(CAST(n AS HUGEINT) * p9 * g2) AS sf2,
+         SUM(CAST(n AS HUGEINT) * p9 * g3) AS sf3,
+         SUM(CAST(n AS HUGEINT) * ({_FS_E9} - p9) * g1) AS tf1,
+         SUM(CAST(n AS HUGEINT) * ({_FS_E9} - p9) * g2) AS tf2,
+         SUM(CAST(n AS HUGEINT) * ({_FS_E9} - p9) * g3) AS tf3,
          CAST(SUM(n) AS BIGINT) AS ntot
   FROM {src}
 """
@@ -6909,14 +6909,45 @@ def fellegi_sunter_em_weights(
     table (the only corpus-sized work — same declared within-block
     semantics as fuzzy_part_name_pairs); both EM iterations are
     8-row arithmetic under broadcast crossJoins."""
+    # Exact-collapse front end (the r8 fuzzy-family design): pattern
+    # counts need only DISTINCT comparison tuples with multiplicities
+    # — identical (name, brand, type, size, price) copies compare
+    # identically to everything, so (a) each duplicated group
+    # contributes C(cnt, 2) all-agree pairs and (b) cross-group pairs
+    # weigh cnt_a * cnt_b. The blocked join runs on distinct tuples
+    # (constant across key-shifted tier copies), never raw rows.
     p = read_table(spark, sf_dir, "part")
-    a, b = p.alias("a"), p.alias("b")
-    cents = lambda s: F.round(F.col(s) * 100).cast("long")  # noqa: E731
-    pr = a.join(
+    g = (
+        p.select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+            F.round(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("pc"),
+        )
+        .groupBy("p_name", "p_brand", "p_type", "p_size", "pc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("p_partkey").alias("gk"),
+        )
+    )
+    within = g.agg(
+        F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2)
+        .cast("long")
+        .alias("n")
+    ).select(
+        F.lit(1).alias("g1"), F.lit(1).alias("g2"),
+        F.lit(1).alias("g3"), "n",
+    ).filter(F.col("n") > 0)
+    a, b = g.alias("a"), g.alias("b")
+    cross = a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))
         & (F.col("a.p_type") == F.col("b.p_type"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        & (F.col("a.gk") < F.col("b.gk")),
     ).select(
         F.when(
             F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3, 1
@@ -6926,16 +6957,17 @@ def fellegi_sunter_em_weights(
         F.when(F.col("a.p_size") == F.col("b.p_size"), 1)
         .otherwise(0)
         .alias("g2"),
-        F.when(
-            F.abs(cents("a.p_retailprice") - cents("b.p_retailprice"))
-            <= 100,
-            1,
-        )
+        F.when(F.abs(F.col("a.pc") - F.col("b.pc")) <= 100, 1)
         .otherwise(0)
         .alias("g3"),
+        (F.col("a.cnt") * F.col("b.cnt")).alias("w"),
     )
-    pat = pr.groupBy("g1", "g2", "g3").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    pat = (
+        cross.groupBy("g1", "g2", "g3")
+        .agg(F.sum("w").cast("long").alias("n"))
+        .unionByName(within)
+        .groupBy("g1", "g2", "g3")
+        .agg(F.sum("n").cast("long").alias("n"))
     )
 
     def posterior(lam, ms, us):
@@ -6948,19 +6980,23 @@ def fellegi_sunter_em_weights(
         )
 
     def mstep(e: DataFrame) -> DataFrame:
-        away = F.lit(_FS_E9) - F.col("p9")
+        # pattern counts n reach ~1e10+ past sf1 and p9 is up to 1e9:
+        # the product overflows int64 (caught by the sf10 tier sweep),
+        # so the M-step sums run in decimal(38,0) — HUGEINT in the
+        # twin. Exactness is unchanged; only the width is.
+        nd_ = F.col("n").cast("decimal(18,0)")
+        p9d = F.col("p9").cast("decimal(10,0)")
+        away = F.lit(_FS_E9).cast("decimal(10,0)") - p9d
         s = e.agg(
-            F.sum(F.col("n") * F.col("p9")).cast("long").alias("s"),
-            F.sum(F.col("n") * away).cast("long").alias("t"),
+            F.sum(nd_ * p9d).alias("s"),
+            F.sum(nd_ * away).alias("t"),
             *[
-                F.sum(F.col("n") * F.col("p9") * F.col(g))
-                .cast("long")
+                F.sum(nd_ * p9d * F.col(g))
                 .alias(f"sf{i}")
                 for i, g in enumerate(("g1", "g2", "g3"), 1)
             ],
             *[
-                F.sum(F.col("n") * away * F.col(g))
-                .cast("long")
+                F.sum(nd_ * away * F.col(g))
                 .alias(f"tf{i}")
                 for i, g in enumerate(("g1", "g2", "g3"), 1)
             ],
