@@ -686,6 +686,28 @@ AUDITS = {
         ["Window", "HashAggregate"],
         ["CartesianProduct"],
     ),
+    # r13 batch 5: BH-FDR — one segment-domain moment aggregate; rank
+    # + step-up are <=10-row windows
+    "bh_fdr_segment_tests": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r13 batch 5: power/MDE — one segment-domain aggregate, no joins
+    "ab_power_mde_report": (
+        ["HashAggregate"],
+        ["CartesianProduct", "Join", "Window"],
+    ),
+    # r13 batch 5: Neyman — language-domain aggregate + 1-row totals
+    "neyman_allocation_report": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # r13 batch 5: join-cardinality audit — key-domain rollups and
+    # domain equi-joins; the join sizing never executes the raw join
+    "join_cardinality_estimation_audit": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
 }
 
 # Explicitly-tuned entries above; everything else in the registry gets

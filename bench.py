@@ -379,6 +379,10 @@ BENCH_QUERIES = [
     "ransac_activity_value_model",
     "exact_matching_att_audit",
     "knn_label_confusion_matrix",
+    "bh_fdr_segment_tests",
+    "ab_power_mde_report",
+    "neyman_allocation_report",
+    "join_cardinality_estimation_audit",
 ]
 
 # keep the final printed line comfortably inside the driver's 2000-char

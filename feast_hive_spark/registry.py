@@ -135,6 +135,8 @@ SAMPLE_ROTATION: list[str] = [
     "fellegi_sunter_em_weights", "ann_ndcg_eval",
     "spearman_activity_value", "ransac_activity_value_model",
     "exact_matching_att_audit", "knn_label_confusion_matrix",
+    "bh_fdr_segment_tests", "ab_power_mde_report",
+    "neyman_allocation_report", "join_cardinality_estimation_audit",
     # -- last sampled in r1 (16) --
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "multimodal_metadata", "text_analysis",

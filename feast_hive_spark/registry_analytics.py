@@ -7676,3 +7676,466 @@ def spearman_activity_value(
             6,
         ).alias("rho_spearman"),
     )
+
+
+_BH_Q = 0.1
+_BH_SEGS = 10
+
+
+def _bh_oracle() -> str:
+    from feast_hive_spark.functions import norm_sf_sql
+
+    v1 = ("((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)"
+          " / (n1 - 1))")
+    v2 = ("((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)"
+          " / (n2 - 1))")
+    return f"""
+WITH e AS (
+  SELECT user_id % {_BH_SEGS} AS seg,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+  FROM events WHERE event_type IN ('click', 'view')
+), m AS (
+  SELECT seg,
+         CAST(SUM(is1) AS BIGINT) AS n1,
+         CAST(SUM(1 - is1) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN is1 = 1 THEN vm ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN is1 = 0 THEN vm ELSE 0 END) AS BIGINT) AS s2,
+         SUM(CASE WHEN is1 = 1 THEN CAST(vm AS HUGEINT) * vm
+             ELSE 0 END) AS q1,
+         SUM(CASE WHEN is1 = 0 THEN CAST(vm AS HUGEINT) * vm
+             ELSE 0 END) AS q2
+  FROM e GROUP BY seg
+), zt AS (
+  SELECT seg, n1, n2,
+         (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         / sqrt({v1} / n1 + {v2} / n2) AS z
+  FROM m
+), pt AS (
+  SELECT seg, n1, n2, z, 2.0 * {norm_sf_sql('ABS(z)')} AS p FROM zt
+), rk AS (
+  SELECT seg, n1, n2, z, p,
+         CAST(ROW_NUMBER() OVER (ORDER BY p, seg) AS BIGINT) AS bh_rank
+  FROM pt
+), k AS (
+  SELECT COALESCE(MAX(CASE WHEN p <= bh_rank * {_BH_Q} / {_BH_SEGS}
+                      THEN bh_rank END), 0) AS kmax
+  FROM rk
+)
+SELECT seg, n1 AS n_click, n2 AS n_view,
+       ROUND(z, 6) AS z_stat, ROUND(p, 6) AS p_value, bh_rank,
+       bh_rank <= kmax AS flagged
+FROM rk, k
+ORDER BY seg
+"""
+
+
+@register("bh_fdr_segment_tests", _bh_oracle())
+def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a battery of per-segment
+    Welch z-tests (Benjamini & Hochberg 1995) — the multiple-
+    comparisons discipline an experimentation platform needs the
+    moment it slices one metric by ten segments: per user-id segment,
+    a Welch z between click and view values (exact integer moments,
+    wide-integer squared sums); two-sided p-values via the shared
+    A&S 26.2.17 normal-CDF polynomial (neither engine ships erf, so
+    BOTH evaluate the identical literal polynomial — p-values are
+    bit-reproducible across the oracle boundary); then the BH
+    step-up rule at q=0.1 flags segments below their rank threshold.
+    Shape: ONE fact scan into a segment-domain moment aggregate;
+    ranking and the step-up max are windows over <= 10 rows."""
+    from feast_hive_spark.functions import norm_sf
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    e = ev.select(
+        (F.col("user_id") % _BH_SEGS).alias("seg"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+            "is1"
+        ),
+        F.round(F.col("value") * 1000000).cast("long").alias("vm"),
+    )
+    vmd = F.col("vm").cast("decimal(18,0)")
+    m = e.groupBy("seg").agg(
+        F.sum("is1").cast("long").alias("n1"),
+        F.sum(1 - F.col("is1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("is1") == 1, F.col("vm")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("is1") == 0, F.col("vm")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("is1") == 1, vmd * vmd).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("q1"),
+        F.sum(
+            F.when(F.col("is1") == 0, vmd * vmd).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("q2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    v1 = (d("q1") - d("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v2 = (d("q2") - d("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    zt = m.select(
+        "seg",
+        "n1",
+        "n2",
+        (
+            (d("s1") / F.col("n1") - d("s2") / F.col("n2"))
+            / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+        ).alias("z"),
+    )
+    pt = zt.withColumn("p", F.lit(2.0) * norm_sf(F.abs(F.col("z"))))
+    rk = pt.withColumn(
+        "bh_rank",
+        F.row_number()
+        .over(Window.orderBy("p", "seg"))
+        .cast("long"),
+    )
+    k = rk.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p")
+                    <= F.col("bh_rank") * _BH_Q / _BH_SEGS,
+                    F.col("bh_rank"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("kmax")
+    )
+    return (
+        rk.crossJoin(F.broadcast(k))
+        .select(
+            "seg",
+            F.col("n1").alias("n_click"),
+            F.col("n2").alias("n_view"),
+            F.round("z", 6).alias("z_stat"),
+            F.round("p", 6).alias("p_value"),
+            "bh_rank",
+            (F.col("bh_rank") <= F.col("kmax")).alias("flagged"),
+        )
+        .orderBy("seg")
+    )
+
+
+_PWR_ZA = 1.9599639845400545  # alpha = 0.05 two-sided
+_PWR_ZB = 0.8416212335729143  # power = 0.8
+
+
+def _power_oracle() -> str:
+    v1 = ("((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)"
+          " / (n1 - 1))")
+    v2 = ("((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)"
+          " / (n2 - 1))")
+    mde = (f"(({_PWR_ZA!r} + {_PWR_ZB!r})"
+           f" * sqrt({v1} / n1 + {v2} / n2) / 1000000.0)")
+    return f"""
+WITH e AS (
+  SELECT user_id % {_BH_SEGS} AS seg,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+  FROM events WHERE event_type IN ('click', 'view')
+), m AS (
+  SELECT seg,
+         CAST(SUM(is1) AS BIGINT) AS n1,
+         CAST(SUM(1 - is1) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN is1 = 1 THEN vm ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN is1 = 0 THEN vm ELSE 0 END) AS BIGINT) AS s2,
+         SUM(CASE WHEN is1 = 1 THEN CAST(vm AS HUGEINT) * vm
+             ELSE 0 END) AS q1,
+         SUM(CASE WHEN is1 = 0 THEN CAST(vm AS HUGEINT) * vm
+             ELSE 0 END) AS q2
+  FROM e GROUP BY seg
+)
+SELECT seg, n1 AS n_click, n2 AS n_view,
+       ROUND(sqrt({v1}) / 1000000.0, 4) AS sd_click,
+       ROUND(sqrt({v2}) / 1000000.0, 4) AS sd_view,
+       ROUND({mde}, 6) AS mde_value,
+       CAST(ROUND(1e6 * {mde} / (CAST(s2 AS DOUBLE) / n2 / 1000000.0))
+            AS BIGINT) AS mde_rel_ppm
+FROM m
+ORDER BY seg
+"""
+
+
+@register("ab_power_mde_report", _power_oracle())
+def ab_power_mde_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment minimum-detectable-effect report — the power
+    analysis an experimentation platform runs BEFORE launching: at
+    alpha=0.05 (two-sided) and 80% power, MDE = (z_a + z_b) *
+    sqrt(v1/n1 + v2/n2) per user-id segment, against the click/view
+    arm sizes and variances the segment actually has, plus the MDE
+    relative to the control mean (the 'can we even detect a 5% lift
+    here' number). Exact integer moments, wide-integer squared sums;
+    one fact scan into a segment-domain aggregate, no joins, no
+    windows."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    e = ev.select(
+        (F.col("user_id") % _BH_SEGS).alias("seg"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+            "is1"
+        ),
+        F.round(F.col("value") * 1000000).cast("long").alias("vm"),
+    )
+    vmd = F.col("vm").cast("decimal(18,0)")
+    m = e.groupBy("seg").agg(
+        F.sum("is1").cast("long").alias("n1"),
+        F.sum(1 - F.col("is1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("is1") == 1, F.col("vm")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("is1") == 0, F.col("vm")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("is1") == 1, vmd * vmd).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("q1"),
+        F.sum(
+            F.when(F.col("is1") == 0, vmd * vmd).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("q2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    v1 = (d("q1") - d("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v2 = (d("q2") - d("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    mde = (
+        F.lit(_PWR_ZA + _PWR_ZB)
+        * F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+        / F.lit(1000000.0)
+    )
+    return m.select(
+        "seg",
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_view"),
+        F.round(F.sqrt(v1) / F.lit(1000000.0), 4).alias("sd_click"),
+        F.round(F.sqrt(v2) / F.lit(1000000.0), 4).alias("sd_view"),
+        F.round(mde, 6).alias("mde_value"),
+        F.round(
+            F.lit(1e6)
+            * mde
+            / (d("s2") / F.col("n2") / F.lit(1000000.0))
+        )
+        .cast("long")
+        .alias("mde_rel_ppm"),
+    ).orderBy("seg")
+
+
+_NEY_BUDGET = 1000
+
+
+def _neyman_oracle(b: int = _NEY_BUDGET) -> str:
+    sd = ("sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+          " / (n - 1))")
+    return f"""
+WITH m AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         SUM(CAST(n_chars AS HUGEINT) * n_chars) AS q
+  FROM documents GROUP BY lang
+), t AS (
+  SELECT lang, n, {sd} AS sd,
+         CAST(ROUND(1e6 * n * {sd}) AS BIGINT) AS ns_e6,
+         CAST(ROUND(1e3 * n * {sd} * {sd}) AS BIGINT) AS ns2_e3
+  FROM m
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(ns_e6) AS BIGINT) AS sns,
+         CAST(SUM(ns2_e3) AS BIGINT) AS sns2
+  FROM t
+)
+SELECT lang, n AS n_docs, ROUND(sd, 4) AS sd_chars,
+       CAST(ROUND(1e6 * n / nn) AS BIGINT) AS alloc_prop_ppm,
+       CAST(ROUND(1e6 * ns_e6 / sns) AS BIGINT) AS alloc_neyman_ppm,
+       ({b} * ns_e6) // sns AS n_neyman,
+       ROUND((CAST(nn AS DOUBLE) * sns2 * 1e-3)
+             / ((CAST(sns AS DOUBLE) * 1e-6)
+                * (CAST(sns AS DOUBLE) * 1e-6)), 6) AS deff_gain
+FROM t, tot
+ORDER BY lang
+"""
+
+
+@register("neyman_allocation_report", _neyman_oracle())
+def neyman_allocation_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation (Neyman 1934)
+    over language strata of the document corpus: per stratum, the
+    share of a fixed annotation/eval budget proportional to N_h*S_h
+    (stratum size x std dev of doc length) vs the naive proportional
+    N_h share, plus the design-effect gain V_prop/V_neyman — the
+    measured payoff of allocating labelers/eval samples where the
+    variance lives. Determinism: N_h*S_h and N_h*S_h^2 are quantized
+    to exact fixed-point integers BEFORE the cross-stratum sums, so
+    weights and the gain ratio come from identical integers in both
+    engines, and the integer-division floor allocation is exact.
+    Shape: one scan into a language-domain moment aggregate; all
+    downstream structures are #languages rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    ncd = F.col("n_chars").cast("decimal(18,0)")
+    m = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(ncd * ncd).alias("q"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sd = F.sqrt(
+        (d("q") - d("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    t = m.select(
+        "lang",
+        "n",
+        sd.alias("sd"),
+        F.round(F.lit(1e6) * F.col("n") * sd).cast("long").alias(
+            "ns_e6"
+        ),
+        F.round(F.lit(1e3) * F.col("n") * sd * sd)
+        .cast("long")
+        .alias("ns2_e3"),
+    )
+    tot = t.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("ns_e6").cast("long").alias("sns"),
+        F.sum("ns2_e3").cast("long").alias("sns2"),
+    )
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.round("sd", 4).alias("sd_chars"),
+            F.round(F.lit(1e6) * F.col("n") / F.col("nn"))
+            .cast("long")
+            .alias("alloc_prop_ppm"),
+            F.round(F.lit(1e6) * F.col("ns_e6") / F.col("sns"))
+            .cast("long")
+            .alias("alloc_neyman_ppm"),
+            F.expr(f"({_NEY_BUDGET} * ns_e6) div sns").alias(
+                "n_neyman"
+            ),
+            F.round(
+                (d("nn") * d("sns2") * F.lit(1e-3))
+                / (
+                    (d("sns") * F.lit(1e-6))
+                    * (d("sns") * F.lit(1e-6))
+                ),
+                6,
+            ).alias("deff_gain"),
+        )
+        .orderBy("lang")
+    )
+
+
+_JCE_SPECS = [
+    ("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part-lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("customer-orders", "customer", "c_custkey", "orders", "o_custkey"),
+]
+
+
+def _jce_oracle() -> str:
+    parts = []
+    for name, ta, ka, tb, kb in _JCE_SPECS:
+        parts.append(f"""
+SELECT '{name}' AS join_name, na.n AS n_left, nb.n AS n_right,
+       na.d AS ndv_left, nb.d AS ndv_right,
+       (na.n * nb.n) // GREATEST(na.d, nb.d) AS est_rows,
+       ac.actual AS actual_rows,
+       ROUND(CAST(ac.actual AS DOUBLE)
+             / ((na.n * nb.n) // GREATEST(na.d, nb.d)), 4) AS err_ratio
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT {ka}) AS BIGINT) AS d FROM {ta}) na,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT {kb}) AS BIGINT) AS d FROM {tb}) nb,
+     (SELECT CAST(SUM(ca * cb) AS BIGINT) AS actual
+      FROM (SELECT {ka} AS k, CAST(COUNT(*) AS BIGINT) AS ca
+            FROM {ta} GROUP BY {ka}) a
+      JOIN (SELECT {kb} AS k, CAST(COUNT(*) AS BIGINT) AS cb
+            FROM {tb} GROUP BY {kb}) b USING (k)) ac
+""")
+    return " UNION ALL ".join(parts) + " ORDER BY join_name"
+
+
+@register("join_cardinality_estimation_audit", _jce_oracle())
+def join_cardinality_estimation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join cardinality estimation error audit — the System-R /
+    Selinger textbook estimate |A ⋈ B| = |A||B| / max(ndv_A, ndv_B)
+    (the formula behind every cost-based join-order and broadcast
+    decision, Catalyst's included) measured against the TRUE join
+    cardinality for the schema's three FK joins. The truth is
+    computed WITHOUT executing the join: the key-histogram dot
+    product Sum_k c_A(k) * c_B(k) — two grouped rollups and a
+    key-domain equi-join, the scale-correct way to size a join
+    before running it. err_ratio near 1 certifies the uniformity
+    assumption; big deviations are exactly where a cost-based
+    optimizer mis-plans (skew). Shape per spec: two scans, two
+    key-domain rollups, one domain join, 1-row outputs unioned."""
+    out = None
+    for name, ta, ka, tb, kb in _JCE_SPECS:
+        a = read_table(spark, sf_dir, ta)
+        b = read_table(spark, sf_dir, tb)
+        na = a.agg(
+            F.count(F.lit(1)).cast("long").alias("n_left"),
+            F.countDistinct(ka).cast("long").alias("ndv_left"),
+        )
+        nb = b.agg(
+            F.count(F.lit(1)).cast("long").alias("n_right"),
+            F.countDistinct(kb).cast("long").alias("ndv_right"),
+        )
+        ga = a.groupBy(F.col(ka).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("ca")
+        )
+        gb = b.groupBy(F.col(kb).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("cb")
+        )
+        ac = ga.join(gb, "k").agg(
+            F.sum(F.col("ca") * F.col("cb"))
+            .cast("long")
+            .alias("actual_rows")
+        )
+        row = (
+            na.crossJoin(F.broadcast(nb))
+            .crossJoin(F.broadcast(ac))
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                F.expr(
+                    "(n_left * n_right)"
+                    " div greatest(ndv_left, ndv_right)"
+                ).alias("est_rows"),
+                "actual_rows",
+                F.round(
+                    F.col("actual_rows").cast("double")
+                    / F.expr(
+                        "(n_left * n_right)"
+                        " div greatest(ndv_left, ndv_right)"
+                    ),
+                    4,
+                ).alias("err_ratio"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_name")

@@ -596,3 +596,60 @@ def test_knn_confusion_not_vacuous(spark, sf_dir):
     ).fillna({"n_pairs": 0})
     assert (merged["n_correct"] == merged["n_pairs"]).all()
     assert conf["n_pairs"].sum() == acc["n"].sum()
+
+
+def test_bh_fdr_not_vacuous(spark, sf_dir):
+    """r13 batch 5: a full rank sequence with monotone-compatible
+    p-values; flags must respect the step-up rule (flagged = a rank
+    prefix); z and p must be finite and consistent in sign."""
+    out = _run(spark, sf_dir, "bh_fdr_segment_tests")
+    assert len(out) == 10
+    assert sorted(out["bh_rank"]) == list(range(1, 11))
+    flags = out.sort_values("bh_rank")["flagged"].tolist()
+    k = sum(flags)
+    assert flags == [True] * k + [False] * (10 - k), (
+        "BH flags are not a rank prefix"
+    )
+    assert ((out["p_value"] >= 0) & (out["p_value"] <= 1)).all()
+
+
+def test_ab_power_mde_not_vacuous(spark, sf_dir):
+    """r13 batch 5: every segment populated on both arms, MDE
+    strictly positive and varying across segments, and the relative
+    MDE sane (>0)."""
+    out = _run(spark, sf_dir, "ab_power_mde_report")
+    assert len(out) == 10
+    assert (out["n_click"] > 1).all() and (out["n_view"] > 1).all()
+    assert (out["mde_value"] > 0).all()
+    assert out["mde_value"].nunique() > 1
+    assert (out["mde_rel_ppm"] > 0).all()
+
+
+def test_neyman_allocation_not_vacuous(spark, sf_dir):
+    """r13 batch 5: Neyman must DIFFER from proportional somewhere
+    (unequal stratum variances is the point), allocations must sum
+    to ~1e6 ppm each, and the design-effect gain must be >= 1 (the
+    Cauchy-Schwarz guarantee)."""
+    out = _run(spark, sf_dir, "neyman_allocation_report")
+    assert len(out) >= 2
+    assert (out["alloc_prop_ppm"] != out["alloc_neyman_ppm"]).any()
+    assert abs(out["alloc_prop_ppm"].sum() - 1_000_000) < 10
+    assert abs(out["alloc_neyman_ppm"].sum() - 1_000_000) < 10
+    assert (out["deff_gain"] >= 1.0).all()
+    assert out["n_neyman"].sum() <= 1000
+
+
+def test_join_cardinality_audit_not_vacuous(spark, sf_dir):
+    """r13 batch 5: the FK joins must be real (actual > 0), the
+    uniformity estimate must be in the right ballpark on uniform FK
+    fixtures (err_ratio within [0.2, 5]), and est must use the
+    larger ndv side."""
+    out = _run(spark, sf_dir, "join_cardinality_estimation_audit")
+    assert len(out) == 3
+    assert (out["actual_rows"] > 0).all()
+    assert ((out["err_ratio"] > 0.2) & (out["err_ratio"] < 5)).all()
+    assert (
+        out["est_rows"]
+        == (out["n_left"] * out["n_right"])
+        // out[["ndv_left", "ndv_right"]].max(axis=1)
+    ).all()
