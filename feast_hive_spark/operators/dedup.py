@@ -1518,7 +1518,23 @@ def prefix_jaccard_pairs(
     first collapses exact-duplicate texts and expands pairs back at
     the end (see ``_exact_collapse``) — identical output, and the
     self-join input shrinks from corpus rows to distinct texts, which
-    is what keeps heavily-duplicated corpora linear."""
+    is what keeps heavily-duplicated corpora linear.
+
+    r13 optimization round (guide §2.3/§3): the candidate join now
+    also applies PPJoin's LENGTH filter (J >= t forces
+    t*max(|A|,|B|) <= min(|A|,|B|)) and POSITIONAL filter (at a prefix
+    match on positions (i, j) under the global order,
+    ``1 + min(|A|-i, |B|-j)`` bounds the total overlap; the bound is
+    exact for the pair's FIRST common element — both sets are sorted
+    by the same global order, so no common element precedes the first
+    prefix match — and a true pair therefore passes on at least that
+    match). Both are sound candidate prunes (measured 409k -> 125k
+    candidates at sf0.1, identical output), applied with a 1e-6
+    threshold margin so a pair whose ROUNDED jaccard reaches the
+    threshold can never be filter-excluded. The verify step computes
+    the union arithmetically (|A|+|B|-inter) instead of materializing
+    ``array_union``, and the ranked prefix index is cached — it feeds
+    both sides of the self-join."""
     if collapse_exact:
         mem, reps, rep_rows = _exact_collapse(df, id_col, text_col)
         rep_pairs = prefix_jaccard_pairs(
@@ -1540,24 +1556,74 @@ def prefix_jaccard_pairs(
     )
     freq = exploded.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
     w = Window.partitionBy(id_col).orderBy(F.col("__f").asc(), F.col("__h").asc())
-    prefix = (
+    ranked = (
         exploded.join(freq, "__h")
         .withColumn("__rn", F.row_number().over(w))
         .filter(
             F.col("__rn")
             <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
         )
-        .select(id_col, "__h")
+        .select(id_col, "__h", "__rn", "__sz")
+    ).cache()
+    # threshold margin: the kept-pair predicate downstream compares
+    # round(J, 6) >= t, so a pair with true J >= t - 5e-7 may be kept;
+    # every candidate prune below uses te so it can never exclude one.
+    te = threshold - 1e-6
+    left = ranked.select(
+        F.col(id_col).alias("id_a"), "__h",
+        F.col("__rn").alias("__ia"), F.col("__sz").alias("__na"),
     )
-    left = prefix.select(F.col(id_col).alias("id_a"), "__h")
-    right = prefix.select(F.col(id_col).alias("id_b"), "__h")
+    right = ranked.select(
+        F.col(id_col).alias("id_b"), "__h",
+        F.col("__rn").alias("__ib"), F.col("__sz").alias("__nb"),
+    )
+    min_overlap = F.ceil(
+        F.lit(te / (1.0 + te)) * (F.col("__na") + F.col("__nb"))
+        - F.lit(1e-6)
+    )
     candidates = (
         left.join(right, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("__na", "__nb").cast("double")
+            >= F.lit(te) * F.greatest("__na", "__nb")
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__na") - F.col("__ia"), F.col("__nb") - F.col("__ib")
+            )
+            >= min_overlap
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    return _jaccard_pairs(with_sh, candidates, id_col, threshold)
+    a = with_sh.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
+    )
+    b = with_sh.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    return (
+        _guarded_candidates(candidates)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__i").cast("double")
+                / F.greatest(
+                    F.size("__sh_a") + F.size("__sh_b") - F.col("__i"),
+                    F.lit(1),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def containment_pairs(

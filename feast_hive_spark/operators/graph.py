@@ -581,12 +581,48 @@ def _kcore_build(
     return out
 
 
+def _driver_label_propagation(
+    pairs: DataFrame, probe, id_a: str, id_b: str, iters: int
+) -> DataFrame:
+    """Synchronous LPA on the driver for a probe-bounded edge list —
+    exactly the distributed rounds' semantics: every node starts as
+    its own label; each round every node adopts the most frequent
+    label among its neighbors' PREVIOUS-round labels, ties to the
+    smallest label. Output matches the distributed path row-for-row
+    (same mode/tie-break; dict iteration order never affects the
+    result because argmax compares (count, label))."""
+    from collections import Counter, defaultdict
+
+    nbrs: "defaultdict[object, list]" = defaultdict(list)
+    for r in probe:
+        a, b = r[0], r[1]
+        if a == b:
+            continue
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    # distinct() in the distributed sym: drop duplicate edges
+    nbrs = {n: sorted(set(v)) for n, v in nbrs.items()}
+    labels = {n: n for n in nbrs}
+    for _ in range(iters):
+        nxt = {}
+        for node, ns in nbrs.items():
+            c = Counter(labels[m] for m in ns)
+            # mode with (count DESC, label ASC) tie-break
+            nxt[node] = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    id_type = dict(pairs.dtypes)[id_a]
+    return pairs.sparkSession.createDataFrame(
+        sorted(labels.items()), f"node {id_type}, community {id_type}"
+    )
+
+
 def label_propagation(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     iters: int = 3,
     checkpoint_every: int | None = None,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """Synchronous label-propagation community detection over an
     undirected pair graph: every node starts as its own label; each
@@ -619,6 +655,20 @@ def label_propagation(
     materialization barrier). On a cluster, trade localCheckpoint for
     reliable ``checkpoint()`` if executor loss must be recoverable.
     Output: ``(node, community)``.
+
+    Small-graph fast path (r13 optimization round — the CC/star
+    pattern, ``connected_components_star``): each synchronous round
+    is 2 shuffles + a broadcast join of tiny tables, so on a DEDUP
+    pair graph (hundreds of edges from a 5k-doc corpus; measured
+    ~0.5 s of pure scheduler/stage latency PER ROUND at sf0.1) the
+    distributed loop is all fixed overhead. A guarded LIMIT-probe
+    (same ~3 MB driver ceiling as the CC probe) collects graphs of at
+    most ``small_graph_threshold`` edges and runs the identical
+    rounds on the driver; bigger graphs take the distributed loop
+    unchanged. Output is row-identical (same mode argmax, same
+    (count DESC, label ASC) tie-break — property-tested). The result
+    is plan-memoized per input plan either way, so a warm rebuild
+    replays neither the probe nor the rounds.
     """
     if checkpoint_every is not None and checkpoint_every < 1:
         # 0 would divide-by-zero in the round modulus; negatives would
@@ -627,9 +677,44 @@ def label_propagation(
         raise ValueError(
             f"checkpoint_every must be >= 1 or None, got {checkpoint_every}"
         )
+    from feast_hive_spark.plans.memo import plan_memo
+
+    return plan_memo(
+        pairs.sparkSession,
+        pairs,
+        (
+            "label_propagation", id_a, id_b, iters,
+            checkpoint_every, small_graph_threshold,
+        ),
+        lambda: _label_propagation_build(
+            pairs, id_a, id_b, iters, checkpoint_every,
+            small_graph_threshold,
+        ),
+    )
+
+
+def _label_propagation_build(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    iters: int,
+    checkpoint_every: int | None,
+    small_graph_threshold: int,
+) -> DataFrame:
     from pyspark.sql import Window
 
     from feast_hive_spark.operators.dedup import _free_local_checkpoint
+
+    if small_graph_threshold:
+        probe = (
+            pairs.select(F.col(id_a), F.col(id_b))
+            .limit(small_graph_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= small_graph_threshold:
+            return _driver_label_propagation(
+                pairs, probe, id_a, id_b, iters
+            )
 
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))

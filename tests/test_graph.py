@@ -171,18 +171,50 @@ def test_label_propagation_deep_iters_bounded_plan(spark):
     # r6 verdict #7: iters=25 must complete; without checkpointing the
     # analyzed plan grows multiplicatively with rounds. Also check the
     # final plan string stays small (a LocalTableScan/checkpoint scan,
-    # not 25 chained joins).
+    # not 25 chained joins). small_graph_threshold=0 forces the
+    # DISTRIBUTED loop — this test is about the checkpointed rounds,
+    # and the r13 small-graph fast path would otherwise absorb it.
     from feast_hive_spark.operators.graph import label_propagation
 
     clique1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
     clique2 = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
     df = spark.createDataFrame(clique1 + clique2 + [(4, 10)], "id_a long, id_b long")
-    out = label_propagation(df, iters=25, checkpoint_every=5)
+    out = label_propagation(
+        df, iters=25, checkpoint_every=5, small_graph_threshold=0
+    )
     plan = out._jdf.queryExecution().analyzed().toString()
     assert len(plan) < 20_000, f"plan not truncated: {len(plan)} chars"
     rows = {r["node"]: r["community"] for r in out.collect()}
     assert len({rows[n] for n in (1, 2, 3, 4)}) == 1
     assert rows[1] != rows[11]
+
+
+def test_label_propagation_small_graph_matches_distributed(spark):
+    # r13 optimization round: the driver-local fast path must be
+    # row-identical to the distributed rounds on the same graph —
+    # including mode ties (the (count DESC, label ASC) argmax) and
+    # duplicate/reversed input edges.
+    from feast_hive_spark.operators.graph import label_propagation
+
+    edges = (
+        [(i, (i * 7) % 23) for i in range(1, 60) if i != (i * 7) % 23]
+        + [(2, 1), (1, 2)]  # duplicate + reversed edges
+        + [(100, 101), (101, 102), (102, 100)]  # separate triangle
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for iters in (1, 3):
+        local = sorted(
+            map(tuple, label_propagation(df, iters=iters).collect())
+        )
+        dist = sorted(
+            map(
+                tuple,
+                label_propagation(
+                    df, iters=iters, small_graph_threshold=0
+                ).collect(),
+            )
+        )
+        assert local == dist, f"iters={iters}"
 
 
 def test_degree_assortativity_star_and_regular(spark):
