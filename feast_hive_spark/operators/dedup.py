@@ -963,8 +963,18 @@ def _driver_union_find(
     out = [(n, find(n)) for n in parent]
     id_type = dict(pairs.dtypes)[id_a]
     spark = pairs.sparkSession
-    labels = spark.createDataFrame(
-        out, f"doc_id {id_type}, component_id {id_type}"
+    # r13 optimization (guide §4): pin the probe-bounded labels as a
+    # 1-partition JVM-row checkpoint (Arrow upload, no pickled-row
+    # re-deserialization across 32 tasks on every downstream
+    # execution — entity_resolution_parts scans the labels twice per
+    # run). See ckpt.pin_local_rows.
+    from feast_hive_spark import ckpt
+
+    labels = ckpt.pin_local_rows(
+        spark,
+        out,
+        ["doc_id", "component_id"],
+        f"doc_id {id_type}, component_id {id_type}",
     )
     return labels.withColumn(
         "is_canonical", F.col("doc_id") == F.col("component_id")

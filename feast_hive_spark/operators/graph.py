@@ -611,8 +611,18 @@ def _driver_label_propagation(
             nxt[node] = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         labels = nxt
     id_type = dict(pairs.dtypes)[id_a]
-    return pairs.sparkSession.createDataFrame(
-        sorted(labels.items()), f"node {id_type}, community {id_type}"
+    # Same rationale as dedup._driver_union_find (r13): pin the
+    # probe-bounded result as a 1-partition JVM-row checkpoint (Arrow
+    # upload) so the memoized frame doesn't re-deserialize pickled
+    # Python rows across defaultParallelism tasks on every downstream
+    # execution. See ckpt.pin_local_rows.
+    from feast_hive_spark import ckpt
+
+    return ckpt.pin_local_rows(
+        pairs.sparkSession,
+        sorted(labels.items()),
+        ["node", "community"],
+        f"node {id_type}, community {id_type}",
     )
 
 

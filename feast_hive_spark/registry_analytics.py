@@ -2426,6 +2426,18 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("p_name"), (-F.col("p_partkey")).alias("__nk"))
         ).alias("__best")
     )
+    # r13 optimization (guide §3.1/§2.4): `best` is one row per entity
+    # cluster — a strict contraction of `named`, which is itself at
+    # most one row per part — so under the size gate it broadcasts and
+    # the member-level `named` rows never shuffle for the join-back
+    # (before: Exchange+Sort on both sides feeding a SortMergeJoin).
+    # Probe on the base part scan: `named`'s own estimate multiplies
+    # through the joins and the checkpointed CC labels (no stats), so
+    # Catalyst reads it as unbounded even though the part scan bounds
+    # it. Past the gate the optimizer's choice stands.
+    from feast_hive_spark.plans.bcast import gated_broadcast
+
+    best = gated_broadcast(best, probe=read_table(spark, sf_dir, "part"))
     return named.join(best, "entity_id").select(
         "p_partkey",
         "entity_id",
@@ -4700,12 +4712,21 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(F.sum("n").alias("tot"))
-    e = spark.createDataFrame(
+    # r13 optimization (guide §4/§2.4): the 9-row Benford literal table
+    # as a TRUE LocalRelation instead of createDataFrame(list) — the
+    # latter plans as 32 slices of pickled Python rows, re-scanned
+    # through the Python boundary on every run and dragging the final
+    # join to 32 near-empty tasks. c is digit-domain-bounded (<=9
+    # rows), so the hard broadcast keeps the join exchange-free.
+    from pyspark.sql.types import StructType
+
+    e = _local_numeric_frame(
+        spark,
         [(i + 1, p) for i, p in enumerate(_BENFORD_MICRO)],
-        "digit long, exp_micro long",
+        StructType.fromDDL("digit bigint, exp_micro bigint"),
     )
     return (
-        e.join(c, "digit", "left")
+        e.join(F.broadcast(c), "digit", "left")
         .crossJoin(F.broadcast(t))
         .selectExpr(
             "digit",
@@ -8094,19 +8115,27 @@ def join_cardinality_estimation_audit(
     for name, ta, ka, tb, kb in _JCE_SPECS:
         a = read_table(spark, sf_dir, ta)
         b = read_table(spark, sf_dir, tb)
-        na = a.agg(
-            F.count(F.lit(1)).cast("long").alias("n_left"),
-            F.countDistinct(ka).cast("long").alias("ndv_left"),
-        )
-        nb = b.agg(
-            F.count(F.lit(1)).cast("long").alias("n_right"),
-            F.countDistinct(kb).cast("long").alias("ndv_right"),
-        )
         ga = a.groupBy(F.col(ka).alias("k")).agg(
             F.count(F.lit(1)).cast("long").alias("ca")
         )
         gb = b.groupBy(F.col(kb).alias("k")).agg(
             F.count(F.lit(1)).cast("long").alias("cb")
+        )
+        # r13 optimization (guide §2.4): derive (row count, NDV) from
+        # the key histogram instead of a second full scan with a
+        # COUNT(DISTINCT) expand — SUM(ca) == COUNT(*) (a NULL key is
+        # one histogram group whose ca counts its rows) and
+        # COUNT(k) == COUNT(DISTINCT key) (skips only the NULL group,
+        # exactly like COUNT(DISTINCT)). Halves the scans per spec and
+        # removes two expand-aggregates; the histogram was already
+        # being built for the truth dot product.
+        na = ga.agg(
+            F.sum("ca").cast("long").alias("n_left"),
+            F.count("k").cast("long").alias("ndv_left"),
+        )
+        nb = gb.agg(
+            F.sum("cb").cast("long").alias("n_right"),
+            F.count("k").cast("long").alias("ndv_right"),
         )
         ac = ga.join(gb, "k").agg(
             F.sum(F.col("ca") * F.col("cb"))
