@@ -51,3 +51,19 @@ def local_numeric_frame(spark: SparkSession, rows, schema) -> DataFrame:
     )
     names = ",".join(f.name for f in schema.fields)
     return spark.sql(f"SELECT * FROM (VALUES {vals}) AS t({names})")
+
+
+def sorted_readout(df: DataFrame, *cols) -> DataFrame:
+    """Globally ordered REPORT-SIZED result without RangePartitioning
+    (r13 optimization, guide §2.4/§1): a final ``orderBy`` plans an
+    ``Exchange rangepartitioning`` whose range-boundary SAMPLING job
+    re-executes every narrow stage of the child plan — for a report
+    whose last stage is a pandas kernel or a join chain, that is the
+    whole readout computed twice per execution (measured:
+    scan_task_packing_report 0.79 s -> 0.28 s). A single-partition
+    shuffle + in-partition sort yields the identical global row order
+    (one partition, sorted) with no sampling pass, and the child keeps
+    its full parallelism. Only for outputs that are domain-/report-
+    sized at any scale — a row-heavy ordered result should keep the
+    real range sort."""
+    return df.repartition(1).sortWithinPartitions(*cols)

@@ -1693,6 +1693,7 @@ def _esr_fold(
 # private alias keeps this module's many internal call sites intact
 from feast_hive_spark.plans.local import (  # noqa: E402
     local_numeric_frame as _local_numeric_frame,
+    sorted_readout as _sorted_readout,
 )
 
 
@@ -5479,7 +5480,7 @@ def hits_user_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scores.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 15)
-        .orderBy("side", "rank")
+        .transform(_sorted_readout, "side", "rank")
     )
 
 
@@ -5865,7 +5866,7 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("rho2_ppm"),
-    ).orderBy("grp")
+    ).transform(_sorted_readout, "grp")
 
 
 @register(
@@ -6720,7 +6721,7 @@ def zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = layout("orderkey_order", F.col("l_orderkey")).unionByName(
         layout("shipdate_order", day)
     )
-    return out.crossJoin(F.broadcast(sel)).orderBy("layout")
+    return out.crossJoin(F.broadcast(sel)).transform(_sorted_readout, "layout")
 
 
 _PACK_MAX = 65536   # maxSplitBytes analog (64 KB at toy row-width)
@@ -6826,7 +6827,7 @@ def scan_task_packing_report(
             "task_cost_bytes long, fill_ppm long"
         ),
     )
-    return out.orderBy("task_id")
+    return _sorted_readout(out, "task_id")
 
 
 _FS_E9 = 1000000000
@@ -7844,7 +7845,7 @@ def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bh_rank",
             (F.col("bh_rank") <= F.col("kmax")).alias("flagged"),
         )
-        .orderBy("seg")
+        .transform(_sorted_readout, "seg")
     )
 
 
@@ -7956,7 +7957,7 @@ def ab_power_mde_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("mde_rel_ppm"),
-    ).orderBy("seg")
+    ).transform(_sorted_readout, "seg")
 
 
 _NEY_BUDGET = 1000
@@ -8061,7 +8062,7 @@ def neyman_allocation_report(
                 6,
             ).alias("deff_gain"),
         )
-        .orderBy("lang")
+        .transform(_sorted_readout, "lang")
     )
 
 
@@ -8167,4 +8168,4 @@ def join_cardinality_estimation_audit(
             )
         )
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("join_name")
+    return _sorted_readout(out, "join_name")

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feast_hive_spark.functions import text as X
+from feast_hive_spark.plans.local import sorted_readout as _sorted_readout
 from feast_hive_spark.functions import vector as V
 from feast_hive_spark.operators import corpus as C
 from feast_hive_spark.registry import register

@@ -15,6 +15,7 @@ from feast_hive_spark.functions import text as X
 from feast_hive_spark.functions import vector as V
 from feast_hive_spark.operators import dedup as D
 from feast_hive_spark.operators import simsearch as S
+from feast_hive_spark.plans.local import sorted_readout as _sorted_readout
 from feast_hive_spark.registry import register
 from feast_hive_spark.sources.source import QuerySource
 from feast_hive_spark.sources.tables import ensure_views, read_table, register_views
@@ -1255,7 +1256,7 @@ def split_no_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_leaky_pairs"
             ),
         )
-        .orderBy("split")
+        .transform(_sorted_readout, "split")
     )
 
 
@@ -4579,7 +4580,7 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.lit(9e0) * F.col("class_size") * F.col("__t"))
             ).cast("long").alias("t_e6"),
         )
-        .orderBy(*keys)
+        .transform(lambda d: _sorted_readout(d, *keys))
     )
 
 
@@ -4634,19 +4635,33 @@ def inclusion_dependency_discovery(
         ("customer", "c_custkey", "orders", "o_custkey"),
         ("events", "user_id", "customer", "c_custkey"),
     ]
+    # r13 optimization (guide §2.4): one left join + ONE aggregate per
+    # edge instead of two independent aggregate subtrees (n_child re-ran
+    # the child distinct, n_contained re-ran it again under a semi-join).
+    # COUNT(*) over the left join == COUNT(*) over distinct child keys
+    # (parent side is distinct, so the join never duplicates), and
+    # COUNT(parent marker) == the semi-join count. The child distinct is
+    # hash-partitioned by k, so the k-keyed join reuses that exchange;
+    # the parent side goes through the size-gated broadcast (key-domain
+    # sized; probe = the parent base scan that bounds it).
+    from feast_hive_spark.plans.bcast import gated_broadcast
+
     out = None
     for ct, cc, pt, pc in edges:
         child = read_table(spark, sf_dir, ct).select(
             F.col(cc).alias("k")
         ).distinct()
-        parent = read_table(spark, sf_dir, pt).select(
-            F.col(pc).alias("k")
-        ).distinct()
-        contained = child.join(parent, "k", "left_semi")
+        parent_scan = read_table(spark, sf_dir, pt)
+        parent = (
+            parent_scan.select(F.col(pc).alias("k"))
+            .distinct()
+            .withColumn("__m", F.lit(1))
+        )
         row = (
-            child.agg(F.count(F.lit(1)).alias("n_child"))
-            .crossJoin(
-                contained.agg(F.count(F.lit(1)).alias("n_contained"))
+            child.join(gated_broadcast(parent, probe=parent_scan), "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count("__m").alias("n_contained"),
             )
             .select(
                 F.lit(f"{ct}.{cc}->{pt}.{pc}").alias("edge"),
@@ -5235,7 +5250,7 @@ def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ratio_e6").alias("min_ratio_e6"),
             F.max("ratio_e6").alias("max_ratio_e6"),
         )
-        .orderBy("bin")
+        .transform(_sorted_readout, "bin")
     )
 
 
@@ -5352,7 +5367,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("wt").cast("long").alias("n_events"),
                 F.sum("term_e6").cast("long").alias("psi_e6"),
             )
-            .orderBy("window_start")
+            .transform(_sorted_readout, "window_start")
         )
         return out.localCheckpoint(eager=True)
 
@@ -5649,7 +5664,7 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dcg_e9").cast("double") / F.col("idcg_e9"), 6
             ).alias(f"ndcg_at_{_NDCG_K}"),
         )
-        .orderBy("query_id")
+        .transform(_sorted_readout, "query_id")
     )
 
 
