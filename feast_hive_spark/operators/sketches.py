@@ -59,6 +59,7 @@ def cms_build(
     width: int = 256,
     depth: int = 4,
     salt: str = "cms",
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """Count-min sketch of an item stream: ``depth`` independent hash
     rows of ``width`` counters — the fixed-size (depth x width longs)
@@ -72,15 +73,25 @@ def cms_build(
     engine's md5 ``H48`` with per-row salts — deterministic and
     SQL-twinnable.
 
+    r13 optimization (guide §2.3/§2.4): the ``depth`` hash rows come
+    from ONE scan via an exploded literal-struct array instead of a
+    depth-way union of full scans of the stream — same (row, bucket)
+    multiset, identical aggregate, one pass instead of ``depth``.
+
+    ``weight_col`` (r13): build the sketch from an ALREADY-AGGREGATED
+    frequency table ``(item, weight)`` instead of the raw stream —
+    cell counts become SUM(weight), which equals the per-row count of
+    the expanded stream exactly. At scale this turns |stream| hash
+    evaluations into |distinct items| when a key rollup already
+    exists.
+
     Output: ``(row, bucket, n)``.
     """
     from feast_hive_spark.functions.text import h48
 
-    parts = []
-    for d in range(depth):
-        parts.append(
-            df.select(
-                F.lit(d).alias("row"),
+    buckets = F.posexplode(
+        F.array(
+            *[
                 F.pmod(
                     h48(
                         F.concat(
@@ -89,15 +100,19 @@ def cms_build(
                         )
                     ),
                     F.lit(width),
-                ).alias("bucket"),
-            )
+                )
+                for d in range(depth)
+            ]
         )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
-    return allp.groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    ).alias("row", "bucket")
+    cols = [buckets] if weight_col is None else [buckets, F.col(weight_col)]
+    allp = df.select(*cols)
+    agg = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(weight_col)
     )
+    return allp.groupBy("row", "bucket").agg(agg.cast("long").alias("n"))
 
 
 def cms_estimate(

@@ -4105,22 +4105,25 @@ def cms_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click")
     buys = ev.filter(F.col("event_type") == "purchase")
-    est = cms_inner_product(
-        cms_build(clicks, "user_id", width=_CMS_W, depth=_CMS_D),
-        cms_build(buys, "user_id", width=_CMS_W, depth=_CMS_D),
-    )
+    # r13 optimization (guide §2.3/§2.4): both sketches build from the
+    # per-user rollups (weight_col) — |users| hash evaluations instead
+    # of |events|, and the rollup is shared with the exact side below
+    # (identical sketch: cell counts become SUM(count-per-user)). The
+    # exact count and both stream totals come from ONE full-outer join
+    # pass: SUM(ca*cb) ignores NULL products exactly like the old
+    # inner join, and SUM(ca)/SUM(cb) see every row of their side.
+    # Before: 12 scans of events across 6 independent aggregate
+    # subtrees (45-Exchange plan).
     ga = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("ca"))
     gb = buys.groupBy("user_id").agg(F.count(F.lit(1)).alias("cb"))
-    ex = (
-        ga.join(gb, "user_id")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_n"))
-        .crossJoin(
-            F.broadcast(
-                ga.agg(F.sum("ca").alias("ta")).crossJoin(
-                    gb.agg(F.sum("cb").alias("tb"))
-                )
-            )
-        )
+    est = cms_inner_product(
+        cms_build(ga, "user_id", width=_CMS_W, depth=_CMS_D, weight_col="ca"),
+        cms_build(gb, "user_id", width=_CMS_W, depth=_CMS_D, weight_col="cb"),
+    )
+    ex = ga.join(gb, "user_id", "full").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("exact_n"),
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
     )
     return est.crossJoin(F.broadcast(ex)).select(
         F.col("exact_n").cast("long").alias("exact_n"),
