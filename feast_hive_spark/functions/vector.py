@@ -49,9 +49,11 @@ def np_matrix(pdf_col) -> "np.ndarray":
     ((0, 0) for an empty column — keeps downstream 2-D ops valid)."""
     import numpy as np
 
-    vals = [list(v) for v in pdf_col]
+    vals = list(pdf_col)
     if not vals:
         return np.zeros((0, 0), dtype=np.float64)
+    # cells arrive as numpy arrays (Arrow) or lists; np.array stacks
+    # both without a per-cell list() round trip (r13, guide §4.2)
     return np.array(vals, dtype=np.float64)
 
 

@@ -1412,13 +1412,14 @@ def lsh_cosine_pairs(
                 ],
                 axis=1,
             )  # (n, n_tables)
-            vecs = [list(v) for v in batch[vec_col]]
             yield pd.DataFrame(
                 {
                     "__id": np.repeat(ids, n_tables),
                     "__t": np.tile(np.arange(n_tables), ids.size),
                     "__b": buckets.reshape(-1),
-                    "__v": [v for v in vecs for _ in range(n_tables)],
+                    # repeat the Arrow cell values by reference — no
+                    # per-vector list() materialization (guide §4.2)
+                    "__v": np.repeat(batch[vec_col].to_numpy(), n_tables),
                 }
             )
 
@@ -1455,11 +1456,14 @@ def lsh_cosine_pairs(
             }
         ).astype("int64")
 
-    candidates = (
-        banded.groupBy("__t", "__b")
-        .applyInPandas(bucket_kernel, "id_a long, id_b long")
-        .distinct()
-    )
+    # r13: one Python invocation per partition instead of per bucket —
+    # same exchange, same kernel, ~5 ms/group applyInPandas overhead
+    # removed (plans/grouped.py; guide §4.1)
+    from feast_hive_spark.plans.grouped import grouped_apply_stream
+
+    candidates = grouped_apply_stream(
+        banded, ("__t", "__b"), bucket_kernel, "id_a long, id_b long"
+    ).distinct()
     return cosine_verify_pairs(candidates, base, id_col, vec_col, threshold)
 
 

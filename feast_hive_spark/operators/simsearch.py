@@ -990,14 +990,15 @@ def _lsh_hn_candidates(
                 ],
                 axis=1,
             )  # (n, n_tables)
-            vecs = [list(v) for v in batch[vec_col]]
             labs = batch[label_col].to_numpy()
             yield pd.DataFrame(
                 {
                     "__id": np.repeat(ids, n_tables),
                     "__t": np.tile(np.arange(n_tables), ids.size),
                     "__b": buckets.reshape(-1),
-                    "__v": [v for v in vecs for _ in range(n_tables)],
+                    # repeat the Arrow cell values by reference — no
+                    # per-vector list() materialization (guide §4.2)
+                    "__v": np.repeat(batch[vec_col].to_numpy(), n_tables),
                     "__lab": np.repeat(labs, n_tables),
                 }
             )
@@ -1047,26 +1048,49 @@ def _lsh_hn_candidates(
                 out_q.append(ids[qrows])
                 out_n.append(ids[crows])
                 out_c.append(S[rows[valid], crows])
+            elif dense_levels:
+                # r13 (guide §4.2): the per-row np.unique loop was the
+                # dominant cost (one Python iteration per query row);
+                # the same top-k-DISTINCT-levels cut vectorizes as a
+                # row-sort + run-boundary cumsum over the whole chunk.
+                X = np.where(same, -np.inf, S)
+                Xs = np.sort(X, axis=1)[:, ::-1]  # desc, -inf trailing
+                finite = np.isfinite(Xs)
+                newlev = np.ones(Xs.shape, dtype=bool)
+                newlev[:, 1:] = Xs[:, 1:] != Xs[:, :-1]
+                newlev &= finite
+                rank = np.cumsum(newlev, axis=1)
+                pos = np.where(
+                    newlev & (rank <= k),
+                    np.arange(Xs.shape[1])[None, :],
+                    -1,
+                ).max(axis=1)  # column of the k-th (or last) level
+                rows_i = np.arange(Xs.shape[0])
+                cut = np.where(
+                    pos >= 0, Xs[rows_i, np.maximum(pos, 0)], np.inf
+                )
+                sel = np.isfinite(X) & (X >= cut[:, None])
+                ri, cj = np.nonzero(sel)
+                if ri.size:
+                    out_q.append(ids[ri + s])
+                    out_n.append(ids[cj])
+                    out_c.append(S[ri, cj])
             else:
+                # wide/object-id fallback (top-k rows, not levels)
                 for r in range(S.shape[0]):
                     mask = ~same[r]
                     if not mask.any():
                         continue
                     sims = S[r][mask]
                     cand = ids[mask]
-                    if dense_levels:
-                        levels = np.unique(sims)  # ascending
-                        cut = levels[max(0, levels.size - k)]
-                        sel = np.nonzero(sims >= cut)[0]
-                    else:
-                        # two-pass stable sort instead of lexsort:
-                        # works for object (string) id arrays too
-                        keep = min(k, sims.size)
-                        order = np.argsort(cand, kind="stable")
-                        order = order[
-                            np.argsort(-sims[order], kind="stable")
-                        ]
-                        sel = order[:keep]
+                    # two-pass stable sort instead of lexsort:
+                    # works for object (string) id arrays too
+                    keep = min(k, sims.size)
+                    order = np.argsort(cand, kind="stable")
+                    order = order[
+                        np.argsort(-sims[order], kind="stable")
+                    ]
+                    sel = order[:keep]
                     out_q.append(np.full(sel.size, ids[s + r]))
                     out_n.append(cand[sel])
                     out_c.append(sims[sel])
@@ -1080,11 +1104,14 @@ def _lsh_hn_candidates(
             }
         )
 
-    return (
-        banded.groupBy("__t", "__b")
-        .applyInPandas(bucket_kernel, cand_schema)
-        .distinct()  # multi-table hits carry identical rounded cosines
-    )
+    # r13: one Python invocation per partition instead of per bucket —
+    # same exchange, same kernel, ~5 ms/group applyInPandas overhead
+    # removed (plans/grouped.py; guide §4.1)
+    from feast_hive_spark.plans.grouped import grouped_apply_stream
+
+    return grouped_apply_stream(
+        banded, ("__t", "__b"), bucket_kernel, cand_schema
+    ).distinct()  # multi-table hits carry identical rounded cosines
 
 
 def pq_seed_codebooks(
