@@ -1815,7 +1815,14 @@ def winnowing_overlap_pairs(
     """
     if collapse_exact:
         mem, reps, rep_rows = _exact_collapse(df, id_col, text_col)
-        fp = winnowing_fingerprints(rep_rows, id_col, text_col, n, window)
+        # cached: the hot-set aggregate, BOTH self-join sides, and the
+        # within-group count all consume the fingerprint index —
+        # uncached, the shingle-md5 + window-min + distinct subtree
+        # executed 4x per run (4 Window nodes in the before-plan;
+        # r13, guide §1.3). Rows are (id, hash) only.
+        fp = winnowing_fingerprints(
+            rep_rows, id_col, text_col, n, window
+        ).cache()
         if max_doc_freq is not None:
             gsize = mem.groupBy("__th").agg(F.count(F.lit(1)).alias("__gs"))
             rep_gs = reps.join(gsize, "__th").select(
@@ -1828,7 +1835,7 @@ def winnowing_overlap_pairs(
                 .filter(F.col("__df") > max_doc_freq)
                 .select("fph")
             )
-            fp = fp.join(F.broadcast(hot), "fph", "left_anti")
+            fp = fp.join(F.broadcast(hot), "fph", "left_anti").cache()
         a = fp.select(F.col(id_col).alias("id_a"), "fph")
         b = fp.select(F.col(id_col).alias("id_b"), "fph")
         rep_pairs = (
@@ -1878,7 +1885,9 @@ def winnowing_overlap_pairs(
             )
         )
         return cross.unionByName(within)
-    fp = winnowing_fingerprints(df, id_col, text_col, n, window)
+    # cached for the same reason as the collapsed branch: hot set +
+    # both self-join sides re-execute the fingerprint subtree
+    fp = winnowing_fingerprints(df, id_col, text_col, n, window).cache()
     if max_doc_freq is not None:
         hot = (
             fp.groupBy("fph")

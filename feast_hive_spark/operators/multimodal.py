@@ -423,12 +423,25 @@ def ahash_near_dup_pairs(
     verification by ``bit_count(xor)`` over all four bands.
 
     Output: (id_a, id_b, hamming), id_a < id_b.  Entirely JVM-side;
-    the join input is 4 rows of (band_idx, value) per image."""
+    the join input is 4 rows of (band_idx, value, 4 band smallints)
+    per image — the wide hash rides the melt so colliding rows carry
+    everything hamming needs and the per-side join-back (which
+    re-executed the upstream decode subtree twice more) disappears;
+    the melt input is cached because the self-join consumes it from
+    both sides (r13, guide §1.3/§3)."""
     melted = bands.select(
         F.col(id_col).alias("__id"),
+        "b0",
+        "b1",
+        "b2",
+        "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__band", "__v"),
+    ).cache()
+    ham = sum(
+        F.bit_count(F.col(f"l.b{j}").bitwiseXOR(F.col(f"r.b{j}")))
+        for j in range(4)
     )
-    cand = (
+    return (
         melted.alias("l")
         .join(
             melted.alias("r"),
@@ -437,21 +450,12 @@ def ahash_near_dup_pairs(
             & (F.col("l.__id") < F.col("r.__id")),
         )
         .select(
-            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
         )
-        .distinct()
-    )
-    la = bands.select(*[F.col(c).alias(f"a_{c}") for c in bands.columns])
-    lb = bands.select(*[F.col(c).alias(f"b_{c}") for c in bands.columns])
-    ham = sum(
-        F.bit_count(F.col(f"a_b{j}").bitwiseXOR(F.col(f"b_b{j}")))
-        for j in range(4)
-    )
-    return (
-        cand.join(la, cand.id_a == F.col(f"a_{id_col}"))
-        .join(lb, cand.id_b == F.col(f"b_{id_col}"))
-        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -4403,25 +4403,31 @@ def bootstrap_mean_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica distribution (e.g. min/max of 16 ~ a coarse 94% interval);
     more replicas = more columns of the same scan, never more passes."""
     ev = read_table(spark, sf_dir, "events")
-    reps = F.explode(
-        F.array(*[F.lit(r) for r in range(_BOOT_R)])
-    ).alias("replica")
-    base = ev.select(
-        reps,
-        F.col("event_id"),
+    # r13 (guide §4.2/§2.3): the per-replica work is ONLY the md5 —
+    # the rounded value and the ':'||event_id suffix are staged ONCE
+    # per event BEFORE the 16-way explode (they were re-computed per
+    # exploded row: 16× the BigDecimal rounds and int→string casts),
+    # and 'boot'||replica folds to 16 struct literals.
+    pre = ev.select(
+        F.concat(F.lit(":"), F.col("event_id").cast("string")).alias(
+            "__sfx"
+        ),
         F.round(F.col("value") * 1000000).cast("long").alias("v"),
     )
-    u = (
-        X.h48(
-            F.concat(
-                F.lit("boot"),
-                F.col("replica").cast("string"),
-                F.lit(":"),
-                F.col("event_id").cast("string"),
-            )
+    reps = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("replica"), F.lit(f"boot{r}").alias("__p")
+                )
+                for r in range(_BOOT_R)
+            ]
         )
-        % 1048576
+    ).alias("__r")
+    base = pre.select(reps, "__sfx", "v").select(
+        F.col("__r.replica").alias("replica"), "__r.__p", "__sfx", "v"
     )
+    u = X.h48(F.concat(F.col("__p"), F.col("__sfx"))) % 1048576
     wt = F.lit(8)
     for k, t in reversed(list(enumerate(_POIS_T))):
         wt = F.when(u < t, F.lit(k)).otherwise(wt)

@@ -15,6 +15,7 @@ from feast_hive_spark.functions import text as X
 from feast_hive_spark.functions import vector as V
 from feast_hive_spark.operators import dedup as D
 from feast_hive_spark.operators import simsearch as S
+from feast_hive_spark.plans.bcast import gated_broadcast
 from feast_hive_spark.plans.local import sorted_readout as _sorted_readout
 from feast_hive_spark.registry import register
 from feast_hive_spark.sources.source import QuerySource
@@ -2735,10 +2736,13 @@ def near_dup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     comp = D.connected_components_collapsed(docs, "doc_id", "text").select(
         "doc_id", "component_id"
     )
+    # cached: the argmax aggregate and the join-back both consume it —
+    # uncached, the quality expression and the comp⋈docs join execute
+    # twice (r13, guide §1.3); rows are (id, id, double), never text
     scored = comp.join(
         docs.select("doc_id", X.quality_score("text").alias("quality")),
         "doc_id",
-    )
+    ).cache()
     # per-cluster argmax via grouped max (partial aggregation folds a
     # giant boilerplate cluster map-side before the exchange) joined
     # back — a component-keyed window would pin the whole cluster in
@@ -2748,6 +2752,9 @@ def near_dup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame
             F.struct(F.col("quality"), (-F.col("doc_id")).alias("__nid"))
         ).alias("__best")
     )
+    # one row per component, bounded by the docs scan — broadcast it
+    # (gated) so the member side never shuffles into a SortMergeJoin
+    best = gated_broadcast(best, probe=docs)
     return scored.join(best, "component_id").select(
         "doc_id",
         "component_id",
