@@ -988,14 +988,24 @@ def grouped_percent_rank(
         rows.append((r["__bkt"], g, per_group.get(g, 0)))
         per_group[g] = per_group.get(g, 0) + r["__c"]
     # the broadcast side must carry the caller's actual group dtype
-    # (a hard-coded string would silently break integer group keys)
+    # (a hard-coded string would silently break integer group keys).
+    # Arrow-pinned (r13, guide §4): bare createDataFrame(list) planned
+    # as 32 near-empty PICKLED-python tasks re-executed per run — the
+    # two scans below were the dominant warm cost of every consumer
+    # (measured 0.6-0.7 s/run on perplexity_buckets_summary).
+    from feast_hive_spark.ckpt import pin_local_rows
+
     gtype = dict(df.dtypes)[group_col]
-    offsets = spark.createDataFrame(
+    offsets = pin_local_rows(
+        spark,
         rows or [(0, None, 0)],
+        ("__bkt", group_col, "__off"),
         f"__bkt int, {group_col} {gtype}, __off long",
     )
-    totals = spark.createDataFrame(
+    totals = pin_local_rows(
+        spark,
         [(g, n) for g, n in per_group.items()] or [(None, 0)],
+        (group_col, "__ng"),
         f"{group_col} {gtype}, __ng long",
     )
     w = Window.partitionBy("__bkt", group_col).orderBy(
@@ -1054,8 +1064,14 @@ def vocab_coverage_curve(
     )
     # per-k covered count: the cumulative sum at rank min(k, |vocab|).
     # ks is a handful of literals — broadcast them against the <=max_k
-    # ranked rows.
-    ks_df = df.sparkSession.createDataFrame([(k,) for k in ks], "k long")
+    # ranked rows. range(1)+explode keeps it a pure JVM local plan;
+    # createDataFrame(list) planned 32 pickled-python tasks PER RUN
+    # (r13, guide §4).
+    ks_df = df.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(k)).cast("long") for k in ks])
+        ).alias("k")
+    )
     per_k = (
         ranked.crossJoin(F.broadcast(ks_df))
         .filter(F.col("__rn") <= F.col("k"))
@@ -1094,9 +1110,13 @@ def perplexity_buckets(
 
     Output: ``(id, n_tok, avg_nll, pct, ppl_bucket)``.
     """
+    # cached: the NLL scoring subtree (two passes over the token
+    # stream) is consumed by the quantile-boundary probe, the offsets
+    # collect, AND the final ranked plan — uncached it executed 3x
+    # per run (r13, guide §1.3); rows are (id, 2 longs, double)
     scored = unigram_nll_scores(df, id_col, text_col).withColumn(
         "__all", F.lit(0)
-    )
+    ).cache()
     ranked = grouped_percent_rank(
         scored, "__all", "avg_nll", id_col, out_col="pct"
     )
@@ -1198,8 +1218,14 @@ def grouped_budget_select(
             rows.append((r["__bkt"], g, per_group.get(g, 0)))
             per_group[g] = per_group.get(g, 0) + r["__s"]
         gtype = dict(df.dtypes)[group_col]
-        offsets = spark.createDataFrame(
+        # Arrow-pinned for the same reason as grouped_percent_rank's
+        # offsets: a pickled-python scan re-executed per run (r13, §4)
+        from feast_hive_spark.ckpt import pin_local_rows
+
+        offsets = pin_local_rows(
+            spark,
             rows or [(0, None, 0)],
+            ("__bkt", group_col, "__off"),
             f"__bkt int, {group_col} {gtype}, __off long",
         )
         w = (

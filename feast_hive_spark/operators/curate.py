@@ -472,15 +472,17 @@ def greedy_shingle_cover(
         # reads a local table instead of replaying prior rounds
         covered = covered.distinct().localCheckpoint(eager=True)
     sh.unpersist()
-    # id column keeps the input's type (string/int/... ids all work)
-    return df.sparkSession.createDataFrame(
-        picks,
-        T.StructType(
-            [
-                T.StructField("pick_rank", T.LongType(), False),
-                T.StructField(id_col, df.schema[id_col].dataType, True),
-                T.StructField("new_covered", T.LongType(), True),
-                T.StructField("cum_covered", T.LongType(), True),
-            ]
-        ),
+    # id column keeps the input's type (string/int/... ids all work).
+    # Arrow-pinned: the greedy picks are the query's returned frame
+    # (r13, guide §4 — no per-run pickled-python scan)
+    from feast_hive_spark.ckpt import pin_local_rows
+
+    schema = T.StructType(
+        [
+            T.StructField("pick_rank", T.LongType(), False),
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("new_covered", T.LongType(), True),
+            T.StructField("cum_covered", T.LongType(), True),
+        ]
     )
+    return pin_local_rows(df.sparkSession, picks, schema.names, schema)

@@ -116,8 +116,15 @@ def _guarded_candidates(candidates: DataFrame, threshold: int = _CANDIDATE_BROAD
         lambda: candidates.limit(threshold + 1).collect(),
     )
     if len(probe) <= threshold:
-        local = candidates.sparkSession.createDataFrame(
-            probe, candidates.schema
+        # Arrow-pinned (r13, guide §4): the broadcast build re-scanned
+        # a 32-slice pickled-python RDD on every consumer execution
+        from feast_hive_spark.ckpt import pin_local_rows
+
+        local = pin_local_rows(
+            candidates.sparkSession,
+            probe,
+            candidates.schema.names,
+            candidates.schema,
         )
         return F.broadcast(local)
     return candidates

@@ -225,8 +225,11 @@ def ols_fit_2feature(
     else:
         coefs = [None, None, None]
     rows = list(zip(("intercept", names[0], names[1]), coefs))
-    return df.sparkSession.createDataFrame(
-        rows, "term string, coef double"
+    # Arrow-pinned: this is a registry query's returned frame (r13 §4)
+    from feast_hive_spark.ckpt import pin_local_rows
+
+    return pin_local_rows(
+        df.sparkSession, rows, ("term", "coef"), "term string, coef double"
     )
 #: fixed-point scale for logreg weights/features (1e6 = 1.0)
 _LR_MICRO = 1_000_000
@@ -309,8 +312,13 @@ def logreg_weights_df(
     def build() -> DataFrame:
         w = logreg_train(df, feature_cols, label_col, iters=iters)
         rows = [(nm, int(wj)) for nm, wj in zip(names, w)]
-        return df.sparkSession.createDataFrame(
-            rows, "term string, weight_micro long"
+        from feast_hive_spark.ckpt import pin_local_rows
+
+        return pin_local_rows(
+            df.sparkSession,
+            rows,
+            ("term", "weight_micro"),
+            "term string, weight_micro long",
         )
 
     return plan_memo(

@@ -1518,8 +1518,12 @@ def _assign_via_join(
         (c, [comps[p] for p in range(len(comps))])
         for c, comps in sorted(cent.items())
     ]
-    cent_df = spark.createDataFrame(
-        cent_rows, "__cc int, __cm array<bigint>"
+    # Arrow-pinned: bare createDataFrame planned 32 pickled-python
+    # tasks re-executed on every run of the consumer join (r13, §4)
+    from feast_hive_spark.ckpt import pin_local_rows
+
+    cent_df = pin_local_rows(
+        spark, cent_rows, ("__cc", "__cm"), "__cc int, __cm array<bigint>"
     )
     dist = F.expr(
         "aggregate(zip_with(__vm, __cm, (x, c) -> (x - c) * (x - c)), "
@@ -1772,12 +1776,16 @@ def _pq_train_build(
             # path's (dist, code) tie-break. Survives IVF-scale
             # codebooks where the CASE/named_struct literal SQL
             # would blow past codegen limits.
-            cdf = spark.createDataFrame(
+            from feast_hive_spark.ckpt import pin_local_rows
+
+            cdf = pin_local_rows(
+                spark,
                 [
                     (s, c, [cent[s][c][p] for p in range(len(cent[s][c]))])
                     for s in sorted(cent)
                     for c in sorted(cent[s])
                 ],
+                ("s", "__cc", "__cm"),
                 "s int, __cc int, __cm array<bigint>",
             )
             dist = F.expr(
@@ -1824,11 +1832,18 @@ def _pq_train_build(
             "sv",
             f"CAST(CASE {' '.join(branches)} END AS INT) AS __c",
         )
-    return spark.createDataFrame(
+    # Arrow-pinned: this frame IS a registry query's output — a bare
+    # createDataFrame re-crossed the Python boundary in 32 pickled
+    # tasks on every execution (r13, guide §4)
+    from feast_hive_spark.ckpt import pin_local_rows
+
+    return pin_local_rows(
+        spark,
         [
             (int(r["s"]), int(r["__c"]), int(r["pos"]), int(r["cm"]))
             for r in cent_rows
         ],
+        ("s", "code", "pos", "cm"),
         "s long, code long, pos long, cm long",
     )
 

@@ -5018,10 +5018,14 @@ def mutual_information_event_segment(
     marginals re-reduce the 25-row table."""
     ev = read_table(spark, sf_dir, "events")
     cust = read_table(spark, sf_dir, "customer")
+    # cached: the contingency table (<=25 rows) is re-reduced by tot/
+    # rt/ct and joined by the readout — uncached, the events⋈customer
+    # scan-aggregate executed 4x per run (r13, guide §1.3)
     obs = (
         ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy("event_type", F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).alias("o"))
+        .cache()
     )
     tot = obs.agg(F.sum("o").alias("n"))
     rt = obs.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
@@ -7200,12 +7204,15 @@ def ransac_activity_value_model(
     refit — all driver-free, user-domain-sized past the rollup;
     every intermediate table past the aggregates is <= 16 rows."""
     ev = read_table(spark, sf_dir, "events")
+    # cached: the user rollup feeds the anchor argmin, the inlier
+    # counts, and the consensus refit — uncached, the events scan +
+    # rollup aggregate executed 3x per run (r13, guide §1.3)
     base = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("x"),
         F.sum(F.round(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("y"),
-    )
+    ).cache()
 
     def h(i: int, s: str):
         return X.h48(

@@ -1251,8 +1251,12 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     merges = bpe_merges(docs, "text", n_merges=_BPE_ROUNDS)
-    return spark.createDataFrame(
+    from feast_hive_spark.ckpt import pin_local_rows
+
+    return pin_local_rows(
+        spark,
         merges,
+        ("merge_round", "left_sym", "right_sym", "pair_freq"),
         "merge_round long, left_sym string, right_sym string, pair_freq long",
     )
 
