@@ -74,7 +74,12 @@ def unigram_nll_scores(
     toks = df.select(
         F.col(id_col), F.explode(X.words(text_col)).alias("__tok")
     )
-    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    # vocab cached (r13, guide §1.3): it feeds the scalar total AND
+    # the scored join — uncached, the corpus token stream aggregated
+    # twice per run; the cache is vocabulary-sized
+    vocab = (
+        toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt")).cache()
+    )
     total = vocab.agg(F.sum("__cnt").alias("__T"))
     # ln(T) - ln(cnt) in micro-nats, BIGINT, computed vocab-side
     scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
@@ -794,10 +799,11 @@ def dsir_logweights(
         F.col(target_col).cast("boolean").alias("__tgt"),
         F.explode(X.words(text_col)).alias("__tok"),
     )
+    # cached for the same reason as unigram_nll_scores' vocab (r13)
     vocab = toks.groupBy("__tok").agg(
         F.count(F.lit(1)).alias("__cc"),
         F.sum(F.col("__tgt").cast("long")).alias("__ct"),
-    )
+    ).cache()
     scalars = vocab.agg(
         F.sum("__cc").alias("__Tc"),
         F.sum("__ct").alias("__Tt"),
@@ -863,18 +869,23 @@ def bigram_nll_scores(
     bg_stream = w.select(
         F.col(id_col), F.explode(X.bigrams_of(F.col("__w"))).alias("__bg")
     )
+    # bigram-vocab table cached (r13, §1.3): feeds the left-word
+    # rollup AND the scored join — uncached, the corpus bigram stream
+    # aggregated twice per run
     bg_counts = bg_stream.groupBy("__bg").agg(
         F.count(F.lit(1)).alias("__cab")
-    )
+    ).cache()
     # left-word totals and unigram counts from the SAME bigram table:
     # c(a, *) = sum of c(a,b) over b; c(b)/T from the unigram stream
     left = bg_counts.groupBy(
         F.split(F.col("__bg"), " ")[0].alias("__a")
     ).agg(F.sum("__cab").alias("__ca"))
+    # unigram table cached: feeds the scalar total AND the scored join
     uni = (
         w.select(F.explode("__w").alias("__tok"))
         .groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__cb"))
+        .cache()
     )
     total = uni.agg(F.sum("__cb").alias("__T"))
     scored_vocab = (
@@ -1524,12 +1535,15 @@ def kneser_ney_nll_scores(
     bg_counts = bg_stream.groupBy("__bg").agg(
         F.count(F.lit(1)).alias("__cab")
     )
+    # cached (r13, §1.3): typed feeds left/cont/types_tot AND the
+    # scored join — uncached, the corpus bigram stream aggregated 4x
+    # per run; the cache is bigram-vocabulary-sized
     typed = bg_counts.select(
         "__bg",
         "__cab",
         F.split(F.col("__bg"), " ")[0].alias("__a"),
         F.split(F.col("__bg"), " ")[1].alias("__b"),
-    )
+    ).cache()
     left = typed.groupBy("__a").agg(
         F.sum("__cab").alias("__ca"),
         F.count(F.lit(1)).alias("__n1a"),  # N1+(a,·): distinct successors

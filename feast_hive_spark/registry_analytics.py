@@ -6968,6 +6968,9 @@ def fellegi_sunter_em_weights(
             F.count(F.lit(1)).cast("long").alias("cnt"),
             F.min("p_partkey").alias("gk"),
         )
+        # cached: feeds the within-group count and BOTH sides of the
+        # blocked self-join (r13, guide §1.3)
+        .cache()
     )
     within = g.agg(
         F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2)
@@ -6997,12 +7000,16 @@ def fellegi_sunter_em_weights(
         .alias("g3"),
         (F.col("a.cnt") * F.col("b.cnt")).alias("w"),
     )
+    # cached: the 8-row pattern table anchors both EM E-steps and the
+    # final readout — uncached, the blocked levenshtein self-join
+    # re-executed with every consumer (r13, guide §1.3)
     pat = (
         cross.groupBy("g1", "g2", "g3")
         .agg(F.sum("w").cast("long").alias("n"))
         .unionByName(within)
         .groupBy("g1", "g2", "g3")
         .agg(F.sum("n").cast("long").alias("n"))
+        .cache()
     )
 
     def posterior(lam, ms, us):
@@ -7070,15 +7077,18 @@ def fellegi_sunter_em_weights(
         ),
     )
     r2 = mstep(e2.select("g1", "g2", "g3", "n", "p9"))
-    rows = []
+    # one execution of r2: the 3 per-field rows come off a single
+    # explode instead of a 3-way union that re-ran the whole EM chain
+    # (and the blocked self-join under it) per branch (r13, §1.3)
+    structs = []
     for fname, i in (
         ("name_lev3", 1),
         ("size_exact", 2),
         ("price_100c", 3),
     ):
         m, u = F.col(f"m{i}"), F.col(f"u{i}")
-        rows.append(
-            r2.select(
+        structs.append(
+            F.struct(
                 F.lit(fname).alias("field"),
                 F.round(m, 6).alias("m_prob"),
                 F.round(u, 6).alias("u_prob"),
@@ -7088,9 +7098,9 @@ def fellegi_sunter_em_weights(
                 ).alias("w_disagree"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+    out = r2.select(F.explode(F.array(*structs)).alias("__r")).select(
+        "__r.*"
+    )
     return out.orderBy("field")
 
 
