@@ -684,10 +684,15 @@ def shingle_novelty(
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     )
+    # (id, shingle-hash) stream cached (r13, guide §1.3): pairs
+    # feeds the first-occurrence aggregate AND the ownership join —
+    # uncached, the corpus tokenize + shingle-hash pass ran twice
+    # per run; the cache is slim (id, 48-bit hash) rows, the same
+    # weight class as the cached winnowing index
     pairs = toks.select(
         F.col(id_col),
         F.explode(X.shingle_hashes_from(F.col("__toks"), n)).alias("__sh"),
-    )
+    ).cache()
     firsts = pairs.groupBy("__sh").agg(F.min(id_col).alias("__first"))
     flagged = pairs.join(firsts, "__sh").select(
         F.col(id_col),

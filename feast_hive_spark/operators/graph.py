@@ -429,7 +429,10 @@ def triangle_stats(
     wedge-closure fraction in [0, 1e6] (integer micro-units, exact
     cross-engine; 0 when wedge-free).
     """
-    # canonical undirected edges, self-loops dropped
+    # canonical undirected edges, self-loops dropped; cached (r13,
+    # guide §1.3): the edge list anchors deg, the orientation join,
+    # the closure probe, and the edge count — uncached, the
+    # corpus-scan + distinct re-executed per consumer subtree
     e = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
@@ -437,12 +440,14 @@ def triangle_stats(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .cache()
     )
     deg = (
         e.select(F.col("u").alias("x"))
         .union(e.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
+        .cache()  # node-sized; feeds du, dv, and the vertex count
     )
     # orient by (degree, id): src = lower-ranked endpoint
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
@@ -459,19 +464,27 @@ def triangle_stats(
     a1 = arcs.select(F.col("src"), F.col("dst").alias("n1"))
     a2 = arcs.select(F.col("src"), F.col("dst").alias("n2"))
     wedges = a1.join(a2, "src").filter(F.col("n1") < F.col("n2"))
-    # closure probe against canonical edges (n1 < n2 matches (u, v))
-    closing = wedges.join(
-        e.select(F.col("u").alias("n1"), F.col("v").alias("n2")),
+    # wedge + triangle counts in ONE pass (r13, §2.4): a LEFT join
+    # against the canonical edge set counts every wedge once and the
+    # closed ones via the matched marker — the wedge stream (the
+    # biggest intermediate, sum(d_out^2) rows) is built once instead
+    # of twice and never cached
+    wt = wedges.join(
+        e.select(
+            F.col("u").alias("n1"),
+            F.col("v").alias("n2"),
+            F.lit(1).alias("__m"),
+        ),
         ["n1", "n2"],
-        "inner",
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.count("__m").alias("n_triangles"),
     )
     counts = (
         e.agg(F.count(F.lit(1)).alias("n_edges"))
         .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_vertices"))))
-        .crossJoin(F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
-        .crossJoin(
-            F.broadcast(closing.agg(F.count(F.lit(1)).alias("n_triangles")))
-        )
+        .crossJoin(F.broadcast(wt))
     )
     return counts.select(
         "n_vertices",
@@ -794,6 +807,10 @@ def local_clustering(
     for nodes with degree >= 2, coeff half-up at 1e-6 in exact
     integer arithmetic.
     """
+    # edge list + degree table cached (r13, guide §1.3): e anchors
+    # deg, the orientation join, and the closure probe; deg anchors
+    # du/dv and the output join — uncached, the corpus-scan +
+    # distinct re-executed per consumer subtree
     e = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
@@ -801,12 +818,14 @@ def local_clustering(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .cache()
     )
     deg = (
         e.select(F.col("u").alias("x"))
         .union(e.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
+        .cache()
     )
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
@@ -872,18 +891,23 @@ def degree_assortativity(
 
     Output: one row ``(n_edges, assortativity)``; assortativity is
     NULL for degree-regular graphs (zero variance)."""
+    # cached (r13, guide §1.3): e feeds the degree union (2 subtrees)
+    # and the moment join; deg feeds du/dv — uncached, the
+    # corpus-scan + distinct executed ~4x per run
     e = (
         pairs.select(
             F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .cache()
     )
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
+        .cache()
     )
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("dx"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dy"))

@@ -115,6 +115,9 @@ def psi_drift(
     bins = spark.range(n_bins).select(F.col("id").alias("bin"))
     r = binned_counts(ref, "n_ref")
     c = binned_counts(cur, "n_cur")
+    # n_bins-row table cached (r13, guide §1.3): joined feeds the
+    # totals scalar AND the contribution readout — uncached, both
+    # side scans (and the reference bounds under them) executed twice
     joined = (
         bins.join(r, "bin", "left")
         .join(c, "bin", "left")
@@ -123,6 +126,7 @@ def psi_drift(
             F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
+        .cache()
     )
     totals = joined.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")

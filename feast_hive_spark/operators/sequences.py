@@ -167,10 +167,15 @@ def covisitation_topk(
     w_cap = Window.partitionBy(user_col).orderBy(
         F.col("__fs"), F.col(item_col)
     )
+    # capped per-user item set cached (r13, guide §1.3): it feeds
+    # BOTH sides of the pair self-join — uncached, the corpus-sized
+    # first-seen aggregate + cap window executed twice per run; the
+    # cache is bounded at max_items_per_user rows per user
     capped = (
         first_seen.withColumn("__rn", F.row_number().over(w_cap))
         .filter(F.col("__rn") <= max_items_per_user)
         .select(user_col, item_col)
+        .cache()
     )
     a = capped.select(
         F.col(user_col).alias("__u"), F.col(item_col).alias("item_a")

@@ -834,10 +834,13 @@ def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     labeled = hash_split(ev, "user_id", (0.8, 0.1, 0.1))
+    # 3-row split table cached (r13, guide §1.3): per feeds the
+    # readout AND the leakage-check sum — uncached, the events scan +
+    # distinct-user expand aggregate executed twice
     per = labeled.groupBy("split").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
-    )
+    ).cache()
     total = F.broadcast(
         ev.agg(F.countDistinct("user_id").alias("__g"))
     )
@@ -3817,9 +3820,12 @@ def association_rules_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the item space), count aggregates collapse map-side;
     min-support prunes the rule list."""
     ev = read_table(spark, sf_dir, "events")
+    # basket table cached (r13, guide §1.3): it feeds the user count,
+    # the item supports, and BOTH sides of the pair self-join —
+    # uncached, the events scan + distinct executed 4x per run
     baskets = ev.select(
         "user_id", (F.col("event_id") % 100).alias("item")
-    ).distinct()
+    ).distinct().cache()
     nu = baskets.agg(F.countDistinct("user_id").alias("nu"))
     item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     a = baskets.select(F.col("user_id").alias("__u"), F.col("item").alias("antecedent"))
@@ -4594,8 +4600,11 @@ def markov_conversion_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("src"),
         F.lead("event_type").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
-    mtc = nxt.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
-    mtot = mtc.groupBy("src").agg(F.sum("c").alias("tot"))
+    # transition matrix cached (r13, guide §1.3): mtc/mtot anchor
+    # every unrolled round's joins — uncached, the corpus lead-window
+    # re-executed ~2K times; the cache is state-space-sized
+    mtc = nxt.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c")).cache()
+    mtot = mtc.groupBy("src").agg(F.sum("c").alias("tot")).cache()
     v = mtot.select(
         F.col("src").alias("state"),
         F.when(F.col("src") == "purchase", F.lit(1000000))
@@ -4660,9 +4669,11 @@ def woe_iv_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos"
         ),
     )
+    # 5-row bin table cached (r13, §1.3): feeds the totals scalar
+    # AND the readout — uncached, the events scan executed twice
     b = base.groupBy("bin").agg(
         F.sum("pos").alias("np"), F.sum(1 - F.col("pos")).alias("nn")
-    )
+    ).cache()
     t = b.agg(F.sum("np").alias("tp"), F.sum("nn").alias("tn"))
     return b.crossJoin(F.broadcast(t)).select(
         "bin",
@@ -5198,10 +5209,13 @@ def kaplan_meier_user_retention(
     summation order); an all-deaths day gets a -1e15 nano sentinel
     whose exp underflows to exactly 0 in both engines."""
     ev = read_table(spark, sf_dir, "events")
+    # user min/max rollup cached (r13, guide §1.3): u feeds the
+    # global-horizon scalar AND the lifetime table — uncached, the
+    # corpus scan + user aggregate executed twice; user-sized cache
     u = ev.groupBy("user_id").agg(
         F.min(F.unix_micros("ts")).alias("mn"),
         F.max(F.unix_micros("ts")).alias("mx"),
-    )
+    ).cache()
     gm = u.agg(F.max("mx").alias("g"))
     t = u.crossJoin(F.broadcast(gm)).select(
         F.floor((F.col("mx") - F.col("mn")) / 86400000000).alias("t_day"),
@@ -6129,9 +6143,13 @@ def kruskal_wallis_value_by_type(
         F.round(F.col("value") * 1000000).cast("long").alias("vm"),
         F.col("event_type").alias("et"),
     )
+    # (value, type) rollup cached (r13, guide §1.3): gt feeds the
+    # value-domain rollup (twice, via rk and ties) and the group
+    # aggregate — uncached, the fact scan executed 3x; the cache is
+    # value-domain x k sized
     gt = e.groupBy("vm", "et").agg(
         F.count(F.lit(1)).cast("long").alias("cnt_t")
-    )
+    ).cache()
     pv = gt.groupBy("vm").agg(F.sum("cnt_t").cast("long").alias("cnt"))
     rk = pv.withColumn(
         "base",
@@ -6280,9 +6298,14 @@ def kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    ha, hb = hset("click"), hset("view")
-    ska = ha.orderBy("h").limit(_KMV_K)
-    skb = hb.orderBy("h").limit(_KMV_K)
+    # distinct hash sets cached (r13, guide §1.3): each side feeds
+    # the sketch cut, the exact count, the union, and the
+    # intersection — uncached, the events-scan + distinct executed
+    # 4x per side; the cache is distinct-user-sized. The k-row
+    # sketches are cached too (kth-minimum cut + theta re-filter).
+    ha, hb = hset("click").cache(), hset("view").cache()
+    ska = ha.orderBy("h").limit(_KMV_K).cache()
+    skb = hb.orderBy("h").limit(_KMV_K).cache()
     kta = ska.agg(
         F.max("h").alias("kth_a"),
         F.count(F.lit(1)).cast("long").alias("ca"),
@@ -6434,10 +6457,13 @@ def conformal_calibration_audit(
         )
     ).cast("long")
     cal = cal_rows.join(F.broadcast(g), "pr").select(score.alias("sc"))
-    n = cal.agg(F.count(F.lit(1)).cast("long").alias("ncal"))
+    # score-domain rollup cached (r13, §1.3/§2.4); the calibration
+    # count derives from it (SUM of the distinct-score counts ==
+    # COUNT(*) of cal) instead of a second corpus-half scan
     d = cal.groupBy("sc").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    ).cache()
+    n = d.agg(F.sum("cnt").cast("long").alias("ncal"))
     cum = d.withColumn(
         "cc",
         F.sum("cnt")
@@ -6569,9 +6595,26 @@ def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_of("l_extendedprice", "mnp", "mxp").alias("b_p"),
         bin_of("l_discount", "mnd", "mxd").alias("b_d"),
     )
-    dq = e.groupBy("b_q").agg(F.count(F.lit(1)).cast("long").alias("cq"))
-    dp = e.groupBy("b_p").agg(F.count(F.lit(1)).cast("long").alias("cp"))
-    dd = e.groupBy("b_d").agg(F.count(F.lit(1)).cast("long").alias("cd"))
+    # all three 10-bin histograms in ONE scan (r13, §2.3/§2.4 — the
+    # cms_build posexplode pattern): the explode fans 3x but the
+    # (feature, bin) partial aggregate collapses map-side to <= 30
+    # rows per partition; cached, so the per-feature dims and their
+    # modal-bin maxima never re-scan lineitem (was ~8 scans per run)
+    hist = (
+        e.select(F.posexplode(F.array("b_q", "b_p", "b_d")).alias("f", "b"))
+        .groupBy("f", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()
+    )
+    dq = hist.filter(F.col("f") == 0).select(
+        F.col("b").alias("b_q"), F.col("c").alias("cq")
+    )
+    dp = hist.filter(F.col("f") == 1).select(
+        F.col("b").alias("b_p"), F.col("c").alias("cp")
+    )
+    dd = hist.filter(F.col("f") == 2).select(
+        F.col("b").alias("b_d"), F.col("c").alias("cd")
+    )
     mq = dq.agg(F.max("cq").alias("xq"))
     mp = dp.agg(F.max("cp").alias("xp"))
     md = dd.agg(F.max("cd").alias("xd"))
@@ -7503,12 +7546,16 @@ def exact_matching_att_audit(
             .alias("y"),
         )
     )
+    # user-level table cached (r13, guide §1.3): su feeds the
+    # before-matching moments AND the strata rollup — uncached, the
+    # fact scan + user aggregate (and the t0 scalar under it)
+    # executed twice; the cache is user-sized (4 ints)
     su = u.select(
         "treated",
         "early_n",
         "y",
         F.least(F.lit(4), F.expr("early_n div 5")).alias("strat"),
-    )
+    ).cache()
     t1 = F.col("treated") == 1
     bef = su.agg(
         F.sum("treated").cast("long").alias("nt"),
@@ -7663,12 +7710,15 @@ def spearman_activity_value(
     Shape: one fact scan into the user rollup, two value-domain
     windows, two user-domain joins, one 1-row moment aggregate."""
     ev = read_table(spark, sf_dir, "events")
+    # user rollup cached (r13, guide §1.3): f feeds both rank
+    # domains AND the moment join — uncached, the events scan +
+    # user aggregate executed 3x; the cache is user-sized (2 longs)
     f = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("x"),
         F.sum(F.round(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("y"),
-    ).select("x", "y")
+    ).select("x", "y").cache()
 
     def ranks(col: str) -> DataFrame:
         d = f.groupBy(col).agg(
@@ -7691,8 +7741,10 @@ def spearman_activity_value(
             ).alias("r2"),
         )
 
-    rx = ranks("x").withColumnRenamed("r2", "a")
-    ry = ranks("y").withColumnRenamed("r2", "b")
+    # rank tables cached: each feeds the moment join AND its
+    # distinct-count readout (value-domain-sized)
+    rx = ranks("x").withColumnRenamed("r2", "a").cache()
+    ry = ranks("y").withColumnRenamed("r2", "b").cache()
     j = f.join(F.broadcast(rx), "x").join(ry, "y").select("a", "b")
     dec = lambda c: F.col(c).cast("decimal(14,0)")  # noqa: E731
     s = j.agg(

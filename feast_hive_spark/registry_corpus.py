@@ -1528,9 +1528,12 @@ def js_divergence_top_terms(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("en"),
         F.explode(X.words("text")).alias("term"),
     )
+    # vocabulary table cached (r13, guide §1.3): cnt feeds the totals
+    # scalar AND the per-term readout — uncached, the corpus tokenize
+    # + aggregate ran twice per run (the LM-family idiom)
     cnt = tok.groupBy("term").agg(
         F.sum("en").alias("ce"), F.sum(1 - F.col("en")).alias("cn")
-    )
+    ).cache()
     tot = cnt.agg(F.sum("ce").alias("te"), F.sum("cn").alias("tn"))
     j = cnt.crossJoin(F.broadcast(tot))
     p = F.col("ce").cast("double") / F.col("te")
@@ -1597,27 +1600,42 @@ def char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation collapses map-side onto the tiny charset domain;
     everything after runs on (#langs x #charset) rows."""
     ensure_views(spark, sf_dir)
-    return spark.sql(f"""
-        WITH counts AS (
-          SELECT lang, c, count(*) AS n
-          FROM (SELECT lang, explode(split(text, '')) AS c FROM documents)
-          WHERE c <> '' GROUP BY lang, c
-        ), tot AS (
-          SELECT lang, sum(n) AS nn, count(*) AS n_distinct
-          FROM counts GROUP BY lang
-        ), terms AS (
-          SELECT counts.lang,
-                 cast(round(n * (ln(cast(nn AS DOUBLE)) - ln(cast(n AS DOUBLE)))
-                            * 1000000) AS BIGINT) AS tmicro
-          FROM counts JOIN tot ON counts.lang = tot.lang
+    # (lang, char) count table cached (r13, guide §1.3): Spark
+    # inlines CTEs, so the all-SQL form re-ran the character-explode
+    # scan under tot (twice) and terms — 3 corpus scans per run. The
+    # arithmetic below is the identical SQL text per fragment.
+    counts = spark.sql(
+        """
+        SELECT lang, c, count(*) AS n
+        FROM (SELECT lang, explode(split(text, '')) AS c FROM documents)
+        WHERE c <> '' GROUP BY lang, c
+        """
+    ).cache()
+    tot = counts.groupBy("lang").agg(
+        F.expr("sum(n) AS nn"), F.expr("count(*) AS n_distinct")
+    )
+    terms = counts.join(tot, "lang").select(
+        "lang",
+        F.expr(
+            "cast(round(n * (ln(cast(nn AS DOUBLE)) - ln(cast(n AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("tmicro"),
+    )
+    return (
+        terms.join(tot, "lang")
+        .groupBy("lang", "nn", "n_distinct")
+        .agg(
+            F.expr(
+                f"round(sum(tmicro) / 1000000.0 / nn / {_LN2}, 6)"
+            ).alias("entropy_bits")
         )
-        SELECT t.lang,
-               cast(t.nn AS BIGINT) AS n_chars,
-               cast(t.n_distinct AS BIGINT) AS n_distinct_chars,
-               round(sum(tmicro) / 1000000.0 / t.nn / {_LN2}, 6) AS entropy_bits
-        FROM terms JOIN tot t ON terms.lang = t.lang
-        GROUP BY t.lang, t.nn, t.n_distinct
-    """)
+        .select(
+            "lang",
+            F.expr("cast(nn AS BIGINT)").alias("n_chars"),
+            F.expr("cast(n_distinct AS BIGINT)").alias("n_distinct_chars"),
+            "entropy_bits",
+        )
+    )
 
 
 _MIX_ALPHA = 0.3  # XLM-R's exponential-smoothing temperature

@@ -463,7 +463,12 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", X.shingle_hashes_from(F.col("__tk"), 3).alias("sh")
     )
-    sig = sh.select("doc_id", "sh", X.minhash_signature(F.col("sh")).alias("sg"))
+    # signature table cached (r13, guide §1.3): sig feeds BOTH sides
+    # of the consecutive-id self-join — uncached, the tokenize +
+    # shingle-hash + 16-permutation minhash fold ran twice per run
+    sig = sh.select(
+        "doc_id", "sh", X.minhash_signature(F.col("sh")).alias("sg")
+    ).cache()
     a = sig.select(
         F.col("doc_id").alias("__k"),
         F.col("sh").alias("sh_a"),
@@ -3413,9 +3418,13 @@ def near_dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     count aggregate."""
     docs = read_table(spark, sf_dir, "documents")
     pairs = D.near_dup_member_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # endpoint explode instead of a 2-arm unionAll (r13, §2.4): the
+    # union re-executed the bundle-expansion joins once per arm; the
+    # explode runs them ONCE and emits both endpoints per pair
     deg = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias("doc_id")
+        )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
