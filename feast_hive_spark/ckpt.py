@@ -53,6 +53,42 @@ def track(df):
     return df
 
 
+def snapshot() -> set:
+    """Identity snapshot of every currently tracked frame; pass to
+    ``release_scope`` to free only frames tracked AFTER this point.
+    Lets a build-materialized operator (e.g. ``minhash_band_sweep``)
+    free the per-build pins its internals created (``pin_local_rows``
+    broadcast copies) once its readout is materialized, WITHOUT
+    touching session-memoized checkpoints created earlier — releasing
+    those would hand dead, non-recomputable frames back through the
+    plan memo."""
+    with _LOCK:
+        return {id(df) for _, df in _TRACKED}
+
+
+def release_scope(spark, snap: set, keep: tuple = ()) -> int:
+    """Free frames of ``spark``'s application tracked since ``snap``
+    (from ``snapshot()``), except those in ``keep``. Safe ONLY for
+    frames nothing memoizes: the caller asserts the scope created
+    them for a plan that has since been eagerly materialized."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        return 0
+    keep_ids = {id(k) for k in keep}
+    with _LOCK:
+        mine = [
+            df
+            for aid, df in _TRACKED
+            if aid == app and id(df) not in snap and id(df) not in keep_ids
+        ]
+        dead = {id(df) for df in mine}
+        _TRACKED[:] = [e for e in _TRACKED if id(e[1]) not in dead]
+    for df in mine:
+        free_local_checkpoint(df)
+    return len(mine)
+
+
 def release(spark) -> int:
     """Free every tracked frame of ``spark``'s application; returns
     the number released. See the module docstring for the mandatory

@@ -1946,6 +1946,13 @@ def minhash_band_sweep(
     if collapse_exact:
         _mem, _reps, rep_rows = _exact_collapse(df, id_col, text_col)
         df = rep_rows
+    # The per-config _jaccard_pairs verify joins pin their guarded
+    # candidate broadcasts as Arrow checkpoints (r13); those pins feed
+    # ONLY this build and must be freed once the readout materializes
+    # or repeated sweep builds accumulate blocks (the r8 leak class).
+    # Snapshot AFTER _exact_collapse: the session bundle's memoized
+    # checkpoints must survive.
+    _pin_snap = ckpt.snapshot()
     with_sh = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), X.tokens_array(text_col).alias("__tk")
     ).select(
@@ -2019,6 +2026,7 @@ def minhash_band_sweep(
     out = ckpt.track(out.localCheckpoint(eager=True))
     with_sh.unpersist()
     sigs.unpersist()
+    ckpt.release_scope(df.sparkSession, _pin_snap, keep=(out,))
     return out
 
 
