@@ -1670,6 +1670,28 @@ def containment_pairs(
 
     Output: ``(id_small, id_big, containment)`` where ``id_small``'s
     shingle set is >= ``threshold`` contained in ``id_big``'s.
+
+    r13 optimization round (guide §2.3/§3, the prefix_jaccard_pairs
+    pattern adapted to the ASYMMETRIC predicate): on the default
+    (uncapped) path the contained side indexes only its rarest
+    ``|A| - ceil(te*|A|) + 1`` shingles under the global
+    (frequency asc, hash asc) order — C(A in B) >= t forces
+    |A∩B| >= ceil(te*|A|) common shingles, and by pigeonhole at
+    least one of them sits in that prefix. The container side has no
+    prefix bound (any superset qualifies at any alignment), so B
+    indexes all its shingles — the join input still drops ~(1-t) of
+    the left volume and the rare-first order keeps hot shingles out
+    of the contained side entirely. Candidates are pruned further by
+    the LENGTH filter (|B| >= ceil(te*|A|): a smaller container
+    cannot hold t of A) and the POSITIONAL filter (at the pair's
+    first common element — positions (ia, ib) under the shared
+    order — inter <= 1 + min(|A|-ia, |B|-ib)), then verified with an
+    exact ``array_intersect`` against the cached full shingle sets
+    (distinct by construction). All prunes use te = t - 1e-6 so a
+    pair whose ROUNDED containment reaches the threshold can never
+    be excluded. The capped path keeps the r12 count-only join: its
+    declared semantics are "intersection over non-hot shingles",
+    which the full-array verify would change.
     """
     with_sh = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), X.tokens_array(text_col).alias("__tk")
@@ -1677,8 +1699,8 @@ def containment_pairs(
         F.col(id_col), X.shingle_hashes_from(F.col("__tk"), n).alias("__sh")
     ).cache()  # feeds sizes + both self-join branches (family idiom)
     sizes = with_sh.select(F.col(id_col), F.size("__sh").alias("__n"))
-    exploded = with_sh.select(id_col, F.explode("__sh").alias("__h"))
     if max_doc_freq is not None:
+        exploded = with_sh.select(id_col, F.explode("__sh").alias("__h"))
         hot = (
             exploded.groupBy("__h")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -1686,24 +1708,83 @@ def containment_pairs(
             .select("__h")
         )
         exploded = exploded.join(F.broadcast(hot), "__h", "left_anti")
-    left = exploded.select(F.col(id_col).alias("id_small"), "__h")
-    right = exploded.select(F.col(id_col).alias("id_big"), "__h")
-    inter = (
+        left = exploded.select(F.col(id_col).alias("id_small"), "__h")
+        right = exploded.select(F.col(id_col).alias("id_big"), "__h")
+        inter = (
+            left.join(right, "__h")
+            .filter(F.col("id_small") != F.col("id_big"))
+            .groupBy("id_small", "id_big")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+        ssml = sizes.select(
+            F.col(id_col).alias("id_small"), F.col("__n").alias("__ns")
+        )
+        return (
+            inter.join(ssml, "id_small")
+            .withColumn(
+                "containment",
+                F.round(
+                    F.col("__inter").cast("double")
+                    / F.greatest(F.col("__ns"), F.lit(1)),
+                    6,
+                ),
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("id_small", "id_big", "containment")
+        )
+    exploded = with_sh.select(
+        id_col, F.size("__sh").alias("__sz"), F.explode("__sh").alias("__h")
+    )
+    freq = exploded.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__f").asc(), F.col("__h").asc()
+    )
+    ranked = (
+        exploded.join(freq, "__h")
+        .withColumn("__rn", F.row_number().over(w))
+        .select(id_col, "__h", "__rn", "__sz")
+    ).cache()
+    te = threshold - 1e-6
+    min_inter = F.ceil(F.lit(te) * F.col("__na") - F.lit(1e-6))
+    left = ranked.filter(
+        F.col("__rn")
+        <= F.col("__sz") - F.ceil(F.lit(te) * F.col("__sz")) + 1
+    ).select(
+        F.col(id_col).alias("id_small"), "__h",
+        F.col("__rn").alias("__ia"), F.col("__sz").alias("__na"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_big"), "__h",
+        F.col("__rn").alias("__ib"), F.col("__sz").alias("__nb"),
+    )
+    candidates = (
         left.join(right, "__h")
         .filter(F.col("id_small") != F.col("id_big"))
-        .groupBy("id_small", "id_big")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        .filter(F.col("__nb") >= min_inter)
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__na") - F.col("__ia"), F.col("__nb") - F.col("__ib")
+            )
+            >= min_inter
+        )
+        .select("id_small", "id_big")
+        .distinct()
     )
-    ssml = sizes.select(
-        F.col(id_col).alias("id_small"), F.col("__n").alias("__ns")
+    a = with_sh.select(
+        F.col(id_col).alias("id_small"), F.col("__sh").alias("__sh_a")
+    )
+    b = with_sh.select(
+        F.col(id_col).alias("id_big"), F.col("__sh").alias("__sh_b")
     )
     return (
-        inter.join(ssml, "id_small")
+        candidates.join(a, "id_small")
+        .join(b, "id_big")
         .withColumn(
             "containment",
             F.round(
-                F.col("__inter").cast("double")
-                / F.greatest(F.col("__ns"), F.lit(1)),
+                F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+                / F.greatest(F.size("__sh_a"), F.lit(1)),
                 6,
             ),
         )

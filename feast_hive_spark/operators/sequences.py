@@ -237,7 +237,9 @@ def covisitation_hitrate_at_k(
     )
     ranked = df.select(user_col, item_col, ts_col, seq_col).withColumn(
         "__rn", F.row_number().over(w)
-    )
+    ).cache()  # (r13, §1.3) feeds the holdout extraction AND the
+    # trainer's input — uncached, the events scan + user window
+    # executed twice per run
     holdout = (
         ranked.filter(F.col("__rn") <= 2)
         .groupBy(user_col)

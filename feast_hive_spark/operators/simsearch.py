@@ -97,25 +97,36 @@ def brute_force_topk(
             ids = batch[id_col].to_numpy()
             if qids.size == 0 or ids.size == 0:
                 continue
+            # vectorized per-query top-k (r13, guide §4.2): the old
+            # per-query Python loop dominated once the matmul was
+            # cheap (query-count iterations per batch). The cut is a
+            # column-wise argpartition (O(n) per query — a full
+            # argsort pays log n more and regressed the corpus-sized
+            # knn query set), then EVERY row tied with the boundary
+            # value is emitted too: the per-batch survivors are a
+            # superset of the global (cosine desc, neighbor_id asc)
+            # window's winners, so boundary ties can never evict the
+            # lower-id neighbor the final rank would pick. Self
+            # matches are -inf sentinels dropped with the final
+            # finite filter instead of per-query boolean masking.
             Cn = V.np_normalize(V.np_matrix(batch[vec_col]))
             S = np.round(Cn @ Q.T, 6)  # (n_batch, n_queries)
-            out_q, out_n, out_c = [], [], []
-            for j, q in enumerate(qids):
-                # drop self rows BEFORE argpartition - a -inf sentinel
-                # would survive into the output when a batch has <= k
-                # candidates
-                not_self = ids != q
-                col = S[not_self, j]
-                cand_ids = ids[not_self]
-                if col.size == 0:
-                    continue
-                keep = min(k, len(col))
-                top = np.argpartition(-col, keep - 1)[:keep]
-                out_q.extend([q] * len(top))
-                out_n.extend(cand_ids[top])
-                out_c.extend(col[top])
+            S[ids[:, None] == qids[None, :]] = -np.inf
+            keep = min(k, S.shape[0])
+            if keep < S.shape[0]:
+                part = np.argpartition(-S, keep - 1, axis=0)[:keep]
+                bound = np.take_along_axis(S, part, axis=0).min(axis=0)
+                rows, cols = np.nonzero(S >= bound[None, :])
+            else:
+                rows, cols = np.nonzero(np.isfinite(S))
+            vals = S[rows, cols]
+            fin = np.isfinite(vals)
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+                {
+                    "query_id": qids[cols[fin]],
+                    "neighbor_id": ids[rows[fin]],
+                    "cosine": vals[fin],
+                }
             )
 
     scored = candidates.select(id_col, vec_col).mapInPandas(
@@ -1591,7 +1602,9 @@ def semdedup_report(
     """
     a = kmeans_assign(df, id_col, vec_col, k=k, iters=iters).select(
         F.col(id_col).alias("__id"), "cluster"
-    )
+    ).cache()  # (r13, §1.3) feeds the pair kernel's join AND the
+    # cluster-size rollup — uncached, the assignment map (k x dim
+    # distance argmin per row) executed twice per run
     emb = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     ).join(a, "__id")

@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def gramian_e6(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+def gramian_e6(
+    df: DataFrame, vec_col: str, dim: int, with_marginals: bool = False
+) -> DataFrame:
     """d×d Gramian of an ``array<float>`` column in exact micro-unit
     fixed point: output rows ``(i, j, sum_e6)`` where ``sum_e6 =
     Σ_rows round(v[i]*v[j]*1e6)`` as BIGINT.
@@ -31,12 +33,23 @@ def gramian_e6(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     Each ``mapInPandas`` batch emits one d² partial (slab-wise numpy
     outer products, 256 rows at a time, so per-task memory is
     O(slab·d²) regardless of batch size); the final shuffle carries
-    #batches × d² small rows."""
+    #batches × d² small rows.
+
+    ``with_marginals`` (r13, guide §1.3) additionally emits the
+    milli-unit marginal sums ``(i, -1, Σ round(v[i]*1e3))`` and the
+    row count ``(-1, -1, n)`` from the SAME kernel pass, so
+    :func:`covariance_num_e6` reads the corpus once instead of paying
+    a second posexplode+aggregate scan. The marginal rounding is
+    half-away-from-zero on float64 (copysign/floor) — exactly
+    ``round(CAST(v AS DOUBLE) * 1000)`` as both engines' SQL twins
+    define it."""
     schema = "i int, j int, s long"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ii, jj = np.indices((dim, dim))
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             vecs = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -45,9 +58,18 @@ def gramian_e6(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
                 slab = vecs[lo : lo + 256]
                 prods = slab[:, :, None] * slab[:, None, :] * 1e6
                 acc += np.round(prods).astype(np.int64).sum(axis=0)
-            yield pd.DataFrame(
-                {"i": ii.ravel(), "j": jj.ravel(), "s": acc.ravel()}
-            )
+            out_i, out_j, out_s = ii.ravel(), jj.ravel(), acc.ravel()
+            if with_marginals:
+                v3 = vecs * 1e3
+                s3 = (
+                    np.copysign(np.floor(np.abs(v3) + 0.5), v3)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                out_i = np.concatenate([out_i, np.arange(dim), [-1]])
+                out_j = np.concatenate([out_j, np.full(dim, -1), [-1]])
+                out_s = np.concatenate([out_s, s3, [vecs.shape[0]]])
+            yield pd.DataFrame({"i": out_i, "j": out_j, "s": out_s})
 
     partials = df.select(vec_col).mapInPandas(kernel, schema)
     return (
@@ -132,21 +154,23 @@ def covariance_num_e6(
     rescale the inputs) instead of silently wrapping.  The guard is
     free — this is a d²-row result.
 
-    The marginal sums ride a posexplode + per-position aggregate —
-    the explode fans out d× but the partial aggregate collapses it to
-    d rows per map partition before the shuffle."""
-    g = gramian_e6(df, vec_col, dim)
-    s = (
-        df.select(F.posexplode(F.col(vec_col)).alias("pos", "__v"))
-        .groupBy("pos")
-        .agg(
-            F.sum(F.round(F.col("__v") * 1000).cast("long")).alias("s3"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    The marginal sums ride the SAME kernel pass as the Gramian
+    partials (``gramian_e6(with_marginals=True)``, r13 — the old
+    posexplode + per-position aggregate was a second full corpus
+    scan per consumer); the combined d²+d+1-row table is cached so
+    the three readers below (Gramian cells, i-marginals,
+    j-marginals) share one execution."""
+    gall = gramian_e6(df, vec_col, dim, with_marginals=True).cache()
+    g = gall.filter((F.col("i") >= 0) & (F.col("j") >= 0))
+    s = gall.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("pos"), F.col("sum_e6").alias("s3")
+    )
+    nrow = gall.filter(F.col("i") == -1).select(
+        F.col("sum_e6").alias("n")
     )
     a = s.select(
-        F.col("pos").alias("i"), F.col("s3").alias("__si"), "n"
-    )
+        F.col("pos").alias("i"), F.col("s3").alias("__si")
+    ).crossJoin(F.broadcast(nrow))
     b = s.select(F.col("pos").alias("j"), F.col("s3").alias("__sj"))
     dec = "decimal(38,0)"
     num = F.col("n").cast(dec) * F.col("sum_e6").cast(dec) - F.col(

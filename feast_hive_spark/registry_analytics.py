@@ -2055,12 +2055,22 @@ def approx_distinct_users_bounded(
     than the approximate value, so the DuckDB twin is a plain exact
     aggregate + TRUE — the hash gate then proves the sketch's error
     bound held, which is exactly the property the scale path relies
-    on."""
+    on.
+
+    Physical shape: the distinct rollup is explicit (groupBy (type,
+    user) first) because Catalyst's single-distinct rewrite of
+    ``countDistinct + approx_count_distinct`` in ONE agg runs the HLL
+    partial at the (type, user) level — a 410-slot register array PER
+    (type, user) GROUP through the hash map and exchange (~GBs at
+    sf0.1). Over the deduped frame the sketch partial exists only per
+    (partition, type), and HLL is duplicate-insensitive so the
+    registers — and the verdict — are bit-identical."""
     ev = read_table(spark, sf_dir, "events")
+    per_user = ev.select("event_type", "user_id").distinct()
     return (
-        ev.groupBy("event_type")
+        per_user.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("n_exact"),
+            F.count("user_id").alias("n_exact"),
             F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("__appx"),
         )
         .select(
@@ -3213,14 +3223,23 @@ def cms_error_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feast_hive_spark.operators.sketches import cms_build, cms_estimate
 
     li = read_table(spark, sf_dir, "lineitem")
-    sketch = cms_build(li, "l_suppkey", width=_CMS_W, depth=_CMS_D)
-    items = li.select("l_suppkey").distinct()
-    est = cms_estimate(sketch, items, "l_suppkey", width=_CMS_W, depth=_CMS_D)
+    # one fact scan (r13, guide §2.3 — the cms_join_size_audit
+    # pattern): the per-item exact rollup is cached and everything
+    # else derives from it — the sketch builds WEIGHTED from the
+    # rollup (|items| hash evaluations instead of |lineitem|; cell
+    # counts are SUM(weight), exactly the expanded stream's counts),
+    # the estimate probes its keys, and N is the sum of its counts.
     truth = li.groupBy(F.col("l_suppkey").alias("item")).agg(
         F.count(F.lit(1)).cast("long").alias("true_n")
+    ).cache()
+    sketch = cms_build(
+        truth.select(F.col("item").alias("l_suppkey"), "true_n"),
+        "l_suppkey", width=_CMS_W, depth=_CMS_D, weight_col="true_n",
     )
+    items = truth.select(F.col("item").alias("l_suppkey"))
+    est = cms_estimate(sketch, items, "l_suppkey", width=_CMS_W, depth=_CMS_D)
     tot = F.broadcast(
-        li.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        truth.agg(F.sum("true_n").cast("long").alias("n_events"))
     )
     over = F.col("est_n") - F.col("true_n")
     bound = F.expr(f"(2 * n_events) div {_CMS_W}")

@@ -812,25 +812,37 @@ def oov_rate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (high OOV = content a fixed vocabulary spends many tokens on).
     The vocabulary is a TakeOrdered over the token counts (broadcast
     back); the doc stream left-joins it and re-aggregates — one
-    vocabulary-sized exchange plus the per-doc rollup."""
+    vocabulary-sized exchange plus the per-doc rollup.
+
+    Physical shape: both the vocabulary and the per-doc readout
+    derive from ONE cached (doc, token, count) rollup, so the corpus
+    is tokenized+exploded once per run instead of once per consumer
+    (the global token count is the sum of per-doc counts). The
+    cached frame is doc-vocabulary-sized — the same sublinear-in-
+    token-volume class as the LM-score family's vocab caches."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(X.words("text")).alias("tok")
     )
+    rollup = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .cache()
+    )
     vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
+        rollup.groupBy("tok")
+        .agg(F.sum("__c").alias("c"))
         .orderBy(F.col("c").desc(), F.col("tok"))
         .limit(_OOV_VOCAB_TOP)
         .select("tok", F.lit(1).alias("__in"))
     )
     return (
-        toks.join(F.broadcast(vocab), "tok", "left")
+        rollup.join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("__c").alias("n_tok"),
             F.sum(
-                F.when(F.col("__in").isNull(), 1).otherwise(0)
+                F.when(F.col("__in").isNull(), F.col("__c")).otherwise(0)
             ).alias("n_oov"),
         )
         .select(

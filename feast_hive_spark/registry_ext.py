@@ -856,9 +856,12 @@ def ann_multiprobe_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-reproducible."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
+    # cached (r13, guide §1.3): bf (8×5 rows) feeds the match join AND
+    # the distinct query spine — uncached, the brute-force matmul
+    # kernel executed twice per run
     bf = S.brute_force_topk(emb, q, "vec_id", "embedding", k=5).select(
         "query_id", "neighbor_id"
-    )
+    ).cache()
     mp = S.lsh_topk(
         emb, q, "vec_id", "embedding", k=5, n_planes=4, n_tables=6,
         probe_bits=1,
@@ -914,9 +917,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins composed) hash-matches the report exactly."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
+    # cached (r13, guide §1.3): bf (8×5 rows) feeds the match join AND
+    # the distinct query spine — uncached, the brute-force matmul
+    # kernel executed twice per run
     bf = S.brute_force_topk(emb, q, "vec_id", "embedding", k=5).select(
         "query_id", "neighbor_id"
-    )
+    ).cache()
     ls = S.lsh_topk(
         emb, q, "vec_id", "embedding", k=5, n_planes=4, n_tables=12
     ).select("query_id", "neighbor_id")
@@ -1230,7 +1236,9 @@ def split_no_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = labeled.withColumn(
         "split",
         F.when(b < 8000, "train").when(b < 9000, "val").otherwise("test"),
-    )
+    ).cache()  # (r13, §1.3) feeds summary + BOTH leak-join endpoint
+    # sides — uncached, the docs⋈CC-labels join and the split hash
+    # executed three times per run
     summary = labeled.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("cluster_id").cast("long").alias("n_clusters"),

@@ -785,42 +785,49 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a returned line on a multi-supplier finalized order -
     EXISTS + NOT EXISTS double correlation on the same fact table.
 
-    Spark shape: the correlated subqueries become a left_semi and a
-    left_anti join against (orderkey, suppkey)-keyed projections of
-    lineitem. Both join on l_orderkey with an extra non-equi conjunct
-    (suppkey <>), which Spark executes as a shuffled semi/anti join
-    with the residual predicate - no row explosion, no cartesian."""
+    Spark shape (r13, guide §2.3/§3.3): the EXISTS/NOT-EXISTS pair is
+    decided per (orderkey, suppkey), so the fact table folds to that
+    rollup in ONE scan (was: three lineitem scans feeding shuffled
+    semi/anti joins with fact-sized probe sides). Per returned line
+    with supplier s on order o: "another supplier has a line on o"
+    ⇔ o's distinct-supplier count ≥ 2 (s itself is in the set), and
+    "no OTHER supplier has a returned line on o" ⇔ o's
+    returned-supplier count == 1. Both counts ride one window over
+    the (orderkey, suppkey)-sized rollup — the only shuffles after
+    the scan are rollup-sized. numwait = SUM of the qualifying
+    rollup's returned-line counts, the exact multiplicity the
+    semi/anti formulation counted row-wise."""
+    from pyspark.sql import Window
+
     s = read_table(spark, sf_dir, "supplier")
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l1 = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
-    )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
-    )
-    base = (
-        l1.join(o, l1.l_orderkey == o.o_orderkey)
-        .join(
-            l2,
-            (F.col("l_orderkey") == F.col("l2_orderkey"))
-            & (F.col("l_suppkey") != F.col("l2_suppkey")),
-            "left_semi",
+    ps = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", F.lit(1))).alias(
+            "__nret"
         )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("l3_orderkey"))
-            & (F.col("l_suppkey") != F.col("l3_suppkey")),
-            "left_anti",
-        )
+    )
+    wo = Window.partitionBy("l_orderkey")
+    st = ps.select(
+        "l_orderkey",
+        "l_suppkey",
+        "__nret",
+        F.count(F.lit(1)).over(wo).alias("__d_all"),
+        F.sum((F.col("__nret") > 0).cast("int")).over(wo).alias("__d_ret"),
+    )
+    base = st.filter(
+        (F.col("__nret") > 0)
+        & (F.col("__d_all") >= 2)
+        & (F.col("__d_ret") == 1)
+    ).join(
+        o.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
     )
     return (
         base.join(gated_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .agg(F.sum("__nret").cast("long").alias("numwait"))
     )
 
 
