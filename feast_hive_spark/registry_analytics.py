@@ -3536,12 +3536,19 @@ def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_s"
         )
     )
+    # one percentile(col, array(...)) buffer instead of two (r13,
+    # guide §2.3 — see percentile_order_value)
     return lags.agg(
         F.count(F.lit(1)).alias("n_converted"),
         F.min("lag_s").cast("long").alias("min_lag_s"),
-        F.round(F.expr("percentile(lag_s, 0.5)"), 4).alias("p50_lag_s"),
-        F.round(F.expr("percentile(lag_s, 0.9)"), 4).alias("p90_lag_s"),
+        F.expr("percentile(lag_s, array(0.5D, 0.9D))").alias("__ps"),
         F.max("lag_s").cast("long").alias("max_lag_s"),
+    ).select(
+        "n_converted",
+        "min_lag_s",
+        F.round(F.col("__ps")[0], 4).alias("p50_lag_s"),
+        F.round(F.col("__ps")[1], 4).alias("p90_lag_s"),
+        "max_lag_s",
     )
 
 
@@ -8213,12 +8220,15 @@ def join_cardinality_estimation_audit(
     for name, ta, ka, tb, kb in _JCE_SPECS:
         a = read_table(spark, sf_dir, ta)
         b = read_table(spark, sf_dir, tb)
+        # cached (r13, §1.3): each histogram feeds its (n, ndv) fold
+        # AND the truth dot-product join — uncached, every fact table
+        # scanned+aggregated twice per edge
         ga = a.groupBy(F.col(ka).alias("k")).agg(
             F.count(F.lit(1)).cast("long").alias("ca")
-        )
+        ).cache()
         gb = b.groupBy(F.col(kb).alias("k")).agg(
             F.count(F.lit(1)).cast("long").alias("cb")
-        )
+        ).cache()
         # r13 optimization (guide §2.4): derive (row count, NDV) from
         # the key histogram instead of a second full scan with a
         # COUNT(DISTINCT) expand — SUM(ca) == COUNT(*) (a NULL key is

@@ -1795,9 +1795,17 @@ def text_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50_tokens"),
-            F.round(F.expr("percentile(n_tok, 0.9)"), 4).alias("p90_tokens"),
+            # one percentile(col, array(...)) buffer instead of two
+            # (r13, guide §2.3 — see percentile_order_value)
+            F.expr("percentile(n_tok, array(0.5D, 0.9D))").alias("__ps"),
             F.max(F.col("n_tok").cast("long")).alias("max_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("__ps")[0], 4).alias("p50_tokens"),
+            F.round(F.col("__ps")[1], 4).alias("p90_tokens"),
+            "max_tokens",
         )
     )
 

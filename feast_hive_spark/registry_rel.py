@@ -952,10 +952,20 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile (t-digest, mergeable partials) - the exact form
     is the oracle-able baseline and the two agree to ~1e-9 relative."""
     o = read_table(spark, sf_dir, "orders")
+    # one percentile(col, array(...)) call (r13, guide §2.3): three
+    # scalar percentile aggregates each built their OWN per-group
+    # value buffer (3x partial_percentile in the plan); the array form
+    # sorts one buffer and reads all three quantiles from it — same
+    # Percentile expression, bit-identical interpolation.
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.expr(
+            "percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"
+        ).alias("__ps")
+    ).select(
+        "o_orderstatus",
+        F.round(F.col("__ps")[0], 4).alias("p50"),
+        F.round(F.col("__ps")[1], 4).alias("p90"),
+        F.round(F.col("__ps")[2], 4).alias("p99"),
     )
 
 
@@ -989,10 +999,17 @@ def quantile_bins_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile_rank_bounded for its tolerance gate) — the plan
     shape is unchanged."""
     o = read_table(spark, sf_dir, "orders")
+    # one percentile(col, array(...)) buffer instead of three (r13,
+    # guide §2.3 — see percentile_order_value)
     bounds = o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("b1"),
-        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("b2"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("b3"),
+        F.expr(
+            "percentile(o_totalprice, array(0.25D, 0.50D, 0.75D))"
+        ).alias("__bs")
+    ).select(
+        "o_orderstatus",
+        F.round(F.col("__bs")[0], 4).alias("b1"),
+        F.round(F.col("__bs")[1], 4).alias("b2"),
+        F.round(F.col("__bs")[2], 4).alias("b3"),
     )
     j = o.join(F.broadcast(bounds), "o_orderstatus")
     binc = (
