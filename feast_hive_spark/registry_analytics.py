@@ -336,33 +336,50 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     then everything runs on k² cells. Requires ≥2 observed source
     states (ln k in the normalizer); the events fixture has 5."""
     ensure_views(spark, sf_dir)
-    return spark.sql(f"""
-        WITH nxt AS (
-          SELECT event_type,
-                 LEAD(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                 ) AS next_type
-          FROM events
-        ), cells AS (
-          SELECT event_type AS s, next_type AS t, count(*) AS n
-          FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
-        ), marg AS (
-          SELECT s, sum(n) AS ns FROM cells GROUP BY s
-        ), tot AS (
-          SELECT sum(ns) AS nn, count(*) AS n_states FROM marg
-        ), terms AS (
-          SELECT cast(round(cells.n * (ln(cast(ns AS DOUBLE)) - ln(cast(cells.n AS DOUBLE)))
-                            * 1000000) AS BIGINT) AS tmicro
-          FROM cells JOIN marg ON cells.s = marg.s
+    # k²-cell transition table cached (r13, guide §1.3): Spark
+    # inlines CTEs, so the all-SQL form re-ran the corpus-sized
+    # user-keyed window + rollup under BOTH marg and terms — two full
+    # transition extractions per run. The arithmetic below is the
+    # identical SQL text per fragment.
+    cells = spark.sql("""
+        SELECT event_type AS s, next_type AS t, count(*) AS n
+        FROM (SELECT event_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS next_type
+              FROM events)
+        WHERE next_type IS NOT NULL GROUP BY 1, 2
+    """).cache()
+    marg = cells.groupBy("s").agg(F.expr("sum(n) AS ns"))
+    tot = marg.agg(
+        F.expr("sum(ns) AS nn"), F.expr("count(*) AS n_states")
+    )
+    terms = cells.join(marg, "s").select(
+        F.expr(
+            "cast(round(n * (ln(cast(ns AS DOUBLE)) - ln(cast(n AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("tmicro")
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy("nn", "n_states")
+        .agg(
+            F.expr(
+                f"round(sum(tmicro) / 1e6 / nn / {_LN2}, 6)"
+                " AS entropy_rate_bits"
+            ),
+            F.expr(
+                "round(1e0 - sum(tmicro) / 1e6 / nn"
+                " / ln(cast(n_states AS DOUBLE)), 6) AS predictability"
+            ),
         )
-        SELECT cast(nn AS BIGINT) AS n_transitions,
-               cast(n_states AS BIGINT) AS n_states,
-               round(sum(tmicro) / 1e6 / nn / {_LN2}, 6) AS entropy_rate_bits,
-               round(1e0 - sum(tmicro) / 1e6 / nn
-                           / ln(cast(n_states AS DOUBLE)), 6) AS predictability
-        FROM terms CROSS JOIN tot
-        GROUP BY nn, n_states
-    """)
+        .select(
+            F.expr("cast(nn AS BIGINT) AS n_transitions"),
+            F.expr("cast(n_states AS BIGINT) AS n_states"),
+            "entropy_rate_bits",
+            "predictability",
+        )
+    )
 
 
 @register(
@@ -5630,30 +5647,45 @@ def funnel_within_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw stream, no per-user sequence sort); timestamps compare as
     micros longs to stay inside codegen."""
     ensure_views(spark, sf_dir)
-    return spark.sql("""
-        WITH v AS (
-          SELECT user_id, min(unix_micros(ts)) AS t_view
-          FROM events WHERE event_type = 'view' GROUP BY user_id
-        ), c AS (
-          SELECT e.user_id, min(unix_micros(e.ts)) AS t_click
-          FROM events e JOIN v ON e.user_id = v.user_id
-          WHERE e.event_type = 'click'
-            AND unix_micros(e.ts) > v.t_view
-            AND unix_micros(e.ts) <= v.t_view + 3600000000
-          GROUP BY e.user_id
-        ), p AS (
-          SELECT e.user_id, min(unix_micros(e.ts)) AS t_purchase
-          FROM events e JOIN c ON e.user_id = c.user_id
-          WHERE e.event_type = 'purchase'
-            AND unix_micros(e.ts) > c.t_click
-            AND unix_micros(e.ts) <= c.t_click + 3600000000
-          GROUP BY e.user_id
+    # stage tables cached (r13, guide §1.3): Spark inlines CTEs, so
+    # the all-SQL form re-executed v under c, p AND the final join (3
+    # builds) and c twice — six event scans per run; with the
+    # user-domain-sized v and c cached it is one scan per stage (3).
+    # Predicates and aggregates are the identical SQL text.
+    v = spark.sql("""
+        SELECT user_id, min(unix_micros(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    """).cache()
+    c = (
+        spark.sql("""
+            SELECT user_id, unix_micros(ts) AS __t
+            FROM events WHERE event_type = 'click'
+        """)
+        .join(v, "user_id")
+        .filter("__t > t_view AND __t <= t_view + 3600000000")
+        .groupBy("user_id")
+        .agg(F.expr("min(__t) AS t_click"))
+        .cache()
+    )
+    p = (
+        spark.sql("""
+            SELECT user_id, unix_micros(ts) AS __t
+            FROM events WHERE event_type = 'purchase'
+        """)
+        .join(c, "user_id")
+        .filter("__t > t_click AND __t <= t_click + 3600000000")
+        .groupBy("user_id")
+        .agg(F.expr("min(__t) AS t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.expr("cast(count(*) AS BIGINT) AS n_view"),
+            F.expr("cast(count(t_click) AS BIGINT) AS n_click_1h"),
+            F.expr("cast(count(t_purchase) AS BIGINT) AS n_purchase_1h"),
         )
-        SELECT cast(count(*) AS BIGINT) AS n_view,
-               cast(count(c.user_id) AS BIGINT) AS n_click_1h,
-               cast(count(p.user_id) AS BIGINT) AS n_purchase_1h
-        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-    """)
+    )
 
 
 @register(
