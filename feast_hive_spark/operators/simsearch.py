@@ -667,12 +667,15 @@ def _knn_pred(
     # collect), whose window prunes with the same (cosine desc, id)
     # order. Both round cosine to 6dp before ranking, so the chosen
     # neighbors — and therefore the votes — are identical.
-    if df.limit(MAX_QUERY_ROWS + 1).count() <= MAX_QUERY_ROWS:
+    # r13 (guide §1): let brute_force_topk's own guarded collect decide
+    # the strategy instead of a dedicated LIMIT-probe count — the probe
+    # was one extra full execution of the query-side plan per run.
+    try:
         ranked = brute_force_topk(df, df, id_col, vec_col, k=k)
         topk_base = ranked.select(
             F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb")
         )
-    else:
+    except AnnQueryGuardError:
         pairs = _block_cosine_pairs(df, id_col, vec_col, threshold=-1.1)
         sym = pairs.select(
             F.col("id_a").alias("q"), F.col("id_b").alias("nb"), "cosine"
@@ -719,12 +722,25 @@ def hard_negative_topk(
     label. Output: (query_id, neighbor_id, cosine, rank).
     """
     spark = candidates.sparkSession
-    qpdf_ids, Qn = _query_matrix(candidates, id_col, vec_col)
-    lab_pdf = candidates.select(id_col, label_col).toPandas()
-    lab_by_id = dict(
-        zip(lab_pdf[id_col].to_numpy(), lab_pdf[label_col].to_numpy())
+    # ONE guarded collect for ids + vectors + labels (r13, guide §1):
+    # the old _query_matrix + separate label toPandas executed the
+    # query-side plan twice (two driver jobs) and rebuilt the label
+    # alignment through a Python dict.
+    qpdf = (
+        candidates.select(id_col, vec_col, label_col)
+        .limit(MAX_QUERY_ROWS + 1)
+        .toPandas()
     )
-    q_labels = np.array([lab_by_id[i] for i in qpdf_ids])
+    if len(qpdf) > MAX_QUERY_ROWS:
+        raise AnnQueryGuardError(
+            f"query set exceeds {MAX_QUERY_ROWS} rows; the ANN search "
+            "collects+broadcasts the query matrix. For query sets this "
+            "large, run dedup-style pair mining "
+            "(dedup.embedding_cosine_pairs / lsh strategies) instead."
+        )
+    qpdf_ids = qpdf[id_col].to_numpy()
+    Qn = V.np_normalize(V.np_matrix(qpdf[vec_col]))
+    q_labels = qpdf[label_col].to_numpy()
     b_qids = spark.sparkContext.broadcast(qpdf_ids)
     b_qm = spark.sparkContext.broadcast(Qn)
     b_qlab = spark.sparkContext.broadcast(q_labels)
@@ -736,22 +752,31 @@ def hard_negative_topk(
             labs = batch[label_col].to_numpy()
             if qids.size == 0 or ids.size == 0:
                 continue
+            # vectorized per-query top-k (r13, guide §4.2) — same cut
+            # as brute_force_topk: same-label cells become -inf
+            # sentinels, the column-wise argpartition keeps k plus
+            # every boundary-tied row (a superset of the global
+            # (cosine desc, neighbor_id asc) window's winners, so a
+            # tie can never evict the lower-id neighbor the final
+            # rank picks), and non-finite sentinels drop at the end.
             Cn = V.np_normalize(V.np_matrix(batch[vec_col]))
-            S = np.round(Cn @ Q.T, 6)
-            out_q, out_n, out_c = [], [], []
-            for j, q in enumerate(qids):
-                mask = labs != qlab[j]
-                col = S[mask, j]
-                cand_ids = ids[mask]
-                if col.size == 0:
-                    continue
-                keep = min(k, len(col))
-                top = np.argpartition(-col, keep - 1)[:keep]
-                out_q.extend([q] * len(top))
-                out_n.extend(cand_ids[top])
-                out_c.extend(col[top])
+            S = np.round(Cn @ Q.T, 6)  # (n_batch, n_queries)
+            S[labs[:, None] == qlab[None, :]] = -np.inf
+            keep = min(k, S.shape[0])
+            if keep < S.shape[0]:
+                part = np.argpartition(-S, keep - 1, axis=0)[:keep]
+                bound = np.take_along_axis(S, part, axis=0).min(axis=0)
+                rows, cols = np.nonzero(S >= bound[None, :])
+            else:
+                rows, cols = np.nonzero(np.isfinite(S))
+            vals = S[rows, cols]
+            fin = np.isfinite(vals)
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+                {
+                    "query_id": qids[cols[fin]],
+                    "neighbor_id": ids[rows[fin]],
+                    "cosine": vals[fin],
+                }
             )
 
     scored = candidates.select(id_col, vec_col, label_col).mapInPandas(
@@ -853,8 +878,15 @@ def lsh_hard_negative_topk(
                 F.col(vec_col).cast("string"),
             )
         )
-        mem = emb.select(F.col(id_col).alias("__mid"), gk.alias("__g"))
-        reps = mem.groupBy("__g").agg(F.min("__mid").alias("__rid"))
+        # cached (r13, guide §1.3): mem anchors the rep pick AND both
+        # expansion member sides (3 consumers), reps the rep-row semi
+        # join AND both expansion group sides (3-4 consumers) —
+        # uncached, each consumer re-scanned the corpus and re-ran the
+        # md5 groupBy. Rows are (id, 32-char hash) / (hash, id) only.
+        mem = emb.select(
+            F.col(id_col).alias("__mid"), gk.alias("__g")
+        ).cache()
+        reps = mem.groupBy("__g").agg(F.min("__mid").alias("__rid")).cache()
         rep_rows = emb.join(
             reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi"
         )

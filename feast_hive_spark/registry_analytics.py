@@ -3356,10 +3356,16 @@ def bloom_filter_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on the join key."""
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
+    # cached: members feeds the filter build AND the final membership
+    # broadcast; words feeds ONE broadcast per hash function — uncached,
+    # the orders scan + distinct + explode + bit_or subtree executed
+    # once per _BLOOM_K join plus once for membership (r13, guide §1.3;
+    # words is <=4096 rows, members the urgent-order key set)
     members = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        .cache()
     )
 
     def pos(i: int):
@@ -3383,7 +3389,7 @@ def bloom_filter_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(
             F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
         ).alias("mask")
-    )
+    ).cache()
     probed = li.select(F.col("l_orderkey").alias("k")).distinct().select(
         "k", *[pos(i).alias(f"p{i}") for i in range(_BLOOM_K)]
     )
@@ -5142,6 +5148,9 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     nano-units before the exact integer sum, so no float summation
     order leaks in. alpha is half-up micro from the nano H."""
     orders = read_table(spark, sf_dir, "orders")
+    # cached: the top-200 TakeOrderedAndProject feeds BOTH the xk
+    # scalar and the log table — uncached, the full orders sort-limit
+    # executed twice per run (r13, guide §1.3; 200 rows)
     top = (
         orders.select(
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -5151,6 +5160,7 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(200)
         .select("cents")
+        .cache()
     )
     xk = top.agg(F.min("cents").alias("ck"))
     lg = top.crossJoin(F.broadcast(xk)).select(

@@ -4137,18 +4137,26 @@ def winnowing_fingerprint_stats(
     docs = read_table(spark, sf_dir, "documents")
     fp = winnowing_fingerprints(docs, "doc_id", "text", n=3, window=4)
     toks = docs.select(X.words("text").alias("__w"))
+    # n_docs folds into the token scan: every doc with >= n tokens
+    # keeps its pos-0 window row, so COUNT(DISTINCT doc_id) over the
+    # fingerprint table == count of docs with >= 1 shingle. Dropping
+    # the doc_id distinct leaves ONE distinct aggregate on fp, so
+    # Catalyst's multi-distinct Expand (3x the fingerprint rows
+    # through the exchange) disappears (r13, guide §2.3).
     n_sh = toks.select(
         F.sum(
             F.when(F.size("__w") >= 3, F.size("__w") - 2).otherwise(0)
-        ).alias("n_shingles")
+        ).alias("n_shingles"),
+        F.sum(
+            F.when(F.size("__w") >= 3, 1).otherwise(0)
+        ).alias("n_docs"),
     )
     stats = fp.agg(
-        F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
         F.countDistinct("fph").cast("long").alias("n_distinct_fph"),
     )
     return stats.crossJoin(F.broadcast(n_sh)).select(
-        "n_docs",
+        F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_shingles").cast("long").alias("n_shingles"),
         "n_fingerprints",
         "n_distinct_fph",
@@ -4558,7 +4566,13 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bin")
     )
-    cb = cust.groupBy(*keys, bin_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # cached (r13, guide §1.3): cb feeds the global CDF, the class
+    # sizes AND the grid left join — uncached, the customer scan +
+    # rollup executed three times per run. QI x bin domain-sized
+    # (<= ~1250 rows at any corpus size).
+    cb = cust.groupBy(*keys, bin_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).cache()
     # the global CDF must cover the COMPLETE bin domain: a globally
     # empty interior bin still carries the previous bin's |CumP-CumQ|
     # into the EMD sum (both CDFs flat there) — dropping it would
@@ -5487,35 +5501,39 @@ def serving_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"), "ts", "value", "event_id"
     )
-    serving = (
-        clicks.filter(F.col("ts") <= m_ts)
-        .groupBy("c_user")
-        .agg(
-            F.max_by(
-                F.col("value"), F.struct(F.col("ts"), F.col("event_id"))
-            ).alias("s_value"),
-            F.max("ts").alias("s_ts"),
-        )
-    )
+    # fold (r13, guide §2.4/§3.1): every pre-cutoff click (ts <= M) is
+    # also <= pts for every probe (probes start at M), so the SERVING
+    # argmax is derivable from the same probes-x-clicks join the
+    # TRAINING argmax needs — a conditional max_by whose ordering key
+    # is NULL (ignored) past the cutoff. One join + one grouped agg
+    # replaces two joins + two aggs, and the events table is scanned
+    # twice per run instead of four times (probes is cached: it feeds
+    # the join AND the final left join).
+    probes = probes.cache()
     tj = probes.join(
         clicks,
         (F.col("c_user") == F.col("user_id")) & (F.col("ts") <= F.col("pts")),
         "inner",
     )
-    training = tj.groupBy("probe_id").agg(
+    per_probe = tj.groupBy("probe_id").agg(
         F.max_by(
             F.struct(F.col("value").alias("v"), F.col("ts").alias("t")),
             F.struct(F.col("ts"), F.col("event_id")),
-        ).alias("__m")
+        ).alias("__m"),
+        F.max_by(
+            F.col("value"),
+            F.when(
+                F.col("ts") <= m_ts,
+                F.struct(F.col("ts"), F.col("event_id")),
+            ),
+        ).alias("s_value"),
     ).select(
         "probe_id",
         F.col("__m").getField("v").alias("t_value"),
         F.col("__m").getField("t").alias("t_ts"),
+        "s_value",
     )
-    j = (
-        probes.join(serving, probes.user_id == serving.c_user, "left")
-        .join(training, "probe_id", "left")
-    )
+    j = probes.join(per_probe, "probe_id", "left")
     mismatch = ~F.col("s_value").eqNullSafe(F.col("t_value"))
     return j.agg(
         F.count(F.lit(1)).cast("long").alias("n_probes"),
@@ -5650,20 +5668,26 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dcg_e9")
         )
     )
+    # n_rel = corpus rows sharing the query's label minus the query
+    # itself: ONE domain-sized label histogram replaces the 8x-corpus
+    # crossJoin expand (r13, guide §2.3 — shuffle/scan fewer bytes).
+    # A NULL qlab matches nothing under `=` in both shapes (plain
+    # equality join, no null-safe match), so n_rel stays 0 there.
+    hist = emb.groupBy(F.col("label").alias("qlab")).agg(
+        F.count(F.lit(1)).alias("__n_lab")
+    )
     nrel = (
-        emb.crossJoin(
-            F.broadcast(
-                q.select("query_id", "qlab")
+        q.select("query_id", "qlab")
+        .join(F.broadcast(hist), "qlab", "left")
+        .select(
+            "query_id",
+            F.when(
+                F.col("qlab").isNotNull(),
+                F.coalesce(F.col("__n_lab"), F.lit(1)) - 1,
             )
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id")
-        .agg(
-            F.sum(
-                F.when(F.col("label") == F.col("qlab"), 1).otherwise(0)
-            )
+            .otherwise(0)
             .cast("long")
-            .alias("n_rel")
+            .alias("n_rel"),
         )
     )
     series = spark.range(1, _NDCG_K + 1).select(
