@@ -51,6 +51,12 @@ except Exception:  # noqa: BLE001
     _HAS_PIL = False
 
 
+#: per-task codec-memo size bound (r13, guide §4): identical payloads
+#: within a task encode/decode once (exact-collapse applied to media
+#: bytes); past the cap new payloads process uncached. In-memory only,
+#: per task — nothing persists across tasks or runs.
+_CODEC_MEMO_CAP = 65536
+
 # magic-byte prefixes -> sniffed media type (JVM-side, no UDF)
 _MAGIC = {
     "89504e47": "image/png",
@@ -213,16 +219,25 @@ def image_pixel_stats(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task content-addressed memo (r13, guide §4): identical
+        # payloads decode once per task — the exact-collapse idea
+        # applied to media bytes (real corpora repeat logos/thumbnails
+        # exactly as text corpora repeat documents). Bounded: past the
+        # cap new payloads decode uncached; nothing persists across
+        # tasks or runs.
+        memo: dict[bytes, tuple] = {}
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[binary_col]):
                 payload = b if isinstance(b, bytes) else bytes(b)
-                img = _decode_image(payload)
-                if img is None:
-                    raise ValueError(f"undecodable image payload for {id_col}={i}")
-                rows.append(
-                    (
-                        i,
+                st = memo.get(payload)
+                if st is None:
+                    img = _decode_image(payload)
+                    if img is None:
+                        raise ValueError(
+                            f"undecodable image payload for {id_col}={i}"
+                        )
+                    st = (
                         img.shape[1],
                         img.shape[0],
                         img.shape[2],
@@ -230,7 +245,9 @@ def image_pixel_stats(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                         int(img.min()),
                         int(img.max()),
                     )
-                )
+                    if len(memo) < _CODEC_MEMO_CAP:
+                        memo[payload] = st
+                rows.append((i, *st))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -325,12 +342,24 @@ def resize_images(
         return _fake_resize(payload)
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task content-addressed memo (r13, guide §4): identical
+        # payloads resize/re-encode once per task; bounded, per task.
+        memo: dict[bytes, bytes] = {}
+
+        def cached(payload: bytes) -> bytes:
+            th = memo.get(payload)
+            if th is None:
+                th = one(payload)
+                if len(memo) < _CODEC_MEMO_CAP:
+                    memo[payload] = th
+            return th
+
         for pdf in batches:
             raw = [b if isinstance(b, bytes) else bytes(b) for b in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "thumb": [one(b) for b in raw],
+                    "thumb": [cached(b) for b in raw],
                     "width": width,
                     "height": height,
                     "n_bytes_in": [len(b) for b in raw],
@@ -387,22 +416,31 @@ def image_ahash_bands(
     schema = f"{id_col} long, b0 long, b1 long, b2 long, b3 long"
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task content-addressed memo (r13, guide §4): identical
+        # payloads decode + hash once per task. Bounded, per task.
+        memo: dict[bytes, tuple] = {}
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[binary_col]):
                 payload = b if isinstance(b, bytes) else bytes(b)
-                img = _decode_image(payload)
-                if img is None:
-                    raise ValueError(f"undecodable image payload for {id_col}={i}")
-                h, w = img.shape[0], img.shape[1]
-                ys = (np.arange(8) * h) // 8
-                xs = (np.arange(8) * w) // 8
-                s = img[ys][:, xs, 0].astype(np.int64).ravel()  # b = r*8+c
-                bits = (64 * s > s.sum()).astype(np.int64)
-                bands = [
-                    int((bits[16 * j : 16 * (j + 1)] << np.arange(16)).sum())
-                    for j in range(4)
-                ]
+                bands = memo.get(payload)
+                if bands is None:
+                    img = _decode_image(payload)
+                    if img is None:
+                        raise ValueError(
+                            f"undecodable image payload for {id_col}={i}"
+                        )
+                    h, w = img.shape[0], img.shape[1]
+                    ys = (np.arange(8) * h) // 8
+                    xs = (np.arange(8) * w) // 8
+                    s = img[ys][:, xs, 0].astype(np.int64).ravel()  # b = r*8+c
+                    bits = (64 * s > s.sum()).astype(np.int64)
+                    bands = tuple(
+                        int((bits[16 * j : 16 * (j + 1)] << np.arange(16)).sum())
+                        for j in range(4)
+                    )
+                    if len(memo) < _CODEC_MEMO_CAP:
+                        memo[payload] = bands
                 rows.append((i, *bands))
             yield pd.DataFrame(rows, columns=[id_col, "b0", "b1", "b2", "b3"])
 
@@ -527,16 +565,29 @@ def sample_video_frames(
     )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task content-addressed memo (r13, guide §4): identical
+        # animations decode + sample once per task; the memo stores the
+        # id-free row template. Bounded, per task, nothing cross-run.
+        memo: dict[bytes, list] = {}
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[binary_col]):
                 payload = b if isinstance(b, bytes) else bytes(b)
-                frames = gif.decode_frames(payload)
-                for fi in range(0, len(frames), every_n):
-                    fr = frames[fi].astype(np.int64)
-                    rows.append(
-                        (i, fi, len(frames), int(fr.sum()), int(fr.max()))
-                    )
+                tmpl = memo.get(payload)
+                if tmpl is None:
+                    frames = gif.decode_frames(payload)
+                    tmpl = [
+                        (
+                            fi,
+                            len(frames),
+                            int(frames[fi].astype(np.int64).sum()),
+                            int(frames[fi].max()),
+                        )
+                        for fi in range(0, len(frames), every_n)
+                    ]
+                    if len(memo) < _CODEC_MEMO_CAP:
+                        memo[payload] = tmpl
+                rows.extend((i, *t) for t in tmpl)
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -2543,6 +2543,8 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
 
     def mk(batches):
+        # per-task content-addressed encode memo (r13, guide §4).
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             payloads = []
@@ -2551,7 +2553,14 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 8 + base % 5, 6 + base % 4
                 k = np.arange(w * h, dtype=np.int64)
                 v = (base * 31 + 7 * k + np.where(k % 37 == 0, int(d) % 5, 0)) % 256
-                payloads.append(png.encode(v.astype(np.uint8).reshape(h, w)))
+                img = v.astype(np.uint8).reshape(h, w)
+                key = (w, h, img.tobytes())
+                p = memo.get(key)
+                if p is None:
+                    p = png.encode(img)
+                    if len(memo) < 65536:
+                        memo[key] = p
+                payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(mk, "doc_id long, payload binary")
@@ -2592,6 +2601,8 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
 
     def mk(batches):
+        # per-task content-addressed encode memo (r13, guide §4).
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             payloads = []
@@ -2599,7 +2610,13 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 8 + int(d) % 5, 6 + int(d) % 4
                 k = np.arange(w * h, dtype=np.int64)
                 img = ((int(d) * 31 + 7 * k) % 256).astype(np.uint8).reshape(h, w)
-                payloads.append(png.encode(img))
+                key = (w, h, img.tobytes())
+                p = memo.get(key)
+                if p is None:
+                    p = png.encode(img)
+                    if len(memo) < 65536:
+                        memo[key] = p
+                payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(mk, "doc_id long, payload binary")
@@ -2643,6 +2660,9 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
 
     def mk(batches):
+        # per-task content-addressed encode memo (r13, guide §4):
+        # identical rendered block grids encode once per task.
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             payloads = []
@@ -2652,8 +2672,14 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blocks = ((int(d) * 37 + bx * 11 + by * 23) % 256).astype(
                     np.uint8
                 )
-                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
-                payloads.append(jpeg.encode(img[:, :, None], qluma=1))
+                key = (bw, bh, blocks.tobytes())
+                p = memo.get(key)
+                if p is None:
+                    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                    p = jpeg.encode(img[:, :, None], qluma=1)
+                    if len(memo) < 65536:
+                        memo[key] = p
+                payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(mk, "doc_id long, payload binary")
@@ -2890,6 +2916,8 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mk(batches):
+        # per-task content-addressed encode memo (r13, guide §4).
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             payloads = []
@@ -2898,7 +2926,13 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 6 + d % 5, 5 + d % 4
                 k = np.arange(w * h, dtype=np.int64)
                 idx = ((d * 13 + k * 7) % 32).astype(np.uint8).reshape(h, w)
-                payloads.append(gif.encode(idx, palette=pal))
+                key = (w, h, idx.tobytes())
+                p = memo.get(key)
+                if p is None:
+                    p = gif.encode(idx, palette=pal)
+                    if len(memo) < 65536:
+                        memo[key] = p
+                payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(mk, "doc_id long, payload binary")
@@ -3033,6 +3067,11 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mk(batches):
+        # per-task content-addressed encode memo (r13, guide §4): the
+        # formula animation repeats exactly across doc ids, so
+        # identical rendered frames encode once per task (rendering is
+        # a numpy expression; the LZW encode is the Python cost).
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             payloads = []
@@ -3047,7 +3086,13 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .reshape(h, w)
                     for f in range(nf)
                 ]
-                payloads.append(gif.encode_frames(frames, pal))
+                key = (w, h, nf, b"".join(f.tobytes() for f in frames))
+                p = memo.get(key)
+                if p is None:
+                    p = gif.encode_frames(frames, pal)
+                    if len(memo) < 65536:
+                        memo[key] = p
+                payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(mk, "doc_id long, payload binary")
@@ -3711,6 +3756,8 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
 
     def mk(batches):
+        # per-task content-addressed encode memo (r13, guide §4).
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             payloads = []
@@ -3718,7 +3765,13 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 8 + int(d) % 5, 6 + int(d) % 4
                 k = np.arange(w * h, dtype=np.int64)
                 img = ((int(d) * 31 + 7 * k) % 256).astype(np.uint8).reshape(h, w)
-                payloads.append(png.encode(img))
+                key = (w, h, img.tobytes())
+                p = memo.get(key)
+                if p is None:
+                    p = png.encode(img)
+                    if len(memo) < 65536:
+                        memo[key] = p
+                payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(mk, "doc_id long, payload binary")
