@@ -48,6 +48,29 @@ class AnnQueryGuardError(ValueError):
     (lsh_hard_negative_topk / dedup.embedding_cosine_pairs)."""
 
 
+def _kernel_width(candidates: DataFrame, n_queries: int) -> DataFrame:
+    """Query-count-adaptive kernel parallelism (r13, guide §2.2): the
+    per-batch matmul work is candidates x queries, so a corpus-sized
+    query set (the knn/hard-negative evaluations) turns a single-file
+    local scan (1 partition — tiny single-row-group testdata) into one
+    serial quadratic task. Respread the candidate side to ~one task
+    per 256 queries, capped at the cluster's defaultParallelism —
+    derived from the problem size, not hardcoded to any core count.
+    Small query sets (k-NN reports probe 8-40 queries) derive width 1
+    and are left alone: for them extra partitions are pure dispatch +
+    Arrow overhead (measured A/B — the 8-40-query reports regressed
+    under a blanket respread while the corpus-as-queries kernels got
+    ~20-30% faster). At real scale the scan arrives with file-count
+    partitions >= the derived width and this is a no-op."""
+    width = min(
+        candidates.sparkSession.sparkContext.defaultParallelism,
+        max(1, n_queries // 256),
+    )
+    if width > candidates.rdd.getNumPartitions():
+        return candidates.repartition(width)
+    return candidates
+
+
 def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
     # bounded single-execution probe: LIMIT N+1 caps the transfer at
     # one row past the guard, and fetching the (bounded) rows directly
@@ -129,9 +152,9 @@ def brute_force_topk(
                 }
             )
 
-    scored = candidates.select(id_col, vec_col).mapInPandas(
-        mapper, "query_id long, neighbor_id long, cosine double"
-    )
+    scored = _kernel_width(
+        candidates.select(id_col, vec_col), q_ids.size
+    ).mapInPandas(mapper, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -779,9 +802,9 @@ def hard_negative_topk(
                 }
             )
 
-    scored = candidates.select(id_col, vec_col, label_col).mapInPandas(
-        mapper, "query_id long, neighbor_id long, cosine double"
-    )
+    scored = _kernel_width(
+        candidates.select(id_col, vec_col, label_col), qpdf_ids.size
+    ).mapInPandas(mapper, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
