@@ -328,7 +328,12 @@ def temperature_sample(
     e.g. the registry twin — opt in instead of every caller paying an
     undocumented extra column).
     """
-    stats = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ts_ng"))
+    # cached (r13, guide §1.3): stats feeds the normalizer scalar AND
+    # the per-group probabilities — uncached, the corpus rollup
+    # executed twice per run. Group-domain-sized.
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__ts_ng")
+    ).cache()
     tot = stats.agg(
         F.sum("__ts_ng").alias("__ts_n"),
         F.sum(F.pow(F.col("__ts_ng").cast("double"), F.lit(alpha))).alias("__ts_z"),
@@ -1300,10 +1305,15 @@ def holdout_nll_scores(
     marked = df.withColumn("__b", bucket)
     train = marked.filter(F.col("__b") < train_bp)
     val = marked.filter(F.col("__b") >= train_bp)
+    # cached (r13, guide §1.3 — same trade as the in-corpus LM
+    # scorers): vocab feeds the (T, V) scalar twice AND the scored
+    # join — uncached, the train tokenize + explode + groupBy executed
+    # 3x per run. Vocabulary-sized.
     vocab = (
         train.select(F.explode(X.words(text_col)).alias("__tok"))
         .groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .cache()
     )
     scalars = vocab.agg(
         F.sum("__c").alias("__T"), F.count(F.lit(1)).alias("__V")

@@ -141,9 +141,13 @@ def padding_efficiency_report(
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # cached (r13, guide §1.3): base feeds BOTH rankings (each a
+    # quantile probe + an offsets collect + the final windowed plan)
+    # plus the totals row — uncached, the caller's token-count scan
+    # executed ~5x per run. Two longs per row.
     base = df.select(
         F.col(id_col).alias("__id"), F.col(len_col).cast("long").alias("__len")
-    )
+    ).cache()
 
     def _ranked(src: DataFrame, bucket_col: str, order_cols) -> DataFrame:
         bkt_expr, _ = quantile_bucket(src, bucket_col, n_part)

@@ -110,11 +110,15 @@ def daily_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs on that tiny series, where a single-partition window
     is the correct plan."""
     ev = read_table(spark, sf_dir, "events")
+    # cached (r13, guide §1.3): daily feeds the (n, s) scalar AND the
+    # lag table, and lags feeds the variance scalar AND the lag
+    # covariances — uncached, the events scan executed 4x per run.
+    # Both frames are day-domain-sized.
     daily = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(
         F.sum(F.round(F.col("value") * 1000).cast("long")).alias("x")
-    )
+    ).cache()
     st = F.broadcast(
         daily.agg(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -125,7 +129,7 @@ def daily_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags = daily.select(
         "x",
         *[F.lead("x", k).over(w).alias(f"x{k}") for k in range(1, _ACF_MAX_LAG + 1)],
-    ).crossJoin(st)
+    ).crossJoin(st).cache()
     dev = F.col("n") * F.col("x").cast("decimal(38,0)") - F.col("s")
     den = F.broadcast(lags.agg(F.sum(dev * dev).alias("dd")))
     entries = [
@@ -2243,9 +2247,13 @@ def seasonal_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 7-row broadcast; the residual scan is one pass."""
     ev = read_table(spark, sf_dir, "events")
     milli = round_half_away_long(F.col("value") * 1000)
+    # cached (r13, guide §1.3): d feeds the day-of-week profile AND
+    # the residual table, and r feeds the sigma scalar AND the final
+    # readout — uncached, the events scan executed 3x per run. Both
+    # frames are day-domain-sized.
     d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.sum(milli).alias("x")
-    )
+    ).cache()
     dw = F.dayofweek("day")
     dow = d.groupBy(dw.alias("dw")).agg(
         F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
@@ -2257,7 +2265,7 @@ def seasonal_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("x") - F.col("sx").cast("double") / F.col("n"))
         .cast("long")
         .alias("resid_milli"),
-    )
+    ).cache()
     st = r.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("resid_milli").cast("decimal(38,0)").alias("s"),
@@ -2311,9 +2319,12 @@ def daily_user_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is far smaller than the scaffold). Restricted to 50
     users here to keep the oracle-scale output bounded."""
     ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    # cached (r13, guide §1.3): d feeds the bounds scalar, the key
+    # spine AND the final left join — uncached, the filtered events
+    # scan executed 3x per run. (user x day)-domain-sized.
     d = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    ).agg(F.count(F.lit(1)).alias("n_events")).cache()
     bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = bounds.select(
         F.explode(
@@ -4238,6 +4249,9 @@ def gini_user_value_concentration(
     )
 
     ev = read_table(spark, sf_dir, "events")
+    # NOT cached (r13, measured): the prefix kernels' probe jobs are
+    # plan-memoized already, so caching u only added materialization
+    # overhead (bench A/B 0.192 -> 0.308 s; reverted).
     u = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("v")
     )
@@ -4887,12 +4901,15 @@ def cusum_daily_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size; events are touched once for the day aggregate), and
     the argmax tie-breaks on the earliest day."""
     ev = read_table(spark, sf_dir, "events")
+    # cached (r13, guide §1.3): d feeds the global-total scalar AND
+    # the deviation table — uncached, the events scan executed twice
+    # per run. Day-domain-sized.
     d = ev.groupBy(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(
         F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("s"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).cache()
     g = d.agg(F.sum("s").alias("ts_"), F.sum("n").alias("tn"))
     from pyspark.sql import Window as W
 
@@ -5599,24 +5616,40 @@ def theilsen_daily_value_trend(
     scan-sized aggregate; the pairwise join and median run on
     calendar-bounded rows (N days -> N^2/2 slopes), never on events."""
     ensure_views(spark, sf_dir)
-    return spark.sql("""
-        WITH d AS (
-          SELECT unix_micros(ts) div 86400000000 AS day,
-                 sum(cast(round(value * 100) AS BIGINT)) AS cents
-          FROM events GROUP BY 1
-        ), slopes AS (
-          SELECT cast(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope
-          FROM d a JOIN d b ON b.day > a.day
-        ), r AS (
-          SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
-                 count(*) OVER () AS n
-          FROM slopes
+    # CTE split to cache (r13, guide §1.3 — Spark inlines CTEs): d was
+    # referenced by BOTH self-join sides and the n_days scalar, so the
+    # events scan executed 3x per run. The SQL text per fragment is
+    # unchanged (identical IEEE double division / median picks);
+    # day-domain-sized cache.
+    d = spark.sql("""
+        SELECT unix_micros(ts) div 86400000000 AS day,
+               sum(cast(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1
+    """).cache()
+    slopes = (
+        d.alias("a")
+        .join(d.alias("b"), F.expr("b.day > a.day"))
+        .selectExpr(
+            "cast(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope"
         )
-        SELECT cast((SELECT count(*) FROM d) AS BIGINT) AS n_days,
-               cast(max(n) AS BIGINT) AS n_pairs,
-               round(avg(slope), 6) AS slope_cents_per_day
-        FROM r WHERE rn = (n + 1) div 2 OR rn = (n + 2) div 2
-    """)
+    )
+    w = Window.orderBy("slope")
+    r = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    picked = r.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    ).agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(F.avg("slope"), 6).alias("slope_cents_per_day"),
+    )
+    n_days = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return picked.crossJoin(F.broadcast(n_days)).select(
+        "n_days", "n_pairs", "slope_cents_per_day"
+    )
 
 
 @register(

@@ -1926,14 +1926,18 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feast_hive_spark.operators.pack import pack_sequences
 
     docs = read_table(spark, sf_dir, "documents")
+    # cached (r13, guide §1.3): scored feeds the survivor argmin AND
+    # the join-back side — uncached, the scan + quality-score +
+    # token-count expressions executed twice per run. The cache holds
+    # (id, 32-char hash, double, long) — never the raw text.
     scored = docs.select(
         "doc_id",
-        "text",
+        F.md5("text").alias("__h"),
         X.quality_score("text").alias("quality"),
         X.token_count_ws("text").cast("long").alias("n_tok"),
-    ).filter(F.col("quality") >= 0.5)
+    ).filter(F.col("quality") >= 0.5).cache()
     survivors = (
-        scored.groupBy(F.md5("text").alias("__h"))
+        scored.groupBy("__h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )

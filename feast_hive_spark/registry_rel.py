@@ -159,15 +159,26 @@ SELECT 'click_only' AS bucket, COUNT(*) AS n FROM (
 )
 def set_ops_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (INTERSECT / EXCEPT / UNION ALL) over key sets."""
+    # ONE events scan (r13, guide §2.3): INTERSECT/EXCEPT are
+    # distinct-based, so both buckets derive from one per-user flag
+    # rollup — the old two set ops each scanned events twice (4 scans,
+    # 2 distinct exchanges per op).
     ev = read_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
-    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    both = clicks.intersect(buys).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("both").alias("bucket"), "n"
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("__c"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("__p"),
+        )
+        .cache()
     )
-    only = clicks.subtract(buys).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("click_only").alias("bucket"), "n"
-    )
+    both = flags.filter((F.col("__c") == 1) & (F.col("__p") == 1)).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("both").alias("bucket"), "n")
+    only = flags.filter((F.col("__c") == 1) & (F.col("__p") == 0)).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("click_only").alias("bucket"), "n")
     return both.unionAll(only)
 
 
