@@ -4080,6 +4080,10 @@ def ks_test_click_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
+    # cached (r13, guide §1.3): g feeds the prefix-sum kernel (probe +
+    # offsets collect + the final windowed plan) AND the (n1, n2)
+    # scalar — uncached, the events scan executed ~4x per run.
+    # Value-domain-sized.
     g = ev.groupBy(
         F.round(F.col("value") * 1000000).cast("long").alias("v")
     ).agg(
@@ -4089,7 +4093,7 @@ def ks_test_click_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("event_type") == "view", 1).otherwise(0)
         ).alias("c2"),
-    )
+    ).cache()
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     rs = global_running_sums(g, "v", ["v"], ["c1", "c2"], n_part)
     n = F.broadcast(
@@ -5771,30 +5775,47 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     swapped for the bucketed global-rank kernel (quantile_bins) when
     users outgrow one task."""
     ensure_views(spark, sf_dir)
-    return spark.sql("""
-        WITH g AS (SELECT max(unix_micros(ts)) AS gmax FROM events),
-        u AS (
-          SELECT user_id,
-                 (gmax - max(unix_micros(ts))) div 86400000000
-                   AS recency_days,
-                 count(*) AS frequency,
-                 sum(cast(round(value * 100) AS BIGINT)) AS monetary_cents
-          FROM events CROSS JOIN g
-          GROUP BY user_id, gmax
-        ), scored AS (
-          SELECT ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
-                 ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
-                 ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score,
-                 monetary_cents
-          FROM u
-        )
-        SELECT cast(r_score AS BIGINT) AS r_score,
-               cast(f_score AS BIGINT) AS f_score,
-               cast(m_score AS BIGINT) AS m_score,
-               count(*) AS n_users,
-               sum(monetary_cents) AS sum_monetary_cents
-        FROM scored GROUP BY r_score, f_score, m_score
-    """)
+    # ONE events scan (r13, guide §2.3): the global max timestamp is
+    # the max of the per-user maxes, so it derives from the cached
+    # user rollup instead of a second full scan (the SQL CTE form
+    # inlined g into u — two scans). Identical integer arithmetic.
+    ev = read_table(spark, sf_dir, "events")
+    u0 = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("__umax"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    ).cache()
+    g = u0.agg(F.max("__umax").alias("gmax"))
+    u = u0.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.expr("(gmax - __umax) div 86400000000").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    scored = u.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
+        .alias("m_score"),
+        "monetary_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_cents").cast("long").alias("sum_monetary_cents"),
+    ).select(
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        "n_users",
+        "sum_monetary_cents",
+    )
 
 
 @register(
@@ -5829,24 +5850,30 @@ def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus work is one user aggregate; everything after runs on 10
     rows."""
     ensure_views(spark, sf_dir)
-    return spark.sql("""
+    # CTE split to cache (r13, guide §1.3 — Spark inlines CTEs): agg
+    # fed BOTH the total scalar and the readout, so the user rollup +
+    # NTILE chain (and the events scan under it) executed twice per
+    # run. 10-row cache; SQL text per fragment unchanged.
+    agg = spark.sql("""
         WITH u AS (
           SELECT user_id, sum(cast(round(value * 100) AS BIGINT)) AS cents
           FROM events GROUP BY user_id
         ), d AS (
           SELECT cents, ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile
           FROM u
-        ), agg AS (
-          SELECT decile, count(*) AS n_users, sum(cents) AS cents
-          FROM d GROUP BY decile
-        ), tot AS (SELECT sum(cents) AS total FROM agg)
-        SELECT cast(decile AS BIGINT) AS decile,
-               n_users,
-               cents AS revenue_cents,
-               (sum(cents) OVER (ORDER BY decile) * 1000000) div total
-                 AS cum_share_micro
-        FROM agg CROSS JOIN tot
-    """)
+        )
+        SELECT decile, count(*) AS n_users, sum(cents) AS cents
+        FROM d GROUP BY decile
+    """).cache()
+    tot = agg.agg(F.sum("cents").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_users",
+        F.col("cents").alias("revenue_cents"),
+        F.expr(
+            "(sum(cents) OVER (ORDER BY decile) * 1000000) div total"
+        ).alias("cum_share_micro"),
+    )
 
 
 @register(

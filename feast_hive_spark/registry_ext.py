@@ -2148,13 +2148,17 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q_u"),
     )
+    # cached (r13, guide §1.3): g feeds the totals scalar AND the
+    # readout — uncached, the corpus scan with the quality-score +
+    # token-count text expressions executed twice per run.
+    # Source-domain-sized.
     g = scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("sum_tok"),
         F.round(F.sum("q_u") / (1000000.0 * F.count(F.lit(1))), 6).alias(
             "avg_quality"
         ),
-    )
+    ).cache()
     tot = g.agg(
         F.sum("n_docs").alias("__tot"),
         F.count(F.lit(1)).alias("__nsrc"),
