@@ -469,10 +469,14 @@ def bigram_pmi(
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bigrams = tokd.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
     bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    # cached (r13, guide §1.3 — the LM-scorer vocabulary trade): uni
+    # feeds BOTH unigram joins, so the tokenize + explode + groupBy
+    # executed twice per run. Vocabulary-sized.
     uni = (
         tokd.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
+        .cache()
     )
     # scalar totals straight from the token-array sizes — one cheap
     # scan-side aggregate instead of re-running the explode+groupBy

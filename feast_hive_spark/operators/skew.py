@@ -123,11 +123,15 @@ def key_skew_report(
     (TakeOrdered — no full sort), and a 1-row broadcast of the
     global stats. Output: (rank, key_value, n_rows, share_bp,
     total_rows, n_keys, top{N}_share_bp)."""
+    # cached (r13, guide §1.3): keyed feeds the top-N AND the totals
+    # scalar, and top feeds the readout AND the top-share scalar —
+    # uncached, the fact scan + grouped count executed twice per run.
+    # Key-domain-sized (top is top_n rows).
     keyed = df.groupBy(
         F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias(
             "key_value"
         )
-    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    ).agg(F.count(F.lit(1)).alias("n_rows")).cache()
     top = (
         keyed.orderBy(F.col("n_rows").desc(), F.col("key_value"))
         .limit(top_n)
@@ -137,6 +141,7 @@ def key_skew_report(
                 Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
             ),
         )
+        .cache()
     )
     totals = F.broadcast(
         keyed.agg(
