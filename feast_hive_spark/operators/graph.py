@@ -739,17 +739,36 @@ def _label_propagation_build(
                 pairs, probe, id_a, id_b, iters
             )
 
+    # ONE pairs execution (r13, guide §2.3/§1.3): the 2-arm unionAll
+    # ran the upstream pair-mining chain once per arm, and the chained
+    # round plan re-joined sym per round — with an expensive miner
+    # upstream (shingle/minhash joins) that multiplied the corpus
+    # work. Both arms now come off one scan via explode, and sym is
+    # cached (edge-sized) so the node spine + every round share one
+    # materialization. The probe-miss path pays the miner twice total
+    # (probe + sym) instead of 3+ times.
     sym = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("__e")
         )
+        .select("__e.src", "__e.dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
     if checkpoint_every is not None:
         # the edge table is re-joined every round — materialize once
         sym = sym.localCheckpoint(eager=True)
+    else:
+        sym = sym.cache()
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
