@@ -288,12 +288,24 @@ def decode_status(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
             return "gated"
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task content-addressed memo (r13, guide §4): identical
+        # payloads classify once per task. Bounded, per task.
+        memo: dict[bytes, str] = {}
+
+        def cached(payload: bytes) -> str:
+            c = memo.get(payload)
+            if c is None:
+                c = one(payload)
+                if len(memo) < _CODEC_MEMO_CAP:
+                    memo[payload] = c
+            return c
+
         for pdf in batches:
             raw = [b if isinstance(b, bytes) else bytes(b) for b in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "codec": [one(b) for b in raw],
+                    "codec": [cached(b) for b in raw],
                 }
             )
 

@@ -2985,6 +2985,18 @@ def multimodal_decode_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mk(batches):
+        # per-task content-addressed encode memo (r13, guide §4): the
+        # png/jpeg/gif families repeat with small content periods.
+        memo: dict = {}
+
+        def enc(key, fn):
+            p = memo.get(key)
+            if p is None:
+                p = fn()
+                if len(memo) < 65536:
+                    memo[key] = p
+            return p
+
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             payloads = []
@@ -2994,14 +3006,26 @@ def multimodal_decode_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if fam == 0:
                     k = np.arange(48, dtype=np.int64)
                     img = ((d * 31 + 7 * k) % 256).astype(np.uint8).reshape(6, 8)
-                    payloads.append(png.encode(img))
+                    payloads.append(
+                        enc((0, img.tobytes()), lambda: png.encode(img))
+                    )
                 elif fam == 1:
                     img = np.full((8, 8, 1), (d * 37) % 256, dtype=np.uint8)
-                    payloads.append(jpeg.encode(img, qluma=1))
+                    payloads.append(
+                        enc(
+                            (1, img.tobytes()),
+                            lambda: jpeg.encode(img, qluma=1),
+                        )
+                    )
                 elif fam == 2:
                     k = np.arange(30, dtype=np.int64)
                     idx = ((d * 13 + 7 * k) % 32).astype(np.uint8).reshape(5, 6)
-                    payloads.append(gif.encode(idx, palette=pal))
+                    payloads.append(
+                        enc(
+                            (2, idx.tobytes()),
+                            lambda: gif.encode(idx, palette=pal),
+                        )
+                    )
                 elif fam == 3:
                     k = np.arange(64, dtype=np.int64)
                     s = (d * 7919 + k * 131) % 65536 - 32768
