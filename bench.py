@@ -587,6 +587,15 @@ def emit(
     total = round(sum(times.values()), 3)
     prep_total = round(sum(prepare.values()), 3)
     rel20 = [n for n in BENCH_QUERIES[:REL20_N] if n in times]
+    # r14 (r13 verdict #1): surface the window's own noise verdict in
+    # the PRINTED line too (it was only in the summary file), so a
+    # contaminated measurement window self-identifies mechanically in
+    # the driver's captured tail. Additive only — same rule as the
+    # file's `unstable` list below.
+    unstable = sorted(
+        n for n, (lo, _, hi) in (exec_spread or {}).items()
+        if hi - lo > 0.1 and (lo <= 0 or hi / lo > 1.5)
+    )
     # subset invocations are iteration tools: they write their own
     # file instead of clobbering the graded full-suite artifact (r9 —
     # the old behavior forced a `git checkout BENCH_SUMMARY.json`
@@ -607,6 +616,7 @@ def emit(
         "queries": dict(times),
         "sf": sf,
         "n_queries": len(times),
+        "unstable_n": len(unstable),
         "full": out_name,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -642,10 +652,7 @@ def emit(
                     # lo == 0 (a min that rounds to 0.000s) counts as
                     # infinite spread, not an exemption — those are
                     # exactly the most unstable rows
-                    "unstable": sorted(
-                        n for n, (lo, _, hi) in exec_spread.items()
-                        if hi - lo > 0.1 and (lo <= 0 or hi / lo > 1.5)
-                    ),
+                    "unstable": unstable,
                 }),
                 "conf": conf,
                 # r10 (r9 advice #4): queries whose prepared plan is
