@@ -25,20 +25,16 @@ def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
-    # bit reader: LSB-first across the concatenated sub-block bytes
+    # bit reader: LSB-first across the concatenated sub-block bytes.
+    # r14 (guide §4.2): the per-BIT Python loop (width iterations per
+    # code) is replaced by one 3-byte slice + int.from_bytes per code —
+    # bit i of the value is bit ((bitpos+i)&7) of byte ((bitpos+i)>>3),
+    # which is exactly the little-endian integer of the 3 bytes at
+    # bitpos>>3 shifted right by bitpos&7 (width <= 12 and shift <= 7
+    # always fit in 24 bits; a short slice near EOF zero-extends, and
+    # the explicit truncation check still guards bits past the stream).
     bitpos = 0
     nbits = len(data) * 8
-
-    def read(width: int) -> int:
-        nonlocal bitpos
-        if bitpos + width > nbits:
-            raise ValueError("corrupt GIF: LZW stream truncated")
-        v = 0
-        for i in range(width):
-            byte = data[(bitpos + i) >> 3]
-            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
-        bitpos += width
-        return v
 
     def reset():
         table = [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -46,10 +42,18 @@ def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
 
     table, width = reset()
     prev: bytes | None = None
+    mask = (1 << width) - 1
     while len(out) < n_expected:
-        code = read(width)
+        if bitpos + width > nbits:
+            raise ValueError("corrupt GIF: LZW stream truncated")
+        bi = bitpos >> 3
+        code = (
+            int.from_bytes(data[bi : bi + 3], "little") >> (bitpos & 7)
+        ) & mask
+        bitpos += width
         if code == clear:
             table, width = reset()
+            mask = (1 << width) - 1
             prev = None
             continue
         if code == eoi:
@@ -65,6 +69,7 @@ def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
             table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
                 width += 1
+                mask = (1 << width) - 1
         prev = entry
     return bytes(out[:n_expected])
 
@@ -188,29 +193,40 @@ def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
             acc >>= 8
             accbits -= 8
 
-    table = {bytes([i]): i for i in range(clear)}
+    # r14 (guide §4.2): the classic dict-of-bytes LZW built a fresh
+    # ``run + bytes([byte])`` candidate PER PIXEL (an allocation + hash
+    # of a growing bytes object). Keys are now the integer
+    # (run_code << 8) | byte — unique (codes < 4096, bytes < 256) and
+    # hashable without allocation — and ``run`` is tracked as its CODE
+    # (single bytes are their own code < clear, so the base table is
+    # implicit). Emitted code sequence is identical by construction.
+    table: dict[int, int] = {}
     next_code = eoi + 1
     width = min_code_size + 1
     emit(clear, width)
-    run = b""
+    run_code = -1
     for byte in indices:
-        cand = run + bytes([byte])
-        if cand in table:
-            run = cand
+        if run_code < 0:
+            run_code = byte
             continue
-        emit(table[run], width)
-        table[cand] = next_code
+        key = (run_code << 8) | byte
+        c = table.get(key)
+        if c is not None:
+            run_code = c
+            continue
+        emit(run_code, width)
+        table[key] = next_code
         next_code += 1
         if next_code - 1 == (1 << width) and width < 12:
             width += 1
         if next_code == 4096:  # table full: reset
             emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            table = {}
             next_code = eoi + 1
             width = min_code_size + 1
-        run = bytes([byte])
-    if run:
-        emit(table[run], width)
+        run_code = byte
+    if run_code >= 0:
+        emit(run_code, width)
     emit(eoi, width)
     if accbits:
         out.append(acc & 0xFF)
