@@ -71,14 +71,18 @@ def _kernel_width(candidates: DataFrame, n_queries: int) -> DataFrame:
     return candidates
 
 
-def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+def _query_matrix(
+    queries: DataFrame, id_col: str, vec_col: str,
+    label_col: str | None = None,
+):
     # bounded single-execution probe: LIMIT N+1 caps the transfer at
     # one row past the guard, and fetching the (bounded) rows directly
     # runs the query-side plan ONCE — the previous count-then-toPandas
     # sequence executed it twice (r6, same change as the CC/pagerank
     # small-graph probes)
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
     qpdf = (
-        queries.select(id_col, vec_col)
+        queries.select(*cols)
         .limit(MAX_QUERY_ROWS + 1)
         .toPandas()
     )
@@ -91,6 +95,8 @@ def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
         )
     q_ids = qpdf[id_col].to_numpy()
     Qn = V.np_normalize(V.np_matrix(qpdf[vec_col]))
+    if label_col:
+        return q_ids, Qn, qpdf[label_col].to_numpy()
     return q_ids, Qn
 
 
@@ -101,21 +107,36 @@ def brute_force_topk(
     vec_col: str,
     query_id_col: str | None = None,
     k: int = 5,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query (excluding self-matches).
 
     Per Arrow batch: one matmul against the broadcast query matrix,
     then a per-batch argpartition keeps only k rows per query — the
     global window merges batch winners, so shuffle volume is
-    O(batches * queries * k), independent of corpus size."""
+    O(batches * queries * k), independent of corpus size.
+
+    ``label_col`` (r14, r13 verdict #6): carry the candidate-side
+    label and the (broadcast) query-side label through the kernel
+    emission as ``nb_label`` / ``q_label`` — the knn evaluation family
+    previously attached both with post-window joins against the corpus
+    (two extra exchanges of the ranked rows). The ranked set and its
+    order are unchanged; ``None`` (every other caller) keeps the
+    output schema and plan identical to before."""
     qid = query_id_col or id_col
     spark = candidates.sparkSession
-    q_ids, Qn = _query_matrix(queries, qid, vec_col)
+    if label_col:
+        q_ids, Qn, q_labs = _query_matrix(queries, qid, vec_col, label_col)
+        b_qlabs = spark.sparkContext.broadcast(q_labs)
+    else:
+        q_ids, Qn = _query_matrix(queries, qid, vec_col)
+        b_qlabs = None
     b_qids = spark.sparkContext.broadcast(q_ids)
     b_qm = spark.sparkContext.broadcast(Qn)
 
     def mapper(batches):
         qids, Q = b_qids.value, b_qm.value
+        qlabs = b_qlabs.value if b_qlabs is not None else None
         for batch in batches:
             ids = batch[id_col].to_numpy()
             if qids.size == 0 or ids.size == 0:
@@ -144,24 +165,33 @@ def brute_force_topk(
                 rows, cols = np.nonzero(np.isfinite(S))
             vals = S[rows, cols]
             fin = np.isfinite(vals)
-            yield pd.DataFrame(
-                {
-                    "query_id": qids[cols[fin]],
-                    "neighbor_id": ids[rows[fin]],
-                    "cosine": vals[fin],
-                }
-            )
+            out = {
+                "query_id": qids[cols[fin]],
+                "neighbor_id": ids[rows[fin]],
+                "cosine": vals[fin],
+            }
+            if qlabs is not None:
+                out["nb_label"] = batch[label_col].to_numpy()[rows[fin]]
+                out["q_label"] = qlabs[cols[fin]]
+            yield pd.DataFrame(out)
 
+    in_cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    schema = "query_id long, neighbor_id long, cosine double" + (
+        ", nb_label long, q_label long" if label_col else ""
+    )
     scored = _kernel_width(
-        candidates.select(id_col, vec_col), q_ids.size
-    ).mapInPandas(mapper, "query_id long, neighbor_id long, cosine double")
+        candidates.select(*in_cols), q_ids.size
+    ).mapInPandas(mapper, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    keep_cols = ["query_id", "neighbor_id", "cosine", "rank"] + (
+        ["nb_label", "q_label"] if label_col else []
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select(*keep_cols)
     )
 
 
@@ -628,16 +658,12 @@ def knn_label_accuracy(
     candidates instead; the vote/accuracy tail of the plan is identical
     either way. Ranking ties break on (cosine desc, neighbor id), votes
     on (count desc, label asc) — deterministic across engines."""
-    pred, labels = _knn_pred(df, id_col, vec_col, label_col, k)
-    return (
-        pred.join(labels.withColumnRenamed("__id", "q"), "q")
-        .groupBy(F.col("__lbl").alias("label"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("pred") == F.col("__lbl"), 1).otherwise(0)
-            ).alias("n_correct"),
-        )
+    pred = _knn_pred(df, id_col, vec_col, label_col, k)
+    return pred.groupBy(F.col("__lbl").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("pred") == F.col("__lbl"), 1).otherwise(0)
+        ).alias("n_correct"),
     )
 
 
@@ -656,15 +682,11 @@ def knn_label_confusion(
     systematic-mislabeling signature the CL estimator thresholds on.
     Same kernel, same deterministic tie-breaks; only the final
     aggregation differs (label-domain-squared output)."""
-    pred, labels = _knn_pred(df, id_col, vec_col, label_col, k)
-    return (
-        pred.join(labels.withColumnRenamed("__id", "q"), "q")
-        .groupBy(
-            F.col("__lbl").alias("given_label"),
-            F.col("pred").alias("pred_label"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
+    pred = _knn_pred(df, id_col, vec_col, label_col, k)
+    return pred.groupBy(
+        F.col("__lbl").alias("given_label"),
+        F.col("pred").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 def _knn_pred(
@@ -673,9 +695,10 @@ def _knn_pred(
     vec_col: str,
     label_col: str,
     k: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared majority-vote pipeline: returns (pred frame (q, pred),
-    labels frame (__id, __lbl)) for the kNN evaluation family."""
+) -> DataFrame:
+    """Shared majority-vote pipeline: one row per query,
+    ``(q, pred, __lbl)`` — the kNN-vote prediction plus the query's
+    own label, ready for the evaluation aggregates."""
     from feast_hive_spark.operators.dedup import _block_cosine_pairs
 
     labels = df.select(
@@ -693,10 +716,23 @@ def _knn_pred(
     # r13 (guide §1): let brute_force_topk's own guarded collect decide
     # the strategy instead of a dedicated LIMIT-probe count — the probe
     # was one extra full execution of the query-side plan per run.
+    # r14 (r13 verdict #6): the vote tail is folded — neighbor AND
+    # query labels ride the kernel emission (label_col passthrough, no
+    # post-window label joins), and the per-query vote argmax is ONE
+    # max(struct) aggregate instead of a second window + row_number
+    # filter. max(struct(count, -label)) == the (count DESC, label
+    # ASC) row_number()==1 pick: struct comparison is lexicographic,
+    # so the max count wins and ties take the largest negated label =
+    # the smallest label. Plan: 2 windows + 2 joins -> 1 window +
+    # 0 joins (+ one extra tiny aggregate).
     try:
-        ranked = brute_force_topk(df, df, id_col, vec_col, k=k)
-        topk_base = ranked.select(
-            F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb")
+        ranked = brute_force_topk(
+            df, df, id_col, vec_col, k=k, label_col=label_col
+        )
+        topk = ranked.select(
+            F.col("query_id").alias("q"),
+            F.col("nb_label").cast("long").alias("nb_label"),
+            F.col("q_label").cast("long").alias("__lbl"),
         )
     except AnnQueryGuardError:
         pairs = _block_cosine_pairs(df, id_col, vec_col, threshold=-1.1)
@@ -708,22 +744,26 @@ def _knn_pred(
             )
         )
         w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("nb"))
-        topk_base = (
+        topk = (
             sym.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .select("q", "nb")
+            .join(labels.withColumnRenamed("__id", "nb"), "nb")
+            .withColumnRenamed("__lbl", "nb_label")
+            .join(labels.withColumnRenamed("__id", "q"), "q")
         )
-    topk = topk_base.join(
-        labels.withColumnRenamed("__id", "nb"), "nb"
-    ).withColumnRenamed("__lbl", "nb_label")
-    votes = topk.groupBy("q", "nb_label").agg(F.count(F.lit(1)).alias("__c"))
-    wv = Window.partitionBy("q").orderBy(F.desc("__c"), F.asc("nb_label"))
-    pred = (
-        votes.withColumn("__rn", F.row_number().over(wv))
-        .filter(F.col("__rn") == 1)
-        .select("q", F.col("nb_label").alias("pred"))
+    votes = topk.groupBy("q", "nb_label").agg(
+        F.count(F.lit(1)).alias("__c"), F.min("__lbl").alias("__lbl")
     )
-    return pred, labels
+    best = votes.groupBy("q").agg(
+        F.max(
+            F.struct(F.col("__c"), (-F.col("nb_label")).alias("__nl"))
+        ).alias("__best"),
+        F.min("__lbl").alias("__lbl"),
+    )
+    return best.select(
+        "q", (-F.col("__best.__nl")).alias("pred"), "__lbl"
+    )
 
 
 def hard_negative_topk(
@@ -901,24 +941,38 @@ def lsh_hard_negative_topk(
                 F.col(vec_col).cast("string"),
             )
         )
-        # cached (r13, guide §1.3): mem anchors the rep pick AND both
-        # expansion member sides (3 consumers), reps the rep-row semi
-        # join AND both expansion group sides (3-4 consumers) —
-        # uncached, each consumer re-scanned the corpus and re-ran the
-        # md5 groupBy. Rows are (id, 32-char hash) / (hash, id) only.
+        # ONE cached rep->member expansion table (r14, r13 verdict #2):
+        # the old shape cached mem (member, group) AND reps (group,
+        # rep) and walked rep -> group -> member TWICE (4 expansion
+        # joins: rep_of+nmem for neighbors, qrep+qmem for the query
+        # fan-out). `exp` holds (member, its group's rep) directly —
+        # one window-min pass over the md5 keys — so each expansion is
+        # a SINGLE join against the cached table: 4 joins -> 2, two
+        # stages fewer, identical output by construction (exp ==
+        # reps JOIN mem on the group key, row for row).
         mem = emb.select(
             F.col(id_col).alias("__mid"), gk.alias("__g")
+        )
+        exp = mem.select(
+            "__mid",
+            F.min("__mid").over(Window.partitionBy("__g")).alias("__rid"),
         ).cache()
-        reps = mem.groupBy("__g").agg(F.min("__mid").alias("__rid")).cache()
         rep_rows = emb.join(
-            reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi"
+            exp.filter(F.col("__mid") == F.col("__rid")).select(
+                F.col("__rid").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
         )
         if target_bucket_rows:
             n_distinct = job_memo(
                 spark,
                 emb,
                 ("lsh_hn_rep_count", label_col, vec_col),
-                lambda: reps.count(),
+                # group count == rep-row count (one rep per group)
+                lambda: exp.filter(
+                    F.col("__mid") == F.col("__rid")
+                ).count(),
             )
             n_planes = derive_lsh_planes(n_distinct, target_bucket_rows)
         rep_cand = _lsh_hn_candidates(
@@ -928,16 +982,12 @@ def lsh_hard_negative_topk(
         # neighbor-group expansion: rep neighbor -> its group's members
         # (identical vectors = identical cosine, exact), re-rank, k per
         # rep query; then fan out to every member of the query group.
-        rep_of = reps.select(
-            F.col("__rid").alias("neighbor_id"), F.col("__g").alias("__ng")
+        nexp = exp.select(
+            F.col("__rid").alias("neighbor_id"),
+            F.col("__mid").alias("__nid"),
         )
-        nmem = mem.select(
-            F.col("__g").alias("__ng"), F.col("__mid").alias("__nid")
-        )
-        expanded = (
-            rep_cand.join(rep_of, "neighbor_id")
-            .join(nmem, "__ng")
-            .select("query_id", F.col("__nid").alias("neighbor_id"), "cosine")
+        expanded = rep_cand.join(nexp, "neighbor_id").select(
+            "query_id", F.col("__nid").alias("neighbor_id"), "cosine"
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
@@ -946,21 +996,15 @@ def lsh_hard_negative_topk(
             expanded.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
-        qrep = reps.select(
-            F.col("__rid").alias("query_id"), F.col("__g").alias("__qg")
+        qexp = exp.select(
+            F.col("__rid").alias("query_id"),
+            F.col("__mid").alias("__qid"),
         )
-        qmem = mem.select(
-            F.col("__g").alias("__qg"), F.col("__mid").alias("__qid")
-        )
-        return (
-            per_rep.join(qrep, "query_id")
-            .join(qmem, "__qg")
-            .select(
-                F.col("__qid").alias("query_id"),
-                "neighbor_id",
-                "cosine",
-                "rank",
-            )
+        return per_rep.join(qexp, "query_id").select(
+            F.col("__qid").alias("query_id"),
+            "neighbor_id",
+            "cosine",
+            "rank",
         )
     if target_bucket_rows:
         n_rows = job_memo(

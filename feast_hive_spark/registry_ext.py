@@ -5347,26 +5347,52 @@ def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.filter(F.col("vec_id") % 2 == 1).select(
         (F.col("vec_id") - 1).alias("pid"), F.col("embedding").alias("eb")
     )
-    zt = a.join(b, "pid").select(
-        "pid",
-        F.zip_with(
-            "ea", "eb", lambda x, y: x.cast("double") - y.cast("double")
-        ).alias("z"),
+    # r14 (r13 verdict #4, guide §4.2): the 17 dot products ran as
+    # interpreted higher-order `aggregate(zip_with(...))` expressions
+    # per row (the sequential-summation determinism contract). The
+    # mapInPandas kernel below reproduces the EXACT same arithmetic —
+    # per-COLUMN sequential accumulation: acc starts at 0.0 and adds
+    # z[d]*c[d] in ascending d, each step an elementwise float64 op
+    # across rows, so every row's partial-sum sequence is bit-identical
+    # to the scalar left fold — while the 1088 interpreted lambda
+    # evaluations per row become 17*dim vectorized numpy ops per batch.
+    # round/floor/groupBy stay JVM-side, so Spark's HALF_UP rounding
+    # (not numpy's half-to-even) still produces ratio_e6.
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(planes, dtype=np.float64)  # (k, dim)
+
+    def _jl_kernel(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            A = V.np_matrix(batch["ea"])
+            B = V.np_matrix(batch["eb"])
+            Z = A - B  # zip_with cast-double subtraction, elementwise
+            n = Z.shape[0]
+            dn = np.zeros(n, dtype=np.float64)
+            sumsq = None
+            for p in range(k):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(Z.shape[1]):
+                    acc += Z[:, d] * C[p, d]
+                sq = acc * acc
+                sumsq = sq if sumsq is None else sumsq + sq
+            for d in range(Z.shape[1]):
+                dn += Z[:, d] * Z[:, d]
+            yield pd.DataFrame(
+                {"pid": batch["pid"], "dn": dn, "sumsq": sumsq}
+            )
+
+    d = a.join(b, "pid").mapInPandas(
+        _jl_kernel, "pid long, dn double, sumsq double"
     )
-    d = zt.select(
-        "pid",
-        V.dot(F.col("z"), F.col("z")).alias("dn"),
-        *[
-            V.dot_literal(F.col("z"), pl).alias(f"d{p}")
-            for p, pl in enumerate(planes)
-        ],
-    )
-    sumsq = F.col("d0") * F.col("d0")
-    for p in range(1, k):
-        sumsq = sumsq + F.col(f"d{p}") * F.col(f"d{p}")
     r = d.filter(F.col("dn") > 0).select(
         "pid",
-        F.round(F.lit(1e6) * sumsq / (F.lit(float(k)) * F.col("dn")))
+        F.round(
+            F.lit(1e6) * F.col("sumsq") / (F.lit(float(k)) * F.col("dn"))
+        )
         .cast("long")
         .alias("ratio_e6"),
     )

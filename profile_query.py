@@ -48,7 +48,7 @@ def main() -> None:
         spark.catalog.cacheTable(t)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    outdir = os.path.join(here, "plans", "r13")
+    outdir = os.path.join(here, "plans", "r14")
     os.makedirs(outdir, exist_ok=True)
 
     # burn-in (same rationale as bench.py)
