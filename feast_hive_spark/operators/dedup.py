@@ -134,23 +134,39 @@ def _exact_collapse(df: DataFrame, id_col: str, text_col: str):
     """Collapse exact duplicates before near-dup pair generation.
 
     Returns ``(mem, reps, rep_rows)``: the (id, text-md5) membership
-    table, one representative (min id) per distinct text, and the
-    representative rows of ``df``. Near-dup operators run on
-    ``rep_rows`` only and expand pairs back through ``mem`` — the r6
-    scale harness showed why this matters: with 10-way duplicated
-    corpora the shingle self-join grows with the SQUARE of duplicate-
-    cluster occupancy (dedup_jaccard_prefix went superlinear, exponent
-    1.35), while distinct-text work plus output-sized expansion stays
-    linear. This is the textbook pipeline order: exact dedup first,
-    near-dup on distinct texts."""
-    mem = df.select(
-        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
+    table, one representative (min id, with the group size ``__k``)
+    per distinct text, and the representative rows of ``df``.
+    Near-dup operators run on ``rep_rows`` only and expand pairs back
+    through ``mem`` — the r6 scale harness showed why this matters:
+    with 10-way duplicated corpora the shingle self-join grows with
+    the SQUARE of duplicate-cluster occupancy (dedup_jaccard_prefix
+    went superlinear, exponent 1.35), while distinct-text work plus
+    output-sized expansion stays linear. This is the textbook
+    pipeline order: exact dedup first, near-dup on distinct texts.
+
+    r14 (r13 verdict #7): session-memoized per (df plan, cols), so
+    every collapsed operator over the same corpus shares ONE
+    ``rep_rows`` plan object — which is what lets the downstream
+    shingle-frame memo (``_shingle_frame``) hit across pipelines
+    (e.g. lsh_dedup_quality_report's exact and banded-LSH sides).
+    Pure plan construction, no caches and no jobs here."""
+    from feast_hive_spark.plans.memo import plan_memo
+
+    def build():
+        mem = df.select(
+            F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
+        )
+        reps = mem.groupBy("__th").agg(
+            F.min("__mid").alias("__rep"), F.count(F.lit(1)).alias("__k")
+        )
+        rep_rows = df.join(
+            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        )
+        return mem, reps, rep_rows
+
+    return plan_memo(
+        df.sparkSession, df, ("_exact_collapse", id_col, text_col), build
     )
-    reps = mem.groupBy("__th").agg(F.min("__mid").alias("__rep"))
-    rep_rows = df.join(
-        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
-    )
-    return mem, reps, rep_rows
 
 
 def _expand_collapsed_pairs(
@@ -242,6 +258,35 @@ def _jaccard_pairs(
     )
 
 
+def _shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Session-memoized CACHED (id, shingle-hash array) table (r14,
+    r13 verdict #7): the tokenize + shingle-hash projection is the
+    shared front of the ngram-Jaccard and MinHash pipelines, and a
+    query that runs both (lsh_dedup_quality_report: exact recall
+    denominator + banded-LSH candidates) used to build and cache it
+    TWICE — two full corpus scans/tokenizations. Keyed on the input
+    plan, so both sides of such a query (which receive the same
+    memoized ``rep_rows`` object from ``_exact_collapse``) read one
+    InMemoryRelation. Rows are (id, array<long>) — shingle-volume
+    sized, the same frame each pipeline already cached per call."""
+    from feast_hive_spark.plans.memo import plan_memo
+
+    return plan_memo(
+        df.sparkSession,
+        df,
+        ("_shingle_frame", id_col, text_col, n),
+        lambda: _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), X.tokens_array(text_col).alias("__tk"))
+        .select(
+            F.col(id_col),
+            X.shingle_hashes_from(F.col("__tk"), n).alias("__sh"),
+        )
+        .cache(),
+    )
+
+
 # --- n-gram Jaccard (inverted-index exact) ------------------------------
 
 def ngram_jaccard_pairs(
@@ -291,11 +336,7 @@ def ngram_jaccard_pairs(
         return _expand_collapsed_pairs(
             rep_pairs, mem, reps, "jaccard", 1.0, eligible_th
         )
-    with_sh = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), X.tokens_array(text_col).alias("__tk")
-    ).select(
-        F.col(id_col), X.shingle_hashes_from(F.col("__tk"), n).alias("__sh")
-    ).cache()
+    with_sh = _shingle_frame(df, id_col, text_col, n)
     sizes = with_sh.select(F.col(id_col), F.size("__sh").alias("__n"))
     exploded = with_sh.select(id_col, F.explode("__sh").alias("__h"))
     if max_doc_freq is not None:
@@ -353,16 +394,16 @@ def _collapse_bundle(df: DataFrame, id_col: str, text_col: str,
     spark = df.sparkSession
 
     def build():
-        mem = df.select(
-            F.col(id_col).alias("__mid"),
-            F.md5(F.col(text_col)).alias("__th"),
+        # r14: derive from the session-shared _exact_collapse plan
+        # objects (mem/reps/rep_rows are the SAME frames every other
+        # collapsed operator sees, so the shingle-frame memo keyed on
+        # rep_rows hits across pipelines); the bundle still owns the
+        # caching decision for its multi-consumer frames.
+        mem0, reps0, rep_rows = _exact_collapse(df, id_col, text_col)
+        mem = mem0.cache()
+        rk = reps0.select(
+            F.col("__th"), F.col("__rep").alias("__node"), F.col("__k")
         ).cache()
-        rk = mem.groupBy("__th").agg(
-            F.min("__mid").alias("__node"), F.count(F.lit(1)).alias("__k")
-        ).cache()
-        rep_rows = df.join(
-            rk.select(F.col("__node").alias(id_col)), id_col, "left_semi"
-        )
         rep_pairs = ckpt.track(
             ngram_jaccard_pairs(
                 rep_rows, id_col, text_col, n, threshold,
@@ -641,11 +682,7 @@ def minhash_lsh_pairs(
             rep_pairs, mem, reps, "jaccard", 1.0, eligible_th
         )
     rows_per_band = len(X.MINHASH_COEFS) // bands
-    with_sh = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), X.tokens_array(text_col).alias("__tk")
-    ).select(
-        F.col(id_col), X.shingle_hashes_from(F.col("__tk"), n).alias("__sh")
-    ).cache()
+    with_sh = _shingle_frame(df, id_col, text_col, n)
     sigs = with_sh.select(
         id_col, X.minhash_signature(F.col("__sh")).alias("__sig")
     )
@@ -1912,9 +1949,9 @@ def winnowing_overlap_pairs(
             rep_rows, id_col, text_col, n, window
         ).cache()
         if max_doc_freq is not None:
-            gsize = mem.groupBy("__th").agg(F.count(F.lit(1)).alias("__gs"))
-            rep_gs = reps.join(gsize, "__th").select(
-                F.col("__rep").alias(id_col), "__gs"
+            # r14: group sizes come free on the shared reps table
+            rep_gs = reps.select(
+                F.col("__rep").alias(id_col), F.col("__k").alias("__gs")
             )
             hot = (
                 fp.join(rep_gs, id_col)
