@@ -53,7 +53,7 @@ def local_numeric_frame(spark: SparkSession, rows, schema) -> DataFrame:
     return spark.sql(f"SELECT * FROM (VALUES {vals}) AS t({names})")
 
 
-def sorted_readout(df: DataFrame, *cols) -> DataFrame:
+def sorted_readout(df: DataFrame, *cols, max_rows: int) -> DataFrame:
     """Globally ordered REPORT-SIZED result without RangePartitioning
     (r13 optimization, guide §2.4/§1): a final ``orderBy`` plans an
     ``Exchange rangepartitioning`` whose range-boundary SAMPLING job
@@ -65,5 +65,24 @@ def sorted_readout(df: DataFrame, *cols) -> DataFrame:
     (one partition, sorted) with no sampling pass, and the child keeps
     its full parallelism. Only for outputs that are domain-/report-
     sized at any scale — a row-heavy ordered result should keep the
-    real range sort."""
+    real range sort.
+
+    ``max_rows`` (r14, r13 verdict #8) makes that contract mechanical
+    instead of conventional: every call site must state the bound its
+    output is domain-limited to, and with ``SPARK_GRAFT_READOUT_CHECK``
+    set (tests / debug sessions) the bound is eagerly probed with a
+    LIMIT(max_rows+1) count — a future fact-sized misuse fails loudly
+    there instead of silently serializing the table through one
+    partition at scale. The probe never runs in production paths (it
+    would add a job per build)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_READOUT_CHECK"):
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"sorted_readout: result exceeds the declared "
+                f"report-size bound ({n} > {max_rows} rows); a "
+                f"row-heavy ordered result must keep a real range sort"
+            )
     return df.repartition(1).sortWithinPartitions(*cols)

@@ -5581,7 +5581,7 @@ def hits_user_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scores.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 15)
-        .transform(_sorted_readout, "side", "rank")
+        .transform(_sorted_readout, "side", "rank", max_rows=10_000)
     )
 
 
@@ -6021,7 +6021,7 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("rho2_ppm"),
-    ).transform(_sorted_readout, "grp")
+    ).transform(_sorted_readout, "grp", max_rows=10_000)
 
 
 @register(
@@ -6905,7 +6905,7 @@ def zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = layout("orderkey_order", F.col("l_orderkey")).unionByName(
         layout("shipdate_order", day)
     )
-    return out.crossJoin(F.broadcast(sel)).transform(_sorted_readout, "layout")
+    return out.crossJoin(F.broadcast(sel)).transform(_sorted_readout, "layout", max_rows=10_000)
 
 
 _PACK_MAX = 65536   # maxSplitBytes analog (64 KB at toy row-width)
@@ -7011,7 +7011,7 @@ def scan_task_packing_report(
             "task_cost_bytes long, fill_ppm long"
         ),
     )
-    return _sorted_readout(out, "task_id")
+    return _sorted_readout(out, "task_id", max_rows=100_000)
 
 
 _FS_E9 = 1000000000
@@ -8051,7 +8051,7 @@ def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bh_rank",
             (F.col("bh_rank") <= F.col("kmax")).alias("flagged"),
         )
-        .transform(_sorted_readout, "seg")
+        .transform(_sorted_readout, "seg", max_rows=10_000)
     )
 
 
@@ -8163,7 +8163,7 @@ def ab_power_mde_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("mde_rel_ppm"),
-    ).transform(_sorted_readout, "seg")
+    ).transform(_sorted_readout, "seg", max_rows=10_000)
 
 
 _NEY_BUDGET = 1000
@@ -8268,7 +8268,7 @@ def neyman_allocation_report(
                 6,
             ).alias("deff_gain"),
         )
-        .transform(_sorted_readout, "lang")
+        .transform(_sorted_readout, "lang", max_rows=10_000)
     )
 
 
@@ -8377,4 +8377,4 @@ def join_cardinality_estimation_audit(
             )
         )
         out = row if out is None else out.unionByName(row)
-    return _sorted_readout(out, "join_name")
+    return _sorted_readout(out, "join_name", max_rows=10_000)

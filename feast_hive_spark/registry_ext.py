@@ -1270,7 +1270,7 @@ def split_no_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_leaky_pairs"
             ),
         )
-        .transform(_sorted_readout, "split")
+        .transform(_sorted_readout, "split", max_rows=10_000)
     )
 
 
@@ -4014,8 +4014,16 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep = DD.exact_dedup(base, "doc_id", "text").select("doc_id")
     survivors = base.join(keep, "doc_id")
+    # r14: survivors carry DISTINCT texts by construction (one min-id
+    # doc per md5 class), so the pair generator's exact-collapse
+    # pre-pass is provably the identity here — every group is a
+    # singleton, the within-group arm is empty and the cross expansion
+    # maps reps to themselves. Skipping it drops the md5 groupBy +
+    # semi-join + 5 expansion joins from this query's plan (they ran
+    # inside the CC probe's single execution), output bit-identical.
     pairs = DD.ngram_jaccard_pairs(
-        survivors, "doc_id", "text", n=3, threshold=0.5
+        survivors, "doc_id", "text", n=3, threshold=0.5,
+        collapse_exact=False,
     )
     comp = DD.connected_components_star(pairs).select(
         "doc_id", "component_id"
@@ -4711,7 +4719,7 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.lit(9e0) * F.col("class_size") * F.col("__t"))
             ).cast("long").alias("t_e6"),
         )
-        .transform(lambda d: _sorted_readout(d, *keys))
+        .transform(lambda d: _sorted_readout(d, *keys, max_rows=10_000))
     )
 
 
@@ -5407,7 +5415,7 @@ def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ratio_e6").alias("min_ratio_e6"),
             F.max("ratio_e6").alias("max_ratio_e6"),
         )
-        .transform(_sorted_readout, "bin")
+        .transform(_sorted_readout, "bin", max_rows=10_000)
     )
 
 
@@ -5524,7 +5532,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("wt").cast("long").alias("n_events"),
                 F.sum("term_e6").cast("long").alias("psi_e6"),
             )
-            .transform(_sorted_readout, "window_start")
+            .transform(_sorted_readout, "window_start", max_rows=10_000)
         )
         return out.localCheckpoint(eager=True)
 
@@ -5831,7 +5839,7 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dcg_e9").cast("double") / F.col("idcg_e9"), 6
             ).alias(f"ndcg_at_{_NDCG_K}"),
         )
-        .transform(_sorted_readout, "query_id")
+        .transform(_sorted_readout, "query_id", max_rows=10_000)
     )
 
 

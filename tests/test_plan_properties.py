@@ -154,3 +154,23 @@ def test_grouping_sets_cache_substitutes_first_reference_only(spark):
     finally:
         plain.unpersist()
         gsets.unpersist()
+
+
+def test_sorted_readout_bound_enforced(spark, monkeypatch):
+    """r14 (r13 verdict #8): sorted_readout's report-sized contract is
+    mechanical — with the debug probe enabled, a result larger than
+    the declared max_rows raises instead of silently serializing a
+    fact-sized frame through one partition."""
+    from pyspark.sql import functions as F
+
+    from feast_hive_spark.plans.local import sorted_readout
+
+    df = spark.range(100).select(F.col("id").alias("v"))
+    monkeypatch.setenv("SPARK_GRAFT_READOUT_CHECK", "1")
+    ok = sorted_readout(df, "v", max_rows=100)
+    assert [r.v for r in ok.collect()] == list(range(100))
+    with pytest.raises(ValueError, match="report-size bound"):
+        sorted_readout(df, "v", max_rows=99)
+    # production path: no probe job, bound is a declaration only
+    monkeypatch.delenv("SPARK_GRAFT_READOUT_CHECK")
+    assert sorted_readout(df, "v", max_rows=1).count() == 100
