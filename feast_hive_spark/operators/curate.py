@@ -437,15 +437,23 @@ def greedy_shingle_cover(
     Output: ``(pick_rank, doc_id, new_covered, cum_covered)`` — exact
     integer marginal and cumulative distinct-shingle counts."""
     from feast_hive_spark.functions import text as X
+    from feast_hive_spark.plans.memo import plan_memo
 
-    sh = (
-        df.select(F.col(id_col), X.tokens_array(text_col).alias("__tk"))
+    # plan_memo'd cache (r14, r13 ADVICE #2): repeated builds reuse
+    # one cached frame instead of accumulating blocks per invocation
+    sh = plan_memo(
+        df.sparkSession,
+        df,
+        ("greedy_shingle_cover.sh", id_col, text_col, n),
+        lambda: df.select(
+            F.col(id_col), X.tokens_array(text_col).alias("__tk")
+        )
         .select(
             F.col(id_col),
             F.explode(X.shingle_hashes_from(F.col("__tk"), n)).alias("__h"),
         )
         .distinct()
-        .cache()
+        .cache(),
     )
     covered = None  # DataFrame of covered __h
     picks = []

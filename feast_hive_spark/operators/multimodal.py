@@ -57,6 +57,23 @@ except Exception:  # noqa: BLE001
 #: per task — nothing persists across tasks or runs.
 _CODEC_MEMO_CAP = 65536
 
+#: r14 (r13 ADVICE #1): byte budget for memos whose VALUES are
+#: payload-sized (resize thumbnails) — the entry cap bounds count, not
+#: bytes, so a task over mostly-distinct large media could otherwise
+#: pin a payload-sized value per distinct input for the task lifetime.
+_CODEC_MEMO_BYTES = 64 << 20
+
+
+def _memo_key(payload: bytes) -> bytes:
+    """16-byte blake2b digest key for the per-task codec memos (r14,
+    r13 ADVICE #1): raw-bytes keys pinned every DISTINCT payload in
+    Python worker memory for the task's lifetime (the dict held the
+    only live reference once the Arrow batch was dropped); the digest
+    keeps the memo's key footprint at 16 bytes per entry regardless of
+    payload size."""
+    return hashlib.blake2b(payload, digest_size=16).digest()
+
+
 # magic-byte prefixes -> sniffed media type (JVM-side, no UDF)
 _MAGIC = {
     "89504e47": "image/png",
@@ -230,7 +247,8 @@ def image_pixel_stats(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
             rows = []
             for i, b in zip(pdf[id_col], pdf[binary_col]):
                 payload = b if isinstance(b, bytes) else bytes(b)
-                st = memo.get(payload)
+                mk = _memo_key(payload)
+                st = memo.get(mk)
                 if st is None:
                     img = _decode_image(payload)
                     if img is None:
@@ -246,7 +264,7 @@ def image_pixel_stats(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                         int(img.max()),
                     )
                     if len(memo) < _CODEC_MEMO_CAP:
-                        memo[payload] = st
+                        memo[mk] = st
                 rows.append((i, *st))
             yield pd.DataFrame(
                 rows,
@@ -293,11 +311,12 @@ def decode_status(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
         memo: dict[bytes, str] = {}
 
         def cached(payload: bytes) -> str:
-            c = memo.get(payload)
+            mk = _memo_key(payload)
+            c = memo.get(mk)
             if c is None:
                 c = one(payload)
                 if len(memo) < _CODEC_MEMO_CAP:
-                    memo[payload] = c
+                    memo[mk] = c
             return c
 
         for pdf in batches:
@@ -357,13 +376,18 @@ def resize_images(
         # per-task content-addressed memo (r13, guide §4): identical
         # payloads resize/re-encode once per task; bounded, per task.
         memo: dict[bytes, bytes] = {}
+        used = 0
 
         def cached(payload: bytes) -> bytes:
-            th = memo.get(payload)
+            nonlocal used
+            mk = _memo_key(payload)
+            th = memo.get(mk)
             if th is None:
                 th = one(payload)
-                if len(memo) < _CODEC_MEMO_CAP:
-                    memo[payload] = th
+                # values are payload-sized: budget BYTES, not entries
+                if used + len(th) <= _CODEC_MEMO_BYTES:
+                    memo[mk] = th
+                    used += len(th)
             return th
 
         for pdf in batches:
@@ -435,7 +459,8 @@ def image_ahash_bands(
             rows = []
             for i, b in zip(pdf[id_col], pdf[binary_col]):
                 payload = b if isinstance(b, bytes) else bytes(b)
-                bands = memo.get(payload)
+                mk = _memo_key(payload)
+                bands = memo.get(mk)
                 if bands is None:
                     img = _decode_image(payload)
                     if img is None:
@@ -452,7 +477,7 @@ def image_ahash_bands(
                         for j in range(4)
                     )
                     if len(memo) < _CODEC_MEMO_CAP:
-                        memo[payload] = bands
+                        memo[mk] = bands
                 rows.append((i, *bands))
             yield pd.DataFrame(rows, columns=[id_col, "b0", "b1", "b2", "b3"])
 
@@ -585,7 +610,8 @@ def sample_video_frames(
             rows = []
             for i, b in zip(pdf[id_col], pdf[binary_col]):
                 payload = b if isinstance(b, bytes) else bytes(b)
-                tmpl = memo.get(payload)
+                mk = _memo_key(payload)
+                tmpl = memo.get(mk)
                 if tmpl is None:
                     frames = gif.decode_frames(payload)
                     tmpl = [
@@ -598,7 +624,7 @@ def sample_video_frames(
                         for fi in range(0, len(frames), every_n)
                     ]
                     if len(memo) < _CODEC_MEMO_CAP:
-                        memo[payload] = tmpl
+                        memo[mk] = tmpl
                 rows.extend((i, *t) for t in tmpl)
             yield pd.DataFrame(
                 rows,

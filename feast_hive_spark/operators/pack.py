@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from feast_hive_spark.operators.prefix import quantile_bucket
-from feast_hive_spark.plans.memo import job_memo
+from feast_hive_spark.plans.memo import job_memo, plan_memo
 
 
 def pack_sequences(
@@ -144,10 +144,19 @@ def padding_efficiency_report(
     # cached (r13, guide §1.3): base feeds BOTH rankings (each a
     # quantile probe + an offsets collect + the final windowed plan)
     # plus the totals row — uncached, the caller's token-count scan
-    # executed ~5x per run. Two longs per row.
-    base = df.select(
-        F.col(id_col).alias("__id"), F.col(len_col).cast("long").alias("__len")
-    ).cache()
+    # executed ~5x per run. Two longs per row. plan_memo'd (r14,
+    # r13 ADVICE #2): repeated builds on a long-lived session reuse
+    # ONE cached frame instead of stacking a new cached block per
+    # invocation and waiting on block-manager LRU.
+    base = plan_memo(
+        spark,
+        df,
+        ("padding_efficiency.base", id_col, len_col),
+        lambda: df.select(
+            F.col(id_col).alias("__id"),
+            F.col(len_col).cast("long").alias("__len"),
+        ).cache(),
+    )
 
     def _ranked(src: DataFrame, bucket_col: str, order_cols) -> DataFrame:
         bkt_expr, _ = quantile_bucket(src, bucket_col, n_part)

@@ -170,12 +170,22 @@ def covisitation_topk(
     # capped per-user item set cached (r13, guide §1.3): it feeds
     # BOTH sides of the pair self-join — uncached, the corpus-sized
     # first-seen aggregate + cap window executed twice per run; the
-    # cache is bounded at max_items_per_user rows per user
-    capped = (
-        first_seen.withColumn("__rn", F.row_number().over(w_cap))
+    # cache is bounded at max_items_per_user rows per user.
+    # plan_memo'd (r14, r13 ADVICE #2): rebuilds reuse one cached
+    # frame instead of stacking blocks per invocation.
+    from feast_hive_spark.plans.memo import plan_memo
+
+    capped = plan_memo(
+        df.sparkSession,
+        df,
+        ("covisitation.capped", user_col, item_col, ts_col,
+         max_items_per_user),
+        lambda: first_seen.withColumn(
+            "__rn", F.row_number().over(w_cap)
+        )
         .filter(F.col("__rn") <= max_items_per_user)
         .select(user_col, item_col)
-        .cache()
+        .cache(),
     )
     a = capped.select(
         F.col(user_col).alias("__u"), F.col(item_col).alias("item_a")
@@ -235,11 +245,21 @@ def covisitation_hitrate_at_k(
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).desc(), F.col(seq_col).desc()
     )
-    ranked = df.select(user_col, item_col, ts_col, seq_col).withColumn(
-        "__rn", F.row_number().over(w)
-    ).cache()  # (r13, §1.3) feeds the holdout extraction AND the
-    # trainer's input — uncached, the events scan + user window
-    # executed twice per run
+    # (r13, §1.3) feeds the holdout extraction AND the trainer's
+    # input — uncached, the events scan + user window executed twice
+    # per run; plan_memo'd (r14, ADVICE #2) so rebuilds reuse one
+    # cached frame.
+    from feast_hive_spark.plans.memo import plan_memo
+
+    ranked = plan_memo(
+        df.sparkSession,
+        df,
+        ("covisitation_hitrate.ranked", user_col, item_col, ts_col,
+         seq_col),
+        lambda: df.select(user_col, item_col, ts_col, seq_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .cache(),
+    )
     holdout = (
         ranked.filter(F.col("__rn") <= 2)
         .groupBy(user_col)

@@ -6849,29 +6849,26 @@ def zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_lo = F.col("d0") + _ZM_PRED_OFF
     d_hi = F.col("d0") + _ZM_PRED_OFF + _ZM_PRED_LEN - 1
 
-    def layout(name: str, key) -> DataFrame:
-        b = li.agg(
-            F.min(key).alias("mn"),
-            F.max(key).alias("mx"),
+    # r14 (guide §2.3): one combined bounds aggregate + a cached
+    # day-domain histogram replace 5 full lineitem scans with 3. The
+    # shipdate layout's bucket is a function of DAY alone, so its
+    # per-group rollup AND the true selectivity both derive from the
+    # histogram (counts weighted), bit-identically; only the orderkey
+    # layout still needs a row-level pass (its bucket key is not a
+    # day function).
+    b = F.broadcast(
+        li.agg(
+            F.min(F.col("l_orderkey")).alias("k_mn"),
+            F.max(F.col("l_orderkey")).alias("k_mx"),
             F.min(day).alias("d0"),
+            F.max(day).alias("d_mx"),
         )
-        e = li.crossJoin(F.broadcast(b)).select(
-            F.least(
-                F.floor(
-                    ((key - F.col("mn")) * _ZM_GROUPS).cast("double")
-                    / (F.col("mx") - F.col("mn") + 1)
-                ).cast("long"),
-                F.lit(_ZM_GROUPS - 1).cast("long"),
-            ).alias("grp"),
-            day.alias("d"),
-            "d0",
-        )
-        rg = e.groupBy("grp").agg(
-            F.min("d0").alias("d0"),
-            F.count(F.lit(1)).cast("long").alias("nr"),
-            F.min("d").alias("dmin"),
-            F.max("d").alias("dmax"),
-        )
+    )
+    day_hist = li.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    ).cache()
+
+    def rollup(rg, name: str) -> DataFrame:
         pruned = (F.col("dmax") < d_lo) | (F.col("dmin") > d_hi)
         return rg.agg(
             F.count(F.lit(1)).cast("long").alias("n_groups"),
@@ -6887,23 +6884,60 @@ def zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("scan_rows_ppm"),
         ).select(F.lit(name).alias("layout"), "*")
 
-    d0f = li.agg(F.min(day).alias("d0"))
-    sel = (
-        li.crossJoin(F.broadcast(d0f))
+    def bucket(key, mn, mx):
+        return F.least(
+            F.floor(
+                ((key - mn) * _ZM_GROUPS).cast("double") / (mx - mn + 1)
+            ).cast("long"),
+            F.lit(_ZM_GROUPS - 1).cast("long"),
+        )
+
+    rg_key = (
+        li.crossJoin(b)
+        .select(
+            bucket(F.col("l_orderkey"), F.col("k_mn"), F.col("k_mx"))
+            .alias("grp"),
+            day.alias("d"),
+            "d0",
+        )
+        .groupBy("grp")
         .agg(
-            F.round(
-                F.lit(1e6)
-                * F.sum(
-                    F.when(day.between(d_lo, d_hi), 1).otherwise(0)
-                )
-                / F.count(F.lit(1))
-            )
-            .cast("long")
-            .alias("selectivity_ppm")
+            F.min("d0").alias("d0"),
+            F.count(F.lit(1)).cast("long").alias("nr"),
+            F.min("d").alias("dmin"),
+            F.max("d").alias("dmax"),
         )
     )
-    out = layout("orderkey_order", F.col("l_orderkey")).unionByName(
-        layout("shipdate_order", day)
+    rg_day = (
+        day_hist.crossJoin(b)
+        .select(
+            bucket(F.col("d"), F.col("d0"), F.col("d_mx")).alias("grp"),
+            "d",
+            "__c",
+            "d0",
+        )
+        .groupBy("grp")
+        .agg(
+            F.min("d0").alias("d0"),
+            F.sum("__c").cast("long").alias("nr"),
+            F.min("d").alias("dmin"),
+            F.max("d").alias("dmax"),
+        )
+    )
+    sel = day_hist.crossJoin(b).agg(
+        F.round(
+            F.lit(1e6)
+            * F.sum(
+                F.when(F.col("d").between(d_lo, d_hi), F.col("__c"))
+                .otherwise(0)
+            )
+            / F.sum("__c")
+        )
+        .cast("long")
+        .alias("selectivity_ppm")
+    )
+    out = rollup(rg_key, "orderkey_order").unionByName(
+        rollup(rg_day, "shipdate_order")
     )
     return out.crossJoin(F.broadcast(sel)).transform(_sorted_readout, "layout", max_rows=10_000)
 
