@@ -638,12 +638,35 @@ def label_centroids(
     )
 
 
+def _knn_eval_sample(
+    df: DataFrame, id_col: str, sample_bp: "int | None"
+) -> DataFrame:
+    """Deterministic hash-sampled evaluation slice (r14, r13 verdict
+    #9): exact kNN evaluation is O(n^2) BY DEFINITION, so past the
+    broadcast guard the only exact option is the fully-distributed
+    block-pair kernel — correct but quadratic in FLOPs. ``sample_bp``
+    (basis points of rows kept, ``H48(salt:id) mod 10000`` — the same
+    bucket arithmetic as curate.hash_split, so the slice is stable
+    under re-runs/repartitioning/corpus growth) evaluates the SAME
+    metric on a sampled sub-corpus: neighbors and queries both come
+    from the slice, making it a self-contained kNN evaluation whose
+    size the caller controls at any corpus scale. ``None`` (default,
+    and every registry query) is a no-op — declared results are
+    untouched."""
+    if sample_bp is None:
+        return df
+    from feast_hive_spark.operators.curate import _bucket
+
+    return df.filter(_bucket(id_col, "knneval") < int(sample_bp))
+
+
 def knn_label_accuracy(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     label_col: str,
     k: int = 5,
+    sample_bp: "int | None" = None,
 ) -> DataFrame:
     """kNN label-consistency evaluation: predict each vector's label by
     majority vote of its k nearest neighbors (cosine, self excluded),
@@ -658,7 +681,10 @@ def knn_label_accuracy(
     candidates instead; the vote/accuracy tail of the plan is identical
     either way. Ranking ties break on (cosine desc, neighbor id), votes
     on (count desc, label asc) — deterministic across engines."""
-    pred = _knn_pred(df, id_col, vec_col, label_col, k)
+    pred = _knn_pred(
+        _knn_eval_sample(df, id_col, sample_bp),
+        id_col, vec_col, label_col, k,
+    )
     return pred.groupBy(F.col("__lbl").alias("label")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
@@ -673,6 +699,7 @@ def knn_label_confusion(
     vec_col: str,
     label_col: str,
     k: int = 5,
+    sample_bp: "int | None" = None,
 ) -> DataFrame:
     """kNN label-confusion matrix — the confident-learning view
     (Northcutt et al., JAIR 2021) of the same majority votes
@@ -682,7 +709,10 @@ def knn_label_confusion(
     systematic-mislabeling signature the CL estimator thresholds on.
     Same kernel, same deterministic tie-breaks; only the final
     aggregation differs (label-domain-squared output)."""
-    pred = _knn_pred(df, id_col, vec_col, label_col, k)
+    pred = _knn_pred(
+        _knn_eval_sample(df, id_col, sample_bp),
+        id_col, vec_col, label_col, k,
+    )
     return pred.groupBy(
         F.col("__lbl").alias("given_label"),
         F.col("pred").alias("pred_label"),

@@ -992,3 +992,38 @@ def test_lsh_multiprobe_superset_recall(spark):
         assert m[qid] >= s[qid] - 1e-9
     # and strictly more candidates somewhere on a 3-table index
     assert m.sum() > s.sum()
+
+
+def test_knn_eval_sample_bp(spark):
+    """r14 (r13 verdict #9): the sampled evaluation variant must equal
+    the full evaluation run over the pre-filtered slice (same metric,
+    smaller corpus), and sample_bp=None must stay the exact full-corpus
+    evaluation."""
+    import pandas as pd
+
+    from feast_hive_spark.operators.curate import _bucket
+    from feast_hive_spark.operators.simsearch import knn_label_accuracy
+
+    rng = __import__("numpy").random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(60),
+            "embedding": [rng.normal(size=4).tolist() for _ in range(60)],
+            "label": [i % 3 for i in range(60)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sampled = knn_label_accuracy(
+        df, "vec_id", "embedding", "label", k=3, sample_bp=5000
+    )
+    manual = knn_label_accuracy(
+        df.filter(_bucket("vec_id", "knneval") < 5000),
+        "vec_id", "embedding", "label", k=3,
+    )
+    assert sorted(map(tuple, sampled.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+    full = knn_label_accuracy(df, "vec_id", "embedding", "label", k=3)
+    n_full = sum(r.n for r in full.collect())
+    n_samp = sum(r.n for r in sampled.collect())
+    assert n_full == 60 and 0 < n_samp < 60
