@@ -290,3 +290,88 @@ def global_running_sums(
             ),
         )
     return out.drop("__bkt")
+
+
+def global_rank_and_sums(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list,
+    value_cols: "list[str]",
+    n_buckets: int,
+    rank_col: str = "__rank",
+    prefix: str = "__rs_",
+) -> DataFrame:
+    """:func:`global_row_number` + :func:`global_running_sums` fused
+    (r14, guide §2.4): when the SAME total order drives both, one
+    bucket probe + ONE per-bucket (count, sums) collect + one window
+    pass produce the rank and the inclusive running sums together.
+    The two-kernel chain paid a second approxQuantile probe and a
+    second per-bucket collect over the already-windowed intermediate
+    (each a full re-execution of the input) plus a second window
+    exchange. Values are identical by construction: rank and running
+    sums depend only on the total order and the integer values, never
+    on the bucket decomposition."""
+    from pyspark.sql import Window
+
+    bkt_expr, _ = quantile_bucket(df, bucket_col, n_buckets)
+    bucketed = df.withColumn("__bkt", bkt_expr)
+    stats = job_memo(
+        df.sparkSession,
+        df,
+        (
+            "global_rank_and_sums",
+            bucket_col,
+            tuple(value_cols),
+            n_buckets,
+        ),
+        lambda: (
+            bucketed.groupBy("__bkt")
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                *[F.sum(c).alias(c) for c in value_cols],
+            )
+            .collect()
+        ),
+    )
+    run_n = 0
+    run = {c: 0 for c in value_cols}
+    off_n: dict = {}
+    off_v: dict = {}
+    for r in sorted(stats, key=lambda r: r["__bkt"]):
+        off_n[r["__bkt"]] = run_n
+        off_v[r["__bkt"]] = dict(run)
+        run_n += r["__c"]
+        for c in value_cols:
+            run[c] += r[c] or 0
+    if off_n:
+        off_n_expr = F.create_map(
+            *[F.lit(x) for kv in off_n.items() for x in kv]
+        )[F.col("__bkt")]
+    else:
+        off_n_expr = F.lit(0)
+    w = Window.partitionBy("__bkt").orderBy(*order_cols)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = bucketed.withColumn(
+        rank_col,
+        (F.row_number().over(w) + F.coalesce(off_n_expr, F.lit(0))).cast(
+            "long"
+        ),
+    )
+    for c in value_cols:
+        if off_v:
+            off_expr = F.create_map(
+                *[
+                    F.lit(x)
+                    for b, per in off_v.items()
+                    for x in (b, per[c])
+                ]
+            )[F.col("__bkt")]
+        else:
+            off_expr = F.lit(0)
+        out = out.withColumn(
+            f"{prefix}{c}",
+            (F.sum(c).over(wsum) + F.coalesce(off_expr, F.lit(0))).cast(
+                "long"
+            ),
+        )
+    return out.drop("__bkt")

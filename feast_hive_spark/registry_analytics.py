@@ -4247,10 +4247,7 @@ def gini_user_value_concentration(
     Integer micro arithmetic end to end (values fixed to micro, the
     final ratio half-up rounded at 1e-6), so both engines agree
     bit-for-bit."""
-    from feast_hive_spark.operators.prefix import (
-        global_row_number,
-        global_running_sums,
-    )
+    from feast_hive_spark.operators.prefix import global_rank_and_sums
 
     ev = read_table(spark, sf_dir, "events")
     # NOT cached (r13, measured): the prefix kernels' probe jobs are
@@ -4260,11 +4257,14 @@ def gini_user_value_concentration(
         F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("v")
     )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranked = global_row_number(
-        u, "v", [F.col("v"), F.col("user_id")], n_part, out_col="rk"
-    )
-    summed = global_running_sums(
-        ranked, "v", [F.col("v"), F.col("user_id")], ["v"], n_part
+    # r14 (guide §2.4): rank + running sum share ONE fused kernel —
+    # the chained kernels re-probed and re-collected over the already
+    # windowed intermediate (2 extra executions of u + a second
+    # window exchange); values depend only on the (v, user_id) total
+    # order, so the fold is exact.
+    summed = global_rank_and_sums(
+        u, "v", [F.col("v"), F.col("user_id")], ["v"], n_part,
+        rank_col="rk",
     )
     return summed.agg(
         F.count(F.lit(1)).alias("n"),
